@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline operators:
+  * tokenization, n-grams/shingles, MinHash signatures, language ID,
+  * quality scoring, fingerprints.
+  *
+  * Design constraints:
+  *  - Pure built-in expressions / higher-order functions → whole-stage
+  *    codegen, no UDF serialization, safe at 100 TB.
+  *  - Deterministic and engine-portable: every hash is derived from `md5`
+  *    (identical hex output in Spark and any SQL oracle), never from
+  *    Spark-private hashes like `xxhash64`, so differential testing can
+  *    reproduce signatures bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Lowercase, trim, collapse internal whitespace — the canonical form
+    * used by exact dedup.
+    */
+  def normalizeText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokenizer (empty tokens removed). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish word/punct tokenizer: splits out word runs, digits runs, and
+    * single punctuation marks — a cheap stand-in for subword tokenization
+    * that still gives stable token counts for budget estimation.
+    */
+  def bpeishTokens(c: Column): Column =
+    filter(
+      split(regexp_replace(c, "([\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s])", " $1 "), "\\s+"),
+      t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word n-grams from a token array: contiguous windows of `n` joined by
+    * a single space. `transform(sequence(...))` keeps it codegen-friendly.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Distinct word shingles (n-grams) — the MinHash input set. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(ngrams(tokens(normalizeText(text)), n))
+
+  /** One MinHash component: the lexicographic minimum of
+    * `md5(seed || ':' || shingle)` over the shingle set.
+    *
+    * Using the min *hex string* instead of a parsed integer keeps the hash
+    * function identical in any engine with `md5` (DuckDB, Trino, ...) —
+    * see SURVEY.md §7.4 on cross-engine minhash determinism.
+    * `array_min` over a transformed array is a pure HOF — no shuffle, no
+    * UDF; one pass per seed over each document's shingles.
+    */
+  def minhashComponent(shingleSet: Column, seed: Int): Column =
+    array_min(transform(shingleSet, s => md5(concat(lit(seed.toString), lit(":"), s))))
+
+  /** Full MinHash signature: array of `k` components (seeds 0..k-1). */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map(minhashComponent(shingleSet, _)): _*)
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
+    * components, each group fused to one md5 key. Two documents collide on
+    * a band iff all components in that band match — the classic
+    * (bands × rows) S-curve. Returns `array<struct<band:int, key:string>>`
+    * ready to explode into a groupBy — the band-bucket join is an equi
+    * shuffle, never an all-pairs comparison.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), "|")).as("key"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two pre-deduplicated shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0d, lit(null).cast("double")).otherwise(inter / uni)
+  }
+
+  /** SimHash over `bits` bits (≤ 32): per token take bit j of the md5-derived
+    * integer, vote +1/-1, sign of the vote is output bit j.
+    * Bit j of a token = (hexdigit(md5) >> ...) — derived purely from the
+    * first 8 hex chars parsed via conv(), so it is reproducible in SQL.
+    */
+  def simhash(toks: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 32, "simhash supports 1..32 bits")
+    // 32-bit integer from the first 8 md5 hex chars of each token
+    val tokHash = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { j =>
+      // vote_j = sum over tokens of (bit_j ? 1 : -1)
+      val vote = aggregate(tokHash, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0L, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (population count of xor).
+    * bit_count is a Spark built-in (and `bit_count` in DuckDB).
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Content fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive "bag of words" identity used for fuzzy exact-dup
+    * detection (word-order permutations collapse).
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(normalizeText(text)))), " "))
+
+  /** Rolling polynomial hash of the token sequence (order-sensitive
+    * fingerprint): h = h*31 + first8(md5(token)) in Long arithmetic.
+    * Engine-portable given 64-bit wrap-around semantics.
+    */
+  def rollingHash(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => acc * 31L + conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** Tiny deterministic language-ID heuristic: scores each candidate
+    * language by counting its marker stopwords in the token set; returns
+    * the argmax language code or 'und'. Marker lists are fixed so the
+    * same CASE logic can be written in oracle SQL.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScores(toks: Column): Map[String, Column] =
+    langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => size(filter(toks, t => t === m))).reduce(_ + _)
+    }
+
+  /** Argmax language with deterministic tie-break (alphabetical lang code,
+    * 'und' when every score is zero).
+    */
+  def langId(toks: Column): Column = {
+    val scores = langScores(toks)
+    val ordered = scores.toSeq.sortBy(_._1) // alphabetical tie-break
+    val best = ordered.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    best._1
+  }
+
+  /** Quality score in [0,1]: blend of length signal, alpha ratio and
+    * stopword presence — the standard cheap pre-filter for LLM corpora.
+    * All components are rational arithmetic over counts → portable.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = normalizeText(text)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val lenSignal = least(nTok / lit(20.0d), lit(1.0d)) // saturates at 20 tokens
+    val alphaChars = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")
+    val alphaRatio = when(length(t) === 0, 0.0d).otherwise(alphaChars / length(t).cast("double"))
+    val allMarkers = langMarkers.values.flatten.toSeq.distinct
+    val stopHits = size(filter(toks, tk => tk.isin(allMarkers.map(lit(_)): _*))).cast("double")
+    val stopSignal = least(stopHits / lit(3.0d), lit(1.0d))
+    round(lenSignal * 0.4d + alphaRatio * 0.4d + stopSignal * 0.2d, 6)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct alongside. The Spark-side
+  * mechanics — schema, batching via mapPartitions, partition sizing so one
+  * media batch fits executor memory — are real; the actual codec calls are
+  * STUBBED (this container ships no image/audio libraries) behind
+  * `decodeStub`, a deterministic fake keyed on the payload hash. Swapping
+  * in a real decoder is a one-function change; everything around it (the
+  * 100 TB-relevant part) is tested.
+  */
+object Multimodal {
+
+  /** Metadata carried with every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("format", StringType),       // png, wav, ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("feat_dim", IntegerType),
+    StructField("features", ArrayType(FloatType)),
+    StructField("decode_ok", BooleanType)))
+
+  /** Wrap a DataFrame with a synthetic binary media column derived
+    * deterministically from an id column — the test-data generator for the
+    * multimodal path (no external files needed).
+    */
+  def withSyntheticMedia(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("media_bytes",
+        unhex(repeat(md5(col(idCol).cast("string")), 4))) // 64 deterministic bytes
+      .withColumn("media_meta",
+        struct(lit("image").as("media_type"), lit("png").as("format"),
+          lit(8).as("width"), lit(8).as("height"),
+          lit(null).cast(LongType).as("duration_ms")))
+
+  /** STUB decoder: a real implementation would decode `bytes` with an
+    * image/audio codec. The fake derives a fixed-dim feature vector from
+    * the bytes deterministically, so downstream plumbing (similarity over
+    * extracted features, batch shapes, null handling) is fully testable.
+    */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes == null) return null
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      // cheap deterministic mix of the payload bytes
+      val b = bytes(i % bytes.length) & 0xff
+      val b2 = bytes((i * 7 + 3) % bytes.length) & 0xff
+      out(i) = ((b * 31 + b2) % 256) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction over the binary column. Runs as mapPartitions so a
+    * real decoder amortizes per-partition init (model load, codec setup) —
+    * the same batching shape a Pandas-UDF/Arrow path would have. Partition
+    * count should be sized so (rows per partition × payload size) fits the
+    * executor: callers repartition upstream for large media.
+    */
+  def extractFeatures(df: DataFrame, bytesCol: String, dim: Int): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("feat", featureSchema))
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // per-partition init would go here (decoder/model handles)
+      rows.map { r =>
+        val bytes = r.get(bytesIdx).asInstanceOf[Array[Byte]]
+        val feats = decodeStub(bytes, dim)
+        val ok = feats != null
+        Row.fromSeq(r.toSeq :+ Row(dim, if (ok) feats.toSeq else null, ok))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic frame sampling for video-like payloads: byte-range
+    * slices standing in for frames; emits (frame_no, frame_bytes) rows.
+    * The explode shape (one row per frame) is what matters at scale.
+    */
+  def sampleFrames(df: DataFrame, bytesCol: String, nFrames: Int): DataFrame =
+    df.withColumn("frame_no", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_bytes",
+        col(bytesCol).substr(col("frame_no") * lit(8) + 1, lit(8)))
+}

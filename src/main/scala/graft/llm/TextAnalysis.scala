@@ -1,0 +1,58 @@
+package graft.llm
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analytics over a document corpus (K5-K8 + language ID, quality
+  * scoring, token counting, fingerprinting). All single-pass codegen'd
+  * column math except TF-IDF, whose two aggregations are the minimal
+  * shuffles the algorithm admits (df-counts + join back).
+  */
+object TextAnalysis {
+
+  /** K5 — per-document statistics. */
+  def docStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_actual"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_types"),
+      round(size(array_distinct(toks)).cast("double") /
+        greatest(size(toks).cast("double"), lit(1.0d)), 6).as("type_token_ratio"),
+      round(length(col(textCol)).cast("double") /
+        greatest(size(toks).cast("double"), lit(1.0d)), 6).as("chars_per_token"))
+  }
+
+  /** Language-ID + quality + token-count enrichment in one pass. */
+  def enrich(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    df.withColumn("lang_pred", langId(toks))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("fingerprint", contentFingerprint(col(textCol)))
+  }
+
+  /** K7 — TF-IDF: (doc, term) → tf * ln(N / df). Smoothing-free classic
+    * form so any SQL engine reproduces it exactly. Two shuffles:
+    * term-frequency groupBy and the document-frequency join (df table is
+    * |vocab|-sized → broadcast).
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = df.count() // corpus size: one number, computed once
+    val terms = df
+      .select(col(idCol).as("doc"), explode(tokens(normalizeText(col(textCol)))).as("term"))
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** K6 — n-gram frequency table over the corpus. */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(ngrams(tokens(normalizeText(col(textCol))), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+}
