@@ -67,7 +67,10 @@ object Envelope {
     */
   def filterOps(df: DataFrame, ops: Seq[String], dropTombstones: Boolean = true): DataFrame = {
     val base = df.where(col("op").isin(ops: _*))
-    if (dropTombstones) base.where(col("op").isNotNull || col("after").isNotNull) else base
+    // tombstone = null op AND null after; only meaningful on envelope frames
+    if (dropTombstones && df.columns.contains("after"))
+      base.where(col("op").isNotNull || col("after").isNotNull)
+    else base
   }
 
   /** B4 — topic/table router: regex rewrite of the source table name into a

@@ -1,0 +1,336 @@
+package graft.contract
+
+import graft.cdc.{Envelope, Materialize}
+import graft.core.Engine
+import graft.ops.Joins
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 contract queries — CDC envelope operators (B), time joins
+  * (D7/D8) and windowed/session aggregations in their batch-equivalence
+  * form (J1-J3, J6, J7).
+  *
+  * The `events` table doubles as a synthetic changelog: op is derived from
+  * event_type (error → delete, purchase → create, click/view → update,
+  * signup → snapshot-read), user_id is the key, (ts, event_id) the version
+  * order. Every oracle works on the µs-truncated timestamp (`mts` CTE) to
+  * match Spark's nanos→micros read of the parquet (SURVEY.md §7.4).
+  */
+object CdcQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** op mapping used by every changelog-shaped query. */
+  private def withOp(df: DataFrame): DataFrame =
+    df.withColumn("op",
+      when(col("event_type") === "error", "d")
+        .when(col("event_type") === "purchase", "c")
+        .when(col("event_type") === "signup", "r")
+        .otherwise("u"))
+
+  /** DuckDB-side prelude: events with the timestamp truncated to µs
+    * exactly as Spark reads TIMESTAMP(NANOS) parquet.
+    */
+  private val mts =
+    """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                  user_id, event_type, value, props,
+      |  CASE WHEN event_type = 'error' THEN 'd'
+      |       WHEN event_type = 'purchase' THEN 'c'
+      |       WHEN event_type = 'signup' THEN 'r'
+      |       ELSE 'u' END AS op
+      |  FROM events)""".stripMargin
+
+  val customerRowSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B1+B2 — envelope JSON parse + ExtractNewRecordState round trip:
+    // serialize customer rows into Debezium-style envelopes, parse them
+    // back through the engine, flatten, and verify the original values.
+    "b1_envelope_roundtrip" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = c.select(to_json(struct(
+        struct(c.columns.map(col): _*).as("after"),
+        struct(
+          lit("graft").as("connector"), lit("db").as("db"),
+          lit("public").as("schema"), lit("customer").as("table"),
+          col("c_custkey").as("lsn"), lit(true).as("snapshot"),
+          lit(1700000000000L).as("ts_ms")).as("source"),
+        lit("r").as("op"),
+        lit(1700000000000L).as("ts_ms"))).as("value"))
+      Envelope.extractNewRecordState(Envelope.parse(raw, customerRowSchema))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("__op"), col("__deleted"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // B3+B4 — op filter + regex router
+    "b3_op_filter_route" -> ((s, dir) => {
+      val evs = withOp(t(s, dir, "events"))
+      Envelope.route(
+          Envelope.filterOps(evs, Seq("c", "u", "d")),
+          "^(click|view)$", "engagement", col("event_type"))
+        .select(col("event_id"), col("op"), col("route"))
+        .orderBy(col("event_id"))
+    }),
+
+    // B5 — changelog → current state (latest per key wins, deletes drop)
+    "b5_materialize" -> ((s, dir) => {
+      Materialize.changelog(withOp(t(s, dir, "events")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // B6 — snapshot ∪ delta materialization (first half replayed as
+    // op='r' snapshot, second half as live changes)
+    "b6_snapshot_union" -> ((s, dir) => {
+      val evs = t(s, dir, "events")
+      val mid = (evs.agg(max(col("event_id"))).head.getLong(0) + 1L) / 2L
+      val snapshot = evs.where(col("event_id") < mid).withColumn("op", lit("r"))
+      val delta = withOp(evs.where(col("event_id") >= mid))
+      Materialize.snapshotPlusDelta(snapshot, delta,
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"), col("op"))
+        .orderBy(col("user_id"))
+    }),
+
+    // B7 — outbox router: JSON payload extraction + route derivation
+    "b7_outbox" -> ((s, dir) => {
+      Envelope.outbox(t(s, dir, "events"), "props",
+          StructType(Seq(StructField("k", IntegerType))),
+          regexp_replace(col("event_type"), "^(click|view)$", "engagement"))
+        .select(col("event_id"), col("route"), col("payload").getField("k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // B8 — transaction assembly (per user per UTC day)
+    "b8_txn_summary" -> ((s, dir) => {
+      Envelope.transactionSummary(t(s, dir, "events"),
+          concat_ws(":", col("user_id"), date_format(col("ts"), "yyyy-MM-dd")),
+          unix_micros(col("ts")))
+        .orderBy(col("tx_id"))
+    }),
+
+    // D8 — as-of join: for each purchase, the user's latest click
+    // at-or-before it (union+window implementation — no join blowup)
+    "d8_asof_join" -> ((s, dir) => {
+      val evs = t(s, dir, "events")
+      val purchases = evs.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = evs.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value").as("click_value"))
+      Materialize.asofJoin(purchases, clicks, "user_id", "ts",
+          "click_id", Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id_asof"), col("click_value_asof"))
+        .orderBy(col("event_id"))
+    }),
+
+    // D7 — range join: views within [purchase.ts - 5 min, purchase.ts]
+    // for the same user (binned equi-join + residual, not a nested loop)
+    "d7_range_join" -> ((s, dir) => {
+      val evs = t(s, dir, "events")
+      val views = evs.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val purchases = evs.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+        .withColumn("lo", col("p_ts") - expr("INTERVAL 5 MINUTES"))
+        .withColumn("hi", col("p_ts"))
+      Joins.rangeJoinBinned(views, purchases, "ts", "lo", "hi",
+          binSeconds = 300, equiKeys = Seq("user_id"))
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // J1 — tumbling window aggregation (batch form of the streaming op)
+    "j1_tumbling_window" -> ((s, dir) => {
+      Streams.windowedCounts(t(s, dir, "events"), "ts", "1 hour",
+          extraKeys = Seq("event_type"))
+        .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),
+          col("n"), col("sum_value").cast("decimal(18,6)").cast("double").as("sum_value"))
+        .orderBy(col("w_start_us"), col("event_type"))
+    }),
+
+    // J2 — sliding window aggregation
+    "j2_sliding_window" -> ((s, dir) => {
+      Streams.windowedCounts(t(s, dir, "events"), "ts", "1 hour",
+          slide = Some("30 minutes"))
+        .select(unix_micros(col("w_start")).as("w_start_us"), col("n"))
+        .orderBy(col("w_start_us"))
+    }),
+
+    // J3 — session windows (30-minute gap per user)
+    "j3_session_window" -> ((s, dir) => {
+      Streams.sessionized(t(s, dir, "events"), "ts", "30 minutes", Seq("user_id"))
+        .select(col("user_id"), unix_micros(col("s_start")).as("s_start_us"),
+          unix_micros(col("s_end")).as("s_end_us"), col("n_events"),
+          col("sum_value").cast("decimal(18,6)").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("s_start_us"))
+    }),
+
+    // J6 — stream-static enrichment join (dim broadcast)
+    "j6_stream_static_join" -> ((s, dir) => {
+      val evs = t(s, dir, "events").withColumn("c_custkey", col("user_id"))
+      Streams.enrich(evs, t(s, dir, "customer"), Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J7 — interval join (stream-stream shape): clicks within ±10 min of
+    // a signup by the same user
+    "j7_interval_join" -> ((s, dir) => {
+      val evs = t(s, dir, "events")
+      val signups = evs.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      val clicks = evs.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      Streams.intervalJoin(signups, clicks, "s_ts", "c_ts", "user_id",
+          "1 day", "10 minutes", "10 minutes")
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy(col("signup_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "b1_envelope_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, 'r' AS __op, false AS __deleted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "b3_op_filter_route" -> (mts +
+      """
+        |SELECT event_id, op,
+        |  regexp_replace(event_type, '^(click|view)$', 'engagement') AS route
+        |FROM e WHERE op IN ('c','u','d')
+        |ORDER BY event_id""".stripMargin),
+
+    "b5_materialize" -> (mts +
+      """
+        |SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin),
+
+    "b6_snapshot_union" -> (mts +
+      """, u AS (
+        |  SELECT event_id, ts, user_id,
+        |    CASE WHEN event_id < (SELECT (max(event_id) + 1) // 2 FROM e) THEN 'r' ELSE op END AS op
+        |  FROM e)
+        |SELECT user_id, event_id AS last_event_id, op
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM u)
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin),
+
+    "b7_outbox" -> (mts +
+      """
+        |SELECT event_id,
+        |  regexp_replace(event_type, '^(click|view)$', 'engagement') AS route,
+        |  CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM e ORDER BY event_id""".stripMargin),
+
+    "b8_txn_summary" -> (mts +
+      """
+        |SELECT CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS tx_id,
+        |  COUNT(*) AS event_count,
+        |  MIN(epoch_us(ts)) AS first_ts,
+        |  MAX(epoch_us(ts)) AS last_ts
+        |FROM e GROUP BY tx_id ORDER BY tx_id""".stripMargin),
+
+    "d8_asof_join" -> (mts +
+      """, u AS (
+        |  SELECT user_id, ts, event_id,
+        |    NULL AS p_event, event_id AS b_event, value AS b_value, 0 AS side
+        |  FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, event_id, NULL, NULL, 1
+        |  FROM e WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(b_event IGNORE NULLS) OVER win AS click_id_asof,
+        |    last_value(b_value IGNORE NULLS) OVER win AS click_value_asof
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |                 ORDER BY ts, side, b_event ASC NULLS FIRST
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT p_event AS event_id, user_id, epoch_us(ts) AS ts_us,
+        |       click_id_asof, click_value_asof
+        |FROM w WHERE side = 1
+        |ORDER BY event_id""".stripMargin),
+
+    "d7_range_join" -> (mts +
+      """
+        |SELECT p.event_id AS purchase_id,
+        |  COUNT(*) AS n_views,
+        |  MIN(v.event_id) AS first_view_id
+        |FROM e p JOIN e v
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 5 MINUTE AND v.ts <= p.ts
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin),
+
+    "j1_tumbling_window" -> (mts +
+      """
+        |SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY w_start_us, event_type
+        |ORDER BY w_start_us, event_type""".stripMargin),
+
+    "j2_sliding_window" -> (mts +
+      """, b AS (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - o.off * 1800000000 AS w_start_us
+        |  FROM e CROSS JOIN (VALUES (0), (1)) o(off))
+        |SELECT w_start_us, COUNT(*) AS n
+        |FROM b GROUP BY w_start_us ORDER BY w_start_us""".stripMargin),
+
+    "j3_session_window" -> (mts +
+      """, m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  epoch_us(MIN(ts)) AS s_start_us,
+        |  epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS s_end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start_us""".stripMargin),
+
+    "j6_stream_static_join" -> (mts +
+      """
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e JOIN customer ON e.user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    "j7_interval_join" -> (mts +
+      """
+        |SELECT s.event_id AS signup_id, COUNT(*) AS n_clicks
+        |FROM e s JOIN e c
+        |  ON c.user_id = s.user_id
+        | AND s.event_type = 'signup' AND c.event_type = 'click'
+        | AND c.ts >= s.ts - INTERVAL 10 MINUTE
+        | AND c.ts <= s.ts + INTERVAL 10 MINUTE
+        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin))
+}

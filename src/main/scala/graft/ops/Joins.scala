@@ -24,18 +24,25 @@ object Joins {
   def rangeJoinBinned(left: DataFrame, right: DataFrame,
                       tsCol: String, loCol: String, hiCol: String,
                       binSeconds: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    // explicit aliases: left/right often share lineage (self-joins on the
+    // same table) and unaliased key equality would silently resolve both
+    // sides to the same attribute (a trivially-true predicate)
     val binL = (unix_micros(col(tsCol)) / lit(binSeconds * 1000000L)).cast("long")
-    val l = left.withColumn("__bin", binL)
+    val l = left.withColumn("__bin", binL).alias("__l")
     val r = right.withColumn("__bins",
       sequence((unix_micros(col(loCol)) / lit(binSeconds * 1000000L)).cast("long"),
         (unix_micros(col(hiCol)) / lit(binSeconds * 1000000L)).cast("long")))
       .withColumn("__bin", explode(col("__bins")))
       .drop("__bins")
-    val joinCond = (Seq(l("__bin") === r("__bin")) ++
-      equiKeys.map(k => l(k) === r(k))).reduce(_ && _)
-    l.join(r, joinCond)
-      .where(col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
-      .drop(l("__bin")).drop(r("__bin"))
+      .alias("__r")
+    val joinCond = (Seq(col("__l.__bin") === col("__r.__bin")) ++
+      equiKeys.map(k => col(s"__l.$k") === col(s"__r.$k"))).reduce(_ && _)
+    val joined = l.join(r, joinCond)
+      .where(col(s"__l.$tsCol") >= col(s"__r.$loCol") &&
+        col(s"__l.$tsCol") <= col(s"__r.$hiCol"))
+      .drop(col("__l.__bin")).drop(col("__r.__bin"))
+    // drop the right-side copies of the equi keys for a clean output schema
+    equiKeys.foldLeft(joined)((d, k) => d.drop(col(s"__r.$k")))
   }
 
   /** D5 helper — explicit theta join (documents the capability; the planner
