@@ -14,12 +14,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ScalarQueries.queries ++ CdcQueries.queries
+    RelationalQueries.queries ++ ScalarQueries.queries ++ CdcQueries.queries ++
+      LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Queries absent here (non-SQL-expressible /
     * approximate / mechanism ops) get the driver's rows-only check.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ ScalarQueries.oracle ++ CdcQueries.oracle
+    RelationalQueries.oracle ++ ScalarQueries.oracle ++ CdcQueries.oracle ++
+      LlmQueries.oracle
 }

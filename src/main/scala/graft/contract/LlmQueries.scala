@@ -1,0 +1,459 @@
+package graft.contract
+
+import graft.core.Engine
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 contract queries — LLM-data-pipeline operators (K):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search, text analysis, multimodal plumbing.
+  *
+  * Every hash is md5-derived so the DuckDB oracle reproduces signatures
+  * bit-for-bit (SURVEY.md §7.4); vector math is done in double on both
+  * sides and rounded to 6dp.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** DuckDB-side normalized-token prelude shared by the text oracles. */
+  private val tokCte =
+    """WITH tk AS (SELECT doc_id, lang, text,
+      |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |              x -> len(x) > 0) AS t
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB cosine between two FLOAT[64] columns, computed exactly like the
+    * Spark HOFs: per-element double products, sequential sum, double sqrt.
+    */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // K1 — exact dedup: group audit view (hash, keeper, size)
+    "k1_exact_dedup_groups" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("content_hash"))
+    }),
+
+    // K1 — exact dedup: surviving docs per language
+    "k1_exact_dedup_survivors" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // K2 — MinHash signature portability (first 4 components)
+    "k2_minhash_signature" -> ((s, dir) => {
+      val sh = shingles(col("text"), 3)
+      t(s, dir, "documents").where(col("doc_id") < 100L)
+        .withColumn("sh", sh).where(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          minhashComponent(col("sh"), 0).as("mh0"),
+          minhashComponent(col("sh"), 1).as("mh1"),
+          minhashComponent(col("sh"), 2).as("mh2"),
+          minhashComponent(col("sh"), 3).as("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // K2 — full MinHash/LSH near-dup candidate pipeline with exact
+    // Jaccard verification (k=8 components, 4 bands × 2 rows)
+    "k2_lsh_candidate_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id",
+          shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // K2 — SimHash (16-bit, md5-derived votes)
+    "k2_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          simhash(tokens(normalizeText(col("text"))), 16).as("simhash16"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // K2 — n-gram Jaccard near-dup pairs (first-token blocking)
+    "k2_ngram_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 2, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // K3 — cosine similarity between consecutive embedding ids
+    "k3_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id"), col("embedding").as("va")).alias("a")
+      val b = e.select((col("vec_id") - 1L).as("vec_id"), col("embedding").as("vb")).alias("b")
+      a.join(b, Seq("vec_id"))
+        .select(col("vec_id"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos_next"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // K4 — exact brute-force top-k cosine search (broadcast queries)
+    "k4_knn_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(
+          corpus = e.select(col("vec_id").as("id"), col("embedding")),
+          queries = e.where(col("vec_id") < 10L).select(col("vec_id").as("id"), col("embedding")),
+          vecCol = "embedding", idCol = "id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // K4 — IVF approximate KNN (scale path; approximate → rows-only check,
+    // recall vs brute force is asserted in the test suite)
+    "k4_ivf_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (indexed, centroids) = Similarity.ivfIndex(
+        e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
+        nCells = 16, lloydRounds = 1)
+      Similarity.ivfKnn(indexed, centroids,
+          e.where(col("vec_id") < 20L).select(col("vec_id").as("id"), col("embedding")),
+          "embedding", "id", k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // K9 — embedding near-dup pairs, exact brute force over a bounded
+    // prefix (the oracle-able baseline; the LSH-bucketed variant is the
+    // scale path, tested for recall in the suite)
+    "k9_neardup_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 1000L)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va")).alias("a")
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb")).alias("b")
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+        .where(col("cosine") >= 0.5d)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // K5 — per-language text statistics
+    "k5_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.docStats(d, "text", "doc_id")
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          round(avg(col("type_token_ratio")), 6).as("avg_ttr"),
+          round(avg(col("chars_per_token")), 6).as("avg_cpt"))
+        .orderBy(col("lang"))
+    }),
+
+    // K5 — token counting, whitespace + BPE-ish regex tokenizers
+    "k5_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(size(tokens(col("text")))).as("ws_tokens"),
+          sum(size(bpeishTokens(col("text")))).as("bpeish_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // K6 — corpus n-gram frequency table (bigrams seen ≥ 10 times)
+    "k6_ngram_counts" -> ((s, dir) => {
+      TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", 2)
+        .where(col("freq") >= 10L)
+        .orderBy(col("freq").desc, col("ngram"))
+    }),
+
+    // K7 — TF-IDF: top-3 terms per document (bounded output)
+    "k7_tfidf_top_terms" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc")).orderBy(col("tfidf").desc, col("term"))
+      TextAnalysis.tfidf(t(s, dir, "documents"), "text", "doc_id")
+        .where(col("doc") < 50L)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy(col("doc"), col("rk"))
+    }),
+
+    // K8 + language ID — predicted vs labeled language confusion matrix
+    "k8_langid_matrix" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("lang_pred", langId(tokens(normalizeText(col("text")))))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // Quality scoring — per-language average quality
+    "k8_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("q", qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(round(avg(col("q")), 6).as("avg_quality"))
+        .orderBy(col("lang"))
+    }),
+
+    // Document fingerprinting — bag-of-words md5 + order-sensitive rolling hash
+    "k8_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 100L)
+        .select(col("doc_id"),
+          contentFingerprint(col("text")).as("bow_fp"),
+          rollingHash(tokens(normalizeText(col("text")))).as("roll_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal plumbing — synthetic binary media + stub feature
+    // extraction (mapPartitions batch shape). STUBBED decode → rows-only.
+    "m1_multimodal_features" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 100L)
+        .select(col("vec_id"))
+      val media = Multimodal.withSyntheticMedia(base, "vec_id")
+      Multimodal.extractFeatures(media, "media_bytes", dim = 16)
+        .select(col("vec_id"),
+          col("feat").getField("feat_dim").as("feat_dim"),
+          col("feat").getField("decode_ok").as("decode_ok"),
+          round(element_at(col("feat").getField("features"), 1), 6).as("f0"),
+          col("media_meta").getField("media_type").as("media_type"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Multimodal — deterministic frame sampling (explode shape)
+    "m2_frame_sampling" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 50L)
+        .select(col("vec_id"))
+      Multimodal.sampleFrames(Multimodal.withSyntheticMedia(base, "vec_id"),
+          "media_bytes", nFrames = 4)
+        .select(col("vec_id"), col("frame_no"),
+          md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy(col("vec_id"), col("frame_no"))
+    }),
+
+    // E4 — approx distinct (approximate → rows-only; ±5% vs exact is
+    // asserted in the test suite)
+    "e4_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // G8 — seeded sample (RNG differs across engines → rows-only; bounds
+    // asserted in the test suite)
+    "g8_sample" -> ((s, dir) => {
+      t(s, dir, "orders").sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "k1_exact_dedup_groups" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "k1_exact_dedup_survivors" ->
+      """SELECT lang, COUNT(*) AS n FROM (
+        |  SELECT lang, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k2_minhash_signature" -> (tokCte +
+      """, gr AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN []
+        |       ELSE list_transform(range(0, len(t) - 2),
+        |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+        |  FROM tk WHERE doc_id < 100),
+        |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr)
+        |SELECT doc_id,
+        |  MIN(md5('0:' || g)) AS mh0, MIN(md5('1:' || g)) AS mh1,
+        |  MIN(md5('2:' || g)) AS mh2, MIN(md5('3:' || g)) AS mh3
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "k2_lsh_candidate_pairs" -> (tokCte +
+      """, gr AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN []
+        |       ELSE list_transform(range(0, len(t) - 2),
+        |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+        |  FROM tk),
+        |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('0:' || g)) AS m0, MIN(md5('1:' || g)) AS m1,
+        |  MIN(md5('2:' || g)) AS m2, MIN(md5('3:' || g)) AS m3,
+        |  MIN(md5('4:' || g)) AS m4, MIN(md5('5:' || g)) AS m5,
+        |  MIN(md5('6:' || g)) AS m6, MIN(md5('7:' || g)) AS m7
+        |  FROM sh GROUP BY doc_id),
+        |bk AS (
+        |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS key FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        |   AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.g = sa.g
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT i.id_a, i.id_b,
+        |  ROUND(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard
+        |FROM inter i
+        |JOIN sz za ON za.doc_id = i.id_a
+        |JOIN sz zb ON zb.doc_id = i.id_b
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "k2_simhash" -> (tokCte +
+      """, tok AS (SELECT doc_id, unnest(t) AS w FROM tk),
+        |h AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) AS th
+        |  FROM tok),
+        |bits AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN CAST(floor(th / (2.0 ** j)) AS BIGINT) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(2.0 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "k2_ngram_jaccard_pairs" -> (tokCte +
+      """, gr AS (SELECT doc_id, t[1] AS block,
+        |  CASE WHEN len(t) < 2 THEN []
+        |       ELSE list_transform(range(0, len(t) - 1),
+        |                           i -> array_to_string(t[(i+1):(i+2)], ' ')) END AS grams
+        |  FROM tk),
+        |gd AS (SELECT doc_id, block, list_distinct(grams) AS grams FROM gr WHERE len(grams) > 0),
+        |sh AS (SELECT doc_id, unnest(grams) AS g FROM gd),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM gd a JOIN gd b ON a.block = b.block AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.g = sa.g
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT i.id_a, i.id_b,
+        |  ROUND(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard
+        |FROM inter i
+        |JOIN sz za ON za.doc_id = i.id_a
+        |JOIN sz zb ON zb.doc_id = i.id_b
+        |WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "k3_cosine_pairs" ->
+      s"""SELECT a.vec_id AS vec_id,
+         |  ROUND(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos_next
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "k4_knn_bruteforce" ->
+      s"""SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckCosine("q.embedding", "c.embedding")} AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS INTEGER) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "k9_neardup_bruteforce" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${duckCosine("a.embedding", "b.embedding")}, 6) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+         |  AND ${duckCosine("a.embedding", "b.embedding")} >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "k5_text_stats" -> (tokCte +
+      """
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(AVG(len(t)), 6) AS avg_tokens,
+        |  ROUND(AVG(ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0), 6)), 6) AS avg_ttr,
+        |  ROUND(AVG(ROUND(CAST(length(text) AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0), 6)), 6) AS avg_cpt
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "k5_token_counts" ->
+      """SELECT lang,
+        |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(list_filter(
+        |    string_split_regex(regexp_replace(text, '([\p{L}]+|[0-9]+|[^\p{L}0-9\s])', ' \1 ', 'g'), '\s+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS bpeish_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k6_ngram_counts" -> (tokCte +
+      """, gr AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 2 THEN []
+        |       ELSE list_transform(range(0, len(t) - 1),
+        |                           i -> array_to_string(t[(i+1):(i+2)], ' ')) END AS grams
+        |  FROM tk)
+        |SELECT g AS ngram, COUNT(*) AS freq
+        |FROM (SELECT doc_id, unnest(grams) AS g FROM gr)
+        |GROUP BY g HAVING COUNT(*) >= 10
+        |ORDER BY freq DESC, ngram""".stripMargin),
+
+    "k7_tfidf_top_terms" -> (tokCte +
+      """, terms AS (SELECT doc_id AS doc, unnest(t) AS term FROM tk),
+        |tf AS (SELECT doc, term, COUNT(*) AS tf FROM terms GROUP BY doc, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc, tf.term, tf.tf, df.df,
+        |    ROUND(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc, term, tf, df, tfidf,
+        |       CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rk
+        |      FROM scored WHERE doc < 50)
+        |WHERE rk <= 3 ORDER BY doc, rk""".stripMargin),
+
+    "k8_langid_matrix" -> (tokCte +
+      """, sc AS (SELECT doc_id, lang,
+        |  len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+        |  len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+        |  len(list_filter(t, x -> list_contains(['el','los','las','es','y'], x))) AS s_es,
+        |  len(list_filter(t, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+        |  len(list_filter(t, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+        |  FROM tk),
+        |pred AS (SELECT lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |  FROM sc)
+        |SELECT lang, lang_pred, COUNT(*) AS n
+        |FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin),
+
+    "k8_quality_score" ->
+      """WITH q AS (SELECT lang,
+        |  ROUND(
+        |    least(CAST(len(list_filter(string_split_regex(nrm, '\s+'), x -> len(x) > 0)) AS DOUBLE) / 20.0, 1.0) * 0.4
+        |    + CASE WHEN length(nrm) = 0 THEN 0.0
+        |           ELSE CAST(length(regexp_replace(nrm, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |                / CAST(length(nrm) AS DOUBLE) END * 0.4
+        |    + least(CAST(len(list_filter(string_split_regex(nrm, '\s+'),
+        |        x -> list_contains(['the','and','of','to','is','le','la','les','et','est',
+        |                            'el','los','las','es','y','der','die','das','und','ist',
+        |                            '的','是','了','在','我'], x))) AS DOUBLE) / 3.0, 1.0) * 0.2
+        |  , 6) AS q
+        |  FROM (SELECT lang, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+        |        FROM documents))
+        |SELECT lang, ROUND(AVG(q), 6) AS avg_quality
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k8_fingerprints" -> (tokCte +
+      """
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_fp,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t,
+        |    w -> CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)
+        |           * 16.0 ** (8 - i))) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS roll_fp
+        |FROM tk WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
+}

@@ -119,12 +119,15 @@ object TextFunctions {
     md5(array_join(array_sort(array_distinct(tokens(normalizeText(text)))), " "))
 
   /** Rolling polynomial hash of the token sequence (order-sensitive
-    * fingerprint): h = h*31 + first8(md5(token)) in Long arithmetic.
-    * Engine-portable given 64-bit wrap-around semantics.
+    * fingerprint): h = (h*31 + first8(md5(token))) mod (2^31 - 1).
+    * The modulus keeps intermediates < 2^36, so the same arithmetic is
+    * exact in any engine with 64-bit integers — no wrap-around semantics
+    * to agree on (engines differ: Spark wraps, DuckDB raises).
     */
   def rollingHash(toks: Column): Column =
     aggregate(toks, lit(0L),
-      (acc, t) => acc * 31L + conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      (acc, t) => pmod(acc * 31L + conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(2147483647L)))
 
   /** Tiny deterministic language-ID heuristic: scores each candidate
     * language by counting its marker stopwords in the token set; returns

@@ -105,7 +105,7 @@ object Similarity {
       .where(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(col("cosine").desc, col("id").asc)
     indexed.join(broadcast(probes), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
