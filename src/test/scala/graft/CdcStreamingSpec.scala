@@ -1,0 +1,168 @@
+package graft
+
+import graft.cdc.{Envelope, Materialize}
+import graft.streaming.{Replay, Stateful, Streams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC golden-fixture tests (FIXTURES.md §3) and streaming semantics tests
+  * (watermark drops, checkpoint recovery, batch equivalence).
+  */
+class CdcStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- golden CDC envelope fixture --------------------------------------
+
+  /** Deterministic Debezium-style changelog over customer-shaped rows:
+    * snapshot (r) of keys 1,2 → insert key 3 → update key 1 →
+    * delete key 2 → out-of-order update of key 3 (lsn 6 delivered before 5)
+    * → insert-after-delete on key 2 → one tombstone (null op/after).
+    */
+  private val goldenLines = Seq(
+    """{"before":null,"after":{"c_custkey":1,"c_name":"a","c_nationkey":0,"c_acctbal":10.0,"c_mktsegment":"X"},"source":{"connector":"g","db":"d","schema":"s","table":"customer","lsn":1,"snapshot":true,"ts_ms":1000},"op":"r","ts_ms":1000}""",
+    """{"before":null,"after":{"c_custkey":2,"c_name":"b","c_nationkey":0,"c_acctbal":20.0,"c_mktsegment":"X"},"source":{"connector":"g","db":"d","schema":"s","table":"customer","lsn":1,"snapshot":true,"ts_ms":1000},"op":"r","ts_ms":1000}""",
+    """{"before":null,"after":{"c_custkey":3,"c_name":"c","c_nationkey":1,"c_acctbal":30.0,"c_mktsegment":"Y"},"source":{"connector":"g","db":"d","schema":"s","table":"customer","lsn":2,"snapshot":false,"ts_ms":2000},"op":"c","ts_ms":2000}""",
+    """{"before":{"c_custkey":1,"c_name":"a","c_nationkey":0,"c_acctbal":10.0,"c_mktsegment":"X"},"after":{"c_custkey":1,"c_name":"a2","c_nationkey":0,"c_acctbal":11.0,"c_mktsegment":"X"},"source":{"connector":"g","db":"d","schema":"s","table":"customer","lsn":3,"snapshot":false,"ts_ms":3000},"op":"u","ts_ms":3000}""",
+    """{"before":{"c_custkey":2,"c_name":"b","c_nationkey":0,"c_acctbal":20.0,"c_mktsegment":"X"},"after":null,"source":{"connector":"g","db":"d","schema":"s","table":"customer","lsn":4,"snapshot":false,"ts_ms":4000},"op":"d","ts_ms":4000}""",
+    // out-of-order delivery: lsn 6 arrives before lsn 5
+    """{"before":{"c_custkey":3,"c_name":"c2","c_nationkey":1,"c_acctbal":31.0,"c_mktsegment":"Y"},"after":{"c_custkey":3,"c_name":"c3","c_nationkey":1,"c_acctbal":32.0,"c_mktsegment":"Y"},"source":{"connector":"g","db":"d","schema":"s","table":"customer","lsn":6,"snapshot":false,"ts_ms":6000},"op":"u","ts_ms":6000}""",
+    """{"before":{"c_custkey":3,"c_name":"c","c_nationkey":1,"c_acctbal":30.0,"c_mktsegment":"Y"},"after":{"c_custkey":3,"c_name":"c2","c_nationkey":1,"c_acctbal":31.0,"c_mktsegment":"Y"},"source":{"connector":"g","db":"d","schema":"s","table":"customer","lsn":5,"snapshot":false,"ts_ms":5000},"op":"u","ts_ms":5000}""",
+    // insert-after-delete key reuse
+    """{"before":null,"after":{"c_custkey":2,"c_name":"b9","c_nationkey":2,"c_acctbal":25.0,"c_mktsegment":"Z"},"source":{"connector":"g","db":"d","schema":"s","table":"customer","lsn":7,"snapshot":false,"ts_ms":7000},"op":"c","ts_ms":7000}""",
+    // tombstone
+    """{"before":null,"after":null,"source":null,"op":null,"ts_ms":null}""")
+
+  test("golden envelope: parse → flatten → materialize gives the expected table") {
+    val raw = goldenLines.toDF("value")
+    val parsed = Envelope.parse(raw, contract.CdcQueries.customerRowSchema)
+    val flat = Envelope.extractNewRecordState(parsed) // drops the tombstone
+    assert(flat.count() === 8)
+    val current = Materialize.changelog(
+        flat.withColumn("op", col("__op")), Seq("c_custkey"), Seq(col("__lsn")))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(current === Array((1L, "a2", 11.0), (2L, "b9", 25.0), (3L, "c3", 32.0)))
+  }
+
+  test("materialize is idempotent and snapshot∪delta-consistent") {
+    val raw = goldenLines.toDF("value")
+    val flat = Envelope.extractNewRecordState(
+      Envelope.parse(raw, contract.CdcQueries.customerRowSchema))
+      .withColumn("op", col("__op"))
+    val all = Materialize.changelog(flat, Seq("c_custkey"), Seq(col("__lsn")))
+    // idempotence: materializing the materialized state changes nothing
+    val again = Materialize.changelog(all, Seq("c_custkey"), Seq(col("__lsn")))
+    assert(again.count() === all.count())
+    // snapshot ∪ delta == full materialization
+    val snap = flat.where(col("__lsn") <= 3)
+    val delta = flat.where(col("__lsn") > 3)
+    val combined = Materialize.snapshotPlusDelta(snap, delta, Seq("c_custkey"), Seq(col("__lsn")))
+      .select("c_custkey", "c_name").as[(Long, String)].collect().toSet
+    val full = all.select("c_custkey", "c_name").as[(Long, String)].collect().toSet
+    assert(combined === full)
+  }
+
+  // ---- stateful upsert: streaming form == batch spec ---------------------
+
+  test("upsertStream final state equals batch changelog materialization") {
+    val changes = Seq(
+      Stateful.Change(1, 1, "c", "v1"), Stateful.Change(1, 3, "u", "v3"),
+      Stateful.Change(1, 2, "u", "v2"),            // stale, must lose
+      Stateful.Change(2, 1, "c", "w1"), Stateful.Change(2, 2, "d", null),
+      Stateful.Change(3, 5, "c", "x5"),
+      Stateful.Change(2, 9, "c", "w9"))            // reinsert after delete
+    val streamed = Replay.run(spark, changes, chunkSize = 2,
+        name = s"upsert_spec_${System.nanoTime()}", outputMode = "update") { ds =>
+      Stateful.upsertStream(ds).toDF()
+    }
+    val finalState = Materialize.latestByKey(streamed, Seq("key"), Seq(col("version")))
+      .where(!col("deleted"))
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    assert(finalState === Set((1L, "v3"), (2L, "w9"), (3L, "x5")))
+  }
+
+  // ---- streaming semantics ----------------------------------------------
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("streaming tumbling window equals batch aggregation") {
+    val rows = (0 until 50).map(i =>
+      StreamingQueriesRow(i.toLong, ts(i * 120L), i % 3, "t", i * 1.0))
+    val streamed = Replay.run(spark, rows, chunkSize = 7,
+        name = s"tumble_spec_${System.nanoTime()}", outputMode = "complete") { ds =>
+      Streams.windowedCounts(ds.toDF(), "ts", "10 minutes")
+    }.select(unix_micros(col("w_start")).as("w"), col("n")).as[(Long, Long)].collect().toSet
+    val batch = Streams.windowedCounts(rows.toDF(), "ts", "10 minutes")
+      .select(unix_micros(col("w_start")).as("w"), col("n")).as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("watermark drops data later than the bound (J4)") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[StreamingQueriesRow]
+    val name = s"wm_spec_${System.nanoTime()}"
+    val agg = Streams.windowedCounts(
+      Streams.withLateness(src.toDS().toDF(), "ts", "1 hour"), "ts", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-wm").toString)
+      .start()
+    // batch 1 advances the watermark to ~10020s - 1h; the late event in
+    // batch 2 (t=100s) is below it and must be dropped. Separate
+    // processAllAvailable calls force separate micro-batches — watermarks
+    // only advance on batch boundaries.
+    src.addData((0 until 20).map(i => StreamingQueriesRow(i.toLong, ts(10000 + i), 1, "t", 1.0)))
+    q.processAllAvailable()
+    src.addData(Seq(StreamingQueriesRow(99, ts(100), 1, "t", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val windows = spark.table(name).select(unix_micros(col("w_start")) / 1000000L)
+      .as[Double].collect()
+    assert(!windows.contains(0.0), s"late window leaked: ${windows.toSeq}")
+  }
+
+  test("checkpoint recovery resumes exactly-once (J10)") {
+    implicit val sql = spark.sqlContext
+    // memory sinks can't recover from a checkpoint — use a parquet sink,
+    // which records committed batches in its own log (exactly-once)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-rec").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-out-rec").toString
+    val src = MemoryStream[StreamingQueriesRow]
+    src.addData((0 until 10).map(i => StreamingQueriesRow(i.toLong, ts(i), 1, "t", 1.0)))
+    val q1 = src.toDS().toDF().select(col("event_id"))
+      .writeStream.format("parquet").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() === 10)
+    // restart from the same checkpoint with more data on the same source:
+    // offsets resume — rows 0-9 must NOT be written again
+    src.addData((10 until 15).map(i => StreamingQueriesRow(i.toLong, ts(i), 1, "t", 1.0)))
+    val q2 = src.toDS().toDF().select(col("event_id"))
+      .writeStream.format("parquet").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    q2.awaitTermination()
+    val all = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(all === (0L until 15L).toArray,
+      s"recovery must append exactly the new offsets once, got ${all.toSeq}")
+  }
+
+  test("session windows equal the batch lag/cumsum sessionization") {
+    val rows = Seq(
+      StreamingQueriesRow(1, ts(0), 1, "t", 1.0),
+      StreamingQueriesRow(2, ts(600), 1, "t", 1.0),    // same session (gap 10 min < 30)
+      StreamingQueriesRow(3, ts(600 + 1801), 1, "t", 1.0), // > 30 min → new session
+      StreamingQueriesRow(4, ts(50), 2, "t", 1.0))
+    val out = Streams.sessionized(rows.toDF(), "ts", "30 minutes", Seq("user_id"))
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+    assert(out === Array((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
+
+/** Row type shared by the streaming specs (top-level for stable encoders). */
+case class StreamingQueriesRow(event_id: Long, ts: java.sql.Timestamp,
+                               user_id: Long, event_type: String, value: Double)

@@ -1,0 +1,208 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.ops.Joins
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoreOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- vectors -----------------------------------------------------------
+
+  test("cosine: identical=1, orthogonal=0, symmetric, bounded") {
+    val df = Seq(
+      (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 2f, 3f), Seq(-3f, 2f, -1f))).toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("ab"),
+      VectorFunctions.cosine(col("b"), col("a")).as("ba")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(0)) < 1e-12)
+    assert(out(2).getDouble(0) === out(2).getDouble(1)) // symmetry
+    out.foreach(r => assert(r.getDouble(0) >= -1.0 - 1e-12 && r.getDouble(0) <= 1.0 + 1e-12))
+  }
+
+  test("cosine: zero vector yields null, not NaN") {
+    val df = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("normalize produces unit vectors") {
+    val df = Seq(Tuple1(Seq(3f, 4f))).toDF("a")
+    val n = df.select(VectorFunctions.l2Norm(VectorFunctions.normalize(col("a")))).head.getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+
+  test("signBucket is deterministic and bounded") {
+    val df = Seq(Tuple1(Seq.fill(8)(0.5f)), Tuple1(Seq.fill(8)(-0.5f))).toDF("v")
+    val b1 = df.select(VectorFunctions.signBucket(col("v"), 3, 8)).collect().map(_.getInt(0))
+    val b2 = df.select(VectorFunctions.signBucket(col("v"), 3, 8)).collect().map(_.getInt(0))
+    assert(b1.sameElements(b2))
+    b1.foreach(b => assert(b >= 0 && b < 8))
+  }
+
+  test("IVF knn recall vs brute force on real embeddings") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("id"), col("embedding"))
+    val exact = Similarity.bruteForceKnn(corpus, queries, "embedding", "id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val (indexed, centroids) = Similarity.ivfIndex(
+      e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id", 16, 1)
+    val approx = Similarity.ivfKnn(indexed, centroids, queries, "embedding", "id", 5, 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  // ---- text --------------------------------------------------------------
+
+  test("ngrams basics and edges") {
+    val df = Seq("a b c d", "a b", "", "  x  ").toDF("t")
+    val out = df.select(ngrams(tokens(col("t")), 3).as("g")).as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+    assert(out(3) === Seq.empty) // single token, n=3
+  }
+
+  test("minhash is order-insensitive over the shingle set") {
+    val df = Seq("w1 w2 w3 w4 w5", "w3 w4 w5 w1 w2").toDF("text")
+    // different orders → different shingles, but equality on a shared set:
+    val sig = df.select(minhashComponent(array(lit("x"), lit("y"), lit("z")), 7)).distinct()
+    assert(sig.count() === 1)
+  }
+
+  test("jaccard: identical=1, disjoint=0, empty→null") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+    val out = df.select(jaccard(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) === 1.0)
+    assert(out(1).getDouble(0) === 0.0)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("simhash bounded to bit width; identical text → distance 0") {
+    val df = Seq("spark query engine", "spark query engine", "totally different words here")
+      .toDF("text")
+    val sigs = df.select(simhash(tokens(col("text")), 16).as("s")).as[Long].collect()
+    sigs.foreach(s => assert(s >= 0 && s < (1L << 16)))
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("langId picks marker language, und when no markers") {
+    val df = Seq("the and of to is", "le et la les est", "xyzzy plugh").toDF("text")
+    val out = df.select(langId(tokens(col("text")))).as[String].collect()
+    assert(out(0) === "en")
+    assert(out(1) === "fr")
+    assert(out(2) === "und")
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val df = Seq("the quick brown fox jumps over the lazy dog and runs far away today",
+      "!!!", "x").toDF("text")
+    val out = df.select(qualityScore(col("text"))).as[Double].collect()
+    out.foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  // ---- dedup -------------------------------------------------------------
+
+  test("exact dedup keeps smallest id and is idempotent") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val once = Dedup.exact(df, "text", "id")
+    assert(once.select("id").as[Long].collect().sorted === Array(1L, 3L))
+    val twice = Dedup.exact(once, "text", "id")
+    assert(twice.count() === once.count())
+  }
+
+  test("minhashDedup output is a subset of input") {
+    val docs = core.Engine.table(spark, TestSpark.sf, "documents")
+    val kept = Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.8)
+    assert(kept.count() <= docs.count())
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("simhashPairs finds identical docs at distance 0") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated content entirely")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "id", bits = 32, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  // ---- joins -------------------------------------------------------------
+
+  test("rangeJoinBinned equals the naive range join") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq((1L, ts(100)), (1L, ts(400)), (2L, ts(250))).toDF("k", "ts")
+    val right = Seq((1L, ts(50), ts(150), "w1"), (1L, ts(390), ts(400), "w2"),
+      (2L, ts(0), ts(500), "w3"), (3L, ts(0), ts(999), "w4"))
+      .toDF("k", "lo", "hi", "tag")
+    val binned = Joins.rangeJoinBinned(left, right, "ts", "lo", "hi", 60, Seq("k"))
+      .select("tag").as[String].collect().sorted
+    assert(binned === Array("w1", "w2", "w3"))
+  }
+
+  test("asofJoin: at-or-before semantics incl. equal timestamps") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val probe = Seq((1L, ts(100), "p1"), (1L, ts(200), "p2"), (2L, ts(50), "p3"))
+      .toDF("k", "ts", "p")
+    val build = Seq((1L, ts(100), 10L, 1.0), (1L, ts(150), 11L, 2.0), (2L, ts(60), 12L, 3.0))
+      .toDF("k", "ts", "b_id", "b_v")
+    val out = graft.cdc.Materialize.asofJoin(probe, build, "k", "ts", "b_id", Seq("b_id", "b_v"))
+      .select("p", "b_id_asof").as[(String, Option[Long])].collect().toMap
+    assert(out("p1") === Some(10L)) // equal ts counts (at-or-before)
+    assert(out("p2") === Some(11L))
+    assert(out("p3") === None)      // build is after probe
+  }
+
+  // ---- multimodal --------------------------------------------------------
+
+  test("multimodal synthetic media + stub features") {
+    val base = Seq(1L, 2L, 3L).toDF("id")
+    val media = Multimodal.withSyntheticMedia(base, "id")
+    val bytes = media.select(length(col("media_bytes"))).as[Int].collect()
+    bytes.foreach(b => assert(b === 64))
+    val feats = Multimodal.extractFeatures(media, "media_bytes", 8)
+    val rows = feats.select(col("feat.feat_dim"), col("feat.decode_ok"),
+      size(col("feat.features"))).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === 8); assert(r.getBoolean(1)); assert(r.getInt(2) === 8)
+    }
+    val frames = Multimodal.sampleFrames(media, "media_bytes", 4)
+    assert(frames.count() === 12)
+  }
+
+  test("multimodal stub decode is deterministic per payload") {
+    val a = Multimodal.decodeStub(Array[Byte](1, 2, 3, 4), 6)
+    val b = Multimodal.decodeStub(Array[Byte](1, 2, 3, 4), 6)
+    assert(a.sameElements(b))
+    assert(Multimodal.decodeStub(null, 6) === null)
+  }
+
+  // ---- approx ops sanity (rows-only in the oracle gate) ------------------
+
+  test("approx_count_distinct within 5% of exact") {
+    val o = core.Engine.table(spark, TestSpark.sf, "orders")
+    val r = o.agg(approx_count_distinct(col("o_custkey")).as("a"),
+      countDistinct(col("o_custkey")).as("e")).head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e <= 0.05, s"approx=$a exact=$e")
+  }
+
+  test("seeded sample is stable and bounded") {
+    val o = core.Engine.table(spark, TestSpark.sf, "orders")
+    val s1 = o.sample(false, 0.1, 42).count()
+    val s2 = o.sample(false, 0.1, 42).count()
+    assert(s1 === s2)
+    assert(s1 > 0 && s1 < o.count())
+  }
+}
