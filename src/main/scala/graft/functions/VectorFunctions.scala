@@ -30,8 +30,19 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity in [-1, 1]; null-safe on zero vectors (returns null). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity in [-1, 1]; null-safe on zero vectors (returns
+    * null). Dispatches to the native codegen expression
+    * ([[CosineSimilarity]]) — bit-identical to [[cosineHof]] but a fused
+    * compiled loop instead of interpreted lambdas.
+    */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Pure higher-order-function cosine — the portable reference
+    * formulation (identical math, element-wise double upcast, sequential
+    * sums). Kept as the differential-test witness for the native
+    * expression.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0d, lit(null).cast("double")).otherwise(dot(a, b) / denom)
   }

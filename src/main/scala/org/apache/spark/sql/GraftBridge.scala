@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Narrow accessor for the `private[sql]` Column ↔ Expression conversions
+  * (SNIPPETS.md documents `Dataset`/`Column` internals as the sanctioned
+  * extension seam; Spark 4 moved the public constructors behind
+  * `classic.ExpressionUtils`). This is the only place the engine reaches
+  * into Spark's package-private API.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -206,3 +206,49 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(s1 > 0 && s1 < o.count())
   }
 }
+
+/** Native CosineSimilarity expression vs the HOF reference formulation. */
+class CosineExprSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorFunctions
+
+  test("native cosine is bit-identical to the HOF formulation on real embeddings") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val a = e.select(col("vec_id"), col("embedding").as("va")).alias("a")
+    val b = e.select((col("vec_id") - 1L).as("vec_id"), col("embedding").as("vb")).alias("b")
+    val both = a.join(b, Seq("vec_id"))
+      .select(VectorFunctions.cosine(col("va"), col("vb")).as("native"),
+        VectorFunctions.cosineHof(col("va"), col("vb")).as("hof"))
+    val diffs = both.where(col("native") =!= col("hof")).count()
+    assert(diffs === 0, "native and HOF cosine must agree exactly")
+  }
+
+  test("native cosine survives codegen (doGenCode path) and interpreted eval") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(3f, 2f, 1f))).toDF("a", "b")
+    val expected = (3.0 + 4.0 + 3.0) / (math.sqrt(14.0) * math.sqrt(14.0))
+    val viaCodegen = df.select(VectorFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(viaCodegen - expected) < 1e-12)
+    // interpreted path (no-codegen) must agree
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(VectorFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
+      assert(interp === viaCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("query plans keep scan pushdown and broadcast joins (scale posture)") {
+    val plan = graft.contract.RelationalQueries.queries("d1_inner_join_agg")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    val scanPlan = graft.contract.RelationalQueries.queries("c2_filter_predicates")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: ["), "filters must reach the parquet scan")
+    assert(scanPlan.contains("o_totalprice"), "predicate columns in pushdown")
+  }
+}
