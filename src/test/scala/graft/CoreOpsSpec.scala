@@ -252,3 +252,40 @@ class CosineExprSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(scanPlan.contains("o_totalprice"), "predicate columns in pushdown")
   }
 }
+
+/** Bucketing: the co-located-join layout for repeated large joins — the
+  * 100 TB alternative to shuffling the fact table on every query.
+  */
+class BucketingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse.dir is static config — managed tables land in the default
+    // ./spark-warehouse (gitignored); DROP TABLE below removes the files
+    val li = core.Engine.table(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = core.Engine.table(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    // disable auto-broadcast so the join would normally shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
