@@ -15,7 +15,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ScalarQueries.queries ++ CdcQueries.queries ++
-      LlmQueries.queries ++ StreamingQueries.queries ++ SourceSinkQueries.queries
+      LlmQueries.queries ++ StreamingQueries.queries ++ SourceSinkQueries.queries ++
+      ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Queries absent here (non-SQL-expressible /
@@ -23,5 +24,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ScalarQueries.oracle ++ CdcQueries.oracle ++
-      LlmQueries.oracle ++ StreamingQueries.oracle ++ SourceSinkQueries.oracle
+      LlmQueries.oracle ++ StreamingQueries.oracle ++ SourceSinkQueries.oracle ++
+      ExtraQueries.oracle
 }

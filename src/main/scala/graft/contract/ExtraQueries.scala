@@ -1,0 +1,126 @@
+package graft.contract
+
+import graft.core.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional §2 probes: null-safe comparison and RLIKE (C3), second wave
+  * of string/date built-ins (H1/H2), higher statistical moments (E2), and
+  * the skew-salted join (the deterministic answer to hot keys at scale).
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C3 — null-safe equality + regex predicate
+    "c3_nullsafe_rlike" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          col("lang") <=> "en" as "is_en_ns",
+          col("text").rlike("sp[ae]rk") as "has_sparkish",
+          nullif(col("lang"), lit("zh")).isNull.as("zh_nulled"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // H1 — second string wave: printf-style, left/right, prefix join
+    "h1_string_funcs2" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 200L)
+        .select(col("doc_id"),
+          format_string("%s-%03d", col("lang"), pmod(col("doc_id"), lit(100L))).as("fmt"),
+          expr("left(text, 10)").as("l10"),
+          expr("right(lang, 1)").as("r1"),
+          substring_index(col("text"), " ", 3).as("first3_words"),
+          ascii(col("lang")).as("first_cp"),
+          expr("char(65 + CAST(doc_id % 26 AS INT))").as("letter"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // H2 — second date wave: make_date / from_unixtime / weekofyear
+    "h2_datetime_funcs2" -> ((s, dir) => {
+      t(s, dir, "orders").where(col("o_orderkey") < 2000L)
+        .select(col("o_orderkey"),
+          date_format(make_date(lit(2024), month(col("o_orderdate")),
+            lit(1)), "yyyy-MM-dd").as("normalized_month"),
+          from_unixtime(unix_timestamp(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("rendered"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          dayofyear(col("o_orderdate")).as("doy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // E2 — higher moments: skewness/kurtosis/covar_samp (Spark population
+    // skew/kurt reproduced from raw moments in the oracle)
+    "e2_stats_moments" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        // + 0.0 normalizes IEEE −0.0 to 0.0 (engines disagree on the sign
+        // of a rounded negative underflow)
+        .agg((round(skewness(col("l_quantity")), 4) + lit(0.0)).as("skew_qty"),
+          (round(kurtosis(col("l_quantity")), 4) + lit(0.0)).as("kurt_qty"),
+          (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("covar_qp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // skew-salted join: must agree exactly with the plain equi-join
+    "x1_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderstatus"))
+      graft.ops.Joins.saltedJoin(l, o, "l_orderkey", saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "c3_nullsafe_rlike" ->
+      """SELECT doc_id,
+        |  lang IS NOT DISTINCT FROM 'en' AS is_en_ns,
+        |  regexp_matches(text, 'sp[ae]rk') AS has_sparkish,
+        |  NULLIF(lang, 'zh') IS NULL AS zh_nulled
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "h1_string_funcs2" ->
+      """SELECT doc_id,
+        |  printf('%s-%03d', lang, doc_id % 100) AS fmt,
+        |  left(text, 10) AS l10,
+        |  right(lang, 1) AS r1,
+        |  array_to_string(string_split(text, ' ')[1:3], ' ') AS first3_words,
+        |  CAST(ascii(lang) AS INTEGER) AS first_cp,
+        |  chr(CAST(65 + doc_id % 26 AS INTEGER)) AS letter
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "h2_datetime_funcs2" ->
+      """SELECT o_orderkey,
+        |  strftime(make_date(2024, CAST(month(o_orderdate) AS INTEGER), 1), '%Y-%m-%d') AS normalized_month,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS rendered,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "e2_stats_moments" ->
+      """WITH mu AS (SELECT l_returnflag, AVG(l_quantity) AS m, COUNT(*) AS n
+        |            FROM lineitem GROUP BY l_returnflag),
+        |mom AS (SELECT l.l_returnflag, ANY_VALUE(mu.n) AS n,
+        |  SUM(POW(l.l_quantity - mu.m, 2)) AS m2,
+        |  SUM(POW(l.l_quantity - mu.m, 3)) AS m3,
+        |  SUM(POW(l.l_quantity - mu.m, 4)) AS m4
+        |  FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        |  GROUP BY l.l_returnflag)
+        |SELECT mom.l_returnflag,
+        |  ROUND(sqrt(CAST(n AS DOUBLE)) * m3 / POW(m2, 1.5), 4) + 0.0 AS skew_qty,
+        |  ROUND(CAST(n AS DOUBLE) * m4 / (m2 * m2) - 3.0, 4) + 0.0 AS kurt_qty,
+        |  ROUND(covar_samp(l.l_quantity, l.l_extendedprice), 4) + 0.0 AS covar_qp
+        |FROM mom JOIN lineitem l ON l.l_returnflag = mom.l_returnflag
+        |GROUP BY mom.l_returnflag, n, m2, m3, m4
+        |ORDER BY mom.l_returnflag""".stripMargin,
+
+    "x1_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}

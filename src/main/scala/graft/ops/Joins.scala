@@ -50,4 +50,21 @@ object Joins {
     */
   def thetaJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(broadcast(right), cond)
+
+  /** Skew-safe equi-join: salt the skewed (large) side's key with a random
+    * shard in [0, saltFactor) and replicate the small side across all
+    * shards, so one hot key spreads over `saltFactor` reducers instead of
+    * melting a single task. AQE's skew-join split handles moderate skew at
+    * runtime; explicit salting is the deterministic tool for the
+    * pathological keys a 100 TB fact table always has. Inner equi-join
+    * semantics on `key` are preserved exactly (salt columns are dropped).
+    */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int = 8): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1)))) // one copy per shard
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -289,3 +289,34 @@ class BucketingSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** Salted join + element-wise-min Aggregator. */
+class SkewAndUdafSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("saltedJoin equals plain join on a pathologically skewed key") {
+    // 10k rows of one hot key + a tail
+    val skewed = ((1 to 10000).map(_ => (1L, 1.0)) ++
+      (1 to 100).map(i => (i.toLong + 1, 2.0))).toDF("k", "v")
+    val dim = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k"))
+      .groupBy("name").count().as[(String, Long)].collect().toSet
+    val salted = graft.ops.Joins.saltedJoin(skewed, dim, "k", saltFactor = 8)
+      .groupBy("name").count().as[(String, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("ElementwiseMin aggregator merges minhash-style signatures") {
+    val udafFn = graft.ops.Aggregates.elementwiseMinUdaf(3)
+    val df = Seq(
+      (1L, Seq("b", "x", "c")),
+      (1L, Seq("a", "y", "d")),
+      (2L, Seq("q", "q", "q"))).toDF("k", "sig")
+    val out = df.groupBy("k").agg(udafFn(col("sig")).as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("a", "x", "c"))
+    assert(out(2L) === Seq("q", "q", "q"))
+  }
+}
