@@ -66,7 +66,13 @@ object Dedup {
       .repartition(parallelism, col("id")) // shuffle RAW text first: the
       // projection below must run on the widened partitioning, not on the
       // handful of input splits the small file scan produces
-      .select(col("id"), shingles(col("__text"), shingleN).as("sh"))
+      // Tokenize into its OWN projection: interpreted higher-order
+      // expressions get no common-subexpression elimination, so inlining
+      // tokens() into ngrams() re-tokenizes the document for every
+      // element_at call (~3n times per doc). A materialized column is
+      // evaluated once per row.
+      .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
+      .select(col("id"), array_distinct(ngrams(col("__toks"), shingleN)).as("sh"))
       .persist()
     projected.count() // eager: later fan-out consumers (incl. broadcast
     // builds) must hit the cache, not re-execute the expensive pipeline
