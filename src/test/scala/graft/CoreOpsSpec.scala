@@ -320,3 +320,28 @@ class SkewAndUdafSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(2L) === Seq("q", "q", "q"))
   }
 }
+
+/** G2 — partition-local sort is plan-level: a non-global Sort, no exchange. */
+class PartitionSortSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("sortWithinPartitions plans a local sort without a shuffle") {
+    val df = core.Engine.table(spark, TestSpark.sf, "orders")
+      .repartition(4, col("o_custkey"))
+      .sortWithinPartitions(col("o_orderdate"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort [o_orderdate"))
+    assert(plan.contains("false, 0"), s"sort must be non-global (local):\n$plan")
+    // exactly the one repartition exchange; the sort itself adds none
+    assert("Exchange".r.findAllIn(plan).length === 1, plan)
+    // rows are ordered within each partition
+    val ok = df.select(unix_micros(col("o_orderdate").cast("timestamp")))
+      .mapPartitions { it =>
+        val ts = it.map(_.getLong(0)).toSeq
+        Iterator.single(ts == ts.sorted)
+      }(org.apache.spark.sql.Encoders.scalaBoolean)
+      .collect()
+    assert(ok.forall(identity))
+  }
+}
