@@ -286,12 +286,13 @@ object LlmQueries {
         |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
         |  FROM tk),
         |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |hm AS (SELECT doc_id, g,
         |  CAST(list_sum(list_transform(range(1, 9),
         |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
         |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
         |  FROM sh),
+        |hd AS (SELECT DISTINCT doc_id, h FROM hm),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
         |sig AS (SELECT doc_id,
         |  $comps
         |  FROM hm GROUP BY doc_id),
@@ -307,8 +308,8 @@ object LlmQueries {
         |   AND a.doc_id < b.doc_id),
         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
         |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.id_a
-        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.g = sa.g
+        |  JOIN hd sa ON sa.doc_id = c.id_a
+        |  JOIN hd sb ON sb.doc_id = c.id_b AND sb.h = sa.h
         |  GROUP BY c.id_a, c.id_b)
         |SELECT i.id_a, i.id_b,
         |  ROUND(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard

@@ -184,12 +184,14 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // E6 — collection aggregates + max_by/min_by
+    // E6 — collection aggregates + max_by/min_by. The collected set is
+    // emitted as a sorted comma-joined STRING (not array<string>): the
+    // driver's pandas compare sorts cells and cannot hash array cells.
     "e6_collect_agg" -> ((s, dir) => {
       t(s, dir, "customer")
         .groupBy(col("c_nationkey"))
         .agg(
-          array_sort(collect_set(col("c_mktsegment"))).as("segments"),
+          array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
           expr("max_by(c_name, c_custkey)").as("max_cust_name"),
           expr("min_by(c_name, c_custkey)").as("min_cust_name"))
         .orderBy(col("c_nationkey"))
@@ -519,7 +521,7 @@ object RelationalQueries {
 
     "e6_collect_agg" ->
       """SELECT c_nationkey,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
         |  arg_max(c_name, c_custkey) AS max_cust_name,
         |  arg_min(c_name, c_custkey) AS min_cust_name
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,

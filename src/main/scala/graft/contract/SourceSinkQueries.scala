@@ -85,7 +85,11 @@ object SourceSinkQueries {
     }),
 
     // K9 — streaming similarity join: new vectors streamed against a
-    // static indexed corpus (broadcast), cosine-thresholded
+    // static corpus through the sign-bucket EQUI-join (never a
+    // BroadcastNestedLoopJoin over the corpus — the 100 TB shape). The
+    // oracle reproduces the same deterministic bucket function, so the
+    // LSH-candidate semantics hash-match exactly; the brute-force
+    // all-pairs baseline is k9_neardup_bruteforce.
     "k9_stream_static_sim" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -98,10 +102,9 @@ object SourceSinkQueries {
         .as[VecRow].collect().toSeq
       Replay.run(s, streamRows, chunkSize = streamRows.size / 4 + 1,
           name = s"graft_simjoin_${System.nanoTime() % 100000}") { ds =>
-        ds.toDF()
-          .join(broadcast(static))
-          .withColumn("cosine", VectorFunctions.cosine(col("embedding"), col("cv")))
-          .where(col("cosine") >= 0.3d)
+        graft.streaming.Streams.bucketedSimJoin(ds.toDF(), static,
+            streamVec = "embedding", staticVec = "cv",
+            dim = 64, nPlanes = 2, threshold = 0.3d)
           .select(col("vec_id"), col("corpus_id"))
       }
         .groupBy(col("vec_id")).agg(count(lit(1)).as("n_similar"))
@@ -112,6 +115,21 @@ object SourceSinkQueries {
     s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |  * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin.replace("\n", " ")
+
+  /** The exact SQL image of [[graft.functions.VectorFunctions.signBucket]]:
+    * same murmur-derived ±1 hyperplane components (baked as literal signs
+    * at generation time on BOTH sides), same left-to-right double sum, so
+    * bucket assignments agree bit-for-bit across engines.
+    */
+  private def duckSignBucket(v: String, nPlanes: Int, dim: Int, seed: Int = 42): String =
+    (0 until nPlanes).map { p =>
+      val terms = (0 until dim).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, d, seed))
+        val sgn = if ((h & 1) == 0) "+" else "-"
+        s"$sgn CAST($v[${d + 1}] AS DOUBLE)"
+      }.mkString(" ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
     "a2_csv_roundtrip" ->
@@ -143,6 +161,7 @@ object SourceSinkQueries {
          |FROM embeddings a JOIN embeddings b
          |  ON a.vec_id >= (SELECT (max(vec_id) + 1) // 2 FROM embeddings)
          | AND b.vec_id < (SELECT (max(vec_id) + 1) // 2 FROM embeddings)
+         | AND ${duckSignBucket("a.embedding", 2, 64)} = ${duckSignBucket("b.embedding", 2, 64)}
          | AND ${duckCosine("a.embedding", "b.embedding")} >= 0.3
          |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin)
 }

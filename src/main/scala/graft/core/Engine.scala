@@ -63,16 +63,18 @@ object Engine {
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
     * rejects outright unless `legacy.parquet.nanosAsLong` is set; with it
     * the column surfaces as epoch-nanos LongType. We convert to the µs
-    * TimestampType the rest of the engine expects via floor division —
-    * the same truncation DuckDB's `date_trunc('microseconds', …)` applies,
-    * so differential results agree (SURVEY.md §7.4 timestamp semantics).
+    * TimestampType the rest of the engine expects via FLOOR division
+    * (`pmod` keeps the remainder non-negative, so pre-1970 negative
+    * epoch-nanos floor like DuckDB's `//`, not truncate toward zero —
+    * SURVEY.md §7.4 timestamp semantics).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.exists(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType)) {
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     } else df
   }
 

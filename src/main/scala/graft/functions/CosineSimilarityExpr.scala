@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   *
   * Semantics match `VectorFunctions.cosineHof` bit-for-bit on equal-length
   * arrays: elements upcast to double, sequential left-to-right sums,
-  * `null` for zero-norm inputs. Mismatched lengths use the common prefix.
+  * `null` for zero-norm inputs, and `null` when any element in the
+  * compared prefix is null (the HOF's null-propagating arithmetic).
+  * Mismatched lengths use the common prefix.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -46,6 +48,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
@@ -57,20 +60,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val xGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val yGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // Every local goes through ctx.freshName: two instances of this
+    // expression in one codegen scope (e.g. cosine(a,b) and cosine(b,a)
+    // in the same projection) must not collide on Java local names —
+    // a collision is a Janino failure and a silent interpreted fallback.
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+    val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+    val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
+    val hasNull = ctx.freshName("hasNullElem")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.$xGet(i);
-         |  double yi = (double) $b.$yGet(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
+         |  double $xi = (double) $a.$xGet($i);
+         |  double $yi = (double) $b.$yGet($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |double denom = Math.sqrt(nx) * Math.sqrt(ny);
-         |if (denom == 0.0) {
+         |double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+         |if ($hasNull || $denom == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / denom;
+         |  ${ev.value} = $dot / $denom;
          |}
        """.stripMargin
     })

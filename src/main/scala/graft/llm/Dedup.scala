@@ -61,6 +61,16 @@ object Dedup {
     // parallelism for the expensive map. Persist so the self-join below
     // computes signatures once, not twice.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // The ONLY persisted intermediate is (id, array<long> shingle hashes):
+    // ~8 bytes per shingle instead of the raw n-gram strings (~4-8× less
+    // cache footprint — the difference between "fits in executor storage"
+    // and "spills" at corpus scale). Both the signature (affine mins over
+    // h) and the Jaccard verification (set overlap of h values) derive
+    // from it, so the shingle strings never leave the projection that
+    // hashes them. Jaccard over distinct hashes equals shingle Jaccard up
+    // to md5-prefix collisions (p = 2^31-1; expected error ~|sh|²/2p per
+    // doc — negligible, and deterministic, so the SQL oracle applies the
+    // identical function and still matches bit-for-bit).
     val projected = df
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism, col("id")) // shuffle RAW text first: the
@@ -73,14 +83,15 @@ object Dedup {
       // evaluated once per row.
       .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
       .select(col("id"), array_distinct(ngrams(col("__toks"), shingleN)).as("sh"))
+      .select(col("id"), array_distinct(shingleHashes(col("sh"))).as("hs"))
       .persist()
     projected.count() // eager: later fan-out consumers (incl. broadcast
     // builds) must hit the cache, not re-execute the expensive pipeline
     // Filter ABOVE the cache boundary: predicate pushdown would otherwise
-    // shove `size(shingles(text)) > 0` through the repartition and
-    // recompute the whole shingle pipeline in the narrow pre-shuffle
-    // stage (measured: a 17 s single-task stage).
-    val base = projected.where(size(col("sh")) > 0)
+    // shove `size(...) > 0` through the repartition and recompute the
+    // whole shingle pipeline in the narrow pre-shuffle stage (measured: a
+    // 17 s single-task stage).
+    val base = projected.where(size(col("hs")) > 0)
     // Signature via explode → hash-aggregate with k min() columns rather
     // than k nested array-transform lambdas: (a) partial aggregation
     // (map-side combine) applies, so the shuffle carries one signature
@@ -88,17 +99,14 @@ object Dedup {
     // variant produced a >1 MB codegen unit that cost ~25 s of Janino
     // compilation on first execution. One md5 per shingle total.
     val p = MinhashP
-    val hashed = base
-      .select(col("id"), explode(col("sh")).as("g"))
-      .withColumn("h",
-        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"), lit(p)))
+    val hashed = base.select(col("id"), explode(col("hs")).as("h"))
     val sigCols = (0 until k).map { i =>
       min(pmod(col("h") * lit(minhashA(i)) + lit(minhashB(i)), lit(p)))
         .cast("string").as(s"m$i")
     }
     val sig = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
       .withColumn("sigarr", array((0 until k).map(i => col(s"m$i")): _*))
-    // bucket rows carry only (id, band, key) — never the shingle arrays
+    // bucket rows carry only (id, band, key) — never the hash arrays
     val buckets = sig
       .select(col("id"), explode(lshBandKeys(col("sigarr"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
@@ -109,19 +117,28 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // join the candidate pairs back to the shingle sets for exact Jaccard
+    // join the candidate pairs back to the hash sets for Jaccard
     // verification. Broadcast the PAIRS (tiny — the LSH output), never the
     // corpus: planner statistics would otherwise pick the corpus side
     // (small on disk) and execute the whole signature pipeline inside a
     // 1-task broadcast build — measured 30+ s here, and a non-starter at
     // 100 TB where the corpus can never be broadcast.
-    val withA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val withA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
       .join(broadcast(pairs), Seq("id_a"))
-    base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val result = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
       .join(broadcast(withA), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
       .where(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // Eagerly materialize the (bucket-bounded, tiny relative to the
+      // corpus) pair list and sever lineage so the big intermediates can
+      // be released NOW instead of accumulating for the session lifetime;
+      // localCheckpoint blocks are ContextCleaner-collected once the
+      // caller drops the result, unlike CacheManager entries.
+      .localCheckpoint(true)
+    projected.unpersist(false)
+    buckets.unpersist(false)
+    result
   }
 
   /** Near-dedup driven by `minhashCandidatePairs`: drop every doc that is

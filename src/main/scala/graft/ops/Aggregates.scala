@@ -35,7 +35,14 @@ object Aggregates {
     override def zero: Seq[String] = Seq.empty
     private def m(a: Seq[String], b: Seq[String]): Seq[String] =
       if (a.isEmpty) b else if (b.isEmpty) a
-      else a.zip(b).map { case (x, y) => if (x <= y) x else y }
+      else {
+        // Fail fast on ragged signatures: zip would silently truncate to
+        // the shorter input and emit a partial signature.
+        require(a.length == width && b.length == width,
+          s"ElementwiseMin(width=$width) got signatures of length " +
+            s"${a.length} and ${b.length}")
+        a.zip(b).map { case (x, y) => if (x <= y) x else y }
+      }
     override def reduce(b: Seq[String], a: Seq[String]): Seq[String] = m(b, a)
     override def merge(b1: Seq[String], b2: Seq[String]): Seq[String] = m(b1, b2)
     override def finish(r: Seq[String]): Seq[String] = r

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -59,6 +60,33 @@ object Streams {
   /** J6 — stream-static enrichment join (static side broadcast). */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
+
+  /** K9 at scale — stream-static similarity as a sign-bucket EQUI-join.
+    *
+    * Both sides carry a deterministic random-hyperplane sign bucket
+    * ([[VectorFunctions.signBucket]]); the join key is the bucket and the
+    * cosine threshold is a post-join filter. Candidate generation is
+    * therefore hash-partitionable — the physical plan is a hash/merge
+    * equi-join, never a BroadcastNestedLoopJoin over the corpus (which is
+    * a broadcast OOM by construction at 100 TB). Recall follows the LSH
+    * S-curve and is tuned with `nPlanes` (fewer planes → bigger buckets →
+    * higher recall & cost); the brute-force all-pairs form remains the
+    * small-probe-set correctness baseline (`k9_neardup_bruteforce`).
+    * Source-agnostic: the same plan runs batch (oracle-checked) and
+    * streaming (MemoryStream replay).
+    */
+  def bucketedSimJoin(stream: DataFrame, static: DataFrame,
+                      streamVec: String, staticVec: String,
+                      dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
+    val s = stream.withColumn("__bucket",
+      VectorFunctions.signBucket(col(streamVec), nPlanes, dim))
+    val c = static.withColumn("__bucket",
+      VectorFunctions.signBucket(col(staticVec), nPlanes, dim))
+    s.join(c, Seq("__bucket"))
+      .withColumn("cosine", VectorFunctions.cosine(col(streamVec), col(staticVec)))
+      .where(col("cosine") >= threshold)
+      .drop("__bucket")
+  }
 
   /** J7 — stream-stream join with a time-interval condition; both sides
     * watermarked so join state is bounded.
