@@ -47,6 +47,36 @@ object Envelope {
     df.withColumn("e", from_json(col(valueCol).cast("string"), schema(rowSchema)))
       .select(col("e.*"))
 
+  /** A4 — Kafka CDC source entry point: subscribe to a topic of envelope
+    * JSON and parse into typed columns. This is the north star's
+    * "Structured Streaming + Kafka source" composition; it compiles
+    * against the Kafka source options and needs only the
+    * `spark-sql-kafka` connector on the classpath at runtime (none — and
+    * no broker — exists in this rig, so the transform chain is
+    * batch-equivalence-tested through [[cdcFileStream]], which shares the
+    * exact same `value`-column contract and parse path).
+    */
+  def cdcStream(spark: org.apache.spark.sql.SparkSession, bootstrapServers: String,
+                topic: String, rowSchema: StructType,
+                startingOffsets: String = "earliest"): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "false")
+      .load()
+    parse(raw, rowSchema) // Kafka's binary `value` casts to string inside parse
+  }
+
+  /** A4/A5 — broker-less stand-in with the identical downstream contract:
+    * a directory watch of JSON-lines envelope files surfaces the same
+    * `value` column the Kafka source emits, then the same parse path.
+    */
+  def cdcFileStream(spark: org.apache.spark.sql.SparkSession, watchDir: String,
+                    rowSchema: StructType): DataFrame =
+    parse(spark.readStream.format("text").load(watchDir), rowSchema)
+
   /** B2 — ExtractNewRecordState: unwrap `after.*` and keep op metadata.
     * Deletes are rewritten to their `before` image with `__deleted = true`
     * (the documented rewrite mode of the SMT) so downstream consumers see

@@ -108,14 +108,17 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // K4 — IVF approximate KNN (scale path; approximate → rows-only check,
-    // recall vs brute force is asserted in the test suite)
+    // K4 — IVF approximate KNN through the PERSISTED partitionBy(cell)
+    // layout: index written once, the query scan partition-prunes to the
+    // probed cells (approximate → rows-only check, recall vs brute force
+    // and the pruned scan shape are asserted in the test suite)
     "k4_ivf_knn" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val (indexed, centroids) = Similarity.ivfIndex(
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Similarity.ivfWriteIndex(
         e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
-        nCells = 16, lloydRounds = 1)
-      Similarity.ivfKnn(indexed, centroids,
+        nCells = 16, lloydRounds = 1, path = path)
+      Similarity.ivfKnnPruned(s, path,
           e.where(col("vec_id") < 20L).select(col("vec_id").as("id"), col("embedding")),
           "embedding", "id", k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
@@ -207,7 +210,7 @@ object LlmQueries {
       val base = t(s, dir, "embeddings").where(col("vec_id") < 100L)
         .select(col("vec_id"))
       val media = Multimodal.withSyntheticMedia(base, "vec_id")
-      Multimodal.extractFeatures(media, "media_bytes", dim = 16)
+      Multimodal.extractFeatures(media, "media_bytes", "vec_id", dim = 16)
         .select(col("vec_id"),
           col("feat").getField("feat_dim").as("feat_dim"),
           col("feat").getField("decode_ok").as("decode_ok"),
@@ -225,6 +228,20 @@ object LlmQueries {
         .select(col("vec_id"), col("frame_no"),
           md5(col("frame_bytes")).as("frame_md5"))
         .orderBy(col("vec_id"), col("frame_no"))
+    }),
+
+    // E5 — percentile_approx (approximate quantile sketch → rows-only;
+    // the tolerance band vs the exact percentile is asserted in the test
+    // suite, mirroring the E4 pattern)
+    "e5_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile_approx(l_extendedprice, 0.25, 10000)"), 6).as("ap25"),
+          round(expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 6).as("ap50"),
+          round(expr("percentile_approx(l_extendedprice, 0.75, 10000)"), 6).as("ap75"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // E4 — approx distinct (approximate → rows-only; ±5% vs exact is

@@ -397,6 +397,28 @@ object RelationalQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // I2 — inline (struct-array → rows) and stack (literal pivot), the
+    // actual I2 generator surface (posexplode above is I1-adjacent)
+    "i2_inline_stack" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        SELECT l_orderkey, l_linenumber, metric, val FROM (
+          SELECT l_orderkey, l_linenumber, metric, val
+          FROM lineitem
+          LATERAL VIEW inline(array(
+            struct('qty' AS metric, CAST(l_quantity AS DOUBLE) AS val),
+            struct('price' AS metric, CAST(l_extendedprice AS DOUBLE) AS val))) t AS metric, val
+          WHERE l_orderkey < 200
+          UNION ALL
+          SELECT o_orderkey, -1, metric, val
+          FROM orders
+          LATERAL VIEW stack(2,
+            'total', CAST(o_totalprice AS DOUBLE),
+            'priority', CAST(LENGTH(o_orderpriority) AS DOUBLE)) t AS metric, val
+          WHERE o_orderkey < 200)
+        ORDER BY l_orderkey, l_linenumber, metric""")
+    }),
+
     // I3 — Scala UDF registration surface
     "i3_udf" -> ((s, dir) => {
       val clamp = udf((x: Double, lo: Double, hi: Double) => math.min(math.max(x, lo), hi))
@@ -689,6 +711,22 @@ object RelationalQueries {
         |  CAST(unnest(generate_series(0, len(toks) - 1)) AS INTEGER) AS pos,
         |  unnest(toks) AS token
         |FROM tk ORDER BY doc_id, pos""".stripMargin,
+
+    "i2_inline_stack" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+        |         CAST(l_quantity AS DOUBLE) AS val
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT o_orderkey, -1, 'total', CAST(o_totalprice AS DOUBLE)
+        |  FROM orders WHERE o_orderkey < 200
+        |  UNION ALL
+        |  SELECT o_orderkey, -1, 'priority', CAST(LENGTH(o_orderpriority) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey < 200)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "i3_udf" ->
       """SELECT o_orderkey,

@@ -1,9 +1,12 @@
 package graft.contract
 
+import graft.cdc.Envelope
 import graft.core.Engine
-import graft.streaming.{Replay, Stateful, Streams}
+import graft.streaming.{Replay, Sinks, Stateful, Streams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** SURVEY.md §2 contract queries that REALLY run as Structured Streaming:
   * the events table is replayed through a MemoryStream in chunks, drained
@@ -88,6 +91,100 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // J8 primary — the same keyed upsert through Spark 4's
+    // transformWithState (RocksDB state store). The replay runs the
+    // TimeMode.None form: with processing-time TTL the AvailableNow
+    // drain never terminates (the engine keeps scheduling empty
+    // timer-sweep batches — measured 400+ batches for 8 chunks), so TTL
+    // eviction belongs to continuously-triggered deployments and is
+    // wired/asserted separately in the test suite.
+    "j8_stream_upsert_tws" -> ((s, dir) => {
+      import s.implicits._
+      Stateful.withRocksDbStateStore(s)
+      val rows = loadEvents(s, dir)
+      val changes = rows.map { r =>
+        val op = r.event_type match {
+          case "error" => "d"
+          case "purchase" => "c"
+          case "signup" => "r"
+          case _ => "u"
+        }
+        Stateful.Change(r.user_id, r.event_id, op, r.props)
+      }
+      val emitted = Replay.run(s, changes, chunkSize = changes.size / 8 + 1,
+          name = s"graft_upsert_tws_${System.nanoTime()}", outputMode = "update") { ds =>
+        Stateful.upsertStreamTws(ds, ttl = None).toDF()
+      }
+      graft.cdc.Materialize.latestByKey(emitted, Seq("key"), Seq(col("version")))
+        .where(!col("deleted"))
+        .select(col("key").as("user_id"), col("version").as("last_event_id"),
+          col("payload"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A8 — foreachBatch upsert sink: the change stream is applied batch
+    // by batch into a bucket-partitioned parquet target with
+    // latest-version-wins merge semantics; the query returns the final
+    // materialized table, which must equal the B5/J8 batch oracle
+    "a8_foreach_upsert" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = loadEvents(s, dir)
+      val changes = rows.map { r =>
+        val op = r.event_type match {
+          case "error" => "d"
+          case "purchase" => "c"
+          case "signup" => "r"
+          case _ => "u"
+        }
+        Stateful.Change(r.user_id, r.event_id, op, r.props)
+      }
+      val target = java.nio.file.Files.createTempDirectory("graft-a8-target").toString + "/state"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-a8-ckpt").toString
+      val source = MemoryStream[Stateful.Change]
+      changes.grouped(changes.size / 8 + 1).foreach(chunk => source.addData(chunk))
+      val q = Sinks.foreachBatchUpsert(source.toDS().toDF(), target, ckpt,
+        keyCols = Seq("key"), versionCol = "version")
+      q.awaitTermination()
+      Sinks.currentState(s, target)
+        .select(col("key").as("user_id"), col("version").as("last_event_id"),
+          col("payload"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A4 — CDC source entry point: envelope JSON files stream through the
+    // same `value`-column parse path the Kafka source uses
+    // (Envelope.cdcStream composes readStream.format("kafka") with the
+    // identical chain; no broker exists in this rig, so the file form
+    // carries the correctness evidence — oracle equals B1's)
+    "a4_cdc_file_stream" -> ((s, dir) => {
+      val c = Engine.table(s, dir, "customer")
+      val envelopes = c.select(to_json(struct(
+        struct(c.columns.map(col): _*).as("after"),
+        struct(
+          lit("graft").as("connector"), lit("db").as("db"),
+          lit("public").as("schema"), lit("customer").as("table"),
+          col("c_custkey").as("lsn"), lit(true).as("snapshot"),
+          lit(1700000000000L).as("ts_ms")).as("source"),
+        lit("r").as("op"),
+        lit(1700000000000L).as("ts_ms"))).as("value"))
+      val watchDir = java.nio.file.Files.createTempDirectory("graft-a4-watch").toString
+      envelopes.write.mode("overwrite").text(watchDir)
+      val parsed = Envelope.extractNewRecordState(
+        Envelope.cdcFileStream(s, watchDir, CdcQueries.customerRowSchema))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("__op"), col("__deleted"))
+      val name = s"graft_a4_${System.nanoTime() % 100000}"
+      val sq = parsed.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-a4-ckpt").toString)
+        .start()
+      sq.awaitTermination()
+      s.table(name).orderBy(col("c_custkey"))
+    }),
+
     // A5 — file-based stream source (directory watch stand-in for Kafka):
     // stream the events parquet itself, aggregate, drain
     "a5_file_stream" -> ((s, dir) => {
@@ -139,6 +236,24 @@ object StreamingQueries {
         |        ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    "j8_stream_upsert_tws" ->
+      """SELECT user_id, event_id AS last_event_id, props AS payload
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "a8_foreach_upsert" ->
+      """SELECT user_id, event_id AS last_event_id, props AS payload
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "a4_cdc_file_stream" ->
+      """SELECT c_custkey, c_name, c_acctbal, 'r' AS __op, false AS __deleted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "a5_file_stream" ->
       """SELECT event_type, COUNT(*) AS n,

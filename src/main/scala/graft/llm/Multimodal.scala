@@ -59,25 +59,39 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction over the binary column. Runs as mapPartitions so a
-    * real decoder amortizes per-partition init (model load, codec setup) —
-    * the same batching shape a Pandas-UDF/Arrow path would have. Partition
-    * count should be sized so (rows per partition × payload size) fits the
-    * executor: callers repartition upstream for large media.
+  /** Typed output of the decode step — encodes to exactly
+    * [[featureSchema]].
     */
-  def extractFeatures(df: DataFrame, bytesCol: String, dim: Int): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("feat", featureSchema))
-    val bytesIdx = df.schema.fieldIndex(bytesCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+  case class MediaFeature(feat_dim: Int, features: Seq[Float], decode_ok: Boolean)
+
+  /** Feature extraction over the binary column as a typed
+    * `Dataset.mapPartitions` so a real decoder amortizes per-partition
+    * init (model load, codec setup) — the same batching shape a
+    * Pandas-UDF/Arrow path would have.
+    *
+    * The object-mode boundary carries ONLY the projected (id, bytes)
+    * pair: every other column stays in the columnar/codegen plan and
+    * rejoins on the id (an equi-join AQE broadcasts for bounded media
+    * batches). Dropping the whole row through `df.rdd` instead would
+    * deserialize everything out of Tungsten, kill column pruning
+    * downstream, and re-verify rows in `createDataFrame` — the
+    * anti-pattern this implementation replaces. Partition count should be
+    * sized so (rows per partition × payload size) fits the executor:
+    * callers repartition upstream for large media.
+    */
+  def extractFeatures(df: DataFrame, bytesCol: String, idCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+    val feats = pairs.mapPartitions { it =>
       // per-partition init would go here (decoder/model handles)
-      rows.map { r =>
-        val bytes = r.get(bytesIdx).asInstanceOf[Array[Byte]]
-        val feats = decodeStub(bytes, dim)
-        val ok = feats != null
-        Row.fromSeq(r.toSeq :+ Row(dim, if (ok) feats.toSeq else null, ok))
+      it.map { case (id, bytes) =>
+        val f = decodeStub(bytes, dim)
+        (id, MediaFeature(dim, if (f == null) null else f.toSeq, f != null))
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }.toDF("__feat_id", "feat")
+    df.join(feats, df(idCol) === feats("__feat_id")).drop("__feat_id")
   }
 
   /** Deterministic frame sampling for video-like payloads: byte-range

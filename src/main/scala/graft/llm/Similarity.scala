@@ -51,7 +51,12 @@ object Similarity {
                nCells: Int, lloydRounds: Int = 2): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    // NO corpus cache: at 100 TB the corpus cannot be cached; each Lloyd
+    // round re-scans it (lloydRounds + 1 scans total) — the honest cost of
+    // distributed k-means. Centroids ARE collected per round (nCells rows,
+    // driver-bounded) so the assignment plan stays one broadcast join deep
+    // instead of nesting round upon round of lazy lineage.
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     // Farthest-point seeding on a bounded sample (deterministic order by id).
     val sample = c.orderBy(col("id")).limit(math.max(nCells * 64, 1024))
       .as[(Long, Seq[Float])].collect()
@@ -66,21 +71,69 @@ object Similarity {
       val far = sample.maxBy { case (_, v) => seeds.map(s => d2(s, v)).min }
       seeds += far._2.map(_.toDouble).toArray
     }
-    var centroids = seeds.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "centroid")
+    var centroids: Seq[(Int, Seq[Double])] =
+      seeds.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
     // Lloyd refinement: assign → average. Aggregation is per-dimension
-    // (posexplode + groupBy) so it stays distributed.
+    // (posexplode + groupBy) so it stays distributed; only the nCells
+    // averaged centroids come back to the driver.
     for (_ <- 0 until lloydRounds) {
-      val assigned = assignCells(c, centroids)
-      centroids = assigned
+      val cdf = centroids.toDF("cell", "centroid")
+      centroids = assignCells(c, cdf)
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg(col("x").cast("double")).as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
         .select(col("cell"), transform(col("p"), e => e.getField("m")).as("centroid"))
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
-    val indexed = assignCells(c, centroids)
+    val cdf = centroids.toDF("cell", "centroid")
+    val indexed = assignCells(c, cdf)
       .select(col("id"), col("v"), col("cell"))
-    (indexed, centroids)
+    (indexed, cdf)
+  }
+
+  /** Write-once IVF layout: the indexed corpus partitioned by `cell` on
+    * disk plus the centroid table alongside. Queries through
+    * [[ivfKnnPruned]] then read only the probed cells' files — the scan
+    * is partition-pruned to ~nProbe/nCells of the data, which is what
+    * makes IVF the 100 TB path (the index is built once per corpus
+    * version, amortized over every query batch).
+    */
+  def ivfWriteIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    nCells: Int, lloydRounds: Int, path: String): Unit = {
+    val (indexed, centroids) = ivfIndex(corpus, vecCol, idCol, nCells, lloydRounds)
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN top-k against the persisted layout. The probe set is
+    * broadcast-small, so its distinct cells become a STATIC `isin`
+    * partition filter — the vectors scan provably touches only the probed
+    * cell directories (PartitionFilters in the plan), independent of
+    * dynamic-pruning heuristics.
+    */
+  def ivfKnnPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, vecCol: String, idCol: String,
+                   k: Int, nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("cell").asc)
+    val probes = q.join(broadcast(centroids))
+      .withColumn("dist", squaredDistance(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val cells = probes.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val indexed = spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(cells: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    indexed.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
   private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {

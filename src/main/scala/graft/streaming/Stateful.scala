@@ -1,7 +1,10 @@
 package graft.streaming
 
+import java.time.Duration
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.functions._
 
 /** J8 — arbitrary stateful processing: the streaming form of CDC
@@ -51,15 +54,90 @@ object Stateful {
     emitted.iterator
   }
 
-  /** Streaming keyed upsert via flatMapGroupsWithState. Output mode:
-    * Update. Works on batch Datasets too (state starts empty), which is
-    * how the differential test pins it to Materialize.changelog.
+  /** Keyed upsert via flatMapGroupsWithState — the portable fallback
+    * (works on any state store provider, and on batch Datasets with empty
+    * state, which is how the differential test pins it to
+    * Materialize.changelog). Carries NoTimeout, so state for dead keys
+    * never expires — use [[upsertStreamTws]] when key cardinality is
+    * unbounded.
     */
   def upsertStream(changes: Dataset[Change]): Dataset[Upsert] = {
     import changes.sparkSession.implicits._
     changes
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(applyChanges)
+  }
+
+  /** The Spark 4 primary for J8: keyed upsert as a
+    * [[StatefulProcessor]] run through `transformWithState`. Same state
+    * machine as [[upsertStream]] (version-ordered replay, delete clears),
+    * plus optional TTL-based state EVICTION — at 100 TB key cardinality
+    * the state store otherwise grows without bound as keys go cold; a TTL
+    * turns it into a sliding working set. Requires the RocksDB state
+    * store provider (see [[withRocksDbStateStore]]).
+    */
+  class UpsertProcessor(ttl: Option[Duration])
+    extends StatefulProcessor[Long, Change, Upsert] {
+
+    @transient private var state: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      state = getHandle.getValueState[KeyState]("keyState", Encoders.product[KeyState], cfg)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Change],
+                                 timerValues: TimerValues): Iterator[Upsert] = {
+      val sorted = rows.toSeq.sortBy(_.version)
+      var cur = if (state.exists()) Option(state.get()) else None
+      var emitted: Option[Upsert] = None
+      sorted.foreach { c =>
+        if (cur.forall(_.version < c.version)) {
+          if (c.op == "d") {
+            cur = None
+            emitted = Some(Upsert(key, c.version, null, deleted = true))
+          } else {
+            cur = Some(KeyState(c.version, c.payload))
+            emitted = Some(Upsert(key, c.version, c.payload, deleted = false))
+          }
+        }
+      }
+      cur match {
+        case Some(s) => state.update(s)
+        case None    => state.clear()
+      }
+      emitted.iterator
+    }
+  }
+
+  /** transformWithState needs the RocksDB provider; set it on the session
+    * before starting the query (the conf is read at query start). RocksDB
+    * is also the provider a real cluster runs — changelog-checkpointed,
+    * memory-bounded — so tests exercise the production store.
+    */
+  def withRocksDbStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark
+  }
+
+  /** J8 primary — keyed upsert through `transformWithState`. TTL (when
+    * given) uses processing-time expiry; without TTL state is kept
+    * indefinitely like the fallback.
+    *
+    * Operational caveat (measured): with TTL, the query runs in
+    * TimeMode.ProcessingTime and the engine schedules timer-sweep batches
+    * even with no new data, so a Trigger.AvailableNow drain never reaches
+    * termination. Use TTL with continuous triggers (its real deployment
+    * shape — long-lived streams whose key space churns); use ttl=None for
+    * drain-and-stop replays.
+    */
+  def upsertStreamTws(changes: Dataset[Change], ttl: Option[Duration] = None): Dataset[Upsert] = {
+    import changes.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    changes
+      .groupByKey(_.key)
+      .transformWithState(new UpsertProcessor(ttl), mode, OutputMode.Update())
   }
 
   /** Convenience: run the upsert over a batch frame of change events and

@@ -84,6 +84,78 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(finalState === Set((1L, "v3"), (2L, "w9"), (3L, "x5")))
   }
 
+  test("transformWithState upsert equals the flatMapGroupsWithState form (J8)") {
+    val changes = Seq(
+      Stateful.Change(1, 1, "c", "v1"), Stateful.Change(1, 3, "u", "v3"),
+      Stateful.Change(1, 2, "u", "v2"),            // stale, must lose
+      Stateful.Change(2, 1, "c", "w1"), Stateful.Change(2, 2, "d", null),
+      Stateful.Change(3, 5, "c", "x5"),
+      Stateful.Change(2, 9, "c", "w9"))            // reinsert after delete
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Stateful.withRocksDbStateStore(spark)
+    try {
+      val streamed = Replay.run(spark, changes, chunkSize = 2,
+          name = s"tws_spec_${System.nanoTime()}", outputMode = "update") { ds =>
+        Stateful.upsertStreamTws(ds).toDF()
+      }
+      val finalState = Materialize.latestByKey(streamed, Seq("key"), Seq(col("version")))
+        .where(!col("deleted"))
+        .select("key", "payload").as[(Long, String)].collect().toSet
+      // identical to the fMGWS spec above AND to batch changelog semantics
+      assert(finalState === Set((1L, "v3"), (2L, "w9"), (3L, "x5")))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("foreachBatch upsert sink survives restart from checkpoint (A8+J10)") {
+    implicit val sql = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-a8-spec-ckpt").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-a8-spec-t").toString + "/state"
+    val src = MemoryStream[Stateful.Change]
+    src.addData(Seq(Stateful.Change(1, 1, "c", "v1"), Stateful.Change(2, 2, "c", "w2")))
+    src.addData(Seq(Stateful.Change(1, 3, "u", "v3")))
+    val q1 = graft.streaming.Sinks.foreachBatchUpsert(src.toDS().toDF(), target, ckpt,
+      keyCols = Seq("key"), versionCol = "version")
+    q1.awaitTermination()
+    val mid = graft.streaming.Sinks.currentState(spark, target)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    assert(mid === Set((1L, "v3"), (2L, "w2")))
+    // restart from the same checkpoint: only the new offsets apply, and a
+    // delete + reinsert merge correctly into the existing buckets
+    src.addData(Seq(Stateful.Change(2, 4, "d", null), Stateful.Change(3, 5, "c", "x5")))
+    val q2 = graft.streaming.Sinks.foreachBatchUpsert(src.toDS().toDF(), target, ckpt,
+      keyCols = Seq("key"), versionCol = "version")
+    q2.awaitTermination()
+    val fin = graft.streaming.Sinks.currentState(spark, target)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    assert(fin === Set((1L, "v3"), (3L, "x5")),
+      "restart must apply exactly the new batches; delete must hold")
+  }
+
+  test("cdcFileStream equals the batch envelope parse (A4 contract)") {
+    val watch = java.nio.file.Files.createTempDirectory("graft-a4-spec").toString
+    goldenLines.toDF("value").coalesce(1).write.mode("overwrite").text(watch)
+    val streamed = Envelope.extractNewRecordState(
+      Envelope.cdcFileStream(spark, watch, contract.CdcQueries.customerRowSchema))
+    val name = s"a4_spec_${System.nanoTime() % 100000}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-a4-spec-ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val viaStream = spark.table(name)
+      .select("c_custkey", "__lsn", "__op").as[(Long, Long, String)].collect().toSet
+    val viaBatch = Envelope.extractNewRecordState(
+        Envelope.parse(goldenLines.toDF("value"), contract.CdcQueries.customerRowSchema))
+      .select("c_custkey", "__lsn", "__op").as[(Long, Long, String)].collect().toSet
+    assert(viaStream === viaBatch)
+  }
+
   // ---- streaming semantics ----------------------------------------------
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)

@@ -171,7 +171,7 @@ class CoreOpsSpec extends AnyFunSuite {
     val media = Multimodal.withSyntheticMedia(base, "id")
     val bytes = media.select(length(col("media_bytes"))).as[Int].collect()
     bytes.foreach(b => assert(b === 64))
-    val feats = Multimodal.extractFeatures(media, "media_bytes", 8)
+    val feats = Multimodal.extractFeatures(media, "media_bytes", "id", 8)
     val rows = feats.select(col("feat.feat_dim"), col("feat.decode_ok"),
       size(col("feat.features"))).collect()
     rows.foreach { r =>
@@ -181,6 +181,21 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(frames.count() === 12)
   }
 
+  test("extractFeatures keeps the full row out of the object boundary") {
+    val base = Seq(1L, 2L, 3L).toDF("id")
+    val media = Multimodal.withSyntheticMedia(base, "id")
+    val feats = Multimodal.extractFeatures(media, "media_bytes", "id", 8)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"no RDD drop-out allowed in the multimodal path:\n$plan")
+    // the serialize step must carry the (id, feat) pair only — the media
+    // metadata struct stays in the columnar plan and rejoins by id
+    val serLines = plan.linesIterator.filter(_.contains("SerializeFromObject")).toSeq
+    assert(serLines.nonEmpty)
+    serLines.foreach(l => assert(!l.contains("media_meta"),
+      s"full row leaked into the object boundary: $l"))
+  }
+
   test("multimodal stub decode is deterministic per payload") {
     val a = Multimodal.decodeStub(Array[Byte](1, 2, 3, 4), 6)
     val b = Multimodal.decodeStub(Array[Byte](1, 2, 3, 4), 6)
@@ -188,7 +203,34 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(null, 6) === null)
   }
 
+  test("persisted IVF layout partition-prunes the vectors scan") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    Similarity.ivfWriteIndex(
+      e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
+      nCells = 16, lloydRounds = 1, path = path)
+    val queries = e.where(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
+    val knn = Similarity.ivfKnnPruned(spark, path, queries, "embedding", "id", k = 5, nProbe = 2)
+    val plan = knn.queryExecution.executedPlan.toString
+    // the vectors scan must carry a partition filter on `cell` — the scan
+    // reads ~nProbe/nCells of the files, the whole point of the layout
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("vectors")).getOrElse(plan)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"vectors scan must be partition-pruned on cell:\n$scanLine")
+    assert(knn.count() > 0)
+  }
+
   // ---- approx ops sanity (rows-only in the oracle gate) ------------------
+
+  test("percentile_approx within 1% of exact percentile") {
+    val li = core.Engine.table(spark, TestSpark.sf, "lineitem")
+    val r = li.agg(
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a"),
+      expr("percentile(l_extendedprice, 0.5)").as("e")).head
+    val (a, e) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(a - e) / e <= 0.01, s"approx=$a exact=$e")
+  }
 
   test("approx_count_distinct within 5% of exact") {
     val o = core.Engine.table(spark, TestSpark.sf, "orders")
@@ -240,6 +282,46 @@ class CosineExprSpec extends org.scalatest.funsuite.AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
     }
+  }
+
+  test("two cosine instances share one codegen scope without collisions") {
+    // non-nullable literal arrays: nullSafeExec adds no brace scope, so
+    // fixed Java local names would collide and Janino would silently fall
+    // back to interpreted — ctx.freshName locals must keep this compiled
+    val one = array(lit(1f), lit(2f), lit(3f))
+    val two = array(lit(3f), lit(2f), lit(1f))
+    val row = spark.range(1)
+      .select(VectorFunctions.cosine(one, two).as("ab"),
+        VectorFunctions.cosine(two, one).as("ba")).head
+    val expected = 10.0 / 14.0
+    assert(math.abs(row.getDouble(0) - expected) < 1e-12)
+    assert(row.getDouble(0) === row.getDouble(1))
+  }
+
+  test("null array elements propagate to a null cosine (HOF parity)") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(1f), None, Some(3f)), Seq(Some(1f), Some(2f), Some(3f))))
+      .toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val r = df.select(VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("hof")).head
+    assert(r.isNullAt(0), "native must null out on null elements")
+    assert(r.isNullAt(1), "HOF witness must agree")
+  }
+
+  test("K9 bucketed similarity join plans an equi-join, not a nested loop") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val stream = e.where(col("vec_id") >= 500)
+      .select(col("vec_id"), col("embedding"))
+    val static = e.where(col("vec_id") < 500)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val joined = graft.streaming.Streams.bucketedSimJoin(stream, static,
+      "embedding", "cv", dim = 64, nPlanes = 2, threshold = 0.3)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus must never ride a condition-free broadcast join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"expected an equi-join:\n$plan")
   }
 
   test("query plans keep scan pushdown and broadcast joins (scale posture)") {
@@ -318,6 +400,19 @@ class SkewAndUdafSpec extends org.scalatest.funsuite.AnyFunSuite {
       .as[(Long, Seq[String])].collect().toMap
     assert(out(1L) === Seq("a", "x", "c"))
     assert(out(2L) === Seq("q", "q", "q"))
+  }
+
+  test("ElementwiseMin fails fast on ragged signatures instead of truncating") {
+    val udafFn = graft.ops.Aggregates.elementwiseMinUdaf(3)
+    val df = Seq((1L, Seq("a", "b", "c")), (1L, Seq("z"))).toDF("k", "sig")
+    val ex = intercept[Exception] {
+      df.groupBy("k").agg(udafFn(col("sig"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("ElementwiseMin")),
+      s"expected the width-validation failure, got: $ex")
   }
 }
 
