@@ -40,14 +40,19 @@ object TextAnalysis {
     * |vocab|-sized → broadcast).
     */
   def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val n = df.count() // corpus size: one number, computed once
+    // corpus size rides the plan as a broadcast 1-row aggregate instead of
+    // an eager df.count(): one Spark action per tfidf() call, not two —
+    // Catalyst plans the count as part of the same DAG and the 1-row side
+    // broadcasts for free
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
     val terms = df
       .select(col(idCol).as("doc"), explode(tokens(normalizeText(col(textCol)))).as("term"))
     val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 6))
+        round(col("tf").cast("double") * log(col("__n") / col("df").cast("double")), 6))
       .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
