@@ -98,6 +98,17 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // K3/I4 — the native cosine expression through the SQL surface: the
+    // FunctionRegistry entry Engine.registerFunctions/GraftExtensions
+    // injects, hash-matched against the same element-wise oracle
+    "k3_cosine_sql" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""SELECT a.vec_id AS vec_id,
+                      ROUND(cosine_similarity(a.embedding, b.embedding), 6) AS cos_next
+               FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+               ORDER BY vec_id""")
+    }),
+
     // K4 — exact brute-force top-k cosine search (broadcast queries)
     "k4_knn_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -375,6 +386,12 @@ object LlmQueries {
         |ORDER BY id_a, id_b""".stripMargin),
 
     "k3_cosine_pairs" ->
+      s"""SELECT a.vec_id AS vec_id,
+         |  ROUND(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos_next
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "k3_cosine_sql" ->
       s"""SELECT a.vec_id AS vec_id,
          |  ROUND(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos_next
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1

@@ -78,9 +78,22 @@ object Engine {
     } else df
   }
 
-  /** Register every corpus table as a temp view so SQL entry points work. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  /** Register every corpus table as a temp view so SQL entry points work,
+    * plus the engine's native SQL functions (see [[GraftExtensions]] for
+    * the config-time injection path).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     tableNames.foreach { n =>
       table(spark, dir, n).createOrReplaceTempView(n)
+    }
+    registerFunctions(spark)
+  }
+
+  /** Native-function registration for sessions that already exist
+    * (new sessions should use `spark.sql.extensions=graft.core.GraftExtensions`).
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, ident, info, builder)
     }
 }

@@ -1,0 +1,38 @@
+package graft.core
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SURVEY §2-I4's second half: the engine's native Catalyst expressions
+  * surfaced to SQL callers through `SparkSessionExtensions` — the public,
+  * supported injection point (enable with
+  * `spark.sql.extensions=graft.core.GraftExtensions`, or
+  * `builder.withExtensions(new GraftExtensions)`).
+  *
+  * Injection happens per-session at build time, so a cluster-wide conf line
+  * gives every SQL/JDBC/notebook user `cosine_similarity(a, b)` with the
+  * fused codegen loop — no Scala import, no UDF registration, full
+  * whole-stage codegen at 100 TB scan width.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+  /** The injectable function table (shared by the extension class and
+    * [[Engine.registerFunctions]] for sessions that already exist).
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity(arrayA, arrayB) takes 2 arguments")
+        CosineSimilarity(args.head, args(1))
+      }))
+}

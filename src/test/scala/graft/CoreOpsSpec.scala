@@ -324,6 +324,25 @@ class CosineExprSpec extends org.scalatest.funsuite.AnyFunSuite {
       plan.contains("ShuffledHashJoin"), s"expected an equi-join:\n$plan")
   }
 
+  test("SparkSessionExtensions injects cosine_similarity into new sessions") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force-create the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .withExtensions(new graft.core.GraftExtensions)
+        .getOrCreate() // reuses the running SparkContext, new session state
+      val v = withExt
+        .sql("SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("query plans keep scan pushdown and broadcast joins (scale posture)") {
     val plan = graft.contract.RelationalQueries.queries("d1_inner_join_agg")(
       spark, TestSpark.sf).queryExecution.executedPlan.toString
