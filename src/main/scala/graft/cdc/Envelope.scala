@@ -115,6 +115,24 @@ object Envelope {
             tableCol: Column = col("source.table")): DataFrame =
     df.withColumn("route", regexp_replace(tableCol, pattern, replacement))
 
+  /** B10 — field masking (the MaskField/pseudonymization SMT family):
+    * PII columns are either nulled (`hashSalt = None`) or replaced by a
+    * salted SHA-256 (deterministic pseudonymization — equal inputs map to
+    * equal tokens, so masked columns remain joinable/groupable across
+    * tables, the property GDPR-style pipelines rely on). A narrow
+    * projection: fuses into the scan, zero shuffles at any scale.
+    */
+  def maskFields(df: DataFrame, cols: Seq[String],
+                 hashSalt: Option[String] = None): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      hashSalt match {
+        case Some(salt) =>
+          d.withColumn(c, sha2(concat(lit(salt), col(c).cast(StringType)), 256))
+        case None =>
+          d.withColumn(c, lit(null).cast(d.schema(c).dataType))
+      }
+    }
+
   /** B7 — outbox router: an events table with a JSON payload column becomes
     * routed domain events (payload parsed, route derived from the
     * aggregate type).

@@ -113,6 +113,16 @@ object CdcQueries {
         .orderBy(col("event_id"))
     }),
 
+    // B10 — field masking: salted-hash pseudonymization of c_name (stays
+    // joinable), null-out of c_acctbal
+    "b10_mask_fields" -> ((s, dir) => {
+      val masked = Envelope.maskFields(t(s, dir, "customer"),
+        Seq("c_name"), hashSalt = Some("graft:"))
+      Envelope.maskFields(masked, Seq("c_acctbal"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // B8 — transaction assembly (per user per UTC day)
     "b8_txn_summary" -> ((s, dir) => {
       Envelope.transactionSummary(t(s, dir, "events"),
@@ -241,6 +251,11 @@ object CdcQueries {
         |  regexp_replace(event_type, '^(click|view)$', 'engagement') AS route,
         |  CAST(props->>'$.k' AS INTEGER) AS k
         |FROM e ORDER BY event_id""".stripMargin),
+
+    "b10_mask_fields" ->
+      """SELECT c_custkey, sha256('graft:' || c_name) AS c_name,
+        |  CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "b8_txn_summary" -> (mts +
       """
