@@ -72,6 +72,16 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // K2 — near-dup CLUSTERS: connected components (distributed min-label
+    // propagation) over the thresholded LSH pairs, hash-matched against a
+    // DuckDB recursive-CTE transitive closure
+    "k2_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("node"))
+    }),
+
     // K2 — SimHash (16-bit, md5-derived votes)
     "k2_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -273,6 +283,53 @@ object LlmQueries {
         .orderBy(col("o_orderkey"))
     }))
 
+  /** Shared DuckDB CTE chain for the MinHash/LSH pipeline (identical
+    * affine constants a_i/b_i/P to the engine, shingle-hash Jaccard),
+    * ending in `scored(id_a, id_b, jaccard)`.
+    */
+  private val lshScoredCtes: String = {
+    val P = graft.functions.TextFunctions.MinhashP
+    val comps = (0 until 8).map { i =>
+      val a = graft.functions.TextFunctions.minhashA(i)
+      val b = graft.functions.TextFunctions.minhashB(i)
+      s"MIN((h * $a + $b) % $P) AS m$i"
+    }.mkString(",\n        |  ")
+    s""", gr AS (SELECT doc_id,
+      |  CASE WHEN len(t) < 3 THEN []
+      |       ELSE list_transform(range(0, len(t) - 2),
+      |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+      |  FROM tk),
+      |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
+      |hm AS (SELECT doc_id, g,
+      |  CAST(list_sum(list_transform(range(1, 9),
+      |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
+      |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+      |  FROM sh),
+      |hd AS (SELECT DISTINCT doc_id, h FROM hm),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+      |sig AS (SELECT doc_id,
+      |  $comps
+      |  FROM hm GROUP BY doc_id),
+      |bk AS (
+      |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR)) AS key FROM sig UNION ALL
+      |  SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR)) FROM sig UNION ALL
+      |  SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR)) FROM sig UNION ALL
+      |  SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR)) FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+      |   AND a.doc_id < b.doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN hd sa ON sa.doc_id = c.id_a
+      |  JOIN hd sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+      |  GROUP BY c.id_a, c.id_b),
+      |scored AS (SELECT i.id_a, i.id_b,
+      |  ROUND(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard
+      |  FROM inter i
+      |  JOIN sz za ON za.doc_id = i.id_a
+      |  JOIN sz zb ON zb.doc_id = i.id_b)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "k1_exact_dedup_groups" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
@@ -299,52 +356,25 @@ object LlmQueries {
         |  MIN(md5('2:' || g)) AS mh2, MIN(md5('3:' || g)) AS mh3
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
-    "k2_lsh_candidate_pairs" -> (tokCte + {
-      // the same affine minhash family the engine uses, inlined with
-      // identical constants (a_i, b_i, P) so signatures match exactly
-      val P = graft.functions.TextFunctions.MinhashP
-      val comps = (0 until 8).map { i =>
-        val a = graft.functions.TextFunctions.minhashA(i)
-        val b = graft.functions.TextFunctions.minhashB(i)
-        s"MIN((h * $a + $b) % $P) AS m$i"
-      }.mkString(",\n        |  ")
-      s""", gr AS (SELECT doc_id,
-        |  CASE WHEN len(t) < 3 THEN []
-        |       ELSE list_transform(range(0, len(t) - 2),
-        |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
-        |  FROM tk),
-        |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
-        |hm AS (SELECT doc_id, g,
-        |  CAST(list_sum(list_transform(range(1, 9),
-        |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
-        |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
-        |  FROM sh),
-        |hd AS (SELECT DISTINCT doc_id, h FROM hm),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
-        |sig AS (SELECT doc_id,
-        |  $comps
-        |  FROM hm GROUP BY doc_id),
-        |bk AS (
-        |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR)) AS key FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR)) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR)) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR)) FROM sig),""".stripMargin
-    } +
+    "k2_lsh_candidate_pairs" -> (tokCte + lshScoredCtes +
       """
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-        |   AND a.doc_id < b.doc_id),
-        |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-        |  FROM cand c
-        |  JOIN hd sa ON sa.doc_id = c.id_a
-        |  JOIN hd sb ON sb.doc_id = c.id_b AND sb.h = sa.h
-        |  GROUP BY c.id_a, c.id_b)
-        |SELECT i.id_a, i.id_b,
-        |  ROUND(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard
-        |FROM inter i
-        |JOIN sz za ON za.doc_id = i.id_a
-        |JOIN sz zb ON zb.doc_id = i.id_b
+        |SELECT id_a, id_b, jaccard FROM scored
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // recursive transitive closure over the same scored pairs — the
+    // strongest possible oracle for distributed connected components
+    "k2_dedup_clusters" -> (tokCte.replace("WITH tk", "WITH RECURSIVE tk") +
+      lshScoredCtes +
+      """,
+        |pr AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |       UNION SELECT id_b, id_a FROM pr),
+        |walk(node, label) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN ed e ON e.src = w.node)
+        |SELECT node, MIN(label) AS cluster FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin),
 
     "k2_simhash" -> (tokCte +
       """, tok AS (SELECT doc_id, unnest(t) AS w FROM tk),

@@ -153,6 +153,44 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected pair list (e.g. the LSH
+    * candidate pairs): every node gets the minimum id reachable from it as
+    * its cluster label. This is what turns pairwise near-dup hits into
+    * dedup GROUPS — the greedy pair-drop in [[minhashDedup]] is not
+    * transitive (a~b, b~c keeps a and c).
+    *
+    * Distributed min-label propagation: each round joins labels across
+    * edges and takes the per-node min; rounds = graph diameter (near-dup
+    * clusters are shallow — a handful). Each round ends in ONE shuffle
+    * (the groupBy) plus a bounded-size convergence count, and labels are
+    * localCheckpoint'ed so lineage stays O(1) instead of growing per
+    * round — the standard iterative-algorithm discipline at 100 TB.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true) // sever per-round lineage growth
+      changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
   /** SimHash near-dup: docs whose `bits`-bit simhash differs by at most
     * `maxHamming`. Exact-bucket join on the simhash value for maxHamming=0;
     * for small positive distances the signature is split into

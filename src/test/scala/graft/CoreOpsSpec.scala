@@ -130,6 +130,14 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(kept.join(docs, Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("connectedComponents: transitive closure incl. a 4-node chain") {
+    // components: {1,2,3,4} via chain 1-2-3-4 (needs >1 round), {7,8}, {9} absent (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("simhashPairs finds identical docs at distance 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "unrelated content entirely")).toDF("id", "text")
