@@ -181,6 +181,16 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K5 — sequence packing: docs → fixed token-budget bins with
+    // per-bin summary (the training-data batching op)
+    "k5_sequence_packing" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id", budget = 2048L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
+    }),
+
     // K6 — corpus n-gram frequency table (bigrams seen ≥ 10 times)
     "k6_ngram_counts" -> ((s, dir) => {
       TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", 2)
@@ -460,6 +470,16 @@ object LlmQueries {
         |    string_split_regex(regexp_replace(text, '([\p{L}]+|[0-9]+|[^\p{L}0-9\s])', ' \1 ', 'g'), '\s+'),
         |    x -> len(x) > 0))) AS BIGINT) AS bpeish_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k5_sequence_packing" -> (tokCte +
+      """, pk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  SUM(CAST(len(t) AS BIGINT)) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM pk GROUP BY bin ORDER BY bin""".stripMargin),
 
     "k6_ngram_counts" -> (tokCte +
       """, gr AS (SELECT doc_id,

@@ -82,8 +82,10 @@ object Dedup {
       // element_at call (~3n times per doc). A materialized column is
       // evaluated once per row.
       .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
-      .select(col("id"), array_distinct(ngrams(col("__toks"), shingleN)).as("sh"))
-      .select(col("id"), array_distinct(shingleHashes(col("sh"))).as("hs"))
+      // hash FIRST, dedupe the longs: distinct-then-hash and
+      // hash-then-distinct yield the same set, but deduping 8-byte longs
+      // skips a per-document string-array sort/compare pass
+      .select(col("id"), array_distinct(shingleHashes(ngrams(col("__toks"), shingleN))).as("hs"))
       .persist()
     projected.count() // eager: later fan-out consumers (incl. broadcast
     // builds) must hit the cache, not re-execute the expensive pipeline

@@ -56,6 +56,28 @@ object TextAnalysis {
       .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Sequence packing for training pipelines: assign documents to fixed
+    * token-budget bins in a deterministic order (`orderCol`). Bin id is
+    * `floor((cumulative_tokens - n_tokens) / budget)` — i.e. each doc
+    * lands in the bin its STARTING offset falls into, the streaming-
+    * friendly formulation (a doc may straddle a boundary; trainers
+    * truncate or roll the remainder, both standard). One window over one
+    * global order — at 100 TB, pack within partitions (e.g. per shard/
+    * lang) by adding partition keys to the window instead of a global
+    * sort.
+    */
+  def packSequences(df: DataFrame, textCol: String, orderCol: String,
+                    budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((col("__cum") - col("n_tokens")) / budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** K6 — n-gram frequency table over the corpus. */
   def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(explode(ngrams(tokens(normalizeText(col(textCol))), n)).as("ngram"))
