@@ -40,6 +40,10 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Dim tables (region..part, and at scale anything < 64 MB) broadcast.
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Runtime row-level filtering: build a bloom filter from the small
+      // join side and push it into the big side's scan — at 100 TB this
+      // prunes most of a fact-table read for selective joins.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     b.getOrCreate()
@@ -51,6 +55,7 @@ object Engine {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark
   }
 

@@ -118,6 +118,11 @@ object Stateful {
   def withRocksDbStateStore(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing: commit the per-batch delta instead of
+    // uploading full RocksDB snapshots — the batch-commit latency knob
+    // that matters once state outgrows memory.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     spark
   }
 
