@@ -197,6 +197,19 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // E12 — DataFrameStatFunctions surface: contingency table
+    // (crosstab); columns pinned to the known value set so the output
+    // shape is deterministic and hash-matchable
+    "e12_crosstab" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .stat.crosstab("o_orderstatus", "o_orderpriority")
+        .select(col("o_orderstatus_o_orderpriority").as("status"),
+          col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
+          col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"),
+          col("5-LOW").as("p5"))
+        .orderBy(col("status"))
+    }),
+
     // E7 — rollup with grouping()
     "e7_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -547,6 +560,15 @@ object RelationalQueries {
         |  arg_max(c_name, c_custkey) AS max_cust_name,
         |  arg_min(c_name, c_custkey) AS min_cust_name
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "e12_crosstab" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     "e7_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
