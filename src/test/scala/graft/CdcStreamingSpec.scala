@@ -111,6 +111,45 @@ class CdcStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState TTL evicts cold state (stale version re-applies)") {
+    implicit val sql = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Stateful.withRocksDbStateStore(spark)
+    try {
+      val src = MemoryStream[Stateful.Change]
+      val name = s"ttl_spec_${System.nanoTime()}"
+      val q = Stateful.upsertStreamTws(src.toDS(),
+          ttl = Some(java.time.Duration.ofSeconds(1)))
+        .toDF().writeStream.format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ttl").toString)
+        .start()
+      // NOTE: processing-time TTL keeps scheduling timer batches, so
+      // processAllAvailable never stabilizes — poll the sink instead.
+      def emitted(): Set[(Long, Long)] =
+        spark.table(name).select("key", "version").as[(Long, Long)].collect().toSet
+      def waitFor(cond: => Boolean): Unit = {
+        val t0 = System.currentTimeMillis()
+        while (!cond && System.currentTimeMillis() - t0 < 30000) Thread.sleep(250)
+        assert(cond, s"timed out waiting; sink=${emitted()}")
+      }
+      src.addData(Seq(Stateful.Change(1, 5, "c", "v5")))
+      waitFor(emitted().contains((1L, 5L)))
+      Thread.sleep(1500) // let the 1s TTL lapse
+      // an OLDER version arrives: with live state it must be ignored;
+      // after TTL eviction the state is gone, so it applies — the
+      // observable proof that eviction actually happened
+      src.addData(Seq(Stateful.Change(1, 3, "u", "v3")))
+      waitFor(emitted().contains((1L, 3L)))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch upsert sink survives restart from checkpoint (A8+J10)") {
     implicit val sql = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-a8-spec-ckpt").toString
