@@ -197,6 +197,24 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // C6 — correlated subqueries: scalar (per-customer average) and
+    // EXISTS, through the SQL entry point — exercises Catalyst's
+    // subquery decorrelation into aggregates + semi joins
+    "c6_correlated_subquery" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS total
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                    FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+          AND EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+        ORDER BY o.o_orderkey""")
+    }),
+
     // E12 — DataFrameStatFunctions surface: contingency table
     // (crosstab); columns pinned to the known value set so the output
     // shape is deterministic and hash-matchable
@@ -560,6 +578,17 @@ object RelationalQueries {
         |  arg_max(c_name, c_custkey) AS max_cust_name,
         |  arg_min(c_name, c_custkey) AS min_cust_name
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "c6_correlated_subquery" ->
+      """SELECT o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+        |                            FROM orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey
+        |                AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "e12_crosstab" ->
       """SELECT o_orderstatus AS status,

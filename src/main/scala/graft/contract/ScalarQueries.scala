@@ -163,6 +163,22 @@ object ScalarQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // H9 — ANSI-mode safe arithmetic: try_* forms return null where
+    // strict ANSI evaluation would raise (div by zero, bad cast,
+    // overflow) — the functions a reference user migrating onto Spark 4's
+    // ANSI default reaches for first
+    "h9_try_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").where(col("o_orderkey") < 2000L)
+        .select(
+          col("o_orderkey"),
+          expr("try_divide(o_totalprice, o_custkey % 3)").as("maybe_div"),
+          expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+          expr("try_add(o_orderkey, 1)").as("plus1"),
+          expr("try_multiply(o_custkey, 2)").as("cust2"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // I5 — one-to-many n-gram generation (flatMap/explode-of-transform)
     "i5_ngram_gen" -> ((s, dir) => {
       val toks = graft.functions.TextFunctions.tokens(
@@ -174,6 +190,16 @@ object ScalarQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "h9_try_funcs" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |       ELSE o_totalprice / (o_custkey % 3) END AS maybe_div,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+        |  o_orderkey + 1 AS plus1,
+        |  o_custkey * 2 AS cust2
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
     "h1_string_funcs" ->
       """SELECT doc_id,
         |  upper(substring(text, 1, 20)) AS up20,
