@@ -39,6 +39,21 @@ object SourceSinkQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A2b — ORC write + read roundtrip (the other columnar format Spark
+    // ships natively; schema preserved, aggregate must equal the parquet
+    // oracle)
+    "a2_orc_roundtrip" -> ((s, dir) => {
+      val out = tmp("graft-orc")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // A3 — JSON-lines write + read roundtrip (schema inferred on read)
     "a3_jsonl_roundtrip" -> ((s, dir) => {
       val out = tmp("graft-jsonl")
@@ -133,6 +148,11 @@ object SourceSinkQueries {
 
   val oracle: Map[String, String] = Map(
     "a2_csv_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a2_orc_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
