@@ -103,6 +103,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents equals a union-find reference on random graphs") {
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.chooseNum(2, 12)
+      nEdges <- Gen.chooseNum(1, 15)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0L, nNodes.toLong - 1)
+        b <- Gen.chooseNum(0L, nNodes.toLong - 1)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+    forSamples(graphGen, 8) { edges =>
+      if (edges.nonEmpty) {
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical: min node id per component
+        val byRoot = nodes.groupBy(find)
+        val expected = byRoot.flatMap { case (_, ns) =>
+          val m = ns.min; ns.map(_ -> m)
+        }.toMap
+        val got = llm.Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected, s"edges=$edges")
+      }
+    }
+  }
+
   test("running window sum over full frame equals group-by sum") {
     val rowsGen = Gen.listOf(for {
       k <- Gen.chooseNum(1, 3)
