@@ -25,6 +25,38 @@ object ExtraQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // H1/H2/F — third wave: initcap/overlay/split_part, fractional
+    // months_between + next_day, nth_value + cume_dist windows
+    "h1_string_funcs3" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 200L)
+        .select(col("doc_id"),
+          initcap(col("lang")).as("lang_cap"),
+          expr("overlay(lang PLACING 'XX' FROM 2 FOR 1)").as("ov"),
+          expr("split_part(concat_ws('|', lang, source), '|', 2)").as("src_part"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "h2_datetime_funcs3" -> ((s, dir) => {
+      t(s, dir, "orders").where(col("o_orderkey") < 2000L)
+        .select(col("o_orderkey"),
+          months_between(date_trunc("month", col("o_orderdate")),
+            lit("1995-01-01").cast("date")).as("mb"),
+          date_format(next_day(col("o_orderdate"), "Mon"), "yyyy-MM-dd").as("next_mon"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f1_rank2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").where(col("o_orderkey") < 4000L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // H1 — second string wave: printf-style, left/right, prefix join
     "h1_string_funcs2" -> ((s, dir) => {
       t(s, dir, "documents").where(col("doc_id") < 200L)
@@ -76,6 +108,29 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "h1_string_funcs3" ->
+      """SELECT doc_id,
+        |  upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS lang_cap,
+        |  substr(lang, 1, 1) || 'XX' || substr(lang, 3) AS ov,
+        |  split_part(concat_ws('|', lang, source), '|', 2) AS src_part
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "h2_datetime_funcs3" ->
+      """SELECT o_orderkey,
+        |  CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS DOUBLE) AS mb,
+        |  strftime(o_orderdate + INTERVAL ((7 - isodow(o_orderdate)) % 7 + 1) DAY,
+        |           '%Y-%m-%d') AS next_mon
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "f1_rank2" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ROUND(cume_dist() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        |FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey""".stripMargin,
+
     "c3_nullsafe_rlike" ->
       """SELECT doc_id,
         |  lang IS NOT DISTINCT FROM 'en' AS is_en_ns,

@@ -285,6 +285,19 @@ object LlmQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // K8 — stratified (per-language) resampling: the training-mix
+    // rebalancing op — downsample dominant languages, keep the rest
+    // (seeded RNG → rows-only; per-stratum bounds + determinism are
+    // asserted in the test suite)
+    "k8_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "fr" -> 1.0, "es" -> 1.0, "de" -> 1.0, "zh" -> 1.0),
+          seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // G8 — seeded sample (RNG differs across engines → rows-only; bounds
     // asserted in the test suite)
     "g8_sample" -> ((s, dir) => {

@@ -248,6 +248,23 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(math.abs(a - e) / e <= 0.05, s"approx=$a exact=$e")
   }
 
+  test("stratified sampleBy is deterministic and near the target fractions") {
+    val d = core.Engine.table(spark, TestSpark.sf, "documents")
+    val fr = Map("en" -> 0.5, "fr" -> 1.0, "es" -> 1.0, "de" -> 1.0, "zh" -> 1.0)
+    def run() = d.stat.sampleBy("lang", fr, 42L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val s1 = run(); val s2 = run()
+    assert(s1 === s2, "seeded stratified sample must be deterministic")
+    val totals = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    fr.foreach { case (lang, f) =>
+      val got = s1.getOrElse(lang, 0L).toDouble
+      val want = totals.getOrElse(lang, 0L) * f
+      if (totals.getOrElse(lang, 0L) > 20)
+        assert(math.abs(got - want) <= math.max(0.35 * want, 10.0),
+          s"$lang: got $got want ~$want")
+    }
+  }
+
   test("seeded sample is stable and bounded") {
     val o = core.Engine.table(spark, TestSpark.sf, "orders")
     val s1 = o.sample(false, 0.1, 42).count()
