@@ -58,13 +58,18 @@ object Envelope {
     */
   def cdcStream(spark: org.apache.spark.sql.SparkSession, bootstrapServers: String,
                 topic: String, rowSchema: StructType,
-                startingOffsets: String = "earliest"): DataFrame = {
+                startingOffsets: String = "earliest",
+                failOnDataLoss: Boolean = true): DataFrame = {
+    // failOnDataLoss defaults TRUE (the Kafka source default): a CDC
+    // consumer that silently skips expired offsets loses deletes/updates
+    // and permanently corrupts the materialized table. Callers opt into
+    // lossy resumption explicitly.
     val raw = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
-      .option("failOnDataLoss", "false")
+      .option("failOnDataLoss", failOnDataLoss.toString)
       .load()
     parse(raw, rowSchema) // Kafka's binary `value` casts to string inside parse
   }

@@ -191,6 +191,19 @@ object LlmQueries {
         .orderBy(col("bin"))
     }),
 
+    // K5 — partition-parallel sequence packing: the 100 TB form. The
+    // window is partitioned by lang, so each language packs independently
+    // in parallel — no global single-partition sort in the plan (asserted
+    // by a spec) and bin ids are per-language.
+    "k5_sequence_packing_by_lang" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id",
+          budget = 2048L, partitionCols = Seq("lang"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // K6 — corpus n-gram frequency table (bigrams seen ≥ 10 times)
     "k6_ngram_counts" -> ((s, dir) => {
       TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", 2)
@@ -493,6 +506,16 @@ object LlmQueries {
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM pk GROUP BY bin ORDER BY bin""".stripMargin),
+
+    "k5_sequence_packing_by_lang" -> (tokCte +
+      """, pk AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  SUM(CAST(len(t) AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM pk GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
 
     "k6_ngram_counts" -> (tokCte +
       """, gr AS (SELECT doc_id,

@@ -253,6 +253,19 @@ object RelationalQueries {
                ORDER BY st, pr""")
     }),
 
+    // E7 — cube with grouping_id() (all four grouping-set combinations)
+    "e7_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          grouping_id().cast("int").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"), col("gid"))
+    }),
+
     // E8 — having
     "e8_having" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -617,6 +630,16 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY st, pr""".stripMargin,
+
+    "e7_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin,
 
     "e8_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders

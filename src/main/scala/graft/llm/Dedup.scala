@@ -49,10 +49,19 @@ object Dedup {
     * LSH load factor, so the pair blowup is bounded by design (and any
     * pathological bucket is AQE-skew-split). Hashes are md5-derived so a
     * SQL oracle reproduces signatures exactly (SURVEY.md §7.4).
+    *
+    * `maxBucketSize` caps degenerate buckets: a corpus with thousands of
+    * IDENTICAL documents puts them all in one bucket, and the self-join
+    * then emits O(b²) pairs no matter how good the banding is. Buckets
+    * wider than the cap are dropped before the join (standard production
+    * LSH practice — such buckets are near-dup-saturated; route their
+    * members through exact dedup instead, which handles identical text in
+    * one shuffle). Dropped-bucket count is logged.
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                            jaccardThreshold: Double = 0.0): DataFrame = {
+                            jaccardThreshold: Double = 0.0,
+                            maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
     // Repartition BEFORE the md5-heavy signature map: text corpora are
     // small on disk relative to their CPU cost, so the file scan alone
@@ -108,12 +117,24 @@ object Dedup {
     }
     val sig = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
       .withColumn("sigarr", array((0 until k).map(i => col(s"m$i")): _*))
-    // bucket rows carry only (id, band, key) — never the hash arrays
-    val buckets = sig
+    // bucket rows carry only (id, band, key, bucket width) — never the
+    // hash arrays. The width window shares the (band, key) shuffle key
+    // with the self-join below; computing it before the persist means the
+    // cap filter is a cache-local scan, not a recompute.
+    val bucketed = sig
       .select(col("id"), explode(lshBandKeys(col("sigarr"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+      .withColumn("__bw", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
       .persist()
-    buckets.count() // eager for the same reason (self-join reads it twice)
+    bucketed.count() // eager for the same reason (self-join reads it twice)
+    val droppedBuckets = bucketed.where(col("__bw") > maxBucketSize)
+      .select(col("band"), col("key")).distinct().count() // cache-local
+    if (droppedBuckets > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhashCandidatePairs: dropped $droppedBuckets over-wide LSH buckets " +
+          s"(> $maxBucketSize members) — near-dup-saturated; use exact dedup for those")
+    val buckets = bucketed.where(col("__bw") <= maxBucketSize).drop("__bw")
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -139,7 +160,7 @@ object Dedup {
       // caller drops the result, unlike CacheManager entries.
       .localCheckpoint(true)
     projected.unpersist(false)
-    buckets.unpersist(false)
+    bucketed.unpersist(false)
     result
   }
 
@@ -167,9 +188,14 @@ object Dedup {
     * (the groupBy) plus a bounded-size convergence count, and labels are
     * localCheckpoint'ed so lineage stays O(1) instead of growing per
     * round — the standard iterative-algorithm discipline at 100 TB.
+    *
+    * Runs until converged (`changed == 0`); `maxIter` is a safety cap and
+    * hitting it with changes still pending THROWS rather than returning
+    * silently-wrong labels (a chain deeper than maxIter hops would
+    * otherwise get split cluster ids with no signal).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
@@ -190,6 +216,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist(false)
+    require(changed == 0,
+      s"connectedComponents did not converge after $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter; labels would be wrong")
     labels.select(col("node"), col("label").as("cluster"))
   }
 

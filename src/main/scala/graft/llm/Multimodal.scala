@@ -78,6 +78,12 @@ object Multimodal {
     * anti-pattern this implementation replaces. Partition count should be
     * sized so (rows per partition × payload size) fits the executor:
     * callers repartition upstream for large media.
+    *
+    * PRECONDITION: `idCol` must be non-null and unique — it is the rejoin
+    * key (validated; a null id would throw at the primitive encoder and a
+    * duplicate would fan rows out). The rejoin is a LEFT join so a row
+    * whose feature record went missing surfaces with a null `feat` rather
+    * than silently disappearing.
     */
   def extractFeatures(df: DataFrame, bytesCol: String, idCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
@@ -91,7 +97,7 @@ object Multimodal {
         (id, MediaFeature(dim, if (f == null) null else f.toSeq, f != null))
       }
     }.toDF("__feat_id", "feat")
-    df.join(feats, df(idCol) === feats("__feat_id")).drop("__feat_id")
+    df.join(feats, df(idCol) === feats("__feat_id"), "left").drop("__feat_id")
   }
 
   /** Deterministic frame sampling for video-like payloads: byte-range

@@ -61,20 +61,25 @@ object TextAnalysis {
     * `floor((cumulative_tokens - n_tokens) / budget)` — i.e. each doc
     * lands in the bin its STARTING offset falls into, the streaming-
     * friendly formulation (a doc may straddle a boundary; trainers
-    * truncate or roll the remainder, both standard). One window over one
-    * global order — at 100 TB, pack within partitions (e.g. per shard/
-    * lang) by adding partition keys to the window instead of a global
-    * sort.
+    * truncate or roll the remainder, both standard).
+    *
+    * With `partitionCols` empty the window is one global order — fine for
+    * bounded inputs, a single-task sort at corpus scale. At 100 TB pass
+    * partition keys (shard, lang, date …): the window then sorts and
+    * packs WITHIN each partition in parallel and `bin` is per-partition
+    * (pair it with the partition cols for a unique bin key). Integral
+    * `div` keeps the bin id exact for any cumulative count (a double
+    * division would drift past 2^53 tokens).
     */
   def packSequences(df: DataFrame, textCol: String, orderCol: String,
-                    budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+                    budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    val base = org.apache.spark.sql.expressions.Window
+    val w0 = if (partitionCols.isEmpty) base.orderBy(col(orderCol))
+             else base.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = w0.rowsBetween(base.unboundedPreceding, base.currentRow)
     df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", ((col("__cum") - col("n_tokens")) / budget).cast("long"))
+      .withColumn("bin", expr(s"(__cum - n_tokens) div ${budget}L"))
       .drop("__cum")
   }
 

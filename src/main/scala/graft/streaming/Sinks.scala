@@ -27,20 +27,78 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object Sinks {
 
+  /** Rows-per-bucket target for auto bucket sizing: small enough that a
+    * bucket rewrite is one task's worth of work, large enough that file
+    * counts stay sane (100 TB / 64k-row buckets of ~1 KB rows ≈ 1.6M
+    * buckets — cap at 65536 and revisit the layout if you hit it).
+    */
+  private val RowsPerBucket = 65536L
+  private val MaxAutoBuckets = 65536
+
+  /** The bucket count is part of the TABLE layout, not the batch: if two
+    * batches bucketed a key differently, the merge would read the wrong
+    * bucket and resurrect stale rows. First write pins the choice in a
+    * sidecar file; every later batch (and any caller-supplied value) must
+    * match it.
+    */
+  private def metaPath(targetDir: String) = new Path(targetDir, "_graft_buckets")
+
+  private def readPinnedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                                targetDir: String): Option[Int] = {
+    val p = metaPath(targetDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writePinnedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                                 targetDir: String, n: Int): Unit = {
+    val out = fs.create(metaPath(targetDir), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Merge one batch of flattened change events into the target.
     * `versionCol` must totally order events per key (e.g. lsn).
+    *
+    * `nBuckets = 0` (the default) auto-sizes on first write from the
+    * batch volume (one bucket per [[RowsPerBucket]] rows, floor 16) and
+    * pins the result in the table's `_graft_buckets` sidecar; later
+    * batches reuse the pinned value, so the layout never shifts under a
+    * live table. At 100 TB pass an explicit count sized from the TABLE
+    * (≈ tableRows / 64k) on the first write — the first batch is a poor
+    * proxy for eventual volume.
     */
   def applyUpsertBatch(batch: DataFrame, targetDir: String, keyCols: Seq[String],
-                       versionCol: String, nBuckets: Int = 16): Unit = {
+                       versionCol: String, nBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val b = batch.withColumn("__kb", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+    val pinned = readPinnedBuckets(fs, targetDir)
+    val n = pinned match {
+      case Some(p) =>
+        require(nBuckets == 0 || nBuckets == p,
+          s"table at $targetDir is bucketed with $p buckets; got nBuckets=$nBuckets")
+        p
+      case None =>
+        val chosen =
+          if (nBuckets > 0) nBuckets
+          else {
+            val rows = batch.count()
+            val want = math.max(16L, rows / RowsPerBucket + 1)
+            math.min(want, MaxAutoBuckets.toLong).toInt
+          }
+        writePinnedBuckets(fs, targetDir, chosen)
+        chosen
+    }
+    val b = batch.withColumn("__kb", pmod(hash(keyCols.map(col): _*), lit(n)))
     // buckets touched by this batch — bounded by nBuckets, a driver-safe collect
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
     val existing =
-      if (fs.exists(new Path(targetDir)))
+      if (fs.exists(new Path(targetDir, "_SUCCESS")) || fs.listStatus(new Path(targetDir))
+            .exists(_.getPath.getName.startsWith("__kb=")))
         // partition-pruned: only the touched buckets are read
         Some(spark.read.parquet(targetDir).where(col("__kb").isin(touched: _*)))
       else None
@@ -49,7 +107,13 @@ object Sinks {
       // materialize BEFORE the overwrite below deletes the very files the
       // `existing` branch reads — the classic self-overwrite hazard
       .localCheckpoint(true)
-    merged.write.mode("overwrite").partitionBy("__kb").parquet(targetDir)
+    merged.write.mode("overwrite")
+      // per-write option, NOT a session conf: scoping it here means other
+      // overwrite-partitionBy writes on the same session keep Spark's
+      // static default (truncate untouched partitions) instead of
+      // silently inheriting dynamic mode
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kb").parquet(targetDir)
   }
 
   /** A8 — attach the upsert sink to a (streaming) frame of flattened
@@ -59,7 +123,7 @@ object Sinks {
     */
   def foreachBatchUpsert(changes: DataFrame, targetDir: String, checkpointDir: String,
                          keyCols: Seq[String], versionCol: String,
-                         nBuckets: Int = 16,
+                         nBuckets: Int = 0,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     changes.writeStream
       .outputMode("append")
