@@ -15,8 +15,12 @@ object Bench {
   /** Headline set: one representative per §2 family, weighted toward the
     * shapes that dominate at 100 TB (scan-agg, shuffled join-agg, window,
     * keyed materialization, LSH dedup, vector search, text analytics).
+    * The first 14 are the round-1 set (kept intact so `total_r1` stays
+    * comparable round-over-round); the last two are the round-2 scale
+    * paths (persisted-IVF ANN, transformWithState upsert) added for
+    * regression tracking.
     */
-  val headline: Seq[String] = Seq(
+  val r1Headline: Seq[String] = Seq(
     "e1_agg_flagship",       // scan + hash agg
     "d1_inner_join_agg",     // multi-join + agg (broadcast dims)
     "g4_topk_orders",        // join + top-k
@@ -32,18 +36,26 @@ object Bench {
     "k7_tfidf_top_terms",    // text analytics (2 aggs + join)
     "k8_quality_score")      // codegen'd scalar pipeline
 
+  val headline: Seq[String] = r1Headline ++ Seq(
+    "k4_ivf_knn",            // ANN over the persisted IVF layout
+    "j8_stream_upsert_tws")  // transformWithState upsert (RocksDB replay)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-      .getOrCreate()
+    // A/B hook: SPARK_GRAFT_CONF="k=v;k=v" adds session confs without a
+    // rebuild (used to attribute conf-level perf deltas one flag at a time)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
@@ -63,7 +75,10 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    // total_r1 = the unchanged round-1 14-query set, comparable across rounds
+    val totalR1 = results.filter(r => r1Headline.contains(r._1))
+      .map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,6 +175,65 @@ class CdcStreamingSpec extends AnyFunSuite {
       "restart must apply exactly the new batches; delete must hold")
   }
 
+  test("upsert batch rewrites exactly the touched bucket directory (A8 scale posture)") {
+    val target = java.nio.file.Files.createTempDirectory("graft-a8-bucket").toString + "/t"
+    val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
+    graft.streaming.Sinks.applyUpsertBatch(seed, target, Seq("key"), "version", nBuckets = 8)
+    def bucketFiles(): Map[String, Set[String]] = {
+      val dir = new java.io.File(target)
+      dir.listFiles().filter(_.getName.startsWith("__kb="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = bucketFiles()
+    assert(before.size >= 6, s"64 keys over 8 buckets should spread widely: ${before.keySet}")
+    // a single-key batch: nBuckets resolves from the pinned sidecar, and
+    // dynamic partition overwrite must replace ONE bucket directory —
+    // per-batch cost tracks the working set, not the table
+    val one = Seq(Stateful.Change(1L, 2L, "u", "p1b")).toDF()
+    graft.streaming.Sinks.applyUpsertBatch(one, target, Seq("key"), "version")
+    val after = bucketFiles()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.size === 1, s"exactly one bucket dir must be rewritten, got: $changed")
+    // the bucket count is table layout: a mismatched explicit value is refused
+    intercept[IllegalArgumentException] {
+      graft.streaming.Sinks.applyUpsertBatch(one, target, Seq("key"), "version", nBuckets = 4)
+    }
+    val st = graft.streaming.Sinks.currentState(spark, target)
+      .where(col("key") === 1L).select("payload").as[String].collect()
+    assert(st === Array("p1b"))
+  }
+
+  test("interval join drains as a real two-MemoryStream join equal to batch (J7)") {
+    implicit val sql = spark.sqlContext
+    val signups = (1 to 5).map(u => SignupRow(u.toLong, 100L + u, ts(1000L * u)))
+    val clicks = (1 to 5).flatMap(u => Seq(
+      ClickRow(u.toLong, 200L + u, ts(1000L * u + 300)),    // within +10 min
+      ClickRow(u.toLong, 300L + u, ts(1000L * u + 6000)))) // outside the interval
+    val sSrc = MemoryStream[SignupRow]
+    val cSrc = MemoryStream[ClickRow]
+    signups.grouped(2).foreach(c => sSrc.addData(c))
+    clicks.grouped(3).foreach(c => cSrc.addData(c))
+    // both sides watermarked inside intervalJoin → bounded join state; the
+    // drain is a REAL stream-stream join (two MemoryStreams, AvailableNow)
+    val joined = Streams.intervalJoin(sSrc.toDS().toDF(), cSrc.toDS().toDF(),
+        "s_ts", "c_ts", "user_id", "1 day", "10 minutes", "10 minutes")
+      .select(col("signup_id"), col("click_id"))
+    val name = s"j7_spec_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-j7").toString)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).as[(Long, Long)].collect().toSet
+    val batch = Streams.intervalJoin(signups.toDF(), clicks.toDF(),
+        "s_ts", "c_ts", "user_id", "1 day", "10 minutes", "10 minutes")
+      .select(col("signup_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    assert(streamed === batch, "two-stream drain must equal the batch interval join")
+    assert(streamed.size === 5, s"one in-window click per signup: $streamed")
+  }
+
   test("cdcFileStream equals the batch envelope parse (A4 contract)") {
     val watch = java.nio.file.Files.createTempDirectory("graft-a4-spec").toString
     goldenLines.toDF("value").coalesce(1).write.mode("overwrite").text(watch)
@@ -277,3 +336,7 @@ class CdcStreamingSpec extends AnyFunSuite {
 /** Row type shared by the streaming specs (top-level for stable encoders). */
 case class StreamingQueriesRow(event_id: Long, ts: java.sql.Timestamp,
                                user_id: Long, event_type: String, value: Double)
+
+/** Two-stream interval-join spec rows (J7). */
+case class SignupRow(user_id: Long, signup_id: Long, s_ts: java.sql.Timestamp)
+case class ClickRow(user_id: Long, click_id: Long, c_ts: java.sql.Timestamp)

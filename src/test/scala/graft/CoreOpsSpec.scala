@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.Joins
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -136,6 +136,45 @@ class CoreOpsSpec extends AnyFunSuite {
     val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents raises instead of returning non-converged labels") {
+    // a 5-node chain needs ~4 propagation rounds; maxIter=1 must throw,
+    // never silently return split clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("LSH bucket cap keeps a degenerate identical-doc corpus from pair blowup") {
+    // 1000 byte-identical docs land in ONE bucket per band: uncapped, the
+    // self-join would emit ~500k pairs per band. With the cap every bucket
+    // is over-wide and dropped — candidate generation stays empty and the
+    // job finishes immediately (exact dedup is the right tool for these).
+    val docs = (1 to 1000)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "id", maxBucketSize = 100)
+    assert(pairs.count() === 0, "over-wide buckets must be dropped, not joined")
+  }
+
+  test("partitioned sequence packing: no single-partition sort, matches per-lang global") {
+    val docs = core.Engine.table(spark, TestSpark.sf, "documents")
+    val packed = TextAnalysis.packSequences(docs, "text", "doc_id", 2048L, Seq("lang"))
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"partitioned packing must not plan a global single-partition sort:\n$plan")
+    // differential: the partitioned form restricted to one language equals
+    // packing that language's docs through the global-order form
+    val viaPart = packed.where(col("lang") === "en")
+      .select("doc_id", "bin").as[(Long, Long)].collect().toSet
+    val viaGlobal = TextAnalysis.packSequences(
+        docs.where(col("lang") === "en"), "text", "doc_id", 2048L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toSet
+    assert(viaPart === viaGlobal)
+    assert(viaPart.nonEmpty)
   }
 
   test("simhashPairs finds identical docs at distance 0") {
