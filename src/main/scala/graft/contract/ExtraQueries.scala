@@ -95,6 +95,30 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // E2 — linear-regression aggregates (regr_* family)
+    "e2_stats_regression" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (round(expr("regr_slope(l_extendedprice, l_quantity)"), 4) + lit(0.0)).as("slope"),
+          (round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4) + lit(0.0)).as("icept"),
+          (round(expr("regr_r2(l_extendedprice, l_quantity)"), 6) + lit(0.0)).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+          (round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6) + lit(0.0)).as("avgx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // H10 — bitwise aggregates (bit_and / bit_or / bit_xor)
+    "h10_bit_aggs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("bit_and(o_orderkey)").as("k_and"),
+          expr("bit_or(o_orderkey)").as("k_or"),
+          expr("bit_xor(o_orderkey)").as("k_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // skew-salted join: must agree exactly with the plain equi-join
     "x1_salted_join" -> ((s, dir) => {
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
@@ -155,6 +179,23 @@ object ExtraQueries {
         |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "e2_stats_regression" ->
+      """SELECT l_returnflag,
+        |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+        |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) + 0.0 AS icept,
+        |  ROUND(REGR_R2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+        |  CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  ROUND(REGR_AVGX(l_extendedprice, l_quantity), 6) + 0.0 AS avgx
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "h10_bit_aggs" ->
+      """SELECT o_orderstatus,
+        |  CAST(BIT_AND(o_orderkey) AS BIGINT) AS k_and,
+        |  CAST(BIT_OR(o_orderkey) AS BIGINT) AS k_or,
+        |  CAST(BIT_XOR(o_orderkey) AS BIGINT) AS k_xor,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "e2_stats_moments" ->
       """WITH mu AS (SELECT l_returnflag, AVG(l_quantity) AS m, COUNT(*) AS n

@@ -70,6 +70,13 @@ object Sinks {
     * live table. At 100 TB pass an explicit count sized from the TABLE
     * (≈ tableRows / 64k) on the first write — the first batch is a poor
     * proxy for eventual volume.
+    *
+    * File-count note: the bucket column and the merge's shuffle share
+    * Spark's Murmur3, so when nBuckets divides `spark.sql.shuffle
+    * .partitions` each bucket's rows land in exactly partitions/nBuckets
+    * write tasks (and when nBuckets >= partitions, ONE task — one file
+    * per rewrite). Picking an aligned count keeps small-file accrual, and
+    * therefore [[compact]] frequency, to a minimum.
     */
   def applyUpsertBatch(batch: DataFrame, targetDir: String, keyCols: Seq[String],
                        versionCol: String, nBuckets: Int = 0): Unit = {
@@ -133,6 +140,26 @@ object Sinks {
         applyUpsertBatch(batch, targetDir, keyCols, versionCol, nBuckets)
       }
       .start()
+
+  /** Compaction for the upsert table: every micro-batch rewrite emits one
+    * file per (shuffle partition × touched bucket), so a hot bucket
+    * accumulates small files batch over batch. Compacting rewrites each
+    * bucket as ONE file (the shuffle key is the bucket column, so a task
+    * holds whole buckets). Dynamic overwrite replaces only `__kb=*`
+    * directories — the `_graft_buckets` layout pin survives. Run it on a
+    * schedule (or when avg files/bucket crosses a threshold), exactly like
+    * lakehouse OPTIMIZE; readers see either the old or the new files,
+    * never a mix, because the checkpoint severs the read-before-overwrite
+    * hazard the same way the batch path does.
+    */
+  def compact(spark: SparkSession, targetDir: String): Unit = {
+    val snap = spark.read.parquet(targetDir)
+      .repartition(col("__kb"))
+      .localCheckpoint(true)
+    snap.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kb").parquet(targetDir)
+  }
 
   /** Live rows of the materialized table (tombstones filtered, layout
     * column dropped).

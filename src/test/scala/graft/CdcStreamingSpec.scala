@@ -204,6 +204,44 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(st === Array("p1b"))
   }
 
+  test("compaction rewrites each bucket to one file, contents and layout pin intact (A8)") {
+    val target = java.nio.file.Files.createTempDirectory("graft-a8-compact").toString + "/t"
+    val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
+    // AQE coalesces this tiny merge to one partition (one file per bucket)
+    // on the local rig — disable it for the seed so the write has the
+    // multi-task shape it has at scale, where small files actually accrue.
+    // nBuckets=3 is deliberately coprime to the 4 shuffle partitions:
+    // bucket (pmod(hash,3)) and the merge's HashPartitioning (pmod(hash,4))
+    // share Spark's Murmur3, so an aligned count would co-partition the
+    // buckets and hide the multi-file shape this spec needs
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try graft.streaming.Sinks.applyUpsertBatch(seed, target, Seq("key"), "version", nBuckets = 3)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    def filesPerBucket(): Map[String, Int] = {
+      new java.io.File(target).listFiles().filter(_.getName.startsWith("__kb="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))).toMap
+    }
+    val before = graft.streaming.Sinks.currentState(spark, target)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    assert(filesPerBucket().values.max > 1,
+      "a multi-partition merge write should leave several small files per bucket")
+    graft.streaming.Sinks.compact(spark, target)
+    val fp = filesPerBucket()
+    assert(fp.values.forall(_ === 1), s"compaction must leave one file per bucket: $fp")
+    val after = graft.streaming.Sinks.currentState(spark, target)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    assert(after === before, "compaction must not change table contents")
+    // the layout pin survives dynamic overwrite: upserts still work after
+    graft.streaming.Sinks.applyUpsertBatch(
+      Seq(Stateful.Change(1L, 2L, "u", "p1b")).toDF(), target, Seq("key"), "version")
+    val v = graft.streaming.Sinks.currentState(spark, target)
+      .where(col("key") === 1L).select("payload").as[String].collect()
+    assert(v === Array("p1b"))
+  }
+
   test("interval join drains as a real two-MemoryStream join equal to batch (J7)") {
     implicit val sql = spark.sqlContext
     val signups = (1 to 5).map(u => SignupRow(u.toLong, 100L + u, ts(1000L * u)))
