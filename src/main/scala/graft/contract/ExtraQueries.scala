@@ -108,6 +108,18 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // E4b — sketch partial-aggregate + merge (rows-only: sketch binaries
+    // are order-sensitive): per-group HLL sketches are the PERSISTED
+    // partial — at 100 TB you store one sketch per (segment, day) and
+    // answer any distinct-count rollup by merging sketches, never
+    // rescanning. Bounding spec asserts the merged estimate tracks exact.
+    "e4_sketch_merge" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_custkeys"))
+    }),
+
     // H10 — bitwise aggregates (bit_and / bit_or / bit_xor)
     "h10_bit_aggs" -> ((s, dir) => {
       t(s, dir, "orders")

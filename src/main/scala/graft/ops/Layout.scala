@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional (z-order) clustering for
+  * write-once analytical tables.
+  *
+  * Why it matters at 100 TB: parquet readers prune row groups and files on
+  * min/max statistics. A table sorted on ONE column prunes only filters on
+  * that column; interleaving the bits of TWO columns (a Morton/z-curve)
+  * gives every file a tight bounding box in BOTH dimensions, so selective
+  * filters on either column (or both) skip most of the data. This is the
+  * same layout idea behind lakehouse `OPTIMIZE ZORDER BY`, expressed here
+  * as plain codegen-able column math + `repartitionByRange` — no custom
+  * writer needed, and the write itself is one extra shuffle.
+  */
+object Layout {
+
+  /** Morton z-value of two columns normalized to `bits`-bit integers.
+    * `loA/hiA`, `loB/hiB` are the column domains (from a prior 1-row agg —
+    * the honest two-pass cost of clustering an unknown domain; pass
+    * constants when the domain is known, e.g. dates or ids).
+    */
+  def zValue(a: Column, b: Column, loA: Double, hiA: Double,
+             loB: Double, hiB: Double, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val maxV = (1L << bits) - 1
+    def norm(c: Column, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(maxV), greatest(lit(0L),
+        ((c.cast("double") - lit(lo)) / lit(span) * lit(maxV.toDouble)).cast("long")))
+    }
+    val na = norm(a, loA, hiA)
+    val nb = norm(b, loB, hiB)
+    // interleave: a takes even bit positions, b odd — 2*bits ops, all
+    // codegen'd long arithmetic fused into one projection
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` z-order-clustered on (`colA`, `colB`) into `nFiles` range
+    * partitions at `path`. One pass to learn the domains (a 1-row agg),
+    * one range shuffle on the z-value, a partition-local sort, and a plain
+    * parquet write — each output file ends up with a tight min/max
+    * bounding box in both dimensions, which is what downstream scan
+    * pruning consumes.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String,
+                  path: String, nFiles: Int, bits: Int = 16): Unit = {
+    val d = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val z = zValue(col(colA), col(colB),
+      d.getDouble(0), d.getDouble(1), d.getDouble(2), d.getDouble(3), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

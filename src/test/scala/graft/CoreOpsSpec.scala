@@ -279,6 +279,16 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(math.abs(a - e) / e <= 0.01, s"approx=$a exact=$e")
   }
 
+  test("HLL sketch partial + merge estimate within 5% of exact distinct") {
+    val o = core.Engine.table(spark, TestSpark.sf, "orders")
+    val merged = o.groupBy(col("o_orderstatus"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head.getLong(0).toDouble
+    val exact = o.select(countDistinct(col("o_custkey"))).head.getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact <= 0.05,
+      s"sketch-merge estimate $merged vs exact $exact")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val o = core.Engine.table(spark, TestSpark.sf, "orders")
     val r = o.agg(approx_count_distinct(col("o_custkey")).as("a"),
@@ -496,6 +506,48 @@ class SkewAndUdafSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(causes(ex).exists(_.getMessage != null) &&
       causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("ElementwiseMin")),
       s"expected the width-validation failure, got: $ex")
+  }
+}
+
+/** Z-order clustering: every output file gets a tight min/max bounding box
+  * in BOTH dimensions — the property parquet scan pruning consumes. A
+  * single-column sort bounds only its own column; the spec proves z-order
+  * strictly beats it on the second dimension and stays bounded on the
+  * first.
+  */
+class ZorderLayoutSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("z-order bounds both dimensions per file; single-column sort does not") {
+    val li = core.Engine.table(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val zPath = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/z"
+    val sPath = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/s"
+    graft.ops.Layout.zorderWrite(li, "l_orderkey", "l_partkey", zPath, nFiles = 8)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sPath)
+    def avgFileRange(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("r"))
+        .agg(avg(col("r"))).head.getDouble(0)
+    val d = li.agg(
+      (max(col("l_partkey")) - min(col("l_partkey"))).cast("double"),
+      (max(col("l_orderkey")) - min(col("l_orderkey"))).cast("double")).head
+    val (globalB, globalA) = (d.getDouble(0), d.getDouble(1))
+    val zB = avgFileRange(zPath, "l_partkey")
+    val sB = avgFileRange(sPath, "l_partkey")
+    // second dimension: z-order files cover a fraction of the domain; the
+    // single-column layout covers essentially all of it in every file
+    assert(zB < 0.6 * globalB, s"z-order partkey range $zB vs global $globalB")
+    assert(zB < 0.75 * sB, s"z-order ($zB) must beat single-sort ($sB) on dim 2")
+    // first dimension stays bounded too (the curve splits both)
+    val zA = avgFileRange(zPath, "l_orderkey")
+    assert(zA < 0.7 * globalA, s"z-order orderkey range $zA vs global $globalA")
+    // clustering must not change contents
+    assert(spark.read.parquet(zPath).count() === li.count())
   }
 }
 
