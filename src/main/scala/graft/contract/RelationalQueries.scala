@@ -197,6 +197,19 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // E6b — ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP;
+    // the ORDER BY makes it deterministic and therefore hash-matchable)
+    "e6_listagg" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""SELECT c_nationkey,
+                      listagg(c_mktsegment, '|') WITHIN GROUP (ORDER BY c_mktsegment, c_custkey) AS segs,
+                      listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment) AS seg_set
+               FROM customer
+               WHERE c_custkey <= 200
+               GROUP BY c_nationkey
+               ORDER BY c_nationkey""")
+    }),
+
     // C6 — correlated subqueries: scalar (per-customer average) and
     // EXISTS, through the SQL entry point — exercises Catalyst's
     // subquery decorrelation into aggregates + semi joins
@@ -591,6 +604,15 @@ object RelationalQueries {
         |  arg_max(c_name, c_custkey) AS max_cust_name,
         |  arg_min(c_name, c_custkey) AS min_cust_name
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "e6_listagg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_mktsegment, '|' ORDER BY c_mktsegment, c_custkey) AS segs,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS seg_set
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "c6_correlated_subquery" ->
       """SELECT o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DOUBLE) AS total

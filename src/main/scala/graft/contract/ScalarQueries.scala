@@ -130,6 +130,20 @@ object ScalarQueries {
         .orderBy(col("event_id"))
     }),
 
+    // H6b — VARIANT type (Spark 4): parse once into the binary variant
+    // encoding, then typed path extraction. At scale variant beats
+    // repeated get_json_object (one parse, many cheap reads) and is the
+    // engine's answer to semi-structured columns.
+    "h6_variant_funcs" -> ((s, dir) => {
+      t(s, dir, "events").where(col("event_id") < 2000L)
+        .select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+          expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+          expr("schema_of_variant(parse_json(props)) like 'OBJECT%'").as("is_obj"))
+        .orderBy(col("event_id"))
+    }),
+
     // H7 — portable hash functions (md5 / sha2)
     "h7_hash_funcs" -> ((s, dir) => {
       t(s, dir, "documents").where(col("doc_id") < 200L)
@@ -288,6 +302,13 @@ object ScalarQueries {
         |  CAST(props->>'$.k' AS INTEGER) AS k_int,
         |  CAST(props->>'$.k' AS INTEGER) AS k_typed,
         |  '{"id":' || CAST(event_id AS VARCHAR) || '}' AS j_out
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "h6_variant_funcs" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INTEGER) AS k_int,
+        |  props->>'$.k' AS k_str,
+        |  CAST(json_type(json(props)) = 'OBJECT' AS BOOLEAN) AS is_obj
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
 
     "h7_hash_funcs" ->
