@@ -82,6 +82,20 @@ object LlmQueries {
         .orderBy(col("node"))
     }),
 
+    // K2 — INCREMENTAL near-dup: dedup a new batch against a persisted
+    // LSH index of the existing corpus (the production "today's crawl vs
+    // the corpus" workflow — no corpus-wide signature rebuild per batch).
+    // Oracle: the full-corpus pair closure restricted to corpus×new pairs.
+    "k2_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+      Dedup.minhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
+        path, shingleN = 3, k = 8, bands = 4)
+      Dedup.minhashPairsAgainstIndex(s, path, docs.where(col("doc_id") >= 400L),
+          "text", "doc_id", shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.0)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // K2 — SimHash (16-bit, md5-derived votes)
     "k2_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -396,6 +410,14 @@ object LlmQueries {
       """
         |SELECT id_a, id_b, jaccard FROM scored
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // corpus(&lt;400) × new(&gt;=400) restriction of the same scored closure —
+    // every cross pair has id_a in the corpus and id_b in the new batch
+    "k2_incremental_neardup" -> (tokCte + lshScoredCtes +
+      """
+        |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
+        |WHERE id_a < 400 AND id_b >= 400
+        |ORDER BY new_id, corpus_id""".stripMargin),
 
     // recursive transitive closure over the same scored pairs — the
     // strongest possible oracle for distributed connected components

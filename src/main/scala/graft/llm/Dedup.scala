@@ -62,14 +62,6 @@ object Dedup {
                             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                             jaccardThreshold: Double = 0.0,
                             maxBucketSize: Int = 1000): DataFrame = {
-    val rowsPerBand = k / bands
-    // Repartition BEFORE the md5-heavy signature map: text corpora are
-    // small on disk relative to their CPU cost, so the file scan alone
-    // under-parallelizes (a 6 MB parquet = 1 partition = 1 core doing
-    // ~100M md5 calls). The tiny shuffle of raw text buys full-cluster
-    // parallelism for the expensive map. Persist so the self-join below
-    // computes signatures once, not twice.
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // The ONLY persisted intermediate is (id, array<long> shingle hashes):
     // ~8 bytes per shingle instead of the raw n-gram strings (~4-8× less
     // cache footprint — the difference between "fits in executor storage"
@@ -80,22 +72,7 @@ object Dedup {
     // to md5-prefix collisions (p = 2^31-1; expected error ~|sh|²/2p per
     // doc — negligible, and deterministic, so the SQL oracle applies the
     // identical function and still matches bit-for-bit).
-    val projected = df
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(parallelism, col("id")) // shuffle RAW text first: the
-      // projection below must run on the widened partitioning, not on the
-      // handful of input splits the small file scan produces
-      // Tokenize into its OWN projection: interpreted higher-order
-      // expressions get no common-subexpression elimination, so inlining
-      // tokens() into ngrams() re-tokenizes the document for every
-      // element_at call (~3n times per doc). A materialized column is
-      // evaluated once per row.
-      .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
-      // hash FIRST, dedupe the longs: distinct-then-hash and
-      // hash-then-distinct yield the same set, but deduping 8-byte longs
-      // skips a per-document string-array sort/compare pass
-      .select(col("id"), array_distinct(shingleHashes(ngrams(col("__toks"), shingleN))).as("hs"))
-      .persist()
+    val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
     projected.count() // eager: later fan-out consumers (incl. broadcast
     // builds) must hit the cache, not re-execute the expensive pipeline
     // Filter ABOVE the cache boundary: predicate pushdown would otherwise
@@ -103,27 +80,11 @@ object Dedup {
     // whole shingle pipeline in the narrow pre-shuffle stage (measured: a
     // 17 s single-task stage).
     val base = projected.where(size(col("hs")) > 0)
-    // Signature via explode → hash-aggregate with k min() columns rather
-    // than k nested array-transform lambdas: (a) partial aggregation
-    // (map-side combine) applies, so the shuffle carries one signature
-    // per doc; (b) the generated code stays small — the inlined-HOF
-    // variant produced a >1 MB codegen unit that cost ~25 s of Janino
-    // compilation on first execution. One md5 per shingle total.
-    val p = MinhashP
-    val hashed = base.select(col("id"), explode(col("hs")).as("h"))
-    val sigCols = (0 until k).map { i =>
-      min(pmod(col("h") * lit(minhashA(i)) + lit(minhashB(i)), lit(p)))
-        .cast("string").as(s"m$i")
-    }
-    val sig = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
-      .withColumn("sigarr", array((0 until k).map(i => col(s"m$i")): _*))
     // bucket rows carry only (id, band, key, bucket width) — never the
     // hash arrays. The width window shares the (band, key) shuffle key
     // with the self-join below; computing it before the persist means the
     // cap filter is a cache-local scan, not a recompute.
-    val bucketed = sig
-      .select(col("id"), explode(lshBandKeys(col("sigarr"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val bucketed = bandBucketRows(base, k, bands)
       .withColumn("__bw", count(lit(1)).over(
         Window.partitionBy(col("band"), col("key"))))
       .persist()
@@ -162,6 +123,112 @@ object Dedup {
     projected.unpersist(false)
     bucketed.unpersist(false)
     result
+  }
+
+  /** The shared shingle-hash projection (id, hs: array<long>).
+    *
+    * Planner discipline (each measured in round 1): repartition the RAW
+    * text BEFORE the md5-heavy map (a 6 MB parquet is one input split —
+    * one core doing ~100M md5 calls otherwise); tokenize in its OWN
+    * projection (interpreted HOFs get no common-subexpression
+    * elimination, so inlining tokens() into ngrams() re-tokenizes per
+    * element_at); hash then dedupe (deduping 8-byte longs beats sorting
+    * string arrays).
+    */
+  private def shingleHashProjection(df: DataFrame, textCol: String, idCol: String,
+                                    shingleN: Int): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism, col("id"))
+      .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
+      .select(col("id"), array_distinct(shingleHashes(ngrams(col("__toks"), shingleN))).as("hs"))
+  }
+
+  /** (id, band, key) LSH bucket rows for a (id, hs) frame.
+    *
+    * Signature via explode → hash-aggregate with k min() columns rather
+    * than k nested array-transform lambdas: (a) partial aggregation
+    * (map-side combine) applies, so the shuffle carries one signature per
+    * doc; (b) the generated code stays small — the inlined-HOF variant
+    * produced a >1 MB codegen unit costing ~25 s of Janino compilation.
+    */
+  private def bandBucketRows(base: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val p = MinhashP
+    val hashed = base.select(col("id"), explode(col("hs")).as("h"))
+    val sigCols = (0 until k).map { i =>
+      min(pmod(col("h") * lit(minhashA(i)) + lit(minhashB(i)), lit(p)))
+        .cast("string").as(s"m$i")
+    }
+    hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("sigarr", array((0 until k).map(i => col(s"m$i")): _*))
+      .select(col("id"), explode(lshBandKeys(col("sigarr"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** Persist the LSH index of a corpus at `path`: `sigs/` (id, hs) for
+    * Jaccard verification and `buckets/` (id, band, key) for candidate
+    * generation. This is the INCREMENTAL dedup layout — the production
+    * LLM-data workflow is "dedup today's crawl against the existing
+    * corpus", and rebuilding signatures over 100 TB per batch is a
+    * non-starter; with the index persisted, a new batch costs only its own
+    * signature pass plus two joins against the index.
+    */
+  def minhashIndexWrite(df: DataFrame, textCol: String, idCol: String, path: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
+    val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
+    projected.count()
+    val base = projected.where(size(col("hs")) > 0)
+    base.write.mode("overwrite").parquet(s"$path/sigs")
+    bandBucketRows(base, k, bands).write.mode("overwrite").parquet(s"$path/buckets")
+    projected.unpersist(false)
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted corpus index
+    * (`minhashIndexWrite` layout): (new_id, corpus_id, jaccard). The new
+    * side computes its own signatures (identical md5-derived math, so the
+    * SQL oracle reproduces the whole thing); candidates come from an
+    * equi-join of the new batch's band keys against the index buckets,
+    * and verification joins the index `sigs/`. The (tiny) pair list is
+    * broadcast; the corpus index is only ever shuffled on its join keys —
+    * nothing corpus-sized is collected, broadcast, or rebuilt.
+    */
+  def minhashPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                               newDf: DataFrame, textCol: String, idCol: String,
+                               shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                               jaccardThreshold: Double = 0.0): DataFrame = {
+    val projected = shingleHashProjection(newDf, textCol, idCol, shingleN).persist()
+    projected.count()
+    val newBase = projected.where(size(col("hs")) > 0)
+    val pairs = bandBucketRows(newBase, k, bands).as("n")
+      .join(spark.read.parquet(s"$path/buckets").as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val idxSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("id").as("corpus_id"), col("hs").as("hs_o"))
+    val result = newBase.select(col("id").as("new_id"), col("hs").as("hs_n"))
+      .join(broadcast(pairs), Seq("new_id"))
+      .join(idxSigs, Seq("corpus_id"))
+      .withColumn("jaccard", jaccard(col("hs_n"), col("hs_o")))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    projected.unpersist(false)
+    result
+  }
+
+  /** Incremental dedup: rows of `newDf` that near-match nothing in the
+    * indexed corpus (admit-or-drop for an append-only corpus).
+    */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        newDf: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashPairsAgainstIndex(spark, path, newDf, textCol, idCol,
+        shingleN, k, bands, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newDf.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** Near-dedup driven by `minhashCandidatePairs`: drop every doc that is

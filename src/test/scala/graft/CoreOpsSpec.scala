@@ -138,6 +138,27 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("dedupAgainstIndex drops corpus near-dups from a new batch, keeps fresh docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus content about spark engines"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-idx").toString
+    Dedup.minhashIndexWrite(corpus, "text", "id", path, shingleN = 3, k = 8, bands = 4)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (11L, "entirely novel text that matches nothing in the corpus at all"))
+      .toDF("id", "text")
+    val kept = Dedup.dedupAgainstIndex(spark, path, batch, "text", "id",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.8)
+    assert(kept.select("id").as[Long].collect().toSet === Set(11L))
+    // and the pair view names the corpus doc it matched
+    val pairs = Dedup.minhashPairsAgainstIndex(spark, path, batch, "text", "id",
+      shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.8)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 1L)))
+  }
+
   test("connectedComponents raises instead of returning non-converged labels") {
     // a 5-node chain needs ~4 propagation rounds; maxIter=1 must throw,
     // never silently return split clusters
