@@ -218,6 +218,33 @@ object LlmQueries {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    // K8 — PII redaction (emails / IPs / phones → typed tokens). The
+    // corpus has no PII, so deterministic PII is appended per doc and the
+    // scrub is verified against the identical RE2-safe regex chain in SQL.
+    "k8_pii_redaction" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 200L)
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.1.2.3 call 555-123-4567")))
+        .select(col("doc_id"), redactPii(col("aug")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // K8 — repetition statistics (Gopher/C4-style quality signals): the
+    // dominant-bigram fraction flags boilerplate/spam docs
+    "k8_repetition_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ngrams(tokens(normalizeText(col("text"))), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          max(col("c")).as("top_bigram_n"),
+          round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // K6 — corpus n-gram frequency table (bigrams seen ≥ 10 times)
     "k6_ngram_counts" -> ((s, dir) => {
       TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", 2)
@@ -538,6 +565,32 @@ object LlmQueries {
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM pk GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
+    "k8_pii_redaction" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@mail.example.com from 10.1.2.3 call 555-123-4567' AS a
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "k8_repetition_stats" -> (tokCte +
+      """, gr AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 2 THEN []
+        |       ELSE list_transform(range(0, len(t) - 1),
+        |                           i -> array_to_string(t[(i+1):(i+2)], ' ')) END AS grams
+        |  FROM tk),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(grams) AS g FROM gr) GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "k6_ngram_counts" -> (tokCte +
       """, gr AS (SELECT doc_id,

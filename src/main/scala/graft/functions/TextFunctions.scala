@@ -192,6 +192,22 @@ object TextFunctions {
     * stopword presence — the standard cheap pre-filter for LLM corpora.
     * All components are rational arithmetic over counts → portable.
     */
+  /** PII redaction: emails, IPv4 addresses and NANP-style phone numbers
+    * replaced by typed tokens — the standard scrub pass before training-
+    * data release. Patterns are RE2-safe (no lookaround), so the exact
+    * same regexes run in any engine; order matters (emails first, or the
+    * IP pass would eat dotted hostnames inside addresses) and is part of
+    * the contract. A narrow projection: fuses into the scan, zero
+    * shuffles.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>")
+  }
+
   def qualityScore(text: Column): Column = {
     val t = normalizeText(text)
     val toks = tokens(t)
