@@ -530,6 +530,58 @@ class SkewAndUdafSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Blanket scale posture: every batch contract query's physical plan is
+  * audited for the two local-rig-invisible scale killers — a condition-
+  * free broadcast join (OOM by construction on a big side) and a single-
+  * partition exchange (one task does all the work). Exemptions are
+  * explicit and documented; anything new that regresses fails CI here.
+  */
+class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // deliberately non-equi / bounded-broadcast shapes where a nested-loop
+  // broadcast IS the right plan: D4 cross and D5 theta probes; brute-force
+  // KNN broadcasts the BOUNDED query batch against a corpus scan (the
+  // documented baseline — the IVF layout is the scale path); TF-IDF folds
+  // the 1-ROW corpus count into the DAG as a condition-free broadcast
+  private val bnljOk = Set("d4_cross_join", "d5_theta_join",
+    "k9_neardup_bruteforce", "k4_knn_bruteforce", "k7_tfidf_top_terms")
+  // documented driver-bounded or globally-ordered shapes: 1-row results
+  // (k7's corpus count, sketch rollup), global limit/offset, the
+  // global-order packing form (its partitioned twin is the scale path),
+  // tiny crosstab outputs
+  private val singlePartitionOk = Set(
+    "k5_sequence_packing", "e4_sketch_merge", "g3_limit_offset",
+    "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms")
+  // queries that execute work at construction time (streams, index
+  // writes, eager cached pipelines, file roundtrips) — audited by their
+  // own dedicated plan specs instead of this blanket pass
+  private val heavy = Set(
+    "a2_csv_roundtrip", "a2_orc_roundtrip", "a3_jsonl_roundtrip",
+    "a4_cdc_file_stream", "a5_file_stream", "a7_partitioned_sink",
+    "a8_foreach_upsert", "j5_stream_dedup", "j8_stream_upsert",
+    "j8_stream_upsert_tws", "j9_stream_tumbling",
+    "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
+    "k4_ivf_knn", "b9_schema_drift", "g8_sample", "k8_stratified_sample",
+    "e4_sketch_merge")
+
+  test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
+    val qs = SparkEntry.queries
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- qs if !heavy.contains(name)) {
+      val plan =
+        try fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk.contains(name))
+        offenders += s"$name: BroadcastNestedLoopJoin"
+      if (plan.contains("Exchange SinglePartition") && !singlePartitionOk.contains(name))
+        offenders += s"$name: Exchange SinglePartition"
+    }
+    assert(offenders.isEmpty,
+      s"scale-posture regressions:\n${offenders.mkString("\n")}")
+  }
+}
+
 /** Z-order clustering: every output file gets a tight min/max bounding box
   * in BOTH dimensions — the property parquet scan pruning consumes. A
   * single-column sort bounds only its own column; the spec proves z-order
