@@ -159,6 +159,20 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // K3b — per-label centroids: element-wise mean embedding per cluster
+    // label, emitted long-form (label, pos, component). The explode →
+    // two-level hash agg shape is fully map-side combinable — at 100 TB
+    // this is the standard "recompute centroids" step of any distributed
+    // clustering / class-prototype pipeline, one shuffle of (label, pos)
+    // partial sums.
+    "k3_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("c"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // K9 — embedding near-dup pairs, exact brute force over a bounded
     // prefix (the oracle-able baseline; the LSH-bucketed variant is the
     // scale path, tested for recall in the suite)
@@ -521,6 +535,12 @@ object LlmQueries {
          |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 10)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "k3_centroids" ->
+      """SELECT label, CAST(r.range - 1 AS INTEGER) AS pos,
+        |  ROUND(AVG(embedding[CAST(r.range AS INTEGER)]), 6) AS c
+        |FROM embeddings CROSS JOIN range(1, 65) r
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "k9_neardup_bruteforce" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

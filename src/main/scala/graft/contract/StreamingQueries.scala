@@ -152,6 +152,28 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // A8b — incrementally maintained rollup: per-user (count, sum)
+    // partials folded into the bucketed target batch by batch; the final
+    // table must equal the one-shot batch GROUP BY. Counts are not
+    // latest-wins, so the sink's batch-id replay guard carries the
+    // at-least-once → exactly-once argument here.
+    "a8_foreach_rollup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = loadEvents(s, dir)
+      val target = java.nio.file.Files.createTempDirectory("graft-a8r-target").toString + "/rollup"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-a8r-ckpt").toString
+      val source = MemoryStream[EventRow]
+      rows.grouped(rows.size / 8 + 1).foreach(chunk => source.addData(chunk))
+      val q = Sinks.foreachBatchRollup(source.toDS().toDF(), target, ckpt,
+        keyCols = Seq("user_id"), valueCol = "value")
+      q.awaitTermination()
+      Sinks.currentRollup(s, target)
+        .select(col("user_id"), col("cnt").as("n"),
+          col("sum_val").cast("double").as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // A4 — CDC source entry point: envelope JSON files stream through the
     // same `value`-column parse path the Kafka source uses
     // (Envelope.cdcStream composes readStream.format("kafka") with the
@@ -243,6 +265,11 @@ object StreamingQueries {
         |        ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    "a8_foreach_rollup" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a8_foreach_upsert" ->
       """SELECT user_id, event_id AS last_event_id, props AS payload

@@ -60,6 +60,51 @@ object Sinks {
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Resolve the table's bucket count: pinned value wins (a mismatched
+    * explicit ask is an error); otherwise pin the caller's value or
+    * auto-size from `rows` (evaluated lazily — only on first write).
+    */
+  private def resolvePinnedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                                   targetDir: String, nBuckets: Int,
+                                   rows: => Long): Int =
+    readPinnedBuckets(fs, targetDir) match {
+      case Some(p) =>
+        require(nBuckets == 0 || nBuckets == p,
+          s"table at $targetDir is bucketed with $p buckets; got nBuckets=$nBuckets")
+        p
+      case None =>
+        val chosen =
+          if (nBuckets > 0) nBuckets
+          else math.min(math.max(16L, rows / RowsPerBucket + 1),
+            MaxAutoBuckets.toLong).toInt
+        writePinnedBuckets(fs, targetDir, chosen)
+        chosen
+    }
+
+  /** Last-applied-batch sidecar: the rollup sink's replay guard (counts
+    * are not latest-wins, so re-applying a replayed batch would double-
+    * count; the upsert sink needs no guard because its merge is
+    * idempotent).
+    */
+  private def lastBatchPath(targetDir: String) = new Path(targetDir, "_graft_last_batch")
+
+  private def readLastBatch(fs: org.apache.hadoop.fs.FileSystem,
+                            targetDir: String): Option[Long] = {
+    val p = lastBatchPath(targetDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeLastBatch(fs: org.apache.hadoop.fs.FileSystem,
+                             targetDir: String, id: Long): Unit = {
+    val out = fs.create(lastBatchPath(targetDir), true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Merge one batch of flattened change events into the target.
     * `versionCol` must totally order events per key (e.g. lsn).
     *
@@ -82,23 +127,7 @@ object Sinks {
                        versionCol: String, nBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pinned = readPinnedBuckets(fs, targetDir)
-    val n = pinned match {
-      case Some(p) =>
-        require(nBuckets == 0 || nBuckets == p,
-          s"table at $targetDir is bucketed with $p buckets; got nBuckets=$nBuckets")
-        p
-      case None =>
-        val chosen =
-          if (nBuckets > 0) nBuckets
-          else {
-            val rows = batch.count()
-            val want = math.max(16L, rows / RowsPerBucket + 1)
-            math.min(want, MaxAutoBuckets.toLong).toInt
-          }
-        writePinnedBuckets(fs, targetDir, chosen)
-        chosen
-    }
+    val n = resolvePinnedBuckets(fs, targetDir, nBuckets, batch.count())
     val b = batch.withColumn("__kb", pmod(hash(keyCols.map(col): _*), lit(n)))
     // buckets touched by this batch — bounded by nBuckets, a driver-safe collect
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
@@ -140,6 +169,67 @@ object Sinks {
         applyUpsertBatch(batch, targetDir, keyCols, versionCol, nBuckets)
       }
       .start()
+
+  /** Incrementally maintained aggregate rollup: each micro-batch folds its
+    * per-key (count, decimal sum) PARTIALS into the bucket-partitioned
+    * target — the streaming-materialized GROUP BY. Only mergeable partials
+    * are stored (count/sum are associative), so a batch costs one narrow
+    * partial agg plus a merge of the touched buckets, never a rescan; avg
+    * and friends derive at read time. Decimal sums keep the stored value
+    * bit-exact across engines and batch orders.
+    *
+    * Replay safety: count partials are NOT latest-wins, so a replayed
+    * batch (foreachBatch is at-least-once) would double-count. The sink
+    * records the last applied batch id in a sidecar AFTER the data write
+    * and skips any batch at-or-below it. The data-write/sidecar pair is
+    * not atomic — the honest plain-parquet limit; a transactional table
+    * format closes it with a commit log, same as the upsert sink's note.
+    */
+  def applyRollupBatch(batch: DataFrame, targetDir: String, keyCols: Seq[String],
+                       valueCol: String, nBuckets: Int = 0,
+                       batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batchId.exists(id => readLastBatch(fs, targetDir).exists(_ >= id))) return
+    val partial = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("sum_val"))
+    val n = resolvePinnedBuckets(fs, targetDir, nBuckets, partial.count())
+    val b = partial.withColumn("__kb", pmod(hash(keyCols.map(col): _*), lit(n)))
+    val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) { batchId.foreach(writeLastBatch(fs, targetDir, _)); return }
+    val existing =
+      if (fs.listStatus(new Path(targetDir)).exists(_.getPath.getName.startsWith("__kb=")))
+        Some(spark.read.parquet(targetDir).where(col("__kb").isin(touched: _*)))
+      else None
+    val all = existing.map(_.unionByName(b)).getOrElse(b)
+    val merged = all.groupBy((keyCols :+ "__kb").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_val")).cast("decimal(18,6)").as("sum_val"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kb").parquet(targetDir)
+    batchId.foreach(writeLastBatch(fs, targetDir, _))
+  }
+
+  /** A8b — attach the incremental rollup to a change stream. */
+  def foreachBatchRollup(events: DataFrame, targetDir: String, checkpointDir: String,
+                         keyCols: Seq[String], valueCol: String,
+                         nBuckets: Int = 0,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyRollupBatch(batch, targetDir, keyCols, valueCol, nBuckets, Some(id))
+      }
+      .start()
+
+  /** The maintained rollup (layout column dropped). */
+  def currentRollup(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).drop("__kb")
 
   /** Compaction for the upsert table: every micro-batch rewrite emits one
     * file per (shuffle partition × touched bucket), so a hot bucket

@@ -204,6 +204,34 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(st === Array("p1b"))
   }
 
+  test("rollup sink merges partials and skips replayed batches (A8b)") {
+    val target = java.nio.file.Files.createTempDirectory("graft-a8r").toString + "/t"
+    def batch(rows: (Long, Double)*) =
+      rows.toSeq.toDF("user_id", "value")
+    graft.streaming.Sinks.applyRollupBatch(
+      batch((1L, 1.5), (1L, 2.5), (2L, 10.0)), target,
+      Seq("user_id"), "value", nBuckets = 4, batchId = Some(0L))
+    graft.streaming.Sinks.applyRollupBatch(
+      batch((1L, 1.0), (3L, 7.0)), target,
+      Seq("user_id"), "value", batchId = Some(1L))
+    def state(): Map[Long, (Long, Double)] =
+      graft.streaming.Sinks.currentRollup(spark, target)
+        .select(col("user_id"), col("cnt"), col("sum_val").cast("double"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(state() === Map(1L -> (3L, 5.0), 2L -> (1L, 10.0), 3L -> (1L, 7.0)))
+    // a REPLAY of batch 1 (foreachBatch is at-least-once) must be a no-op:
+    // counts are not latest-wins, so without the guard this double-counts
+    graft.streaming.Sinks.applyRollupBatch(
+      batch((1L, 1.0), (3L, 7.0)), target,
+      Seq("user_id"), "value", batchId = Some(1L))
+    assert(state() === Map(1L -> (3L, 5.0), 2L -> (1L, 10.0), 3L -> (1L, 7.0)),
+      "replayed batch must not double-count")
+    // but the next batch id applies
+    graft.streaming.Sinks.applyRollupBatch(
+      batch((2L, -10.0)), target, Seq("user_id"), "value", batchId = Some(2L))
+    assert(state()(2L) === ((2L, 0.0)))
+  }
+
   test("compaction rewrites each bucket to one file, contents and layout pin intact (A8)") {
     val target = java.nio.file.Files.createTempDirectory("graft-a8-compact").toString + "/t"
     val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
