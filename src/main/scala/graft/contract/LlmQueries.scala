@@ -232,6 +232,43 @@ object LlmQueries {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    // K8 — deterministic WEIGHTED sampling (A-res / Efraimidis-Spirakis):
+    // rank docs by u^(1/w) where u is an md5-derived uniform — the
+    // data-mixing primitive ("3× books, 1× web") expressed so both
+    // engines draw the IDENTICAL sample: no rand(), the randomness is a
+    // shared hash of the doc id. One window over the corpus, no collect.
+    "k8_weighted_sample" -> ((s, dir) => {
+      // top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+      // top-100 then a bounded merge), NOT a single-partition window
+      t(s, dir, "documents")
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0d))
+        .withColumn("wt", when(col("source").isin("src0", "src1", "src2"), 3.0d)
+          .otherwise(1.0d))
+        .withColumn("skey", pow(col("u"), lit(1.0d) / col("wt")))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("wt"), round(col("skey"), 6).as("skey"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // K8 — deterministic train/val/test split: md5(doc_id) mod 100 →
+    // 90/5/5. The split is a pure function of the id, so it is stable
+    // across runs, engines and re-partitions — the property a dataset
+    // split must have.
+    "k8_dataset_split" -> ((s, dir) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // K8 — PII redaction (emails / IPs / phones → typed tokens). The
     // corpus has no PII, so deterministic PII is appended per doc and the
     // scrub is verified against the identical RE2-safe regex chain in SQL.
@@ -585,6 +622,31 @@ object LlmQueries {
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM pk GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
+    "k8_weighted_sample" ->
+      """WITH sc AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN source IN ('src0','src1','src2') THEN 3.0 ELSE 1.0 END AS DOUBLE) AS wt,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) / 4294967296.0 AS u
+        |  FROM documents),
+        |top AS (SELECT doc_id, source, wt, POW(u, 1.0 / wt) AS skey
+        |  FROM sc ORDER BY skey DESC, doc_id LIMIT 100)
+        |SELECT doc_id, source, wt, ROUND(skey, 6) AS skey
+        |FROM top ORDER BY doc_id""".stripMargin,
+
+    "k8_dataset_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) % 100 AS bk
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "k8_pii_redaction" ->
       """WITH aug AS (SELECT doc_id,
