@@ -87,4 +87,45 @@ object Materialize {
       .where(col("__side") === 1)
       .select(probeCols.map(col) ++ buildValueCols.map(c => col(s"__last_$c").as(s"${c}_asof")): _*)
   }
+
+  /** B11 — snapshot diff: re-derive a change feed from two table
+    * snapshots (the "CDC without a log" fallback every CDC platform
+    * ships). Emits one row per changed key with `op` ∈ c/u/d and the
+    * post-image (pre-image for deletes). One full-outer shuffle join on
+    * the key — the minimum for an unordered diff; at 100 TB co-locate the
+    * snapshots (bucket both by key) and the join is shuffle-free.
+    * Null-safe struct comparison, so column nulls diff correctly.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val valueCols = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols == newSnap.columns.filterNot(keyCols.contains).toSeq,
+      "snapshots must share a schema")
+    val o = oldSnap.select(keyCols.map(col) :+
+      struct(valueCols.map(col): _*).as("__old"): _*)
+    val n = newSnap.select(keyCols.map(col) :+
+      struct(valueCols.map(col): _*).as("__new"): _*)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__old").isNull, "c")
+          .when(col("__new").isNull, "d")
+          .when(!(col("__old") <=> col("__new")), "u"))
+      .where(col("op").isNotNull)
+      .withColumn("__img", coalesce(col("__new"), col("__old")))
+      .select(keyCols.map(col) :+ col("op") :+ col("__img.*"): _*)
+  }
+
+  /** B12 — SCD Type-2 history: every change event becomes a versioned row
+    * with a validity interval; the current row per key has a null
+    * `valid_to`. One window per key (single shuffle) — the standard
+    * warehouse materialization of a changelog when history must stay
+    * queryable ("balance as of March").
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+           tsCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol.asc)
+    df.withColumn("valid_from", tsCol)
+      .withColumn("valid_to", lead(tsCol, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

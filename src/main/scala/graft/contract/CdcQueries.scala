@@ -104,6 +104,34 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // B11 — snapshot diff: re-derive a change feed from two customer
+    // snapshots (overlap shifted + some balances touched → c/u/d mix)
+    "b11_snapshot_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val oldSnap = c.where(col("c_custkey") <= 1400L)
+      val newSnap = c.where(col("c_custkey") > 100L)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(10L)) === 0L, col("c_acctbal") + 1.0d)
+            .otherwise(col("c_acctbal")))
+      Materialize.snapshotDiff(oldSnap, newSnap, Seq("c_custkey"))
+        .select(col("c_custkey"), col("op"), col("c_name"),
+          col("c_acctbal").cast("double").as("bal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // B12 — SCD Type-2 history: every change event gets a validity
+    // interval; the current row per key has valid_to IS NULL
+    "b12_scd2" -> ((s, dir) => {
+      Materialize.scd2(withOp(t(s, dir, "events")).where(col("user_id") < 50L),
+          Seq("user_id"), col("event_id"), col("ts"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("valid_from")).as("vf_us"),
+          unix_micros(col("valid_to")).as("vt_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // B7 — outbox router: JSON payload extraction + route derivation
     "b7_outbox" -> ((s, dir) => {
       Envelope.outbox(t(s, dir, "events"), "props",
@@ -233,6 +261,33 @@ object CdcQueries {
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
         |WHERE rn = 1 AND op <> 'd'
         |ORDER BY user_id""".stripMargin),
+
+    "b11_snapshot_diff" ->
+      """WITH oldS AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+        |              WHERE c_custkey <= 1400),
+        |newS AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey > 100)
+        |SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'c'
+        |       WHEN n.c_custkey IS NULL THEN 'd'
+        |       ELSE 'u' END AS op,
+        |  COALESCE(n.c_name, o.c_name) AS c_name,
+        |  CAST(COALESCE(n.c_acctbal, o.c_acctbal) AS DOUBLE) AS bal
+        |FROM oldS o FULL OUTER JOIN newS n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR (o.c_name IS DISTINCT FROM n.c_name
+        |       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "b12_scd2" -> (mts +
+      """
+        |SELECT user_id, event_id,
+        |  epoch_us(ts) AS vf_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)) AS vt_us,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL AS is_current
+        |FROM e WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin),
 
     "b6_snapshot_union" -> (mts +
       """, u AS (
