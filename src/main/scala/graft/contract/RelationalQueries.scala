@@ -279,6 +279,16 @@ object RelationalQueries {
         .orderBy(col("rf"), col("ls"), col("gid"))
     }),
 
+    // G9 — dense 0-based ids in key order WITHOUT a single-partition
+    // window: range partition + bounded offset collect + local ranks.
+    // Hash-matched against the global row_number() the naive plan would
+    // serialize onto one task.
+    "g9_dense_ids" -> ((s, dir) => {
+      graft.ops.Layout.denseIds(
+          t(s, dir, "orders").select(col("o_orderkey")), "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // E8 — having
     "e8_having" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -662,6 +672,11 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls, gid""".stripMargin,
+
+    "g9_dense_ids" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS dense_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "e8_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders

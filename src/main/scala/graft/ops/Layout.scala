@@ -41,6 +41,44 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Dense 0-based ids in `orderCol` order WITHOUT a single-partition
+    * window: range-partition on the order column, count rows per
+    * partition (a tiny P-row aggregate), turn counts into per-partition
+    * offsets with one driver-side prefix sum (bounded by the partition
+    * count, not the data), then intra-partition `row_number` + offset.
+    * Equivalent to `row_number() OVER (ORDER BY orderCol) - 1` — which
+    * Spark would otherwise execute on ONE task — at full parallelism.
+    * `orderCol` must be a total order (unique); ids are deterministic.
+    */
+  def denseIds(df: DataFrame, orderCol: String, numPartitions: Int = 0,
+               idName: String = "dense_id"): DataFrame = {
+    val p = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    // materialize the range shuffle ONCE: repartitionByRange samples its
+    // boundaries per execution, so the counts pass and the rank pass
+    // would otherwise see different partitionings and the offsets would
+    // be wrong (observed). The checkpoint also means one shuffle total.
+    val parted = df.repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // P counts → P offsets; the collect is bounded by the partition count
+    val counts = parted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // cum(pid) = total rows in partitions strictly before pid
+    val cum = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val offsetCol = coalesce(
+      element_at(
+        map(cum.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("__pid")),
+      lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(orderCol))
+    parted
+      .withColumn(idName, row_number().over(w).cast("long") - 1L + offsetCol)
+      .drop("__pid")
+  }
+
   /** Write `df` z-order-clustered on (`colA`, `colB`) into `nFiles` range
     * partitions at `path`. One pass to learn the domains (a 1-row agg),
     * one range shuffle on the z-value, a partition-local sort, and a plain
