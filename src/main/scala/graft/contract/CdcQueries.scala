@@ -217,6 +217,20 @@ object CdcQueries {
         .orderBy(col("user_id"), col("s_start_us"))
     }),
 
+    // J11 — sessionized user journeys: per-session ordered event-type
+    // paths, then the corpus-wide top-20 paths — session_window composed
+    // with LISTAGG WITHIN GROUP, the product-analytics "path analysis"
+    // query. Oracle rebuilds sessions with the lag/cumsum idiom.
+    "j11_session_paths" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""SELECT path, count(*) AS n FROM (
+                 SELECT user_id,
+                        listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id) AS path
+                 FROM events
+                 GROUP BY session_window(ts, '30 minutes'), user_id)
+               GROUP BY path ORDER BY n DESC, path LIMIT 20""")
+    }),
+
     // J6 — stream-static enrichment join (dim broadcast)
     "j6_stream_static_join" -> ((s, dir) => {
       val evs = t(s, dir, "events").withColumn("c_custkey", col("user_id"))
@@ -386,6 +400,24 @@ object CdcQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start_us""".stripMargin),
+
+    "j11_session_paths" -> (mts +
+      """, m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |p AS (SELECT user_id, sid,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n FROM p
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin),
 
     "j6_stream_static_join" -> (mts +
       """

@@ -197,6 +197,18 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // E5b — SQL:2008 inverse-distribution functions through the SQL
+    // entry point (percentile_cont interpolates; percentile_disc returns
+    // the smallest value with cume_dist >= p)
+    "e5_within_group" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag,
+                      percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_cont,
+                      percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_cont,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // E6b — ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP;
     // the ORDER BY makes it deterministic and therefore hash-matchable)
     "e6_listagg" -> ((s, dir) => {
@@ -614,6 +626,13 @@ object RelationalQueries {
         |  arg_max(c_name, c_custkey) AS max_cust_name,
         |  arg_min(c_name, c_custkey) AS min_cust_name
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "e5_within_group" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_cont,
+        |  quantile_cont(l_quantity, 0.9) AS p90_cont,
+        |  CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS p50_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "e6_listagg" ->
       """SELECT c_nationkey,
