@@ -28,8 +28,10 @@ object Layout {
     val maxV = (1L << bits) - 1
     def norm(c: Column, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(lit(maxV), greatest(lit(0L),
-        ((c.cast("double") - lit(lo)) / lit(span) * lit(maxV.toDouble)).cast("long")))
+      // clamp in DOUBLE space BEFORE the long cast: a degenerate domain
+      // (lo == hi) scales to ±Infinity, which the ANSI cast rejects
+      val scaled = (c.cast("double") - lit(lo)) / lit(span) * lit(maxV.toDouble)
+      least(lit(maxV.toDouble), greatest(lit(0.0d), scaled)).cast("long")
     }
     val na = norm(a, loA, hiA)
     val nb = norm(b, loB, hiB)

@@ -592,6 +592,29 @@ class ZorderLayoutSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSpark.spark
   import org.apache.spark.sql.functions._
 
+  test("denseIds: dense, unique, order-correct on tiny and skewed inputs") {
+    import spark.implicits._
+    // fewer rows than partitions, duplicated-free keys out of order
+    val df = Seq(30L, 10L, 20L).toDF("k")
+    val ids = graft.ops.Layout.denseIds(df, "k")
+      .select("k", "dense_id").as[(Long, Long)].collect().toMap
+    assert(ids === Map(10L -> 0L, 20L -> 1L, 30L -> 2L))
+    // single row
+    val one = graft.ops.Layout.denseIds(Seq(7L).toDF("k"), "k")
+      .select("dense_id").as[Long].collect()
+    assert(one === Array(0L))
+  }
+
+  test("zValue clamps out-of-domain inputs and survives a constant column") {
+    import spark.implicits._
+    val df = Seq((5.0, 5.0), (-1.0, 99.0)).toDF("a", "b")
+    // constant domain on a (lo == hi) must not divide by zero; out-of-
+    // range b values clamp into [0, 2^bits)
+    val z = df.select(graft.ops.Layout.zValue(col("a"), col("b"),
+      5.0, 5.0, 0.0, 10.0, bits = 8).as("z")).as[Long].collect()
+    z.foreach(v => assert(v >= 0L && v < (1L << 16)))
+  }
+
   test("z-order bounds both dimensions per file; single-column sort does not") {
     val li = core.Engine.table(spark, TestSpark.sf, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
