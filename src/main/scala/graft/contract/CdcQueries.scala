@@ -231,6 +231,28 @@ object CdcQueries {
                GROUP BY path ORDER BY n DESC, path LIMIT 20""")
     }),
 
+    // J12 — funnel analysis: users reaching signup → click-after-signup →
+    // purchase-after-that-click. Each stage is one keyed min-aggregate +
+    // a broadcastable join of per-user stage times — no window over the
+    // raw event stream, so the plan scales as three shuffles of (user,
+    // ts) pairs, not event data.
+    "j12_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val s1 = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.where(col("event_type") === "click")
+        .join(s1, Seq("user_id")).where(col("ts") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.where(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).where(col("ts") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_signup"))
+        .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
+        .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
+        .select(col("stage"), col("n"))
+        .orderBy(col("stage"))
+    }),
+
     // J6 — stream-static enrichment join (dim broadcast)
     "j6_stream_static_join" -> ((s, dir) => {
       val evs = t(s, dir, "events").withColumn("c_custkey", col("user_id"))
@@ -400,6 +422,21 @@ object CdcQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start_us""".stripMargin),
+
+    "j12_funnel" -> (mts +
+      """, s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+        |         WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT stage, n FROM (
+        |  SELECT '1_signup' AS stage, COUNT(*) AS n FROM s1
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+        |ORDER BY stage""".stripMargin),
 
     "j11_session_paths" -> (mts +
       """, m AS (

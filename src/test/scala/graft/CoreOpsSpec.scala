@@ -552,7 +552,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
   // tiny crosstab outputs
   private val singlePartitionOk = Set(
     "k5_sequence_packing", "e4_sketch_merge", "g3_limit_offset",
-    "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms")
+    "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms",
+    "j12_funnel") // three 1-row stage counts
   // queries that execute work at construction time (streams, index
   // writes, eager cached pipelines, file roundtrips) — audited by their
   // own dedicated plan specs instead of this blanket pass
