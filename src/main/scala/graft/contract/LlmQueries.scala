@@ -173,6 +173,23 @@ object LlmQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // M3 — multimodal retrieval END-TO-END, hash-matched: synthetic media
+    // bytes → (stubbed) per-partition feature extraction through the typed
+    // mapPartitions boundary → brute-force cosine top-5. The stub emits
+    // exact binary fractions (k/2^8), so DuckDB recomputes the identical
+    // features from the same md5-derived bytes and the whole pipeline —
+    // decode, rejoin, similarity, ranking — is oracle-checked, not just
+    // rows-counted.
+    "m3_multimodal_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100L).select(col("doc_id"))
+      val media = Multimodal.withSyntheticMedia(docs, "doc_id")
+      val feats = Multimodal.extractFeatures(media, "media_bytes", "doc_id", 16)
+        .select(col("doc_id").as("id"), col("feat.features").as("fv"))
+      val queries = feats.where(col("id") < 5L)
+      Similarity.bruteForceKnn(feats, queries, "fv", "id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // K9 — embedding near-dup pairs, exact brute force over a bounded
     // prefix (the oracle-able baseline; the LSH-bucketed variant is the
     // scale path, tested for recall in the suite)
@@ -578,6 +595,31 @@ object LlmQueries {
         |  ROUND(AVG(embedding[CAST(r.range AS INTEGER)]), 6) AS c
         |FROM embeddings CROSS JOIN range(1, 65) r
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "m3_multimodal_retrieval" -> {
+      // byte at 0-based index `pos` of the 128-hex-char payload string
+      def hb(pos: String) =
+        s"""((strpos('0123456789abcdef', substr(hx, CAST(2*($pos) + 1 AS INTEGER), 1)) - 1) * 16
+           | + (strpos('0123456789abcdef', substr(hx, CAST(2*($pos) + 2 AS INTEGER), 1)) - 1))""".stripMargin.replace("\n", " ")
+      val feat =
+        s"CAST(((${hb("i % 64")} * 31 + ${hb("(i*7+3) % 64")}) % 256) AS DOUBLE) / 256.0"
+      def cos(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))
+           | / (sqrt(list_sum(list_transform(range(1, 17), i -> $a[i] * $a[i])))
+           |  * sqrt(list_sum(list_transform(range(1, 17), i -> $b[i] * $b[i])))))""".stripMargin.replace("\n", " ")
+      s"""WITH m AS (SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 4) AS hx
+         |           FROM documents WHERE doc_id < 100),
+         |f AS (SELECT doc_id, list_transform(range(0, 16), i -> $feat) AS fv FROM m),
+         |sc AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |         ${cos("q.fv", "c.fv")} AS cosine
+         |       FROM f q JOIN f c ON c.doc_id <> q.doc_id WHERE q.doc_id < 5)
+         |SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "k9_neardup_bruteforce" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

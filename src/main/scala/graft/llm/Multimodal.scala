@@ -50,10 +50,14 @@ object Multimodal {
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
-      // cheap deterministic mix of the payload bytes
+      // cheap deterministic mix of the payload bytes. The /256 keeps every
+      // feature an exact binary fraction (k/2^8), so the float here and a
+      // double recomputation in any engine are bit-identical — which is
+      // what lets the retrieval pipeline over these features hash-match a
+      // SQL oracle end-to-end.
       val b = bytes(i % bytes.length) & 0xff
       val b2 = bytes((i * 7 + 3) % bytes.length) & 0xff
-      out(i) = ((b * 31 + b2) % 256) / 255.0f
+      out(i) = ((b * 31 + b2) % 256) / 256.0f
       i += 1
     }
     out
