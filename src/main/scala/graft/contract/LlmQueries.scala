@@ -31,6 +31,13 @@ object LlmQueries {
   /** DuckDB cosine between two FLOAT[64] columns, computed exactly like the
     * Spark HOFs: per-element double products, sequential sum, double sqrt.
     */
+  /** DuckDB: byte at 0-based index `pos` of the hex-string column `hx`
+    * (the synthetic media payload — see Multimodal.withSyntheticMedia).
+    */
+  private def duckHexByte(pos: String): String =
+    s"""((strpos('0123456789abcdef', substr(hx, CAST(2*($pos) + 1 AS INTEGER), 1)) - 1) * 16
+       | + (strpos('0123456789abcdef', substr(hx, CAST(2*($pos) + 2 AS INTEGER), 1)) - 1))""".stripMargin.replace("\n", " ")
+
   private def duckCosine(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
@@ -367,7 +374,7 @@ object LlmQueries {
         .select(col("vec_id"),
           col("feat").getField("feat_dim").as("feat_dim"),
           col("feat").getField("decode_ok").as("decode_ok"),
-          round(element_at(col("feat").getField("features"), 1), 6).as("f0"),
+          round(element_at(col("feat").getField("features"), 1).cast("double"), 6).as("f0"),
           col("media_meta").getField("media_type").as("media_type"))
         .orderBy(col("vec_id"))
     }),
@@ -379,7 +386,7 @@ object LlmQueries {
       Multimodal.sampleFrames(Multimodal.withSyntheticMedia(base, "vec_id"),
           "media_bytes", nFrames = 4)
         .select(col("vec_id"), col("frame_no"),
-          md5(col("frame_bytes")).as("frame_md5"))
+          hex(col("frame_bytes")).as("frame_hex"))
         .orderBy(col("vec_id"), col("frame_no"))
     }),
 
@@ -596,13 +603,27 @@ object LlmQueries {
         |FROM embeddings CROSS JOIN range(1, 65) r
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
+    "m1_multimodal_features" -> {
+      val f0 = s"CAST(((${duckHexByte("0")} * 31 + ${duckHexByte("3")}) % 256) AS DOUBLE) / 256.0"
+      s"""WITH m AS (SELECT vec_id, repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS hx
+         |           FROM embeddings WHERE vec_id < 100)
+         |SELECT vec_id, 16 AS feat_dim, true AS decode_ok,
+         |  ROUND($f0, 6) AS f0, 'image' AS media_type
+         |FROM m ORDER BY vec_id""".stripMargin
+    },
+
+    "m2_frame_sampling" ->
+      """WITH m AS (SELECT vec_id, repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS hx
+        |           FROM embeddings WHERE vec_id < 50),
+        |fr AS (SELECT vec_id, hx, CAST(r.range AS INTEGER) AS frame_no
+        |       FROM m CROSS JOIN range(0, 4) r)
+        |SELECT vec_id, frame_no,
+        |  upper(substr(hx, 16 * frame_no + 1, 16)) AS frame_hex
+        |FROM fr ORDER BY vec_id, frame_no""".stripMargin,
+
     "m3_multimodal_retrieval" -> {
-      // byte at 0-based index `pos` of the 128-hex-char payload string
-      def hb(pos: String) =
-        s"""((strpos('0123456789abcdef', substr(hx, CAST(2*($pos) + 1 AS INTEGER), 1)) - 1) * 16
-           | + (strpos('0123456789abcdef', substr(hx, CAST(2*($pos) + 2 AS INTEGER), 1)) - 1))""".stripMargin.replace("\n", " ")
       val feat =
-        s"CAST(((${hb("i % 64")} * 31 + ${hb("(i*7+3) % 64")}) % 256) AS DOUBLE) / 256.0"
+        s"CAST(((${duckHexByte("i % 64")} * 31 + ${duckHexByte("(i*7+3) % 64")}) % 256) AS DOUBLE) / 256.0"
       def cos(a: String, b: String) =
         s"""(list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))
            | / (sqrt(list_sum(list_transform(range(1, 17), i -> $a[i] * $a[i])))
