@@ -545,7 +545,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
   // documented baseline — the IVF layout is the scale path); TF-IDF folds
   // the 1-ROW corpus count into the DAG as a condition-free broadcast
   private val bnljOk = Set("d4_cross_join", "d5_theta_join",
-    "k9_neardup_bruteforce", "k4_knn_bruteforce", "k7_tfidf_top_terms")
+    "k9_neardup_bruteforce", "k4_knn_bruteforce", "k7_tfidf_top_terms",
+    "m3_multimodal_retrieval") // bounded query batch vs feature scan
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
