@@ -71,7 +71,17 @@ object Bench {
 
     runOnce("e1_agg_flagship") // JVM/codegen warmup, untimed
 
-    val results = headline.map(n => n -> runOnce(n))
+    // Focused A/B loops: SPARK_GRAFT_BENCH_FILTER=k2 times only matching
+    // queries; SPARK_GRAFT_BENCH_REPS=3 repeats each (all timings printed).
+    val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val selected = headline.filter(_.contains(filter))
+    val results = selected.map { n =>
+      val times = (1 to reps).map(_ => runOnce(n))
+      if (reps > 1) System.err.println(
+        s"[bench] $n reps: ${times.map(t => f"$t%.3f").mkString(", ")}")
+      n -> times.last // steady-state rep goes into the JSON
+    }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -438,9 +438,19 @@ object LlmQueries {
   /** Shared DuckDB CTE chain for the MinHash/LSH pipeline (identical
     * affine constants a_i/b_i/P to the engine, shingle-hash Jaccard),
     * ending in `scored(id_a, id_b, jaccard)`.
+    *
+    * The engine's over-wide-bucket cap ([[Dedup.DefaultMaxBucketSize]]) is
+    * MODELED in the closure — `bw` counts each (band, key) bucket's
+    * members and `cand` only joins through buckets at or under the cap —
+    * so the checked contract stays exact at ANY scale factor, not just
+    * ones where no bucket happens to exceed the cap. `bwWhere` restricts
+    * which rows count toward the width: the incremental query passes the
+    * corpus-side filter because [[Dedup.minhashIndexWrite]] caps on the
+    * CORPUS bucket width at index-write time.
     */
-  private val lshScoredCtes: String = {
+  private def lshScoredCtes(bwWhere: String = ""): String = {
     val P = graft.functions.TextFunctions.MinhashP
+    val cap = graft.llm.Dedup.DefaultMaxBucketSize
     val comps = (0 until 8).map { i =>
       val a = graft.functions.TextFunctions.minhashA(i)
       val b = graft.functions.TextFunctions.minhashB(i)
@@ -467,9 +477,12 @@ object LlmQueries {
       |  SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR)) FROM sig UNION ALL
       |  SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR)) FROM sig UNION ALL
       |  SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR)) FROM sig),
+      |bw AS (SELECT band, key FROM bk $bwWhere
+      |  GROUP BY band, key HAVING COUNT(*) <= $cap),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-      |   AND a.doc_id < b.doc_id),
+      |   AND a.doc_id < b.doc_id
+      |  JOIN bw ON bw.band = a.band AND bw.key = a.key),
       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
       |  FROM cand c
       |  JOIN hd sa ON sa.doc_id = c.id_a
@@ -508,14 +521,14 @@ object LlmQueries {
         |  MIN(md5('2:' || g)) AS mh2, MIN(md5('3:' || g)) AS mh3
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
-    "k2_lsh_candidate_pairs" -> (tokCte + lshScoredCtes +
+    "k2_lsh_candidate_pairs" -> (tokCte + lshScoredCtes() +
       """
         |SELECT id_a, id_b, jaccard FROM scored
         |ORDER BY id_a, id_b""".stripMargin),
 
     // corpus(&lt;400) × new(&gt;=400) restriction of the same scored closure —
     // every cross pair has id_a in the corpus and id_b in the new batch
-    "k2_incremental_neardup" -> (tokCte + lshScoredCtes +
+    "k2_incremental_neardup" -> (tokCte + lshScoredCtes("WHERE doc_id < 400") +
       """
         |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
         |WHERE id_a < 400 AND id_b >= 400
@@ -524,7 +537,7 @@ object LlmQueries {
     // recursive transitive closure over the same scored pairs — the
     // strongest possible oracle for distributed connected components
     "k2_dedup_clusters" -> (tokCte.replace("WITH tk", "WITH RECURSIVE tk") +
-      lshScoredCtes +
+      lshScoredCtes() +
       """,
         |pr AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr

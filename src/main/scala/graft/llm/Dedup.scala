@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default over-wide-LSH-bucket cap, shared by the batch pipeline, the
+    * persisted-index write, and the contract oracle SQL (which models the
+    * cap so the checked surface stays exact at any scale factor).
+    */
+  val DefaultMaxBucketSize: Int = 1000
+
   /** K1 — exact dedup after text normalization. Keeps the row with the
     * smallest `idCol` per normalized-hash group (deterministic winner,
     * unlike `dropDuplicates`). One shuffle on the 128-bit hash — at 100 TB
@@ -61,7 +67,7 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                             jaccardThreshold: Double = 0.0,
-                            maxBucketSize: Int = 1000): DataFrame = {
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // The ONLY persisted intermediate is (id, array<long> shingle hashes):
     // ~8 bytes per shingle instead of the raw n-gram strings (~4-8× less
     // cache footprint — the difference between "fits in executor storage"
@@ -80,22 +86,34 @@ object Dedup {
     // whole shingle pipeline in the narrow pre-shuffle stage (measured: a
     // 17 s single-task stage).
     val base = projected.where(size(col("hs")) > 0)
-    // bucket rows carry only (id, band, key, bucket width) — never the
-    // hash arrays. The width window shares the (band, key) shuffle key
-    // with the self-join below; computing it before the persist means the
-    // cap filter is a cache-local scan, not a recompute.
-    val bucketed = bandBucketRows(base, k, bands)
-      .withColumn("__bw", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("key"))))
-      .persist()
+    // bucket rows carry only (id, band, key) — never the hash arrays.
+    val bucketed = bandBucketRows(base, k, bands).persist()
     bucketed.count() // eager for the same reason (self-join reads it twice)
-    val droppedBuckets = bucketed.where(col("__bw") > maxBucketSize)
-      .select(col("band"), col("key")).distinct().count() // cache-local
+    // Over-wide buckets via groupBy + count rather than a window over all
+    // bucket rows: the aggregate is map-side-combinable and cache-local,
+    // its output is one row per DISTINCT (band, key) — and the anti-join
+    // below only exists at all when something was dropped (the common
+    // corpus has zero over-wide buckets, so the common plan is untouched).
+    // The r3 width-window form sorted every bucket row inside the shuffle
+    // and widened the persisted rows by the width column; measured r4 A/B
+    // (quiet rig, sf0.1, 2×3 reps each): window 8.9-9.5 s cold / 2.7-3.2 s
+    // warm vs this 8.3-8.5 s cold / 2.6-2.7 s warm — see SCALING.md.
+    val wide = bucketed.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val droppedBuckets = wide.count() // cache-local partial agg
     if (droppedBuckets > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"minhashCandidatePairs: dropped $droppedBuckets over-wide LSH buckets " +
           s"(> $maxBucketSize members) — near-dup-saturated; use exact dedup for those")
-    val buckets = bucketed.where(col("__bw") <= maxBucketSize).drop("__bw")
+    val buckets =
+      if (droppedBuckets == 0) bucketed
+      // broadcast the (band, key) drop list while it is provably small;
+      // a pathological corpus where MOST buckets are over-wide falls back
+      // to a shuffled anti-join (same (band, key) key as the self-join)
+      else if (droppedBuckets <= 100000)
+        bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
+      else bucketed.join(wide, Seq("band", "key"), "left_anti")
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -173,14 +191,38 @@ object Dedup {
     * corpus", and rebuilding signatures over 100 TB per batch is a
     * non-starter; with the index persisted, a new batch costs only its own
     * signature pass plus two joins against the index.
+    *
+    * `maxBucketSize` applies the same over-wide-bucket cap as
+    * [[minhashCandidatePairs]] AT WRITE TIME: an uncapped degenerate
+    * bucket persisted here would join every colliding future batch row
+    * forever (the worst place to leave the blowup). Dropped buckets are
+    * logged; their members are near-dup-saturated — exact dedup is the
+    * right tool for them.
     */
   def minhashIndexWrite(df: DataFrame, textCol: String, idCol: String, path: String,
-                        shingleN: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
     val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
     projected.count()
     val base = projected.where(size(col("hs")) > 0)
     base.write.mode("overwrite").parquet(s"$path/sigs")
-    bandBucketRows(base, k, bands).write.mode("overwrite").parquet(s"$path/buckets")
+    val bucketed = bandBucketRows(base, k, bands).persist()
+    bucketed.count()
+    val wide = bucketed.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val droppedBuckets = wide.count()
+    if (droppedBuckets > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhashIndexWrite: dropped $droppedBuckets over-wide LSH buckets " +
+          s"(> $maxBucketSize members) from the persisted index")
+    val capped =
+      if (droppedBuckets == 0) bucketed
+      else if (droppedBuckets <= 100000)
+        bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
+      else bucketed.join(wide, Seq("band", "key"), "left_anti")
+    capped.write.mode("overwrite").parquet(s"$path/buckets")
+    bucketed.unpersist(false)
     projected.unpersist(false)
   }
 
@@ -189,9 +231,18 @@ object Dedup {
     * side computes its own signatures (identical md5-derived math, so the
     * SQL oracle reproduces the whole thing); candidates come from an
     * equi-join of the new batch's band keys against the index buckets,
-    * and verification joins the index `sigs/`. The (tiny) pair list is
-    * broadcast; the corpus index is only ever shuffled on its join keys —
-    * nothing corpus-sized is collected, broadcast, or rebuilt.
+    * and verification joins the index `sigs/`. The corpus index is only
+    * ever shuffled on its join keys — nothing corpus-sized is collected,
+    * broadcast, or rebuilt.
+    *
+    * Unlike [[minhashCandidatePairs]] the pair list here is NOT broadcast:
+    * with a capped index each new doc contributes at most bands ×
+    * maxBucketSize pairs, so the list scales with the BATCH, and "today's
+    * crawl" can itself be arbitrarily large. Both verification joins are
+    * plain equi-joins — the new side's expensive signature pipeline is
+    * persisted + eagerly materialized above, so even if the planner elects
+    * to broadcast it at runtime (AQE, small batches) the build reads the
+    * cache, never re-executes the pipeline (the round-1 trap).
     */
   def minhashPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                                newDf: DataFrame, textCol: String, idCol: String,
@@ -208,7 +259,7 @@ object Dedup {
     val idxSigs = spark.read.parquet(s"$path/sigs")
       .select(col("id").as("corpus_id"), col("hs").as("hs_o"))
     val result = newBase.select(col("id").as("new_id"), col("hs").as("hs_n"))
-      .join(broadcast(pairs), Seq("new_id"))
+      .join(pairs, Seq("new_id"))
       .join(idxSigs, Seq("corpus_id"))
       .withColumn("jaccard", jaccard(col("hs_n"), col("hs_o")))
       .where(col("jaccard") >= jaccardThreshold)

@@ -181,6 +181,26 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(pairs.count() === 0, "over-wide buckets must be dropped, not joined")
   }
 
+  test("persisted LSH index caps over-wide buckets at write time") {
+    // Same degenerate corpus through the INCREMENTAL path: an uncapped
+    // index bucket would join every colliding future batch forever, so the
+    // cap must apply when buckets/ is written — and a colliding new batch
+    // must then produce zero candidates (instead of O(new × bucket) pairs).
+    val docs = (1 to 300)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-capidx").toString
+    Dedup.minhashIndexWrite(docs, "text", "id", path,
+      shingleN = 3, k = 8, bands = 4, maxBucketSize = 100)
+    assert(spark.read.parquet(s"$path/buckets").count() === 0,
+      "over-wide buckets must not be persisted in the index")
+    val batch = Seq((1000L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashPairsAgainstIndex(spark, path, batch, "text", "id",
+      shingleN = 3, k = 8, bands = 4)
+    assert(pairs.count() === 0)
+  }
+
   test("partitioned sequence packing: no single-partition sort, matches per-lang global") {
     val docs = core.Engine.table(spark, TestSpark.sf, "documents")
     val packed = TextAnalysis.packSequences(docs, "text", "doc_id", 2048L, Seq("lang"))

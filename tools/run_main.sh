@@ -2,9 +2,31 @@
 # Run a graft main class directly against the compiled classes + Spark jars
 # (bypasses sbt startup; used for bench/verify loops).
 # Usage: tools/run_main.sh <mainClass> [args...]
+#
+# Quiet-rig protocol (SCALING.md "rig contention"): the container's tmux
+# server busy-spins ~94% of a core whenever any session exists, and killed
+# sbt shells leave orphan JVMs that contend for cores — both measurably
+# contaminate bench timings. For graft.Bench (or GRAFT_QUIET=1) this script
+# kills the tmux server and any straggler sbt JVMs BEFORE timing, so every
+# bench reading — ours or the driver's — runs on a quiet rig by default.
+# Opt out with GRAFT_QUIET=0 (e.g. to keep a live sbt shell during dev).
+#
+# GRAFT_CLASSES overrides the classes dir (A/B runs against a snapshot).
 set -e
 cd "$(dirname "$0")/.."
 MAIN="$1"; shift
+
+QUIET="${GRAFT_QUIET:-}"
+if [ -z "$QUIET" ] && [ "$MAIN" = "graft.Bench" ]; then QUIET=1; fi
+if [ "$QUIET" = "1" ]; then
+  tmux kill-server 2>/dev/null || true
+  # straggler sbt launchers/servers (jps tags them "sbt-launch.jar" / "Main")
+  for pid in $(jps -l 2>/dev/null | awk '/sbt-launch|xsbt|sbt\.internal/ {print $1}'); do
+    kill "$pid" 2>/dev/null || true
+  done
+  sleep 1
+fi
+
 ADD_OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
@@ -17,5 +39,5 @@ exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:src/main/resources:/opt/spark/jars/*" \
   "$MAIN" "$@"
