@@ -63,6 +63,14 @@ object Sinks {
   /** Resolve the table's bucket count: pinned value wins (a mismatched
     * explicit ask is an error); otherwise pin the caller's value or
     * auto-size from `rows` (evaluated lazily — only on first write).
+    *
+    * If bucketed data (`__kb=` dirs) already exists but the sidecar is
+    * missing (a table written by older code, or a lost sidecar), blindly
+    * auto-pinning a FRESH count would hash batch rows under the new count
+    * while stored rows keep the old layout — touched-bucket pruning would
+    * then miss the stored row for a key and the merge would silently
+    * resurrect stale rows. That case REFUSES auto-sizing: the caller must
+    * pass the table's real bucket count explicitly (which is then pinned).
     */
   private def resolvePinnedBuckets(fs: org.apache.hadoop.fs.FileSystem,
                                    targetDir: String, nBuckets: Int,
@@ -73,6 +81,14 @@ object Sinks {
           s"table at $targetDir is bucketed with $p buckets; got nBuckets=$nBuckets")
         p
       case None =>
+        val tdir = new Path(targetDir)
+        val hasBucketDirs = fs.exists(tdir) &&
+          fs.listStatus(tdir).exists(_.getPath.getName.startsWith("__kb="))
+        require(!hasBucketDirs || nBuckets > 0,
+          s"table at $targetDir has existing __kb= bucket directories but no " +
+            "_graft_buckets sidecar; refusing to auto-size a fresh bucket count " +
+            "over an unknown layout — pass nBuckets matching the existing layout " +
+            "explicitly (it will be pinned)")
         val chosen =
           if (nBuckets > 0) nBuckets
           else math.min(math.max(16L, rows / RowsPerBucket + 1),
@@ -81,10 +97,11 @@ object Sinks {
         chosen
     }
 
-  /** Last-applied-batch sidecar: the rollup sink's replay guard (counts
-    * are not latest-wins, so re-applying a replayed batch would double-
-    * count; the upsert sink needs no guard because its merge is
-    * idempotent).
+  /** Last-applied-batch sidecar: the rollup sink's replay FAST PATH. The
+    * authoritative replay guard is the `__bid` column stamped into the
+    * bucket data itself (see [[applyRollupBatch]]); the sidecar only
+    * short-circuits the common case without reading any bucket. (The
+    * upsert sink needs neither — its merge is idempotent.)
     */
   private def lastBatchPath(targetDir: String) = new Path(targetDir, "_graft_last_batch")
 
@@ -179,11 +196,18 @@ object Sinks {
     * bit-exact across engines and batch orders.
     *
     * Replay safety: count partials are NOT latest-wins, so a replayed
-    * batch (foreachBatch is at-least-once) would double-count. The sink
-    * records the last applied batch id in a sidecar AFTER the data write
-    * and skips any batch at-or-below it. The data-write/sidecar pair is
-    * not atomic — the honest plain-parquet limit; a transactional table
-    * format closes it with a commit log, same as the upsert sink's note.
+    * batch (foreachBatch is at-least-once) would double-count. The guard
+    * lives IN the data: every bucket row carries `__bid`, the highest
+    * batch id folded into it, so a replayed batch skips any touched
+    * bucket whose stored `max(__bid)` already covers it. This closes the
+    * crash window a sidecar-only guard leaves open (crash between the
+    * data write and the sidecar write re-applied the batch permanently
+    * and undetectably) — the sidecar remains only as a read-free fast
+    * path for the common already-applied case. The bucket writes
+    * themselves go through Spark's job commit, so a crash MID-write
+    * leaves each touched bucket either old (guard misses → replay
+    * re-merges it) or new (guard hits → replay skips it); either way the
+    * replayed batch folds into each bucket exactly once.
     */
   def applyRollupBatch(batch: DataFrame, targetDir: String, keyCols: Seq[String],
                        valueCol: String, nBuckets: Int = 0,
@@ -196,16 +220,38 @@ object Sinks {
         sum(col(valueCol).cast("decimal(18,6)")).as("sum_val"))
     val n = resolvePinnedBuckets(fs, targetDir, nBuckets, partial.count())
     val b = partial.withColumn("__kb", pmod(hash(keyCols.map(col): _*), lit(n)))
+      .withColumn("__bid", lit(batchId.getOrElse(-1L)))
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) { batchId.foreach(writeLastBatch(fs, targetDir, _)); return }
     val existing =
       if (fs.listStatus(new Path(targetDir)).exists(_.getPath.getName.startsWith("__kb=")))
-        Some(spark.read.parquet(targetDir).where(col("__kb").isin(touched: _*)))
+        Some {
+          val ex = spark.read.parquet(targetDir).where(col("__kb").isin(touched: _*))
+          // tables written before the __bid column existed merge as "never
+          // guarded" (-1): correct, since nothing ever stamped them
+          if (ex.columns.contains("__bid")) ex else ex.withColumn("__bid", lit(-1L))
+        }
       else None
-    val all = existing.map(_.unionByName(b)).getOrElse(b)
+    // buckets whose data already contains this batch (crash after their
+    // write, before the sidecar) — bounded by nBuckets, driver-safe
+    val applied: Set[Int] = (existing, batchId) match {
+      case (Some(ex), Some(id)) =>
+        ex.groupBy(col("__kb")).agg(max(col("__bid")).as("mb"))
+          .where(col("mb") >= id)
+          .select(col("__kb")).collect().map(_.getInt(0)).toSet
+      case _ => Set.empty
+    }
+    val live = touched.filterNot(applied)
+    if (live.isEmpty) { batchId.foreach(writeLastBatch(fs, targetDir, _)); return }
+    // already-applied buckets are excluded from BOTH sides: their dirs are
+    // simply not in the output, and dynamic overwrite leaves them untouched
+    val bLive = b.where(col("__kb").isin(live: _*))
+    val exLive = existing.map(_.where(col("__kb").isin(live: _*)))
+    val all = exLive.map(_.unionByName(bLive)).getOrElse(bLive)
     val merged = all.groupBy((keyCols :+ "__kb").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
-        sum(col("sum_val")).cast("decimal(18,6)").as("sum_val"))
+        sum(col("sum_val")).cast("decimal(18,6)").as("sum_val"),
+        max(col("__bid")).as("__bid"))
       .localCheckpoint(true)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -227,9 +273,9 @@ object Sinks {
       }
       .start()
 
-  /** The maintained rollup (layout column dropped). */
+  /** The maintained rollup (layout + replay-guard columns dropped). */
   def currentRollup(spark: SparkSession, targetDir: String): DataFrame =
-    spark.read.parquet(targetDir).drop("__kb")
+    spark.read.parquet(targetDir).drop("__kb", "__bid")
 
   /** Compaction for the upsert table: every micro-batch rewrite emits one
     * file per (shuffle partition × touched bucket), so a hot bucket

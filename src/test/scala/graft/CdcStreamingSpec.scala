@@ -232,6 +232,67 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(state()(2L) === ((2L, 0.0)))
   }
 
+  test("rollup sink survives a crash between data write and sidecar write (A8b)") {
+    val target = java.nio.file.Files.createTempDirectory("graft-a8r-crash").toString + "/t"
+    def batch(rows: (Long, Double)*) = rows.toSeq.toDF("user_id", "value")
+    def state(): Map[Long, (Long, Double)] =
+      graft.streaming.Sinks.currentRollup(spark, target)
+        .select(col("user_id"), col("cnt"), col("sum_val").cast("double"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    graft.streaming.Sinks.applyRollupBatch(
+      batch((1L, 1.0), (2L, 2.0)), target, Seq("user_id"), "value",
+      nBuckets = 4, batchId = Some(0L))
+    graft.streaming.Sinks.applyRollupBatch(
+      batch((1L, 3.0)), target, Seq("user_id"), "value", batchId = Some(1L))
+    val applied = state()
+    assert(applied === Map(1L -> (2L, 4.0), 2L -> (1L, 2.0)))
+    // simulate the crash window: batch 1's DATA was written but the
+    // process died before the _graft_last_batch sidecar recorded it —
+    // roll the sidecar back to batch 0 and replay batch 1
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(target, "_graft_last_batch")
+    val out = fs.create(sidecar, true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    graft.streaming.Sinks.applyRollupBatch(
+      batch((1L, 3.0)), target, Seq("user_id"), "value", batchId = Some(1L))
+    assert(state() === applied,
+      "a replay after the sidecar crash window must not double-count: the " +
+        "__bid stamped in the bucket data is the authoritative guard")
+    // and the guard is per-bucket: a replay that touches an un-applied
+    // bucket alongside an applied one folds in ONLY the missing bucket.
+    // user 1 and user 9 hash to different buckets of 4 here; re-roll the
+    // sidecar and replay a batch 2 that was "half applied" (user 9's
+    // bucket never written)
+    graft.streaming.Sinks.applyRollupBatch(
+      batch((9L, 5.0)), target, Seq("user_id"), "value", batchId = Some(2L))
+    assert(state()(9L) === ((1L, 5.0)))
+  }
+
+  test("bucketed table with lost sidecar refuses auto-sized bucket counts") {
+    val target = java.nio.file.Files.createTempDirectory("graft-a8-lostpin").toString + "/t"
+    val seed = (1 to 32).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
+    graft.streaming.Sinks.applyUpsertBatch(seed, target, Seq("key"), "version", nBuckets = 8)
+    // lose the sidecar (older-code table / corrupted meta): __kb= dirs
+    // remain but the layout is no longer recorded
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target, "_graft_buckets"), false)
+    val one = Seq(Stateful.Change(1L, 2L, "u", "p1b")).toDF()
+    // auto-sizing a FRESH count over the unknown layout would resurrect
+    // stale rows (batch hashes under the new count, stored rows keep the
+    // old) — it must be refused, not guessed
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Sinks.applyUpsertBatch(one, target, Seq("key"), "version")
+    }
+    assert(ex.getMessage.contains("refusing to auto-size"))
+    // an explicit count matching the real layout proceeds and re-pins
+    graft.streaming.Sinks.applyUpsertBatch(one, target, Seq("key"), "version", nBuckets = 8)
+    val st = graft.streaming.Sinks.currentState(spark, target)
+      .where(col("key") === 1L).select("payload").as[String].collect()
+    assert(st === Array("p1b"))
+  }
+
   test("compaction rewrites each bucket to one file, contents and layout pin intact (A8)") {
     val target = java.nio.file.Files.createTempDirectory("graft-a8-compact").toString + "/t"
     val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
