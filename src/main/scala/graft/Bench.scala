@@ -36,33 +36,60 @@ object Bench {
     "k7_tfidf_top_terms",    // text analytics (2 aggs + join)
     "k8_quality_score")      // codegen'd scalar pipeline
 
+  /** Beyond the fixed r1 set: the scale paths tracked for regressions.
+    * `k4_ivf_knn`'s single conflated entry (index WRITE + pruned read,
+    * ~6.3 s write-dominated per SCALING.md) is split — the amortized-once
+    * build and the per-query-batch pruned read are different 100 TB
+    * claims and regress independently. `k2_incremental_neardup` is the
+    * production dedup shape (new batch vs persisted index), previously
+    * correctness-checked but untimed.
+    */
   val headline: Seq[String] = r1Headline ++ Seq(
-    "k4_ivf_knn",            // ANN over the persisted IVF layout
+    "k2_incremental_neardup",// index-write + batch-vs-index near-dup
+    "k4_ivf_build",          // IVF index build+write (amortized once)
+    "k4_ivf_read",           // partition-pruned ANN read (the per-query cost)
     "j8_stream_upsert_tws")  // transformWithState upsert (RocksDB replay)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val b = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      Runtime.getRuntime.availableProcessors().toString).toInt
     // A/B hook: SPARK_GRAFT_CONF="k=v;k=v" adds session confs without a
     // rebuild (used to attribute conf-level perf deltas one flag at a time)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
-    val spark = b.getOrCreate()
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';').filter(_.contains('=')))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    // ONE session-construction path: the bench measures exactly the config
+    // the engine ships (Engine.local — AQE, broadcast threshold, bloom
+    // filters, Kryo, zstd), so round-over-round deltas are attributable to
+    // code, not to a drifted bench-only session (r3 verdict finding).
+    val spark = graft.core.Engine.local(cores = cpus, shufflePartitions = cpus,
+      extraConfs = extra)
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
+    // one IVF index per bench run, shared by the build and read entries
+    // (mirrors the contract query's parameters: nCells=16, 1 Lloyd round,
+    // 20 probe vectors, k=5, nProbe=4)
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
+    import org.apache.spark.sql.functions.col
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try name match {
+        case "k4_ivf_build" =>
+          val e = graft.core.Engine.table(spark, sfDir, "embeddings")
+          graft.llm.Similarity.ivfWriteIndex(
+            e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
+            nCells = 16, lloydRounds = 1, path = ivfPath)
+        case "k4_ivf_read" =>
+          val e = graft.core.Engine.table(spark, sfDir, "embeddings")
+          graft.llm.Similarity.ivfKnnPruned(spark, ivfPath,
+              e.where(col("vec_id") < 20L)
+                .select(col("vec_id").as("id"), col("embedding")),
+              "embedding", "id", k = 5, nProbe = 4)
+            .write.format("noop").mode("overwrite").save()
+        case n => qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }

@@ -8,9 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The driver hands us ITS session — tune it (AQE, broadcast threshold,
+    * nanos-parquet legality) exactly like Verify/Bench tune theirs.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    graft.core.Engine.tune(spark)
     RelationalQueries.queries("e1_agg_flagship")(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -25,7 +25,8 @@ object Engine {
     * `cores` and `shufflePartitions` mirror each other on the local rig;
     * on a real cluster shuffle partitions scale with data volume, not cores.
     */
-  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+  def local(cores: Int = 32, shufflePartitions: Int = 32,
+            extraConfs: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -46,6 +47,12 @@ object Engine {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 refuses it without
+      // this (the long surfaces as epoch-nanos and `table` converts to µs).
+      // Session-construction conf, NOT a per-read mutation: who reads first
+      // must never decide what a shared session does.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    extraConfs.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }
 
@@ -56,6 +63,7 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 
@@ -74,8 +82,18 @@ object Engine {
     * SURVEY.md §7.4 timestamp semantics).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // no conf mutation here: nanosAsLong is a session-construction concern
+    // (Engine.local / Engine.tune); a reader silently flipping a global
+    // conf made every other nanos-parquet read depend on call order
+    val df =
+      try spark.read.parquet(s"$dir/$name.parquet")
+      catch {
+        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          throw new IllegalStateException(
+            s"$name.parquet carries TIMESTAMP(NANOS); build the session via " +
+              "Engine.local or call Engine.tune(spark) first " +
+              "(sets spark.sql.legacy.parquet.nanosAsLong)", e)
+      }
     if (df.schema.exists(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType)) {
       df.withColumn("ts",

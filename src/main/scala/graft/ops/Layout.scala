@@ -93,6 +93,17 @@ object Layout {
     val d = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // An empty input (or an all-null cluster column) has no domain to
+    // interleave — short-circuit to a plain write of whatever is there
+    // (nothing, or rows with no meaningful order on the null column)
+    // instead of NPE-ing on the null aggregate.
+    if (d.isNullAt(0) || d.isNullAt(2)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"zorderWrite: no min/max domain for ($colA, $colB) — empty input " +
+          "or all-null cluster column; writing without z-order clustering")
+      df.repartition(nFiles).write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zValue(col(colA), col(colB),
       d.getDouble(0), d.getDouble(1), d.getDouble(2), d.getDouble(3), bits)
     df.withColumn("__z", z)

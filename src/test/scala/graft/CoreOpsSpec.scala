@@ -667,6 +667,21 @@ class ZorderLayoutSpec extends org.scalatest.funsuite.AnyFunSuite {
     // clustering must not change contents
     assert(spark.read.parquet(zPath).count() === li.count())
   }
+
+  test("zorderWrite degrades gracefully on empty input and all-null cluster columns") {
+    import spark.implicits._
+    val ePath = java.nio.file.Files.createTempDirectory("graft-zempty").toString + "/e"
+    graft.ops.Layout.zorderWrite(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", ePath, nFiles = 4)
+    assert(spark.read.parquet(ePath).count() === 0)
+    // non-empty rows but a cluster column with no domain (all null): the
+    // rows must still be written, unclustered, not NPE
+    val nPath = java.nio.file.Files.createTempDirectory("graft-znull").toString + "/n"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a", "s")
+      .withColumn("b", lit(null).cast("long"))
+    graft.ops.Layout.zorderWrite(df, "a", "b", nPath, nFiles = 4)
+    assert(spark.read.parquet(nPath).count() === 2)
+  }
 }
 
 /** G2 — partition-local sort is plan-level: a non-global Sort, no exchange. */
