@@ -68,6 +68,46 @@ object Multimodal {
     */
   case class MediaFeature(feat_dim: Int, features: Seq[Float], decode_ok: Boolean)
 
+  /** The decoder seam, TYPED: a real deployment implements this with an
+    * image/audio codec (and does per-partition init in `open`, e.g. model
+    * or codec handles — called once per partition before the first
+    * decode). Must be Serializable: instances ship to executors inside
+    * the mapPartitions closure.
+    */
+  trait MediaDecoder extends Serializable {
+    /** Per-partition initialization hook (codec/model setup). */
+    def open(): Unit = ()
+    /** Decode one payload to a `dim`-length feature vector (null in/out ok). */
+    def decode(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** The deterministic stand-in used when no codec library exists (this
+    * container): see [[decodeStub]].
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+      decodeStub(bytes, dim)
+  }
+
+  /** Size partitions for a decode pass: one shuffle so that
+    * (rows per partition × avg payload bytes) ≈ `targetBytesPerPartition`
+    * — the knob that keeps a media batch inside executor memory no matter
+    * how the upstream scan chunked the table (a 100 MB-per-image corpus
+    * needs hundreds× fewer rows per partition than thumbnails, and the
+    * scan's input-split sizing knows nothing about either). The stats
+    * pass is a 1-row aggregate; payload bytes never move twice.
+    */
+  def repartitionForMedia(df: DataFrame, bytesCol: String,
+                          targetBytesPerPartition: Long = 256L << 20): DataFrame = {
+    require(targetBytesPerPartition > 0, "targetBytesPerPartition must be positive")
+    val s = df.agg(count(lit(1)).as("n"),
+      avg(length(col(bytesCol)).cast("double")).as("b")).head()
+    if (s.getLong(0) == 0 || s.isNullAt(1)) return df // empty / all-null payloads
+    val totalBytes = s.getLong(0) * math.max(s.getDouble(1), 1.0)
+    val n = math.min(math.ceil(totalBytes / targetBytesPerPartition), 1 << 20).toInt
+    df.repartition(math.max(n, 1))
+  }
+
   /** Feature extraction over the binary column as a typed
     * `Dataset.mapPartitions` so a real decoder amortizes per-partition
     * init (model load, codec setup) — the same batching shape a
@@ -88,16 +128,21 @@ object Multimodal {
     * duplicate would fan rows out). The rejoin is a LEFT join so a row
     * whose feature record went missing surfaces with a null `feat` rather
     * than silently disappearing.
+    *
+    * `decoder` is the typed codec seam ([[StubDecoder]] by default —
+    * nothing else exists in this container); size partitions upstream
+    * with [[repartitionForMedia]] when payloads are large.
     */
-  def extractFeatures(df: DataFrame, bytesCol: String, idCol: String, dim: Int): DataFrame = {
+  def extractFeatures(df: DataFrame, bytesCol: String, idCol: String, dim: Int,
+                      decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
     val feats = pairs.mapPartitions { it =>
-      // per-partition init would go here (decoder/model handles)
+      decoder.open() // per-partition init (codec/model handles)
       it.map { case (id, bytes) =>
-        val f = decodeStub(bytes, dim)
+        val f = decoder.decode(bytes, dim)
         (id, MediaFeature(dim, if (f == null) null else f.toSeq, f != null))
       }
     }.toDF("__feat_id", "feat")

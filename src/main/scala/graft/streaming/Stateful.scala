@@ -3,8 +3,9 @@ package graft.streaming
 import java.time.Duration
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.functions._
 
 /** J8 — arbitrary stateful processing: the streaming form of CDC
@@ -143,6 +144,99 @@ object Stateful {
     changes
       .groupByKey(_.key)
       .transformWithState(new UpsertProcessor(ttl), mode, OutputMode.Update())
+  }
+
+  /** A [[Change]] with the event time the change occurred — the input for
+    * event-time state eviction.
+    */
+  case class TimedChange(key: Long, version: Long, op: String, payload: String,
+                         ts: java.sql.Timestamp)
+
+  /** Event-time state eviction for the keyed upsert: same version-ordered
+    * replay as [[UpsertProcessor]], plus a per-key timer slid to
+    * `lastEventTime + ttl` on every applied batch. When the WATERMARK
+    * passes the timer, [[handleExpiredTimer]] clears the key's state —
+    * the key went cold in the data's own clock, so eviction is a pure
+    * function of the input (deterministic, unlike processing-time TTL),
+    * which is also what makes it exercisable under a drain-and-stop
+    * `Trigger.AvailableNow` replay in CI: the watermark advances batch by
+    * batch and fires the timers, no wall-clock sweep batches needed (the
+    * ProcessingTime livelock documented on [[upsertStreamTws]]).
+    */
+  class EventTimeUpsertProcessor(ttlMs: Long)
+    extends StatefulProcessor[Long, TimedChange, Upsert] {
+
+    @transient private var state: ValueState[KeyState] = _
+    // the currently registered eviction timer, so a newer event can slide
+    // it (delete + re-register) instead of stacking stale timers
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[KeyState]("keyState",
+        Encoders.product[KeyState], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedChange],
+                                 timerValues: TimerValues): Iterator[Upsert] = {
+      val sorted = rows.toSeq.sortBy(_.version)
+      var cur = if (state.exists()) Option(state.get()) else None
+      var emitted: Option[Upsert] = None
+      var lastTs = Long.MinValue
+      sorted.foreach { c =>
+        lastTs = math.max(lastTs, c.ts.getTime)
+        if (cur.forall(_.version < c.version)) {
+          if (c.op == "d") {
+            cur = None
+            emitted = Some(Upsert(key, c.version, null, deleted = true))
+          } else {
+            cur = Some(KeyState(c.version, c.payload))
+            emitted = Some(Upsert(key, c.version, c.payload, deleted = false))
+          }
+        }
+      }
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          val at = lastTs + ttlMs
+          getHandle.registerTimer(at)
+          timerAt.update(at)
+        case None =>
+          state.clear()
+          timerAt.clear()
+      }
+      emitted.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Upsert] = {
+      // no event for `ttl` of EVENT time: the key is cold — evict. At
+      // 100 TB key cardinality this is what bounds the state store to the
+      // live working set. Nothing is emitted: eviction is a state-size
+      // concern, not a data change (a later event for the key simply
+      // starts fresh, which is also the observable CI probe).
+      state.clear()
+      timerAt.clear()
+      Iterator.empty
+    }
+  }
+
+  /** J8 with event-time TTL — keyed upsert whose state evicts `ttl` after
+    * the key's last event IN EVENT TIME. `watermarkDelay` is the usual
+    * lateness bound (watermark = max event time − delay); eviction fires
+    * when the watermark passes `last event + ttl`. Deterministic given
+    * the input, so replays and CI drains reproduce it exactly.
+    */
+  def upsertStreamTwsEventTtl(changes: Dataset[TimedChange], ttl: Duration,
+                              watermarkDelay: String = "0 seconds"): Dataset[Upsert] = {
+    import changes.sparkSession.implicits._
+    changes
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(new EventTimeUpsertProcessor(ttl.toMillis),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Convenience: run the upsert over a batch frame of change events and

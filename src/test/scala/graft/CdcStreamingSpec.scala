@@ -150,6 +150,71 @@ class CdcStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time TTL evicts cold keys deterministically under AvailableNow (J8)") {
+    // Processing-time TTL cannot run under a drain (timer-sweep livelock,
+    // see upsertStreamTws docs); the event-time variant fires off the
+    // WATERMARK, which lives in the checkpoint's commit log — so a
+    // restart-per-phase replay (one AvailableNow drain per block, shared
+    // checkpoint, exactly like a scheduled incremental job) exercises
+    // eviction deterministically. A single drain will NOT: MemoryStream
+    // hands AvailableNow all blocks in one batch, the watermark never
+    // advances mid-query, and no timer can fire.
+    //   phase 1: key 1 v10 at t=1s      (timer set for t=61s; wm 0)
+    //   phase 2: key 2 v10 at t=10000s  (wm resumes at 1s)
+    //   phase 3: key 3 v10 at t=10001s  (wm 10000s → key 1's 61s timer
+    //            fires; input rows process BEFORE expired timers, hence
+    //            the separating phase)
+    //   phase 4: key 1 v5 "old" — STALE: applies iff key 1 was evicted
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    implicit val sql = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Stateful.withRocksDbStateStore(spark)
+    try {
+      def emitted(ttlSec: Long): Set[(Long, Long)] = {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-etttl").toString
+        val src = MemoryStream[Stateful.TimedChange]
+        val phases = Seq(
+          Stateful.TimedChange(1, 10, "c", "live", ts(1)),
+          Stateful.TimedChange(2, 10, "c", "other", ts(10000)),
+          Stateful.TimedChange(3, 10, "c", "mid", ts(10001)),
+          Stateful.TimedChange(1, 5, "u", "old", ts(10002)))
+        // memory sinks cannot recover from a checkpoint; foreachBatch can,
+        // so collect each phase's update batches into a driver buffer
+        val acc = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        phases.foreach { row =>
+          src.addData(Seq(row))
+          val q = Stateful.upsertStreamTwsEventTtl(src.toDS(),
+              java.time.Duration.ofSeconds(ttlSec))
+            .toDF().writeStream
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              acc.synchronized {
+                acc ++= b.select("key", "version").as[(Long, Long)].collect()
+              }; ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        acc.toSet
+      }
+      // 60 s TTL: key 1 went cold long before the watermark reached
+      // 10000 s, so the stale v5 re-applies — the observable proof its
+      // state was evicted
+      assert(emitted(60) ===
+        Set((1L, 10L), (2L, 10L), (3L, 10L), (1L, 5L)))
+      // control: a TTL longer than the replay's event-time span keeps the
+      // state live, and the stale v5 must be ignored
+      assert(emitted(1000000) === Set((1L, 10L), (2L, 10L), (3L, 10L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch upsert sink survives restart from checkpoint (A8+J10)") {
     implicit val sql = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-a8-spec-ckpt").toString

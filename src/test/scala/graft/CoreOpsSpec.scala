@@ -291,6 +291,29 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(null, 6) === null)
   }
 
+  test("repartitionForMedia sizes partitions from payload bytes; decoder seam is pluggable") {
+    val base = spark.range(1000).toDF("id")
+    val media = Multimodal.withSyntheticMedia(base, "id") // 64 bytes each
+    // 1000 rows × 64 B = 64000 B at 4096 B/partition → ceil = 16
+    val sized = Multimodal.repartitionForMedia(media, "media_bytes",
+      targetBytesPerPartition = 4096L)
+    assert(sized.rdd.getNumPartitions === 16)
+    // empty input: no stats, no shuffle added, no crash
+    val empty = Multimodal.repartitionForMedia(
+      media.where(col("id") < 0), "media_bytes", 4096L)
+    assert(empty.count() === 0)
+    // a custom decoder flows through the typed seam (constant vector)
+    object OnesDecoder extends Multimodal.MediaDecoder {
+      override def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+        if (bytes == null) null else Array.fill(dim)(1.0f)
+    }
+    val feats = Multimodal.extractFeatures(
+      media.where(col("id") < 3), "media_bytes", "id", 4, OnesDecoder)
+    val vecs = feats.select(col("feat.features")).as[Seq[Float]].collect()
+    assert(vecs.length === 3)
+    vecs.foreach(v => assert(v === Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+  }
+
   test("persisted IVF layout partition-prunes the vectors scan") {
     val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
