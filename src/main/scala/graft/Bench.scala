@@ -79,7 +79,8 @@ object Bench {
     // cross-SF oracle instead; here realism matters more than oracles)
     val lshPath = java.nio.file.Files.createTempDirectory("graft-bench-lshidx").toString
     import org.apache.spark.sql.functions.col
-    lazy val lshSplit: Long = {
+    // computed during setup, NOT inside the timed k2_idx_build region
+    val lshSplit: Long = {
       val d = graft.core.Engine.table(spark, sfDir, "documents")
       d.selectExpr("percentile(doc_id, 0.9)").head().getDouble(0).toLong
     }
