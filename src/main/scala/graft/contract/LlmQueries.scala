@@ -103,6 +103,36 @@ object LlmQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // K2 — STREAMING ingestion dedup (▶ real stream): two AvailableNow
+    // drains over one checkpoint feed the corpus in two crawl batches;
+    // each batch near-dedups against the persisted index of prior
+    // survivors, then within itself, and appends its survivors to the
+    // index. Oracle: the greedy two-phase closure over the same scored
+    // pairs (cap-free on both sides — the contract pins semantics; the
+    // cap's behavior is k2_lsh_candidate_pairs' concern).
+    "k2_streaming_ingest_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b0 = docs.where(col("doc_id") < 400L).as[(Long, String)].collect().toSeq
+      val b1 = docs.where(col("doc_id") >= 400L).as[(Long, String)].collect().toSeq
+      val idx = java.nio.file.Files.createTempDirectory("graft-ingest-idx").toString
+      val adm = java.nio.file.Files.createTempDirectory("graft-ingest-adm").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchIngestDedup(
+          src.toDS().toDF("doc_id", "text"), idx, adm, ckpt,
+          "text", "doc_id", shingleN = 3, k = 8, bands = 4, threshold = 0.8,
+          maxBucketSize = Int.MaxValue)
+        q.awaitTermination()
+      }
+      src.addData(b0); drain()
+      src.addData(b1); drain()
+      graft.streaming.Ingest.admitted(s, adm)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // K2 — SimHash (16-bit, md5-derived votes)
     "k2_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -448,9 +478,9 @@ object LlmQueries {
     * corpus-side filter because [[Dedup.minhashIndexWrite]] caps on the
     * CORPUS bucket width at index-write time.
     */
-  private def lshScoredCtes(bwWhere: String = ""): String = {
+  private def lshScoredCtes(bwWhere: String = "",
+                            cap: Int = graft.llm.Dedup.DefaultMaxBucketSize): String = {
     val P = graft.functions.TextFunctions.MinhashP
-    val cap = graft.llm.Dedup.DefaultMaxBucketSize
     val comps = (0 until 8).map { i =>
       val a = graft.functions.TextFunctions.minhashA(i)
       val b = graft.functions.TextFunctions.minhashB(i)
@@ -548,6 +578,28 @@ object LlmQueries {
         |  SELECT e.dst, w.label FROM walk w JOIN ed e ON e.src = w.node)
         |SELECT node, MIN(label) AS cluster FROM walk
         |GROUP BY node ORDER BY node""".stripMargin),
+
+    // greedy two-phase admitted-set closure over the scored pairs
+    // (id_a < id_b always, and batch-0 ids < 400 <= batch-1 ids, so a
+    // cross pair's id_a is always the corpus side)
+    "k2_streaming_ingest_dedup" -> (tokCte +
+      lshScoredCtes("", Int.MaxValue) +
+      """,
+        |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+        |drop0 AS (SELECT DISTINCT id_b FROM p WHERE id_a < 400 AND id_b < 400),
+        |surv0 AS (SELECT doc_id FROM documents WHERE doc_id < 400
+        |          AND doc_id NOT IN (SELECT id_b FROM drop0)),
+        |dup1 AS (SELECT DISTINCT id_b AS doc_id FROM p
+        |         WHERE id_a IN (SELECT doc_id FROM surv0) AND id_b >= 400),
+        |v1 AS (SELECT doc_id FROM documents WHERE doc_id >= 400
+        |       AND doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |drop1 AS (SELECT DISTINCT id_b FROM p
+        |          WHERE id_a IN (SELECT doc_id FROM v1)
+        |          AND id_b IN (SELECT doc_id FROM v1))
+        |SELECT doc_id FROM surv0
+        |UNION ALL
+        |SELECT doc_id FROM v1 WHERE doc_id NOT IN (SELECT id_b FROM drop1)
+        |ORDER BY doc_id""".stripMargin),
 
     "k2_simhash" -> (tokCte +
       """, tok AS (SELECT doc_id, unnest(t) AS w FROM tk),

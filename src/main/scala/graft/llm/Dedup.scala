@@ -226,6 +226,67 @@ object Dedup {
     projected.unpersist(false)
   }
 
+  /** Append one batch's signatures and bucket rows to a GROWING index —
+    * the maintenance half of streaming ingestion dedup (see
+    * `graft.streaming.Ingest`). Rows land under a `__batch=<id>`
+    * partition via dynamic overwrite, so an at-least-once replay of the
+    * same batch rewrites exactly its own partition instead of appending
+    * duplicates — idempotence by layout, the same trick as the upsert
+    * sink's bucket dirs. A streaming-maintained index therefore uses the
+    * batched layout from birth (batch 0 included); readers are layout-
+    * agnostic (they select (id, hs) / (id, band, key) and ignore the
+    * partition column).
+    *
+    * The cap applies to the batch's OWN buckets here; cross-batch bucket
+    * growth is bounded by [[compactIndex]] (run on a schedule, like any
+    * lakehouse OPTIMIZE) — checking global widths per append would read
+    * the index once per batch for a correction that compaction applies
+    * in one pass.
+    */
+  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batchId: Long, df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                         maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
+    val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
+    projected.count()
+    val base = projected.where(size(col("hs")) > 0)
+    base.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$path/sigs")
+    val bucketed = bandBucketRows(base, k, bands).persist()
+    bucketed.count()
+    val wide = bucketed.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val droppedBuckets = wide.count()
+    val capped =
+      if (droppedBuckets == 0) bucketed
+      else bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
+    capped.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$path/buckets")
+    bucketed.unpersist(false)
+    projected.unpersist(false)
+  }
+
+  /** Rewrite `buckets/` dropping (band, key) groups that grew past the
+    * cap ACROSS batches — appends only cap within their own batch, so a
+    * key that collides batch after batch accrues unbounded join fan-out
+    * until compacted. One global width pass + filtered rewrite; the
+    * localCheckpoint severs the read-before-overwrite hazard.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
+    val b = spark.read.parquet(s"$path/buckets")
+    val wide = b.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val kept = b.join(wide, Seq("band", "key"), "left_anti").localCheckpoint(true)
+    val w = kept.write.mode("overwrite")
+    (if (kept.columns.contains("__batch")) w.partitionBy("__batch") else w)
+      .parquet(s"$path/buckets")
+  }
+
   /** Near-dup pairs of a NEW batch against a persisted corpus index
     * (`minhashIndexWrite` layout): (new_id, corpus_id, jaccard). The new
     * side computes its own signatures (identical md5-derived math, so the

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.llm.Dedup
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingestion dedup — the production LLM-data intake loop: a
+  * document stream (crawl batches) where every micro-batch is
+  *   1. near-dedup'd AGAINST the persisted LSH index of everything
+  *      admitted so far ([[Dedup.minhashPairsAgainstIndex]] — the
+  *      incremental path: no corpus-wide signature rebuild, ever),
+  *   2. near-dedup'd WITHIN itself ([[Dedup.minhashDedup]] — a crawl
+  *      batch carries its own self-dups),
+  *   3. and its survivors appended to the admitted corpus AND the index
+  *      ([[Dedup.minhashIndexAppend]]), so batch N+1 dedups against
+  *      batch N's survivors.
+  *
+  * At 100 TB the per-batch cost is the batch's own signature pass plus
+  * equi-joins against the index — proportional to the batch and its
+  * collision set, never the corpus.
+  *
+  * Replay safety (foreachBatch is at-least-once): every write lands under
+  * a `__batch=<id>` partition via dynamic overwrite, so a replayed batch
+  * rewrites exactly its own partitions. The one subtlety is that on
+  * replay the index already CONTAINS the replayed batch's survivors —
+  * self-matches (same id) are excluded from the vs-index pairs, and
+  * cross-doc matches within the replayed batch resolve to the same
+  * survivor set (the pair's greater id loses either intra-batch or
+  * vs-index — same outcome). Requires a deterministic-replay source
+  * (Kafka offsets, file lists, MemoryStream), like every foreachBatch
+  * exactly-once argument.
+  */
+object Ingest {
+
+  /** Apply one batch of documents: admit the novel ones, append them to
+    * the corpus at `admittedDir` and to the LSH index at `indexPath`.
+    * Batch-API core of [[foreachBatchIngestDedup]]; idempotent per
+    * (batchId, batch content) — see the replay-safety note above.
+    *
+    * There is deliberately NO last-batch sidecar here: batch ids are only
+    * meaningful within one checkpoint lineage (a new stream attached to
+    * the same dirs restarts at 0, and a sidecar guard would silently skip
+    * its batches). The `__batch=<id>` layout makes replays idempotent on
+    * its own; a replay merely recomputes the (identical) result. For the
+    * same reason, one (indexPath, admittedDir) pair belongs to ONE stream
+    * lineage — id collisions across lineages would cross-overwrite
+    * `__batch` partitions.
+    */
+  def ingestBatch(batch: DataFrame, indexPath: String, admittedDir: String,
+                  batchId: Long, textCol: String, idCol: String,
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                  threshold: Double = 0.8,
+                  maxBucketSize: Int = Dedup.DefaultMaxBucketSize): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(admittedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasIndex = fs.exists(new Path(s"$indexPath/buckets"))
+    val vsIndex =
+      if (!hasIndex) batch
+      else {
+        val dupIds = Dedup.minhashPairsAgainstIndex(spark, indexPath, batch,
+            textCol, idCol, shingleN, k, bands, threshold)
+          // a replayed batch finds its own already-appended rows: same-id
+          // matches are replay artifacts, not duplicates
+          .where(col("new_id") =!= col("corpus_id"))
+          .select(col("new_id").as(idCol)).distinct()
+        batch.join(dupIds, Seq(idCol), "left_anti")
+      }
+    val kept = Dedup.minhashDedup(vsIndex, textCol, idCol,
+        shingleN, k, bands, threshold)
+      .localCheckpoint(true) // read twice below (admit write + index append)
+    kept.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(admittedDir)
+    Dedup.minhashIndexAppend(spark, indexPath, batchId, kept, textCol, idCol,
+      shingleN, k, bands, maxBucketSize)
+  }
+
+  /** Attach the ingestion-dedup loop to a streaming frame of documents. */
+  def foreachBatchIngestDedup(docs: DataFrame, indexPath: String, admittedDir: String,
+                              checkpointDir: String, textCol: String, idCol: String,
+                              shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.8,
+                              maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(batch, indexPath, admittedDir, id, textCol, idCol,
+          shingleN, k, bands, threshold, maxBucketSize)
+      }
+      .start()
+
+  /** The admitted corpus (layout column dropped). */
+  def admitted(spark: org.apache.spark.sql.SparkSession, admittedDir: String): DataFrame =
+    spark.read.parquet(admittedDir).drop("__batch")
+}

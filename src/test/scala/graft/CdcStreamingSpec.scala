@@ -358,6 +358,62 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(st === Array("p1b"))
   }
 
+  test("streaming ingestion dedup admits novel docs, drops near-dups, survives replay") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ingest-idx").toString
+    val adm = java.nio.file.Files.createTempDirectory("graft-ingest-adm").toString + "/t"
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val t2 = "entirely novel text that matches nothing in the corpus at all"
+    val t3 = "completely different corpus content about spark engines"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")
+    def ingest(id: Long, rows: (Long, String)*): Unit =
+      graft.streaming.Ingest.ingestBatch(batch(rows: _*), idx, adm, id,
+        "text", "id", shingleN = 3, k = 8, bands = 4, threshold = 0.8)
+    def ids(): Set[Long] =
+      graft.streaming.Ingest.admitted(spark, adm).select("id").as[Long].collect().toSet
+    // batch 0: two identical docs — intra-batch dedup admits the min id
+    ingest(0L, (1L, t1), (2L, t1))
+    assert(ids() === Set(1L))
+    // batch 1: one dup of the INDEXED corpus, one novel doc
+    ingest(1L, (3L, t1), (4L, t2))
+    assert(ids() === Set(1L, 4L))
+    // replay of batch 1 (foreachBatch is at-least-once): the index already
+    // holds doc 4's own rows, which must not self-evict it, and the
+    // __batch=1 dynamic overwrite must not duplicate anything
+    ingest(1L, (3L, t1), (4L, t2))
+    assert(ids() === Set(1L, 4L), "replay must neither duplicate nor self-evict")
+    assert(graft.streaming.Ingest.admitted(spark, adm).count() === 2)
+    // batch 2 dedups against batch 1's survivors (the growing index)
+    ingest(2L, (5L, t2), (6L, t3))
+    assert(ids() === Set(1L, 4L, 6L))
+    // compaction keeps the (still under-cap) index intact
+    graft.llm.Dedup.compactIndex(spark, idx, maxBucketSize = 100)
+    ingest(3L, (7L, t3))
+    assert(ids() === Set(1L, 4L, 6L))
+    // streaming wrapper end-to-end on ITS OWN dirs (one dir pair = one
+    // stream lineage): two AvailableNow drains over a shared checkpoint,
+    // so the second batch dedups against the first's survivors
+    implicit val sql = spark.sqlContext
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-ingest2-idx").toString
+    val adm2 = java.nio.file.Files.createTempDirectory("graft-ingest2-adm").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest2-ckpt").toString
+    def ids2(): Set[Long] =
+      graft.streaming.Ingest.admitted(spark, adm2).select("id").as[Long].collect().toSet
+    val src = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = graft.streaming.Ingest.foreachBatchIngestDedup(
+        src.toDS().toDF("id", "text"), idx2, adm2, ckpt,
+        "text", "id", shingleN = 3, k = 8, bands = 4, threshold = 0.8)
+      q.awaitTermination()
+    }
+    src.addData(Seq((10L, t1), (11L, t2)))
+    drain()
+    assert(ids2() === Set(10L, 11L))
+    src.addData(Seq((12L, t1), (13L, t3)))
+    drain()
+    assert(ids2() === Set(10L, 11L, 13L),
+      "stream batch 2: dup of batch 1's survivor dropped, novel doc admitted")
+  }
+
   test("compaction rewrites each bucket to one file, contents and layout pin intact (A8)") {
     val target = java.nio.file.Files.createTempDirectory("graft-a8-compact").toString + "/t"
     val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
