@@ -52,20 +52,52 @@ object Ingest {
                   batchId: Long, textCol: String, idCol: String,
                   shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                   threshold: Double = 0.8,
-                  maxBucketSize: Int = Dedup.DefaultMaxBucketSize): Unit = {
+                  maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+                  exactGuard: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(admittedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasIndex = fs.exists(new Path(s"$indexPath/buckets"))
-    val vsIndex =
-      if (!hasIndex) batch
+    // a dir is only a readable table once a batch actually wrote rows into
+    // it — a batch of shingle-less docs writes zero partitions, leaving a
+    // dir whose schema parquet cannot infer
+    def hasData(dir: String): Boolean = {
+      val p = new Path(dir)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("__batch="))
+    }
+    // Optional exact-content stage: a doc with fewer than `shingleN`
+    // tokens produces NO shingles and therefore sails through LSH — an
+    // exact duplicate of it would be re-admitted every batch forever.
+    // The guard keeps a tiny (id, content-hash) table alongside the index
+    // and drops exact repeats first: intra-batch via deterministic
+    // min-id-wins, cross-batch via an anti-join on the hash. Off by
+    // default: it changes admitted-set semantics, and corpora whose docs
+    // always shingle get the same protection from jaccard == 1.0 pairs.
+    val hashesPath = s"$indexPath/hashes"
+    val exactDeduped =
+      if (!exactGuard) batch
       else {
-        val dupIds = Dedup.minhashPairsAgainstIndex(spark, indexPath, batch,
+        val intra = Dedup.exact(batch, textCol, idCol)
+        if (!hasData(hashesPath)) intra
+        else {
+          val seen = spark.read.parquet(hashesPath)
+            .select(col("ch"), col("id").as("__seen_id"))
+          intra.withColumn("__ch", md5(graft.functions.TextFunctions.normalizeText(col(textCol))))
+            // same-id hash hits are a replayed batch finding its own rows
+            .join(seen, col("__ch") === col("ch") &&
+              col(idCol) =!= col("__seen_id"), "left_anti")
+            .drop("__ch")
+        }
+      }
+    val hasIndex = hasData(s"$indexPath/buckets")
+    val vsIndex =
+      if (!hasIndex) exactDeduped
+      else {
+        val dupIds = Dedup.minhashPairsAgainstIndex(spark, indexPath, exactDeduped,
             textCol, idCol, shingleN, k, bands, threshold)
           // a replayed batch finds its own already-appended rows: same-id
           // matches are replay artifacts, not duplicates
           .where(col("new_id") =!= col("corpus_id"))
           .select(col("new_id").as(idCol)).distinct()
-        batch.join(dupIds, Seq(idCol), "left_anti")
+        exactDeduped.join(dupIds, Seq(idCol), "left_anti")
       }
     val kept = Dedup.minhashDedup(vsIndex, textCol, idCol,
         shingleN, k, bands, threshold)
@@ -75,6 +107,12 @@ object Ingest {
       .partitionBy("__batch").parquet(admittedDir)
     Dedup.minhashIndexAppend(spark, indexPath, batchId, kept, textCol, idCol,
       shingleN, k, bands, maxBucketSize)
+    if (exactGuard)
+      kept.select(col(idCol).cast("long").as("id"),
+          md5(graft.functions.TextFunctions.normalizeText(col(textCol))).as("ch"))
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(hashesPath)
   }
 
   /** Attach the ingestion-dedup loop to a streaming frame of documents. */
@@ -83,6 +121,7 @@ object Ingest {
                               shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                               threshold: Double = 0.8,
                               maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+                              exactGuard: Boolean = false,
                               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -90,7 +129,7 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestBatch(batch, indexPath, admittedDir, id, textCol, idCol,
-          shingleN, k, bands, threshold, maxBucketSize)
+          shingleN, k, bands, threshold, maxBucketSize, exactGuard)
       }
       .start()
 

@@ -414,6 +414,37 @@ class CdcStreamingSpec extends AnyFunSuite {
       "stream batch 2: dup of batch 1's survivor dropped, novel doc admitted")
   }
 
+  test("ingest exact guard stops short-doc duplicates the LSH path cannot see") {
+    // "hello world" has 2 tokens < shingleN=3 → zero shingles → invisible
+    // to MinHash/LSH: an exact duplicate would be re-admitted every batch
+    val short = "hello world"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")
+    def ingest(idx: String, adm: String, guard: Boolean)(id: Long, rows: (Long, String)*): Unit =
+      graft.streaming.Ingest.ingestBatch(batch(rows: _*), idx, adm, id,
+        "text", "id", shingleN = 3, k = 8, bands = 4, threshold = 0.8,
+        exactGuard = guard)
+    def ids(adm: String): Set[Long] =
+      graft.streaming.Ingest.admitted(spark, adm).select("id").as[Long].collect().toSet
+    // without the guard: the documented gap
+    val idxA = java.nio.file.Files.createTempDirectory("graft-eg-a-idx").toString
+    val admA = java.nio.file.Files.createTempDirectory("graft-eg-a-adm").toString + "/t"
+    ingest(idxA, admA, guard = false)(0L, (1L, short))
+    ingest(idxA, admA, guard = false)(1L, (2L, short))
+    assert(ids(admA) === Set(1L, 2L), "shingle-less dup admitted without the guard")
+    // with the guard: cross-batch exact repeat dropped
+    val idxB = java.nio.file.Files.createTempDirectory("graft-eg-b-idx").toString
+    val admB = java.nio.file.Files.createTempDirectory("graft-eg-b-adm").toString + "/t"
+    ingest(idxB, admB, guard = true)(0L, (1L, short), (5L, short)) // intra: min id wins
+    assert(ids(admB) === Set(1L))
+    ingest(idxB, admB, guard = true)(1L, (2L, short))
+    assert(ids(admB) === Set(1L))
+    // replays: neither a batch-0 replay (own hash row) nor a batch-1
+    // replay (already-dropped doc) changes the admitted set
+    ingest(idxB, admB, guard = true)(0L, (1L, short), (5L, short))
+    ingest(idxB, admB, guard = true)(1L, (2L, short))
+    assert(ids(admB) === Set(1L), "guard replays must not self-evict or duplicate")
+  }
+
   test("compaction rewrites each bucket to one file, contents and layout pin intact (A8)") {
     val target = java.nio.file.Files.createTempDirectory("graft-a8-compact").toString + "/t"
     val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
