@@ -269,6 +269,110 @@ object Dedup {
     projected.unpersist(false)
   }
 
+  /** One-pass ingestion core: the admitted (novel) rows of `newDf`
+    * against an optional persisted index, with the survivors' signatures
+    * and bucket rows appended under `__batch=<batchId>`.
+    *
+    * Composing [[minhashPairsAgainstIndex]] + [[minhashDedup]] +
+    * [[minhashIndexAppend]] would signature the batch THREE times; the
+    * md5 shingle pass dominates batch cost, so this core computes the
+    * projection and band buckets ONCE and derives all three stages from
+    * the cache:
+    *   - vs-index dups: capped batch buckets ⋈ index buckets → verified
+    *     pairs (same-id matches excluded — replay artifacts);
+    *   - intra-batch dups: self-join of the capped buckets restricted to
+    *     vs-index survivors, greater id loses (min-id-wins greedy);
+    *   - append: survivors' (id, hs) and bucket rows, batch-partitioned.
+    * Shingle-less docs (< shingleN tokens) are LSH-invisible and always
+    * admitted — see Ingest's exactGuard for their dedup story.
+    * `appendToIndex` requires the index to be empty or batch-partitioned
+    * (the `minhashIndexAppend` layout, NOT a static `minhashIndexWrite`).
+    */
+  def ingestAgainstIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                         batchId: Long, newDf: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.8,
+                         maxBucketSize: Int = DefaultMaxBucketSize,
+                         appendToIndex: Boolean = true): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("__batch=") || n.endsWith(".parquet")
+      }
+    }
+    val projected = shingleHashProjection(newDf, textCol, idCol, shingleN).persist()
+    projected.count()
+    val base = projected.where(size(col("hs")) > 0)
+    val bucketed = bandBucketRows(base, k, bands).persist()
+    bucketed.count()
+    val wide = bucketed.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val droppedBuckets = wide.count()
+    if (droppedBuckets > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ingestAgainstIndex: dropped $droppedBuckets over-wide LSH buckets " +
+          s"(> $maxBucketSize members) from batch $batchId")
+    val capped =
+      if (droppedBuckets == 0) bucketed
+      else if (droppedBuckets <= 100000)
+        bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
+      else bucketed.join(wide, Seq("band", "key"), "left_anti")
+    val vsDup =
+      if (!hasData(s"$indexPath/buckets"))
+        base.select(col("id")).where(lit(false)) // typed empty
+      else {
+        val pairs = capped.as("n")
+          .join(spark.read.parquet(s"$indexPath/buckets").as("o"),
+            col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+          .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
+          .where(col("new_id") =!= col("corpus_id"))
+          .dropDuplicates("new_id", "corpus_id")
+        val idxSigs = spark.read.parquet(s"$indexPath/sigs")
+          .select(col("id").as("corpus_id"), col("hs").as("hs_o"))
+        base.select(col("id").as("new_id"), col("hs").as("hs_n"))
+          .join(pairs, Seq("new_id"))
+          .join(idxSigs, Seq("corpus_id"))
+          .where(jaccard(col("hs_n"), col("hs_o")) >= threshold)
+          .select(col("new_id").as("id")).distinct()
+      }
+    val survBuckets = capped.join(vsDup, Seq("id"), "left_anti")
+    val p2 = survBuckets.as("a").join(survBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // pairs-side broadcast, same shape as minhashCandidatePairs (bucket-
+    // bounded intra-batch pair list; the batch pipeline itself is cached)
+    val intraLosers = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+      .join(broadcast(p2), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .where(jaccard(col("hs_a"), col("hs_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    // materialize the (small) drop list once — it gates three consumers
+    // (two index writes + the admitted anti-join)
+    val dropIds = vsDup.union(intraLosers).distinct().localCheckpoint(true)
+    if (appendToIndex) {
+      base.join(dropIds, Seq("id"), "left_anti")
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$indexPath/sigs")
+      capped.join(dropIds, Seq("id"), "left_anti")
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$indexPath/buckets")
+    }
+    val admitted = newDf
+      .join(dropIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(true) // sever lineage before the caches release
+    projected.unpersist(false)
+    bucketed.unpersist(false)
+    admitted
+  }
+
   /** Rewrite `buckets/` dropping (band, key) groups that grew past the
     * cap ACROSS batches — appends only cap within their own batch, so a
     * key that collides batch after batch accrues unbounded join fan-out

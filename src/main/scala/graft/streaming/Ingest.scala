@@ -87,26 +87,14 @@ object Ingest {
             .drop("__ch")
         }
       }
-    val hasIndex = hasData(s"$indexPath/buckets")
-    val vsIndex =
-      if (!hasIndex) exactDeduped
-      else {
-        val dupIds = Dedup.minhashPairsAgainstIndex(spark, indexPath, exactDeduped,
-            textCol, idCol, shingleN, k, bands, threshold)
-          // a replayed batch finds its own already-appended rows: same-id
-          // matches are replay artifacts, not duplicates
-          .where(col("new_id") =!= col("corpus_id"))
-          .select(col("new_id").as(idCol)).distinct()
-        exactDeduped.join(dupIds, Seq(idCol), "left_anti")
-      }
-    val kept = Dedup.minhashDedup(vsIndex, textCol, idCol,
-        shingleN, k, bands, threshold)
-      .localCheckpoint(true) // read twice below (admit write + index append)
+    // one-pass core: vs-index dedup, intra-batch dedup, and the index
+    // append all derive from ONE cached signature pass (composing the
+    // standalone ops would signature the batch three times)
+    val kept = Dedup.ingestAgainstIndex(spark, indexPath, batchId, exactDeduped,
+      textCol, idCol, shingleN, k, bands, threshold, maxBucketSize)
     kept.withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(admittedDir)
-    Dedup.minhashIndexAppend(spark, indexPath, batchId, kept, textCol, idCol,
-      shingleN, k, bands, maxBucketSize)
     if (exactGuard)
       kept.select(col(idCol).cast("long").as("id"),
           md5(graft.functions.TextFunctions.normalizeText(col(textCol))).as("ch"))
