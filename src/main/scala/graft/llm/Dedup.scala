@@ -303,6 +303,18 @@ object Dedup {
         n.startsWith("__batch=") || n.endsWith(".parquet")
       }
     }
+    // enforce the layout precondition rather than corrupt: appending
+    // __batch= partitions into a static (root-file) index would leave a
+    // mixed layout parquet partition discovery rejects
+    if (appendToIndex) {
+      val bp = new org.apache.hadoop.fs.Path(s"$indexPath/buckets")
+      val mixed = fs.exists(bp) && fs.listStatus(bp).exists(_.getPath.getName.endsWith(".parquet")) &&
+        !fs.listStatus(bp).exists(_.getPath.getName.startsWith("__batch="))
+      require(!mixed,
+        s"index at $indexPath has the static minhashIndexWrite layout (root data " +
+          "files); ingestAgainstIndex appends need the batch-partitioned layout — " +
+          "start from an empty index dir (or rebuild via ingest batches)")
+    }
     val projected = shingleHashProjection(newDf, textCol, idCol, shingleN).persist()
     projected.count()
     val base = projected.where(size(col("hs")) > 0)

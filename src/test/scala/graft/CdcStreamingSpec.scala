@@ -389,6 +389,17 @@ class CdcStreamingSpec extends AnyFunSuite {
     graft.llm.Dedup.compactIndex(spark, idx, maxBucketSize = 100)
     ingest(3L, (7L, t3))
     assert(ids() === Set(1L, 4L, 6L))
+    // appending into a STATIC (minhashIndexWrite) layout must refuse, not
+    // corrupt the index with a mixed partitioned/root-file layout
+    val statIdx = java.nio.file.Files.createTempDirectory("graft-ingest-stat").toString
+    graft.llm.Dedup.minhashIndexWrite(batch((20L, t1)), "text", "id", statIdx,
+      shingleN = 3, k = 8, bands = 4)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.ingestBatch(batch((21L, t2)), statIdx,
+        java.nio.file.Files.createTempDirectory("graft-ingest-stat-adm").toString + "/t",
+        0L, "text", "id", shingleN = 3, k = 8, bands = 4, threshold = 0.8)
+    }
+    assert(ex.getMessage.contains("batch-partitioned layout"))
     // streaming wrapper end-to-end on ITS OWN dirs (one dir pair = one
     // stream lineage): two AvailableNow drains over a shared checkpoint,
     // so the second batch dedups against the first's survivors
