@@ -118,13 +118,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    runOnce("e1_agg_flagship") // JVM/codegen warmup, untimed
-
     // Focused A/B loops: SPARK_GRAFT_BENCH_FILTER=k2 times only matching
     // queries; SPARK_GRAFT_BENCH_REPS=3 repeats each (all timings printed).
     val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val selected = headline.filter(_.contains(filter))
+    // a filtered run must say so in its own output — a leaked env var
+    // would otherwise produce a partial JSON indistinguishable from a
+    // full-run regression
+    if (filter.nonEmpty)
+      System.err.println(s"[bench] FILTERED run ($filter): ${selected.mkString(", ")}")
+    // the read-side entries depend on their build twins; when a filter
+    // selects a read without its build, build untimed so the read still
+    // measures something real instead of erroring on a missing index
+    def ensure(dep: String, want: String): Unit =
+      if (selected.contains(want) && !selected.contains(dep)) {
+        System.err.println(s"[bench] building $dep (untimed) for $want")
+        runOnce(dep)
+      }
+
+    runOnce("e1_agg_flagship") // JVM/codegen warmup, untimed
+    ensure("k2_idx_build", "k2_incremental_query")
+    ensure("k4_ivf_build", "k4_ivf_read")
     val results = selected.map { n =>
       val times = (1 to reps).map(_ => runOnce(n))
       if (reps > 1) System.err.println(
@@ -137,7 +152,8 @@ object Bench {
     // total_r1 = the unchanged round-1 14-query set, comparable across rounds
     val totalR1 = results.filter(r => r1Headline.contains(r._1))
       .map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"queries":$qJson,"sf":"$sfDir"}""")
+    val filterField = if (filter.isEmpty) "" else s""","filtered":"$filter""""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"queries":$qJson,"sf":"$sfDir"$filterField}""")
     spark.stop()
   }
 }

@@ -22,6 +22,29 @@ object Dedup {
     */
   val DefaultMaxBucketSize: Int = 1000
 
+  /** Drop over-wide (band, key) buckets from a persisted+counted bucket
+    * frame — THE shared cap: widths via a map-side-combinable cache-local
+    * aggregate (a window over all bucket rows measurably regresses — see
+    * SCALING.md round 4), anti-join only planned when something was
+    * actually dropped, drop list broadcast while provably small with a
+    * shuffled fallback for pathological corpora.
+    */
+  private def capOverWideBuckets(bucketed: DataFrame, maxBucketSize: Int,
+                                 logCtx: String): DataFrame = {
+    val wide = bucketed.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val droppedBuckets = wide.count()
+    if (droppedBuckets > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$logCtx: dropped $droppedBuckets over-wide LSH buckets " +
+          s"(> $maxBucketSize members) — near-dup-saturated; use exact dedup for those")
+    if (droppedBuckets == 0) bucketed
+    else if (droppedBuckets <= 100000)
+      bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
+    else bucketed.join(wide, Seq("band", "key"), "left_anti")
+  }
+
   /** K1 — exact dedup after text normalization. Keeps the row with the
     * smallest `idCol` per normalized-hash group (deterministic winner,
     * unlike `dropDuplicates`). One shuffle on the 128-bit hash — at 100 TB
@@ -89,31 +112,11 @@ object Dedup {
     // bucket rows carry only (id, band, key) — never the hash arrays.
     val bucketed = bandBucketRows(base, k, bands).persist()
     bucketed.count() // eager for the same reason (self-join reads it twice)
-    // Over-wide buckets via groupBy + count rather than a window over all
-    // bucket rows: the aggregate is map-side-combinable and cache-local,
-    // its output is one row per DISTINCT (band, key) — and the anti-join
-    // below only exists at all when something was dropped (the common
-    // corpus has zero over-wide buckets, so the common plan is untouched).
-    // The r3 width-window form sorted every bucket row inside the shuffle
-    // and widened the persisted rows by the width column; measured r4 A/B
-    // (quiet rig, sf0.1, 2×3 reps each): window 8.9-9.5 s cold / 2.7-3.2 s
-    // warm vs this 8.3-8.5 s cold / 2.6-2.7 s warm — see SCALING.md.
-    val wide = bucketed.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
-      .select(col("band"), col("key"))
-    val droppedBuckets = wide.count() // cache-local partial agg
-    if (droppedBuckets > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"minhashCandidatePairs: dropped $droppedBuckets over-wide LSH buckets " +
-          s"(> $maxBucketSize members) — near-dup-saturated; use exact dedup for those")
-    val buckets =
-      if (droppedBuckets == 0) bucketed
-      // broadcast the (band, key) drop list while it is provably small;
-      // a pathological corpus where MOST buckets are over-wide falls back
-      // to a shuffled anti-join (same (band, key) key as the self-join)
-      else if (droppedBuckets <= 100000)
-        bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
-      else bucketed.join(wide, Seq("band", "key"), "left_anti")
+    // Measured r4 A/B (quiet rig, sf0.1, 2×3 reps each): the r3 width-
+    // window form (sorts every bucket row inside the shuffle, persists
+    // width-widened rows) ran 8.9-9.5 s cold / 2.7-3.2 s warm vs the
+    // helper's groupBy form at 8.3-8.5 s cold / 2.6-2.7 s warm.
+    val buckets = capOverWideBuckets(bucketed, maxBucketSize, "minhashCandidatePairs")
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -129,9 +132,13 @@ object Dedup {
       .join(broadcast(pairs), Seq("id_a"))
     val result = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
       .join(broadcast(withA), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      // round BEFORE thresholding: the SQL oracle thresholds the rounded
+      // value, and a pair landing in [t - 5e-7, t) would otherwise be
+      // dropped here but kept there — invisible at test scale, real at
+      // shingle-set sizes where the 6th decimal is reachable
+      .withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 6))
       .where(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       // Eagerly materialize the (bucket-bounded, tiny relative to the
       // corpus) pair list and sever lineage so the big intermediates can
       // be released NOW instead of accumulating for the session lifetime;
@@ -208,63 +215,8 @@ object Dedup {
     base.write.mode("overwrite").parquet(s"$path/sigs")
     val bucketed = bandBucketRows(base, k, bands).persist()
     bucketed.count()
-    val wide = bucketed.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
-      .select(col("band"), col("key"))
-    val droppedBuckets = wide.count()
-    if (droppedBuckets > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"minhashIndexWrite: dropped $droppedBuckets over-wide LSH buckets " +
-          s"(> $maxBucketSize members) from the persisted index")
-    val capped =
-      if (droppedBuckets == 0) bucketed
-      else if (droppedBuckets <= 100000)
-        bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
-      else bucketed.join(wide, Seq("band", "key"), "left_anti")
-    capped.write.mode("overwrite").parquet(s"$path/buckets")
-    bucketed.unpersist(false)
-    projected.unpersist(false)
-  }
-
-  /** Append one batch's signatures and bucket rows to a GROWING index —
-    * the maintenance half of streaming ingestion dedup (see
-    * `graft.streaming.Ingest`). Rows land under a `__batch=<id>`
-    * partition via dynamic overwrite, so an at-least-once replay of the
-    * same batch rewrites exactly its own partition instead of appending
-    * duplicates — idempotence by layout, the same trick as the upsert
-    * sink's bucket dirs. A streaming-maintained index therefore uses the
-    * batched layout from birth (batch 0 included); readers are layout-
-    * agnostic (they select (id, hs) / (id, band, key) and ignore the
-    * partition column).
-    *
-    * The cap applies to the batch's OWN buckets here; cross-batch bucket
-    * growth is bounded by [[compactIndex]] (run on a schedule, like any
-    * lakehouse OPTIMIZE) — checking global widths per append would read
-    * the index once per batch for a correction that compaction applies
-    * in one pass.
-    */
-  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
-                         batchId: Long, df: DataFrame, textCol: String, idCol: String,
-                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                         maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
-    val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
-    projected.count()
-    val base = projected.where(size(col("hs")) > 0)
-    base.withColumn("__batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(s"$path/sigs")
-    val bucketed = bandBucketRows(base, k, bands).persist()
-    bucketed.count()
-    val wide = bucketed.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
-      .select(col("band"), col("key"))
-    val droppedBuckets = wide.count()
-    val capped =
-      if (droppedBuckets == 0) bucketed
-      else bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
-    capped.withColumn("__batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(s"$path/buckets")
+    capOverWideBuckets(bucketed, maxBucketSize, "minhashIndexWrite")
+      .write.mode("overwrite").parquet(s"$path/buckets")
     bucketed.unpersist(false)
     projected.unpersist(false)
   }
@@ -273,8 +225,8 @@ object Dedup {
     * against an optional persisted index, with the survivors' signatures
     * and bucket rows appended under `__batch=<batchId>`.
     *
-    * Composing [[minhashPairsAgainstIndex]] + [[minhashDedup]] +
-    * [[minhashIndexAppend]] would signature the batch THREE times; the
+    * Composing [[minhashPairsAgainstIndex]] + [[minhashDedup]] + a
+    * separate index append would signature the batch THREE times; the
     * md5 shingle pass dominates batch cost, so this core computes the
     * projection and band buckets ONCE and derives all three stages from
     * the cache:
@@ -286,7 +238,7 @@ object Dedup {
     * Shingle-less docs (< shingleN tokens) are LSH-invisible and always
     * admitted — see Ingest's exactGuard for their dedup story.
     * `appendToIndex` requires the index to be empty or batch-partitioned
-    * (the `minhashIndexAppend` layout, NOT a static `minhashIndexWrite`).
+    * (an ingest-maintained layout, NOT a static `minhashIndexWrite`).
     */
   def ingestAgainstIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                          batchId: Long, newDf: DataFrame, textCol: String, idCol: String,
@@ -307,9 +259,14 @@ object Dedup {
     // __batch= partitions into a static (root-file) index would leave a
     // mixed layout parquet partition discovery rejects
     if (appendToIndex) {
-      val bp = new org.apache.hadoop.fs.Path(s"$indexPath/buckets")
-      val mixed = fs.exists(bp) && fs.listStatus(bp).exists(_.getPath.getName.endsWith(".parquet")) &&
-        !fs.listStatus(bp).exists(_.getPath.getName.startsWith("__batch="))
+      def static(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")) &&
+          !fs.listStatus(p).exists(_.getPath.getName.startsWith("__batch="))
+      }
+      // check BOTH halves: a fully-capped static write leaves sigs/ with
+      // root files while buckets/ is empty — appending would still corrupt
+      val mixed = static(s"$indexPath/buckets") || static(s"$indexPath/sigs")
       require(!mixed,
         s"index at $indexPath has the static minhashIndexWrite layout (root data " +
           "files); ingestAgainstIndex appends need the batch-partitioned layout — " +
@@ -320,19 +277,8 @@ object Dedup {
     val base = projected.where(size(col("hs")) > 0)
     val bucketed = bandBucketRows(base, k, bands).persist()
     bucketed.count()
-    val wide = bucketed.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
-      .select(col("band"), col("key"))
-    val droppedBuckets = wide.count()
-    if (droppedBuckets > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ingestAgainstIndex: dropped $droppedBuckets over-wide LSH buckets " +
-          s"(> $maxBucketSize members) from batch $batchId")
-    val capped =
-      if (droppedBuckets == 0) bucketed
-      else if (droppedBuckets <= 100000)
-        bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
-      else bucketed.join(wide, Seq("band", "key"), "left_anti")
+    val capped = capOverWideBuckets(bucketed, maxBucketSize,
+      s"ingestAgainstIndex(batch $batchId)")
     val vsDup =
       if (!hasData(s"$indexPath/buckets"))
         base.select(col("id")).where(lit(false)) // typed empty
@@ -348,7 +294,7 @@ object Dedup {
         base.select(col("id").as("new_id"), col("hs").as("hs_n"))
           .join(pairs, Seq("new_id"))
           .join(idxSigs, Seq("corpus_id"))
-          .where(jaccard(col("hs_n"), col("hs_o")) >= threshold)
+          .where(round(jaccard(col("hs_n"), col("hs_o")), 6) >= threshold)
           .select(col("new_id").as("id")).distinct()
       }
     val survBuckets = capped.join(vsDup, Seq("id"), "left_anti")
@@ -362,7 +308,7 @@ object Dedup {
     val intraLosers = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
       .join(broadcast(p2), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .where(jaccard(col("hs_a"), col("hs_b")) >= threshold)
+      .where(round(jaccard(col("hs_a"), col("hs_b")), 6) >= threshold)
       .select(col("id_b").as("id")).distinct()
     // materialize the (small) drop list once — it gates three consumers
     // (two index writes + the admitted anti-join)
@@ -438,9 +384,11 @@ object Dedup {
     val result = newBase.select(col("id").as("new_id"), col("hs").as("hs_n"))
       .join(pairs, Seq("new_id"))
       .join(idxSigs, Seq("corpus_id"))
-      .withColumn("jaccard", jaccard(col("hs_n"), col("hs_o")))
+      // round before thresholding, like minhashCandidatePairs — the SQL
+      // oracle thresholds the rounded value
+      .withColumn("jaccard", round(jaccard(col("hs_n"), col("hs_o")), 6))
       .where(col("jaccard") >= jaccardThreshold)
-      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
       .localCheckpoint(true)
     projected.unpersist(false)
     result

@@ -94,16 +94,26 @@ object Multimodal {
     * — the knob that keeps a media batch inside executor memory no matter
     * how the upstream scan chunked the table (a 100 MB-per-image corpus
     * needs hundreds× fewer rows per partition than thumbnails, and the
-    * scan's input-split sizing knows nothing about either). The stats
-    * pass is a 1-row aggregate; payload bytes never move twice.
+    * scan's input-split sizing knows nothing about either).
+    *
+    * Sizing cost: the row count is metadata-only (parquet count
+    * pushdown, no payload bytes read), and the average payload size
+    * comes from a bounded `sampleRows`-row head sample — a full
+    * `avg(length(bytes))` would read every payload byte once just to
+    * size the pass that reads them again (a doubled 100 TB scan). The
+    * head sample is biased if payload sizes correlate with file order;
+    * raise `sampleRows` (or pass a pre-shuffled frame) when they do.
     */
   def repartitionForMedia(df: DataFrame, bytesCol: String,
-                          targetBytesPerPartition: Long = 256L << 20): DataFrame = {
+                          targetBytesPerPartition: Long = 256L << 20,
+                          sampleRows: Int = 10000): DataFrame = {
     require(targetBytesPerPartition > 0, "targetBytesPerPartition must be positive")
-    val s = df.agg(count(lit(1)).as("n"),
-      avg(length(col(bytesCol)).cast("double")).as("b")).head()
-    if (s.getLong(0) == 0 || s.isNullAt(1)) return df // empty / all-null payloads
-    val totalBytes = s.getLong(0) * math.max(s.getDouble(1), 1.0)
+    val rows = df.count() // parquet metadata count: no payload read
+    if (rows == 0) return df
+    val s = df.select(length(col(bytesCol)).cast("double").as("b"))
+      .limit(sampleRows).agg(avg(col("b"))).head()
+    if (s.isNullAt(0)) return df // all-null payloads in the sample
+    val totalBytes = rows * math.max(s.getDouble(0), 1.0)
     val n = math.min(math.ceil(totalBytes / targetBytesPerPartition), 1 << 20).toInt
     df.repartition(math.max(n, 1))
   }

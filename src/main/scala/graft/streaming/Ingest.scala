@@ -9,13 +9,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** Streaming ingestion dedup — the production LLM-data intake loop: a
   * document stream (crawl batches) where every micro-batch is
   *   1. near-dedup'd AGAINST the persisted LSH index of everything
-  *      admitted so far ([[Dedup.minhashPairsAgainstIndex]] — the
-  *      incremental path: no corpus-wide signature rebuild, ever),
-  *   2. near-dedup'd WITHIN itself ([[Dedup.minhashDedup]] — a crawl
-  *      batch carries its own self-dups),
-  *   3. and its survivors appended to the admitted corpus AND the index
-  *      ([[Dedup.minhashIndexAppend]]), so batch N+1 dedups against
-  *      batch N's survivors.
+  *      admitted so far (the incremental path: no corpus-wide signature
+  *      rebuild, ever),
+  *   2. near-dedup'd WITHIN itself (a crawl batch carries its own
+  *      self-dups),
+  *   3. and its survivors appended to the admitted corpus AND the index,
+  *      so batch N+1 dedups against batch N's survivors.
+  * All three stages run off ONE cached signature pass
+  * ([[Dedup.ingestAgainstIndex]]).
   *
   * At 100 TB the per-batch cost is the batch's own signature pass plus
   * equi-joins against the index — proportional to the batch and its

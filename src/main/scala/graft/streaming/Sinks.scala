@@ -228,35 +228,40 @@ object Sinks {
         Some {
           val ex = spark.read.parquet(targetDir).where(col("__kb").isin(touched: _*))
           // tables written before the __bid column existed merge as "never
-          // guarded" (-1): correct, since nothing ever stamped them
-          if (ex.columns.contains("__bid")) ex else ex.withColumn("__bid", lit(-1L))
+          // guarded" (-1): correct, since nothing ever stamped them.
+          // Persisted: BOTH the per-bucket guard aggregate and the merge
+          // read the touched buckets — one storage scan, not two.
+          (if (ex.columns.contains("__bid")) ex
+           else ex.withColumn("__bid", lit(-1L))).persist()
         }
       else None
-    // buckets whose data already contains this batch (crash after their
-    // write, before the sidecar) — bounded by nBuckets, driver-safe
-    val applied: Set[Int] = (existing, batchId) match {
-      case (Some(ex), Some(id)) =>
-        ex.groupBy(col("__kb")).agg(max(col("__bid")).as("mb"))
-          .where(col("mb") >= id)
-          .select(col("__kb")).collect().map(_.getInt(0)).toSet
-      case _ => Set.empty
-    }
-    val live = touched.filterNot(applied)
-    if (live.isEmpty) { batchId.foreach(writeLastBatch(fs, targetDir, _)); return }
-    // already-applied buckets are excluded from BOTH sides: their dirs are
-    // simply not in the output, and dynamic overwrite leaves them untouched
-    val bLive = b.where(col("__kb").isin(live: _*))
-    val exLive = existing.map(_.where(col("__kb").isin(live: _*)))
-    val all = exLive.map(_.unionByName(bLive)).getOrElse(bLive)
-    val merged = all.groupBy((keyCols :+ "__kb").map(col): _*)
-      .agg(sum(col("cnt")).as("cnt"),
-        sum(col("sum_val")).cast("decimal(18,6)").as("sum_val"),
-        max(col("__bid")).as("__bid"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__kb").parquet(targetDir)
-    batchId.foreach(writeLastBatch(fs, targetDir, _))
+    try {
+      // buckets whose data already contains this batch (crash after their
+      // write, before the sidecar) — bounded by nBuckets, driver-safe
+      val applied: Set[Int] = (existing, batchId) match {
+        case (Some(ex), Some(id)) =>
+          ex.groupBy(col("__kb")).agg(max(col("__bid")).as("mb"))
+            .where(col("mb") >= id)
+            .select(col("__kb")).collect().map(_.getInt(0)).toSet
+        case _ => Set.empty
+      }
+      val live = touched.filterNot(applied)
+      if (live.isEmpty) { batchId.foreach(writeLastBatch(fs, targetDir, _)); return }
+      // already-applied buckets are excluded from BOTH sides: their dirs are
+      // simply not in the output, and dynamic overwrite leaves them untouched
+      val bLive = b.where(col("__kb").isin(live: _*))
+      val exLive = existing.map(_.where(col("__kb").isin(live: _*)))
+      val all = exLive.map(_.unionByName(bLive)).getOrElse(bLive)
+      val merged = all.groupBy((keyCols :+ "__kb").map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sum_val")).cast("decimal(18,6)").as("sum_val"),
+          max(col("__bid")).as("__bid"))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__kb").parquet(targetDir)
+      batchId.foreach(writeLastBatch(fs, targetDir, _))
+    } finally existing.foreach(_.unpersist(false))
   }
 
   /** A8b — attach the incremental rollup to a change stream. */

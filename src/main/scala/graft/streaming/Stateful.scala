@@ -183,10 +183,14 @@ object Stateful {
       val sorted = rows.toSeq.sortBy(_.version)
       var cur = if (state.exists()) Option(state.get()) else None
       var emitted: Option[Upsert] = None
-      var lastTs = Long.MinValue
+      // the timer slides on APPLIED events only: stale-version replays
+      // must not keep a cold key's state alive forever (tracking the max
+      // ts of ignored rows would let replayed old traffic pin every cold
+      // key in the store, defeating the eviction this class exists for)
+      var lastAppliedTs = Long.MinValue
       sorted.foreach { c =>
-        lastTs = math.max(lastTs, c.ts.getTime)
         if (cur.forall(_.version < c.version)) {
+          lastAppliedTs = math.max(lastAppliedTs, c.ts.getTime)
           if (c.op == "d") {
             cur = None
             emitted = Some(Upsert(key, c.version, null, deleted = true))
@@ -196,16 +200,18 @@ object Stateful {
           }
         }
       }
-      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
-      cur match {
-        case Some(s) =>
-          state.update(s)
-          val at = lastTs + ttlMs
-          getHandle.registerTimer(at)
-          timerAt.update(at)
-        case None =>
-          state.clear()
-          timerAt.clear()
+      if (emitted.isDefined) { // something applied: state and timer move
+        if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+        cur match {
+          case Some(s) =>
+            state.update(s)
+            val at = lastAppliedTs + ttlMs
+            getHandle.registerTimer(at)
+            timerAt.update(at)
+          case None =>
+            state.clear()
+            timerAt.clear()
+        }
       }
       emitted.iterator
     }

@@ -19,7 +19,13 @@ MAIN="$1"; shift
 QUIET="${GRAFT_QUIET:-}"
 if [ -z "$QUIET" ] && [ "$MAIN" = "graft.Bench" ]; then QUIET=1; fi
 if [ "$QUIET" = "1" ]; then
-  tmux kill-server 2>/dev/null || true
+  # never kill the server we are running INSIDE of — that SIGHUPs this
+  # very script before the bench starts; warn and leave it to the caller
+  if [ -n "$TMUX" ]; then
+    echo "[run_main] inside tmux: NOT killing the server; bench timings will include its busy-spin" >&2
+  else
+    tmux kill-server 2>/dev/null || true
+  fi
   # straggler sbt launchers/servers (jps tags them "sbt-launch.jar" / "Main")
   for pid in $(jps -l 2>/dev/null | awk '/sbt-launch|xsbt|sbt\.internal/ {print $1}'); do
     kill "$pid" 2>/dev/null || true
