@@ -54,6 +54,24 @@ object SourceSinkQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A2c — XML write + read roundtrip (Spark 4 ships the XML datasource
+    // natively — the remaining text format after CSV/JSON; explicit read
+    // schema since XML carries no types)
+    "a2_xml_roundtrip" -> ((s, dir) => {
+      val out = tmp("graft-xml")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("rootTag", "events").option("rowTag", "event")
+        .format("xml").save(out)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .option("rowTag", "event").format("xml").load(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // A3 — JSON-lines write + read roundtrip (schema inferred on read)
     "a3_jsonl_roundtrip" -> ((s, dir) => {
       val out = tmp("graft-jsonl")
@@ -153,6 +171,11 @@ object SourceSinkQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a2_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a2_xml_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

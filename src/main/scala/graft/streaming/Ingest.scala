@@ -48,6 +48,11 @@ object Ingest {
     * same reason, one (indexPath, admittedDir) pair belongs to ONE stream
     * lineage — id collisions across lineages would cross-overwrite
     * `__batch` partitions.
+    *
+    * PRECONDITION: `idCol` is unique across the WHOLE stream, not just a
+    * batch. Same-id index/hash hits are interpreted as replay artifacts
+    * (and ignored), so a source that reuses a doc id in a later batch
+    * would slip that redelivery past both dedup guards.
     */
   def ingestBatch(batch: DataFrame, indexPath: String, admittedDir: String,
                   batchId: Long, textCol: String, idCol: String,

@@ -602,7 +602,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
   // writes, eager cached pipelines, file roundtrips) — audited by their
   // own dedicated plan specs instead of this blanket pass
   private val heavy = Set(
-    "a2_csv_roundtrip", "a2_orc_roundtrip", "a3_jsonl_roundtrip",
+    "a2_csv_roundtrip", "a2_orc_roundtrip", "a2_xml_roundtrip", "a3_jsonl_roundtrip",
     "a4_cdc_file_stream", "a5_file_stream", "a7_partitioned_sink",
     "a8_foreach_upsert", "j5_stream_dedup", "j8_stream_upsert",
     "j8_stream_upsert_tws", "j9_stream_tumbling",
