@@ -152,7 +152,9 @@ object Bench {
     // total_r1 = the unchanged round-1 14-query set, comparable across rounds
     val totalR1 = results.filter(r => r1Headline.contains(r._1))
       .map(_._2).filter(_ >= 0).sum
-    val filterField = if (filter.isEmpty) "" else s""","filtered":"$filter""""
+    // sanitize: the env value goes into JSON verbatim otherwise
+    val filterSafe = filter.replaceAll("[^A-Za-z0-9_]", "_")
+    val filterField = if (filter.isEmpty) "" else s""","filtered":"$filterSafe""""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"queries":$qJson,"sf":"$sfDir"$filterField}""")
     spark.stop()
   }

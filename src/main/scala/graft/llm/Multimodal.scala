@@ -108,12 +108,23 @@ object Multimodal {
                           targetBytesPerPartition: Long = 256L << 20,
                           sampleRows: Int = 10000): DataFrame = {
     require(targetBytesPerPartition > 0, "targetBytesPerPartition must be positive")
+    require(sampleRows > 0, "sampleRows must be positive")
     val rows = df.count() // parquet metadata count: no payload read
     if (rows == 0) return df
     val s = df.select(length(col(bytesCol)).cast("double").as("b"))
       .limit(sampleRows).agg(avg(col("b"))).head()
-    if (s.isNullAt(0)) return df // all-null payloads in the sample
-    val totalBytes = rows * math.max(s.getDouble(0), 1.0)
+    val avgBytes =
+      if (!s.isNullAt(0)) s.getDouble(0)
+      else {
+        // the head sample was ALL-null (e.g. payload-less rows sorted
+        // first) — that says nothing about the rest of the corpus, and
+        // skipping the repartition here is exactly the executor-OOM this
+        // function exists to prevent. Pay the one full-length pass.
+        val full = df.agg(avg(length(col(bytesCol)).cast("double"))).head()
+        if (full.isNullAt(0)) return df // truly all-null payloads
+        full.getDouble(0)
+      }
+    val totalBytes = rows * math.max(avgBytes, 1.0)
     val n = math.min(math.ceil(totalBytes / targetBytesPerPartition), 1 << 20).toInt
     df.repartition(math.max(n, 1))
   }
