@@ -3,7 +3,7 @@ package graft.contract
 import graft.core.Engine
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -457,6 +457,30 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K10 — benchmark decontamination: per-doc word-3-gram overlap of the
+    // training split (doc_id % 37 != 0) against the benchmark split
+    // (doc_id % 37 == 0); flag docs leaking >= 50% of their grams
+    "k10_decontaminate" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      Decontaminate.overlapStats(
+        all.where(col("doc_id") % 37 =!= 0),
+        all.where(col("doc_id") % 37 === 0),
+        "text", "doc_id", n = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // K10 — the production form: corpus with contaminated docs dropped,
+    // summarized per language
+    "k10_clean_corpus" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      Decontaminate.clean(
+        all.where(col("doc_id") % 37 =!= 0),
+        all.where(col("doc_id") % 37 === 0),
+        "text", "doc_id", n = 3, threshold = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // G8 — seeded sample (RNG differs across engines → rows-only; bounds
     // asserted in the test suite)
     "g8_sample" -> ((s, dir) => {
@@ -873,5 +897,41 @@ object LlmQueries {
         |      i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)
         |           * 16.0 ** (8 - i))) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS roll_fp
-        |FROM tk WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
+        |FROM tk WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+
+    "k10_decontaminate" -> (tokCte + decontamCtes +
+      """
+        |SELECT doc_id, n_grams, n_hits, overlap, overlap >= 0.5 AS contaminated
+        |FROM st ORDER BY doc_id""".stripMargin),
+
+    "k10_clean_corpus" -> (tokCte + decontamCtes +
+      """
+        |SELECT d.lang, COUNT(*) AS n FROM documents d
+        |JOIN st ON st.doc_id = d.doc_id
+        |WHERE st.overlap < 0.5
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+
+  /** Shared DuckDB closure for K10 decontamination: word-3-gram overlap of
+    * the training split (doc_id % 37 != 0) against the benchmark split
+    * (doc_id % 37 == 0), ending in `st(doc_id, n_grams, n_hits, overlap)`
+    * over training docs only — the same math as
+    * [[graft.llm.Decontaminate.overlapStats]].
+    */
+  private def decontamCtes: String =
+    """, gr AS (SELECT doc_id,
+      |  CASE WHEN len(t) < 3 THEN []
+      |       ELSE list_transform(range(0, len(t) - 2),
+      |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+      |  FROM tk),
+      |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
+      |dg AS (SELECT doc_id, CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams FROM gr),
+      |bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+      |hits AS (SELECT s.doc_id, COUNT(*) AS n_hits FROM sh s JOIN bg USING (g)
+      |  WHERE s.doc_id % 37 <> 0 GROUP BY s.doc_id),
+      |st AS (SELECT d.doc_id, d.n_grams,
+      |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CASE WHEN d.n_grams > 0
+      |       THEN ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_grams, 6)
+      |       ELSE 0.0 END AS overlap
+      |  FROM dg d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 37 <> 0)""".stripMargin
 }

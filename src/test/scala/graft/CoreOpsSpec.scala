@@ -130,6 +130,26 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(kept.join(docs, Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("decontaminate: exact benchmark copy flagged, disjoint text clean") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // exact copy → overlap 1.0
+      (2L, "alpha beta gamma zz yy xx ww"),   // 1 of 5 grams hit → 0.2
+      (3L, "one two three four five six"),    // disjoint vocab → 0 hits
+      (4L, "tiny doc")                        // < 3 tokens → 0 grams, clean
+    ).toDF("id", "text")
+    val st = llm.Decontaminate.overlapStats(docs, bench, "text", "id", n = 3, threshold = 0.5)
+      .orderBy("id")
+      .select("id", "n_grams", "n_hits", "overlap", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(st(0) === ((1L, 3L, 3L, 1.0, true)))
+    assert(st(1) === ((2L, 5L, 1L, 0.2, false)))
+    assert(st(2) === ((3L, 4L, 0L, 0.0, false)))
+    assert(st(3) === ((4L, 0L, 0L, 0.0, false)))
+    val kept = llm.Decontaminate.clean(docs, bench, "text", "id", n = 3, threshold = 0.5)
+    assert(kept.select("id").as[Long].collect().sorted === Array(2L, 3L, 4L))
+  }
+
   test("connectedComponents: transitive closure incl. a 4-node chain") {
     // components: {1,2,3,4} via chain 1-2-3-4 (needs >1 round), {7,8}, {9} absent (no edges)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
