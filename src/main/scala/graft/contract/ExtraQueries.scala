@@ -141,6 +141,24 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // file-stats manifest + data-skipping read: range-cluster orders on
+    // o_orderdate, build the per-file min/max manifest, then answer a
+    // date-range query scanning only overlapping files — must agree
+    // exactly with the plain full-scan filter
+    "x2_manifest_skipping" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(out)
+      graft.ops.Manifest.write(s, out, Seq("o_orderdate"))
+      graft.ops.Manifest.prunedRead(s, out, "o_orderdate",
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +248,12 @@ object ExtraQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x2_manifest_skipping" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -752,3 +752,43 @@ class PartitionSortSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ok.forall(identity))
   }
 }
+
+/** File-stats manifest + data-skipping: the pruned read must scan strictly
+  * fewer files on a selective range over range-clustered data, and agree
+  * exactly with the full-scan filter.
+  */
+class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("manifest prunes files and prunedRead equals the full-scan filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft-manifest-spec").toString
+    val orders = core.Engine.table(spark, TestSpark.sf, "orders")
+    orders.repartitionByRange(6, col("o_orderdate")).write.mode("overwrite").parquet(out)
+
+    val m = graft.ops.Manifest.write(spark, out, Seq("o_orderdate"))
+    val nFiles = m.count()
+    assert(nFiles === 6)
+    assert(m.agg(sum(col("n_rows"))).head.getLong(0) === orders.count())
+
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-06-30").cast("timestamp")
+    val pruned = graft.ops.Manifest.pruneFiles(spark, out, "o_orderdate", lo, hi)
+    assert(pruned.nonEmpty && pruned.size < nFiles,
+      s"selective range should skip files: kept ${pruned.size} of $nFiles")
+
+    val viaManifest = graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus")).collect()
+    val fullScan = spark.read.parquet(out)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus")).collect()
+    assert(viaManifest === fullScan)
+
+    // a range outside the domain matches no file and returns empty cleanly
+    val none = graft.ops.Manifest.prunedRead(spark, out, "o_orderdate",
+      lit("1899-01-01").cast("timestamp"), lit("1899-12-31").cast("timestamp"))
+    assert(none.count() === 0)
+  }
+}
