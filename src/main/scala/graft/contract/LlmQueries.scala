@@ -3,7 +3,7 @@ package graft.contract
 import graft.core.Engine
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llm.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -469,6 +469,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // K11 — deterministic fixed-point k-means over the embeddings corpus
+    // (semantic clustering for dedup/sampling): integer quantization makes
+    // the 3-round Lloyd model bit-reproducible in the DuckDB oracle
+    "k11_kmeans" -> ((s, dir) => {
+      val model = Clustering.kmeans(
+        t(s, dir, "embeddings"), "embedding", "vec_id", k = 4, iters = 3)
+      Clustering.summary(model)
+        .select(col("cluster_id"), col("n"),
+          concat_ws(",", col("centroid")).as("centroid_str"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // K10 — the production form: corpus with contaminated docs dropped,
     // summarized per language
     "k10_clean_corpus" -> ((s, dir) => {
@@ -899,6 +911,13 @@ object LlmQueries {
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS roll_fp
         |FROM tk WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
 
+    "k11_kmeans" -> (kmeansCtes(k = 4, iters = 3) +
+      """
+        |SELECT n.cid AS cluster_id, n.n, array_to_string(c.v, ',') AS centroid_str
+        |FROM (SELECT cid, COUNT(*) AS n FROM a3 GROUP BY cid) n
+        |JOIN c3 c ON c.cid = n.cid
+        |ORDER BY cluster_id""".stripMargin),
+
     "k10_decontaminate" -> (tokCte + decontamCtes +
       """
         |SELECT doc_id, n_grams, n_hits, overlap, overlap >= 0.5 AS contaminated
@@ -910,6 +929,42 @@ object LlmQueries {
         |JOIN st ON st.doc_id = d.doc_id
         |WHERE st.overlap < 0.5
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+
+  /** DuckDB closure for K11 k-means: quantize (identical
+    * `floor(x*scale + 0.5)` fixed-point as
+    * [[graft.llm.Clustering.kmeans]]), init from the k lowest vec_ids,
+    * then `iters` unrolled Lloyd rounds — assignment `a_t` via
+    * argmin-by-row_number over the exact integer squared-L2, update `c_t`
+    * via per-position integer-mean (floor; `//` would truncate toward
+    * zero and diverge from Math.floorDiv on negative sums).
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int = 64,
+                         scale: Long = 1000000L): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+         |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k))""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$t AS (SELECT vec_id, v, cid FROM (
+           |  SELECT q.vec_id, q.v, c.cid,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      list_sum(list_transform(range(1, ${dim + 1}),
+           |        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.cid) AS rn
+           |  FROM q CROSS JOIN c${t - 1} c) WHERE rn = 1),
+           |c$t AS (SELECT cid, list(mv ORDER BY pos) AS v FROM (
+           |  SELECT a.cid, gs.i AS pos,
+           |    CAST(floor(CAST(SUM(a.v[gs.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+           |  FROM a$t a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) gs
+           |  GROUP BY a.cid, gs.i) GROUP BY cid)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** Shared DuckDB closure for K10 decontamination: word-3-gram overlap of
     * the training split (doc_id % 37 != 0) against the benchmark split

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Embedding clustering: deterministic fixed-point Lloyd k-means — the
+  * semantic-dedup / topic-bucketing primitive of training-data pipelines
+  * (cluster the corpus, then sample/dedup within clusters).
+  *
+  * Cross-engine exactness by construction: float embeddings are quantized
+  * to integers once (`floor(x * scale + 0.5)`), and every subsequent step
+  * — squared-L2 distances, argmin, centroid means (floor division) — is
+  * integer arithmetic. No accumulation-order nondeterminism, no float
+  * drift through iterations (one near-boundary float flip would cascade
+  * into a completely different clustering), so a SQL oracle reproduces the
+  * final model bit-for-bit. Quantization error is 0.5/scale per component
+  * — noise relative to any embedding model's own variance.
+  *
+  * Scale shape per iteration: assignment is a pure codegen'd projection
+  * against k BROADCAST-LITERAL centroids (no join, no shuffle of the
+  * corpus); the centroid update is one map-side-combinable shuffle with k
+  * groups and `dim` sum columns; the driver holds only k × dim longs
+  * (same boundedness class as the IVF centroid collect). The corpus is
+  * persisted across iterations — the standard iterative-ML trade.
+  */
+object Clustering {
+
+  /** Final model: per-point assignments and the quantized centroids. */
+  case class KmeansModel(assignments: DataFrame,
+                         centroids: Seq[(Long, Seq[Long])])
+
+  /** Lloyd k-means on a quantized copy of `vecCol`.
+    *
+    * Init: the k rows with the smallest `idCol` (deterministic, no RNG —
+    * ids are hash-shuffled upstream in any real corpus; pass a
+    * pre-sampled frame if you want k-means++ flavored seeds).
+    * Each of `iters` rounds assigns every point to its nearest centroid
+    * (squared L2, ties to the lowest centroid id) and recomputes centroids
+    * as the floor-divided component mean. Clusters that lose all points
+    * are dropped (mirrored exactly by the oracle).
+    *
+    * Returns assignments from the LAST round and the centroids computed
+    * FROM those assignments.
+    */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
+             iters: Int, scale: Long = 1000000L): KmeansModel = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val q = df.select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale + lit(0.5d)).cast("long")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: k smallest ids, centroid id = rank in id order
+      var centroids: Seq[(Long, Seq[Long])] =
+        q.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
+          case (r, i) => (i.toLong, r.getSeq[Long](1))
+        }.toSeq
+
+      var assigned: DataFrame = null
+      for (_ <- 1 to iters) {
+        assigned = assign(q, centroids)
+        val sums = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"),
+            (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+          .collect()
+        centroids = sums.map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0), (0 until dim).map(i => Math.floorDiv(r.getLong(2 + i), n)))
+        }.sortBy(_._1).toSeq
+      }
+      KmeansModel(assigned.select(col("id"), col("cluster")), centroids)
+    } finally q.unpersist()
+  }
+
+  /** Nearest-centroid projection: distances to all k centroids as one
+    * literal-array HOF (codegen, zero shuffle), argmin position → centroid
+    * id. `array_position` returns the FIRST minimum, so ties break to the
+    * lowest centroid id (the list is sorted by id).
+    */
+  private def assign(q: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val cids = centroids.map(_._1)
+    val cents = centroids.map(_._2)
+    val dists = transform(typedLit(cents),
+      c => aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    q.withColumn("__d", dists)
+      .withColumn("cluster",
+        element_at(typedLit(cids),
+          array_position(col("__d"), array_min(col("__d"))).cast("int")))
+      .drop("__d")
+  }
+
+  /** Per-cluster summary of a finished model: (cluster_id, n, centroid) —
+    * the contract-facing view. Built from the model's driver-held
+    * centroids (k rows) joined against the assignment counts.
+    */
+  def summary(model: KmeansModel): DataFrame = {
+    val spark = model.assignments.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toDF("cluster", "centroid")
+    model.assignments.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .join(cents, Seq("cluster"))
+      .select(col("cluster").as("cluster_id"), col("n"), col("centroid"))
+  }
+}

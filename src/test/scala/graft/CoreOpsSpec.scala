@@ -792,3 +792,49 @@ class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(none.count() === 0)
   }
 }
+
+/** Fixed-point k-means: separates obvious blobs, is deterministic, and
+  * never loses or duplicates a point. Exactness vs the SQL oracle is
+  * covered by the k11_kmeans contract query.
+  */
+class ClusteringSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def blobs = Seq(
+    (1L, Seq(1.0f, 1.0f, 0.9f)), (2L, Seq(0.9f, 1.1f, 1.0f)),
+    (3L, Seq(1.1f, 0.9f, 1.0f)),
+    (10L, Seq(-1.0f, -1.0f, -0.9f)), (11L, Seq(-0.9f, -1.1f, -1.0f)),
+    (12L, Seq(-1.1f, -0.9f, -1.0f))
+  ).toDF("id", "v")
+
+  test("kmeans separates two blobs and partitions the input exactly") {
+    val m = graft.llm.Clustering.kmeans(blobs, "v", "id", k = 2, iters = 3)
+    val a = m.assignments.as[(Long, Long)].collect().toMap
+    assert(a.size === 6)
+    assert(Set(a(1L), a(2L), a(3L)).size === 1)
+    assert(Set(a(10L), a(11L), a(12L)).size === 1)
+    assert(a(1L) !== a(10L))
+    assert(m.centroids.size === 2)
+    // centroid of the positive blob ≈ (1.0, 1.0, 0.966…) in fixed-point
+    val pos = m.centroids.toMap.apply(a(1L))
+    assert(pos.forall(c => c > 900000L && c < 1100000L))
+  }
+
+  test("kmeans is deterministic across runs") {
+    val m1 = graft.llm.Clustering.kmeans(blobs, "v", "id", k = 2, iters = 2)
+    val m2 = graft.llm.Clustering.kmeans(blobs, "v", "id", k = 2, iters = 2)
+    assert(m1.centroids === m2.centroids)
+    assert(m1.assignments.orderBy("id").collect() ===
+      m2.assignments.orderBy("id").collect())
+  }
+
+  test("kmeans on real embeddings: summary counts sum to corpus size") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val m = graft.llm.Clustering.kmeans(e, "embedding", "vec_id", k = 4, iters = 2)
+    val s = graft.llm.Clustering.summary(m)
+    assert(s.agg(sum(col("n"))).head.getLong(0) === e.count())
+    assert(s.count() <= 4)
+  }
+}
