@@ -64,6 +64,28 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // J10+ state introspection — drain a streaming dedup, then read the
+    // checkpoint's state store back as a DataFrame (statestore source):
+    // the persisted state keys themselves are the checked result
+    "j13_state_inspect" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql = s.sqlContext
+      val rows = loadEvents(s, dir)
+      val src = MemoryStream[EventRow]
+      rows.grouped(rows.size / 4 + 1).foreach(c => src.addData(c))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stinsp-q").toString
+      val q = src.toDS().toDF().dropDuplicates("user_id")
+        .select(col("user_id"))
+        .writeStream.format("memory")
+        .queryName(s"graft_stinsp_${System.nanoTime()}")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      graft.streaming.StateInspect.store(s, ckpt)
+        .select(col("key.user_id").as("user_id"))
+        .orderBy(col("user_id"))
+    }),
+
     // J8 streaming keyed upsert (flatMapGroupsWithState) — the streaming
     // form of B5 materialization; final state must equal the batch window
     "j8_stream_upsert" -> ((s, dir) => {
@@ -251,6 +273,9 @@ object StreamingQueries {
     "j5_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "j13_state_inspect" ->
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
 
     "j8_stream_upsert" ->
       """SELECT user_id, event_id AS last_event_id, props AS payload

@@ -611,6 +611,27 @@ class CdcStreamingSpec extends AnyFunSuite {
       s"recovery must append exactly the new offsets once, got ${all.toSeq}")
   }
 
+  test("state introspection: statestore/state-metadata readers see live keyed state (J10)") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stinsp").toString
+    src.addData((1L, "a"), (2L, "b"), (1L, "dup"))
+    val q = src.toDS().toDF("id", "s")
+      .dropDuplicates("id")
+      .writeStream.format("memory").queryName("stinsp_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    // metadata names the dedup operator and its store
+    val md = graft.streaming.StateInspect.metadata(spark, ckpt)
+      .select("operatorName").as[String].collect()
+    assert(md.nonEmpty && md.exists(_.toLowerCase.contains("dedup")), md.toSeq.toString)
+    // state holds exactly the distinct keys, straight from the checkpoint
+    val keys = graft.streaming.StateInspect.store(spark, ckpt)
+      .select("key.id").as[Long].collect().sorted
+    assert(keys === Array(1L, 2L))
+  }
+
   test("session windows equal the batch lag/cumsum sessionization") {
     val rows = Seq(
       StreamingQueriesRow(1, ts(0), 1, "t", 1.0),
