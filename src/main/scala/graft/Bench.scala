@@ -49,7 +49,11 @@ object Bench {
     "k2_incremental_query",  // 10% batch near-dup'd AGAINST the index (per-batch cost)
     "k4_ivf_build",          // IVF index build+write (amortized once)
     "k4_ivf_read",           // partition-pruned ANN read (the per-query cost)
-    "j8_stream_upsert_tws")  // transformWithState upsert (RocksDB replay)
+    "j8_stream_upsert_tws",  // transformWithState upsert (RocksDB replay)
+    "k10_decontaminate",     // benchmark n-gram overlap vs broadcast eval set
+    "k11_kmeans",            // fixed-point Lloyd k-means, 3 rounds (round 5)
+    "x2_manifest_build",     // file-stats manifest over range-clustered orders
+    "x2_manifest_read")      // data-skipping range read against the manifest
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,12 +82,20 @@ object Bench {
     // CONTRACT query k2_incremental_neardup fixes 400 corpus docs for its
     // cross-SF oracle instead; here realism matters more than oracles)
     val lshPath = java.nio.file.Files.createTempDirectory("graft-bench-lshidx").toString
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     // computed during setup, NOT inside the timed k2_idx_build region
     val lshSplit: Long = {
       val d = graft.core.Engine.table(spark, sfDir, "documents")
       d.selectExpr("percentile(doc_id, 0.9)").head().getDouble(0).toLong
     }
+    // range-clustered orders copy backing the manifest entries; written
+    // once (untimed — the table write is neither the build's nor the
+    // read's cost), only when an x2 entry will actually run
+    val manifestTable = java.nio.file.Files.createTempDirectory("graft-bench-man").toString
+    lazy val manifestTableReady: Unit =
+      graft.core.Engine.table(spark, sfDir, "orders")
+        .repartitionByRange(32, col("o_orderdate"))
+        .write.mode("overwrite").parquet(manifestTable)
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try name match {
@@ -103,6 +115,12 @@ object Bench {
           graft.llm.Similarity.ivfWriteIndex(
             e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
             nCells = 16, lloydRounds = 1, path = ivfPath)
+        case "x2_manifest_build" =>
+          graft.ops.Manifest.write(spark, manifestTable, Seq("o_orderdate"))
+        case "x2_manifest_read" =>
+          graft.ops.Manifest.prunedRead(spark, manifestTable, "o_orderdate",
+              lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+            .write.format("noop").mode("overwrite").save()
         case "k4_ivf_read" =>
           val e = graft.core.Engine.table(spark, sfDir, "embeddings")
           graft.llm.Similarity.ivfKnnPruned(spark, ivfPath,
@@ -140,6 +158,8 @@ object Bench {
     runOnce("e1_agg_flagship") // JVM/codegen warmup, untimed
     ensure("k2_idx_build", "k2_incremental_query")
     ensure("k4_ivf_build", "k4_ivf_read")
+    if (selected.exists(_.startsWith("x2_manifest"))) manifestTableReady
+    ensure("x2_manifest_build", "x2_manifest_read")
     val results = selected.map { n =>
       val times = (1 to reps).map(_ => runOnce(n))
       if (reps > 1) System.err.println(
