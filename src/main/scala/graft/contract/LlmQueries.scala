@@ -970,18 +970,32 @@ object LlmQueries {
     * the training split (doc_id % 37 != 0) against the benchmark split
     * (doc_id % 37 == 0), ending in `st(doc_id, n_grams, n_hits, overlap)`
     * over training docs only — the same math as
-    * [[graft.llm.Decontaminate.overlapStats]].
+    * [[graft.llm.Decontaminate.overlapStats]]. Grams are hashed to longs
+    * (md5-prefix mod P — the identical [[graft.functions.TextFunctions
+    * .shingleHashes]] math the MinHash oracle uses), matching the engine's
+    * 8-bytes-per-gram cache representation; counts are over DISTINCT
+    * hashes, so a (deterministic, engine-identical) prefix collision
+    * changes both sides equally.
     */
-  private def decontamCtes: String =
-    """, gr AS (SELECT doc_id,
+  private def decontamCtes: String = {
+    val P = graft.functions.TextFunctions.MinhashP
+    s""", gr AS (SELECT doc_id,
       |  CASE WHEN len(t) < 3 THEN []
       |       ELSE list_transform(range(0, len(t) - 2),
       |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
       |  FROM tk),
       |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
-      |dg AS (SELECT doc_id, CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams FROM gr),
-      |bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
-      |hits AS (SELECT s.doc_id, COUNT(*) AS n_hits FROM sh s JOIN bg USING (g)
+      |hm AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(1, 9),
+      |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
+      |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+      |  FROM sh),
+      |hd AS (SELECT DISTINCT doc_id, h FROM hm),
+      |dgh AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+      |dg AS (SELECT gr.doc_id, CAST(COALESCE(dgh.n, 0) AS BIGINT) AS n_grams
+      |  FROM gr LEFT JOIN dgh USING (doc_id)),
+      |bg AS (SELECT DISTINCT h FROM hd WHERE doc_id % 37 = 0),
+      |hits AS (SELECT s.doc_id, COUNT(*) AS n_hits FROM hd s JOIN bg USING (h)
       |  WHERE s.doc_id % 37 <> 0 GROUP BY s.doc_id),
       |st AS (SELECT d.doc_id, d.n_grams,
       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
@@ -989,4 +1003,5 @@ object LlmQueries {
       |       THEN ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_grams, 6)
       |       ELSE 0.0 END AS overlap
       |  FROM dg d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 37 <> 0)""".stripMargin
+  }
 }

@@ -1,6 +1,5 @@
 package graft.llm
 
-import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -14,54 +13,81 @@ import org.apache.spark.sql.functions._
   * Scale shape (the asymmetry is the whole design): the BENCHMARK side is
   * small by construction (eval sets are MBs, the corpus is TBs), so its
   * distinct gram-hash set broadcasts; the corpus side is one codegen'd
-  * shingle pass + explode, a broadcast LEFT SEMI join that keeps only
-  * colliding grams (sparse in practice), and ONE shuffle of those hits on
-  * doc id. The corpus is never shuffled whole and never self-joined.
+  * shingle-hash pass materialized ONCE, a broadcast LEFT SEMI join that
+  * keeps only colliding grams (sparse in practice), and ONE shuffle of
+  * those hits on doc id. The corpus is never shuffled whole and never
+  * self-joined.
   *
-  * Grams are md5-keyed (engine-portable, like every hash in this library)
-  * so the DuckDB oracle reproduces the collision set bit-for-bit.
+  * Persist discipline (the round-5 lesson, now a SCALING.md rule): the
+  * gram pipeline fans out to two consumers (the hit count and the per-doc
+  * gram count), and an uncached HOF-gram pipeline under a Generate is
+  * 5-8x slower than exploding from cache — so the ONLY expensive pass is
+  * the shared [[Dedup.shingleHashProjection]] (id, array<long> gram
+  * hashes), persisted and eagerly counted exactly like the MinHash
+  * pipeline (Dedup.scala), with both consumers reading the cache. Grams
+  * are hashed to longs (md5-prefix mod P — identical math to MinHash
+  * shingle hashes) so the cache holds 8-byte longs instead of n-gram
+  * strings and the DuckDB oracle reproduces the collision set
+  * bit-for-bit.
   */
 object Decontaminate {
 
   /** Per-document overlap stats against a benchmark corpus.
     *
     * Returns one row per `docs` row: (idCol, n_grams, n_hits, overlap,
-    * contaminated) where `n_grams` is the document's distinct-shingle
+    * contaminated) where `n_grams` is the document's distinct-gram-hash
     * count, `n_hits` how many of those occur anywhere in `bench`,
     * `overlap` = n_hits / n_grams (0 when the doc is shorter than n
     * tokens) and `contaminated` = overlap >= threshold.
     *
-    * Two scans of `docs` (one for the gram explode, one for the per-doc
-    * gram counts) — deliberate: re-scanning (id, text) through a pruned
-    * parquet read is cheaper at scale than carrying n_grams through the
-    * explode and shuffling EVERY gram row to re-group zero-hit docs; the
-    * semi-join path shuffles only the colliding grams.
+    * The result is eagerly materialized (`localCheckpoint(true)`) before
+    * the corpus cache is released: it is one small row per document (the
+    * stats, never the text or grams), the same boundedness class as the
+    * LSH pair list — and it means `clean` and any other consumer reads
+    * the finished stats, not a re-execution of the gram pipeline.
     */
   def overlapStats(docs: DataFrame, bench: DataFrame, textCol: String,
                    idCol: String, n: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
     require(threshold >= 0 && threshold <= 1, s"threshold must be in [0,1]: $threshold")
-    val benchGrams = bench
-      .select(explode(shingles(col(textCol), n)).as("g"))
-      .select(md5(col("g")).as("__gk")).distinct()
-    val hits = docs
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
-      .select(col(idCol), md5(col("g")).as("__gk"))
+    // ONE expensive pass per side: (id, hs) with hs = distinct long
+    // gram-hashes; persisted + eagerly counted so every fan-out consumer
+    // below hits the cache, not the tokenizer — and so no explode ever
+    // runs over the uncached HOF pipeline (the SCALING.md trap: the
+    // fused Generate-over-HOF plan measured 18 s where explode-from-cache
+    // is ~1 s, independent of the side's row count).
+    val docProj = Dedup.shingleHashProjection(docs, textCol, idCol, n).persist()
+    docProj.count()
+    val benchProj = Dedup.shingleHashProjection(bench, textCol, idCol, n).persist()
+    benchProj.count()
+    val benchGrams = benchProj.select(explode(col("hs")).as("__gk")).distinct()
+    val hits = docProj
+      .select(col("id"), explode(col("hs")).as("__gk"))
       .join(broadcast(benchGrams), Seq("__gk"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
-    docs
-      .select(col(idCol), size(shingles(col(textCol), n)).cast("long").as("n_grams"))
-      .join(hits, Seq(idCol), "left")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    val stats = docProj
+      .select(col("id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("overlap",
         when(col("n_grams") > 0,
           round(col("n_hits").cast("double") / col("n_grams"), 6))
           .otherwise(lit(0.0)))
       .withColumn("contaminated", col("overlap") >= threshold)
+      .withColumnRenamed("id", idCol)
+      // eager materialization + lineage severing BEFORE unpersisting the
+      // big cache: the caller (and clean()) consume finished stats rows;
+      // localCheckpoint blocks are ContextCleaner-collected once dropped.
+      .localCheckpoint(true)
+    docProj.unpersist(false)
+    benchProj.unpersist(false)
+    stats
   }
 
-  /** The production form: `docs` minus contaminated rows. Anti-join on the
-    * flagged id set (flagged docs are few, so AQE plans it broadcast).
+  /** The production form: `docs` minus contaminated rows. Reuses the
+    * already-materialized stats from [[overlapStats]] — the gram pipeline
+    * runs exactly once; the anti-join sees only the (small) flagged id
+    * set, so AQE plans it broadcast.
     */
   def clean(docs: DataFrame, bench: DataFrame, textCol: String,
             idCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {

@@ -160,8 +160,8 @@ object Dedup {
     * element_at); hash then dedupe (deduping 8-byte longs beats sorting
     * string arrays).
     */
-  private def shingleHashProjection(df: DataFrame, textCol: String, idCol: String,
-                                    shingleN: Int): DataFrame = {
+  private[llm] def shingleHashProjection(df: DataFrame, textCol: String, idCol: String,
+                                         shingleN: Int): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism, col("id"))
