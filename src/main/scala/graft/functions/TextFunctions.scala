@@ -50,7 +50,16 @@ object TextFunctions {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
 
-  /** Distinct word shingles (n-grams) — the MinHash input set. */
+  /** Distinct word shingles (n-grams) — the MinHash input set.
+    *
+    * GUARD (SCALING.md round-6 rule): the result of `shingles`/`ngrams`
+    * must NOT be consumed uncached by `explode`/any fan-out — a Generate
+    * fused over the inline HOF pipeline is 5-8× slower than exploding a
+    * cached column (and every extra consumer re-runs the whole
+    * tokenize→ngram→hash pass). Project to (id, hashed grams), persist +
+    * eager count, then explode from the cache — see
+    * Dedup.shingleHashProjection, the canonical instance.
+    */
   def shingles(text: Column, n: Int): Column =
     array_distinct(ngrams(tokens(normalizeText(text)), n))
 
