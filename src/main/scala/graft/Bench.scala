@@ -53,6 +53,7 @@ object Bench {
     "k10_decontaminate",     // benchmark n-gram overlap vs broadcast eval set
     "k11_kmeans",            // fixed-point Lloyd k-means, 3 rounds (round 5)
     "x2_manifest_build",     // file-stats manifest over range-clustered orders
+    "x2_manifest_refresh",   // incremental refresh after an appended batch (∝ new files)
     "x2_manifest_read")      // data-skipping range read against the manifest
 
   def main(args: Array[String]): Unit = {
@@ -117,6 +118,8 @@ object Bench {
             nCells = 16, lloydRounds = 1, path = ivfPath)
         case "x2_manifest_build" =>
           graft.ops.Manifest.write(spark, manifestTable, Seq("o_orderdate"))
+        case "x2_manifest_refresh" =>
+          graft.ops.Manifest.refresh(spark, manifestTable, Seq("o_orderdate"))
         case "x2_manifest_read" =>
           graft.ops.Manifest.prunedRead(spark, manifestTable, "o_orderdate",
               lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
@@ -159,8 +162,16 @@ object Bench {
     ensure("k2_idx_build", "k2_incremental_query")
     ensure("k4_ivf_build", "k4_ivf_read")
     if (selected.exists(_.startsWith("x2_manifest"))) manifestTableReady
+    ensure("x2_manifest_build", "x2_manifest_refresh")
     ensure("x2_manifest_build", "x2_manifest_read")
     val results = selected.map { n =>
+      // x2_manifest_refresh measures the INCREMENTAL path: append a ~10%
+      // batch as new files (untimed) right before it, so rep 1 times a
+      // refresh ∝ new files and rep 2 the nothing-to-do fast path
+      if (n == "x2_manifest_refresh")
+        graft.core.Engine.table(spark, sfDir, "orders")
+          .where(col("o_orderkey") % 10 === 0)
+          .repartition(2).write.mode("append").parquet(manifestTable)
       val times = (1 to reps).map(_ => runOnce(n))
       if (reps > 1) System.err.println(
         s"[bench] $n reps: ${times.map(t => f"$t%.3f").mkString(", ")}")

@@ -20,26 +20,92 @@ import org.apache.spark.sql.functions._
   * Hadoop's input listing hides `_`-prefixed paths, so plain
   * `spark.read.parquet(table)` never sees it (same convention as
   * `_delta_log` / `_SUCCESS`).
+  *
+  * Freshness contract (round 6): [[prunedRead]] cross-checks the table's
+  * CURRENT file listing (one cheap FS list) against the manifest's file
+  * set and falls back to a full scan on any mismatch — a stale manifest
+  * can cost performance, never correctness. [[refresh]] is the matching
+  * O(new files) repair: stats are computed only for files absent from the
+  * manifest, retained rows are carried over byte-identical, and rows for
+  * deleted files are dropped — an append-heavy 100 TB table refreshes at
+  * the cost of the appended batch, not the table.
   */
 object Manifest {
 
   val ManifestDir = "_graft_manifest"
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Scan `tablePath` once and persist per-file (min, max) for each of
     * `cols` plus a row count: one codegen'd pass, one map-side-combinable
     * shuffle keyed by file name (groups = number of files). Returns the
-    * manifest. Re-run after any write that adds/replaces files.
+    * manifest. For refreshing after an append, prefer [[refresh]] —
+    * O(new files) instead of O(table).
     */
   def write(spark: SparkSession, tablePath: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "manifest needs at least one stats column")
+    statsFor(spark.read.parquet(tablePath), cols)
+      .coalesce(1) // manifests are tiny (one row per data file)
+      .write.mode("overwrite").parquet(s"$tablePath/$ManifestDir")
+    read(spark, tablePath)
+  }
+
+  private def statsFor(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    spark.read.parquet(tablePath)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1) // manifests are tiny (one row per data file)
-      .write.mode("overwrite").parquet(s"$tablePath/$ManifestDir")
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental refresh: bring the manifest up to date after files were
+    * added (or removed) WITHOUT rescanning the table. Diffs the current
+    * file listing against the manifest's file set; aggregates stats only
+    * for new files; keeps existing rows byte-identical; drops rows whose
+    * files no longer exist. Cost ∝ new files — the refresh an
+    * append-every-hour 100k-file table actually affords.
+    *
+    * Falls back to a full [[write]] when no manifest exists yet or its
+    * column set does not match `cols`. Note: covers flat (unpartitioned)
+    * layouts — the ones [[Layout]]'s clustered writes produce; stats over
+    * Hive-partition-derived columns need the full [[write]] path, which
+    * reads through the table root.
+    */
+  def refresh(spark: SparkSession, tablePath: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest needs at least one stats column")
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$tablePath/$ManifestDir")
+    val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(manifestPath)) return write(spark, tablePath, cols)
+    val existing = read(spark, tablePath)
+    val expected = (cols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++ Seq("n_rows", "file")).toSet
+    if (existing.columns.toSet != expected) {
+      log.warn(s"manifest at $tablePath has columns ${existing.columns.mkString(",")}; " +
+        s"rebuilding for ${cols.mkString(",")}")
+      return write(spark, tablePath, cols)
+    }
+    // driver state: one string per file — the same boundedness class as
+    // pruneFiles' collected list (file count, never rows)
+    val known = existing.select(col("file")).collect().map(_.getString(0))
+    val knownNorm = known.map(normalizePath).toSet
+    val current = listDataFiles(spark, tablePath)
+    val currentNorm = current.map(normalizePath).toSet
+    val newFiles = current.filterNot(f => knownNorm.contains(normalizePath(f)))
+    val removed = known.filterNot(f => currentNorm.contains(normalizePath(f)))
+    if (newFiles.isEmpty && removed.isEmpty) return existing
+    log.info(s"manifest refresh for $tablePath: ${newFiles.size} new, " +
+      s"${removed.size} removed of ${current.size} files")
+    val retained =
+      if (removed.isEmpty) existing
+      else existing.where(!col("file").isin(removed.toSeq: _*))
+    val newStats =
+      if (newFiles.isEmpty) None
+      else Some(statsFor(spark.read.parquet(newFiles: _*), cols))
+    val merged = newStats.fold(retained)(retained.unionByName(_))
+      .coalesce(1)
+      // eagerly materialize BEFORE overwriting the directory the retained
+      // rows are being read from (Spark refuses / corrupts a write over
+      // its own input otherwise); the block is tiny (one row per file)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$tablePath/$ManifestDir")
     read(spark, tablePath)
   }
 
@@ -51,6 +117,35 @@ object Manifest {
     */
   def read(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(s"$tablePath/$ManifestDir")
+
+  /** Current data files under `tablePath`: everything Spark's own input
+    * listing would see (skips `_`/`.`-prefixed files and directories —
+    * the manifest itself, `_SUCCESS`, checksums). One recursive FS
+    * listing — the cheap operation object stores are built for; no
+    * footer is opened.
+    */
+  def listDataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = root.toUri.getPath
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      val rel = p.stripPrefix(rootPath).split('/').filter(_.nonEmpty)
+      if (st.isFile && !rel.exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        out += st.getPath.toString
+    }
+    out.result()
+  }
+
+  /** Scheme-insensitive comparison key: `input_file_name()` reports
+    * `file:///x` where an FS listing reports `file:/x` — compare the path
+    * component only.
+    */
+  private def normalizePath(f: String): String =
+    new org.apache.hadoop.fs.Path(f).toUri.getPath
 
   /** Files whose [min, max] range on `c` intersects [lo, hi]. An all-null
     * file has null min/max → the predicate is null → correctly skipped
@@ -69,15 +164,31 @@ object Manifest {
   /** Range-filtered read that scans ONLY the files the manifest says can
     * match, then applies the exact residual predicate. Semantically equal
     * to `spark.read.parquet(table).where(c between lo and hi)` — the
-    * manifest only removes files that cannot contain a match.
+    * manifest only removes files that cannot contain a match, and a
+    * STALE manifest (files added/replaced since the last write/refresh)
+    * is detected by diffing the table's current listing against the
+    * manifest's file set, falling back to the plain full-scan filter —
+    * staleness can cost speed, never rows.
     *
     * The file list rides in the plan as scan paths (a static pruning
     * decision, like IVF's `isin` partition filter), so the driver cost is
-    * one tiny manifest read — not a footer per file.
+    * one tiny manifest read + one FS listing — not a footer per file.
     */
   def prunedRead(spark: SparkSession, tablePath: String, c: String,
                  lo: Column, hi: Column): DataFrame = {
-    val files = pruneFiles(spark, tablePath, c, lo, hi)
+    val m = read(spark, tablePath)
+    val manifestFiles = m.select(col("file")).collect()
+      .map(r => normalizePath(r.getString(0))).toSet
+    val currentFiles = listDataFiles(spark, tablePath).map(normalizePath).toSet
+    if (manifestFiles != currentFiles) {
+      log.warn(s"manifest at $tablePath is stale " +
+        s"(${(currentFiles -- manifestFiles).size} unknown / " +
+        s"${(manifestFiles -- currentFiles).size} missing files) — " +
+        "falling back to a full scan; run Manifest.refresh")
+      return spark.read.parquet(tablePath).where(col(c) >= lo && col(c) <= hi)
+    }
+    val files = m.where(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
     val base =
       if (files.isEmpty)
         // keep the caller's schema without scanning data

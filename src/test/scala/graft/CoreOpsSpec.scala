@@ -791,6 +791,47 @@ class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
       lit("1899-01-01").cast("timestamp"), lit("1899-12-31").cast("timestamp"))
     assert(none.count() === 0)
   }
+
+  test("stale manifest falls back to full scan; refresh is incremental and byte-identical") {
+    val out = java.nio.file.Files.createTempDirectory("graft-manifest-refresh").toString
+    val orders = core.Engine.table(spark, TestSpark.sf, "orders")
+    orders.repartitionByRange(6, col("o_orderdate")).write.mode("overwrite").parquet(out)
+    val m0 = graft.ops.Manifest.write(spark, out, Seq("o_orderdate"))
+    val before = m0.collect().map(r => r.getString(r.fieldIndex("file")) -> r.toSeq).toMap
+    assert(before.size === 6)
+
+    // append new files WITHOUT refreshing: prunedRead must detect the
+    // stale manifest and still agree with the full-scan filter
+    val extra = orders.where(col("o_orderkey") % 10 === 0)
+    extra.repartition(2).write.mode("append").parquet(out)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-06-30").cast("timestamp")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus")).collect()
+    val staleRead = agg(graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi))
+    val fullScan = agg(spark.read.parquet(out)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") <= hi))
+    assert(staleRead === fullScan, "stale manifest must not drop appended rows")
+
+    // incremental refresh: only the 2 new files get stats rows; the 6
+    // original rows survive byte-identical
+    val m1 = graft.ops.Manifest.refresh(spark, out, Seq("o_orderdate"))
+    val after = m1.collect().map(r => r.getString(r.fieldIndex("file")) -> r.toSeq).toMap
+    assert(after.size === 8)
+    before.foreach { case (f, row) =>
+      assert(after(f) === row, s"retained manifest row changed for $f")
+    }
+    assert(m1.agg(sum(col("n_rows"))).head.getLong(0) === orders.count() + extra.count())
+
+    // refresh with nothing to do is a no-op
+    val m2 = graft.ops.Manifest.refresh(spark, out, Seq("o_orderdate"))
+    assert(m2.collect().map(_.toSeq).toSet === m1.collect().map(_.toSeq).toSet)
+
+    // and the pruned read agrees again (manifest-pruned path, not fallback)
+    assert(agg(graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi))
+      === fullScan)
+  }
 }
 
 /** Fixed-point k-means: separates obvious blobs, is deterministic, and
