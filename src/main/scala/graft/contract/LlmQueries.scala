@@ -935,8 +935,12 @@ object LlmQueries {
     * [[graft.llm.Clustering.kmeans]]), init from the k lowest vec_ids,
     * then `iters` unrolled Lloyd rounds — assignment `a_t` via
     * argmin-by-row_number over the exact integer squared-L2, update `c_t`
-    * via per-position integer-mean (floor; `//` would truncate toward
-    * zero and diverge from Math.floorDiv on negative sums).
+    * via per-position floor-divided mean in EXACT integer arithmetic:
+    * `(s - ((s % n) + n) % n) // n` equals Math.floorDiv(s, n) for any
+    * sign (the inner mod makes the numerator exactly divisible, so `//`'s
+    * truncation is moot) — unlike the former
+    * `floor(CAST(s AS DOUBLE)/n)`, which loses exactness once |s|
+    * exceeds 2^53 (reachable: a 10^9-row cluster × 10^6-scaled values).
     */
   private def kmeansCtes(k: Int, iters: Int, dim: Int = 64,
                          scale: Long = 1000000L): String = {
@@ -959,7 +963,8 @@ object LlmQueries {
            |  FROM q CROSS JOIN c${t - 1} c) WHERE rn = 1),
            |c$t AS (SELECT cid, list(mv ORDER BY pos) AS v FROM (
            |  SELECT a.cid, gs.i AS pos,
-           |    CAST(floor(CAST(SUM(a.v[gs.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+           |    CAST((SUM(a.v[gs.i]) - ((SUM(a.v[gs.i]) % COUNT(*)) + COUNT(*)) % COUNT(*))
+           |         // COUNT(*) AS BIGINT) AS mv
            |  FROM a$t a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) gs
            |  GROUP BY a.cid, gs.i) GROUP BY cid)""".stripMargin)
     }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -47,7 +47,19 @@ object Clustering {
              iters: Int, scale: Long = 1000000L): KmeansModel = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    // one cheap columnar pass over vector SIZES validates the input shape
+    // up front: an empty frame, a null vector, or mixed lengths would
+    // otherwise surface as a NoSuchElementException here or — worse —
+    // silently null-padded centroid sums iterations later
+    val shape = df.agg(
+      min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"),
+      count(when(col(vecCol).isNull, 1)).as("nulls"), count(lit(1)).as("n")).head
+    require(shape.getLong(3) > 0, "kmeans needs a non-empty input frame")
+    require(shape.getLong(2) == 0, s"kmeans input has ${shape.getLong(2)} null vectors")
+    require(shape.getInt(0) == shape.getInt(1),
+      s"kmeans needs uniform vector length: found sizes ${shape.getInt(0)}..${shape.getInt(1)}")
+    val dim = shape.getInt(0)
+    require(dim > 0, "kmeans vectors must be non-empty")
     val q = df.select(col(idCol).as("id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * scale + lit(0.5d)).cast("long")).as("v"))
@@ -75,22 +87,55 @@ object Clustering {
     } finally q.unpersist()
   }
 
-  /** Nearest-centroid projection: distances to all k centroids as one
-    * literal-array HOF (codegen, zero shuffle), argmin position → centroid
-    * id. `array_position` returns the FIRST minimum, so ties break to the
-    * lowest centroid id (the list is sorted by id).
+  /** Above this many centroid elements (k × dim), [[assign]] stops
+    * embedding the centroids as a plan literal and ships them as
+    * broadcast DATA instead. A `typedLit` is re-serialized into every
+    * task binary and codegen unit — fine at contract scale (k=4 × 64 =
+    * 256 longs), a scale-killer at real semantic-dedup scale (k≈1000 ×
+    * dim 1024 ≈ 8 MB in EVERY task; the bench's task-binary warnings are
+    * the small preview). 16384 longs ≈ 128 KB keeps plan/codegen size
+    * comfortably bounded.
     */
-  private def assign(q: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+  private[graft] val AssignLiteralMaxElems = 16384L
+
+  /** Nearest-centroid projection: distances to all k centroids as one
+    * array HOF (codegen, ZERO corpus shuffle on either path), argmin
+    * position → centroid id. `array_position` returns the FIRST minimum,
+    * so ties break to the lowest centroid id (the list is sorted by id).
+    *
+    * Centroid transport is gated on k × dim: below
+    * [[AssignLiteralMaxElems]] they ride as a plan literal; above, as ONE
+    * broadcast row (torrent-broadcast block, deserialized once per
+    * executor) cross-joined in — a 1-row condition-free broadcast join is
+    * the documented-safe BNLJ shape (cf. k7's corpus-count fold), and the
+    * corpus itself is still never shuffled or broadcast.
+    */
+  private[graft] def assign(q: DataFrame,
+                            centroids: Seq[(Long, Seq[Long])]): DataFrame = {
     val cids = centroids.map(_._1)
     val cents = centroids.map(_._2)
-    val dists = transform(typedLit(cents),
-      c => aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-    q.withColumn("__d", dists)
-      .withColumn("cluster",
-        element_at(typedLit(cids),
-          array_position(col("__d"), array_min(col("__d"))).cast("int")))
-      .drop("__d")
+    val dim = cents.headOption.map(_.size.toLong).getOrElse(0L)
+    def argmin(dists: Column, ids: Column): Column =
+      element_at(ids, array_position(dists, array_min(dists)).cast("int"))
+    if (centroids.size * dim <= AssignLiteralMaxElems) {
+      val dists = transform(typedLit(cents),
+        c => aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      q.withColumn("__d", dists)
+        .withColumn("cluster", argmin(col("__d"), typedLit(cids)))
+        .drop("__d")
+    } else {
+      val spark = q.sparkSession
+      import spark.implicits._
+      val centRow = Seq((cids, cents)).toDF("__cids", "__cents")
+      val dists = transform(col("__cents"),
+        c => aggregate(zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      q.join(broadcast(centRow))
+        .withColumn("__d", dists)
+        .withColumn("cluster", argmin(col("__d"), col("__cids")))
+        .drop("__d", "__cids", "__cents")
+    }
   }
 
   /** Per-cluster summary of a finished model: (cluster_id, n, centroid) —

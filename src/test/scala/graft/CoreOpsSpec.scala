@@ -878,4 +878,42 @@ class ClusteringSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(s.agg(sum(col("n"))).head.getLong(0) === e.count())
     assert(s.count() <= 4)
   }
+
+  test("kmeans validates its input shape up front") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "v")
+    intercept[IllegalArgumentException](
+      graft.llm.Clustering.kmeans(empty, "v", "id", k = 2, iters = 1))
+    val mixed = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      graft.llm.Clustering.kmeans(mixed, "v", "id", k = 2, iters = 1))
+    val nulls = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None)).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      graft.llm.Clustering.kmeans(nulls, "v", "id", k = 2, iters = 1))
+  }
+
+  test("assign ships centroids as broadcast data above the literal threshold") {
+    val q = Seq((1L, Seq(0L, 0L)), (2L, Seq(10L, 11L))).toDF("id", "v")
+    // small k: pure projection — no join of any kind in the plan
+    val small = Seq((0L, Seq(0L, 0L)), (1L, Seq(10L, 10L)))
+    val aSmall = graft.llm.Clustering.assign(q, small)
+    val pSmall = aSmall.queryExecution.executedPlan.toString
+    assert(!pSmall.contains("Join"), s"literal path must not join:\n$pSmall")
+    // k×dim over the threshold: centroids ride as ONE broadcast row, not
+    // a plan literal (BNLJ of a 1-row build side — the documented-safe
+    // shape); the corpus side is still never shuffled
+    val n = (graft.llm.Clustering.AssignLiteralMaxElems / 2 + 1).toInt
+    val large = (0 until n).map(i => (i.toLong, Seq(i.toLong * 2, i.toLong * 2)))
+    val aLarge = graft.llm.Clustering.assign(q, large)
+    val pLarge = aLarge.queryExecution.executedPlan.toString
+    assert(pLarge.contains("BroadcastNestedLoopJoin"),
+      s"large-k path must broadcast the centroid row:\n$pLarge")
+    assert(!pLarge.contains("Exchange hashpartitioning") &&
+      !pLarge.contains("Exchange SinglePartition"),
+      s"assign must not shuffle the corpus:\n$pLarge")
+    // both paths agree with the hand-computed nearest centroid
+    assert(aSmall.select("id", "cluster").as[(Long, Long)].collect().toMap
+      === Map(1L -> 0L, 2L -> 1L))
+    assert(aLarge.select("id", "cluster").as[(Long, Long)].collect().toMap
+      === Map(1L -> 0L, 2L -> 5L)) // (10,11) nearest to (10,10) = cid 5
+  }
 }
