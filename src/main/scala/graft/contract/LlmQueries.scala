@@ -493,6 +493,39 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K10 — STREAMING decontamination (▶ real stream): the training split
+    // arrives as two crawl batches over one checkpoint; each micro-batch
+    // is scrubbed against the static benchmark gram set at ingest time
+    // ("scrub today's crawl"). Per-doc decisions against a static
+    // reference are batch-boundary-invariant, so the admitted corpus
+    // equals the batch clean() — the oracle is k10_clean_corpus's.
+    "k10_streaming_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val all = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val train = all.where(col("doc_id") % 37 =!= 0)
+      val bench = all.where(col("doc_id") % 37 === 0)
+      val mid = 2500L // roughly splits either SF's id domain
+      val b0 = train.where(col("doc_id") < mid)
+        .as[(Long, String, String)].collect().toSeq
+      val b1 = train.where(col("doc_id") >= mid)
+        .as[(Long, String, String)].collect().toSeq
+      val out = java.nio.file.Files.createTempDirectory("graft-decon-out").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-decon-ckpt").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchDecontaminate(
+          src.toDS().toDF("doc_id", "text", "lang"), bench, out, ckpt,
+          "text", "doc_id", n = 3, threshold = 0.5)
+        q.awaitTermination()
+      }
+      src.addData(b0); drain()
+      src.addData(b1); drain()
+      graft.streaming.Ingest.admitted(s, out)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // G8 — seeded sample (RNG differs across engines → rows-only; bounds
     // asserted in the test suite)
     "g8_sample" -> ((s, dir) => {
@@ -924,6 +957,15 @@ object LlmQueries {
         |FROM st ORDER BY doc_id""".stripMargin),
 
     "k10_clean_corpus" -> (tokCte + decontamCtes +
+      """
+        |SELECT d.lang, COUNT(*) AS n FROM documents d
+        |JOIN st ON st.doc_id = d.doc_id
+        |WHERE st.overlap < 0.5
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    // batch-boundary invariance: the streamed two-batch ingest admits
+    // exactly the batch clean() set, so the oracle is identical
+    "k10_streaming_decontaminate" -> (tokCte + decontamCtes +
       """
         |SELECT d.lang, COUNT(*) AS n FROM documents d
         |JOIN st ON st.doc_id = d.doc_id

@@ -130,4 +130,44 @@ object Ingest {
   /** The admitted corpus (layout column dropped). */
   def admitted(spark: org.apache.spark.sql.SparkSession, admittedDir: String): DataFrame =
     spark.read.parquet(admittedDir).drop("__batch")
+
+  /** Streaming benchmark decontamination — the production shape of K10:
+    * "scrub today's crawl" at ingest time, instead of decontaminating the
+    * assembled corpus after the fact. Each micro-batch is cleaned against
+    * a STATIC evaluation corpus ([[graft.llm.Decontaminate]] semantics:
+    * drop any doc whose distinct-gram overlap with the benchmark reaches
+    * `threshold`) and its survivors land under a `__batch=<id>` partition
+    * via dynamic overwrite — the same replay-idempotent layout as the
+    * dedup loop (a replayed batch rewrites exactly its own partitions
+    * with the identical survivor set, since the benchmark is static).
+    *
+    * The benchmark gram set is computed ONCE per stream attach
+    * ([[graft.llm.Decontaminate.benchGramSet]], eagerly materialized) and
+    * reused by every batch; per-batch cost is the batch's own gram pass
+    * plus a broadcast semi-join against that set — proportional to the
+    * batch, never the corpus or the stream history. Decontamination is
+    * per-document against a static reference, so batch boundaries cannot
+    * change the admitted set: the streamed result equals the batch
+    * [[graft.llm.Decontaminate.clean]] over the same documents (pinned by
+    * the ▶ contract query's oracle).
+    */
+  def foreachBatchDecontaminate(docs: DataFrame, bench: DataFrame,
+                                outDir: String, checkpointDir: String,
+                                textCol: String, idCol: String,
+                                n: Int = 3, threshold: Double = 0.5,
+                                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val benchGrams = graft.llm.Decontaminate.benchGramSet(bench, textCol, idCol, n)
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Decontaminate
+          .cleanAgainstGrams(batch, benchGrams, textCol, idCol, n, threshold)
+          .withColumn("__batch", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(outDir)
+      }
+      .start()
+  }
 }

@@ -628,6 +628,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "j8_stream_upsert_tws", "j9_stream_tumbling",
     "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
     "k2_streaming_ingest_dedup", // two-drain MemoryStream replay + index writes
+    "k10_streaming_decontaminate", // two-drain MemoryStream replay + partitioned writes
     "k4_ivf_knn", "b9_schema_drift", "g8_sample", "k8_stratified_sample",
     "e4_sketch_merge")
 
