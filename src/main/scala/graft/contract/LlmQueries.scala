@@ -3,7 +3,7 @@ package graft.contract
 import graft.core.Engine
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llm.{Clustering, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Decontaminate, Dedup, Mixing, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -526,6 +526,25 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K12 — per-source (domain) cap: at most 20 docs per source, winners
+    // picked by deterministic md5 priority — the Common-Crawl-style guard
+    // against any one domain dominating the mix
+    "k12_per_source_cap" -> ((s, dir) => {
+      Mixing.perSourceCap(t(s, dir, "documents"), "source", "doc_id", cap = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // K12 — temperature (alpha=0.5) language rebalancing to an expected
+    // 300-doc budget: weight ∝ sqrt(count), deterministic md5 uniforms,
+    // thresholds rounded to 6 decimals on both sides
+    "k12_temperature_resample" -> ((s, dir) => {
+      Mixing.temperatureResample(t(s, dir, "documents"), "lang", "doc_id",
+          targetTotal = 300L, alpha = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // G8 — seeded sample (RNG differs across engines → rows-only; bounds
     // asserted in the test suite)
     "g8_sample" -> ((s, dir) => {
@@ -962,6 +981,33 @@ object LlmQueries {
         |JOIN st ON st.doc_id = d.doc_id
         |WHERE st.overlap < 0.5
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    "k12_per_source_cap" ->
+      """WITH pr AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM pr WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // the weight sum folds in SORTED stratum order (list_reduce over
+    // list(w ORDER BY lang)) to mirror the engine's driver-side sorted
+    // foldLeft exactly — a commutative SUM would be order-nondeterministic
+    // in the last ulp
+    "k12_temperature_resample" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM n),
+        |s AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS ws FROM w),
+        |t AS (SELECT lang,
+        |  ROUND(LEAST(1.0, 300.0 * (w / (SELECT ws FROM s)) / CAST(n AS DOUBLE)), 6) AS thr
+        |  FROM w),
+        |u AS (SELECT doc_id, lang,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT u.lang, COUNT(*) AS n_kept FROM u JOIN t USING (lang)
+        |WHERE u.u < t.thr GROUP BY u.lang ORDER BY u.lang""".stripMargin,
 
     // batch-boundary invariance: the streamed two-batch ingest admits
     // exactly the batch clean() set, so the oracle is identical

@@ -835,6 +835,49 @@ class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Corpus mixing: the per-source cap and temperature resampling must be
+  * deterministic subsets with the promised per-stratum properties.
+  * Exactness vs the SQL oracle is covered by the k12_* contract queries.
+  */
+class MixingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("perSourceCap keeps at most cap per source, deterministically") {
+    val docs = core.Engine.table(spark, TestSpark.sf, "documents")
+    val kept = graft.llm.Mixing.perSourceCap(docs, "source", "doc_id", cap = 7)
+    val per = kept.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    assert(per.where(col("n") > 7).count() === 0)
+    // kept rows are a subset of the input, and reruns pick the same set
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+    val again = graft.llm.Mixing.perSourceCap(docs, "source", "doc_id", cap = 7)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      === again.select("doc_id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("temperatureResample hits the expected budget and flattens strata") {
+    val docs = core.Engine.table(spark, TestSpark.sf, "documents")
+    val total = docs.count()
+    val target = total / 2
+    val kept = graft.llm.Mixing.temperatureResample(docs, "lang", "doc_id", target)
+    val n = kept.count()
+    // md5 uniforms are iid-ish: expect the budget within a generous band
+    assert(n > target * 7 / 10 && n < target * 13 / 10,
+      s"kept $n of $total for target $target")
+    // alpha<1 flattens: no stratum's kept fraction may exceed its input
+    // share by more than the temperature boost allows; cheap sanity —
+    // every stratum retains at least one doc at this target
+    assert(kept.select("lang").distinct().count()
+      === docs.select("lang").distinct().count())
+    // deterministic across runs
+    val again = graft.llm.Mixing.temperatureResample(docs, "lang", "doc_id", target)
+    assert(again.count() === n)
+    // degenerate inputs refuse loudly
+    intercept[IllegalArgumentException](
+      graft.llm.Mixing.temperatureResample(docs, "lang", "doc_id", target, alpha = 0.0))
+  }
+}
+
 /** Fixed-point k-means: separates obvious blobs, is deterministic, and
   * never loses or duplicates a point. Exactness vs the SQL oracle is
   * covered by the k11_kmeans contract query.
