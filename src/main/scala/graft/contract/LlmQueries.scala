@@ -526,6 +526,15 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K11 — SemDeDup: semantic near-dup pairs WITHIN k-means clusters
+    // (the cluster-bucketed alternative to corpus all-pairs cosine)
+    "k11_semantic_neardup" -> ((s, dir) => {
+      Clustering.semanticNearDupPairs(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 4, iters = 3, threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // K12 — per-source (domain) cap: at most 20 docs per source, winners
     // picked by deterministic md5 priority — the Common-Crawl-style guard
     // against any one domain dominating the mix
@@ -981,6 +990,19 @@ object LlmQueries {
         |JOIN st ON st.doc_id = d.doc_id
         |WHERE st.overlap < 0.5
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    // same-cluster pairs from the exact kmeans closure, cosine per the k3
+    // bit-matched formula, rounded before thresholding
+    "k11_semantic_neardup" -> (kmeansCtes(k = 4, iters = 3) +
+      s"""
+        |, pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |co AS (SELECT pr.id_a, pr.id_b,
+        |  ROUND(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cosine
+        |  FROM pr JOIN embeddings ea ON ea.vec_id = pr.id_a
+        |          JOIN embeddings eb ON eb.vec_id = pr.id_b)
+        |SELECT id_a, id_b, cosine FROM co WHERE cosine >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin),
 
     "k12_per_source_cap" ->
       """WITH pr AS (SELECT doc_id, source,

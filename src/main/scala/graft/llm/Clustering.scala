@@ -138,6 +138,36 @@ object Clustering {
     }
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with the fixed-point k-means, then compare embeddings only WITHIN a
+    * cluster — (id_a, id_b, cosine) for every same-cluster pair at or
+    * over `threshold` (cosine rounded to 6 decimals BEFORE thresholding,
+    * the shared oracle-exactness rule).
+    *
+    * This is the point of clustering in a dedup pipeline: the self-join
+    * is bucketed by cluster id (ONE shuffle on the cluster key), so the
+    * pair count is Σ c_i² over cluster sizes — never corpus all-pairs.
+    * Size k so n/k stays bounded (SemDeDup uses k ≈ n/10k); the
+    * assignment itself scales through the gated centroid transport
+    * above. Cosine is the native codegen'd expression, bit-matched by
+    * the DuckDB oracle (k3 precedent).
+    */
+  def semanticNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                           k: Int, iters: Int, threshold: Double,
+                           scale: Long = 1000000L): DataFrame = {
+    val model = kmeans(df, vecCol, idCol, k, iters, scale)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(model.assignments, Seq("id"))
+    val a = vecs.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = vecs.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Per-cluster summary of a finished model: (cluster_id, n, centroid) —
     * the contract-facing view. Built from the model's driver-held
     * centroids (k rows) joined against the assignment counts.
