@@ -526,6 +526,14 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K5 — chunk long docs into 32-token context windows, stride 24
+    // (overlapping); the splitting complement of sequence packing
+    "k5_chunking" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+          chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // K11 — SemDeDup: semantic near-dup pairs WITHIN k-means clusters
     // (the cluster-bucketed alternative to corpus all-pairs cosine)
     "k11_semantic_neardup" -> ((s, dir) => {
@@ -990,6 +998,19 @@ object LlmQueries {
         |JOIN st ON st.doc_id = d.doc_id
         |WHERE st.overlap < 0.5
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    "k5_chunking" -> (tokCte +
+      """
+        |, mx AS (SELECT doc_id, t,
+        |    greatest(0, CAST(ceil(CAST(len(t) - 32 AS DOUBLE) / 24.0) AS BIGINT)) AS m
+        |  FROM tk WHERE len(t) > 0),
+        |ch AS (SELECT doc_id, unnest(range(0, m + 1)) AS chunk_id, t FROM mx),
+        |sl AS (SELECT doc_id, chunk_id,
+        |    t[(CAST(chunk_id*24 + 1 AS INTEGER)):(CAST(chunk_id*24 + 32 AS INTEGER))] AS ctoks
+        |  FROM ch)
+        |SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS n_tokens,
+        |  array_to_string(ctoks, ' ') AS chunk_text
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin),
 
     // same-cluster pairs from the exact kmeans closure, cosine per the k3
     // bit-matched formula, rounded before thresholding

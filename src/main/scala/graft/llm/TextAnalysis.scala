@@ -83,6 +83,44 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** K5 — chunk documents into fixed token windows with stride — the
+    * complement of [[packSequences]]: packing merges short docs into a
+    * budget, chunking splits long docs into overlapping context windows
+    * (stride < chunkSize overlaps consecutive chunks, the standard
+    * long-document treatment). Output: one row per (doc, chunk) with the
+    * 0-based chunk id, the chunk's token count, and its text.
+    *
+    * Chunk starts are 0, stride, … up to the first start whose window
+    * reaches the end (a doc at or under `chunkSize` tokens is one chunk;
+    * zero-token docs emit no rows). Everything is per-row HOF arithmetic
+    * — no shuffle at all; the explode generator is the tiny start-index
+    * sequence (NOT a computed gram array — the SCALING.md fan-out trap
+    * does not apply: tokens are computed once per row in the projection
+    * below the Generate and sliced per chunk).
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize]: $stride")
+    df.select(col(idCol), tokens(normalizeText(col(textCol))).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      // last chunk index m: smallest i with i*stride + chunkSize >= n,
+      // i.e. ceil((n - chunkSize)/stride) clamped to >= 0 — computed in
+      // (exact, small-int) double floor identical to the oracle
+      .withColumn("__m", greatest(lit(0L),
+        ceil((col("__n") - lit(chunkSize)).cast("double") / lit(stride.toDouble))
+          .cast("long")))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0L), col("__m"))).as(Seq("chunk_id", "__i")))
+      .withColumn("__ctoks",
+        slice(col("__toks"), (col("__i") * stride + 1).cast("int"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__ctoks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__ctoks")).as("chunk_text"))
+  }
+
   /** K6 — n-gram frequency table over the corpus. */
   def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(explode(ngrams(tokens(normalizeText(col(textCol))), n)).as("ngram"))

@@ -150,6 +150,25 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(kept.select("id").as[Long].collect().sorted === Array(2L, 3L, 4L))
   }
 
+  test("chunkDocuments: stride coverage, edge sizes, empty docs") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks → chunks at 0,3,6
+      (2L, "a b"),                             // under chunkSize → 1 chunk
+      (3L, " ")                                // zero tokens → no rows
+    ).toDF("id", "text")
+    val ch = llm.TextAnalysis.chunkDocuments(docs, "text", "id", chunkSize = 4, stride = 3)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(ch === Array(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 2L, "a b")))
+    // every input token appears in some chunk (stride <= chunkSize)
+    val covered = ch.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("connectedComponents: transitive closure incl. a 4-node chain") {
     // components: {1,2,3,4} via chain 1-2-3-4 (needs >1 round), {7,8}, {9} absent (no edges)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
