@@ -136,13 +136,34 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Nearest-cell assignment with ZERO corpus shuffle: the (driver-
+    * bounded, nCells × dim) centroid table rides as ONE broadcast row and
+    * the argmin is a codegen'd HOF over it — the former formulation
+    * (condition-free broadcast join + per-id window) shuffled the ENTIRE
+    * corpus once per call to rank k rows per id, which at 100 TB is the
+    * difference between a map-only assignment pass and a corpus-wide
+    * exchange per Lloyd round. Ties break to the lowest cell id exactly
+    * like the window's (dist, cell) ordering: cells ride sorted ascending
+    * and `array_position` returns the FIRST minimum; the per-element
+    * double arithmetic is unchanged, so assignments are bit-identical.
+    */
   private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("dist").asc, col("cell").asc)
-    vecs.join(broadcast(centroids))
-      .withColumn("dist", squaredDistance(col("v"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn", "dist", "centroid")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("cell"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val centRow = Seq((cents.map(_._1).toSeq, cents.map(_._2).toSeq))
+      .toDF("__cells", "__cents")
+    val dists = transform(col("__cents"),
+      c => aggregate(zip_with(col("v"), c, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }), lit(0.0d), (acc, x) => acc + x))
+    vecs.join(broadcast(centRow))
+      .withColumn("__d", dists)
+      .withColumn("cell", element_at(col("__cells"),
+        array_position(col("__d"), array_min(col("__d"))).cast("int")))
+      .drop("__d", "__cells", "__cents")
   }
 
   /** ANN top-k through the IVF index: each query probes its `nProbe`
