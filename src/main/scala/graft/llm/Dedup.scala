@@ -169,24 +169,25 @@ object Dedup {
       .select(col("id"), array_distinct(shingleHashes(ngrams(col("__toks"), shingleN))).as("hs"))
   }
 
-  /** (id, band, key) LSH bucket rows for a (id, hs) frame.
+  /** (id, band, key) LSH bucket rows for a (id, hs) frame — a pure MAP
+    * over the cached projection, zero shuffle.
     *
-    * Signature via explode → hash-aggregate with k min() columns rather
-    * than k nested array-transform lambdas: (a) partial aggregation
-    * (map-side combine) applies, so the shuffle carries one signature per
-    * doc; (b) the generated code stays small — the inlined-HOF variant
-    * produced a >1 MB codegen unit costing ~25 s of Janino compilation.
+    * History of this function is the escalation ladder in action: k
+    * nested array-transform lambdas produced a >1 MB codegen unit
+    * (~25 s Janino); the explode → hash-aggregate form that replaced
+    * them kept codegen small but materialized one row PER SHINGLE
+    * through a (map-side combined) exchange. The native
+    * [[graft.functions.MinHashSignature]] expression (round 6) computes
+    * all k components in one fused per-row loop, so the per-gram explode
+    * AND the signature shuffle are both gone; components cast to their
+    * decimal strings keep the band-key derivation byte-identical.
     */
   private def bandBucketRows(base: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val p = MinhashP
-    val hashed = base.select(col("id"), explode(col("hs")).as("h"))
-    val sigCols = (0 until k).map { i =>
-      min(pmod(col("h") * lit(minhashA(i)) + lit(minhashB(i)), lit(p)))
-        .cast("string").as(s"m$i")
-    }
-    hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
-      .withColumn("sigarr", array((0 until k).map(i => col(s"m$i")): _*))
+    base.where(size(col("hs")) > 0) // shingle-less docs have no signature
+      .select(col("id"),
+        graft.functions.MinHashSignature(col("hs"), k)
+          .cast("array<string>").as("sigarr"))
       .select(col("id"), explode(lshBandKeys(col("sigarr"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
   }

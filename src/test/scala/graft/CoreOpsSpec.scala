@@ -72,6 +72,22 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out(3) === Seq.empty) // single token, n=3
   }
 
+  test("native minhash signature matches the HOF witness bit-for-bit") {
+    val docs = core.Engine.table(spark, TestSpark.sf, "documents")
+    val hs = docs.select(col("doc_id"),
+        array_distinct(shingleHashes(ngrams(tokens(normalizeText(col("text"))), 3))).as("hs"))
+      .where(size(col("hs")) > 0)
+    val both = hs.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("hs"), 16).as("nat"),
+      minhashSignatureFast(col("hs"), 16).as("hof"))
+    assert(both.count() > 0)
+    assert(both.where(not(col("nat") === col("hof"))).count() === 0)
+    // empty input → null signature (callers filter shingle-less docs)
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(graft.functions.MinHashSignature(col("hs"), 4).as("sig"))
+    assert(empty.where(col("sig").isNull).count() === 1)
+  }
+
   test("minhash is order-insensitive over the shingle set") {
     val df = Seq("w1 w2 w3 w4 w5", "w3 w4 w5 w1 w2").toDF("text")
     // different orders → different shingles, but equality on a shared set:
