@@ -1,9 +1,10 @@
 package graft.core
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SURVEY §2-I4's second half: the engine's native Catalyst expressions
   * surfaced to SQL callers through `SparkSessionExtensions` — the public,
@@ -34,5 +35,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity(arrayA, arrayB) takes 2 arguments")
         CosineSimilarity(args.head, args(1))
+      }),
+    (new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_signature(hashes, k) takes 2 arguments")
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature k must be an INT literal, got ${other.sql}")
+        }
+        MinHashSignature(args.head, k)
       }))
 }
