@@ -165,20 +165,24 @@ object Bench {
     ensure("x2_manifest_build", "x2_manifest_refresh")
     ensure("x2_manifest_build", "x2_manifest_read")
     val results = selected.map { n =>
-      // x2_manifest_refresh measures the INCREMENTAL path: append a ~10%
-      // batch as new files (untimed) right before it, so rep 1 times a
-      // refresh ∝ new files and rep 2 the nothing-to-do fast path
-      if (n == "x2_manifest_refresh")
-        graft.core.Engine.table(spark, sfDir, "orders")
-          .where(col("o_orderkey") % 10 === 0)
-          .repartition(2).write.mode("append").parquet(manifestTable)
-      // the r1 comparison set always runs >=2 reps so the JSON carries
-      // BOTH a cold and a steady-state figure: round 5's apparent k7/k8
-      // "regressions" were cold-JIT ordering artifacts (warm re-runs were
-      // flat), and one-rep numbers keep round-over-round deltas chasing
-      // JIT noise instead of plan changes
-      val nReps = if (r1Headline.contains(n)) math.max(reps, 2) else reps
-      val times = (1 to nReps).map(_ => runOnce(n))
+      // EVERY entry runs >=2 reps so the JSON carries BOTH a cold and a
+      // steady-state figure: round 5's apparent k7/k8 "regressions" and
+      // round 6's phantom k4_ivf_build/k2_incremental_query regressions
+      // were all one-rep cold-JIT/contention artifacts (warm re-runs were
+      // flat or better) — single-rep entries alias `queries` and
+      // `queries_cold` for exactly the entries that regress independently
+      val nReps = math.max(reps, 2)
+      val times = (1 to nReps).map { _ =>
+        // x2_manifest_refresh measures the INCREMENTAL path: append a ~10%
+        // batch as new files (untimed) before EACH rep, so every rep times
+        // a refresh ∝ new files (an append outside the loop would leave
+        // rep 2+ timing the nothing-to-do fast path instead)
+        if (n == "x2_manifest_refresh")
+          graft.core.Engine.table(spark, sfDir, "orders")
+            .where(col("o_orderkey") % 10 === 0)
+            .repartition(2).write.mode("append").parquet(manifestTable)
+        runOnce(n)
+      }
       if (nReps > 1) System.err.println(
         s"[bench] $n reps: ${times.map(t => f"$t%.3f").mkString(", ")}")
       n -> times

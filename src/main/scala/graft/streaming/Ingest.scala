@@ -101,8 +101,11 @@ object Ingest {
     kept.withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(admittedDir)
+    // the id lands in its NATIVE type: a cast("long") here would silently
+    // null string doc ids, and the `id =!= __seen_id` replay exclusion
+    // above would then never match (every replayed row re-admitted)
     if (exactGuard)
-      kept.select(col(idCol).cast("long").as("id"),
+      kept.select(col(idCol).as("id"),
           md5(graft.functions.TextFunctions.normalizeText(col(textCol))).as("ch"))
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

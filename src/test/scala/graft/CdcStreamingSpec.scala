@@ -456,6 +456,31 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(ids(admB) === Set(1L), "guard replays must not self-evict or duplicate")
   }
 
+  test("ingest exact guard is id-type-agnostic: string doc ids survive the hash table") {
+    // the guard's hash table used to write `id.cast("long")` — string ids
+    // (crawl URLs, UUIDs) became NULL, the `id =!= __seen_id` replay
+    // exclusion never matched, and every cross-batch exact dup sailed
+    // through; the id must land in its native type
+    val short = "hello world" // < shingleN tokens → invisible to LSH
+    def batch(rows: (String, String)*) = rows.toSeq.toDF("id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-eg-s-idx").toString
+    val adm = java.nio.file.Files.createTempDirectory("graft-eg-s-adm").toString + "/t"
+    def ingest(id: Long, rows: (String, String)*): Unit =
+      graft.streaming.Ingest.ingestBatch(batch(rows: _*), idx, adm, id,
+        "text", "id", shingleN = 3, k = 8, bands = 4, threshold = 0.8,
+        exactGuard = true)
+    def ids(): Set[String] =
+      graft.streaming.Ingest.admitted(spark, adm).select("id").as[String].collect().toSet
+    ingest(0L, ("doc/a", short), ("doc/b", short)) // intra-batch: min id wins
+    assert(ids() === Set("doc/a"))
+    ingest(1L, ("doc/c", short)) // cross-batch exact repeat dropped
+    assert(ids() === Set("doc/a"))
+    // replay of batch 0: the hash table holds doc/a's OWN row — the
+    // same-id exclusion must recognize it (impossible with nulled ids)
+    ingest(0L, ("doc/a", short), ("doc/b", short))
+    assert(ids() === Set("doc/a"), "string-id replay must not self-evict or duplicate")
+  }
+
   test("compaction rewrites each bucket to one file, contents and layout pin intact (A8)") {
     val target = java.nio.file.Files.createTempDirectory("graft-a8-compact").toString + "/t"
     val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
