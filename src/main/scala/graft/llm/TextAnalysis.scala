@@ -34,22 +34,61 @@ object TextAnalysis {
       .withColumn("fingerprint", contentFingerprint(col(textCol)))
   }
 
-  /** K7 — TF-IDF: (doc, term) → tf * ln(N / df). Smoothing-free classic
-    * form so any SQL engine reproduces it exactly. Two shuffles:
-    * term-frequency groupBy and the document-frequency join (df table is
-    * |vocab|-sized → broadcast).
+  /** Broadcast the document-frequency table only under this many distinct
+    * terms. The df table is corpus-derived — one row per VOCABULARY entry
+    * — so an unconditional broadcast hint is bounded at contract scale
+    * (~10⁴ terms) and an executor OOM at 100 TB (10⁸–10⁹ terms, tens of
+    * GB): the same unbounded-corpus-derived-broadcast class the engine
+    * gates everywhere else (Clustering.AssignLiteralMaxElems, Dedup's
+    * capped pairs broadcast). 10⁶ rows of (term, count) ≈ tens of MB —
+    * the size class the default autoBroadcast threshold targets.
     */
-  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[graft] val DfreqBroadcastMaxVocab = 1000000L
+
+  /** K7 — TF-IDF: (doc, term) → tf * ln(N / df). Smoothing-free classic
+    * form so any SQL engine reproduces it exactly.
+    *
+    * Scale shape: the term-frequency table feeds TWO consumers (the df
+    * aggregation and the join probe), so it is persisted and eagerly
+    * counted — the SCALING.md fan-out rule; an uncached `tf` re-executes
+    * the whole tokenize→explode→groupBy pipeline per branch (measured:
+    * the static plan carries two Generates and no exchange reuse). The
+    * df side joins back WITHOUT a broadcast hint above
+    * [[DfreqBroadcastMaxVocab]] distinct terms — a plain equi-join
+    * shuffles tf by term where AQE's skew-join split handles stopword
+    * keys, which a vocab-sized broadcast (or a per-term window, whose
+    * stopword partition cannot be split) would not survive. The result
+    * is eagerly materialized (`localCheckpoint(true)`, the Decontaminate
+    * hand-off) so the cache can be released before returning; it is the
+    * operator's own output — postings-sized, distributed executor-local
+    * blocks, the same I/O class as the shuffle any consumer would pay.
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String,
+            maxBroadcastVocab: Long = DfreqBroadcastMaxVocab): DataFrame = {
     // corpus size rides the plan as a broadcast 1-row aggregate instead of
-    // an eager df.count(): one Spark action per tfidf() call, not two —
-    // Catalyst plans the count as part of the same DAG and the 1-row side
-    // broadcasts for free
+    // an eager df.count(): Catalyst plans the count as part of the same
+    // DAG and the 1-row side broadcasts for free
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
     val terms = df
       .select(col(idCol).as("doc"), explode(tokens(normalizeText(col(textCol)))).as("term"))
-    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf")).persist()
+    try {
+      tf.count() // eager: both consumers below read the cache
+      // vocab-sized, ≪ postings; materialized so the row count that gates
+      // the broadcast and the joined table are the same finished frame
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint(true)
+      val vocab = dfreq.count()
+      tfidfJoin(tf, dfreq, n, vocab, maxBroadcastVocab).localCheckpoint(true)
+    } finally tf.unpersist(false)
+  }
+
+  /** The join stage of [[tfidf]], lazy — split out so the broadcast gate
+    * is plan-testable (the public entry point severs lineage).
+    */
+  private[graft] def tfidfJoin(tf: DataFrame, dfreq: DataFrame, n: DataFrame,
+                               vocab: Long, maxBroadcastVocab: Long): DataFrame = {
+    val dfSide = if (vocab <= maxBroadcastVocab) broadcast(dfreq) else dfreq
+    tf.join(dfSide, Seq("term"))
       .join(broadcast(n))
       .withColumn("tfidf",
         round(col("tf").cast("double") * log(col("__n") / col("df").cast("double")), 6))

@@ -996,3 +996,64 @@ class ClusteringSpec extends org.scalatest.funsuite.AnyFunSuite {
       === Map(1L -> 0L, 2L -> 5L)) // (10,11) nearest to (10,10) = cid 5
   }
 }
+
+/** K7's vocab-broadcast gate: the document-frequency table is
+  * corpus-derived (one row per distinct term — the vocabulary), so the
+  * broadcast hint must disappear above the bound and the term join fall
+  * back to a shuffled join AQE can skew-split.
+  */
+class TfidfGateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def frames() = {
+    import spark.implicits._
+    val tf = Seq((1L, "alpha", 1L), (1L, "beta", 2L), (2L, "alpha", 1L),
+      (2L, "gamma", 1L)).toDF("doc", "term", "tf")
+    val dfreq = Seq(("alpha", 2L), ("beta", 1L), ("gamma", 1L)).toDF("term", "df")
+    val n = tf.select(col("doc")).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
+    (tf, dfreq, n)
+  }
+
+  test("dfreq broadcasts under the vocab gate, shuffles above it") {
+    val (tf, dfreq, n) = frames()
+    // pin autoBroadcast off so the ONLY broadcast source is the hint —
+    // otherwise the planner would broadcast the tiny test frame on size
+    // stats and the gate would be untestable
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val under = graft.llm.TextAnalysis
+        .tfidfJoin(tf, dfreq, n, vocab = 3, maxBroadcastVocab = 1000)
+      val pUnder = under.queryExecution.executedPlan.toString
+      assert(pUnder.contains("BroadcastHashJoin"),
+        s"under-gate plan must broadcast dfreq:\n$pUnder")
+      val over = graft.llm.TextAnalysis
+        .tfidfJoin(tf, dfreq, n, vocab = 3, maxBroadcastVocab = 2)
+      val pOver = over.queryExecution.executedPlan.toString
+      assert(!pOver.contains("BroadcastHashJoin"),
+        s"over-gate plan must NOT broadcast the vocab table:\n$pOver")
+      assert(pOver.contains("SortMergeJoin") || pOver.contains("ShuffledHashJoin"),
+        s"over-gate term join must be a shuffled join:\n$pOver")
+      // both paths produce identical rows — the gate is plan-only
+      val rows = (d: org.apache.spark.sql.DataFrame) =>
+        d.orderBy("doc", "term").collect().toSeq
+      assert(rows(under) === rows(over))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("tfidf end-to-end matches the hand computation (persist + checkpoint path)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).toDF("id", "text")
+    val out = graft.llm.TextAnalysis.tfidf(docs, "text", "id")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    def idf(df: Long) = math.log(2.0 / df)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Set(
+      (1L, "alpha", 1L, 2L, r6(1 * idf(2))),
+      (1L, "beta", 2L, 1L, r6(2 * idf(1))),
+      (2L, "alpha", 1L, 2L, r6(1 * idf(2))),
+      (2L, "gamma", 1L, 1L, r6(1 * idf(1)))))
+  }
+}
