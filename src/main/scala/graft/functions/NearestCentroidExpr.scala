@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the nearest-centroid argmin — the §2-I4
+  * extension point, escalated per SURVEY.md §7.5 on the same evidence
+  * trail as [[CosineSimilarity]] and `MinHashSignature`: the HOF
+  * formulation (`transform(centroids, c => aggregate(zip_with(v, c, …)))`
+  * + `array_position(array_min(…))`) allocates an intermediate distance
+  * per centroid per row THROUGH interpreted lambdas and never enters
+  * whole-stage codegen — and it sits in the one pass that runs
+  * `lloydRounds + 1` times over the full corpus (IVF build, k-means
+  * assignment). This expression is a single fused compiled loop: no
+  * intermediate arrays, no closure dispatch, full `doGenCode`.
+  *
+  * Returns the 1-BASED index of the nearest centroid by squared L2
+  * distance (a drop-in for `array_position(dists, array_min(dists))`, so
+  * `element_at(ids, NearestCentroid(v, cents))` keeps working). Ties
+  * break to the FIRST minimum, exactly like `array_position`.
+  *
+  * Arithmetic parity with the HOF witness, bit for bit:
+  *  - both element types integral (long) → pure long math
+  *    (`(a-b)*(a-b)` summed in long, Java wrap-around overflow included)
+  *    — the fixed-point k-means contract;
+  *  - otherwise → element-wise upcast to double, sequential
+  *    left-to-right sum (float corpus vs double centroids in IVF).
+  * A null element, a null centroid row, or a length-mismatched centroid
+  * makes THAT centroid's distance undefined and skips it — mirroring
+  * `zip_with`'s null padding propagating through `aggregate` and
+  * `array_min` ignoring nulls. All centroids undefined (or none) → null.
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(t @ (FloatType | DoubleType | LongType | IntegerType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = elemType(left.dataType).isDefined
+    val centsOk = right.dataType match {
+      case ArrayType(inner, _) => elemType(inner).isDefined
+      case _ => false
+    }
+    if (vecOk && centsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects (array<numeric>, array<array<numeric>>), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def vecElem: DataType = elemType(left.dataType).get
+  private def centElem: DataType =
+    elemType(right.dataType.asInstanceOf[ArrayType].elementType).get
+
+  /** Long math iff BOTH sides are integral — the fixed-point contract. */
+  private def longMath: Boolean =
+    (vecElem == LongType || vecElem == IntegerType) &&
+      (centElem == LongType || centElem == IntegerType)
+
+  private def getLongAt(arr: ArrayData, i: Int, t: DataType): Long = t match {
+    case LongType => arr.getLong(i)
+    case IntegerType => arr.getInt(i).toLong
+    case _ => throw new IllegalStateException(s"non-integral $t on long path")
+  }
+
+  private def getDoubleAt(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case LongType => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = -1
+    if (longMath) {
+      var bestD = 0L
+      var j = 0
+      while (j < cs.numElements()) {
+        if (!cs.isNullAt(j)) {
+          val c = cs.getArray(j)
+          if (c.numElements() == n) {
+            var d = 0L; var i = 0; var bad = false
+            while (i < n && !bad) {
+              if (v.isNullAt(i) || c.isNullAt(i)) bad = true
+              else {
+                val t = getLongAt(v, i, vecElem) - getLongAt(c, i, centElem)
+                d += t * t; i += 1
+              }
+            }
+            if (!bad && (best == -1 || d < bestD)) { best = j; bestD = d }
+          }
+        }
+        j += 1
+      }
+    } else {
+      var bestD = 0.0d
+      var j = 0
+      while (j < cs.numElements()) {
+        if (!cs.isNullAt(j)) {
+          val c = cs.getArray(j)
+          if (c.numElements() == n) {
+            var d = 0.0d; var i = 0; var bad = false
+            while (i < n && !bad) {
+              if (v.isNullAt(i) || c.isNullAt(i)) bad = true
+              else {
+                val t = getDoubleAt(v, i, vecElem) - getDoubleAt(c, i, centElem)
+                d += t * t; i += 1
+              }
+            }
+            if (!bad && (best == -1 || d < bestD)) { best = j; bestD = d }
+          }
+        }
+        j += 1
+      }
+    }
+    if (best == -1) null else java.lang.Integer.valueOf(best + 1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(t: DataType): String = t match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case LongType => "getLong"
+      case IntegerType => "getInt"
+    }
+    val (numT, zero) = if (longMath) ("long", "0L") else ("double", "0.0")
+    val vGet = getter(vecElem); val cGet = getter(centElem)
+    val arrCls = classOf[ArrayData].getName
+    // fresh names: two instances in one codegen scope must not collide
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val j = ctx.freshName("j"); val m = ctx.freshName("m")
+    val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+    val d = ctx.freshName("d"); val t = ctx.freshName("t")
+    val bad = ctx.freshName("bad"); val c = ctx.freshName("c")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $best = -1;
+         |$numT $bestD = $zero;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($b.isNullAt($j)) continue;
+         |  $arrCls $c = $b.getArray($j);
+         |  if ($c.numElements() != $n) continue;
+         |  $numT $d = $zero;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $c.isNullAt($i)) { $bad = true; break; }
+         |    $numT $t = ($numT) $a.$vGet($i) - ($numT) $c.$cGet($i);
+         |    $d += $t * $t;
+         |  }
+         |  if (!$bad && ($best == -1 || $d < $bestD)) { $best = $j; $bestD = $d; }
+         |}
+         |if ($best == -1) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $best + 1;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroid {
+  /** Column-level entry point: 1-based argmin index of squared-L2
+    * distance from `vec` to each row of `centroids`.
+    */
+  def apply(vec: Column, centroids: Column): Column =
+    GraftBridge.column(
+      NearestCentroid(GraftBridge.expression(vec), GraftBridge.expression(centroids)))
+}

@@ -70,10 +70,45 @@ object VectorFunctions {
     * and engines. Used to pre-partition ANN search so the cross join only
     * happens within a bucket (the 100 TB path; brute force stays the
     * correctness baseline).
+    *
+    * The plane components ride as ONE array literal (`typedLit`, a single
+    * plan node with a data payload) folded by HOFs — the unrolled
+    * formulation this replaces built a dim × nPlanes `element_at` sum
+    * TREE in the plan, which chokes the planner at dim ≥ 512 (the r7
+    * review's `signBucket` scale note; the Clustering.assign literal-gate
+    * precedent). Arithmetic is bit-identical: per plane, the projection
+    * is the same left-to-right sequential double sum over dims 1..dim
+    * (pinned by `SignBucketSpec` against the unrolled witness, including
+    * a dim-512 smoke case).
     */
   def signBucket(vec: Column, nPlanes: Int, dim: Int, seed: Int = 42): Column = {
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, d, seed))
+        if ((h & 1) == 0) 1.0d else -1.0d
+      }
+    }
+    // slice pins exact-dim semantics: a longer vector uses its first
+    // `dim` components (as the unrolled element_at form did); a shorter
+    // one null-pads through zip_with → null projection → bit 0, ditto
+    val v = slice(vec, 1, dim)
+    val projs = transform(typedLit(planes), p =>
+      aggregate(zip_with(v, p, (x, s) => x.cast("double") * s),
+        lit(0.0d), (acc, x) => acc + x))
+    val weights = typedLit((0 until nPlanes).map(p => 1 << p))
+    aggregate(
+      zip_with(projs, weights, (pr, w) => when(pr >= 0.0d, w).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+  }
+
+  /** The unrolled per-dim expression-tree formulation of [[signBucket]] —
+    * kept ONLY as the differential-test witness (`SignBucketSpec`); its
+    * dim × nPlanes plan tree is exactly what the literal+HOF form above
+    * exists to avoid.
+    */
+  private[graft] def signBucketUnrolled(vec: Column, nPlanes: Int, dim: Int,
+                                        seed: Int = 42): Column = {
     val bits = (0 until nPlanes).map { p =>
-      // component_{p,d} in {-1,+1} from a deterministic integer hash
       val proj = (0 until dim).map { d =>
         val h = scala.util.hashing.MurmurHash3.productHash((p, d, seed))
         val sgn = if ((h & 1) == 0) 1.0d else -1.0d

@@ -98,10 +98,12 @@ object Clustering {
     */
   private[graft] val AssignLiteralMaxElems = 16384L
 
-  /** Nearest-centroid projection: distances to all k centroids as one
-    * array HOF (codegen, ZERO corpus shuffle on either path), argmin
-    * position → centroid id. `array_position` returns the FIRST minimum,
-    * so ties break to the lowest centroid id (the list is sorted by id).
+  /** Nearest-centroid projection: the fused native argmin
+    * ([[graft.functions.NearestCentroid]] — whole-stage codegen, pure
+    * long math, no intermediate distance array) over the centroid list;
+    * ZERO corpus shuffle on either transport. Ties break to the lowest
+    * centroid id (the list is sorted by id and the expression keeps the
+    * FIRST minimum, like the `array_position` it replaced).
     *
     * Centroid transport is gated on k × dim: below
     * [[AssignLiteralMaxElems]] they ride as a plan literal; above, as ONE
@@ -112,6 +114,31 @@ object Clustering {
     */
   private[graft] def assign(q: DataFrame,
                             centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val cids = centroids.map(_._1)
+    val cents = centroids.map(_._2)
+    val dim = cents.headOption.map(_.size.toLong).getOrElse(0L)
+    import graft.functions.NearestCentroid
+    if (centroids.size * dim <= AssignLiteralMaxElems) {
+      q.withColumn("cluster",
+        element_at(typedLit(cids), NearestCentroid(col("v"), typedLit(cents))))
+    } else {
+      val spark = q.sparkSession
+      import spark.implicits._
+      val centRow = Seq((cids, cents)).toDF("__cids", "__cents")
+      q.join(broadcast(centRow))
+        .withColumn("cluster",
+          element_at(col("__cids"), NearestCentroid(col("v"), col("__cents"))))
+        .drop("__cids", "__cents")
+    }
+  }
+
+  /** Interpreted HOF formulation of [[assign]] — the differential-test
+    * witness for the native expression (bit-parity pinned by
+    * `NearestCentroidSpec` on both transports). Not used in any hot
+    * path.
+    */
+  private[graft] def assignHof(q: DataFrame,
+                               centroids: Seq[(Long, Seq[Long])]): DataFrame = {
     val cids = centroids.map(_._1)
     val cents = centroids.map(_._2)
     val dim = cents.headOption.map(_.size.toLong).getOrElse(0L)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** The deterministic per-doc uniform in [0, 1): first 8 md5 hex chars
+    * of the id as a 32-bit integer over 2³². */
+  private def mdUniform(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0d)
+
   /** Per-source (domain) cap: keep at most `cap` documents per source,
     * chosen by a deterministic md5 priority over the doc id (ties broken
     * by id). The Common-Crawl-style guard against any one domain
@@ -22,10 +28,10 @@ object Mixing {
     *
     * Scale shape: ONE shuffle on the source key; the window computes
     * row_number per source partition with partial ordering only within
-    * each source. A pathological mega-domain makes a hot partition —
-    * but such a domain is exactly what the cap drops, so pre-filtering
-    * obvious offenders (count > 100×cap via a cheap agg) before the
-    * window is the documented mitigation at extreme skew.
+    * each source. A pathological mega-domain makes a hot partition — use
+    * [[perSourceCapSkewed]] when one domain is a meaningful fraction of
+    * the corpus (its two-level salted top-k is exact and keeps every
+    * partition bounded at n_source / saltBuckets).
     */
   def perSourceCap(df: DataFrame, sourceCol: String, idCol: String,
                    cap: Int): DataFrame = {
@@ -37,6 +43,50 @@ object Mixing {
       .drop("__rn")
   }
 
+  /** Skew-safe [[perSourceCap]] — the r6/r7-reviewed mega-domain path,
+    * EXACT by construction (not a probabilistic pre-filter): sources
+    * whose row count exceeds `megaFactor × cap` run a two-level salted
+    * top-k — top-`cap` within each of `saltBuckets` deterministic salt
+    * buckets (partition size n_source / saltBuckets), then top-`cap`
+    * over the ≤ saltBuckets × cap survivors. The overall top-`cap` by
+    * (md5 priority, id) is a subset of the per-bucket top-`cap` union,
+    * so the result is row-identical to the plain window (pinned by
+    * `MixingScaleSpec`); normal sources take the single-window path
+    * untouched. Costs one extra count aggregation over (source) — cheap
+    * next to the window shuffle it de-skews.
+    */
+  def perSourceCapSkewed(df: DataFrame, sourceCol: String, idCol: String,
+                         cap: Int, saltBuckets: Int = 32,
+                         megaFactor: Long = 100L): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2: $saltBuckets")
+    val mega = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > lit(megaFactor) * lit(cap.toLong))
+      .select(col(sourceCol), lit(true).as("__mega"))
+    val flagged = df.join(broadcast(mega), Seq(sourceCol), "left")
+    val normal = perSourceCap(flagged.where(col("__mega").isNull).drop("__mega"),
+      sourceCol, idCol, cap)
+    // level 1: bounded partitions via a deterministic id salt
+    val wSalt = Window.partitionBy(col(sourceCol), col("__salt"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val survivors = flagged.where(col("__mega").isNotNull).drop("__mega")
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(saltBuckets)))
+      .withColumn("__rn", row_number().over(wSalt))
+      .where(col("__rn") <= cap)
+      .drop("__salt", "__rn")
+    // level 2: the survivors are ≤ saltBuckets × cap per source — tiny
+    normal.unionByName(perSourceCap(survivors, sourceCol, idCol, cap))
+  }
+
+  /** Above this many strata, [[temperatureResample]] stops collecting
+    * the per-stratum counts to the driver and compiling thresholds into
+    * a `when`-chain — unbounded driver state plus an expression tree the
+    * planner chokes on when strata are domains (millions), not languages
+    * (dozens) — and broadcast-joins a distributed threshold table
+    * instead (the Clustering.AssignLiteralMaxElems gate precedent).
+    */
+  private[graft] val ThresholdWhenChainMaxStrata = 1000L
+
   /** Temperature resampling over a stratum column (typically language):
     * sampling weight ∝ count^alpha (alpha in (0,1] flattens the
     * distribution — the multilingual rebalancing rule from public
@@ -45,36 +95,68 @@ object Mixing {
     * min(1, targetTotal · (w_l / Σw) / n_l), applied with the
     * deterministic per-doc md5 uniform.
     *
-    * Determinism discipline: the per-stratum counts are collected
-    * (bounded driver state — one row per language), weights are summed
-    * in a SORTED left fold, and the keep threshold is rounded to 6
-    * decimals before comparing — the oracle mirrors the identical
-    * fold order (`list_reduce(list(w ORDER BY lang))`) and rounding, so
-    * both engines draw the same sample. The corpus side is one agg plus
-    * one codegen'd filter — no join, no extra shuffle.
+    * Two stratum-cardinality regimes, same math:
+    *  - ≤ [[ThresholdWhenChainMaxStrata]] strata (languages): counts are
+    *    collected (bounded driver state — one row per stratum), weights
+    *    summed in a SORTED left fold, thresholds rounded to 6 decimals
+    *    and compiled into a `when`-chain — the oracle mirrors the
+    *    identical fold order (`list_reduce(list(w ORDER BY lang))`) and
+    *    rounding, so both engines draw the same sample, bit for bit.
+    *  - above it (domains, millions of strata): counts, weights, Σw and
+    *    thresholds all stay DISTRIBUTED (`round(..., 6)` is the same
+    *    HALF_UP as the driver's BigDecimal), and the per-stratum
+    *    threshold table broadcast-joins onto the corpus — tens of MB at
+    *    10⁶ strata, the autoBroadcast size class; no driver state ∝
+    *    cardinality, no planner-choking expression tree. Σw is a plain
+    *    distributed sum here: its partial-order nondeterminism is a
+    *    last-ulp effect absorbed by the 6-decimal threshold rounding in
+    *    all but adversarially-constructed weights, and at this
+    *    cardinality no engine could reproduce a sorted sequential fold
+    *    without a single-task bottleneck anyway (the gate spec pins
+    *    value-equality of the two paths on boundary-free data).
     */
   def temperatureResample(df: DataFrame, stratumCol: String, idCol: String,
-                          targetTotal: Long, alpha: Double = 0.5): DataFrame = {
+                          targetTotal: Long, alpha: Double = 0.5,
+                          maxWhenChainStrata: Long = ThresholdWhenChainMaxStrata): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
     require(targetTotal >= 1, s"targetTotal must be >= 1: $targetTotal")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
-    require(counts.nonEmpty, "temperatureResample needs a non-empty frame")
-    // sqrt for the canonical alpha=0.5 (correctly-rounded IEEE in every
-    // engine); Math.pow otherwise (matches SQL POW to the ulp in
-    // practice; thresholds are rounded below, which absorbs it)
-    def weight(n: Long): Double =
-      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
-    val wSum = counts.foldLeft(0.0d)((acc, c) => acc + weight(c._2))
-    val thresholds = counts.map { case (l, n) =>
-      val keep = math.min(1.0d, targetTotal.toDouble * (weight(n) / wSum) / n.toDouble)
-      l -> BigDecimal(keep).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val countsDf = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val nStrata = countsDf.count()
+    require(nStrata > 0, "temperatureResample needs a non-empty frame")
+    val u = mdUniform(idCol)
+    if (nStrata <= maxWhenChainStrata) {
+      val counts = countsDf
+        .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+      // sqrt for the canonical alpha=0.5 (correctly-rounded IEEE in every
+      // engine); Math.pow otherwise (matches SQL POW to the ulp in
+      // practice; thresholds are rounded below, which absorbs it)
+      def weight(n: Long): Double =
+        if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      val wSum = counts.foldLeft(0.0d)((acc, c) => acc + weight(c._2))
+      val thresholds = counts.map { case (l, n) =>
+        val keep = math.min(1.0d, targetTotal.toDouble * (weight(n) / wSum) / n.toDouble)
+        l -> BigDecimal(keep).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val thr = thresholds.foldLeft(lit(Double.NaN)) { case (acc, (l, t)) =>
+        when(col(stratumCol) === l, lit(t)).otherwise(acc)
+      }
+      df.where(u < thr)
+    } else {
+      val wCol =
+        if (alpha == 0.5) sqrt(col("__n").cast("double"))
+        else pow(col("__n").cast("double"), lit(alpha))
+      val weighted = countsDf.withColumn("__w", wCol)
+      val thrTable = weighted
+        .join(broadcast(weighted.agg(sum(col("__w")).as("__wsum"))))
+        .withColumn("__thr", round(
+          least(lit(1.0d),
+            lit(targetTotal.toDouble) * (col("__w") / col("__wsum"))
+              / col("__n").cast("double")), 6))
+        .select(col(stratumCol), col("__thr"))
+      df.join(broadcast(thrTable), Seq(stratumCol))
+        .where(u < col("__thr"))
+        .drop("__thr")
+        .select(df.columns.map(col): _*)
     }
-    val thr = thresholds.foldLeft(lit(Double.NaN)) { case (acc, (l, t)) =>
-      when(col(stratumCol) === l, lit(t)).otherwise(acc)
-    }
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0d)
-    df.where(u < thr)
   }
 }

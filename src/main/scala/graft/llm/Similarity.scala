@@ -73,17 +73,26 @@ object Similarity {
     }
     var centroids: Seq[(Int, Seq[Double])] =
       seeds.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-    // Lloyd refinement: assign → average. Aggregation is per-dimension
-    // (posexplode + groupBy) so it stays distributed; only the nCells
-    // averaged centroids come back to the driver.
+    val dim = first.length
+    // Lloyd refinement: assign → average, via `dim` per-dimension sum
+    // columns in ONE map-side-combinable hash agg (the Clustering.kmeans
+    // shape, unified here per the r7 review): nCells groups × (dim + 1)
+    // columns, partial aggregation on the map side, no row amplification.
+    // The posexplode + double-groupBy formulation this replaces pushed
+    // dim× the corpus row count through the first hash aggregate. Only
+    // the nCells averaged centroids come back to the driver.
     for (_ <- 0 until lloydRounds) {
       val cdf = centroids.toDF("cell", "centroid")
-      centroids = assignCells(c, cdf)
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-        .select(col("cell"), transform(col("p"), e => e.getField("m")).as("centroid"))
-        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+      val sums = assignCells(c, cdf)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i")): _*)
+        .collect()
+      centroids = sums.map { r =>
+        val cnt = r.getLong(1)
+        (r.getInt(0), (0 until dim).map(i => r.getDouble(2 + i) / cnt))
+      }.sortBy(_._1).toSeq
     }
     val cdf = centroids.toDF("cell", "centroid")
     val indexed = assignCells(c, cdf)
@@ -137,15 +146,16 @@ object Similarity {
   }
 
   /** Nearest-cell assignment with ZERO corpus shuffle: the (driver-
-    * bounded, nCells × dim) centroid table rides as ONE broadcast row and
-    * the argmin is a codegen'd HOF over it — the former formulation
-    * (condition-free broadcast join + per-id window) shuffled the ENTIRE
-    * corpus once per call to rank k rows per id, which at 100 TB is the
-    * difference between a map-only assignment pass and a corpus-wide
-    * exchange per Lloyd round. Ties break to the lowest cell id exactly
-    * like the window's (dist, cell) ordering: cells ride sorted ascending
-    * and `array_position` returns the FIRST minimum; the per-element
-    * double arithmetic is unchanged, so assignments are bit-identical.
+    * bounded, nCells × dim) centroid table rides as ONE broadcast row
+    * and the argmin is the fused native
+    * [[graft.functions.NearestCentroid]] expression — whole-stage
+    * codegen, no per-centroid intermediate array (the interpreted HOF it
+    * replaced allocated one distance array per row per pass, executed
+    * `lloydRounds + 1` times over the corpus). Ties break to the lowest
+    * cell id exactly as before: cells ride sorted ascending and the
+    * expression keeps the FIRST minimum; the per-element double
+    * arithmetic is unchanged, so assignments are bit-identical (pinned
+    * by `NearestCentroidSpec`'s float-vs-double parity case).
     */
   private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
@@ -154,16 +164,10 @@ object Similarity {
       .as[(Int, Seq[Double])].collect().sortBy(_._1)
     val centRow = Seq((cents.map(_._1).toSeq, cents.map(_._2).toSeq))
       .toDF("__cells", "__cents")
-    val dists = transform(col("__cents"),
-      c => aggregate(zip_with(col("v"), c, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }), lit(0.0d), (acc, x) => acc + x))
     vecs.join(broadcast(centRow))
-      .withColumn("__d", dists)
       .withColumn("cell", element_at(col("__cells"),
-        array_position(col("__d"), array_min(col("__d"))).cast("int")))
-      .drop("__d", "__cells", "__cents")
+        graft.functions.NearestCentroid(col("v"), col("__cents"))))
+      .drop("__cells", "__cents")
   }
 
   /** ANN top-k through the IVF index: each query probes its `nProbe`

@@ -57,14 +57,25 @@ object TextAnalysis {
     * [[DfreqBroadcastMaxVocab]] distinct terms — a plain equi-join
     * shuffles tf by term where AQE's skew-join split handles stopword
     * keys, which a vocab-sized broadcast (or a per-term window, whose
-    * stopword partition cannot be split) would not survive. The result
-    * is eagerly materialized (`localCheckpoint(true)`, the Decontaminate
-    * hand-off) so the cache can be released before returning; it is the
-    * operator's own output — postings-sized, distributed executor-local
-    * blocks, the same I/O class as the shuffle any consumer would pay.
+    * stopword partition cannot be split) would not survive.
+    *
+    * The result is LAZY by default (r7 review: the eager full-postings
+    * `localCheckpoint` forced the entire (doc, term, tfidf) table even
+    * when the caller wanted top-k per doc — a measured 2× on the k7
+    * bench): a plan over the persisted `tf` and the checkpointed
+    * vocab-sized `dfreq`, so caller-side filters/limits compose and only
+    * the slice actually consumed is computed. The `tf` cache stays
+    * registered for the frame's lifetime (re-persisting the same logical
+    * plan is a no-op, so repeated calls don't stack copies); pass
+    * `sever = true` for the old Decontaminate-style hand-off — fully
+    * materialized, lineage severed, cache released before returning —
+    * when the result outlives the session's cache budget or feeds many
+    * downstream jobs. Fault-tolerance note for both paths in SCALING.md
+    * (localCheckpoint blocks are non-replicated).
     */
   def tfidf(df: DataFrame, textCol: String, idCol: String,
-            maxBroadcastVocab: Long = DfreqBroadcastMaxVocab): DataFrame = {
+            maxBroadcastVocab: Long = DfreqBroadcastMaxVocab,
+            sever: Boolean = false): DataFrame = {
     // corpus size rides the plan as a broadcast 1-row aggregate instead of
     // an eager df.count(): Catalyst plans the count as part of the same
     // DAG and the 1-row side broadcasts for free
@@ -72,14 +83,15 @@ object TextAnalysis {
     val terms = df
       .select(col(idCol).as("doc"), explode(tokens(normalizeText(col(textCol)))).as("term"))
     val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf")).persist()
-    try {
-      tf.count() // eager: both consumers below read the cache
-      // vocab-sized, ≪ postings; materialized so the row count that gates
-      // the broadcast and the joined table are the same finished frame
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint(true)
-      val vocab = dfreq.count()
-      tfidfJoin(tf, dfreq, n, vocab, maxBroadcastVocab).localCheckpoint(true)
-    } finally tf.unpersist(false)
+    tf.count() // eager: both consumers below read the cache
+    // vocab-sized, ≪ postings; materialized so the row count that gates
+    // the broadcast and the joined table are the same finished frame
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint(true)
+    val vocab = dfreq.count()
+    val joined = tfidfJoin(tf, dfreq, n, vocab, maxBroadcastVocab)
+    if (sever) {
+      try joined.localCheckpoint(true) finally tf.unpersist(false)
+    } else joined
   }
 
   /** The join stage of [[tfidf]], lazy — split out so the broadcast gate

@@ -87,9 +87,11 @@ object Ingest {
           val seen = spark.read.parquet(hashesPath)
             .select(col("ch"), col("id").as("__seen_id"))
           intra.withColumn("__ch", md5(graft.functions.TextFunctions.normalizeText(col(textCol))))
-            // same-id hash hits are a replayed batch finding its own rows
+            // same-id hash hits are a replayed batch finding its own rows;
+            // the guard id is string-typed on BOTH sides (see the write
+            // below), so the comparison casts to match
             .join(seen, col("__ch") === col("ch") &&
-              col(idCol) =!= col("__seen_id"), "left_anti")
+              col(idCol).cast("string") =!= col("__seen_id"), "left_anti")
             .drop("__ch")
         }
       }
@@ -101,11 +103,17 @@ object Ingest {
     kept.withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(admittedDir)
-    // the id lands in its NATIVE type: a cast("long") here would silently
-    // null string doc ids, and the `id =!= __seen_id` replay exclusion
-    // above would then never match (every replayed row re-admitted)
+    // the guard id lands as ONE stable type (string) regardless of the
+    // source's id type: r7 wrote it in its native type after the
+    // cast("long") bug (which silently nulled string ids and defeated the
+    // replay exclusion), but native-typed partitions make the hashes dir
+    // schema depend on the source — a long-id stream and a later string-id
+    // replay would mix types across __batch partitions and fail the guard
+    // read. String is lossless for every id type and compares exactly.
+    // Upgrading a pre-r8 hashes dir (long-typed ids) requires clearing
+    // <indexPath>/hashes once; the admitted corpus is unaffected.
     if (exactGuard)
-      kept.select(col(idCol).as("id"),
+      kept.select(col(idCol).cast("string").as("id"),
           md5(graft.functions.TextFunctions.normalizeText(col(textCol))).as("ch"))
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

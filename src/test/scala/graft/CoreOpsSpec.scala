@@ -1057,3 +1057,194 @@ class TfidfGateSpec extends org.scalatest.funsuite.AnyFunSuite {
       (2L, "gamma", 1L, 1L, r6(1 * idf(1)))))
   }
 }
+
+/** Native NearestCentroid argmin vs the interpreted HOF witness — the
+  * r7-escalated expression must be bit-identical on BOTH arithmetic paths
+  * (fixed-point long, float-vs-double) and BOTH centroid transports
+  * (plan literal, broadcast row).
+  */
+class NearestCentroidSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions.NearestCentroid
+
+  private def longVecs(n: Int, dim: Int, seedMul: Long) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(d =>
+        ((i * seedMul + d * 2654435761L) % 2000L) - 1000L))
+    }.toDF("id", "v")
+  }
+
+  test("long path: native assign == HOF witness on the literal transport") {
+    val q = longVecs(200, 8, 40503L)
+    val centroids: Seq[(Long, Seq[Long])] = (0L until 5L).map { c =>
+      (c, (0 until 8).map(d => (c * 337L + d * 91L) % 1000L - 500L))
+    }
+    val nat = graft.llm.Clustering.assign(q, centroids)
+      .select("id", "cluster").orderBy("id").collect().toSeq
+    val hof = graft.llm.Clustering.assignHof(q, centroids)
+      .select("id", "cluster").orderBy("id").collect().toSeq
+    assert(nat === hof)
+  }
+
+  test("long path: native assign == HOF witness on the broadcast-row transport") {
+    // k × dim must exceed AssignLiteralMaxElems to force the broadcast row
+    val dim = 64
+    val k = (graft.llm.Clustering.AssignLiteralMaxElems / dim).toInt + 2
+    val q = longVecs(50, dim, 69069L)
+    val centroids: Seq[(Long, Seq[Long])] = (0 until k).map { c =>
+      (c.toLong, (0 until dim).map(d => ((c * 7993L + d * 131L) % 1000L) - 500L))
+    }
+    assert(k.toLong * dim > graft.llm.Clustering.AssignLiteralMaxElems)
+    val nat = graft.llm.Clustering.assign(q, centroids)
+    assert(nat.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin") ||
+      nat.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "over-gate transport must ride a broadcast row")
+    val hof = graft.llm.Clustering.assignHof(q, centroids)
+    assert(nat.select("id", "cluster").orderBy("id").collect().toSeq ===
+      hof.select("id", "cluster").orderBy("id").collect().toSeq)
+  }
+
+  test("double path: native argmin == HOF witness on real float embeddings") {
+    import spark.implicits._
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val dim = e.select(size(col("v"))).head.getInt(0)
+    val cents: Seq[Seq[Double]] = (0 until 7).map { c =>
+      (0 until dim).map(d => math.sin(c * 31 + d) * 0.5)
+    }
+    val centRow = Seq((cents.indices.map(_ + 100), cents))
+      .toDF("__cells", "__cents")
+    val distsHof = transform(col("__cents"),
+      c => aggregate(zip_with(col("v"), c, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0d), (acc, x) => acc + x))
+    val both = e.join(broadcast(centRow))
+      .select(col("id"),
+        element_at(col("__cells"), NearestCentroid(col("v"), col("__cents"))).as("nat"),
+        element_at(col("__cells"),
+          array_position(distsHof, array_min(distsHof)).cast("int")).as("hof"))
+    assert(both.where(col("nat") =!= col("hof")).count() === 0)
+    assert(both.where(col("nat").isNull).count() === 0)
+  }
+
+  test("codegen and interpreted eval agree; ties break to the first minimum") {
+    import spark.implicits._
+    // centroid 0 and 1 are equidistant from v → first minimum wins
+    val df = Seq((Seq(0L, 0L), Seq(Seq(1L, 0L), Seq(0L, 1L), Seq(5L, 5L))))
+      .toDF("v", "cents")
+    val viaCodegen = df.select(NearestCentroid(col("v"), col("cents"))).head.getInt(0)
+    assert(viaCodegen === 1, "tie must break to the first centroid (1-based)")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(NearestCentroid(col("v"), col("cents"))).head.getInt(0)
+      assert(interp === viaCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("undefined centroids (null / length mismatch / empty list) are skipped or null out") {
+    import spark.implicits._
+    val df = Seq(
+      // null centroid row and a length-mismatched one are skipped
+      (Seq(0L, 0L), Seq(null, Seq(9L), Seq(2L, 2L), Seq(1L, 1L))),
+      // no valid centroid at all → null
+      (Seq(0L, 0L), Seq(Seq(1L, 2L, 3L)))).toDF("v", "cents")
+      .select(col("v"), col("cents").cast("array<array<bigint>>").as("cents"))
+    val rows = df.select(NearestCentroid(col("v"), col("cents")).as("p")).collect()
+    assert(rows(0).getInt(0) === 4, "nearest VALID centroid (1-based original position)")
+    assert(rows(1).isNullAt(0), "all-undefined centroid list must yield null")
+  }
+}
+
+/** K12's stratum-cardinality gate and the skew-safe per-source cap —
+  * both paths must be row-identical to their small-scale twins, and the
+  * plan switch must actually happen.
+  */
+class MixingScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("temperatureResample: broadcast-threshold path == when-chain path, plan switches") {
+    val d = core.Engine.table(spark, TestSpark.sf, "documents")
+    val chain = graft.llm.Mixing.temperatureResample(d, "lang", "doc_id",
+      targetTotal = 300L, alpha = 0.5)
+    val joined = graft.llm.Mixing.temperatureResample(d, "lang", "doc_id",
+      targetTotal = 300L, alpha = 0.5, maxWhenChainStrata = 1)
+    // the when-chain path filters in place — no join anywhere; the
+    // distributed path broadcast-joins the threshold table
+    val pChain = chain.queryExecution.executedPlan.toString
+    val pJoin = joined.queryExecution.executedPlan.toString
+    assert(!pChain.contains("Join"), s"when-chain path must not join:\n$pChain")
+    assert(pJoin.contains("BroadcastHashJoin"),
+      s"over-gate path must broadcast-join the threshold table:\n$pJoin")
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(ids(chain) === ids(joined), "both regimes must draw the identical sample")
+  }
+
+  test("perSourceCapSkewed == perSourceCap when every source is routed mega") {
+    val d = core.Engine.table(spark, TestSpark.sf, "documents")
+    val plain = graft.llm.Mixing.perSourceCap(d, "source", "doc_id", cap = 20)
+    val salted = graft.llm.Mixing.perSourceCapSkewed(d, "source", "doc_id",
+      cap = 20, saltBuckets = 4, megaFactor = 0L)
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(ids(plain) === ids(salted),
+      "two-level salted top-k must be row-identical to the plain window")
+    // mixed routing (only some sources mega) must also be exact
+    val mixed = graft.llm.Mixing.perSourceCapSkewed(d, "source", "doc_id",
+      cap = 20, saltBuckets = 4, megaFactor = 3L)
+    assert(ids(plain) === ids(mixed))
+  }
+}
+
+/** signBucket's literal+HOF form vs the unrolled expression-tree witness
+  * — bit parity at the contract dim and at dim 512 (where the unrolled
+  * tree is exactly what the rewrite exists to avoid).
+  */
+class SignBucketSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorFunctions
+
+  test("literal+HOF signBucket == unrolled witness on real embeddings") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val both = e.select(
+      VectorFunctions.signBucket(col("embedding"), 4, dim).as("hof"),
+      VectorFunctions.signBucketUnrolled(col("embedding"), 4, dim).as("un"))
+    assert(both.where(col("hof") =!= col("un")).count() === 0)
+    assert(both.where(col("hof").isNull).count() === 0)
+  }
+
+  test("dim-512 smoke: bucket computes and matches a driver-side recomputation") {
+    // the unrolled witness CANNOT run here: at 512 dims × 8 planes its
+    // 4096-node Column tree StackOverflows Spark's Column→Expression
+    // converter before planning even starts — precisely the failure the
+    // literal+HOF rewrite exists to avoid, so the expected buckets are
+    // recomputed driver-side with the identical sequential double math
+    import spark.implicits._
+    val vecs = (0 until 8).map { r =>
+      (0 until 512).map(d => math.sin(r * 997 + d).toFloat)
+    }
+    val expected = vecs.map { v =>
+      (0 until 8).map { p =>
+        val proj = (0 until 512).foldLeft(0.0d) { (acc, d) =>
+          val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
+          acc + v(d).toDouble * (if ((h & 1) == 0) 1.0d else -1.0d)
+        }
+        if (proj >= 0.0d) 1 << p else 0
+      }.sum
+    }
+    val got = vecs.map(Tuple1(_)).toDF("v")
+      .select(VectorFunctions.signBucket(col("v"), 8, 512).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === expected)
+    got.foreach(b => assert(b >= 0 && b < 256))
+  }
+}
