@@ -79,6 +79,16 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // K2 — LSH quality metrics on a bounded sample: precision/recall of
+    // the bucketed candidate generation vs EXACT brute-force ground truth
+    // at jaccard >= 0.5 — the number a production operator tunes
+    // bands/k against before running the pipeline at corpus scale
+    "k2_lsh_quality" -> ((s, dir) => {
+      Dedup.lshQualityMetrics(
+        t(s, dir, "documents").where(col("doc_id") < 1000L), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+    }),
+
     // K2 — near-dup CLUSTERS: connected components (distributed min-label
     // propagation) over the thresholded LSH pairs, hash-matched against a
     // DuckDB recursive-CTE transitive closure
@@ -584,7 +594,8 @@ object LlmQueries {
     * CORPUS bucket width at index-write time.
     */
   private def lshScoredCtes(bwWhere: String = "",
-                            cap: Int = graft.llm.Dedup.DefaultMaxBucketSize): String = {
+                            cap: Int = graft.llm.Dedup.DefaultMaxBucketSize,
+                            docWhere: String = ""): String = {
     val P = graft.functions.TextFunctions.MinhashP
     val comps = (0 until 8).map { i =>
       val a = graft.functions.TextFunctions.minhashA(i)
@@ -595,7 +606,7 @@ object LlmQueries {
       |  CASE WHEN len(t) < 3 THEN []
       |       ELSE list_transform(range(0, len(t) - 2),
       |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
-      |  FROM tk),
+      |  FROM tk $docWhere),
       |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
       |hm AS (SELECT doc_id, g,
       |  CAST(list_sum(list_transform(range(1, 9),
@@ -660,6 +671,29 @@ object LlmQueries {
       """
         |SELECT id_a, id_b, jaccard FROM scored
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // sample-bounded quality closure: brute-force truth over the
+    // inverted-index join (pairs sharing >= 1 shingle hash), LSH
+    // candidates from the same capped closure the pipeline uses
+    "k2_lsh_quality" -> (tokCte +
+      lshScoredCtes(docWhere = "WHERE doc_id < 1000") +
+      """, binter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS i
+        |  FROM hd sa JOIN hd sb ON sb.h = sa.h AND sa.doc_id < sb.doc_id
+        |  GROUP BY sa.doc_id, sb.doc_id),
+        |btrue AS (SELECT i.id_a FROM binter i
+        |  JOIN sz za ON za.doc_id = i.id_a
+        |  JOIN sz zb ON zb.doc_id = i.id_b
+        |  WHERE ROUND(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) >= 0.5),
+        |m AS (SELECT
+        |  (SELECT COUNT(*) FROM btrue) AS n_true,
+        |  (SELECT COUNT(*) FROM scored) AS n_candidates,
+        |  (SELECT COUNT(*) FROM scored WHERE jaccard >= 0.5) AS n_hit)
+        |SELECT n_true, n_candidates, n_hit,
+        |  CASE WHEN n_candidates = 0 THEN NULL
+        |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_candidates, 6) END AS "precision",
+        |  CASE WHEN n_true = 0 THEN NULL
+        |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall
+        |FROM m""".stripMargin),
 
     // corpus(&lt;400) × new(&gt;=400) restriction of the same scored closure —
     // every cross pair has id_a in the corpus and id_b in the new batch

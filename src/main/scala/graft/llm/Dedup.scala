@@ -511,6 +511,61 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** LSH quality metrics — the number a production operator actually
+    * tunes `bands` / `k` against: precision and recall of the MinHash/LSH
+    * candidate generation versus EXACT brute-force ground truth at a
+    * Jaccard threshold, on the given (sampled, bounded) frame.
+    *
+    * One row: (n_true, n_candidates, n_hit, precision, recall) where
+    * `n_true` counts all pairs with exact shingle-hash Jaccard ≥
+    * `threshold`, `n_candidates` all LSH candidate pairs (bucket-capped,
+    * exactly as production generates them), and `n_hit` the candidates
+    * that are true pairs — so `recall` charges the banding AND the
+    * over-wide-bucket cap for every true pair they fail to surface, and
+    * `precision` prices the Jaccard-verification work wasted on false
+    * candidates.
+    *
+    * Ground truth is computed by the inverted-index join (pairs sharing
+    * ≥ 1 shingle hash — a pair sharing none has Jaccard 0), NEVER a
+    * cartesian product; still, total work is Σ df² over shingle document
+    * frequencies, so this is a TUNING HARNESS for a sample of the corpus
+    * (10⁴-10⁵ docs), not a full-corpus operator — the point is to pick
+    * (k, bands) on the sample, then run the bucketed pipeline at scale.
+    */
+  def lshQualityMetrics(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleN, k, bands,
+      jaccardThreshold = 0.0, maxBucketSize = maxBucketSize)
+    val base = shingleHashProjection(df, textCol, idCol, shingleN)
+      .where(size(col("hs")) > 0).persist()
+    try {
+      base.count()
+      val ex = base.select(col("id"), explode(col("hs")).as("h"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("i"))
+      val sz = base.select(col("id"), size(col("hs")).cast("long").as("n"))
+      val truth = inter
+        .join(sz.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sz.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .where(round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")), 6) >= threshold)
+      val nTrue = truth.count()
+      val nCand = cand.count()
+      val nHit = cand.where(col("jaccard") >= threshold).count()
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((nTrue, nCand, nHit)).toDF("n_true", "n_candidates", "n_hit")
+        .withColumn("precision", when(col("n_candidates") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_candidates"), 6)))
+        .withColumn("recall", when(col("n_true") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_true"), 6)))
+    } finally base.unpersist(false)
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold, bucketed by a
     * deterministic random-hyperplane sign hash so candidate generation is
     * an equi-join, not a cross join. Recall is tunable via `planes`

@@ -1248,3 +1248,42 @@ class SignBucketSpec extends org.scalatest.funsuite.AnyFunSuite {
     got.foreach(b => assert(b >= 0 && b < 256))
   }
 }
+
+/** LSH quality metrics (the bands/k tuning number): exact duplicates can
+  * never be missed by banding, and the reported precision/recall must be
+  * internally consistent with the pipeline's own pair output.
+  */
+class LshQualitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions.TextFunctions.shingles
+
+  test("seeded exact dups are fully recalled; metrics agree with the pair output") {
+    val base = core.Engine.table(spark, TestSpark.sf, "documents")
+      .where(col("doc_id") < 40L)
+      .select(col("doc_id"), col("text"))
+      .where(size(shingles(col("text"), 3)) > 0) // shingle-less docs never pair
+    val nBase = base.count()
+    assert(nBase > 10, "need a non-trivial seeded corpus")
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    val m = graft.llm.Dedup.lshQualityMetrics(corpus, "text", "doc_id",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.9).head
+    val (nTrue, nCand, nHit) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    // an exact dup has an IDENTICAL signature, hence identical band keys —
+    // banding cannot miss it, so every seeded pair is a candidate AND true
+    assert(nTrue >= nBase, s"expected >= $nBase true pairs, got $nTrue")
+    assert(nHit >= nBase, s"banding must surface every exact-dup pair: $nHit")
+    assert(nHit <= nCand && nHit <= nTrue)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getDouble(3) === r6(nHit.toDouble / nCand))
+    assert(m.getDouble(4) === r6(nHit.toDouble / nTrue))
+    // cross-check against the pipeline's own pair output: the seeded
+    // (id, id+10000) pairs must all be present at jaccard 1.0
+    val seeded = graft.llm.Dedup.minhashCandidatePairs(corpus, "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.9)
+      .where(col("id_b") === col("id_a") + 10000L && col("jaccard") === 1.0d)
+      .count()
+    assert(seeded === nBase, s"every seeded dup pair must be surfaced: $seeded/$nBase")
+  }
+}
