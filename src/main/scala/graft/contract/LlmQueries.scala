@@ -206,6 +206,21 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // K11/K4 — SemDeDup over a persisted IVF index: within-cell cosine
+    // pairs from the write-once partitionBy(cell) layout — the amortized
+    // dedup shape (no re-clustering per pass). Rows-only (float-centroid
+    // cell boundaries, the declared k4_ivf_knn exclusion class); recall
+    // and subset bounds pinned by IvfSemDeDupSpec.
+    "k11_semantic_neardup_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfsd").toString
+      Similarity.ivfWriteIndex(
+        e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
+        nCells = 8, lloydRounds = 1, path = path)
+      Similarity.ivfSemanticNearDupPairs(s, path, threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // K3b — per-label centroids: element-wise mean embedding per cluster
     // label, emitted long-form (label, pos, component). The explode →
     // two-level hash agg shape is fully map-side combinable — at 100 TB

@@ -170,6 +170,35 @@ object Similarity {
       .drop("__cells", "__cents")
   }
 
+  /** SemDeDup over a PERSISTED IVF index — the amortized form of
+    * [[Clustering.semanticNearDupPairs]]: pairs are compared only within
+    * an IVF cell, but the cells come from the write-once
+    * `partitionBy(cell)` layout instead of a fresh k-means run, so
+    * repeated dedup passes (every corpus version, every threshold sweep)
+    * pay ONE shuffle on the cell key and zero clustering cost. Pair
+    * count is Σ c_i² over cell sizes — never corpus all-pairs; size
+    * `nCells` at index-build time so n/nCells stays bounded (for
+    * k ≫ √n corpora build the index with more cells — the assignment
+    * scales through the native argmin + broadcast-row transport).
+    *
+    * Within-cell pairs at or over `threshold` only: a vector pair split
+    * across cells is never compared (the standard SemDeDup trade —
+    * recall is tuned by nCells, pinned by the spec's subset/recall
+    * bounds). Cosine is rounded to 6 decimals BEFORE thresholding, the
+    * shared oracle-exactness rule.
+    */
+  def ivfSemanticNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+                              path: String, threshold: Double): DataFrame = {
+    val indexed = spark.read.parquet(s"$path/vectors")
+    val a = indexed.select(col("cell"), col("id").as("id_a"), col("v").as("__va"))
+    val b = indexed.select(col("cell"), col("id").as("id_b"), col("v").as("__vb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** ANN top-k through the IVF index: each query probes its `nProbe`
     * closest cells only.
     */

@@ -1287,3 +1287,42 @@ class LshQualitySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(seeded === nBase, s"every seeded dup pair must be surfaced: $seeded/$nBase")
   }
 }
+
+/** IVF-index-backed SemDeDup: the within-cell pair set must be a strict
+  * subset of the global brute-force pair set (same rounded-cosine
+  * threshold), with recall bounded below — the tuning story for nCells.
+  */
+class IvfSemDeDupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorFunctions
+
+  test("ivf pairs are a subset of brute-force pairs; recall bounded; no cartesian") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfsd-spec").toString
+    graft.llm.Similarity.ivfWriteIndex(e, "v", "id", nCells = 4, lloydRounds = 1,
+      path = path)
+    val ivf = graft.llm.Similarity.ivfSemanticNearDupPairs(spark, path, 0.35)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairs must be an equi-join on the cell key:\n$plan")
+    val a = e.select(col("id").as("id_a"), col("v").as("__va"))
+    val b = e.select(col("id").as("id_b"), col("v").as("__vb"))
+    val global = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("__va"), col("__vb")), 6))
+      .where(col("cosine") >= 0.35)
+      .select("id_a", "id_b")
+    val nIvf = ivf.count()
+    val nGlobal = global.count()
+    assert(nIvf > 0, "expected some within-cell near-dup pairs")
+    // subset: every ivf pair is a global pair (exact — same cosine, same
+    // rounding, same threshold; the cell split can only REMOVE pairs)
+    val extra = ivf.select("id_a", "id_b").exceptAll(global).count()
+    assert(extra === 0, s"$extra ivf pairs missing from the brute-force set")
+    // loose recall floor — 4 cells over the sf0.001 embeddings; the real
+    // knob is nCells and this pins that the split is not degenerate
+    assert(nIvf.toDouble / nGlobal >= 0.2,
+      s"recall ${nIvf.toDouble / nGlobal} collapsed — cell split degenerate")
+  }
+}
