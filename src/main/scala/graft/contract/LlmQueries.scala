@@ -180,6 +180,24 @@ object LlmQueries {
                ORDER BY vec_id""")
     }),
 
+    // K11/I4 — the native nearest-centroid argmin through the SQL
+    // surface (GraftExtensions FunctionRegistry entry): fixed-point
+    // quantization + three literal centroids, pure long math — DuckDB
+    // reproduces the argmin exactly (list_position of list_min is the
+    // same first-minimum tie-break as the expression)
+    "k11_assign_sql" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      val cents = sqlAssignCents
+        .map(c => c.map(v => s"${v}L").mkString("array(", ",", ")"))
+        .mkString("array(", ", ", ")")
+      s.sql(s"""SELECT vec_id,
+                       nearest_centroid(
+                         transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)),
+                         $cents) AS cell
+                FROM embeddings ORDER BY vec_id""")
+    }),
+
     // K4 — exact brute-force top-k cosine search (broadcast queries)
     "k4_knn_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -608,6 +626,16 @@ object LlmQueries {
     * corpus-side filter because [[Dedup.minhashIndexWrite]] caps on the
     * CORPUS bucket width at index-write time.
     */
+  /** Literal centroids for the `k11_assign_sql` SQL-surface query, shared
+    * by the Spark SQL and DuckDB oracle strings so both argmins see the
+    * identical (quantized-long) centroid table. Three deterministic
+    * patterns over the 64-dim embedding space.
+    */
+  private val sqlAssignCents: Seq[Seq[Long]] = Seq(
+    (0 until 64).map(_ => 0L),
+    (0 until 64).map(d => if (d % 2 == 0) 500000L else -500000L),
+    (0 until 64).map(d => (d % 5 - 2) * 300000L))
+
   private def lshScoredCtes(bwWhere: String = "",
                             cap: Int = graft.llm.Dedup.DefaultMaxBucketSize,
                             docWhere: String = ""): String = {
@@ -805,6 +833,25 @@ object LlmQueries {
          |  ROUND(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos_next
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
          |ORDER BY vec_id""".stripMargin,
+
+    // argmin of exact-integer squared distances; list_position of
+    // list_min = the expression's first-minimum tie-break
+    "k11_assign_sql" -> {
+      val cents = sqlAssignCents
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      val dim = sqlAssignCents.head.size
+      s"""SELECT vec_id,
+         |  CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell
+         |FROM (SELECT vec_id,
+         |  list_transform($cents, c ->
+         |    list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> (q[i] - c[i]) * (q[i] - c[i])))) AS dists
+         |  FROM (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+         |    FROM embeddings))
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "k4_knn_bruteforce" ->
       s"""SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (

@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, MinHashSignature, NearestCentroid}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -35,6 +35,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity(arrayA, arrayB) takes 2 arguments")
         CosineSimilarity(args.head, args(1))
+      }),
+    (new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "nearest_centroid(vector, centroids) takes 2 arguments")
+        NearestCentroid(args.head, args(1))
       }),
     (new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
