@@ -142,7 +142,11 @@ object Bench {
     // Focused A/B loops: SPARK_GRAFT_BENCH_FILTER=k2 times only matching
     // queries; SPARK_GRAFT_BENCH_REPS=3 repeats each (all timings printed).
     val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // default 3: with 2 reps, one contended warm rep IS the steady number
+    // (r6/r7/r8 all published phantom regressions that way); with 3+ the
+    // steady statistic below takes the best warm rep and a single noisy
+    // rep cannot masquerade as a regression
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val selected = headline.filter(_.contains(filter))
     // a filtered run must say so in its own output — a leaked env var
     // would otherwise produce a partial JSON indistinguishable from a
@@ -236,17 +240,27 @@ object Bench {
         s"[bench] $n reps: ${times.map(t => f"$t%.3f").mkString(", ")}")
       n -> times
     }
+    // steady-state = MIN over the warm reps (reps 2+): a warm rep can only
+    // be SLOWER than the code's true steady cost (GC pause, rig
+    // contention, noisy neighbor), never faster, so min is the unbiased
+    // pick — last-rep let a single contended rep publish three phantom
+    // regressions in BENCH_r08.json (r8 verdict #3, the third round of
+    // that failure class). Failed reps (-1) are excluded; all-failed → -1.
+    def steady(v: Seq[Double]): Double = {
+      val warm = v.drop(1).filter(_ >= 0)
+      if (warm.isEmpty) -1.0 else warm.min
+    }
     def json(sel: ((String, Seq[Double])) => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + f"${sel((k, v))}%.3f" }
       .mkString("{", ",", "}")
-    val qJson = json(_._2.last)      // steady-state (last rep)
-    val coldJson = json(_._2.head)   // first-touch (cold JIT + first scan)
-    val total = results.map(_._2.last).filter(_ >= 0).sum
+    val qJson = json(r => steady(r._2))   // steady-state (best warm rep)
+    val coldJson = json(_._2.head)        // first-touch (cold JIT + first scan)
+    val total = results.map(r => steady(r._2)).filter(_ >= 0).sum
     // total_r1 = the unchanged round-1 14-query set, comparable across
     // rounds; steady-state and cold reported separately
     def r1Sum(sel: Seq[Double] => Double) = results
       .filter(r => r1Headline.contains(r._1)).map(r => sel(r._2)).filter(_ >= 0).sum
-    val totalR1 = r1Sum(_.last)
+    val totalR1 = r1Sum(steady)
     val totalR1Cold = r1Sum(_.head)
     // sanitize: the env value goes into JSON verbatim otherwise
     val filterSafe = filter.replaceAll("[^A-Za-z0-9_]", "_")

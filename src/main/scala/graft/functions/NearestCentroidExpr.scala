@@ -33,6 +33,13 @@ import org.apache.spark.sql.types._
   * makes THAT centroid's distance undefined and skips it — mirroring
   * `zip_with`'s null padding propagating through `aggregate` and
   * `array_min` ignoring nulls. All centroids undefined (or none) → null.
+  * A NaN distance (NaN vector or centroid element on the double path) is
+  * ALSO skipped — `array_min` orders NaN greater than every value and
+  * returns the finite minimum, so a `d < bestD` comparison chain that
+  * let the first NaN win would diverge from the witness (r8 advice).
+  * Sole remaining divergence: EVERY distance NaN → null here vs the
+  * witness's NaN-equality quirk (array_position finds array_min's NaN)
+  * returning position 1; all-NaN vectors are declared out of contract.
   */
 case class NearestCentroid(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -119,7 +126,10 @@ case class NearestCentroid(left: Expression, right: Expression)
                 d += t * t; i += 1
               }
             }
-            if (!bad && (best == -1 || d < bestD)) { best = j; bestD = d }
+            // NaN skipped like an undefined centroid (array_min parity)
+            if (!bad && !java.lang.Double.isNaN(d) && (best == -1 || d < bestD)) {
+              best = j; bestD = d
+            }
           }
         }
         j += 1
@@ -144,6 +154,8 @@ case class NearestCentroid(left: Expression, right: Expression)
     val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
     val d = ctx.freshName("d"); val t = ctx.freshName("t")
     val bad = ctx.freshName("bad"); val c = ctx.freshName("c")
+    // long math cannot produce NaN; emit the parity guard only for doubles
+    val nanGuard = if (longMath) "" else s" && !Double.isNaN($d)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |int $n = $a.numElements();
@@ -161,7 +173,7 @@ case class NearestCentroid(left: Expression, right: Expression)
          |    $numT $t = ($numT) $a.$vGet($i) - ($numT) $c.$cGet($i);
          |    $d += $t * $t;
          |  }
-         |  if (!$bad && ($best == -1 || $d < $bestD)) { $best = $j; $bestD = $d; }
+         |  if (!$bad$nanGuard && ($best == -1 || $d < $bestD)) { $best = $j; $bestD = $d; }
          |}
          |if ($best == -1) {
          |  ${ev.isNull} = true;

@@ -104,6 +104,21 @@ object Dedup {
     val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
     projected.count() // eager: later fan-out consumers (incl. broadcast
     // builds) must hit the cache, not re-execute the expensive pipeline
+    try minhashCandidatePairsFrom(projected, k, bands, jaccardThreshold, maxBucketSize)
+    finally projected.unpersist(false)
+  }
+
+  /** The LSH candidate pipeline over an ALREADY-PERSISTED shingle-hash
+    * projection (id, hs) — split out so callers that also need the
+    * projection for other work ([[lshQualityMetrics]]'s exact ground
+    * truth) share ONE cached copy instead of executing the md5-heavy
+    * shingle pass twice (r8 advice). The caller owns the persist/unpersist
+    * of `projected`; the returned frame is eagerly checkpointed, so it
+    * remains valid after the caller unpersists.
+    */
+  private def minhashCandidatePairsFrom(projected: DataFrame, k: Int, bands: Int,
+                                        jaccardThreshold: Double,
+                                        maxBucketSize: Int): DataFrame = {
     // Filter ABOVE the cache boundary: predicate pushdown would otherwise
     // shove `size(...) > 0` through the repartition and recompute the
     // whole shingle pipeline in the narrow pre-shuffle stage (measured: a
@@ -145,7 +160,6 @@ object Dedup {
       // localCheckpoint blocks are ContextCleaner-collected once the
       // caller drops the result, unlike CacheManager entries.
       .localCheckpoint(true)
-    projected.unpersist(false)
     bucketed.unpersist(false)
     result
   }
@@ -531,17 +545,31 @@ object Dedup {
     * frequencies, so this is a TUNING HARNESS for a sample of the corpus
     * (10⁴-10⁵ docs), not a full-corpus operator — the point is to pick
     * (k, bands) on the sample, then run the bucketed pipeline at scale.
+    *
+    * `threshold` must be > 0: at 0 a band-key collision between DISJOINT
+    * shingle sets would count as a hit (jaccard 0 ≥ 0) while the
+    * inverted-index ground truth — correctly — never pairs disjoint sets,
+    * so recall could exceed 1 (r8 advice). A 0-threshold "quality" number
+    * is meaningless anyway: every candidate is vacuously true.
+    *
+    * Cost discipline (r8 verdict + advice): ONE shingle projection is
+    * persisted and shared by the candidate pipeline and the ground truth
+    * (previously each side computed its own), and the candidate counts
+    * come from ONE aggregation (`count(*)` + conditional count) instead
+    * of two passes over the candidate frame.
     */
   def lshQualityMetrics(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                         threshold: Double = 0.5,
                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val cand = minhashCandidatePairs(df, textCol, idCol, shingleN, k, bands,
-      jaccardThreshold = 0.0, maxBucketSize = maxBucketSize)
-    val base = shingleHashProjection(df, textCol, idCol, shingleN)
-      .where(size(col("hs")) > 0).persist()
+    require(threshold > 0,
+      s"threshold must be > 0 (at 0, disjoint-set band collisions count as hits): $threshold")
+    val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
     try {
-      base.count()
+      projected.count()
+      val cand = minhashCandidatePairsFrom(projected, k, bands,
+        jaccardThreshold = 0.0, maxBucketSize = maxBucketSize)
+      val base = projected.where(size(col("hs")) > 0)
       val ex = base.select(col("id"), explode(col("hs")).as("h"))
       val inter = ex.as("a").join(ex.as("b"),
           col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -554,8 +582,10 @@ object Dedup {
         .where(round(col("i").cast("double") /
           (col("na") + col("nb") - col("i")), 6) >= threshold)
       val nTrue = truth.count()
-      val nCand = cand.count()
-      val nHit = cand.where(col("jaccard") >= threshold).count()
+      // one job over the (checkpointed) candidate frame for BOTH counts
+      val candRow = cand.agg(count(lit(1)).as("nc"),
+        count(when(col("jaccard") >= threshold, 1)).as("nh")).head()
+      val (nCand, nHit) = (candRow.getLong(0), candRow.getLong(1))
       val spark = df.sparkSession
       import spark.implicits._
       Seq((nTrue, nCand, nHit)).toDF("n_true", "n_candidates", "n_hit")
@@ -563,7 +593,7 @@ object Dedup {
           .otherwise(round(col("n_hit").cast("double") / col("n_candidates"), 6)))
         .withColumn("recall", when(col("n_true") === 0L, lit(null).cast("double"))
           .otherwise(round(col("n_hit").cast("double") / col("n_true"), 6)))
-    } finally base.unpersist(false)
+    } finally projected.unpersist(false)
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold, bucketed by a

@@ -120,43 +120,56 @@ object Mixing {
                           maxWhenChainStrata: Long = ThresholdWhenChainMaxStrata): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
     require(targetTotal >= 1, s"targetTotal must be >= 1: $targetTotal")
-    val countsDf = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-    val nStrata = countsDf.count()
-    require(nStrata > 0, "temperatureResample needs a non-empty frame")
-    val u = mdUniform(idCol)
-    if (nStrata <= maxWhenChainStrata) {
-      val counts = countsDf
-        .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
-      // sqrt for the canonical alpha=0.5 (correctly-rounded IEEE in every
-      // engine); Math.pow otherwise (matches SQL POW to the ulp in
-      // practice; thresholds are rounded below, which absorbs it)
-      def weight(n: Long): Double =
-        if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
-      val wSum = counts.foldLeft(0.0d)((acc, c) => acc + weight(c._2))
-      val thresholds = counts.map { case (l, n) =>
-        val keep = math.min(1.0d, targetTotal.toDouble * (weight(n) / wSum) / n.toDouble)
-        l -> BigDecimal(keep).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ONE stratum aggregate serves the cardinality gate AND the chosen
+    // branch (r8 verdict: the gate probe used to run the full corpus
+    // groupBy, then the branch re-executed it — one wasted scan+shuffle
+    // per call at any scale; persisting also pins gate and thresholds to
+    // the SAME aggregate on a non-deterministic input). The cache is
+    // strata-sized (one row per stratum) and released before returning:
+    // the small path needs nothing after collect(), the distributed path
+    // checkpoints its (strata-sized) threshold table off the cache.
+    val countsDf = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n")).persist()
+    try {
+      val nStrata = countsDf.count()
+      require(nStrata > 0, "temperatureResample needs a non-empty frame")
+      val u = mdUniform(idCol)
+      if (nStrata <= maxWhenChainStrata) {
+        val counts = countsDf
+          .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+        // sqrt for the canonical alpha=0.5 (correctly-rounded IEEE in every
+        // engine); Math.pow otherwise (matches SQL POW to the ulp in
+        // practice; thresholds are rounded below, which absorbs it)
+        def weight(n: Long): Double =
+          if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+        val wSum = counts.foldLeft(0.0d)((acc, c) => acc + weight(c._2))
+        val thresholds = counts.map { case (l, n) =>
+          val keep = math.min(1.0d, targetTotal.toDouble * (weight(n) / wSum) / n.toDouble)
+          l -> BigDecimal(keep).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val thr = thresholds.foldLeft(lit(Double.NaN)) { case (acc, (l, t)) =>
+          when(col(stratumCol) === l, lit(t)).otherwise(acc)
+        }
+        df.where(u < thr)
+      } else {
+        val wCol =
+          if (alpha == 0.5) sqrt(col("__n").cast("double"))
+          else pow(col("__n").cast("double"), lit(alpha))
+        val weighted = countsDf.withColumn("__w", wCol)
+        // materialized (strata-sized) so countsDf can be released now and
+        // the returned lazy frame doesn't re-run the corpus aggregate
+        val thrTable = weighted
+          .join(broadcast(weighted.agg(sum(col("__w")).as("__wsum"))))
+          .withColumn("__thr", round(
+            least(lit(1.0d),
+              lit(targetTotal.toDouble) * (col("__w") / col("__wsum"))
+                / col("__n").cast("double")), 6))
+          .select(col(stratumCol), col("__thr"))
+          .localCheckpoint(true)
+        df.join(broadcast(thrTable), Seq(stratumCol))
+          .where(u < col("__thr"))
+          .drop("__thr")
+          .select(df.columns.map(col): _*)
       }
-      val thr = thresholds.foldLeft(lit(Double.NaN)) { case (acc, (l, t)) =>
-        when(col(stratumCol) === l, lit(t)).otherwise(acc)
-      }
-      df.where(u < thr)
-    } else {
-      val wCol =
-        if (alpha == 0.5) sqrt(col("__n").cast("double"))
-        else pow(col("__n").cast("double"), lit(alpha))
-      val weighted = countsDf.withColumn("__w", wCol)
-      val thrTable = weighted
-        .join(broadcast(weighted.agg(sum(col("__w")).as("__wsum"))))
-        .withColumn("__thr", round(
-          least(lit(1.0d),
-            lit(targetTotal.toDouble) * (col("__w") / col("__wsum"))
-              / col("__n").cast("double")), 6))
-        .select(col(stratumCol), col("__thr"))
-      df.join(broadcast(thrTable), Seq(stratumCol))
-        .where(u < col("__thr"))
-        .drop("__thr")
-        .select(df.columns.map(col): _*)
-    }
+    } finally countsDf.unpersist(false)
   }
 }

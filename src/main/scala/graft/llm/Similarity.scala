@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard cap on the farthest-point seeding sample collect (rows). At
+    * dim 512 float this is ~0.5 GB of driver heap worst-case — the upper
+    * edge of acceptable; beyond it seeding quality gains nothing (64
+    * candidates per cell saturates long before) and the collect becomes
+    * the data-scale driver state the engine bans everywhere else.
+    */
+  private[graft] val SeedSampleMaxRows = 262144L
+
+  /** Cells larger than this run [[ivfSemanticNearDupPairs]]'s triangle-
+    * block decomposition instead of the plain within-cell self-join.
+    * 65536 rows per side keeps a block's join state comfortably in one
+    * task's memory at dim ≤ 1024 float; the well-sized-index case
+    * (E[c] ≈ 10⁴ per the SemDeDup sizing note) never triggers it.
+    */
+  private[graft] val DefaultMaxCellRows = 65536L
+
   /** Exact cosine top-k for each query vector. `queries` must be
     * broadcast-small (the typical case: a batch of probe vectors).
     * Result: (query id, neighbor id, cosine, rank 1..k).
@@ -57,23 +73,18 @@ object Similarity {
     // driver-bounded) so the assignment plan stays one broadcast join deep
     // instead of nesting round upon round of lazy lineage.
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // Farthest-point seeding on a bounded sample (deterministic order by id).
-    val sample = c.orderBy(col("id")).limit(math.max(nCells * 64, 1024))
+    // Farthest-point seeding on a bounded sample (deterministic order by
+    // id). The collect is gated at [[SeedSampleMaxRows]]: 64 candidates
+    // per cell is plenty for seeding quality, but nCells·64 must not grow
+    // into a data-scale driver collect when someone sizes nCells ≈ n/10k
+    // for a SemDeDup corpus (the k ≈ 4096 case the docs below describe).
+    val sample = c.orderBy(col("id"))
+      .limit(math.min(math.max(nCells * 64, 1024), SeedSampleMaxRows).toInt)
       .as[(Long, Seq[Float])].collect()
-    val first = sample.head._2.map(_.toDouble).toArray
-    val seeds = scala.collection.mutable.ArrayBuffer(first)
-    def d2(a: Array[Double], b: Seq[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    while (seeds.size < nCells) {
-      val far = sample.maxBy { case (_, v) => seeds.map(s => d2(s, v)).min }
-      seeds += far._2.map(_.toDouble).toArray
-    }
+    val seeds = farthestPointSeeds(sample.map(_._2), nCells)
     var centroids: Seq[(Int, Seq[Double])] =
       seeds.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-    val dim = first.length
+    val dim = seeds.head.length
     // Lloyd refinement: assign → average, via `dim` per-dimension sum
     // columns in ONE map-side-combinable hash agg (the Clustering.kmeans
     // shape, unified here per the r7 review): nCells groups × (dim + 1)
@@ -100,6 +111,44 @@ object Similarity {
     (indexed, cdf)
   }
 
+  /** Incremental farthest-point traversal (r8 verdict): keep ONE
+    * min-distance-to-any-seed value per sample point and refresh it
+    * against only the NEWEST seed — O(nCells·sample·dim) total, vs the
+    * naive `sample.maxBy(seeds.map(d2).min)` which rescanned every seed
+    * per candidate per iteration (O(nCells²·sample·dim): ~10¹² driver
+    * flops at nCells = 4096, the k ≈ n/10k SemDeDup sizing). The seed
+    * sequence is BIT-IDENTICAL to the naive form: the running min over
+    * incrementally-added seeds computes the same IEEE values in the same
+    * order, and the strict `>` argmax keeps the FIRST maximum exactly
+    * like `maxBy` (pinned by `IvfSeedingSpec`'s naive-witness equality
+    * case; the nCells=512 smoke there is the scale proof).
+    */
+  private[graft] def farthestPointSeeds(sample: Array[Seq[Float]],
+                                        nCells: Int): scala.collection.mutable.ArrayBuffer[Array[Double]] = {
+    val first = sample.head.map(_.toDouble).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer(first)
+    def d2(a: Array[Double], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val minD = Array.tabulate(sample.length)(i => d2(first, sample(i)))
+    while (seeds.size < nCells) {
+      var bi = 0
+      var i = 1
+      while (i < sample.length) { if (minD(i) > minD(bi)) bi = i; i += 1 }
+      val far = sample(bi).map(_.toDouble).toArray
+      seeds += far
+      var j = 0
+      while (j < sample.length) {
+        val d = d2(far, sample(j))
+        if (d < minD(j)) minD(j) = d
+        j += 1
+      }
+    }
+    seeds
+  }
+
   /** Write-once IVF layout: the indexed corpus partitioned by `cell` on
     * disk plus the centroid table alongside. Queries through
     * [[ivfKnnPruned]] then read only the probed cells' files — the scan
@@ -109,9 +158,90 @@ object Similarity {
     */
   def ivfWriteIndex(corpus: DataFrame, vecCol: String, idCol: String,
                     nCells: Int, lloydRounds: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
     val (indexed, centroids) = ivfIndex(corpus, vecCol, idCol, nCells, lloydRounds)
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // `__batch` is the second partition level from day one (base build =
+    // batch 0) so incremental appends ([[ivfAppendBatch]]) land as new
+    // directories under each cell with replay-idempotent dynamic
+    // overwrite — the LSH ingest layout precedent. Partition pruning on
+    // `cell` (the first level) is unaffected.
+    indexed.withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("cell", "__batch")
+      .parquet(s"$path/vectors")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // Build-time cell statistics (r8 verdict: nothing measured cell skew):
+    // one metadata-cheap agg over the just-written files — next to free
+    // relative to the write, and it is what lets the pair generator bound
+    // hot cells WITHOUT re-counting the corpus per dedup pass.
+    writeCellStats(spark, path, dynamicOnly = false)
+  }
+
+  /** Incremental IVF append — the K9/K11 streaming follow-on that makes
+    * the IVF index family symmetric with LSH's
+    * (`minhashIndexWrite` → `minhashPairsAgainstIndex` → ingest): assign
+    * a NEW embedding batch against the PERSISTED centroids (no
+    * re-clustering — the index's cell geometry is frozen at build time,
+    * the standard IVF contract) and append it under
+    * `cell=<c>/__batch=<batchId>` with dynamic partition overwrite, so a
+    * replayed batch overwrites exactly its own partitions and the index
+    * never double-admits (the Ingest.scala replay-idempotence rule).
+    * Per-batch cell stats land the same way. Cost is O(batch): one
+    * map-only native-argmin assignment pass, zero shuffle of the existing
+    * index.
+    *
+    * Centroid drift is the caller's policy knob: append keeps serving
+    * reads between rebuilds; rebuild (`ivfWriteIndex`, batch 0) when the
+    * corpus has drifted enough that recall sags — the same
+    * index-compaction rhythm as the LSH family.
+    */
+  def ivfAppendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, vecCol: String, idCol: String,
+                     batchId: Long): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (batch 0 is the base build): $batchId")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = assignCells(
+        batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
+      .select(col("id"), col("v"), col("cell"))
+      .withColumn("__batch", lit(batchId))
+      .persist() // two consumers (vectors + stats); batch-sized, released below
+    try {
+      assigned.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "__batch").parquet(s"$path/vectors")
+      assigned.groupBy(col("cell"), col("__batch"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$path/cell_stats")
+    } finally assigned.unpersist(false)
+  }
+
+  /** (Re)write `cell_stats/` — (cell, n) per `__batch` — from the
+    * persisted vectors. `dynamicOnly = false` clears stale stats from a
+    * previous index generation (the base-build path).
+    */
+  private def writeCellStats(spark: org.apache.spark.sql.SparkSession,
+                             path: String, dynamicOnly: Boolean): Unit = {
+    val stats = spark.read.parquet(s"$path/vectors")
+      .groupBy(col("cell"), col("__batch"))
+      .agg(count(lit(1)).as("n"))
+    val w = stats.write.mode("overwrite")
+    (if (dynamicOnly) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("__batch").parquet(s"$path/cell_stats")
+  }
+
+  /** Per-cell row counts for a persisted index: from `cell_stats/` when
+    * present (summed across batches — O(nCells·nBatches) rows), else one
+    * counting agg over the vectors (pre-stats indexes).
+    */
+  private[graft] def cellSizes(spark: org.apache.spark.sql.SparkSession,
+                               path: String): DataFrame = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/cell_stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(statsPath))
+      spark.read.parquet(statsPath.toString)
+        .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+    else
+      spark.read.parquet(s"$path/vectors")
+        .groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n"))
   }
 
   /** ANN top-k against the persisted layout. The probe set is
@@ -186,17 +316,110 @@ object Similarity {
     * recall is tuned by nCells, pinned by the spec's subset/recall
     * bounds). Cosine is rounded to 6 decimals BEFORE thresholding, the
     * shared oracle-exactness rule.
+    *
+    * Skew bound (r8 verdict: real embedding corpora cluster heavily —
+    * one hot cell used to make a quadratic partition): cells larger than
+    * `maxCellRows` (per the build-time `cell_stats/`, collected
+    * driver-bounded at one row per cell) run an EXACT triangle-block
+    * decomposition instead of the plain self-join — rows salt into
+    * s = ⌈n/maxCellRows⌉ deterministic buckets, both sides replicate to
+    * their ≤ s (sa ≤ sb) block keys via a broadcast block table, and the
+    * pair join shuffles on (cell, sa, sb): every within-cell pair is
+    * produced EXACTLY once (off-diagonal blocks carry each cross-bucket
+    * pair in one orientation; the diagonal keeps id_a < id_b), partitions
+    * are bounded at ~maxCellRows rows per side, and parallelism scales
+    * with s² instead of collapsing to one hot key. Row-identical to the
+    * plain path (pinned by `IvfSemDeDupSpec`'s hot-cell case). Total
+    * work is still Σ c_i² — the bound fixes task-level skew, not the
+    * quadratic; size nCells at build time so E[c] ≈ 10⁴.
     */
   def ivfSemanticNearDupPairs(spark: org.apache.spark.sql.SparkSession,
-                              path: String, threshold: Double): DataFrame = {
+                              path: String, threshold: Double,
+                              maxCellRows: Long = DefaultMaxCellRows): DataFrame = {
+    require(maxCellRows >= 1, s"maxCellRows must be >= 1: $maxCellRows")
     val indexed = spark.read.parquet(s"$path/vectors")
-    val a = indexed.select(col("cell"), col("id").as("id_a"), col("v").as("__va"))
-    val b = indexed.select(col("cell"), col("id").as("id_b"), col("v").as("__vb"))
-    a.join(b, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("cell"), col("id"), col("v"))
+    // driver-bounded collect: ≤ one row per cell
+    val hot = cellSizes(spark, path).where(col("n") > maxCellRows)
+      .withColumn("__s",
+        ceil(col("n").cast("double") / lit(maxCellRows.toDouble)).cast("int"))
+      .select(col("cell"), col("__s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    def pairsOf(part: DataFrame): DataFrame = {
+      val a = part.select(col("cell"), col("id").as("id_a"), col("v").as("__va"))
+      val b = part.select(col("cell"), col("id").as("id_b"), col("v").as("__vb"))
+      a.join(b, Seq("cell"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+    if (hot.isEmpty) pairsOf(indexed)
+    else {
+      import spark.implicits._
+      val hotKeys = hot.map(_._1).toSeq
+      val plain = pairsOf(indexed.where(!col("cell").isin(hotKeys: _*)))
+      val splits = hot.toSeq.toDF("cell", "__s")
+      val blocks = splits
+        .select(col("cell"), explode(sequence(lit(0), col("__s") - 1)).as("__sa"), col("__s"))
+        .select(col("cell"), col("__sa"),
+          explode(sequence(col("__sa"), col("__s") - 1)).as("__sb"))
+      val salted = indexed.where(col("cell").isin(hotKeys: _*))
+        .join(broadcast(splits), Seq("cell"))
+        .withColumn("__salt", pmod(hash(col("id")), col("__s")))
+        .select(col("cell"), col("__salt"), col("id"), col("v"))
+      val aAmp = salted
+        .select(col("cell"), col("__salt").as("__sa"), col("id").as("__ida"), col("v").as("__va"))
+        .join(broadcast(blocks), Seq("cell", "__sa"))
+      val bAmp = salted
+        .select(col("cell"), col("__salt").as("__sb"), col("id").as("__idb"), col("v").as("__vb"))
+        .join(broadcast(blocks), Seq("cell", "__sb"))
+      val hotPairs = aAmp.join(bAmp, Seq("cell", "__sa", "__sb"))
+        .where(col("__sa") =!= col("__sb") || col("__ida") < col("__idb"))
+        .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+        .where(col("cosine") >= threshold)
+        .select(least(col("__ida"), col("__idb")).as("id_a"),
+          greatest(col("__ida"), col("__idb")).as("id_b"), col("cosine"))
+      plain.unionByName(hotPairs)
+    }
+  }
+
+  /** IVF tuning harness — recall@k as a function of nProbe against the
+    * exact brute-force ground truth, the second number (after
+    * `lshQualityMetrics`' precision/recall) a production ANN operator
+    * tunes before anyone trusts it: pick the smallest nProbe whose
+    * recall clears the product bar, and that ratio nProbe/nCells IS the
+    * fraction of the corpus every query batch will scan. One row per
+    * probed setting: (n_probe, n_truth, n_hit, recall).
+    *
+    * The ground truth is ONE brute-force pass (checkpointed, query-
+    * batch × k rows); each nProbe then costs one partition-pruned ANN
+    * read + a semi-join against that tiny table. The driver loop is
+    * bounded by `probes.size` (a handful of settings) — a tuning
+    * harness over a bounded query batch, like its LSH sibling, not a
+    * corpus-scale operator.
+    */
+  def ivfRecallCurve(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, vecCol: String, idCol: String,
+                     k: Int, probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty, "need at least one nProbe setting")
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .select(col("id").as(idCol), col("v").as(vecCol))
+    val truth = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nTruth = truth.count()
+    val rows = probes.sorted.map { nProbe =>
+      val nHit = ivfKnnPruned(spark, path, queries, vecCol, idCol, k, nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (nProbe, nTruth, nHit)
+    }
+    rows.toDF("n_probe", "n_truth", "n_hit")
+      .withColumn("recall", when(col("n_truth") === 0L, lit(null).cast("double"))
+        .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 6)))
+      .orderBy(col("n_probe"))
   }
 
   /** ANN top-k through the IVF index: each query probes its `nProbe`

@@ -66,12 +66,17 @@ object TextAnalysis {
     * vocab-sized `dfreq`, so caller-side filters/limits compose and only
     * the slice actually consumed is computed. The `tf` cache stays
     * registered for the frame's lifetime (re-persisting the same logical
-    * plan is a no-op, so repeated calls don't stack copies); pass
-    * `sever = true` for the old Decontaminate-style hand-off — fully
+    * plan is a no-op, so repeated calls on the SAME input don't stack
+    * copies). CAVEAT (r8 advice): each call on a DISTINCT input frame
+    * registers its own postings-sized cache entry that lives for the
+    * session lifetime — a long-lived session sweeping corpus versions
+    * accumulates storage until the LRU evictor or an explicit
+    * `spark.catalog.clearCache()` steps in. For multi-corpus sessions
+    * pass `sever = true` — the old Decontaminate-style hand-off: fully
     * materialized, lineage severed, cache released before returning —
-    * when the result outlives the session's cache budget or feeds many
-    * downstream jobs. Fault-tolerance note for both paths in SCALING.md
-    * (localCheckpoint blocks are non-replicated).
+    * also the right mode when the result outlives the session's cache
+    * budget or feeds many downstream jobs. Fault-tolerance note for both
+    * paths in SCALING.md (localCheckpoint blocks are non-replicated).
     */
   def tfidf(df: DataFrame, textCol: String, idCol: String,
             maxBroadcastVocab: Long = DfreqBroadcastMaxVocab,

@@ -84,8 +84,16 @@ object Ingest {
         val intra = Dedup.exact(batch, textCol, idCol)
         if (!hasData(hashesPath)) intra
         else {
-          val seen = spark.read.parquet(hashesPath)
-            .select(col("ch"), col("id").as("__seen_id"))
+          val seenRaw = spark.read.parquet(hashesPath)
+          // Loud upgrade guard (r8 advice): a pre-r8 hashes dir wrote ids
+          // in their NATIVE type; spark.read without mergeSchema can
+          // silently resolve mixed partitions to one file's schema and
+          // make the replay-exclusion compare wrong instead of failing.
+          val idType = seenRaw.schema("id").dataType
+          require(idType == org.apache.spark.sql.types.StringType,
+            s"$hashesPath holds ${idType.simpleString}-typed ids (pre-r8 layout); " +
+              "clear the hashes dir once to upgrade — the admitted corpus is unaffected")
+          val seen = seenRaw.select(col("ch"), col("id").as("__seen_id"))
           intra.withColumn("__ch", md5(graft.functions.TextFunctions.normalizeText(col(textCol))))
             // same-id hash hits are a replayed batch finding its own rows;
             // the guard id is string-typed on BOTH sides (see the write

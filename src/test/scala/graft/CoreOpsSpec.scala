@@ -1159,6 +1159,29 @@ class NearestCentroidSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows(0).getInt(0) === 4, "nearest VALID centroid (1-based original position)")
     assert(rows(1).isNullAt(0), "all-undefined centroid list must yield null")
   }
+
+  test("NaN distances are skipped like array_min would (r8 advice), both eval paths") {
+    import spark.implicits._
+    val df = Seq(
+      // first centroid yields a NaN distance — array_min sorts NaN above
+      // every finite value, so the FINITE minimum (centroid 3) must win
+      (Seq(0.0d, 0.0d), Seq(Seq(Double.NaN, 0.0d), Seq(9.0d, 9.0d), Seq(1.0d, 1.0d))),
+      // every distance NaN → null (declared out-of-contract edge)
+      (Seq(Double.NaN, 0.0d), Seq(Seq(0.0d, 0.0d), Seq(1.0d, 1.0d)))).toDF("v", "cents")
+    val viaCodegen = df.select(NearestCentroid(col("v"), col("cents")).as("p")).collect()
+    assert(viaCodegen(0).getInt(0) === 3, "NaN distance must not win the argmin")
+    assert(viaCodegen(1).isNullAt(0), "all-NaN distances must yield null")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(NearestCentroid(col("v"), col("cents")).as("p")).collect()
+      assert(interp(0).getInt(0) === 3)
+      assert(interp(1).isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
 }
 
 /** K12's stratum-cardinality gate and the skew-safe per-source cap —
@@ -1324,5 +1347,132 @@ class IvfSemDeDupSpec extends org.scalatest.funsuite.AnyFunSuite {
     // knob is nCells and this pins that the split is not degenerate
     assert(nIvf.toDouble / nGlobal >= 0.2,
       s"recall ${nIvf.toDouble / nGlobal} collapsed — cell split degenerate")
+  }
+
+  test("hot-cell triangle-block decomposition is row-identical to the plain join") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfsd-hot").toString
+    graft.llm.Similarity.ivfWriteIndex(e, "v", "id", nCells = 4, lloydRounds = 1,
+      path = path)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val plain = graft.llm.Similarity.ivfSemanticNearDupPairs(spark, path, 0.35)
+      .collect().map(key).toSet
+    // maxCellRows = 8 forces every non-trivial cell through the salted
+    // triangle-block path (pigeonhole: some cell holds > 8 of the corpus)
+    val salted = graft.llm.Similarity
+      .ivfSemanticNearDupPairs(spark, path, 0.35, maxCellRows = 8L)
+    assert(salted.queryExecution.analyzed.toString.contains("Union"),
+      "hot-cell path must have engaged (plain ∪ triangle-block)")
+    val saltedSet = salted.collect().map(key).toSet
+    assert(saltedSet === plain,
+      s"triangle-block pairs must be EXACTLY the plain within-cell pairs " +
+        s"(${(saltedSet diff plain).size} extra, ${(plain diff saltedSet).size} missing)")
+    assert(plain.nonEmpty, "vacuous fixture — no pairs at this threshold")
+  }
+}
+
+/** Incremental farthest-point seeding: bit-parity with the naive
+  * O(nCells²·sample·dim) witness it replaced (r8 verdict #2), plus a
+  * nCells=512 smoke that the naive form could not finish in test time.
+  */
+class IvfSeedingSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  /** The pre-r9 driver loop, verbatim semantics: rescan ALL current
+    * seeds per candidate per iteration.
+    */
+  private def naiveSeeds(sample: Array[Seq[Float]], nCells: Int): Seq[Array[Double]] = {
+    val first = sample.head.map(_.toDouble).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer(first)
+    def d2(a: Array[Double], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    while (seeds.size < nCells) {
+      val far = sample.maxBy(v => seeds.map(s => d2(s, v)).min)
+      seeds += far.map(_.toDouble).toArray
+    }
+    seeds.toSeq
+  }
+
+  test("incremental seeding is bit-identical to the naive witness") {
+    // deterministic fixture with duplicates and clusters (the % 97 fold
+    // makes repeated points, exercising zero min-distances and ties)
+    val sample = Array.tabulate(300)(i =>
+      Seq.tabulate(16)(d => (((i * 31 + d * 17) % 97) / 97.0f) - 0.5f))
+    val fast = graft.llm.Similarity.farthestPointSeeds(sample, 24)
+    val naive = naiveSeeds(sample, 24)
+    assert(fast.length === naive.length)
+    fast.zip(naive).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"seed $i diverged from the naive witness")
+    }
+  }
+
+  test("nCells=512 seeding completes in seconds (the naive loop could not)") {
+    val sample = Array.tabulate(512 * 64)(i =>
+      Seq.tabulate(32)(d => (((i * 2654435761L + d * 40503L) % 1000L).toFloat / 1000f)))
+    val t0 = System.nanoTime()
+    val seeds = graft.llm.Similarity.farthestPointSeeds(sample, 512)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(seeds.size === 512)
+    // incremental = nCells·sample·dim ≈ 5·10⁸ flops (~1 s); the naive
+    // form at this size is ~10¹¹ — minutes, not seconds
+    assert(sec < 30.0, f"seeding took $sec%.1f s — incremental form regressed?")
+  }
+}
+
+/** Incremental IVF append: replay idempotence, assignment parity against
+  * the persisted centroids, and cell_stats consistency.
+  */
+class IvfAppendSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("append is replay-idempotent, argmin-consistent, stats-consistent") {
+    import spark.implicits._
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfapp-spec").toString
+    val split = e.agg((max(col("id")) * lit(0.8)).cast("long")).head().getLong(0)
+    graft.llm.Similarity.ivfWriteIndex(e.where(col("id") < split), "v", "id",
+      nCells = 4, lloydRounds = 1, path = path)
+    val batch = e.where(col("id") >= split)
+    graft.llm.Similarity.ivfAppendBatch(spark, path, batch, "v", "id", batchId = 1L)
+    // partition-dir discovery infers __batch as int — normalize to long
+    def snapshot() = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("cell"), col("__batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val after1 = snapshot()
+    // replay the SAME batch id → dynamic overwrite must leave the index
+    // row-identical (the Ingest.scala replay rule, now for IVF)
+    graft.llm.Similarity.ivfAppendBatch(spark, path, batch, "v", "id", batchId = 1L)
+    assert(snapshot() === after1, "replayed append must be idempotent")
+    // every id exactly once across base ∪ batch
+    assert(after1.map(_._1).distinct.length === after1.length)
+    assert(after1.length === e.count())
+    // appended cells equal the native argmin against the PERSISTED
+    // centroids (the assignCells transport, recomputed independently)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val centRow = Seq((cents.map(_._1).toSeq, cents.map(_._2).toSeq))
+      .toDF("__cells", "__cents")
+    val expected = batch.join(broadcast(centRow))
+      .select(col("id"), org.apache.spark.sql.functions.element_at(col("__cells"),
+        graft.functions.NearestCentroid(col("v"), col("__cents"))).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val appended = after1.filter(_._3 == 1L)
+    assert(appended.nonEmpty, "split produced an empty append batch")
+    appended.foreach { case (id, cell, _) =>
+      assert(expected(id) === cell, s"id $id landed in cell $cell, argmin says ${expected(id)}")
+    }
+    // cell_stats (per-batch, summed) must agree with the data
+    val statsSizes = graft.llm.Similarity.cellSizes(spark, path)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val dataSizes = spark.read.parquet(s"$path/vectors").groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(statsSizes === dataSizes, "cell_stats diverged from the vectors layout")
   }
 }
