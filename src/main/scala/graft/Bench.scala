@@ -54,7 +54,8 @@ object Bench {
     "k11_kmeans",            // fixed-point Lloyd k-means, 3 rounds (round 5)
     "x2_manifest_build",     // file-stats manifest over range-clustered orders
     "x2_manifest_refresh",   // incremental refresh after an appended batch (∝ new files)
-    "x2_manifest_read")      // data-skipping range read against the manifest
+    "x2_manifest_read",      // data-skipping range read against the manifest
+    "k4_ivf_append")         // per-batch incremental IVF append (round 9; LSH twin: k2_incremental_query)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +89,15 @@ object Bench {
     val lshSplit: Long = {
       val d = graft.core.Engine.table(spark, sfDir, "documents")
       d.selectExpr("percentile(doc_id, 0.9)").head().getDouble(0).toLong
+    }
+    // last 10% of vectors = the per-batch append payload (untimed setup
+    // scalar, the lshSplit precedent). The batch's ids already sit in the
+    // full-corpus base index as __batch=0 — harmless for a timing entry
+    // (nothing reads ivfPath after the append) and it keeps k4_ivf_build
+    // measuring the same work as every prior round.
+    val ivfSplit: Long = {
+      val e = graft.core.Engine.table(spark, sfDir, "embeddings")
+      e.selectExpr("percentile(vec_id, 0.9)").head().getDouble(0).toLong
     }
     // range-clustered orders copy backing the manifest entries; written
     // once (untimed — the table write is neither the build's nor the
@@ -131,6 +141,14 @@ object Bench {
                 .select(col("vec_id").as("id"), col("embedding")),
               "embedding", "id", k = 5, nProbe = 4)
             .write.format("noop").mode("overwrite").save()
+        case "k4_ivf_append" =>
+          // dynamic overwrite of __batch=1 → every rep times identical
+          // work (assign + rewrite the same partitions), no reset needed
+          val e = graft.core.Engine.table(spark, sfDir, "embeddings")
+          graft.llm.Similarity.ivfAppendBatch(spark, ivfPath,
+            e.where(col("vec_id") >= ivfSplit)
+              .select(col("vec_id"), col("embedding")),
+            "embedding", "vec_id", batchId = 1L)
         case n => qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -165,6 +183,7 @@ object Bench {
     runOnce("e1_agg_flagship") // JVM/codegen warmup, untimed
     ensure("k2_idx_build", "k2_incremental_query")
     ensure("k4_ivf_build", "k4_ivf_read")
+    ensure("k4_ivf_build", "k4_ivf_append")
     if (selected.exists(_.startsWith("x2_manifest"))) manifestTableReady
     ensure("x2_manifest_build", "x2_manifest_refresh")
     ensure("x2_manifest_build", "x2_manifest_read")

@@ -29,15 +29,22 @@ object LlmQueries {
     */
   private val scratchDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sessionScratchDir(prefix: String): String =
-    scratchDirs.computeIfAbsent(prefix, { p =>
-      val dir = java.nio.file.Files.createTempDirectory(p)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val it = java.nio.file.Files.walk(dir).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
-        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
-      }))
-      dir.toString
-    })
+    scratchDirs.computeIfAbsent(prefix, p => freshScratchDir(p))
+
+  /** A NEW delete-on-exit scratch dir per call — for the stream-lineage
+    * queries, whose dirs cannot be reused across executions (batch ids
+    * restart at 0 and the admitted set would leak across SFs) but must
+    * still not accumulate on disk (the r8 temp-dir finding's other half).
+    */
+  private def freshScratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = java.nio.file.Files.walk(dir).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+    }))
+    dir.toString
+  }
 
   /** DuckDB-side normalized-token prelude shared by the text oracles. */
   private val tokCte =
@@ -144,9 +151,9 @@ object LlmQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val b0 = docs.where(col("doc_id") < 400L).as[(Long, String)].collect().toSeq
       val b1 = docs.where(col("doc_id") >= 400L).as[(Long, String)].collect().toSeq
-      val idx = java.nio.file.Files.createTempDirectory("graft-ingest-idx").toString
-      val adm = java.nio.file.Files.createTempDirectory("graft-ingest-adm").toString + "/t"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+      val idx = freshScratchDir("graft-ingest-idx")
+      val adm = freshScratchDir("graft-ingest-adm") + "/t"
+      val ckpt = freshScratchDir("graft-ingest-ckpt")
       val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       def drain(): Unit = {
         val q = graft.streaming.Ingest.foreachBatchIngestDedup(
@@ -275,6 +282,42 @@ object LlmQueries {
       Similarity.ivfAppendBatch(s, path,
         e.where(col("vec_id") >= split).select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", batchId = 1L)
+      s.read.parquet(s"$path/vectors")
+        .groupBy(col("__batch"))
+        .agg(count(lit(1)).as("n_vectors"), countDistinct(col("cell")).as("n_cells"))
+        .orderBy(col("__batch"))
+    }),
+
+    // K4/K9 — STREAMING incremental IVF maintenance (▶): base index over
+    // the first 80% of ids, the rest arriving as two MemoryStream batches
+    // through foreachBatchIvfAppend (each assigned against the persisted
+    // centroids, appended replay-idempotently under __batch = stream
+    // batch + 1). Returns the same per-batch layout audit as
+    // k4_ivf_append. Rows-only (float cells); the wrapper's replay and
+    // refusal semantics are pinned by IvfAppendSpec.
+    "k4_streaming_ivf_append" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val e = t(s, dir, "embeddings")
+      val split = e.agg((max(col("vec_id")) * lit(0.8)).cast("long")).head().getLong(0)
+      val mid = e.agg((max(col("vec_id")) * lit(0.9)).cast("long")).head().getLong(0)
+      val path = freshScratchDir("graft-ivfstr")
+      val ckpt = freshScratchDir("graft-ivfstr-ckpt")
+      Similarity.ivfWriteIndex(
+        e.where(col("vec_id") < split)
+          .select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", "id", nCells = 8, lloydRounds = 1, path = path)
+      val rest = e.where(col("vec_id") >= split)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchIvfAppend(
+          src.toDS().toDF("vec_id", "embedding"), path, ckpt, "embedding", "vec_id")
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < mid).toSeq); drain()
+      src.addData(rest.filter(_._1 >= mid).toSeq); drain()
       s.read.parquet(s"$path/vectors")
         .groupBy(col("__batch"))
         .agg(count(lit(1)).as("n_vectors"), countDistinct(col("cell")).as("n_cells"))

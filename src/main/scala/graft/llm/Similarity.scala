@@ -198,6 +198,19 @@ object Similarity {
                      batch: DataFrame, vecCol: String, idCol: String,
                      batchId: Long): Unit = {
     require(batchId > 0, s"batchId must be > 0 (batch 0 is the base build): $batchId")
+    // Refuse a pre-batch-layout index rather than corrupt it: appending
+    // __batch= leaves under cells whose existing files sit at the cell
+    // root would make partition discovery fail (mixed depths) on every
+    // future read — the Ingest.scala static-layout guard, for IVF.
+    val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = vecRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(vecRoot), s"no IVF index at $path — run ivfWriteIndex first")
+    val flatCell = fs.listStatus(vecRoot).map(_.getPath)
+      .find(_.getName.startsWith("cell="))
+      .exists(c => !fs.listStatus(c).exists(_.getPath.getName.startsWith("__batch=")))
+    require(!flatCell,
+      s"$path/vectors is not the batch-partitioned layout (pre-append index): " +
+        "rebuild it with ivfWriteIndex before appending")
     val centroids = spark.read.parquet(s"$path/centroids")
     val assigned = assignCells(
         batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)

@@ -128,6 +128,33 @@ object Ingest {
         .partitionBy("__batch").parquet(hashesPath)
   }
 
+  /** Attach incremental IVF appends to a streaming frame of embeddings —
+    * the vector-side twin of [[foreachBatchIngestDedup]], completing the
+    * index-family symmetry (LSH and IVF both: build once → per-batch
+    * incremental maintenance → streaming attachment). Every micro-batch
+    * is assigned against the PERSISTED centroids at `indexPath` (map-only
+    * native argmin, zero shuffle of the existing index) and appended
+    * under `cell=<c>/__batch=<streamBatch + 1>` with dynamic-overwrite
+    * replay idempotence; `__batch = 0` stays reserved for the base build.
+    * Same lineage rules as the LSH loop: one (indexPath, checkpointDir)
+    * pair per stream lineage, ids unique across the whole stream, and a
+    * deterministic-replay source for the exactly-once argument. Centroid
+    * drift policy is the caller's: rebuild the base index when recall
+    * sags, re-attach the stream with a fresh checkpoint.
+    */
+  def foreachBatchIvfAppend(embeddings: DataFrame, indexPath: String,
+                            checkpointDir: String, vecCol: String, idCol: String,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    embeddings.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Similarity.ivfAppendBatch(batch.sparkSession, indexPath, batch,
+          vecCol, idCol, batchId = id + 1)
+      }
+      .start()
+
   /** Attach the ingestion-dedup loop to a streaming frame of documents. */
   def foreachBatchIngestDedup(docs: DataFrame, indexPath: String, admittedDir: String,
                               checkpointDir: String, textCol: String, idCol: String,

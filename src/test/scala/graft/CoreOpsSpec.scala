@@ -1364,6 +1364,10 @@ class IvfSemDeDupSpec extends org.scalatest.funsuite.AnyFunSuite {
       .ivfSemanticNearDupPairs(spark, path, 0.35, maxCellRows = 8L)
     assert(salted.queryExecution.analyzed.toString.contains("Union"),
       "hot-cell path must have engaged (plain ∪ triangle-block)")
+    val saltedPlan = salted.queryExecution.executedPlan.toString
+    assert(!saltedPlan.contains("CartesianProduct") &&
+      !saltedPlan.contains("BroadcastNestedLoopJoin"),
+      s"triangle-block pairs must stay equi-joins on (cell, sa, sb):\n$saltedPlan")
     val saltedSet = salted.collect().map(key).toSet
     assert(saltedSet === plain,
       s"triangle-block pairs must be EXACTLY the plain within-cell pairs " +
@@ -1474,5 +1478,48 @@ class IvfAppendSpec extends org.scalatest.funsuite.AnyFunSuite {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(statsSizes === dataSizes, "cell_stats diverged from the vectors layout")
+  }
+
+  test("streaming wrapper drains batches into the index; flat layouts are refused") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val split = e.agg((max(col("id")) * lit(0.8)).cast("long")).head().getLong(0)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfstr-spec").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfstr-ckpt").toString
+    graft.llm.Similarity.ivfWriteIndex(e.where(col("id") < split), "v", "id",
+      nCells = 4, lloydRounds = 1, path = path)
+    val rest = e.where(col("id") >= split).as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    def drain(): Unit = {
+      val q = graft.streaming.Ingest.foreachBatchIvfAppend(
+        src.toDS().toDF("id", "v"), path, ckpt, "v", "id")
+      q.awaitTermination()
+    }
+    src.addData(b1.toSeq); drain()
+    src.addData(b2.toSeq); drain()
+    val vecs = spark.read.parquet(s"$path/vectors")
+    // every id exactly once; the two drains landed as __batch 1 and 2
+    assert(vecs.select("id").distinct().count() === e.count())
+    assert(vecs.count() === e.count())
+    assert(vecs.select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+    // the merged index serves pruned ANN reads
+    val knn = graft.llm.Similarity.ivfKnnPruned(spark, path,
+      e.where(col("id") < 5), "v", "id", k = 3, nProbe = 2)
+    assert(knn.count() > 0)
+    // appending into a pre-batch-layout (cell-only) index must refuse
+    val flat = java.nio.file.Files.createTempDirectory("graft-ivfflat-spec").toString
+    val (indexed, cents) = graft.llm.Similarity.ivfIndex(
+      e.where(col("id") < split), "v", "id", nCells = 4, lloydRounds = 1)
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(s"$flat/vectors")
+    cents.write.mode("overwrite").parquet(s"$flat/centroids")
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.ivfAppendBatch(spark, flat,
+        e.where(col("id") >= split), "v", "id", batchId = 1L)
+    }
+    assert(ex.getMessage.contains("batch-partitioned layout"))
   }
 }
