@@ -178,21 +178,26 @@ object Clustering {
     * assignment itself scales through the gated centroid transport
     * above. Cosine is the native codegen'd expression, bit-matched by
     * the DuckDB oracle (k3 precedent).
+    *
+    * Real corpora cluster unevenly, so clusters over `maxClusterRows`
+    * run [[Similarity.boundedWithinGroupPairs]]' exact triangle-block
+    * decomposition (row-identical, spec-pinned) instead of one quadratic
+    * straggler task; the size probe is the k-group assignment count —
+    * one map-side-combinable agg (the same shape as a Lloyd round's
+    * update, one extra assignment pass over the unpersisted-by-then
+    * corpus).
     */
   def semanticNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                            k: Int, iters: Int, threshold: Double,
-                           scale: Long = 1000000L): DataFrame = {
+                           scale: Long = 1000000L,
+                           maxClusterRows: Long = Similarity.DefaultMaxCellRows): DataFrame = {
     val model = kmeans(df, vecCol, idCol, k, iters, scale)
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(model.assignments, Seq("id"))
-    val a = vecs.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = vecs.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("cluster"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        round(graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")), 6))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("cluster").as("__grp"), col("id"), col("v"))
+    val sizes = model.assignments
+      .groupBy(col("cluster").as("__grp")).agg(count(lit(1)).as("n"))
+    Similarity.boundedWithinGroupPairs(vecs, sizes, threshold, maxClusterRows)
   }
 
   /** Per-cluster summary of a finished model: (cluster_id, n, centroid) —

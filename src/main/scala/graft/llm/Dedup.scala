@@ -600,16 +600,28 @@ object Dedup {
     * deterministic random-hyperplane sign hash so candidate generation is
     * an equi-join, not a cross join. Recall is tunable via `planes`
     * (fewer planes → bigger buckets → higher recall & cost).
+    *
+    * Buckets over `maxBucketRows` run the exact triangle-block
+    * decomposition ([[Similarity.boundedWithinGroupPairs]]) — with only
+    * 2^planes buckets, ONE bucket holding a meaningful corpus fraction is
+    * the expected case, not the tail, so the bound matters here even more
+    * than for cells/clusters. The size probe adds one narrow counting agg
+    * over the bucket projection (a third map pass next to the self-join's
+    * two sides — cheap relative to the pair join it de-skews).
+    *
+    * NOTE (rounding): pre-r9 this thresholded the UNROUNDED cosine and
+    * then rounded for output; it now rounds to 6dp BEFORE thresholding
+    * like every other cosine operator (the shared oracle-exactness rule)
+    * — a pair within 5e-7 of the threshold may now differ from pre-r9
+    * output by design.
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            dim: Int, threshold: Double, planes: Int = 4): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.signBucket(col(vecCol), planes, dim).as("bucket"))
-    val a = withBucket.as("a"); val b = withBucket.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("a.v"), col("b.v")))
-      .where(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("cosine"), 6).as("cosine"))
+                            dim: Int, threshold: Double, planes: Int = 4,
+                            maxBucketRows: Long = Similarity.DefaultMaxCellRows): DataFrame = {
+    val withBucket = df.select(
+      VectorFunctions.signBucket(col(vecCol), planes, dim).as("__grp"),
+      col(idCol).as("id"), col(vecCol).as("v"))
+    val sizes = withBucket.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
+    Similarity.boundedWithinGroupPairs(withBucket, sizes, threshold, maxBucketRows)
   }
 }

@@ -349,45 +349,92 @@ object Similarity {
   def ivfSemanticNearDupPairs(spark: org.apache.spark.sql.SparkSession,
                               path: String, threshold: Double,
                               maxCellRows: Long = DefaultMaxCellRows): DataFrame = {
-    require(maxCellRows >= 1, s"maxCellRows must be >= 1: $maxCellRows")
     val indexed = spark.read.parquet(s"$path/vectors")
-      .select(col("cell"), col("id"), col("v"))
-    // driver-bounded collect: ≤ one row per cell
-    val hot = cellSizes(spark, path).where(col("n") > maxCellRows)
-      .withColumn("__s",
-        ceil(col("n").cast("double") / lit(maxCellRows.toDouble)).cast("int"))
-      .select(col("cell"), col("__s"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .select(col("cell").as("__grp"), col("id"), col("v"))
+    val sizes = cellSizes(spark, path).select(col("cell").as("__grp"), col("n"))
+    boundedWithinGroupPairs(indexed, sizes, threshold, maxCellRows)
+  }
+
+  /** Exact within-group cosine pairs with BOUNDED partitions — the shared
+    * core of the three group-bucketed near-dup operators (IVF cells here,
+    * k-means clusters in [[Clustering.semanticNearDupPairs]], sign-hash
+    * buckets in [[Dedup.embeddingNearDupPairs]]): all three have the same
+    * failure mode at corpus scale, one hot group turning the within-group
+    * self-join into a single quadratic straggler task.
+    *
+    * `vecs` carries (__grp, id, v); `sizes` (__grp, n) — the caller
+    * supplies sizes from whatever it has (persisted `cell_stats`, the
+    * k-group assignment count, a bucket count) so this helper never
+    * rescans the corpus to find skew. Groups at or under `maxGroupRows`
+    * run the plain one-shuffle self-join, output columns and values
+    * unchanged. Larger groups run the EXACT triangle-block decomposition:
+    * rows salt into s = ⌈n/maxGroupRows⌉ deterministic buckets, both
+    * sides replicate to their ≤ s (sa ≤ sb) block keys via a broadcast
+    * block table (strata-sized, checkpointed), and the pair join shuffles
+    * on (__grp, sa, sb) — every within-group pair exactly once
+    * (off-diagonal blocks carry each cross-bucket pair in one
+    * orientation, the diagonal keeps id_a < id_b), partitions bounded at
+    * ~maxGroupRows rows per side, parallelism s² instead of one hot key.
+    * Salting shapes only the physical plan, never the pair set (pinned by
+    * the row-parity specs). Total work stays Σ n_i² — the bound fixes
+    * task skew, not the quadratic; group sizing (nCells, k, planes) is
+    * still the real knob.
+    *
+    * Driver state: the over-limit groups are COLLECTED (key + split
+    * count). That is bounded by the group-space size, which in all three
+    * callers is a chosen parameter (nCells, k, 2^planes), never
+    * data-derived — and the static key list is what lets the hot/plain
+    * split push down as partition pruning on the IVF layout (a
+    * broadcast-join flag would scan every cell twice instead). When
+    * nothing is hot the returned plan is byte-identical to the plain
+    * join (no union, no extra filter).
+    */
+  private[llm] def boundedWithinGroupPairs(vecs: DataFrame, sizes: DataFrame,
+                                           threshold: Double,
+                                           maxGroupRows: Long): DataFrame = {
+    require(maxGroupRows >= 1, s"maxGroupRows must be >= 1: $maxGroupRows")
     def pairsOf(part: DataFrame): DataFrame = {
-      val a = part.select(col("cell"), col("id").as("id_a"), col("v").as("__va"))
-      val b = part.select(col("cell"), col("id").as("id_b"), col("v").as("__vb"))
-      a.join(b, Seq("cell"))
+      val a = part.select(col("__grp"), col("id").as("id_a"), col("v").as("__va"))
+      val b = part.select(col("__grp"), col("id").as("id_b"), col("v").as("__vb"))
+      a.join(b, Seq("__grp"))
         .where(col("id_a") < col("id_b"))
         .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
         .where(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
     }
-    if (hot.isEmpty) pairsOf(indexed)
+    // one row per OVER-LIMIT group: parameter-bounded, see scaladoc
+    val hot = sizes.where(col("n") > maxGroupRows)
+      .withColumn("__s",
+        ceil(col("n").cast("double") / lit(maxGroupRows.toDouble)).cast("int"))
+      .select(col("__grp"), col("__s"))
+      .collect()
+    if (hot.isEmpty) pairsOf(vecs)
     else {
-      import spark.implicits._
-      val hotKeys = hot.map(_._1).toSeq
-      val plain = pairsOf(indexed.where(!col("cell").isin(hotKeys: _*)))
-      val splits = hot.toSeq.toDF("cell", "__s")
+      val spark = vecs.sparkSession
+      val hotKeys = hot.map(_.get(0)).toSeq
+      val plain = pairsOf(vecs.where(!col("__grp").isin(hotKeys: _*)))
+      val splits = spark.createDataFrame(
+        spark.sparkContext.parallelize(hot.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__grp",
+            sizes.schema("__grp").dataType),
+          org.apache.spark.sql.types.StructField("__s",
+            org.apache.spark.sql.types.IntegerType))))
       val blocks = splits
-        .select(col("cell"), explode(sequence(lit(0), col("__s") - 1)).as("__sa"), col("__s"))
-        .select(col("cell"), col("__sa"),
+        .select(col("__grp"), explode(sequence(lit(0), col("__s") - 1)).as("__sa"), col("__s"))
+        .select(col("__grp"), col("__sa"),
           explode(sequence(col("__sa"), col("__s") - 1)).as("__sb"))
-      val salted = indexed.where(col("cell").isin(hotKeys: _*))
-        .join(broadcast(splits), Seq("cell"))
+      val salted = vecs.where(col("__grp").isin(hotKeys: _*))
+        .join(broadcast(splits), Seq("__grp"))
         .withColumn("__salt", pmod(hash(col("id")), col("__s")))
-        .select(col("cell"), col("__salt"), col("id"), col("v"))
+        .select(col("__grp"), col("__salt"), col("id"), col("v"))
       val aAmp = salted
-        .select(col("cell"), col("__salt").as("__sa"), col("id").as("__ida"), col("v").as("__va"))
-        .join(broadcast(blocks), Seq("cell", "__sa"))
+        .select(col("__grp"), col("__salt").as("__sa"), col("id").as("__ida"), col("v").as("__va"))
+        .join(broadcast(blocks), Seq("__grp", "__sa"))
       val bAmp = salted
-        .select(col("cell"), col("__salt").as("__sb"), col("id").as("__idb"), col("v").as("__vb"))
-        .join(broadcast(blocks), Seq("cell", "__sb"))
-      val hotPairs = aAmp.join(bAmp, Seq("cell", "__sa", "__sb"))
+        .select(col("__grp"), col("__salt").as("__sb"), col("id").as("__idb"), col("v").as("__vb"))
+        .join(broadcast(blocks), Seq("__grp", "__sb"))
+      val hotPairs = aAmp.join(bAmp, Seq("__grp", "__sa", "__sb"))
         .where(col("__sa") =!= col("__sb") || col("__ida") < col("__idb"))
         .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
         .where(col("cosine") >= threshold)

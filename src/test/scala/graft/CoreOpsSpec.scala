@@ -1376,6 +1376,47 @@ class IvfSemDeDupSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** The shared bounded within-group pair generator, through its two other
+  * callers (the IVF caller is pinned in IvfSemDeDupSpec): the triangle-
+  * block decomposition must be row-identical to the plain within-group
+  * join for k-means clusters and sign-hash buckets alike.
+  */
+class BoundedGroupPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def keys(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("k-means SemDeDup: bounded hot-cluster path == plain path") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val plain = graft.llm.Clustering.semanticNearDupPairs(
+      e, "embedding", "vec_id", k = 4, iters = 2, threshold = 0.35)
+    val bounded = graft.llm.Clustering.semanticNearDupPairs(
+      e, "embedding", "vec_id", k = 4, iters = 2, threshold = 0.35,
+      maxClusterRows = 8L)
+    assert(bounded.queryExecution.analyzed.toString.contains("Union"),
+      "hot-cluster path must have engaged at maxClusterRows=8")
+    val (p, b) = (keys(plain), keys(bounded))
+    assert(p.nonEmpty, "vacuous fixture")
+    assert(b === p, s"${(b diff p).size} extra, ${(p diff b).size} missing")
+  }
+
+  test("sign-bucket near-dup: bounded hot-bucket path == plain path") {
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val plain = graft.llm.Dedup.embeddingNearDupPairs(
+      e, "embedding", "vec_id", dim = 64, threshold = 0.3, planes = 2)
+    val bounded = graft.llm.Dedup.embeddingNearDupPairs(
+      e, "embedding", "vec_id", dim = 64, threshold = 0.3, planes = 2,
+      maxBucketRows = 8L)
+    assert(bounded.queryExecution.analyzed.toString.contains("Union"),
+      "hot-bucket path must have engaged at maxBucketRows=8")
+    val (p, b) = (keys(plain), keys(bounded))
+    assert(p.nonEmpty, "vacuous fixture")
+    assert(b === p, s"${(b diff p).size} extra, ${(p diff b).size} missing")
+  }
+}
+
 /** Incremental farthest-point seeding: bit-parity with the naive
   * O(nCells²·sample·dim) witness it replaced (r8 verdict #2), plus a
   * nCells=512 smoke that the naive form could not finish in test time.
