@@ -227,6 +227,40 @@ object Similarity {
     } finally assigned.unpersist(false)
   }
 
+  /** Fold an appended IVF index back into a single `__batch=0` per cell —
+    * the small-files compaction that a long-running append stream
+    * eventually needs (every [[ivfAppendBatch]] adds one directory of
+    * small files per touched cell; the LSH family's `compactIndex`
+    * precedent). One shuffle on the cell key (repartition merges each
+    * cell's file fragments into one task's output), then a staged rewrite:
+    * the compacted layout lands in `vectors_compacting/` and swaps in via
+    * delete + rename — the corpus is never checkpointed to executor
+    * memory, unlike the (metadata-sized) LSH compaction. NOT crash-atomic:
+    * a failure between the delete and the rename leaves the data only in
+    * `vectors_compacting/` — recover by renaming it to `vectors/`
+    * manually. Run it from the same maintenance cadence that owns
+    * rebuilds, not concurrently with reads. Assignments are untouched
+    * (ids and cells are copied verbatim), so reads before and after see
+    * the same index; batch provenance is deliberately collapsed — replay
+    * of pre-compaction batches against a compacted index would re-append
+    * under their old ids, so compact only retired lineages (the same rule
+    * as LSH compaction after its stream's checkpoint is dropped).
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/vectors_compacting")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(src.toString)
+      .select(col("id"), col("v"), col("cell"))
+      .repartition(col("cell"))
+      .withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("cell", "__batch")
+      .parquet(tmp.toString)
+    fs.delete(src, true)
+    require(fs.rename(tmp, src), s"rename $tmp -> $src failed; recover manually")
+    writeCellStats(spark, path, dynamicOnly = false)
+  }
+
   /** (Re)write `cell_stats/` — (cell, n) per `__batch` — from the
     * persisted vectors. `dynamicOnly = false` clears stale stats from a
     * previous index generation (the base-build path).

@@ -1551,6 +1551,27 @@ class IvfAppendSpec extends org.scalatest.funsuite.AnyFunSuite {
     val knn = graft.llm.Similarity.ivfKnnPruned(spark, path,
       e.where(col("id") < 5), "v", "id", k = 3, nProbe = 2)
     assert(knn.count() > 0)
+    // compaction folds every batch into __batch=0 without changing the
+    // index contents (ids, cells) or breaking stats/reads
+    val preCompact = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    graft.llm.Similarity.ivfCompact(spark, path)
+    val postCompact = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(postCompact === preCompact, "compaction must not alter (id, cell)")
+    assert(spark.read.parquet(s"$path/vectors")
+      .select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(0L),
+      "compaction must fold every batch into __batch=0")
+    val statsAfter = graft.llm.Similarity.cellSizes(spark, path)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(statsAfter === preCompact.groupBy(_._2).map { case (c, s) => (c, s.size.toLong) },
+      "cell_stats must match the compacted layout")
+    assert(graft.llm.Similarity.ivfKnnPruned(spark, path,
+      e.where(col("id") < 5), "v", "id", k = 3, nProbe = 2).count() > 0)
+
     // appending into a pre-batch-layout (cell-only) index must refuse
     val flat = java.nio.file.Files.createTempDirectory("graft-ivfflat-spec").toString
     val (indexed, cents) = graft.llm.Similarity.ivfIndex(
