@@ -142,6 +142,20 @@ object SourceSinkQueries {
       }
         .groupBy(col("vec_id")).agg(count(lit(1)).as("n_similar"))
         .orderBy(col("vec_id"))
+    }),
+
+    // K9 — BATCH embedding near-dup through the same sign-bucket LSH path
+    // (brute-force baseline: k9_neardup_bruteforce), hash-matched end to
+    // end: DuckDB regenerates the identical ±1 hyperplane buckets (same
+    // murmur-derived literal signs, same sequential double sum) and the
+    // identical 6dp-rounded cosine, so candidate generation AND
+    // verification — including the r9 hot-bucket triangle-block bound,
+    // which must not change the pair set — are oracle-checked.
+    "k9_neardup_lsh" -> ((s, dir) => {
+      graft.llm.Dedup.embeddingNearDupPairs(
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          dim = 64, threshold = 0.3, planes = 2)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   private def duckCosine(a: String, b: String): String =
@@ -206,5 +220,14 @@ object SourceSinkQueries {
          | AND b.vec_id < (SELECT (max(vec_id) + 1) // 2 FROM embeddings)
          | AND ${duckSignBucket("a.embedding", 2, 64)} = ${duckSignBucket("b.embedding", 2, 64)}
          | AND ${duckCosine("a.embedding", "b.embedding")} >= 0.3
-         |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin)
+         |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
+
+    "k9_neardup_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding,
+         |  ${duckSignBucket("embedding", 2, 64)} AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin)
 }
