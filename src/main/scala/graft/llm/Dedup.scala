@@ -510,19 +510,26 @@ object Dedup {
   /** N-gram Jaccard pairwise similarity within blocking buckets (here: a
     * cheap first-token block; callers pick the blocker). Exact Jaccard on
     * n-gram sets, bucket-bounded.
+    *
+    * First-token blocks are the most skewed group key in this family —
+    * real corpora open sentences with the same handful of words — so
+    * blocks over `maxBlockRows` run the shared exact triangle-block
+    * decomposition ([[Similarity.boundedWithinGroupScoredPairs]]):
+    * row-identical output (parity spec), partitions bounded, no
+    * single-stopword straggler task. Threshold semantics are unchanged
+    * (raw Jaccard thresholded, 6dp-rounded output — the oracle's shape).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val prepped = df.select(col(idCol).as("id"),
-        shingles(col(textCol), n).as("grams"),
-        element_at(tokens(normalizeText(col(textCol))), 1).as("block"))
-      .where(size(col("grams")) > 0)
-    val a = prepped.as("a"); val b = prepped.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("jaccard", jaccard(col("a.grams"), col("b.grams")))
-      .where(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+                        n: Int = 2, threshold: Double = 0.5,
+                        maxBlockRows: Long = Similarity.DefaultMaxCellRows): DataFrame = {
+    val prepped = df.select(
+        element_at(tokens(normalizeText(col(textCol))), 1).as("__grp"),
+        col(idCol).as("id"),
+        shingles(col(textCol), n).as("v"))
+      .where(size(col("v")) > 0)
+    val sizes = prepped.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
+    Similarity.boundedWithinGroupScoredPairs(prepped, sizes, maxBlockRows)(
+      (a, b) => jaccard(a, b), _ >= threshold, round(_, 6), "jaccard")
   }
 
   /** LSH quality metrics — the number a production operator actually

@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -425,16 +425,33 @@ object Similarity {
     */
   private[llm] def boundedWithinGroupPairs(vecs: DataFrame, sizes: DataFrame,
                                            threshold: Double,
-                                           maxGroupRows: Long): DataFrame = {
+                                           maxGroupRows: Long): DataFrame =
+    boundedWithinGroupScoredPairs(vecs, sizes, maxGroupRows)(
+      (a, b) => round(cosine(a, b), 6), _ >= threshold, identity, "cosine")
+
+  /** The score-generic core of [[boundedWithinGroupPairs]] — also carries
+    * [[Dedup.ngramJaccardPairs]]' first-token blocking, whose raw-score
+    * threshold + rounded output differ from the cosine operators' shared
+    * round-then-threshold rule (both oracle-pinned, so neither may change
+    * shape here). `score` MUST be symmetric in its arguments: the
+    * triangle path normalizes pair orientation with least/greatest ids
+    * and evaluates the score in whichever orientation the block produced.
+    */
+  private[llm] def boundedWithinGroupScoredPairs(vecs: DataFrame, sizes: DataFrame,
+                                                 maxGroupRows: Long)(
+                                                 score: (Column, Column) => Column,
+                                                 keep: Column => Column,
+                                                 out: Column => Column,
+                                                 scoreName: String): DataFrame = {
     require(maxGroupRows >= 1, s"maxGroupRows must be >= 1: $maxGroupRows")
     def pairsOf(part: DataFrame): DataFrame = {
       val a = part.select(col("__grp"), col("id").as("id_a"), col("v").as("__va"))
       val b = part.select(col("__grp"), col("id").as("id_b"), col("v").as("__vb"))
       a.join(b, Seq("__grp"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
-        .where(col("cosine") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cosine"))
+        .withColumn(scoreName, score(col("__va"), col("__vb")))
+        .where(keep(col(scoreName)))
+        .select(col("id_a"), col("id_b"), out(col(scoreName)).as(scoreName))
     }
     // one row per OVER-LIMIT group: parameter-bounded, see scaladoc
     val hot = sizes.where(col("n") > maxGroupRows)
@@ -470,10 +487,11 @@ object Similarity {
         .join(broadcast(blocks), Seq("__grp", "__sb"))
       val hotPairs = aAmp.join(bAmp, Seq("__grp", "__sa", "__sb"))
         .where(col("__sa") =!= col("__sb") || col("__ida") < col("__idb"))
-        .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
-        .where(col("cosine") >= threshold)
+        .withColumn(scoreName, score(col("__va"), col("__vb")))
+        .where(keep(col(scoreName)))
         .select(least(col("__ida"), col("__idb")).as("id_a"),
-          greatest(col("__ida"), col("__idb")).as("id_b"), col("cosine"))
+          greatest(col("__ida"), col("__idb")).as("id_b"),
+          out(col(scoreName)).as(scoreName))
       plain.unionByName(hotPairs)
     }
   }

@@ -1415,6 +1415,19 @@ class BoundedGroupPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p.nonEmpty, "vacuous fixture")
     assert(b === p, s"${(b diff p).size} extra, ${(p diff b).size} missing")
   }
+
+  test("ngram-Jaccard blocking: bounded hot-block path == plain path (string groups)") {
+    val d = core.Engine.table(spark, TestSpark.sf, "documents")
+    val plain = graft.llm.Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      n = 2, threshold = 0.3)
+    val bounded = graft.llm.Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      n = 2, threshold = 0.3, maxBlockRows = 4L)
+    assert(bounded.queryExecution.analyzed.toString.contains("Union"),
+      "hot-block path must have engaged at maxBlockRows=4")
+    val (p, b) = (keys(plain), keys(bounded))
+    assert(p.nonEmpty, "vacuous fixture")
+    assert(b === p, s"${(b diff p).size} extra, ${(p diff b).size} missing")
+  }
 }
 
 /** Incremental farthest-point seeding: bit-parity with the naive
