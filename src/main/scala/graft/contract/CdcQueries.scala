@@ -58,7 +58,7 @@ object CdcQueries {
     "b1_envelope_roundtrip" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val raw = c.select(to_json(struct(
-        struct(c.columns.map(col): _*).as("after"),
+        struct(c.columns.map(col).toIndexedSeq: _*).as("after"),
         struct(
           lit("graft").as("connector"), lit("db").as("db"),
           lit("public").as("schema"), lit("customer").as("table"),
@@ -95,7 +95,7 @@ object CdcQueries {
     // op='r' snapshot, second half as live changes)
     "b6_snapshot_union" -> ((s, dir) => {
       val evs = t(s, dir, "events")
-      val mid = (evs.agg(max(col("event_id"))).head.getLong(0) + 1L) / 2L
+      val mid = (evs.agg(max(col("event_id"))).head().getLong(0) + 1L) / 2L
       val snapshot = evs.where(col("event_id") < mid).withColumn("op", lit("r"))
       val delta = withOp(evs.where(col("event_id") >= mid))
       Materialize.snapshotPlusDelta(snapshot, delta,

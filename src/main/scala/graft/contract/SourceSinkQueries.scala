@@ -104,7 +104,7 @@ object SourceSinkQueries {
     "b9_schema_drift" -> ((s, dir) => {
       val out = tmp("graft-drift")
       val c = t(s, dir, "customer")
-      val mid = (c.agg(max(col("c_custkey"))).head.getLong(0) + 1L) / 2L
+      val mid = (c.agg(max(col("c_custkey"))).head().getLong(0) + 1L) / 2L
       c.where(col("c_custkey") < mid)
         .select(col("c_custkey"), col("c_name"))
         .write.mode("append").parquet(out)
@@ -126,7 +126,7 @@ object SourceSinkQueries {
     "k9_stream_static_sim" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-      val mid = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
+      val mid = (e.agg(max(col("vec_id"))).head().getLong(0) + 1L) / 2L
       val static = e.where(col("vec_id") < mid)
         .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
       val streamRows = e.where(col("vec_id") >= mid)
@@ -167,7 +167,10 @@ object SourceSinkQueries {
     * same murmur-derived ±1 hyperplane components (baked as literal signs
     * at generation time on BOTH sides), same left-to-right double sum, so
     * bucket assignments agree bit-for-bit across engines.
+    * `productHash` stays despite the deprecation — the frozen-hash
+    * contract note on signBucket.
     */
+  @scala.annotation.nowarn("cat=deprecation")
   private def duckSignBucket(v: String, nPlanes: Int, dim: Int, seed: Int = 42): String =
     (0 until nPlanes).map { p =>
       val terms = (0 until dim).map { d =>

@@ -204,7 +204,7 @@ object StreamingQueries {
     "a4_cdc_file_stream" -> ((s, dir) => {
       val c = Engine.table(s, dir, "customer")
       val envelopes = c.select(to_json(struct(
-        struct(c.columns.map(col): _*).as("after"),
+        struct(c.columns.map(col).toIndexedSeq: _*).as("after"),
         struct(
           lit("graft").as("connector"), lit("db").as("db"),
           lit("public").as("schema"), lit("customer").as("table"),

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import scala.annotation.nowarn
 
 /** Vector math over `ArrayType(FloatType|DoubleType)` embedding columns.
   *
@@ -80,7 +81,14 @@ object VectorFunctions {
     * is the same left-to-right sequential double sum over dims 1..dim
     * (pinned by `SignBucketSpec` against the unrolled witness, including
     * a dim-512 smoke case).
+    *
+    * `MurmurHash3.productHash` is deprecated in favor of `caseClassHash`,
+    * but the two produce DIFFERENT values and these signs are a frozen
+    * cross-engine contract (the DuckDB oracle bakes the identical signs
+    * at SQL-generation time and persisted sign-bucket indexes embed
+    * them) — migrating would silently re-bucket every vector.
     */
+  @nowarn("cat=deprecation")
   def signBucket(vec: Column, nPlanes: Int, dim: Int, seed: Int = 42): Column = {
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
@@ -106,6 +114,7 @@ object VectorFunctions {
     * dim × nPlanes plan tree is exactly what the literal+HOF form above
     * exists to avoid.
     */
+  @nowarn("cat=deprecation") // same frozen-hash contract as signBucket
   private[graft] def signBucketUnrolled(vec: Column, nPlanes: Int, dim: Int,
                                         seed: Int = 42): Column = {
     val bits = (0 until nPlanes).map { p =>

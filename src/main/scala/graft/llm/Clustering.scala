@@ -53,7 +53,7 @@ object Clustering {
     // silently null-padded centroid sums iterations later
     val shape = df.agg(
       min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"),
-      count(when(col(vecCol).isNull, 1)).as("nulls"), count(lit(1)).as("n")).head
+      count(when(col(vecCol).isNull, 1)).as("nulls"), count(lit(1)).as("n")).head()
     require(shape.getLong(3) > 0, "kmeans needs a non-empty input frame")
     require(shape.getLong(2) == 0, s"kmeans input has ${shape.getLong(2)} null vectors")
     require(shape.getInt(0) == shape.getInt(1),

@@ -168,7 +168,7 @@ object Mixing {
         df.join(broadcast(thrTable), Seq(stratumCol))
           .where(u < col("__thr"))
           .drop("__thr")
-          .select(df.columns.map(col): _*)
+          .select(df.columns.map(col).toIndexedSeq: _*)
       }
     } finally countsDf.unpersist(false)
   }
