@@ -527,7 +527,14 @@ object Dedup {
         col(idCol).as("id"),
         shingles(col(textCol), n).as("v"))
       .where(size(col("v")) > 0)
-    val sizes = prepped.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
+    // the size probe never builds gram arrays (the round-6 fan-out rule:
+    // prepped's grams are consumed by the two join sides already): a doc
+    // has grams iff it has >= n tokens, so counting blocks needs only the
+    // token projection (its own select — interpreted HOFs get no CSE)
+    val sizes = df.select(tokens(normalizeText(col(textCol))).as("__t"))
+      .select(element_at(col("__t"), 1).as("__grp"), size(col("__t")).as("__nt"))
+      .where(col("__nt") >= n)
+      .groupBy(col("__grp")).agg(count(lit(1)).as("n"))
     Similarity.boundedWithinGroupScoredPairs(prepped, sizes, maxBlockRows)(
       (a, b) => jaccard(a, b), _ >= threshold, round(_, 6), "jaccard")
   }
