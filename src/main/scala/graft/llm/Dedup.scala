@@ -485,9 +485,19 @@ object Dedup {
     * for small positive distances the signature is split into
     * (maxHamming+1) sub-bands (pigeonhole: two docs within distance d share
     * at least one of d+1 bands exactly).
+    *
+    * Round-9 hardening, both from the MinHash sibling's playbook: the
+    * banded rows are persisted + eagerly counted (the self-join's two
+    * sides and the width probe previously each re-ran the simhash HOF
+    * pipeline — the round-6 fan-out rule), and over-wide (band, key)
+    * buckets are dropped via the shared `maxBucketSize` cap — a corpus of
+    * thousands of identical documents collapses into ONE bucket whose
+    * self-join is O(b²) regardless of banding; such buckets are
+    * near-dup-saturated and belong to exact dedup (drop count logged).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 32, maxHamming: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     val withSig = df.select(col(idCol).as("id"),
@@ -498,13 +508,20 @@ object Dedup {
           shiftright(col("sig"), i * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
       }: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .where(col("hamming") <= maxHamming)
+      .persist()
+    try {
+      banded.count() // eager: width probe + both join sides read the cache
+      val buckets = capOverWideBuckets(banded, maxBucketSize, "simhashPairs")
+      val a = buckets.as("a"); val b = buckets.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
+        .dropDuplicates("id_a", "id_b")
+        .where(col("hamming") <= maxHamming)
+        // bounded output (bucket-capped); sever before the cache releases
+        .localCheckpoint(true)
+    } finally banded.unpersist(false)
   }
 
   /** N-gram Jaccard pairwise similarity within blocking buckets (here: a

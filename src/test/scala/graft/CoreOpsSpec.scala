@@ -281,6 +281,17 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs caps degenerate buckets instead of going quadratic") {
+    // 50 identical docs → ONE bucket of 50 → 1225 pairs uncapped
+    val dup = (1L to 50L).map(i => (i, "the very same duplicated sentence"))
+    val df = (dup :+ ((99L, "something completely different"))).toDF("id", "text")
+    val capped = Dedup.simhashPairs(df, "text", "id", bits = 32, maxHamming = 0,
+      maxBucketSize = 10)
+    assert(capped.count() === 0, "over-wide bucket must be dropped, not joined")
+    val uncapped = Dedup.simhashPairs(df, "text", "id", bits = 32, maxHamming = 0)
+    assert(uncapped.count() === 50L * 49L / 2L)
+  }
+
   // ---- joins -------------------------------------------------------------
 
   test("rangeJoinBinned equals the naive range join") {
