@@ -26,9 +26,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clustering {
 
-  /** Final model: per-point assignments and the quantized centroids. */
+  /** Final model: per-point assignments, the quantized centroids, and the
+    * per-cluster row counts (free — the last Lloyd round's update agg
+    * already collected them alongside the sums; k rows, driver-bounded).
+    */
   case class KmeansModel(assignments: DataFrame,
-                         centroids: Seq[(Long, Seq[Long])])
+                         centroids: Seq[(Long, Seq[Long])],
+                         clusterSizes: Seq[(Long, Long)] = Nil)
 
   /** Lloyd k-means on a quantized copy of `vecCol`.
     *
@@ -72,6 +76,7 @@ object Clustering {
         }.toSeq
 
       var assigned: DataFrame = null
+      var sizes: Seq[(Long, Long)] = Nil
       for (_ <- 1 to iters) {
         assigned = assign(q, centroids)
         val sums = assigned.groupBy(col("cluster"))
@@ -82,8 +87,11 @@ object Clustering {
           val n = r.getLong(1)
           (r.getLong(0), (0 until dim).map(i => Math.floorDiv(r.getLong(2 + i), n)))
         }.sortBy(_._1).toSeq
+        // the counts of the FINAL assignments, kept from the last round —
+        // consumers (SemDeDup's skew probe) get cluster sizes for free
+        sizes = sums.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       }
-      KmeansModel(assigned.select(col("id"), col("cluster")), centroids)
+      KmeansModel(assigned.select(col("id"), col("cluster")), centroids, sizes)
     } finally q.unpersist()
   }
 
@@ -182,21 +190,21 @@ object Clustering {
     * Real corpora cluster unevenly, so clusters over `maxClusterRows`
     * run [[Similarity.boundedWithinGroupPairs]]' exact triangle-block
     * decomposition (row-identical, spec-pinned) instead of one quadratic
-    * straggler task; the size probe is the k-group assignment count —
-    * one map-side-combinable agg (the same shape as a Lloyd round's
-    * update, one extra assignment pass over the unpersisted-by-then
-    * corpus).
+    * straggler task; the size probe is FREE — the model carries the
+    * final per-cluster counts from the last Lloyd update agg, so no
+    * extra pass over the corpus runs to detect skew.
     */
   def semanticNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                            k: Int, iters: Int, threshold: Double,
                            scale: Long = 1000000L,
                            maxClusterRows: Long = Similarity.DefaultMaxCellRows): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val model = kmeans(df, vecCol, idCol, k, iters, scale)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(model.assignments, Seq("id"))
       .select(col("cluster").as("__grp"), col("id"), col("v"))
-    val sizes = model.assignments
-      .groupBy(col("cluster").as("__grp")).agg(count(lit(1)).as("n"))
+    val sizes = model.clusterSizes.toDF("__grp", "n")
     Similarity.boundedWithinGroupPairs(vecs, sizes, threshold, maxClusterRows)
   }
 
