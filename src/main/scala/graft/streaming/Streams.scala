@@ -88,6 +88,64 @@ object Streams {
       .drop("__bucket")
   }
 
+  /** Skew-safe [[bucketedSimJoin]] — with only 2^nPlanes buckets, ONE
+    * hot static bucket is the expected case, and every micro-batch pays
+    * its skewed join forever (AQE cannot re-plan inside a running
+    * stream). Static bucket sizes are probed ONCE at plan-build time
+    * (the static side is fixed for the stream's lifetime; ≤ 2^nPlanes
+    * rows collected): buckets over `maxStaticBucketRows` split into
+    * s = ⌈n/max⌉ deterministic salt partitions of the STATIC side, and
+    * stream rows landing in a hot bucket replicate to all s salts via a
+    * broadcast block table — every (stream, static) same-bucket pair
+    * still matches exactly once (the static row has ONE salt), result
+    * row-identical to the plain join (spec-pinned), per-partition static
+    * state bounded at ~maxStaticBucketRows. Cost: stream-side rows in
+    * hot buckets amplify s×; cold buckets join untouched, and with no
+    * hot bucket the returned plan IS the plain join.
+    */
+  def bucketedSimJoinSkewed(stream: DataFrame, static: DataFrame,
+                            streamVec: String, staticVec: String,
+                            dim: Int, nPlanes: Int, threshold: Double,
+                            maxStaticBucketRows: Long = 1000000L): DataFrame = {
+    require(maxStaticBucketRows >= 1, s"maxStaticBucketRows must be >= 1: $maxStaticBucketRows")
+    val s = stream.withColumn("__bucket",
+      VectorFunctions.signBucket(col(streamVec), nPlanes, dim))
+    val c = static.withColumn("__bucket",
+      VectorFunctions.signBucket(col(staticVec), nPlanes, dim))
+    def verified(j: DataFrame) = j
+      .withColumn("cosine", VectorFunctions.cosine(col(streamVec), col(staticVec)))
+      .where(col("cosine") >= threshold)
+      .drop("__bucket")
+    // one action over the STATIC side only; ≤ 2^nPlanes rows
+    val hot = c.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxStaticBucketRows)
+      .withColumn("__s",
+        ceil(col("__n").cast("double") / lit(maxStaticBucketRows.toDouble)).cast("int"))
+      .select(col("__bucket"), col("__s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    if (hot.isEmpty) verified(s.join(c, Seq("__bucket")))
+    else {
+      val spark = static.sparkSession
+      import spark.implicits._
+      val hotKeys = hot.map(_._1).toSeq
+      val plain = verified(
+        s.where(!col("__bucket").isin(hotKeys: _*))
+          .join(c.where(!col("__bucket").isin(hotKeys: _*)), Seq("__bucket")))
+      val splits = hot.toSeq.toDF("__bucket", "__s")
+      val cHot = c.where(col("__bucket").isin(hotKeys: _*))
+        .join(broadcast(splits), Seq("__bucket"))
+        .withColumn("__salt", pmod(hash(col(staticVec)), col("__s")))
+        .drop("__s")
+      val blocks = splits
+        .select(col("__bucket"), explode(sequence(lit(0), col("__s") - 1)).as("__salt"))
+      val sHot = s.where(col("__bucket").isin(hotKeys: _*))
+        .join(broadcast(blocks), Seq("__bucket"))
+      val hotJoined = verified(
+        sHot.join(cHot, Seq("__bucket", "__salt")).drop("__salt"))
+      plain.unionByName(hotJoined)
+    }
+  }
+
   /** J7 — stream-stream join with a time-interval condition; both sides
     * watermarked so join state is bounded.
     */

@@ -1439,6 +1439,40 @@ class BoundedGroupPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p.nonEmpty, "vacuous fixture")
     assert(b === p, s"${(b diff p).size} extra, ${(p diff b).size} missing")
   }
+
+  test("bucketedSimJoinSkewed == bucketedSimJoin, batch AND as a real stream") {
+    import spark.implicits._
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+    val mid = (e.agg(max(col("vec_id"))).head().getLong(0) + 1L) / 2L
+    val static = e.where(col("vec_id") < mid)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val probes = e.where(col("vec_id") >= mid).select(col("vec_id"), col("embedding"))
+    def pairKeys(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("corpus_id"), round(col("cosine"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = graft.streaming.Streams.bucketedSimJoin(
+      probes, static, "embedding", "cv", dim = 64, nPlanes = 2, threshold = 0.3)
+    // max=8 forces every non-trivial static bucket through the salt split
+    val salted = graft.streaming.Streams.bucketedSimJoinSkewed(
+      probes, static, "embedding", "cv", dim = 64, nPlanes = 2, threshold = 0.3,
+      maxStaticBucketRows = 8L)
+    assert(salted.queryExecution.analyzed.toString.contains("Union"),
+      "hot-bucket path must have engaged at maxStaticBucketRows=8")
+    val (p, b) = (pairKeys(plain), pairKeys(salted))
+    assert(p.nonEmpty, "vacuous fixture")
+    assert(b === p, s"${(b diff p).size} extra, ${(p diff b).size} missing")
+    // the hot plan must also run as a REAL stream (union of two
+    // stream-static joins + static filters — streamability is the risk)
+    val streamRows = probes.orderBy(col("vec_id")).as[(Long, Seq[Float])].collect().toSeq
+    val streamed = graft.streaming.Replay.run(spark, streamRows,
+        chunkSize = streamRows.size / 3 + 1,
+        name = s"graft_skewsim_${System.nanoTime() % 100000}") { ds =>
+      graft.streaming.Streams.bucketedSimJoinSkewed(
+        ds.toDF("vec_id", "embedding"), static, "embedding", "cv",
+        dim = 64, nPlanes = 2, threshold = 0.3, maxStaticBucketRows = 8L)
+    }
+    assert(pairKeys(streamed) === p, "streamed hot plan diverged from batch")
+  }
 }
 
 /** Incremental farthest-point seeding: bit-parity with the naive
