@@ -481,6 +481,27 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(ids() === Set("doc/a"), "string-id replay must not self-evict or duplicate")
   }
 
+  test("ingest exact guard refuses a pre-r8 long-typed hashes dir loudly") {
+    // schema resolution without mergeSchema can silently pick one file's
+    // schema for a mixed-type dir, making the replay exclusion WRONG
+    // rather than failing — the guard must detect the stale layout and
+    // name the fix (r8 advice)
+    val short = "hello world"
+    val idx = java.nio.file.Files.createTempDirectory("graft-eg-up-idx").toString
+    val adm = java.nio.file.Files.createTempDirectory("graft-eg-up-adm").toString + "/t"
+    // simulate the pre-r8 layout: long-typed ids under __batch=0
+    Seq((7L, "aaaa")).toDF("id", "ch").withColumn("__batch", lit(0L))
+      .write.partitionBy("__batch").parquet(s"$idx/hashes")
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.ingestBatch(
+        Seq((8L, short)).toDF("id", "text"), idx, adm, 1L,
+        "text", "id", shingleN = 3, k = 8, bands = 4, threshold = 0.8,
+        exactGuard = true)
+    }
+    assert(ex.getMessage.contains("clear the hashes dir"),
+      s"upgrade failure must carry the instruction: ${ex.getMessage}")
+  }
+
   test("compaction rewrites each bucket to one file, contents and layout pin intact (A8)") {
     val target = java.nio.file.Files.createTempDirectory("graft-a8-compact").toString + "/t"
     val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
