@@ -340,6 +340,38 @@ object LlmQueries {
         "embedding", "id", k = 5, probes = Seq(1, 2, 4, 8, 16))
     }),
 
+    // K4 — centroid-drift observability for the append lifecycle: base
+    // index over the first 80% of ids, then one IN-DISTRIBUTION append
+    // (the next 10%, same corpus) and one SHIFTED append (the last 10%
+    // displaced by a constant offset per component — a distribution the
+    // frozen centroids never saw). ivfDriftStats compares each batch's
+    // distance-to-assigned-centroid distribution against the batch-0
+    // baseline: the in-distribution batch stays unflagged, the shifted
+    // one flags — the measured "rebuild now" signal the append lifecycle
+    // needs (vs ivfRecallCurve's exact-but-brute-force truth). Rows-only
+    // (float distances + approx p95 — the declared k4 exclusion class);
+    // the flag/no-flag behavior is pinned by IvfDriftSpec.
+    "k4_ivf_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = sessionScratchDir("graft-ivfdrift")
+      val s80 = e.agg((max(col("vec_id")) * lit(0.8)).cast("long")).head().getLong(0)
+      val s90 = e.agg((max(col("vec_id")) * lit(0.9)).cast("long")).head().getLong(0)
+      Similarity.ivfWriteIndex(
+        e.where(col("vec_id") < s80)
+          .select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", "id", nCells = 8, lloydRounds = 1, path = path)
+      Similarity.ivfAppendBatch(s, path,
+        e.where(col("vec_id") >= s80 && col("vec_id") < s90)
+          .select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", batchId = 1L)
+      Similarity.ivfAppendBatch(s, path,
+        e.where(col("vec_id") >= s90)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x + lit(4.0f)).as("embedding")),
+        "embedding", "vec_id", batchId = 2L)
+      Similarity.ivfDriftStats(s, path, flagRatio = 2.0)
+    }),
+
     // K3b — per-label centroids: element-wise mean embedding per cluster
     // label, emitted long-form (label, pos, component). The explode →
     // two-level hash agg shape is fully map-side combinable — at 100 TB

@@ -51,24 +51,28 @@ object Clustering {
              iters: Int, scale: Long = 1000000L): KmeansModel = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iters >= 1, s"iters must be >= 1: $iters")
-    // one cheap columnar pass over vector SIZES validates the input shape
-    // up front: an empty frame, a null vector, or mixed lengths would
-    // otherwise surface as a NoSuchElementException here or — worse —
-    // silently null-padded centroid sums iterations later
-    val shape = df.agg(
-      min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"),
-      count(when(col(vecCol).isNull, 1)).as("nulls"), count(lit(1)).as("n")).head()
-    require(shape.getLong(3) > 0, "kmeans needs a non-empty input frame")
-    require(shape.getLong(2) == 0, s"kmeans input has ${shape.getLong(2)} null vectors")
-    require(shape.getInt(0) == shape.getInt(1),
-      s"kmeans needs uniform vector length: found sizes ${shape.getInt(0)}..${shape.getInt(1)}")
-    val dim = shape.getInt(0)
-    require(dim > 0, "kmeans vectors must be non-empty")
     val q = df.select(col(idCol).as("id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * scale + lit(0.5d)).cast("long")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // shape validation rides the pass that FILLS the cache (r9 verdict:
+      // a separate guard agg over the raw frame cost one whole extra
+      // corpus scan — iters+2 reads instead of iters+1). Same fail-fast:
+      // an empty frame, a null vector, or mixed lengths would otherwise
+      // surface as a NoSuchElementException at init or — worse — silently
+      // null-padded centroid sums iterations later. `transform` maps null
+      // vectors to null (element count preserved otherwise), so the
+      // quantized projection carries exactly the raw frame's shape.
+      val shape = q.agg(
+        min(size(col("v"))).as("lo"), max(size(col("v"))).as("hi"),
+        count(when(col("v").isNull, 1)).as("nulls"), count(lit(1)).as("n")).head()
+      require(shape.getLong(3) > 0, "kmeans needs a non-empty input frame")
+      require(shape.getLong(2) == 0, s"kmeans input has ${shape.getLong(2)} null vectors")
+      require(shape.getInt(0) == shape.getInt(1),
+        s"kmeans needs uniform vector length: found sizes ${shape.getInt(0)}..${shape.getInt(1)}")
+      val dim = shape.getInt(0)
+      require(dim > 0, "kmeans vectors must be non-empty")
       // deterministic init: k smallest ids, centroid id = rank in id order
       var centroids: Seq[(Long, Seq[Long])] =
         q.orderBy(col("id")).limit(k).collect().zipWithIndex.map {

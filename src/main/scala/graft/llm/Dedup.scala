@@ -27,10 +27,12 @@ object Dedup {
     * aggregate (a window over all bucket rows measurably regresses — see
     * SCALING.md round 4), anti-join only planned when something was
     * actually dropped, drop list broadcast while provably small with a
-    * shuffled fallback for pathological corpora.
+    * shuffled fallback for pathological corpora. Returns the capped frame
+    * AND the dropped-bucket count, so callers can surface the cap's
+    * effect instead of burying it in a log line (r9 advice).
     */
   private def capOverWideBuckets(bucketed: DataFrame, maxBucketSize: Int,
-                                 logCtx: String): DataFrame = {
+                                 logCtx: String): (DataFrame, Long) = {
     val wide = bucketed.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
       .select(col("band"), col("key"))
@@ -39,10 +41,12 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$logCtx: dropped $droppedBuckets over-wide LSH buckets " +
           s"(> $maxBucketSize members) — near-dup-saturated; use exact dedup for those")
-    if (droppedBuckets == 0) bucketed
-    else if (droppedBuckets <= 100000)
-      bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
-    else bucketed.join(wide, Seq("band", "key"), "left_anti")
+    val capped =
+      if (droppedBuckets == 0) bucketed
+      else if (droppedBuckets <= 100000)
+        bucketed.join(broadcast(wide), Seq("band", "key"), "left_anti")
+      else bucketed.join(wide, Seq("band", "key"), "left_anti")
+    (capped, droppedBuckets)
   }
 
   /** K1 — exact dedup after text normalization. Keeps the row with the
@@ -131,7 +135,7 @@ object Dedup {
     // window form (sorts every bucket row inside the shuffle, persists
     // width-widened rows) ran 8.9-9.5 s cold / 2.7-3.2 s warm vs the
     // helper's groupBy form at 8.3-8.5 s cold / 2.6-2.7 s warm.
-    val buckets = capOverWideBuckets(bucketed, maxBucketSize, "minhashCandidatePairs")
+    val (buckets, _) = capOverWideBuckets(bucketed, maxBucketSize, "minhashCandidatePairs")
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -224,17 +228,36 @@ object Dedup {
   def minhashIndexWrite(df: DataFrame, textCol: String, idCol: String, path: String,
                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                         maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
+    // a rebuild at a previously-compacted path must not stay shadowed by
+    // a stale committed buckets generation (the ivfWriteIndex rule)
+    graft.ops.Generations.reset(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(path), "buckets")
     val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
     projected.count()
     val base = projected.where(size(col("hs")) > 0)
     base.write.mode("overwrite").parquet(s"$path/sigs")
     val bucketed = bandBucketRows(base, k, bands).persist()
     bucketed.count()
-    capOverWideBuckets(bucketed, maxBucketSize, "minhashIndexWrite")
+    capOverWideBuckets(bucketed, maxBucketSize, "minhashIndexWrite")._1
       .write.mode("overwrite").parquet(s"$path/buckets")
     bucketed.unpersist(false)
     projected.unpersist(false)
   }
+
+  /** The CURRENT buckets directory of the LSH index at `path` —
+    * generation-resolved ([[graft.ops.Generations]]): `buckets/` until the
+    * first [[compactIndex]], the highest committed `buckets_gen=N/` after.
+    * Readers and the ingest appender all resolve through this, so a
+    * compaction commit atomically redirects them.
+    */
+  private[graft] def bucketsDir(spark: org.apache.spark.sql.SparkSession,
+                                path: String): String =
+    graft.ops.Generations.currentDir(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(path), "buckets").toString
 
   /** One-pass ingestion core: the admitted (novel) rows of `newDf`
     * against an optional persisted index, with the survivors' signatures
@@ -281,7 +304,7 @@ object Dedup {
       }
       // check BOTH halves: a fully-capped static write leaves sigs/ with
       // root files while buckets/ is empty — appending would still corrupt
-      val mixed = static(s"$indexPath/buckets") || static(s"$indexPath/sigs")
+      val mixed = static(bucketsDir(spark, indexPath)) || static(s"$indexPath/sigs")
       require(!mixed,
         s"index at $indexPath has the static minhashIndexWrite layout (root data " +
           "files); ingestAgainstIndex appends need the batch-partitioned layout — " +
@@ -292,14 +315,14 @@ object Dedup {
     val base = projected.where(size(col("hs")) > 0)
     val bucketed = bandBucketRows(base, k, bands).persist()
     bucketed.count()
-    val capped = capOverWideBuckets(bucketed, maxBucketSize,
+    val (capped, _) = capOverWideBuckets(bucketed, maxBucketSize,
       s"ingestAgainstIndex(batch $batchId)")
     val vsDup =
-      if (!hasData(s"$indexPath/buckets"))
+      if (!hasData(bucketsDir(spark, indexPath)))
         base.select(col("id")).where(lit(false)) // typed empty
       else {
         val pairs = capped.as("n")
-          .join(spark.read.parquet(s"$indexPath/buckets").as("o"),
+          .join(spark.read.parquet(bucketsDir(spark, indexPath)).as("o"),
             col("n.band") === col("o.band") && col("n.key") === col("o.key"))
           .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
           .where(col("new_id") =!= col("corpus_id"))
@@ -336,7 +359,7 @@ object Dedup {
       capped.join(dropIds, Seq("id"), "left_anti")
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(s"$indexPath/buckets")
+        .partitionBy("__batch").parquet(bucketsDir(spark, indexPath))
     }
     val admitted = newDf
       .join(dropIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")
@@ -346,23 +369,45 @@ object Dedup {
     admitted
   }
 
-  /** Rewrite `buckets/` dropping (band, key) groups that grew past the
+  /** Rewrite the buckets dropping (band, key) groups that grew past the
     * cap ACROSS batches — appends only cap within their own batch, so a
     * key that collides batch after batch accrues unbounded join fan-out
-    * until compacted. One global width pass + filtered rewrite; the
-    * localCheckpoint severs the read-before-overwrite hazard.
+    * until compacted. One global width pass, then a CRASH-ATOMIC
+    * generation swap ([[graft.ops.Generations]], shared with
+    * [[Similarity.ivfCompact]]): the filtered rewrite lands fully in the
+    * next `buckets_gen=N/` and becomes current when its immutable commit
+    * marker is created — a kill at any point leaves readers a complete
+    * buckets directory (old generation before the marker, new after).
+    * The superseded generation is retained until the next compaction;
+    * [[vacuumIndex]] is the explicit reclaim. Writing into a staging dir
+    * also removes the old read-before-overwrite hazard, so the rewrite
+    * streams executor-to-disk instead of checkpointing.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
-    val b = spark.read.parquet(s"$path/buckets")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = spark.read.parquet(graft.ops.Generations.currentDir(fs, root, "buckets").toString)
     val wide = b.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
       .select(col("band"), col("key"))
-    val kept = b.join(wide, Seq("band", "key"), "left_anti").localCheckpoint(true)
+    val kept = b.join(wide, Seq("band", "key"), "left_anti")
+    val (staged, gen) = graft.ops.Generations.stage(fs, root, "buckets")
     val w = kept.write.mode("overwrite")
     (if (kept.columns.contains("__batch")) w.partitionBy("__batch") else w)
-      .parquet(s"$path/buckets")
+      .parquet(staged.toString)
+    graft.ops.Generations.commit(fs, root, "buckets", gen)
+    graft.ops.Generations.gcOld(fs, root, "buckets")
   }
+
+  /** Reclaim every superseded buckets generation — run when no reader can
+    * still be older than the last [[compactIndex]] commit.
+    */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.ops.Generations.vacuum(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(path), "buckets")
 
   /** Near-dup pairs of a NEW batch against a persisted corpus index
     * (`minhashIndexWrite` layout): (new_id, corpus_id, jaccard). The new
@@ -390,7 +435,7 @@ object Dedup {
     projected.count()
     val newBase = projected.where(size(col("hs")) > 0)
     val pairs = bandBucketRows(newBase, k, bands).as("n")
-      .join(spark.read.parquet(s"$path/buckets").as("o"),
+      .join(spark.read.parquet(bucketsDir(spark, path)).as("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key"))
       .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
@@ -480,24 +525,50 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster"))
   }
 
+  /** A capped pair result with the cap's effect surfaced:
+    * `droppedBuckets` counts the over-wide (band, key) buckets whose
+    * members were EXCLUDED from pair generation. A nonzero count is the
+    * caller's signal to route those documents through exact dedup (they
+    * are near-dup-saturated — the scaladoc's prescription), instead of
+    * discovering the hole in a log file.
+    */
+  case class CappedPairs(pairs: DataFrame, droppedBuckets: Long)
+
   /** SimHash near-dup: docs whose `bits`-bit simhash differs by at most
     * `maxHamming`. Exact-bucket join on the simhash value for maxHamming=0;
     * for small positive distances the signature is split into
     * (maxHamming+1) sub-bands (pigeonhole: two docs within distance d share
     * at least one of d+1 bands exactly).
     *
+    * ==== BEHAVIOR CHANGE (round 9) ====
+    * `maxBucketSize` (default [[DefaultMaxBucketSize]] = 1000) now applies
+    * the shared over-wide-bucket cap: ALL pairs from a (band, key) bucket
+    * wider than the cap are dropped — on a duplicate-heavy corpus this can
+    * remove entire duplicate groups from the pair list (a degenerate
+    * corpus of 50 identical docs under a cap of 10 yields ZERO pairs where
+    * pre-r9 emitted 1225). Such buckets are near-dup-saturated; route
+    * their members through [[exact]] dedup, which handles identical text
+    * in one shuffle. Pass `maxBucketSize = Int.MaxValue` for the pre-r9
+    * uncapped behavior, and use [[simhashPairsWithStats]] to OBSERVE the
+    * cap (dropped-bucket count) instead of inferring it from logs.
+    *
     * Round-9 hardening, both from the MinHash sibling's playbook: the
     * banded rows are persisted + eagerly counted (the self-join's two
     * sides and the width probe previously each re-ran the simhash HOF
-    * pipeline — the round-6 fan-out rule), and over-wide (band, key)
-    * buckets are dropped via the shared `maxBucketSize` cap — a corpus of
-    * thousands of identical documents collapses into ONE bucket whose
-    * self-join is O(b²) regardless of banding; such buckets are
-    * near-dup-saturated and belong to exact dedup (drop count logged).
+    * pipeline — the round-6 fan-out rule), and the cap above bounds the
+    * O(b²) bucket self-join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    bits: Int = 32, maxHamming: Int = 3,
-                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    simhashPairsWithStats(df, textCol, idCol, bits, maxHamming, maxBucketSize).pairs
+
+  /** [[simhashPairs]] plus the cap's observable effect — see
+    * [[CappedPairs]]. Same plan, same output pairs.
+    */
+  def simhashPairsWithStats(df: DataFrame, textCol: String, idCol: String,
+                            bits: Int = 32, maxHamming: Int = 3,
+                            maxBucketSize: Int = DefaultMaxBucketSize): CappedPairs = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     val withSig = df.select(col(idCol).as("id"),
@@ -511,9 +582,10 @@ object Dedup {
       .persist()
     try {
       banded.count() // eager: width probe + both join sides read the cache
-      val buckets = capOverWideBuckets(banded, maxBucketSize, "simhashPairs")
+      val (buckets, dropped) = capOverWideBuckets(banded, maxBucketSize, "simhashPairs")
       val a = buckets.as("a"); val b = buckets.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+      val pairs = a.join(b,
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
@@ -521,6 +593,7 @@ object Dedup {
         .where(col("hamming") <= maxHamming)
         // bounded output (bucket-capped); sever before the cache releases
         .localCheckpoint(true)
+      CappedPairs(pairs, dropped)
     } finally banded.unpersist(false)
   }
 

@@ -159,6 +159,10 @@ object Similarity {
   def ivfWriteIndex(corpus: DataFrame, vecCol: String, idCol: String,
                     nCells: Int, lloydRounds: Int, path: String): Unit = {
     val spark = corpus.sparkSession
+    // A rebuild at a previously-compacted path must not stay shadowed by
+    // a stale committed generation — clear all generation state first so
+    // the fresh `vectors/` (generation 0) is what readers resolve.
+    graft.ops.Generations.reset(ivfFs(spark, path), new org.apache.hadoop.fs.Path(path), "vectors")
     val (indexed, centroids) = ivfIndex(corpus, vecCol, idCol, nCells, lloydRounds)
     // `__batch` is the second partition level from day one (base build =
     // batch 0) so incremental appends ([[ivfAppendBatch]]) land as new
@@ -174,6 +178,13 @@ object Similarity {
     // relative to the write, and it is what lets the pair generator bound
     // hot cells WITHOUT re-counting the corpus per dedup pass.
     writeCellStats(spark, path, dynamicOnly = false)
+    // Batch-0 drift baseline (r9 verdict: appends reuse frozen centroids,
+    // so "when to rebuild" needs a measured number): the distance-to-
+    // assigned-centroid distribution of the base build, the reference
+    // every appended batch is compared against by [[ivfDriftStats]]. One
+    // more pass over the just-written files — amortized-once, like the
+    // stats above.
+    writeDriftStats(spark, path, dynamicOnly = false)
   }
 
   /** Incremental IVF append — the K9/K11 streaming follow-on that makes
@@ -202,28 +213,41 @@ object Similarity {
     // __batch= leaves under cells whose existing files sit at the cell
     // root would make partition discovery fail (mixed depths) on every
     // future read — the Ingest.scala static-layout guard, for IVF.
-    val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
-    val fs = vecRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // EVERY cell directory is checked (the listing is nCells-bounded, so
+    // forall costs the same as the first-dir probe it replaces): a
+    // mixed-depth layout — a partially upgraded or hand-copied index
+    // whose later cells are still flat — must not slip past a guard that
+    // only sampled the first cell (r9 advice).
+    val fs = ivfFs(spark, path)
+    val vecRoot = new org.apache.hadoop.fs.Path(ivfVectorsDir(spark, path))
     require(fs.exists(vecRoot), s"no IVF index at $path — run ivfWriteIndex first")
     val flatCell = fs.listStatus(vecRoot).map(_.getPath)
-      .find(_.getName.startsWith("cell="))
+      .filter(_.getName.startsWith("cell="))
       .exists(c => !fs.listStatus(c).exists(_.getPath.getName.startsWith("__batch=")))
     require(!flatCell,
-      s"$path/vectors is not the batch-partitioned layout (pre-append index): " +
+      s"$vecRoot is not the batch-partitioned layout (pre-append index): " +
         "rebuild it with ivfWriteIndex before appending")
     val centroids = spark.read.parquet(s"$path/centroids")
     val assigned = assignCells(
         batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
       .select(col("id"), col("v"), col("cell"))
       .withColumn("__batch", lit(batchId))
-      .persist() // two consumers (vectors + stats); batch-sized, released below
+      .persist() // three consumers (vectors + stats + drift); batch-sized
     try {
       assigned.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell", "__batch").parquet(s"$path/vectors")
+        .partitionBy("cell", "__batch").parquet(vecRoot.toString)
       assigned.groupBy(col("cell"), col("__batch"))
         .agg(count(lit(1)).as("n"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch").parquet(s"$path/cell_stats")
+      // Per-batch centroid-drift metric (r9 verdict: rebuild-on-drift was
+      // a policy knob with nothing measuring drift): the batch's own
+      // distance-to-assigned-centroid distribution, landed next to
+      // cell_stats with the same replay-idempotent layout. One extra agg
+      // over the already-persisted batch — zero additional source scans.
+      driftStatsOf(assigned, centroids)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$path/drift_stats")
     } finally assigned.unpersist(false)
   }
 
@@ -232,34 +256,74 @@ object Similarity {
     * eventually needs (every [[ivfAppendBatch]] adds one directory of
     * small files per touched cell; the LSH family's `compactIndex`
     * precedent). One shuffle on the cell key (repartition merges each
-    * cell's file fragments into one task's output), then a staged rewrite:
-    * the compacted layout lands in `vectors_compacting/` and swaps in via
-    * delete + rename — the corpus is never checkpointed to executor
-    * memory, unlike the (metadata-sized) LSH compaction. NOT crash-atomic:
-    * a failure between the delete and the rename leaves the data only in
-    * `vectors_compacting/` — recover by renaming it to `vectors/`
-    * manually. Run it from the same maintenance cadence that owns
-    * rebuilds, not concurrently with reads. Assignments are untouched
-    * (ids and cells are copied verbatim), so reads before and after see
-    * the same index; batch provenance is deliberately collapsed — replay
-    * of pre-compaction batches against a compacted index would re-append
-    * under their old ids, so compact only retired lineages (the same rule
-    * as LSH compaction after its stream's checkpoint is dropped).
+    * cell's file fragments into one task's output), then a CRASH-ATOMIC
+    * generation swap ([[graft.ops.Generations]]): the compacted layout is
+    * fully written into the next `vectors_gen=N/` directory and becomes
+    * current the instant its immutable commit marker lands (one atomic
+    * file create — no delete or rename ever sits between a reader and a
+    * complete directory). A kill at ANY point leaves a readable index:
+    * before the marker the old generation is still current; after it the
+    * new one is. The superseded generation is retained until the NEXT
+    * compaction (in-flight-reader grace period; [[ivfVacuum]] is the
+    * explicit reclaim). Assignments are untouched (ids and cells copied
+    * verbatim), so reads before and after see the same index; batch
+    * provenance is deliberately collapsed — replay of pre-compaction
+    * batches against a compacted index would re-append under their old
+    * ids, so compact only retired lineages (the same rule as LSH
+    * compaction after its stream's checkpoint is dropped). Like the swap
+    * it replaces, this guards against crashes, not concurrent WRITERS —
+    * appends/compactions still belong to one maintenance cadence; readers
+    * are safe at every instant.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val src = new org.apache.hadoop.fs.Path(s"$path/vectors")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/vectors_compacting")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(src.toString)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = ivfFs(spark, path)
+    val cur = graft.ops.Generations.currentDir(fs, root, "vectors")
+    val (staged, gen) = graft.ops.Generations.stage(fs, root, "vectors")
+    spark.read.parquet(cur.toString)
       .select(col("id"), col("v"), col("cell"))
       .repartition(col("cell"))
       .withColumn("__batch", lit(0L))
       .write.mode("overwrite").partitionBy("cell", "__batch")
-      .parquet(tmp.toString)
-    fs.delete(src, true)
-    require(fs.rename(tmp, src), s"rename $tmp -> $src failed; recover manually")
+      .parquet(staged.toString)
+    graft.ops.Generations.commit(fs, root, "vectors", gen)
+    graft.ops.Generations.gcOld(fs, root, "vectors")
     writeCellStats(spark, path, dynamicOnly = false)
+    // the drift baseline is re-anchored on the compacted corpus: batch 0
+    // is now "everything", the reference future appends compare against
+    writeDriftStats(spark, path, dynamicOnly = false)
   }
+
+  /** Reclaim every superseded generation of the vectors layout — run when
+    * no reader can still be older than the last [[ivfCompact]] commit.
+    */
+  def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.ops.Generations.vacuum(ivfFs(spark, path),
+      new org.apache.hadoop.fs.Path(path), "vectors")
+
+  private def ivfFs(spark: org.apache.spark.sql.SparkSession,
+                    path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The CURRENT vectors directory of the index at `path` — generation-
+    * resolved ([[graft.ops.Generations]]): `vectors/` until the first
+    * compaction, the highest committed `vectors_gen=N/` after. Every
+    * reader and the appender go through this, so a compaction commit
+    * atomically redirects them all.
+    */
+  private[graft] def ivfVectorsDir(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): String =
+    graft.ops.Generations.currentDir(ivfFs(spark, path),
+      new org.apache.hadoop.fs.Path(path), "vectors").toString
+
+  /** The persisted index's vector table (id, v, cell, __batch), read
+    * through the current generation — the public read entry point (raw
+    * `spark.read.parquet("$path/vectors")` would see a stale generation
+    * after a compaction).
+    */
+  def ivfVectors(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(ivfVectorsDir(spark, path))
 
   /** (Re)write `cell_stats/` — (cell, n) per `__batch` — from the
     * persisted vectors. `dynamicOnly = false` clears stale stats from a
@@ -267,12 +331,71 @@ object Similarity {
     */
   private def writeCellStats(spark: org.apache.spark.sql.SparkSession,
                              path: String, dynamicOnly: Boolean): Unit = {
-    val stats = spark.read.parquet(s"$path/vectors")
+    val stats = ivfVectors(spark, path)
       .groupBy(col("cell"), col("__batch"))
       .agg(count(lit(1)).as("n"))
     val w = stats.write.mode("overwrite")
     (if (dynamicOnly) w.option("partitionOverwriteMode", "dynamic") else w)
       .partitionBy("__batch").parquet(s"$path/cell_stats")
+  }
+
+  /** Per-`__batch` distance-to-assigned-centroid distribution: (n,
+    * mean_d2, p95_d2). Mean is exact; p95 is `percentile_approx` — a
+    * drift METRIC, not an oracle surface. One map-side-combinable agg
+    * over a broadcast centroid join.
+    */
+  private def driftStatsOf(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids.select(col("cell"), col("centroid"))), Seq("cell"))
+      .select(col("__batch"),
+        squaredDistance(col("v"), col("centroid")).as("__d2"))
+      .groupBy(col("__batch"))
+      .agg(count(lit(1)).as("n"), avg(col("__d2")).as("mean_d2"),
+        percentile_approx(col("__d2"), lit(0.95), lit(10000)).as("p95_d2"))
+
+  /** (Re)write `drift_stats/` from the persisted vectors — the base-build
+    * / post-compaction path (appends write their own batch's row from the
+    * already-persisted assignment instead of rescanning the index).
+    */
+  private def writeDriftStats(spark: org.apache.spark.sql.SparkSession,
+                              path: String, dynamicOnly: Boolean): Unit = {
+    val stats = driftStatsOf(ivfVectors(spark, path),
+      spark.read.parquet(s"$path/centroids"))
+    val w = stats.write.mode("overwrite")
+    (if (dynamicOnly) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("__batch").parquet(s"$path/drift_stats")
+  }
+
+  /** Centroid-drift report for an appended index — the measured "when to
+    * rebuild" number the append lifecycle needs ([[ivfAppendBatch]] keeps
+    * serving reads between rebuilds; THIS says when a rebuild is due):
+    * each batch's distance-to-assigned-centroid distribution against the
+    * batch-0 baseline (the base build, or the whole corpus after a
+    * compaction re-anchors it). One row per batch: (__batch, n, mean_d2,
+    * p95_d2, mean_ratio, p95_ratio, drifted) where `drifted` flags a
+    * batch whose mean or p95 ratio reaches `flagRatio`. Cost: one read of
+    * the nBatches-row sidecar — NO brute-force pass, the cheap per-batch
+    * proxy next to [[ivfRecallCurve]]'s exact-but-expensive truth.
+    *
+    * A degenerate baseline (mean_d2 = 0: every base vector sits exactly
+    * on its centroid) yields null ratios; `drifted` then flags any batch
+    * with a nonzero distance.
+    */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                    flagRatio: Double = 2.0): DataFrame = {
+    require(flagRatio > 0, s"flagRatio must be > 0: $flagRatio")
+    val d = spark.read.parquet(s"$path/drift_stats")
+      .select(col("__batch").cast("long").as("__batch"),
+        col("n"), col("mean_d2"), col("p95_d2"))
+    val base = d.orderBy(col("__batch")).limit(1).head()
+    val (m0, p0) = (base.getDouble(2), base.getDouble(3))
+    def ratio(c: Column, denom: Double): Column =
+      if (denom == 0.0) lit(null).cast("double") else round(c / lit(denom), 6)
+    d.withColumn("mean_ratio", ratio(col("mean_d2"), m0))
+      .withColumn("p95_ratio", ratio(col("p95_d2"), p0))
+      .withColumn("drifted",
+        coalesce(col("mean_ratio") >= flagRatio || col("p95_ratio") >= flagRatio,
+          col("mean_d2") > 0.0))
+      .orderBy(col("__batch"))
   }
 
   /** Per-cell row counts for a persisted index: from `cell_stats/` when
@@ -287,7 +410,7 @@ object Similarity {
       spark.read.parquet(statsPath.toString)
         .groupBy(col("cell")).agg(sum(col("n")).as("n"))
     else
-      spark.read.parquet(s"$path/vectors")
+      ivfVectors(spark, path)
         .groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n"))
   }
 
@@ -309,7 +432,7 @@ object Similarity {
       .where(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
     val cells = probes.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    val indexed = spark.read.parquet(s"$path/vectors")
+    val indexed = ivfVectors(spark, path)
       .where(col("cell").isin(cells: _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
@@ -383,7 +506,7 @@ object Similarity {
   def ivfSemanticNearDupPairs(spark: org.apache.spark.sql.SparkSession,
                               path: String, threshold: Double,
                               maxCellRows: Long = DefaultMaxCellRows): DataFrame = {
-    val indexed = spark.read.parquet(s"$path/vectors")
+    val indexed = ivfVectors(spark, path)
       .select(col("cell").as("__grp"), col("id"), col("v"))
     val sizes = cellSizes(spark, path).select(col("cell").as("__grp"), col("n"))
     boundedWithinGroupPairs(indexed, sizes, threshold, maxCellRows)
@@ -516,7 +639,7 @@ object Similarity {
                      k: Int, probes: Seq[Int]): DataFrame = {
     require(probes.nonEmpty, "need at least one nProbe setting")
     import spark.implicits._
-    val corpus = spark.read.parquet(s"$path/vectors")
+    val corpus = ivfVectors(spark, path)
       .select(col("id").as(idCol), col("v").as(vecCol))
     val truth = bruteForceKnn(corpus, queries, vecCol, idCol, k)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)

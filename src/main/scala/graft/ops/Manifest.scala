@@ -173,19 +173,31 @@ object Manifest {
     * The file list rides in the plan as scan paths (a static pruning
     * decision, like IVF's `isin` partition filter), so the driver cost is
     * one tiny manifest read + one FS listing — not a footer per file.
+    *
+    * `trustManifest` (default OFF) skips the staleness listing entirely —
+    * the read mode for a DECLARED-IMMUTABLE table (a published snapshot
+    * that nothing appends to): on such a table the per-query recursive
+    * listing is pure overhead, and at ~1M files it is also the documented
+    * driver ceiling of [[listDataFiles]]. The trade is explicit and the
+    * caller's: against a table that WAS modified since the last
+    * write/refresh, a trusted read serves the manifest's view of the data
+    * (new files invisible, vanished files fail the scan) instead of
+    * detecting the drift — only declare immutable what is immutable.
     */
   def prunedRead(spark: SparkSession, tablePath: String, c: String,
-                 lo: Column, hi: Column): DataFrame = {
+                 lo: Column, hi: Column, trustManifest: Boolean = false): DataFrame = {
     val m = read(spark, tablePath)
-    val manifestFiles = m.select(col("file")).collect()
-      .map(r => normalizePath(r.getString(0))).toSet
-    val currentFiles = listDataFiles(spark, tablePath).map(normalizePath).toSet
-    if (manifestFiles != currentFiles) {
-      log.warn(s"manifest at $tablePath is stale " +
-        s"(${(currentFiles -- manifestFiles).size} unknown / " +
-        s"${(manifestFiles -- currentFiles).size} missing files) — " +
-        "falling back to a full scan; run Manifest.refresh")
-      return spark.read.parquet(tablePath).where(col(c) >= lo && col(c) <= hi)
+    if (!trustManifest) {
+      val manifestFiles = m.select(col("file")).collect()
+        .map(r => normalizePath(r.getString(0))).toSet
+      val currentFiles = listDataFiles(spark, tablePath).map(normalizePath).toSet
+      if (manifestFiles != currentFiles) {
+        log.warn(s"manifest at $tablePath is stale " +
+          s"(${(currentFiles -- manifestFiles).size} unknown / " +
+          s"${(manifestFiles -- currentFiles).size} missing files) — " +
+          "falling back to a full scan; run Manifest.refresh")
+        return spark.read.parquet(tablePath).where(col(c) >= lo && col(c) <= hi)
+      }
     }
     val files = m.where(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
       .select(col("file")).collect().map(_.getString(0)).toSeq

@@ -285,11 +285,16 @@ class CoreOpsSpec extends AnyFunSuite {
     // 50 identical docs → ONE bucket of 50 → 1225 pairs uncapped
     val dup = (1L to 50L).map(i => (i, "the very same duplicated sentence"))
     val df = (dup :+ ((99L, "something completely different"))).toDF("id", "text")
-    val capped = Dedup.simhashPairs(df, "text", "id", bits = 32, maxHamming = 0,
-      maxBucketSize = 10)
-    assert(capped.count() === 0, "over-wide bucket must be dropped, not joined")
-    val uncapped = Dedup.simhashPairs(df, "text", "id", bits = 32, maxHamming = 0)
-    assert(uncapped.count() === 50L * 49L / 2L)
+    val capped = Dedup.simhashPairsWithStats(df, "text", "id", bits = 32,
+      maxHamming = 0, maxBucketSize = 10)
+    assert(capped.pairs.count() === 0, "over-wide bucket must be dropped, not joined")
+    // the cap's effect is SURFACED, not just logged (r9 advice): callers
+    // see the dropped-bucket count and can route those docs to exact dedup
+    assert(capped.droppedBuckets === 1L)
+    val uncapped = Dedup.simhashPairsWithStats(df, "text", "id", bits = 32,
+      maxHamming = 0)
+    assert(uncapped.pairs.count() === 50L * 49L / 2L)
+    assert(uncapped.droppedBuckets === 0L)
   }
 
   // ---- joins -------------------------------------------------------------
@@ -675,8 +680,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
     "k2_streaming_ingest_dedup", // two-drain MemoryStream replay + index writes
     "k10_streaming_decontaminate", // two-drain MemoryStream replay + partitioned writes
-    "k4_ivf_knn", "b9_schema_drift", "g8_sample", "k8_stratified_sample",
-    "e4_sketch_merge")
+    "k4_ivf_knn", "k4_ivf_drift", "b9_schema_drift", "g8_sample",
+    "k8_stratified_sample", "e4_sketch_merge")
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries
@@ -878,6 +883,41 @@ class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
     // and the pruned read agrees again (manifest-pruned path, not fallback)
     assert(agg(graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi))
       === fullScan)
+  }
+
+  test("trustManifest serves the manifest's view without the staleness listing") {
+    val out = java.nio.file.Files.createTempDirectory("graft-manifest-trust").toString
+    val orders = core.Engine.table(spark, TestSpark.sf, "orders")
+    orders.repartitionByRange(6, col("o_orderdate")).write.mode("overwrite").parquet(out)
+    graft.ops.Manifest.write(spark, out, Seq("o_orderdate"))
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-06-30").cast("timestamp")
+    def cnt(df: org.apache.spark.sql.DataFrame) = df.count()
+    val frozen = cnt(graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi))
+    // on a genuinely immutable table both modes agree exactly
+    assert(cnt(graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi,
+      trustManifest = true)) === frozen)
+
+    // violate the immutability declaration: append in-range rows without
+    // refreshing. The DEFAULT mode detects the drift and serves them
+    // (fallback); the TRUSTED mode provably skipped the listing — it
+    // still serves the manifest's 6-file view, new rows invisible. That
+    // asymmetry IS the contract: trust is only for declared-immutable
+    // tables, where the per-query listing is pure overhead.
+    val extra = orders.where(col("o_orderkey") % 10 === 0 &&
+      col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+    assert(extra.count() > 0, "need in-range appended rows for the probe")
+    extra.repartition(2).write.mode("append").parquet(out)
+    assert(cnt(graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi))
+      === frozen + extra.count(), "default mode must detect staleness and fall back")
+    assert(cnt(graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi,
+      trustManifest = true)) === frozen,
+      "trusted mode must serve the manifest view (no listing, no fallback)")
+
+    // after a refresh the two modes agree again
+    graft.ops.Manifest.refresh(spark, out, Seq("o_orderdate"))
+    assert(cnt(graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi,
+      trustManifest = true)) === frozen + extra.count())
   }
 }
 
@@ -1610,16 +1650,19 @@ class IvfAppendSpec extends org.scalatest.funsuite.AnyFunSuite {
       e.where(col("id") < 5), "v", "id", k = 3, nProbe = 2)
     assert(knn.count() > 0)
     // compaction folds every batch into __batch=0 without changing the
-    // index contents (ids, cells) or breaking stats/reads
-    val preCompact = spark.read.parquet(s"$path/vectors")
+    // index contents (ids, cells) or breaking stats/reads. Post-compact
+    // reads go through the generation-resolved accessor — the raw
+    // `$path/vectors` dir is the RETAINED previous generation now (the
+    // in-flight-reader grace period), not the current index.
+    val preCompact = graft.llm.Similarity.ivfVectors(spark, path)
       .select(col("id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     graft.llm.Similarity.ivfCompact(spark, path)
-    val postCompact = spark.read.parquet(s"$path/vectors")
+    val postCompact = graft.llm.Similarity.ivfVectors(spark, path)
       .select(col("id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(postCompact === preCompact, "compaction must not alter (id, cell)")
-    assert(spark.read.parquet(s"$path/vectors")
+    assert(graft.llm.Similarity.ivfVectors(spark, path)
       .select(col("__batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq === Seq(0L),
       "compaction must fold every batch into __batch=0")
