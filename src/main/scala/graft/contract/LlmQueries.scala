@@ -176,6 +176,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // K2 — INCREMENTAL simhash near-dup (round 10): today's batch against
+    // the PERSISTED simhash index of the corpus — the third index family
+    // completing the lifecycle symmetry (LSH, IVF, simhash). Banding is
+    // read from the index meta/ (a caller can never band-mismatch the
+    // equi-join), candidates come from the (band, key) bucket join, and
+    // hamming verifies from the signatures the bucket rows carry — no
+    // second table. Cap-free here so the oracle models pure pigeonhole
+    // banding; the cap's behavior is the simhash cap spec's concern.
+    "k2_incremental_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = sessionScratchDir("graft-simidx")
+      Dedup.simhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
+        path, bits = 16, maxHamming = 3, maxBucketSize = Int.MaxValue)
+      Dedup.simhashPairsAgainstIndex(s, path, docs.where(col("doc_id") >= 400L),
+          "text", "doc_id")
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // K2 — n-gram Jaccard near-dup pairs (first-token blocking)
     "k2_ngram_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -930,6 +948,34 @@ object LlmQueries {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(2.0 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // the k2_simhash signature chain, then 4-bit band keys (16 bits /
+    // (maxHamming 3 + 1) bands — the pigeonhole split), a corpus×batch
+    // bucket join, and bit_count(xor) hamming — exactly the Spark
+    // pipeline's arithmetic
+    "k2_incremental_simhash" -> (tokCte +
+      """, tok AS (SELECT doc_id, unnest(t) AS w FROM tk),
+        |h AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) AS th
+        |  FROM tok),
+        |bits AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN CAST(floor(th / (2.0 ** j)) AS BIGINT) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+        |sg AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(2.0 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, j AS band,
+        |  CAST(floor(sig / (2.0 ** (j * 4))) AS BIGINT) % 16 AS key
+        |  FROM sg CROSS JOIN range(4) r(j))
+        |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id,
+        |  CAST(bit_count(xor(n.sig, o.sig)) AS INTEGER) AS hamming
+        |FROM banded n JOIN banded o ON n.band = o.band AND n.key = o.key
+        |WHERE n.doc_id >= 400 AND o.doc_id < 400
+        |  AND bit_count(xor(n.sig, o.sig)) <= 3
+        |ORDER BY new_id, corpus_id""".stripMargin),
 
     "k2_ngram_jaccard_pairs" -> (tokCte +
       """, gr AS (SELECT doc_id, t[1] AS block,

@@ -229,11 +229,11 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                         maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
     // a rebuild at a previously-compacted path must not stay shadowed by
-    // a stale committed buckets generation (the ivfWriteIndex rule)
-    graft.ops.Generations.reset(
-      new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration),
-      new org.apache.hadoop.fs.Path(path), "buckets")
+    // a stale committed buckets/sigs generation (the ivfWriteIndex rule)
+    val idxRoot = new org.apache.hadoop.fs.Path(path)
+    val idxFs = idxRoot.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    graft.ops.Generations.reset(idxFs, idxRoot, "buckets")
+    graft.ops.Generations.reset(idxFs, idxRoot, "sigs")
     val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
     projected.count()
     val base = projected.where(size(col("hs")) > 0)
@@ -304,7 +304,7 @@ object Dedup {
       }
       // check BOTH halves: a fully-capped static write leaves sigs/ with
       // root files while buckets/ is empty — appending would still corrupt
-      val mixed = static(bucketsDir(spark, indexPath)) || static(s"$indexPath/sigs")
+      val mixed = static(bucketsDir(spark, indexPath)) || static(sigsDir(spark, indexPath))
       require(!mixed,
         s"index at $indexPath has the static minhashIndexWrite layout (root data " +
           "files); ingestAgainstIndex appends need the batch-partitioned layout — " +
@@ -327,7 +327,7 @@ object Dedup {
           .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
           .where(col("new_id") =!= col("corpus_id"))
           .dropDuplicates("new_id", "corpus_id")
-        val idxSigs = spark.read.parquet(s"$indexPath/sigs")
+        val idxSigs = spark.read.parquet(sigsDir(spark, indexPath))
           .select(col("id").as("corpus_id"), col("hs").as("hs_o"))
         base.select(col("id").as("new_id"), col("hs").as("hs_n"))
           .join(pairs, Seq("new_id"))
@@ -355,7 +355,7 @@ object Dedup {
       base.join(dropIds, Seq("id"), "left_anti")
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(s"$indexPath/sigs")
+        .partitionBy("__batch").parquet(sigsDir(spark, indexPath))
       capped.join(dropIds, Seq("id"), "left_anti")
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -369,19 +369,28 @@ object Dedup {
     admitted
   }
 
-  /** Rewrite the buckets dropping (band, key) groups that grew past the
-    * cap ACROSS batches — appends only cap within their own batch, so a
-    * key that collides batch after batch accrues unbounded join fan-out
-    * until compacted. One global width pass, then a CRASH-ATOMIC
-    * generation swap ([[graft.ops.Generations]], shared with
-    * [[Similarity.ivfCompact]]): the filtered rewrite lands fully in the
-    * next `buckets_gen=N/` and becomes current when its immutable commit
-    * marker is created — a kill at any point leaves readers a complete
-    * buckets directory (old generation before the marker, new after).
-    * The superseded generation is retained until the next compaction;
-    * [[vacuumIndex]] is the explicit reclaim. Writing into a staging dir
-    * also removes the old read-before-overwrite hazard, so the rewrite
-    * streams executor-to-disk instead of checkpointing.
+  /** Compact a persisted index (MinHash OR simhash — both keep (band,
+    * key) bucket rows): drop (band, key) groups that grew past the cap
+    * ACROSS batches — appends only cap within their own batch, so a key
+    * that collides batch after batch accrues unbounded join fan-out
+    * until compacted — and fold the per-batch small files into one
+    * `__batch=0` (batch-partitioned layouts only; a long-running ingest
+    * stream otherwise accumulates one directory of fragments per batch
+    * forever — the ivfCompact small-files rule, and the same
+    * retired-lineage precondition: a replayed pre-compaction batch would
+    * re-append under its old id). MinHash indexes also fold `sigs/` the
+    * same way (content untouched — sigs carry no cap).
+    *
+    * Every rewrite is a CRASH-ATOMIC generation swap
+    * ([[graft.ops.Generations]], shared with [[Similarity.ivfCompact]]):
+    * the output lands fully in the next `<base>_gen=N/` and becomes
+    * current when its immutable commit marker is created — a kill at any
+    * point leaves readers a complete directory (old generation before
+    * the marker, new after). The superseded generation is retained until
+    * the next compaction; [[vacuumIndex]] is the explicit reclaim.
+    * Writing into a staging dir also removes the old
+    * read-before-overwrite hazard, so the rewrite streams
+    * executor-to-disk instead of checkpointing.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
@@ -392,22 +401,52 @@ object Dedup {
       .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
       .select(col("band"), col("key"))
     val kept = b.join(wide, Seq("band", "key"), "left_anti")
-    val (staged, gen) = graft.ops.Generations.stage(fs, root, "buckets")
-    val w = kept.write.mode("overwrite")
-    (if (kept.columns.contains("__batch")) w.partitionBy("__batch") else w)
-      .parquet(staged.toString)
-    graft.ops.Generations.commit(fs, root, "buckets", gen)
-    graft.ops.Generations.gcOld(fs, root, "buckets")
+    swapGeneration(fs, root, "buckets",
+      if (kept.columns.contains("__batch")) kept.withColumn("__batch", lit(0L)) else kept)
+    // MinHash sigs: fold the per-batch fragments too (no width pass —
+    // sigs are verification payload, the cap is a bucket concern)
+    val sigsCur = graft.ops.Generations.currentDir(fs, root, "sigs")
+    if (fs.exists(sigsCur)) {
+      val s = spark.read.parquet(sigsCur.toString)
+      if (s.columns.contains("__batch"))
+        swapGeneration(fs, root, "sigs", s.withColumn("__batch", lit(0L)))
+    }
   }
 
-  /** Reclaim every superseded buckets generation — run when no reader can
-    * still be older than the last [[compactIndex]] commit.
+  /** Stage → write → commit → GC one generation swap (the write is
+    * partitioned by `__batch` when the frame carries it).
     */
-  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-    graft.ops.Generations.vacuum(
+  private def swapGeneration(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path, base: String,
+                             out: DataFrame): Unit = {
+    val (staged, gen) = graft.ops.Generations.stage(fs, root, base)
+    val w = out.write.mode("overwrite")
+    (if (out.columns.contains("__batch")) w.partitionBy("__batch") else w)
+      .parquet(staged.toString)
+    graft.ops.Generations.commit(fs, root, base, gen)
+    graft.ops.Generations.gcOld(fs, root, base)
+  }
+
+  /** Reclaim every superseded generation (buckets AND sigs) — run when no
+    * reader can still be older than the last [[compactIndex]] commit.
+    */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Generations.vacuum(fs, root, "buckets")
+    graft.ops.Generations.vacuum(fs, root, "sigs")
+  }
+
+  /** The CURRENT sigs directory of the LSH index at `path` — generation-
+    * resolved like [[bucketsDir]] (compaction folds sigs through the same
+    * mechanism).
+    */
+  private[graft] def sigsDir(spark: org.apache.spark.sql.SparkSession,
+                             path: String): String =
+    graft.ops.Generations.currentDir(
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      new org.apache.hadoop.fs.Path(path), "buckets")
+      new org.apache.hadoop.fs.Path(path), "sigs").toString
 
   /** Near-dup pairs of a NEW batch against a persisted corpus index
     * (`minhashIndexWrite` layout): (new_id, corpus_id, jaccard). The new
@@ -439,7 +478,7 @@ object Dedup {
         col("n.band") === col("o.band") && col("n.key") === col("o.key"))
       .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
-    val idxSigs = spark.read.parquet(s"$path/sigs")
+    val idxSigs = spark.read.parquet(sigsDir(spark, path))
       .select(col("id").as("corpus_id"), col("hs").as("hs_o"))
     val result = newBase.select(col("id").as("new_id"), col("hs").as("hs_n"))
       .join(pairs, Seq("new_id"))
@@ -569,17 +608,7 @@ object Dedup {
   def simhashPairsWithStats(df: DataFrame, textCol: String, idCol: String,
                             bits: Int = 32, maxHamming: Int = 3,
                             maxBucketSize: Int = DefaultMaxBucketSize): CappedPairs = {
-    val nBands = maxHamming + 1
-    val bandBits = bits / nBands
-    val withSig = df.select(col(idCol).as("id"),
-      simhash(tokens(normalizeText(col(textCol))), bits).as("sig"))
-    val banded = withSig.select(col("id"), col("sig"),
-      explode(array((0 until nBands).map { i =>
-        struct(lit(i).as("band"),
-          shiftright(col("sig"), i * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
-      }: _*)).as("b"))
-      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
-      .persist()
+    val banded = simhashBandedRows(df, textCol, idCol, bits, maxHamming).persist()
     try {
       banded.count() // eager: width probe + both join sides read the cache
       val (buckets, dropped) = capOverWideBuckets(banded, maxBucketSize, "simhashPairs")
@@ -595,6 +624,115 @@ object Dedup {
         .localCheckpoint(true)
       CappedPairs(pairs, dropped)
     } finally banded.unpersist(false)
+  }
+
+  /** The banded simhash rows (id, sig, band, key) — one codegen'd pass,
+    * zero shuffle; the sub-band split is the pigeonhole guarantee (two
+    * docs within hamming distance d share at least one of d+1 bands
+    * exactly). Shared by the batch pipeline and the persisted index.
+    */
+  private def simhashBandedRows(df: DataFrame, textCol: String, idCol: String,
+                                bits: Int, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    df.select(col(idCol).as("id"),
+        simhash(tokens(normalizeText(col(textCol))), bits).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(array((0 until nBands).map { i =>
+          struct(lit(i).as("band"),
+            shiftright(col("sig"), i * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+        }: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** Persist a simhash index of a corpus at `path` — the third member of
+    * the index family (LSH MinHash, IVF), riding the SAME lifecycle
+    * invariants (SCALING.md round 10): build → per-batch append →
+    * generation-swapped compaction → vacuum. The bucket rows CARRY the
+    * full signature, so queries verify hamming distance in the bucket
+    * join itself — no second table, unlike MinHash's sigs/.
+    *
+    * Layout: `buckets/` (id, sig, band, key) under `__batch=0` from day
+    * one (the IVF precedent), so [[simhashAppendBatch]] appends are
+    * dynamic-overwrite replay-idempotent; `meta/` pins (bits,
+    * maxHamming) — queries and appends read the banding FROM the index,
+    * so a caller can never band-mismatch the equi-join into silent
+    * misses. `maxBucketSize` caps degenerate buckets at write time
+    * (the [[minhashIndexWrite]] rule: an uncapped persisted bucket joins
+    * every colliding future batch forever).
+    */
+  def simhashIndexWrite(df: DataFrame, textCol: String, idCol: String, path: String,
+                        bits: Int = 32, maxHamming: Int = 3,
+                        maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Generations.reset(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(path), "buckets")
+    Seq((bits, maxHamming)).toDF("bits", "max_hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val banded = simhashBandedRows(df, textCol, idCol, bits, maxHamming).persist()
+    banded.count() // width probe + the capped write read the cache
+    try capOverWideBuckets(banded, maxBucketSize, "simhashIndexWrite")._1
+      .withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(s"$path/buckets")
+    finally banded.unpersist(false)
+  }
+
+  private def simhashMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted simhash index:
+    * (new_id, corpus_id, hamming ≤ maxHamming). The batch computes its
+    * own signatures with the banding read from the index `meta/`; the
+    * candidate join is a plain (band, key) equi-join against the
+    * generation-resolved buckets, verification is a codegen'd
+    * `bit_count(xor)` on the signatures both sides already carry —
+    * nothing corpus-sized is collected, broadcast, or rebuilt, and the
+    * corpus is only ever shuffled on its join keys.
+    */
+  def simhashPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                               newDf: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val (bits, maxHamming) = simhashMeta(spark, path)
+    val idx = spark.read.parquet(bucketsDir(spark, path))
+    simhashBandedRows(newDf, textCol, idCol, bits, maxHamming).as("n")
+      .join(idx.as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
+          col("n.id") =!= col("o.id"))
+      .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"),
+        hammingDistance(col("n.sig"), col("o.sig")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
+  /** Append a new batch to a persisted simhash index under
+    * `__batch=<batchId>` — dynamic-overwrite replay idempotence, banding
+    * from `meta/`, per-batch bucket cap, and the same loud stale-layout
+    * refusal as the other two families (a flat pre-append layout would
+    * corrupt partition discovery for every future read).
+    */
+  def simhashAppendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batchId: Long, newDf: DataFrame, textCol: String, idCol: String,
+                         maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (batch 0 is the base build): $batchId")
+    val (bits, maxHamming) = simhashMeta(spark, path)
+    val bRoot = new org.apache.hadoop.fs.Path(bucketsDir(spark, path))
+    val fs = bRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(bRoot), s"no simhash index at $path — run simhashIndexWrite first")
+    require(fs.listStatus(bRoot).exists(_.getPath.getName.startsWith("__batch=")),
+      s"$bRoot is not the batch-partitioned layout: rebuild with simhashIndexWrite " +
+        "before appending")
+    val banded = simhashBandedRows(newDf, textCol, idCol, bits, maxHamming).persist()
+    banded.count()
+    try capOverWideBuckets(banded, maxBucketSize, s"simhashAppendBatch(batch $batchId)")._1
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(bRoot.toString)
+    finally banded.unpersist(false)
   }
 
   /** N-gram Jaccard pairwise similarity within blocking buckets (here: a

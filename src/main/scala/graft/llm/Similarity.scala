@@ -383,6 +383,13 @@ object Similarity {
   def ivfDriftStats(spark: org.apache.spark.sql.SparkSession, path: String,
                     flagRatio: Double = 2.0): DataFrame = {
     require(flagRatio > 0, s"flagRatio must be > 0: $flagRatio")
+    // loud refusal over an obscure read error: an index built before the
+    // drift metric has no sidecar — and no measured baseline to compare
+    // against. ivfCompact backfills it (writeDriftStats over the whole
+    // compacted corpus) without a rebuild.
+    require(ivfFs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/drift_stats")),
+      s"no drift_stats sidecar at $path (pre-drift index) — rebuild with " +
+        "ivfWriteIndex or run ivfCompact once to establish the baseline")
     val d = spark.read.parquet(s"$path/drift_stats")
       .select(col("__batch").cast("long").as("__batch"),
         col("n"), col("mean_d2"), col("p95_d2"))

@@ -115,6 +115,16 @@ class GenerationSwapSpec extends AnyFunSuite {
     // commit flipped the resolved dir; the old one is retained (grace)
     assert(graft.llm.Dedup.bucketsDir(spark, idx).endsWith("buckets_gen=1"))
     assert(exists(s"$idx/buckets"), "superseded buckets generation retained")
+    // small-files fold (round 10): BOTH halves collapse their per-batch
+    // fragments into one __batch=0 — a long-running ingest stream no
+    // longer accumulates a directory per batch forever
+    for (half <- Seq(graft.llm.Dedup.bucketsDir(spark, idx),
+                     graft.llm.Dedup.sigsDir(spark, idx))) {
+      assert(half.contains("_gen=1"), s"$half should resolve to generation 1")
+      assert(spark.read.parquet(half).select(col("__batch").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq === Seq(0L),
+        s"compaction must fold $half into __batch=0")
+    }
     // reads and appends resolve the new generation
     assert(pairsAgainst(t1).count() === 1)
     graft.llm.Dedup.ingestAgainstIndex(spark, idx, 2L,
@@ -134,6 +144,84 @@ class GenerationSwapSpec extends AnyFunSuite {
     assert(graft.llm.Dedup.bucketsDir(spark, idx).endsWith("/buckets"),
       "a rebuilt index must not stay shadowed by a stale committed generation")
     assert(pairsAgainst(t1).count() === 1)
+  }
+}
+
+/** The persisted simhash index (round 10) — the third index family,
+  * riding the shared lifecycle invariants: build with banding pinned in
+  * meta/, query-against-index with bucket-carried signatures, replay-
+  * idempotent appends, the shared generation-swapped compaction, loud
+  * layout refusals.
+  */
+class SimhashIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("simhash index: build, query, append, replay, shared compaction") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val t2 = "entirely novel text that matches nothing in the corpus at all"
+    val t3 = "completely different corpus content about spark engines"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-simidx-spec").toString
+    graft.llm.Dedup.simhashIndexWrite(batch((1L, t1), (2L, t3)), "text", "id", path,
+      bits = 16, maxHamming = 2)
+    def hits(text: String) =
+      graft.llm.Dedup.simhashPairsAgainstIndex(spark, path, batch((99L, text)), "text", "id")
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    // identical text → hamming 0 against its corpus twin only
+    assert(hits(t1) === Set((1L, 0)))
+    assert(hits(t2) === Set.empty[(Long, Int)])
+
+    // append batch 1; a replayed append leaves the index row-identical
+    graft.llm.Dedup.simhashAppendBatch(spark, path, 1L, batch((3L, t2)), "text", "id")
+    def snapshot() = spark.read.parquet(graft.llm.Dedup.bucketsDir(spark, path))
+      .select(col("id"), col("band"), col("key"), col("__batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val after1 = snapshot()
+    graft.llm.Dedup.simhashAppendBatch(spark, path, 1L, batch((3L, t2)), "text", "id")
+    assert(snapshot() === after1, "replayed append must be idempotent")
+    // the appended doc is now part of the served corpus
+    assert(hits(t2) === Set((3L, 0)))
+
+    // shared compaction: generation swap + fold to __batch=0, queries
+    // and appends keep working against the new generation
+    val preCompact = hits(t1) ++ hits(t2)
+    graft.llm.Dedup.compactIndex(spark, path, maxBucketSize = 100)
+    assert(graft.llm.Dedup.bucketsDir(spark, path).endsWith("buckets_gen=1"))
+    assert(spark.read.parquet(graft.llm.Dedup.bucketsDir(spark, path))
+      .select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(0L))
+    assert(hits(t1) ++ hits(t2) === preCompact, "compaction must not change hits")
+    graft.llm.Dedup.simhashAppendBatch(spark, path, 2L, batch((4L, "more spark text here")),
+      "text", "id")
+    assert(spark.read.parquet(graft.llm.Dedup.bucketsDir(spark, path))
+      .select(col("id")).distinct().count() === 4)
+
+    // loud refusals: batch 0 is reserved; a missing index refuses
+    assert(intercept[IllegalArgumentException] {
+      graft.llm.Dedup.simhashAppendBatch(spark, path, 0L, batch((9L, t1)), "text", "id")
+    }.getMessage.contains("batchId must be > 0"))
+    val empty = java.nio.file.Files.createTempDirectory("graft-simidx-none").toString
+    intercept[Exception] { // no meta/ → analysis error before any write
+      graft.llm.Dedup.simhashAppendBatch(spark, empty, 1L, batch((9L, t1)), "text", "id")
+    }
+
+    // the write-time cap drops the degenerate bucket but keeps the rest
+    // (shared cap semantics): the saturated text finds nothing, a normal
+    // corpus doc still matches
+    val dup = (1L to 30L).map(i => (i, "identical duplicated sentence content")) :+
+      ((100L, t3))
+    val capped = java.nio.file.Files.createTempDirectory("graft-simidx-cap").toString
+    graft.llm.Dedup.simhashIndexWrite(dup.toDF("id", "text"), "text", "id", capped,
+      bits = 16, maxHamming = 2, maxBucketSize = 10)
+    assert(graft.llm.Dedup.simhashPairsAgainstIndex(spark, capped,
+      batch((99L, "identical duplicated sentence content")), "text", "id").count() === 0,
+      "an over-wide bucket must be dropped at write time")
+    assert(graft.llm.Dedup.simhashPairsAgainstIndex(spark, capped,
+      batch((99L, t3)), "text", "id")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet === Set((100L, 0)),
+      "under-cap buckets must survive the write-time cap")
   }
 }
 
