@@ -184,12 +184,18 @@ object LlmQueries {
     // hamming verifies from the signatures the bucket rows carry — no
     // second table. Cap-free here so the oracle models pure pigeonhole
     // banding; the cap's behavior is the simhash cap spec's concern.
+    // The batch window is FIXED (docs 400..499) like the corpus split, so
+    // the checked candidate surface stays the same size at every SF —
+    // simhash candidates are the raw output here (no score threshold to
+    // shrink them), and an SF-growing batch side would make the oracle
+    // dump quadratic in SF.
     "k2_incremental_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = sessionScratchDir("graft-simidx")
       Dedup.simhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
         path, bits = 16, maxHamming = 3, maxBucketSize = Int.MaxValue)
-      Dedup.simhashPairsAgainstIndex(s, path, docs.where(col("doc_id") >= 400L),
+      Dedup.simhashPairsAgainstIndex(s, path,
+          docs.where(col("doc_id") >= 400L && col("doc_id") < 500L),
           "text", "doc_id")
         .orderBy(col("new_id"), col("corpus_id"))
     }),
@@ -199,6 +205,39 @@ object LlmQueries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 2, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // K2 — STREAMING simhash-index maintenance (▶, hash-matched): base
+    // index over docs < 400, docs 400..499 arriving as two MemoryStream
+    // batches through foreachBatchSimhashAppend (banding read from the
+    // index meta, replay-idempotent __batch appends). The audit — per
+    // batch: bucket-row count and distinct (band, key) count — is fully
+    // md5-deterministic, so unlike the float-cell IVF twin this
+    // streaming append is checked EXACTLY against the DuckDB oracle.
+    "k2_streaming_simhash_append" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = freshScratchDir("graft-simstr")
+      val ckpt = freshScratchDir("graft-simstr-ckpt")
+      Dedup.simhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
+        path, bits = 16, maxHamming = 3, maxBucketSize = Int.MaxValue)
+      val rest = docs.where(col("doc_id") >= 400L && col("doc_id") < 500L)
+        .as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchSimhashAppend(
+          src.toDS().toDF("doc_id", "text"), path, ckpt, "text", "doc_id",
+          maxBucketSize = Int.MaxValue)
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < 450L).toSeq); drain()
+      src.addData(rest.filter(_._1 >= 450L).toSeq); drain()
+      s.read.parquet(Dedup.bucketsDir(s, path))
+        .groupBy(col("__batch").cast("long").as("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("band"), col("key")).as("n_keys"))
+        .orderBy(col("batch"))
     }),
 
     // K3 — cosine similarity between consecutive embedding ids
@@ -973,9 +1012,35 @@ object LlmQueries {
         |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id,
         |  CAST(bit_count(xor(n.sig, o.sig)) AS INTEGER) AS hamming
         |FROM banded n JOIN banded o ON n.band = o.band AND n.key = o.key
-        |WHERE n.doc_id >= 400 AND o.doc_id < 400
+        |WHERE n.doc_id >= 400 AND n.doc_id < 500 AND o.doc_id < 400
         |  AND bit_count(xor(n.sig, o.sig)) <= 3
         |ORDER BY new_id, corpus_id""".stripMargin),
+
+    // same signature + banding chain; the streamed index's per-batch
+    // audit is the banded-row/key count per fixed doc-id window (base
+    // build = batch 0, the two drains = batches 1 and 2)
+    "k2_streaming_simhash_append" -> (tokCte +
+      """, tok AS (SELECT doc_id, unnest(t) AS w FROM tk WHERE doc_id < 500),
+        |h AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) AS th
+        |  FROM tok),
+        |bits AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN CAST(floor(th / (2.0 ** j)) AS BIGINT) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+        |sg AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(2.0 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, j AS band,
+        |  CAST(floor(sig / (2.0 ** (j * 4))) AS BIGINT) % 16 AS key
+        |  FROM sg CROSS JOIN range(4) r(j))
+        |SELECT CAST(CASE WHEN doc_id < 400 THEN 0
+        |                 WHEN doc_id < 450 THEN 1 ELSE 2 END AS BIGINT) AS batch,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT (band, key)) AS n_keys
+        |FROM banded GROUP BY 1 ORDER BY batch""".stripMargin),
 
     "k2_ngram_jaccard_pairs" -> (tokCte +
       """, gr AS (SELECT doc_id, t[1] AS block,

@@ -155,6 +155,30 @@ object Ingest {
       }
       .start()
 
+  /** Attach incremental simhash-index appends to a streaming frame of
+    * documents — the third member of the streaming index-maintenance
+    * family ([[foreachBatchIngestDedup]] for LSH, [[foreachBatchIvfAppend]]
+    * for IVF): every micro-batch is signatured with the banding read
+    * from the index `meta/` and appended under `__batch = stream batch
+    * + 1` with dynamic-overwrite replay idempotence (`__batch = 0` stays
+    * reserved for the base build). Same lineage rules as the other two:
+    * one (indexPath, checkpointDir) pair per stream lineage, ids unique
+    * across the whole stream, deterministic-replay source.
+    */
+  def foreachBatchSimhashAppend(docs: DataFrame, indexPath: String,
+                                checkpointDir: String, textCol: String, idCol: String,
+                                maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+                                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Dedup.simhashAppendBatch(batch.sparkSession, indexPath, id + 1,
+          batch, textCol, idCol, maxBucketSize)
+      }
+      .start()
+
   /** Attach the ingestion-dedup loop to a streaming frame of documents. */
   def foreachBatchIngestDedup(docs: DataFrame, indexPath: String, admittedDir: String,
                               checkpointDir: String, textCol: String, idCol: String,
