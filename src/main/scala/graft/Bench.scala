@@ -56,7 +56,9 @@ object Bench {
     "x2_manifest_refresh",   // incremental refresh after an appended batch (∝ new files)
     "x2_manifest_read",      // data-skipping range read against the manifest
     "x2_manifest_read_trusted", // same read, declared-immutable mode (no staleness listing)
-    "k4_ivf_append")         // per-batch incremental IVF append (round 9; LSH twin: k2_incremental_query)
+    "k4_ivf_append",         // per-batch incremental IVF append (round 9; LSH twin: k2_incremental_query)
+    "k2_simhash_idx_build",  // simhash index write over 90% of docs (round 10; amortized once)
+    "k2_simhash_query")      // 10% batch vs the simhash index (the per-batch cost)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,6 +87,8 @@ object Bench {
     // CONTRACT query k2_incremental_neardup fixes 400 corpus docs for its
     // cross-SF oracle instead; here realism matters more than oracles)
     val lshPath = java.nio.file.Files.createTempDirectory("graft-bench-lshidx").toString
+    // the simhash index twin shares the LSH entries' 90/10 split
+    val simhashPath = java.nio.file.Files.createTempDirectory("graft-bench-simidx").toString
     import org.apache.spark.sql.functions.{col, lit}
     // computed during setup, NOT inside the timed k2_idx_build region
     val lshSplit: Long = {
@@ -132,6 +136,16 @@ object Bench {
           graft.llm.Dedup.minhashPairsAgainstIndex(spark, lshPath,
               d.where(col("doc_id") >= lshSplit), "text", "doc_id",
               shingleN = 3, k = 8, bands = 4)
+            .write.format("noop").mode("overwrite").save()
+        case "k2_simhash_idx_build" =>
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.Dedup.simhashIndexWrite(
+            d.where(col("doc_id") < lshSplit), "text", "doc_id", simhashPath,
+            bits = 32, maxHamming = 3)
+        case "k2_simhash_query" =>
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.Dedup.simhashPairsAgainstIndex(spark, simhashPath,
+              d.where(col("doc_id") >= lshSplit), "text", "doc_id")
             .write.format("noop").mode("overwrite").save()
         case "k4_ivf_build" =>
           val e = graft.core.Engine.table(spark, sfDir, "embeddings")
@@ -199,6 +213,7 @@ object Bench {
 
     runOnce("e1_agg_flagship") // JVM/codegen warmup, untimed
     ensure("k2_idx_build", "k2_incremental_query")
+    ensure("k2_simhash_idx_build", "k2_simhash_query")
     ensure("k4_ivf_build", "k4_ivf_read")
     if (selected.contains("k4_ivf_append")) ivfAppendBaseReady
     if (selected.exists(_.startsWith("x2_manifest"))) manifestTableReady
@@ -241,6 +256,7 @@ object Bench {
       // rep-asymmetry artifact on k2_idx_build)
       val preRep: () => Unit = n match {
         case "k2_idx_build" => () => deleteRec(lshPath)
+        case "k2_simhash_idx_build" => () => deleteRec(simhashPath)
         case "k4_ivf_build" => () => deleteRec(ivfPath)
         case "x2_manifest_build" => () => deleteRec(s"$manifestTable/_graft_manifest")
         case "x2_manifest_refresh" => () =>

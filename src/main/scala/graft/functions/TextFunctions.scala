@@ -131,13 +131,33 @@ object TextFunctions {
     * Bit j of a token = (hexdigit(md5) >> ...) — derived purely from the
     * first 8 hex chars parsed via conv(), so it is reproducible in SQL.
     */
-  def simhash(toks: Column, bits: Int): Column = {
+  def simhash(toks: Column, bits: Int): Column =
+    simhashFromHashes(tokenHashes(toks), bits)
+
+  /** The md5-derived 32-bit token hashes the simhash votes read — split
+    * out so corpus-scale pipelines can materialize it ONCE in its own
+    * projection before [[simhashFromHashes]]: the per-bit aggregates
+    * reference the hash array `bits` times, and interpreted HOFs get no
+    * common-subexpression elimination, so the single-expression
+    * [[simhash]] form recomputes the md5 of every token per BIT — fine
+    * at contract scale, 32× the dominant cost on a corpus (the round-1
+    * shingle-projection rule, measured again in round 10:
+    * `k2_simhash_idx_build` 9.1 s → see SCALING.md). Catalyst keeps the
+    * split projection intact because the alias is non-cheap and
+    * multiply-referenced (CollapseProject's rule).
+    */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** [[simhash]] over pre-computed [[tokenHashes]] — the identical
+    * arithmetic (same votes, same tie rule), just reading the hash array
+    * instead of recomputing it.
+    */
+  def simhashFromHashes(th: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 32, "simhash supports 1..32 bits")
-    // 32-bit integer from the first 8 md5 hex chars of each token
-    val tokHash = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val bitCols = (0 until bits).map { j =>
       // vote_j = sum over tokens of (bit_j ? 1 : -1)
-      val vote = aggregate(tokHash, lit(0L),
+      val vote = aggregate(th, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote > 0L, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
     }

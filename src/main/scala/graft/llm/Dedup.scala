@@ -626,17 +626,35 @@ object Dedup {
     } finally banded.unpersist(false)
   }
 
-  /** The banded simhash rows (id, sig, band, key) — one codegen'd pass,
-    * zero shuffle; the sub-band split is the pigeonhole guarantee (two
-    * docs within hamming distance d share at least one of d+1 bands
-    * exactly). Shared by the batch pipeline and the persisted index.
+  /** The banded simhash rows (id, sig, band, key) — zero shuffle after
+    * an input spread; the sub-band split is the pigeonhole guarantee
+    * (two docs within hamming distance d share at least one of d+1
+    * bands exactly). Shared by the batch pipeline and the persisted
+    * index.
+    *
+    * Planner discipline (both measured — the round-1 shingle rules,
+    * re-learned here in round 10 when the first index build ran 9.1 s
+    * vs the MinHash twin's 1.1 s over the same corpus): repartition the
+    * RAW text BEFORE the md5-heavy map (a few-MB parquet is one input
+    * split — one core otherwise), and materialize [[tokenHashes]] in
+    * its OWN projection so the `bits` per-bit vote aggregates read the
+    * 8-byte hash array instead of re-running md5 over every token per
+    * BIT (interpreted HOFs get no CSE; the split is what
+    * CollapseProject preserves for non-cheap multiply-referenced
+    * aliases). Signatures are bit-identical to the single-expression
+    * [[graft.functions.TextFunctions.simhash]] — same votes, same tie
+    * rule — pinned by the simhash parity case in CoreOpsSpec and by
+    * both simhash oracles hash-matching the same DuckDB chain.
     */
   private def simhashBandedRows(df: DataFrame, textCol: String, idCol: String,
                                 bits: Int, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
-    df.select(col(idCol).as("id"),
-        simhash(tokens(normalizeText(col(textCol))), bits).as("sig"))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism, col("id"))
+      .select(col("id"), tokenHashes(tokens(normalizeText(col("__text")))).as("__th"))
+      .select(col("id"), simhashFromHashes(col("__th"), bits).as("sig"))
       .select(col("id"), col("sig"),
         explode(array((0 until nBands).map { i =>
           struct(lit(i).as("band"),

@@ -112,6 +112,12 @@ class CoreOpsSpec extends AnyFunSuite {
     val sigs = df.select(simhash(tokens(col("text")), 16).as("s")).as[Long].collect()
     sigs.foreach(s => assert(s >= 0 && s < (1L << 16)))
     assert(sigs(0) === sigs(1))
+    // the split-projection form (tokenHashes materialized once, the
+    // corpus-scale path simhashBandedRows takes) is bit-identical to the
+    // single-expression form
+    val split = df.select(tokenHashes(tokens(col("text"))).as("__th"))
+      .select(simhashFromHashes(col("__th"), 16).as("s")).as[Long].collect()
+    assert(split.toSeq === sigs.toSeq, "split-projection simhash must be bit-identical")
   }
 
   test("langId picks marker language, und when no markers") {
