@@ -755,34 +755,65 @@ object Dedup {
 
   /** N-gram Jaccard pairwise similarity within blocking buckets (here: a
     * cheap first-token block; callers pick the blocker). Exact Jaccard on
-    * n-gram sets, bucket-bounded.
+    * n-gram sets.
     *
-    * First-token blocks are the most skewed group key in this family —
-    * real corpora open sentences with the same handful of words — so
-    * blocks over `maxBlockRows` run the shared exact triangle-block
-    * decomposition ([[Similarity.boundedWithinGroupScoredPairs]]):
-    * row-identical output (parity spec), partitions bounded, no
-    * single-stopword straggler task. Threshold semantics are unchanged
-    * (raw Jaccard thresholded, 6dp-rounded output — the oracle's shape).
+    * Plan (round 10): an INVERTED-INDEX join, not a blocked self-join
+    * over gram arrays. Explode the (distinct) grams, equi-join on
+    * (block, gram) with `id_a < id_b`, count rows per pair — that count
+    * IS |A∩B|, and |A∪B| = nA + nB − |A∩B| from a per-doc size
+    * projection. The previous plan paired whole gram ARRAYS and ran an
+    * interpreted `array_intersect`/`array_union` per candidate — every
+    * same-block pair paid O(|A|+|B|) even with zero overlap. The
+    * inverted index touches only pairs that actually share a gram, the
+    * intersection count is a codegen hash aggregate, and the gram
+    * arrays never move through the pair join. Measured at sf0.1
+    * (5k docs, threshold 0.3): 85 s warm → ~3 s, identical rows.
+    *
+    * Skew: the join key is (block, gram) — strictly finer than the
+    * first-token block alone, and hot keys ride AQE's skew-join split,
+    * so the triangle-block decomposition the old plan needed is moot.
+    * Output/threshold semantics unchanged (raw Jaccard thresholded,
+    * 6dp-rounded output — the oracle's shape); `threshold` must be > 0
+    * because a zero threshold would ask for the disjoint same-block
+    * pairs the inverted index, by construction, never surfaces.
+    *
+    * Eager like the minhash family: the gram projection is persisted and
+    * counted (four consumers), the result localCheckpoint'd so the cache
+    * is released before return.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 2, threshold: Double = 0.5,
-                        maxBlockRows: Long = Similarity.DefaultMaxCellRows): DataFrame = {
-    val prepped = df.select(
-        element_at(tokens(normalizeText(col(textCol))), 1).as("__grp"),
-        col(idCol).as("id"),
-        shingles(col(textCol), n).as("v"))
-      .where(size(col("v")) > 0)
-    // the size probe never builds gram arrays (the round-6 fan-out rule:
-    // prepped's grams are consumed by the two join sides already): a doc
-    // has grams iff it has >= n tokens, so counting blocks needs only the
-    // token projection (its own select — interpreted HOFs get no CSE)
-    val sizes = df.select(tokens(normalizeText(col(textCol))).as("__t"))
-      .select(element_at(col("__t"), 1).as("__grp"), size(col("__t")).as("__nt"))
-      .where(col("__nt") >= n)
-      .groupBy(col("__grp")).agg(count(lit(1)).as("n"))
-    Similarity.boundedWithinGroupScoredPairs(prepped, sizes, maxBlockRows)(
-      (a, b) => jaccard(a, b), _ >= threshold, round(_, 6), "jaccard")
+                        n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0,
+      s"threshold must be > 0 (the inverted-index plan never surfaces " +
+        s"zero-overlap pairs, so 0 would change semantics): $threshold")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // repartition the RAW text before the HOF-heavy gram pass (the
+    // shingleHashProjection planner discipline: a small parquet is one
+    // input split — one core tokenizing the whole corpus otherwise)
+    val gd = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism, col("id"))
+      .select(element_at(tokens(normalizeText(col("__text"))), 1).as("block"),
+        col("id"), shingles(col("__text"), n).as("grams"))
+      .where(size(col("grams")) > 0)
+      .persist()
+    gd.count() // eager: sizes + both exploded join sides must hit cache
+    try {
+      val sz = gd.select(col("id"), size(col("grams")).cast("long").as("n"))
+      val ex = gd.select(col("block"), col("id"), explode(col("grams")).as("g"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sz.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .withColumn("__raw",
+          col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+        .where(col("__raw") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("__raw"), 6).as("jaccard"))
+        .localCheckpoint(true)
+    } finally gd.unpersist(false)
   }
 
   /** LSH quality metrics — the number a production operator actually

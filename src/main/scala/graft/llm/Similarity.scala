@@ -559,11 +559,12 @@ object Similarity {
     boundedWithinGroupScoredPairs(vecs, sizes, maxGroupRows)(
       (a, b) => round(cosine(a, b), 6), _ >= threshold, identity, "cosine")
 
-  /** The score-generic core of [[boundedWithinGroupPairs]] — also carries
-    * [[Dedup.ngramJaccardPairs]]' first-token blocking, whose raw-score
-    * threshold + rounded output differ from the cosine operators' shared
-    * round-then-threshold rule (both oracle-pinned, so neither may change
-    * shape here). `score` MUST be symmetric in its arguments: the
+  /** The score-generic core of [[boundedWithinGroupPairs]] — kept
+    * score-generic (raw-vs-rounded threshold shapes) even though its
+    * only remaining callers are the cosine family: ngram-Jaccard moved
+    * to an inverted-index join in round 10 ([[Dedup.ngramJaccardPairs]])
+    * where per-pair set intersection never happens at all.
+    * `score` MUST be symmetric in its arguments: the
     * triangle path normalizes pair orientation with least/greatest ids
     * and evaluates the score in whichever orientation the block produced.
     */

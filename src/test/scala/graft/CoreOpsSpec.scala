@@ -1474,15 +1474,25 @@ class BoundedGroupPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(b === p, s"${(b diff p).size} extra, ${(p diff b).size} missing")
   }
 
-  test("ngram-Jaccard blocking: bounded hot-block path == plain path (string groups)") {
+  test("ngram-Jaccard inverted-index plan == blocked quadratic reference") {
+    // the r10 plan rewrite (explode + (block, gram) equi-join + count)
+    // must emit row-for-row what the old plan computed: every same-block
+    // pair with exact gram-set Jaccard >= threshold, 6dp-rounded
+    import graft.functions.TextFunctions.{jaccard, normalizeText, shingles, tokens}
     val d = core.Engine.table(spark, TestSpark.sf, "documents")
-    val plain = graft.llm.Dedup.ngramJaccardPairs(d, "text", "doc_id",
+    val inv = graft.llm.Dedup.ngramJaccardPairs(d, "text", "doc_id",
       n = 2, threshold = 0.3)
-    val bounded = graft.llm.Dedup.ngramJaccardPairs(d, "text", "doc_id",
-      n = 2, threshold = 0.3, maxBlockRows = 4L)
-    assert(bounded.queryExecution.analyzed.toString.contains("Union"),
-      "hot-block path must have engaged at maxBlockRows=4")
-    val (p, b) = (keys(plain), keys(bounded))
+    val g = d.select(
+        element_at(tokens(normalizeText(col("text"))), 1).as("block"),
+        col("doc_id").as("id"), shingles(col("text"), 2).as("v"))
+      .where(size(col("v")) > 0)
+    val ref = g.as("a").join(g.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.v"), col("b.v")).as("raw"))
+      .where(col("raw") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("jaccard"))
+    val (p, b) = (keys(ref), keys(inv))
     assert(p.nonEmpty, "vacuous fixture")
     assert(b === p, s"${(b diff p).size} extra, ${(p diff b).size} missing")
   }
