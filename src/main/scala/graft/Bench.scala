@@ -58,7 +58,8 @@ object Bench {
     "x2_manifest_read_trusted", // same read, declared-immutable mode (no staleness listing)
     "k4_ivf_append",         // per-batch incremental IVF append (round 9; LSH twin: k2_incremental_query)
     "k2_simhash_idx_build",  // simhash index write over 90% of docs (round 10; amortized once)
-    "k2_simhash_query")      // 10% batch vs the simhash index (the per-batch cost)
+    "k2_simhash_query",      // 10% batch vs the simhash index (the per-batch cost)
+    "k13_dedup_resolve")     // pairs -> components -> canonical keeper (round 10; the dedup endgame)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -53,6 +53,41 @@ object LlmQueries {
       |              x -> len(x) > 0) AS t
       |  FROM documents)""".stripMargin
 
+  /** tokCte with the RECURSIVE keyword — DuckDB requires it on the WITH
+    * clause when ANY chained CTE (the k13 closures) is recursive.
+    */
+  private def recTokCte = "WITH RECURSIVE" + tokCte.stripPrefix("WITH")
+
+  /** The k2 n-gram Jaccard pair pipeline as chained CTEs ending in
+    * `pr(id_a, id_b)` — the raw-thresholded edge list the k13 component
+    * queries build their transitive closure over (same gram/blocking
+    * semantics as the `k2_ngram_jaccard_pairs` oracle above it).
+    * MATERIALIZED: the recursive closure references the edge list once
+    * per fixpoint iteration, and DuckDB would otherwise re-run the whole
+    * gram pipeline each time (measured 48 s → 6.8 s at sf0.1).
+    */
+  private def jaccardPairCtes(threshold: Double): String =
+    s""", gr AS (SELECT doc_id, t[1] AS block,
+       |  CASE WHEN len(t) < 2 THEN []
+       |       ELSE list_transform(range(0, len(t) - 1),
+       |                           i -> array_to_string(t[(i+1):(i+2)], ' ')) END AS grams
+       |  FROM tk),
+       |gd AS (SELECT doc_id, block, list_distinct(grams) AS grams FROM gr WHERE len(grams) > 0),
+       |sh AS (SELECT doc_id, unnest(grams) AS g FROM gd),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM gd a JOIN gd b ON a.block = b.block AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.g = sa.g
+       |  GROUP BY c.id_a, c.id_b),
+       |pr AS MATERIALIZED (SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sz za ON za.doc_id = i.id_a
+       |  JOIN sz zb ON zb.doc_id = i.id_b
+       |  WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= $threshold)""".stripMargin
+
   /** DuckDB cosine between two FLOAT[64] columns, computed exactly like the
     * Spark HOFs: per-element double products, sequential sum, double sqrt.
     */
@@ -205,6 +240,34 @@ object LlmQueries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 2, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // K13 — connected components over the near-dup pair graph (the
+    // dedup endgame: A~B and B~C must collapse {A,B,C} even when A and C
+    // never paired). Alternating large-star/small-star, O(log n) rounds
+    // of two shuffles each; labels = component-minimum id, so the result
+    // is deterministic and hash-matched against a DuckDB recursive-CTE
+    // transitive closure. Threshold 0.1 (vs the k2 query's 0.3) because
+    // THIS corpus has size-3+ chained components there — transitivity is
+    // exactly what the query must exercise.
+    "k13_connected_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 2, threshold = 0.1)
+      graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
+    // K13 — full dedup resolution: every doc gets its component
+    // (singletons = own id) and exactly one canonical keeper per
+    // component (longest text, ties to smallest id) via a skew-proof
+    // max_by aggregate — never a per-component window.
+    "k13_dedup_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 2, threshold = 0.1)
+      graft.ops.Graph.dedupResolve(docs, "doc_id", length(col("text")),
+          pairs, "id_a", "id_b")
+        .orderBy(col("id"))
     }),
 
     // K2 — STREAMING simhash-index maintenance (▶, hash-matched): base
@@ -1065,6 +1128,39 @@ object LlmQueries {
         |JOIN sz zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // transitive closure by recursive CTE: reach(id, comp) accumulates
+    // every node reachable from id over the symmetrized pair graph;
+    // MIN(comp) is then exactly the large-star/small-star label
+    "k13_connected_components" -> (recTokCte + jaccardPairCtes(0.1) +
+      """, e AS (SELECT id_a AS s, id_b AS d FROM pr
+        |        UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d)
+        |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin),
+
+    "k13_dedup_resolve" -> (recTokCte + jaccardPairCtes(0.1) +
+      """, e AS (SELECT id_a AS s, id_b AS d FROM pr
+        |        UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d),
+        |comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        |asg AS (SELECT d.doc_id AS id,
+        |    COALESCE(c.component, d.doc_id) AS component,
+        |    length(d.text) AS pref
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |canon AS (SELECT component, id AS canonical FROM
+        |    (SELECT component, id,
+        |       row_number() OVER (PARTITION BY component
+        |                          ORDER BY pref DESC, id ASC) AS rn
+        |     FROM asg)
+        |  WHERE rn = 1)
+        |SELECT a.id, a.component, a.id = c.canonical AS is_canonical
+        |FROM asg a JOIN canon c ON c.component = a.component
+        |ORDER BY a.id""".stripMargin),
 
     "k3_cosine_pairs" ->
       s"""SELECT a.vec_id AS vec_id,

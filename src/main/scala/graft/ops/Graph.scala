@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Connected components + dedup resolution — the endgame of every
+  * near-dup pipeline: pairs (from MinHash/LSH, SimHash, n-gram Jaccard,
+  * embedding cosine, …) → transitive clusters → ONE kept document per
+  * cluster. Without this step a pair list is not a dedup decision: A~B
+  * and B~C must collapse {A,B,C} even when A and C never paired.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * standard shared-nothing CC algorithm at the 100 TB scale this engine
+  * targets:
+  *
+  *   - every round is two shuffle stages (a min-aggregate and an
+  *     equi-join per star), all on the node-id key — no collects, no
+  *     driver-side graph state, nothing proportional to data on the
+  *     driver;
+  *   - converges in O(log n) rounds on real graphs (provably O(log² n));
+  *     near-dup graphs — short chains, small cliques — converge in 2-3;
+  *   - large-star splits high-degree hubs by construction (each
+  *     neighbor-partition re-points independently), so a viral document
+  *     paired with millions of others does not serialize into one task
+  *     the way a label-propagation groupBy(component) would.
+  *
+  * Per-round frames are materialized via checkpoint (reliable when the
+  * session has a checkpoint dir — the production setting; localCheckpoint
+  * otherwise) so the iterative plan does not accrete lineage, and
+  * convergence is detected by a 1-row (count, hash-sum) fingerprint
+  * aggregate — two scalars per round on the driver, never edges.
+  *
+  * Reference surface: debezium-incubator's pipelines stop at pair
+  * emission; cluster resolution is the post-processing its users run
+  * downstream. Expressed here Spark-first as a first-class operator.
+  */
+object Graph {
+
+  /** Connected components over an edge list. Returns one row per node
+    * that appears in `edges`: (id, component) with `component` = the
+    * minimum node id in the component (deterministic labels — safe to
+    * hash-compare across engines). Self-loops are ignored; edge
+    * direction and duplicates are irrelevant.
+    *
+    * Node ids must be castable to long (docs/vectors in this engine key
+    * by long ids; hash string keys first — xxhash64 — if needed).
+    * Throws if `maxIter` alternating rounds do not converge (the
+    * algorithm's bound is O(log² n), so 50 rounds covers any realistic
+    * graph; silent partial labels would poison a dedup downstream).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    // canonical big→small orientation, self-loops dropped, exact dups
+    // merged — one shuffle, and every later round preserves the invariant
+    var e = truncate(
+      edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+        .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
+        .select(greatest(col("s"), col("d")).as("src"), least(col("s"), col("d")).as("dst"))
+        .distinct())
+    var fp = fingerprint(e)
+    var it = 0
+    var converged = fp._1 == 0L // an edgeless graph is already a (empty) star forest
+    while (!converged && it < maxIter) {
+      val next = truncate(smallStar(largeStar(e)))
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      free(e)
+      e = next; fp = nfp; it += 1
+    }
+    if (!converged) {
+      free(e)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter alternating rounds " +
+          s"(edge fingerprint still moving: $fp) — the bound is O(log^2 n), so " +
+          "this indicates non-deterministic input ids, not a large graph")
+    }
+    // at the fixpoint the edge set is a star forest (member → component
+    // min); the assignment is the edges plus one self-row per root
+    e.select(col("src").as("id"), col("dst").as("component"))
+      .union(e.select(col("dst").as("id"), col("dst").as("component")).distinct())
+  }
+
+  /** Dedup resolution over a full corpus: assign every doc its near-dup
+    * component (docs in no pair are their own singleton component) and
+    * flag the ONE canonical doc to keep per component — the doc
+    * maximizing `prefer` (e.g. `length($"text")`, a quality score), ties
+    * broken toward the SMALLEST id so the choice is deterministic.
+    *
+    * The canonical pick is a `max_by(id, struct(prefer, -id))` hash
+    * aggregate — partial aggregation on the map side, so a pathological
+    * million-doc component costs a wide agg, never a single-task window
+    * (the `row_number over (partition by component)` idiom this
+    * deliberately avoids).
+    *
+    * Returns (id, component, is_canonical) for EVERY doc in `docs`.
+    */
+  def dedupResolve(docs: DataFrame, idCol: String, prefer: Column,
+                   pairs: DataFrame, aCol: String, bCol: String,
+                   maxIter: Int = 50): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val assigned = docs
+      .select(col(idCol).cast("long").as("id"), prefer.as("__pref"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    val canon = assigned.groupBy(col("component"))
+      .agg(expr("max_by(id, struct(__pref, -id))").as("__canonical"))
+    assigned.join(canon, Seq("component"))
+      .select(col("id"), col("component"),
+        (col("id") === col("__canonical")).as("is_canonical"))
+  }
+
+  /** large-star: every node re-points its LARGER neighbors at the
+    * minimum of its neighborhood (including itself). Emitted edges
+    * (v, m) keep the big→small invariant because v > u ≥ m.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src"), least(col("__mn"), col("src")).as("__m"))
+    sym.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+      .distinct()
+  }
+
+  /** small-star: every node links its SMALLER-or-equal neighbors (and
+    * itself) to the minimum among them. Output re-canonicalized — the
+    * emitted (neighbor, min) pairs have no fixed order between them.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+    val j = e.join(mins, "src")
+    j.select(col("dst").as("a"), col("__m").as("b"))
+      .union(mins.select(col("src").as("a"), col("__m").as("b")))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
+      .distinct()
+  }
+
+  /** (row count, xxhash64 sum) of the canonical edge set — the 1-row
+    * convergence fingerprint. Sum-of-hashes is order-independent; a
+    * collision would need two DIFFERENT edge sets with equal count and
+    * equal 64-bit hash sum in the SAME iteration chain — not a realistic
+    * failure mode, and the alternative (an `except` per round) is a full
+    * extra shuffle.
+    */
+  private def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+    // decimal(38,0) sum: a long sum would ANSI-overflow after ~2 edges
+    // (xxhash64 spans the full 64-bit range); 38 digits hold 10^18 edges
+    val r = e.agg(count(lit(1)),
+      sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  /** Materialize + truncate lineage: reliable checkpoint when the
+    * session has a checkpoint dir (the production setting — survives
+    * executor loss), localCheckpoint otherwise (local/test rigs; blocks
+    * are freed by [[free]] as rounds retire).
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Release a retired round's materialized blocks (checkpointed frames
+    * pin storage until GC otherwise; at 100 TB that is the cluster's
+    * whole storage memory after a few rounds).
+    */
+  private def free(df: DataFrame): Unit =
+    try df.unpersist(false) catch { case _: Throwable => () }
+}

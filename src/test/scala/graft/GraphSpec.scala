@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for [[Graph.connectedComponents]] / [[Graph.dedupResolve]]: the
+  * alternating large/small-star labels must equal a reference union-find
+  * on ANY edge set (random graphs via scalacheck), components must be
+  * labeled by their minimum id, and the canonical pick must be the
+  * (prefer desc, id asc) argmax per component with singletons canonical.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def forSamples[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
+        .foreach(body)
+    }
+
+  /** Reference: driver-side union-find with path compression. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val par = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = par.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); par(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are not min-canonical under arbitrary union order; normalize
+    val members = par.keys.toSeq.groupBy(find)
+    members.flatMap { case (_, ms) =>
+      val m = ms.min; ms.map(_ -> m)
+    }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("components equal union-find on random graphs (law)") {
+    val gen = for {
+      n <- Gen.chooseNum(2, 60)          // node-id universe
+      m <- Gen.chooseNum(1, 120)         // edge count (dups/self-loops ok)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    forSamples(gen, 12) { es =>
+      val expected = unionFind(es.filter(e => e._1 != e._2))
+      assert(run(es) === expected)
+    }
+  }
+
+  test("a 200-node path converges (worst-case diameter) and labels by min") {
+    val es = (0L until 199L).map(i => (i + 1, i))
+    val got = run(es)
+    assert(got.size === 200)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("two components + self-loops + duplicate edges") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 1L),
+                 (10L, 20L), (20L, 30L))
+    val got = run(es)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                       10L -> 10L, 20L -> 10L, 30L -> 10L))
+  }
+
+  test("empty edge set yields an empty, well-typed assignment") {
+    import spark.implicits._
+    val out = Graph.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(out.columns.toSeq === Seq("id", "component"))
+    assert(out.count() === 0)
+  }
+
+  test("non-convergence inside maxIter throws loudly, never partial labels") {
+    import spark.implicits._
+    val es = (0L until 64L).map(i => (i + 1, i)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(es, "a", "b", maxIter = 1)
+    }
+  }
+
+  test("dedupResolve keeps the longest text per component, ties to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaaa"),   // comp {1,2,3}: 2 wins (len tie 2 vs 3 → min id)
+      (7L, "zz"),                               // singleton: canonical
+      (8L, "b"), (9L, "bbb")                    // comp {8,9}: 9 wins
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Graph.dedupResolve(docs, "doc_id", length(col("text")),
+        pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (7L, 7L, true),
+      (8L, 8L, false), (9L, 8L, true)))
+  }
+
+  test("exactly one canonical per component on a random corpus (law)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 40)
+      m <- Gen.chooseNum(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1)
+      } yield (a, b))
+      lens <- Gen.listOfN(n, Gen.chooseNum(1, 8))
+    } yield (n, es, lens)
+    forSamples(gen, 8) { case (n, es, lens) =>
+      val docs = (0 until n).map(i => (i.toLong, "x" * lens(i))).toDF("doc_id", "text")
+      val pairs = es.toDF("id_a", "id_b")
+      val out = Graph.dedupResolve(docs, "doc_id", length(col("text")),
+        pairs, "id_a", "id_b").collect()
+      assert(out.length === n)                       // every doc assigned
+      val byComp = out.groupBy(_.getLong(1))
+      byComp.foreach { case (comp, rows) =>
+        val canons = rows.filter(_.getBoolean(2)).map(_.getLong(0))
+        assert(canons.length === 1, s"component $comp: $canons")
+        // the canonical is the (len desc, id asc) argmax
+        val best = rows.map(r => (lens(r.getLong(0).toInt), -r.getLong(0))).max
+        assert((lens(canons.head.toInt), -canons.head) === best)
+      }
+    }
+  }
+}
