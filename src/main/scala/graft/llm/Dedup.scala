@@ -794,12 +794,27 @@ object Dedup {
       .repartition(parallelism, col("id"))
       .select(element_at(tokens(normalizeText(col("__text"))), 1).as("block"),
         col("id"), shingles(col("__text"), n).as("grams"))
-      .where(size(col("grams")) > 0)
       .persist()
     gd.count() // eager: sizes + both exploded join sides must hit cache
     try {
-      val sz = gd.select(col("id"), size(col("grams")).cast("long").as("n"))
-      val ex = gd.select(col("block"), col("id"), explode(col("grams")).as("g"))
+      // the gram-less filter goes ON TOP of the cache, never inside `gd`:
+      // a `.where(size(grams) > 0)` below the persist gets substituted by
+      // predicate pushdown into size(shingles(__text)) > 0 and pushed
+      // BELOW the repartition — one core then runs the whole shingle
+      // pipeline over the corpus just to evaluate the filter (measured:
+      // 12 s single-task map stage at sf0.1; the cache boundary stops the
+      // pushdown and the filter costs one size() over materialized arrays)
+      val nz = gd.where(size(col("grams")) > 0)
+      val sz = nz.select(col("id"), size(col("grams")).cast("long").as("n"))
+      // EXPLICIT-width shuffle on the join key: the exploded gram rows are
+      // small in BYTES, so AQE's coalescer would fold the self-join into
+      // one post-shuffle partition — and then one core pays the join's
+      // Σ df² output fan-out (measured: 13 s single-task vs ~1 s wide at
+      // sf0.1). A user-specified partition count is exempt from AQE
+      // coalescing, and the self-join reuses this one exchange for both
+      // sides (ReusedExchange), so the width costs nothing extra.
+      val ex = nz.select(col("block"), col("id"), explode(col("grams")).as("g"))
+        .repartition(parallelism, col("block"), col("g"))
       val inter = ex.as("a").join(ex.as("b"),
           col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
             col("a.id") < col("b.id"))
@@ -861,7 +876,11 @@ object Dedup {
       val cand = minhashCandidatePairsFrom(projected, k, bands,
         jaccardThreshold = 0.0, maxBucketSize = maxBucketSize)
       val base = projected.where(size(col("hs")) > 0)
+      // explicit-width shuffle on the join key: exempt from AQE
+      // coalescing, so the Σ df² join fan-out stays parallel (the
+      // ngramJaccardPairs lesson — small shuffle BYTES, huge join OUTPUT)
       val ex = base.select(col("id"), explode(col("hs")).as("h"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, col("h"))
       val inter = ex.as("a").join(ex.as("b"),
           col("a.h") === col("b.h") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   * emission; cluster resolution is the post-processing its users run
   * downstream. Expressed here Spark-first as a first-class operator.
   */
-object Graph {
+object Graph extends org.apache.spark.internal.Logging {
 
   /** Connected components over an edge list. Returns one row per node
     * that appears in `edges`: (id, component) with `component` = the
@@ -62,11 +62,14 @@ object Graph {
     var it = 0
     var converged = fp._1 == 0L // an edgeless graph is already a (empty) star forest
     while (!converged && it < maxIter) {
+      val t0 = System.nanoTime()
       val next = truncate(smallStar(largeStar(e)))
       val nfp = fingerprint(next)
       converged = nfp == fp
       free(e)
       e = next; fp = nfp; it += 1
+      logInfo(s"connectedComponents round $it: ${nfp._1} edges, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, converged=$converged")
     }
     if (!converged) {
       free(e)
