@@ -524,45 +524,20 @@ object Dedup {
     * dedup GROUPS — the greedy pair-drop in [[minhashDedup]] is not
     * transitive (a~b, b~c keeps a and c).
     *
-    * Distributed min-label propagation: each round joins labels across
-    * edges and takes the per-node min; rounds = graph diameter (near-dup
-    * clusters are shallow — a handful). Each round ends in ONE shuffle
-    * (the groupBy) plus a bounded-size convergence count, and labels are
-    * localCheckpoint'ed so lineage stays O(1) instead of growing per
-    * round — the standard iterative-algorithm discipline at 100 TB.
-    *
-    * Runs until converged (`changed == 0`); `maxIter` is a safety cap and
-    * hitting it with changes still pending THROWS rather than returning
-    * silently-wrong labels (a chain deeper than maxIter hops would
-    * otherwise get split cluster ids with no signal).
+    * Delegates to [[graft.ops.Graph.connectedComponents]] (alternating
+    * large-star/small-star) — the round-10 unification: the original
+    * min-label propagation here converged in diameter rounds and
+    * serialized high-degree hubs through a single groupBy(node) task;
+    * the star algorithm converges in O(log n) rounds and splits hubs by
+    * construction. Labels are identical by definition (component-min
+    * id), so oracle hashes are unchanged. Hitting `maxIter` without
+    * convergence still THROWS (IllegalStateException) rather than
+    * returning silently-wrong labels.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint(true) // sever per-round lineage growth
-      changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .where(col("n.label") =!= col("o.label")).count()
-      labels = next
-      i += 1
-    }
-    edges.unpersist(false)
-    require(changed == 0,
-      s"connectedComponents did not converge after $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter; labels would be wrong")
-    labels.select(col("node"), col("label").as("cluster"))
-  }
+                          maxIter: Int = 50): DataFrame =
+    graft.ops.Graph.connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("id").as("node"), col("component").as("cluster"))
 
   /** A capped pair result with the cap's effect surfaced:
     * `droppedBuckets` counts the over-wide (band, key) buckets whose

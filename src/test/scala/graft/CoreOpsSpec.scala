@@ -221,10 +221,10 @@ class CoreOpsSpec extends AnyFunSuite {
   }
 
   test("connectedComponents raises instead of returning non-converged labels") {
-    // a 5-node chain needs ~4 propagation rounds; maxIter=1 must throw,
+    // a 5-node chain needs >1 star round; maxIter=1 must throw,
     // never silently return split clusters
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[IllegalStateException] {
       Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 1).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
