@@ -59,7 +59,9 @@ object Bench {
     "k4_ivf_append",         // per-batch incremental IVF append (round 9; LSH twin: k2_incremental_query)
     "k2_simhash_idx_build",  // simhash index write over 90% of docs (round 10; amortized once)
     "k2_simhash_query",      // 10% batch vs the simhash index (the per-batch cost)
-    "k13_dedup_resolve")     // pairs -> components -> canonical keeper (round 10; the dedup endgame)
+    "k13_dedup_resolve",     // pairs -> components -> canonical keeper (round 10; the dedup endgame)
+    "k4_pq_encode",          // PQ code-table write, map-only (round 10; amortized once)
+    "k4_pq_query")           // ADC top-k over the code table (the compressed-domain scan)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,6 +110,17 @@ object Bench {
       e.selectExpr("percentile(vec_id, 0.9)").head().getDouble(0).toLong
     }
     val ivfAppendPath = java.nio.file.Files.createTempDirectory("graft-bench-ivfapp").toString
+    // PQ codebooks train driver-side on the bounded sample (untimed —
+    // the amortized-once model cost, the ivfAppendBaseReady precedent);
+    // the encode/query entries time the distributed passes
+    val pqCodesPath = java.nio.file.Files.createTempDirectory("graft-bench-pqcodes").toString
+    lazy val pqModel: graft.llm.Quantization.PqModel = {
+      System.err.println("[bench] training PQ codebooks (untimed)")
+      val e = graft.core.Engine.table(spark, sfDir, "embeddings")
+      graft.llm.Quantization.pqTrain(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        "embedding", "id", m = 8, k = 16)
+    }
     lazy val ivfAppendBaseReady: Unit = {
       System.err.println("[bench] building k4_ivf_append's 90% base index (untimed)")
       val e = graft.core.Engine.table(spark, sfDir, "embeddings")
@@ -173,6 +186,23 @@ object Bench {
                 .select(col("vec_id").as("id"), col("embedding")),
               "embedding", "id", k = 5, nProbe = 4)
             .write.format("noop").mode("overwrite").save()
+        case "k4_pq_encode" =>
+          // the compressed "index" write: one map-only pass, m native
+          // argmins per row; codes land in parquet for the query entry
+          val e = graft.core.Engine.table(spark, sfDir, "embeddings")
+          graft.llm.Quantization.pqEncode(
+              e.select(col("vec_id").as("id"), col("embedding")),
+              "embedding", "id", pqModel)
+            .write.mode("overwrite").parquet(pqCodesPath)
+        case "k4_pq_query" =>
+          // ADC scan over the persisted code table — the per-query-batch
+          // cost in the compressed domain (no raw vector is read)
+          val e = graft.core.Engine.table(spark, sfDir, "embeddings")
+          graft.llm.Quantization.pqKnn(spark.read.parquet(pqCodesPath),
+              e.where(col("vec_id") < 20L)
+                .select(col("vec_id").as("id"), col("embedding")),
+              "embedding", "id", pqModel, kNN = 5)
+            .write.format("noop").mode("overwrite").save()
         case "k4_ivf_append" =>
           // dynamic overwrite of __batch=1 → every rep times identical
           // work (assign + rewrite the same partitions), no reset needed
@@ -217,6 +247,8 @@ object Bench {
     ensure("k2_simhash_idx_build", "k2_simhash_query")
     ensure("k4_ivf_build", "k4_ivf_read")
     if (selected.contains("k4_ivf_append")) ivfAppendBaseReady
+    if (selected.exists(_.startsWith("k4_pq"))) pqModel
+    ensure("k4_pq_encode", "k4_pq_query")
     if (selected.exists(_.startsWith("x2_manifest"))) manifestTableReady
     ensure("x2_manifest_build", "x2_manifest_refresh")
     ensure("x2_manifest_build", "x2_manifest_read")

@@ -3,7 +3,7 @@ package graft.contract
 import graft.core.Engine
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llm.{Clustering, Decontaminate, Dedup, Mixing, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Decontaminate, Dedup, Mixing, Multimodal, Quantization, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -367,6 +367,42 @@ object LlmQueries {
           e.where(col("vec_id") < 20L).select(col("vec_id").as("id"), col("embedding")),
           "embedding", "id", k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // K4 — product-quantized ADC KNN (round 10): codebooks trained on a
+    // deterministic bounded sample, corpus encoded to m 1-based codeword
+    // ids in one map-only pass, queries scored against the codes through
+    // per-query distance tables — the compressed-domain scan that makes
+    // a 100 TB ANN corpus a ~3 TB code table. Rows-only (float-centroid
+    // codebooks, the declared k4 exclusion class); the lossless-equality
+    // and recall laws are pinned by QuantizationSpec.
+    "k4_pq_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val model = Quantization.pqTrain(corpus, "embedding", "id", m = 8, k = 16)
+      Quantization.pqKnn(
+          Quantization.pqEncode(corpus, "embedding", "id", model),
+          e.where(col("vec_id") < 10L).select(col("vec_id").as("id"), col("embedding")),
+          "embedding", "id", model, kNN = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // K4 — the PQ tuning harness: recall k@shortlist (the FAISS-style
+    // number) of the ADC ranking against the exact L2 top-k — what
+    // (m, k) AND the rerank shortlist are sized against (the
+    // ivfRecallCurve twin for the compressed domain). One row per
+    // shortlist setting: pure ADC@k, then two rerank-sized shortlists.
+    // Rows-only.
+    "k4_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val model = Quantization.pqTrain(corpus, "embedding", "id", m = 8, k = 16)
+      val q = e.where(col("vec_id") < 10L).select(col("vec_id").as("id"), col("embedding"))
+      Seq(10, 50, 100).map { sl =>
+        Quantization.pqRecall(corpus, q, "embedding", "id", model,
+            kNN = 10, shortlist = sl)
+          .withColumn("shortlist", lit(sl))
+      }.reduce(_.unionAll(_)).orderBy(col("shortlist"))
     }),
 
     // K11/K4 — SemDeDup over a persisted IVF index: within-cell cosine

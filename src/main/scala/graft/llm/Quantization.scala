@@ -1,0 +1,272 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the compressed-codes half of the
+  * billion-scale ANN layout (Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011; the IVF-PQ composition is
+  * what FAISS/ScaNN-class systems run at 10⁹ vectors).
+  *
+  * Where IVF prunes WHICH vectors a query scans (partition-pruned cells),
+  * PQ shrinks WHAT is scanned: each vector is cut into `m` subvectors,
+  * each subvector replaced by the id of its nearest codeword in a
+  * per-subspace codebook of `k` entries — a dim×4-byte float vector
+  * becomes m small integers (dim 64 float = 256 B → 8 codes ≈ 8 B at
+  * k ≤ 256: 32×). At 100 TB of raw embeddings the PQ code table is
+  * ~3 TB — the difference between an ANN scan that reads the corpus and
+  * one that fits the hot set in cluster memory.
+  *
+  * Query-time scoring is ADC (asymmetric distance): the query stays
+  * exact; per query ONE m×k lookup table of squared distances to every
+  * codeword is precomputed, and a candidate's approximate distance is m
+  * table lookups summed — no float vector is touched during the scan.
+  *
+  * Spark-first shape:
+  *   - codebooks train DRIVER-SIDE on a deterministic bounded sample
+  *     (the [[Similarity.SeedSampleMaxRows]] discipline — PQ codebooks
+  *     are m·k·(dim/m) doubles, and training on a bounded sample is the
+  *     standard production practice at any corpus size; seeding reuses
+  *     the bit-deterministic [[Similarity.farthestPointSeeds]]);
+  *   - encoding is ONE map-only distributed pass — m native
+  *     [[graft.functions.NearestCentroid]] argmins over sliced
+  *     subvectors against a 1-row broadcast of the codebooks, zero
+  *     shuffle at any scale;
+  *   - ADC scoring is a broadcast join (queries are query-batch-small)
+  *     plus a codegen HOF over the code array — the corpus side moves
+  *     only (id, m codes) through the scan, never vectors.
+  *
+  * Float k-means centroids put the whole family in the declared
+  * rows-only oracle class (the `k4_ivf_knn` precedent); QuantizationSpec
+  * pins the exactness law instead: when every subspace has ≤ k distinct
+  * subvectors the quantizer is LOSSLESS and PQ top-k equals exact L2
+  * top-k bit-for-bit.
+  *
+  * Reference surface: debezium-incubator pipelines stop at exact
+  * similarity; compressed-domain ANN is expressed here Spark-first as
+  * the scale path its users would otherwise bolt on downstream.
+  */
+object Quantization {
+
+  /** A trained product quantizer: `codebooks(mi)(ki)` is the `ki`-th
+    * codeword (length `subDim`) of subspace `mi`. Total size is
+    * m·k·subDim doubles — always driver/broadcast-tiny (8·256·8 = 16k
+    * doubles at the canonical dim-64 setting).
+    */
+  case class PqModel(m: Int, k: Int, subDim: Int,
+                     codebooks: Seq[Seq[Seq[Double]]]) {
+    require(codebooks.length == m && codebooks.forall(_.length == k),
+      s"codebook shape must be m=$m × k=$k")
+    def dim: Int = m * subDim
+  }
+
+  /** Train per-subspace codebooks on a deterministic bounded sample
+    * (order by id, limit `trainSampleMaxRows`) — farthest-point seeds +
+    * `lloydRounds` of driver-side Lloyd per subspace. Deterministic:
+    * same corpus → bit-identical model. Empty Lloyd cells keep their
+    * previous codeword (the standard fix; deterministic).
+    *
+    * `dim % m == 0` is required — PQ needs equal slices; pad upstream if
+    * an odd dim must be quantized.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, idCol: String,
+              m: Int, k: Int, lloydRounds: Int = 3,
+              trainSampleMaxRows: Long = Similarity.SeedSampleMaxRows): PqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(m > 0 && k > 1, s"need m > 0 subspaces and k > 1 codewords: m=$m k=$k")
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id"))
+      .limit(math.min(math.max(k.toLong * m * 16, 4096L), trainSampleMaxRows).toInt)
+      .as[(Long, Seq[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "cannot train a PQ model on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0,
+      s"vector dim $dim is not divisible into m=$m equal subspaces")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { mi =>
+      val sub: Array[Seq[Float]] =
+        sample.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
+      // distinct-starved subspaces (fewer unique subvectors than k) pad
+      // by repeating the farthest-point prefix — Lloyd then collapses
+      // duplicates into identical codewords, which the first-min argmin
+      // resolves deterministically
+      var cents: Array[Array[Double]] =
+        Similarity.farthestPointSeeds(sub, k).toArray
+      for (_ <- 0 until lloydRounds) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Long](k)
+        sub.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue; var ki = 0
+          while (ki < k) {
+            var d = 0.0; var i = 0
+            while (i < subDim) { val x = cents(ki)(i) - s(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = ki } // strict < keeps FIRST min
+            ki += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += s(i); i += 1 }
+        }
+        cents = Array.tabulate(k) { ki =>
+          if (counts(ki) == 0L) cents(ki)
+          else Array.tabulate(subDim)(i => sums(ki)(i) / counts(ki))
+        }
+      }
+      cents.map(_.toSeq).toSeq
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Encode a corpus to PQ codes: (id, code) where `code` is the array
+    * of `m` 1-based codeword ids. ONE map-only pass — m fused native
+    * argmins per row against a single broadcast row carrying all
+    * codebooks; no shuffle, no vector ever leaves its scan task.
+    * (Storage note: codes are int arrays here; byte-packing them into a
+    * BinaryType column is a straight storage evolution — the scan shape
+    * does not change.)
+    */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+               model: PqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cbRow))
+      .select(col("id"), array((0 until model.m).map { mi =>
+        graft.functions.NearestCentroid(
+          slice(col("__v"), mi * model.subDim + 1, model.subDim),
+          element_at(col("__cb"), mi + 1))
+      }: _*).as("code"))
+  }
+
+  /** ADC top-k: approximate squared-L2 nearest neighbors of each query
+    * over a PQ-encoded corpus. Per query the m×k distance table to every
+    * codeword is computed ONCE (driver-side — queries are bounded like
+    * [[Similarity.bruteForceKnn]]'s broadcast side) and shipped as a
+    * flat array; a candidate's distance is then a codegen HOF summing m
+    * table lookups — the scan never touches a float vector. Ranking ties
+    * break to the smaller neighbor id; distances round to 6dp (the
+    * oracle-exactness rule). Result: (query_id, neighbor_id, adist,
+    * rank 1..kNN).
+    */
+  def pqKnn(encoded: DataFrame, queries: DataFrame, vecCol: String,
+            idCol: String, model: PqModel, kNN: Int,
+            excludeSelf: Boolean = true): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .as[(Long, Seq[Float])].collect()
+    val qTab = qs.toSeq.map { case (qid, qv) =>
+      require(qv.length == model.dim,
+        s"query dim ${qv.length} != model dim ${model.dim}")
+      val t = new Array[Double](model.m * model.k)
+      for (mi <- 0 until model.m; ki <- 0 until model.k) {
+        var d = 0.0; var i = 0
+        while (i < model.subDim) {
+          val x = model.codebooks(mi)(ki)(i) - qv(mi * model.subDim + i)
+          d += x * x; i += 1
+        }
+        t(mi * model.k + ki) = d
+      }
+      (qid, t.toSeq)
+    }.toDF("query_id", "__qt")
+    val scored = encoded.select(col("id").as("neighbor_id"), col("code"))
+      .join(broadcast(qTab),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("adist", aggregate(
+        sequence(lit(1), lit(model.m)), lit(0.0d),
+        (acc, mi) => acc + element_at(col("__qt"),
+          (mi - 1) * model.k + element_at(col("code"), mi))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNN)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adist"), 6).as("adist"), col("rank"))
+  }
+
+  /** Two-stage retrieval — the production PQ shape: ADC ranks a
+    * `shortlist` of candidates in the compressed domain (never touching
+    * a vector), then ONLY the shortlist's raw vectors are fetched and
+    * re-ranked by exact squared L2. Quantization error bounds which
+    * BLOB of near-ties makes the shortlist, not the final order — so
+    * the exact top-k survives any shortlist that covers the quantizer's
+    * resolution (the QuantizationSpec blob law). Cost: the compressed
+    * scan plus |queries|·shortlist exact distances — at 100 TB the raw
+    * corpus is read at shortlist selectivity, not scanned.
+    */
+  def pqKnnRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                  idCol: String, model: PqModel, kNN: Int,
+                  shortlist: Int): DataFrame = {
+    require(shortlist >= kNN, s"shortlist $shortlist must cover kNN $kNN")
+    val cand = pqKnn(pqEncode(corpus, vecCol, idCol, model),
+        queries, vecCol, idCol, model, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    // the shortlist is |queries|·shortlist rows — broadcast it at the
+    // raw-vector fetch so the corpus scan stays shuffle-free
+    val fetched = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("__d", exactL2)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    fetched
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNN)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__d"), 6).as("dist"), col("rank"))
+  }
+
+  /** Recall k@R (the FAISS-style tuning number): fraction of the EXACT
+    * squared-L2 top-`kNN` found inside the ADC top-`shortlist`
+    * (`shortlist` defaults to `kNN` — plain recall@k). This is what
+    * (m, k, shortlist) are sized against, exactly like
+    * [[Similarity.ivfRecallCurve]] tunes nProbe. One row:
+    * (n_queries, k, mean_recall, min_recall). The exact side breaks
+    * ties like the ADC side (distance asc, id asc) so a lossless
+    * quantizer measures exactly 1.0 (the QuantizationSpec law).
+    */
+  def pqRecall(corpus: DataFrame, queries: DataFrame, vecCol: String,
+               idCol: String, model: PqModel, kNN: Int,
+               shortlist: Int = 0): DataFrame = {
+    val approx = pqKnn(pqEncode(corpus, vecCol, idCol, model),
+      queries, vecCol, idCol, model, math.max(shortlist, kNN))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    val exact = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("__d", exactL2)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNN)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    val perQuery = exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__h"), lit(0L)).cast("double") / kNN).as("__r"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      lit(kNN).as("k"),
+      round(avg(col("__r")), 6).as("mean_recall"),
+      round(min(col("__r")), 6).as("min_recall"))
+  }
+
+  /** Exact squared L2 between `qv` and `cv` columns, element-wise in
+    * DOUBLE (not the vectors' float) so the exact side uses the same
+    * arithmetic the ADC tables use — a lossless quantizer must measure
+    * recall exactly 1.0, not 1.0-minus-float-noise.
+    */
+  private def exactL2: Column = aggregate(
+    zip_with(col("qv"), col("cv"),
+      (a, b) => (a.cast("double") - b.cast("double")) *
+        (a.cast("double") - b.cast("double"))),
+    lit(0.0d), (acc, x) => acc + x)
+}
