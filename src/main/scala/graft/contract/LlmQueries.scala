@@ -699,6 +699,19 @@ object LlmQueries {
         .orderBy(col("doc"), col("rk"))
     }),
 
+    // K7 — BM25 scored search (round 10): Okapi BM25 with the Lucene
+    // non-negative idf, per-term scores decimal-summed so the per-doc
+    // aggregate is order-independent and hash-exact vs DuckDB. Top 20
+    // docs for a fixed 3-term query, rank ties to the smaller doc id.
+    "k7_bm25_search" -> ((s, dir) => {
+      val w = Window.orderBy(col("bm25").desc, col("doc"))
+      TextAnalysis.bm25(t(s, dir, "documents"), "text", "doc_id",
+          query = Seq("spark", "join", "vector"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20)
+        .orderBy(col("rk"))
+    }),
+
     // K8 + language ID — predicted vs labeled language confusion matrix
     "k8_langid_matrix" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1404,6 +1417,29 @@ object LlmQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rk
         |      FROM scored WHERE doc < 50)
         |WHERE rk <= 3 ORDER BY doc, rk""".stripMargin),
+
+    "k7_bm25_search" -> (tokCte +
+      """, terms AS (SELECT doc_id AS doc, unnest(t) AS term FROM tk),
+        |tf AS (SELECT doc, term, COUNT(*) AS tf FROM terms GROUP BY doc, term),
+        |dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY doc),
+        |ad AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qdf AS (SELECT term, COUNT(*) AS df FROM tf
+        |        WHERE term IN ('spark', 'join', 'vector') GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT tf.doc,
+        |  CAST(ROUND(
+        |    (ln(1.0 + (n.n - CAST(qdf.df AS DOUBLE) + 0.5) / (CAST(qdf.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2))
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / ad.avgdl)), 6)
+        |    AS DECIMAL(28,6)) AS s
+        |  FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.doc = dl.doc
+        |  CROSS JOIN n CROSS JOIN ad),
+        |sc AS (SELECT doc, COUNT(*) AS n_hit_terms,
+        |       ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25 FROM s GROUP BY doc)
+        |SELECT doc, n_hit_terms, bm25, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc) AS rk FROM sc)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin),
 
     "k8_langid_matrix" -> (tokCte +
       """, sc AS (SELECT doc_id, lang,

@@ -112,6 +112,60 @@ object TextAnalysis {
       .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** K7 — BM25 scored search (Okapi BM25, the `ln(1 + (N−df+0.5)/(df+0.5))`
+    * idf form Lucene standardized on — never negative, so stopword query
+    * terms cannot subtract relevance). Scores every document containing
+    * at least one query term; docs with no hit produce no row.
+    *
+    * Shape: the postings are FILTERED to the query terms before any join
+    * (the per-query work is |postings(query)|, not the corpus), then one
+    * doc-keyed join attaches document length. The corpus-statistics side
+    * (tf/dl/avgdl/df) is the honest one-time BM25 cost — production
+    * engines persist it per corpus version exactly like the LSH/IVF
+    * index layouts here; expressing it inline keeps the operator
+    * self-contained at contract scale.
+    *
+    * Exactness discipline: each per-term score is rounded to 6dp and
+    * cast to decimal BEFORE the per-doc sum — decimal addition is
+    * order-independent, so the aggregate cannot drift with Spark's
+    * nondeterministic partial-sum order and the DuckDB oracle matches
+    * bit-for-bit (the gotchas-list rule).
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val qterms = query.distinct
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val terms = df
+      .select(col(idCol).as("doc"), explode(tokens(normalizeText(col(textCol)))).as("term"))
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf")).persist()
+    tf.count() // eager: three consumers below (dl, df, postings) hit cache
+    try {
+      val dl = tf.groupBy("doc").agg(sum(col("tf")).as("dl"))
+      val avgdl = dl.agg(avg(col("dl").cast("double")).as("__avgdl"))
+      val dfreq = tf.where(col("term").isin(qterms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      // expression structure mirrors the oracle SQL token for token —
+      // double arithmetic is order-sensitive, so both engines must
+      // evaluate the same tree
+      val idf = log(lit(1.0) +
+        (col("__n") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val termScore = (idf * (col("tf").cast("double") * lit(k1 + 1))) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1 - b) + (lit(b) * col("dl").cast("double")) / col("__avgdl")))
+      tf.where(col("term").isin(qterms: _*))
+        .join(broadcast(dfreq), Seq("term")) // |query| rows
+        .join(dl, Seq("doc"))
+        .join(broadcast(n)).join(broadcast(avgdl))
+        .withColumn("__s", round(termScore, 6).cast("decimal(28,6)"))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_hit_terms"),
+          round(sum(col("__s")).cast("double"), 6).as("bm25"))
+        .localCheckpoint(true)
+    } finally tf.unpersist(false)
+  }
+
   /** Sequence packing for training pipelines: assign documents to fixed
     * token-budget bins in a deterministic order (`orderCol`). Bin id is
     * `floor((cumulative_tokens - n_tokens) / budget)` — i.e. each doc
