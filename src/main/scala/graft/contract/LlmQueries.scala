@@ -387,6 +387,25 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // K4 — the composed IVF-PQ read (round 10): the billion-scale ANN
+    // layout end to end — nProbe nearest cells statically pruned, ADC
+    // shortlist ranked inside the pruned CODE table (compressed domain,
+    // no vector read), exact rerank of only the shortlist against the
+    // pruned vectors. Rows-only (float centroids); the equals-brute-force
+    // and stale-refusal laws are pinned by IvfPqSpec.
+    "k4_ivf_pq_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = sessionScratchDir("graft-ivfpq")
+      Similarity.ivfWriteIndex(
+        e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
+        nCells = 16, lloydRounds = 1, path = path)
+      Quantization.ivfPqWriteCodes(s, path, m = 8, k = 16)
+      Quantization.ivfPqKnn(s, path,
+          e.where(col("vec_id") < 10L).select(col("vec_id").as("id"), col("embedding")),
+          "embedding", "id", kNN = 5, nProbe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // K4 — the PQ tuning harness: recall k@shortlist (the FAISS-style
     // number) of the ADC ranking against the exact L2 top-k — what
     // (m, k) AND the rerank shortlist are sized against (the

@@ -269,4 +269,136 @@ object Quantization {
       (a, b) => (a.cast("double") - b.cast("double")) *
         (a.cast("double") - b.cast("double"))),
     lit(0.0d), (acc, x) => acc + x)
+
+  // ===================== IVF-PQ composition =====================
+  // The billion-scale layout: the IVF index prunes WHICH cells a query
+  // reads; the PQ code table makes the pruned read compressed-domain.
+  // Codes live beside the index (`pq_codes/`, partitioned by cell for
+  // the same static `isin` pruning as `vectors/`), the model beside them
+  // (`pq_model/` — m·k rows). The code table is DERIVED data: it records
+  // the `__batch` set it encoded, and a query against an index that has
+  // since been appended to or compacted REFUSES loudly (the repo's
+  // stale-layout rule) until ivfPqWriteCodes re-derives it.
+
+  /** Train a PQ model on the persisted IVF index's vectors and write the
+    * cell-partitioned code table + model beside it. One distributed
+    * map-only encode pass; re-run after appends or compaction (the
+    * refused-when-stale contract below). Returns the trained model.
+    */
+  def ivfPqWriteCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                      m: Int, k: Int, lloydRounds: Int = 3): PqModel = {
+    import spark.implicits._
+    val vecs = Similarity.ivfVectors(spark, path)
+    val model = pqTrain(vecs, "v", "id", m, k, lloydRounds)
+    val batches = vecs.select(col("__batch").cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq
+    val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
+    vecs.select(col("id"), col("cell"), col("v").as("__v"))
+      .join(broadcast(cbRow))
+      .select(col("id"), col("cell"), array((0 until model.m).map { mi =>
+        graft.functions.NearestCentroid(
+          slice(col("__v"), mi * model.subDim + 1, model.subDim),
+          element_at(col("__cb"), mi + 1))
+      }: _*).as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pq_codes")
+    val rows = for {
+      (cb, mi) <- model.codebooks.zipWithIndex
+      (c, ki) <- cb.zipWithIndex
+    } yield (model.m, model.k, model.subDim, mi, ki, c, batches)
+    rows.toDF("m", "k", "sub_dim", "mi", "ki", "c", "batches")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_model")
+    model
+  }
+
+  /** Load the persisted PQ model and the `__batch` set it encoded. */
+  def pqLoadModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (PqModel, Seq[Long]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/pq_model")
+      .select(col("m"), col("k"), col("sub_dim"), col("mi"), col("ki"), col("c"),
+        col("batches"))
+      .as[(Int, Int, Int, Int, Int, Seq[Double], Seq[Long])].collect()
+    val (m, k, subDim, _, _, _, batches) = rows.head
+    val cbs = rows.map(r => ((r._4, r._5), r._6)).toMap
+    val model = PqModel(m, k, subDim,
+      (0 until m).map(mi => (0 until k).map(ki => cbs((mi, ki)))))
+    (model, batches)
+  }
+
+  /** ANN top-k through the composed layout: probe the `nProbe` nearest
+    * cells per query (same static `isin` pruning as
+    * [[Similarity.ivfKnnPruned]]), ADC-rank a `shortlist` inside the
+    * pruned CODE table (compressed-domain — no vector read), then exact
+    * re-rank only the shortlist against the pruned `vectors/`. Refuses
+    * loudly when the code table is stale relative to the index's batch
+    * set (post-append / post-compaction) — re-run [[ivfPqWriteCodes]].
+    * Result: (query_id, neighbor_id, dist, rank 1..kNN) by exact
+    * squared L2 within the probed cells.
+    */
+  def ivfPqKnn(spark: org.apache.spark.sql.SparkSession, path: String,
+               queries: DataFrame, vecCol: String, idCol: String,
+               kNN: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    require(shortlist >= kNN, s"shortlist $shortlist must cover kNN $kNN")
+    val (model, encodedBatches) = pqLoadModel(spark, path)
+    val liveBatches = Similarity.ivfVectors(spark, path)
+      .select(col("__batch").cast("long")).distinct().as[Long].collect().sorted.toSeq
+    require(liveBatches == encodedBatches,
+      s"pq_codes at $path encoded batches $encodedBatches but the index now " +
+        s"holds $liveBatches — the code table is stale (append or compaction " +
+        "since the encode); re-run ivfPqWriteCodes")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cd").asc, col("cell").asc)
+    val probes = q.join(broadcast(centroids))
+      .withColumn("__cd",
+        graft.functions.VectorFunctions.squaredDistance(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cells = probes.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    // ADC tables per query, driver-built like pqKnn (queries are bounded)
+    val qTab = q.as[(Long, Seq[Float])].collect().toSeq.map { case (qid, qv) =>
+      require(qv.length == model.dim,
+        s"query dim ${qv.length} != model dim ${model.dim}")
+      val t = new Array[Double](model.m * model.k)
+      for (mi <- 0 until model.m; ki <- 0 until model.k) {
+        var d = 0.0; var i = 0
+        while (i < model.subDim) {
+          val x = model.codebooks(mi)(ki)(i) - qv(mi * model.subDim + i)
+          d += x * x; i += 1
+        }
+        t(mi * model.k + ki) = d
+      }
+      (qid, t.toSeq)
+    }.toDF("query_id", "__qt")
+    val probeTab = probes.join(qTab, Seq("query_id")) // both broadcast-tiny
+    val codes = spark.read.parquet(s"$path/pq_codes")
+      .where(col("cell").isin(cells: _*)) // static partition pruning
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val cand = codes.select(col("id").as("neighbor_id"), col("cell"), col("code"))
+      .join(broadcast(probeTab), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", aggregate(
+        sequence(lit(1), lit(model.m)), lit(0.0d),
+        (acc, mi) => acc + element_at(col("__qt"),
+          (mi - 1) * model.k + element_at(col("code"), mi))))
+      .withColumn("rn", row_number().over(wa))
+      .where(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val pruned = Similarity.ivfVectors(spark, path)
+      .where(col("cell").isin(cells: _*))
+      .select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    pruned.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("__d", exactL2)
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= kNN)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__d"), 6).as("dist"), col("rank"))
+  }
 }

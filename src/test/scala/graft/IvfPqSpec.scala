@@ -1,0 +1,90 @@
+package graft
+
+import graft.llm.{Quantization, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the composed IVF-PQ layout: partition-pruned cells + ADC
+  * shortlist + exact rerank must reproduce brute force when the probe
+  * covers the corpus, and the derived code table must refuse loudly the
+  * moment the index moves under it.
+  */
+class IvfPqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 5 well-separated blobs (the IVF operating regime), dim 16
+  private def blobCorpus() = {
+    val rnd = new scala.util.Random(23)
+    val centers = Seq.fill(5)(Seq.fill(16)(rnd.between(-40.0f, 40.0f)))
+    (0 until 300).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + rnd.between(-1.0f, 1.0f)))
+    }.toDF("id", "v")
+  }
+
+  private def bruteL2(rows: org.apache.spark.sql.DataFrame,
+                      queries: org.apache.spark.sql.DataFrame,
+                      kNN: Int): Set[(Long, Long, Int)] = {
+    val corpus = rows.select(col("id"), col("v")).as[(Long, Seq[Float])].collect()
+    val qs = queries.select(col("id"), col("v")).as[(Long, Seq[Float])].collect()
+    qs.flatMap { case (qid, qv) =>
+      corpus.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (nid, qv.indices.map(i => (qv(i).toDouble - nv(i).toDouble) *
+            (qv(i).toDouble - nv(i).toDouble)).sum)
+        }
+        .sortBy { case (nid, d) => (d, nid) }
+        .take(kNN).zipWithIndex
+        .map { case ((nid, _), r) => (qid, nid, r + 1) }
+    }.toSet
+  }
+
+  test("full-probe IVF-PQ equals brute force; pruned probe stays in-blob exact") {
+    val rows = blobCorpus()
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfWriteIndex(rows, "v", "id", nCells = 5, lloydRounds = 2, path = path)
+    val model = Quantization.ivfPqWriteCodes(spark, path, m = 4, k = 8)
+    assert(model.dim === 16)
+    val queries = rows.where(col("id") < 5L)
+    // probe EVERY cell with a blob-sized shortlist -> the two-stage read
+    // must equal brute force row for row
+    val full = Quantization.ivfPqKnn(spark, path, queries, "v", "id",
+        kNN = 5, nProbe = 5, shortlist = 60)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full === bruteL2(rows, queries, 5))
+    // nProbe=1 on well-separated blobs: the query's own cell holds its
+    // true neighbors, so the pruned read is STILL exactly brute force
+    val pruned = Quantization.ivfPqKnn(spark, path, queries, "v", "id",
+        kNN = 5, nProbe = 1, shortlist = 60)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pruned === full)
+  }
+
+  test("a stale code table refuses loudly after an append") {
+    val rows = blobCorpus()
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-stale").toString
+    Similarity.ivfWriteIndex(rows.where(col("id") < 250L), "v", "id",
+      nCells = 5, lloydRounds = 1, path = path)
+    Quantization.ivfPqWriteCodes(spark, path, m = 4, k = 8)
+    Similarity.ivfAppendBatch(spark, path,
+      rows.where(col("id") >= 250L), "v", "id", batchId = 1L)
+    val queries = rows.where(col("id") < 3L)
+    val ex = intercept[IllegalArgumentException] {
+      Quantization.ivfPqKnn(spark, path, queries, "v", "id",
+        kNN = 5, nProbe = 5, shortlist = 30)
+    }
+    assert(ex.getMessage.contains("stale"))
+    // re-deriving the codes heals it: the full-probe read over the
+    // appended index must equal brute force over base ∪ appended — which
+    // proves the appended batch is in the candidate universe
+    Quantization.ivfPqWriteCodes(spark, path, m = 4, k = 8)
+    val out = Quantization.ivfPqKnn(spark, path, queries, "v", "id",
+        kNN = 5, nProbe = 5, shortlist = 300)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === bruteL2(rows, queries, 5))
+  }
+}
