@@ -61,7 +61,10 @@ object Bench {
     "k2_simhash_query",      // 10% batch vs the simhash index (the per-batch cost)
     "k13_dedup_resolve",     // pairs -> components -> canonical keeper (round 10; the dedup endgame)
     "k4_pq_encode",          // PQ code-table write, map-only (round 10; amortized once)
-    "k4_pq_query")           // ADC top-k over the code table (the compressed-domain scan)
+    "k4_pq_query",           // ADC top-k over the code table (the compressed-domain scan)
+    "k4_ivf_pq_encode",      // cell-partitioned code table beside the IVF index (amortized once)
+    "k4_ivf_pq_read",        // the composed two-axis read: cell prune -> ADC shortlist -> exact rerank
+    "k7_bm25_search")        // BM25 scored search over the corpus (round 10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -203,6 +206,23 @@ object Bench {
                 .select(col("vec_id").as("id"), col("embedding")),
               "embedding", "id", pqModel, kNN = 5)
             .write.format("noop").mode("overwrite").save()
+        case "k4_ivf_pq_encode" =>
+          // train + cell-partitioned encode of the shared k4 index —
+          // overwrite-idempotent, so every rep times identical work;
+          // runs AFTER k4_ivf_build in list order, so the index under
+          // it is the freshly (re)built one and the stale-batch guard
+          // sees a consistent layout
+          graft.llm.Quantization.ivfPqWriteCodes(spark, ivfPath, m = 8, k = 16)
+        case "k4_ivf_pq_read" =>
+          // the composed per-query cost: static cell pruning, ADC
+          // shortlist inside the pruned CODE table, exact rerank at
+          // shortlist selectivity only — no un-pruned vector read
+          val e = graft.core.Engine.table(spark, sfDir, "embeddings")
+          graft.llm.Quantization.ivfPqKnn(spark, ivfPath,
+              e.where(col("vec_id") < 20L)
+                .select(col("vec_id").as("id"), col("embedding")),
+              "embedding", "id", kNN = 5, nProbe = 4, shortlist = 50)
+            .write.format("noop").mode("overwrite").save()
         case "k4_ivf_append" =>
           // dynamic overwrite of __batch=1 → every rep times identical
           // work (assign + rewrite the same partitions), no reset needed
@@ -236,8 +256,11 @@ object Bench {
     // the read-side entries depend on their build twins; when a filter
     // selects a read without its build, build untimed so the read still
     // measures something real instead of erroring on a missing index
+    // a dep shared by several selected entries (k4_ivf_build under both
+    // ivf_pq entries) must build once, not once per dependent
+    val ensured = scala.collection.mutable.Set[String]()
     def ensure(dep: String, want: String): Unit =
-      if (selected.contains(want) && !selected.contains(dep)) {
+      if (selected.contains(want) && !selected.contains(dep) && ensured.add(dep)) {
         System.err.println(s"[bench] building $dep (untimed) for $want")
         runOnce(dep)
       }
@@ -249,6 +272,9 @@ object Bench {
     if (selected.contains("k4_ivf_append")) ivfAppendBaseReady
     if (selected.exists(_.startsWith("k4_pq"))) pqModel
     ensure("k4_pq_encode", "k4_pq_query")
+    ensure("k4_ivf_build", "k4_ivf_pq_encode")
+    ensure("k4_ivf_build", "k4_ivf_pq_read")
+    ensure("k4_ivf_pq_encode", "k4_ivf_pq_read")
     if (selected.exists(_.startsWith("x2_manifest"))) manifestTableReady
     ensure("x2_manifest_build", "x2_manifest_refresh")
     ensure("x2_manifest_build", "x2_manifest_read")

@@ -722,12 +722,17 @@ object LlmQueries {
     // non-negative idf, per-term scores decimal-summed so the per-doc
     // aggregate is order-independent and hash-exact vs DuckDB. Top 20
     // docs for a fixed 3-term query, rank ties to the smaller doc id.
+    // The top-20 cut happens via orderBy+limit (TakeOrdered: per-
+    // partition top-k, driver merge — never a corpus-sized global
+    // window); the rank column is then minted over the bounded 20-row
+    // frame, whose single-partition exchange moves 20 rows, not the
+    // corpus.
     "k7_bm25_search" -> ((s, dir) => {
       val w = Window.orderBy(col("bm25").desc, col("doc"))
       TextAnalysis.bm25(t(s, dir, "documents"), "text", "doc_id",
           query = Seq("spark", "join", "vector"))
+        .orderBy(col("bm25").desc, col("doc")).limit(20)
         .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 20)
         .orderBy(col("rk"))
     }),
 

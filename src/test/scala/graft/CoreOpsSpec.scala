@@ -666,7 +666,13 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
   // the 1-ROW corpus count into the DAG as a condition-free broadcast
   private val bnljOk = Set("d4_cross_join", "d5_theta_join",
     "k9_neardup_bruteforce", "k4_knn_bruteforce", "k7_tfidf_top_terms",
-    "m3_multimodal_retrieval") // bounded query batch vs feature scan
+    "m3_multimodal_retrieval", // bounded query batch vs feature scan
+    // PQ: the codebook rides as a condition-free 1-ROW broadcast (the
+    // assignCells transport shape) and the per-query ADC tables join
+    // non-equi (self-exclusion) as a bounded query batch — both
+    // documented-safe; k4_pq_recall's exact side is the same bounded
+    // brute-force shape as k4_knn_bruteforce
+    "k4_pq_knn", "k4_pq_recall")
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
@@ -674,7 +680,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
   private val singlePartitionOk = Set(
     "k5_sequence_packing", "e4_sketch_merge", "g3_limit_offset",
     "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms",
-    "j12_funnel") // three 1-row stage counts
+    "j12_funnel", // three 1-row stage counts
+    "k4_pq_recall", // 1-row recall summary per shortlist setting
+    "k7_bm25_search") // rank window over the post-limit 20-row frame
   // queries that execute work at construction time (streams, index
   // writes, eager cached pipelines, file roundtrips) — audited by their
   // own dedicated plan specs instead of this blanket pass
@@ -688,7 +696,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k2_streaming_ingest_dedup", // two-drain MemoryStream replay + index writes
     "k10_streaming_decontaminate", // two-drain MemoryStream replay + partitioned writes
     "k4_ivf_knn", "k4_ivf_drift", "b9_schema_drift", "g8_sample",
-    "k8_stratified_sample", "e4_sketch_merge")
+    "k8_stratified_sample", "e4_sketch_merge",
+    "k4_ivf_pq_knn") // writes index + code table at construction; IvfPqSpec audits
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries
