@@ -424,6 +424,36 @@ object LlmQueries {
       }.reduce(_.unionAll(_)).orderBy(col("shortlist"))
     }),
 
+    // K4 — the PQ append lifecycle (round 10): base index + codes over
+    // the first 80% of ids, the remainder appended via ivfAppendBatch
+    // and append-ENCODED with the frozen codebooks (O(batch), dynamic
+    // overwrite — no full re-encode). Returns the per-batch audit
+    // joining vector coverage against code coverage: equal row counts
+    // per __batch IS the liveness invariant ivfPqKnn's guard enforces.
+    // Rows-only (float-centroid cells + codebooks, the declared k4
+    // exclusion class); append parity, replay idempotence and the
+    // crash-window refusal are pinned by IvfPqSpec.
+    "k4_ivf_pq_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = sessionScratchDir("graft-ivfpqapp")
+      val split = e.agg((max(col("vec_id")) * lit(0.8)).cast("long")).head().getLong(0)
+      Similarity.ivfWriteIndex(
+        e.where(col("vec_id") < split)
+          .select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", "id", nCells = 8, lloydRounds = 1, path = path)
+      Quantization.ivfPqWriteCodes(s, path, m = 8, k = 16)
+      Similarity.ivfAppendBatch(s, path,
+        e.where(col("vec_id") >= split).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", batchId = 1L)
+      Quantization.ivfPqAppendCodes(s, path, batchId = 1L)
+      val codes = s.read.parquet(s"$path/pq_codes")
+        .groupBy(col("__batch")).agg(count(lit(1)).as("n_codes"))
+      s.read.parquet(s"$path/vectors")
+        .groupBy(col("__batch")).agg(count(lit(1)).as("n_vectors"))
+        .join(codes, Seq("__batch"), "full_outer")
+        .orderBy(col("__batch"))
+    }),
+
     // K11/K4 — SemDeDup over a persisted IVF index: within-cell cosine
     // pairs from the write-once partitionBy(cell) layout — the amortized
     // dedup shape (no re-clustering per pass). Rows-only (float-centroid
@@ -734,6 +764,44 @@ object LlmQueries {
         .orderBy(col("bm25").desc, col("doc")).limit(20)
         .withColumn("rk", row_number().over(w))
         .orderBy(col("rk"))
+    }),
+
+    // K7 — hybrid retrieval (round 10): reciprocal-rank fusion (RRF,
+    // k0=60) of the lexical BM25 leg and a dense cosine leg over the
+    // aligned embeddings table (doc_id = vec_id by construction of the
+    // test corpus). Each leg takes its top-30 via orderBy+limit
+    // (TakeOrdered — per-partition top-k, never a corpus-sized global
+    // window) and mints ranks over the bounded post-limit frame; the
+    // fusion join and final top-10 touch ≤60 rows. RRF on RANKS (not
+    // scores) is what makes the fusion scale-free: the two legs'
+    // score distributions never need calibrating. Missing legs
+    // contribute 0 (the standard RRF convention), ties to the smaller
+    // doc id. Hash-exact: ranks are ints, the reciprocal sum is one
+    // fixed-shape double expression rounded at 8dp on both sides.
+    "k7_hybrid_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val wl = Window.orderBy(col("bm25").desc, col("doc"))
+      val lex = TextAnalysis.bm25(t(s, dir, "documents"), "text", "doc_id",
+          query = Seq("spark", "join", "vector"))
+        .orderBy(col("bm25").desc, col("doc")).limit(30)
+        .select(col("doc").as("id"), row_number().over(wl).as("r_lex"))
+      val qv = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val wd = Window.orderBy(col("cos").desc, col("id"))
+      val dense = e.where(col("vec_id") =!= 0L)
+        .join(broadcast(qv)) // 1-row condition-free broadcast (the k4 shape)
+        .select(col("vec_id").as("id"),
+          VectorFunctions.cosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("id")).limit(30)
+        .select(col("id"), row_number().over(wd).as("r_dense"))
+      val wr = Window.orderBy(col("rrf").desc, col("id"))
+      lex.join(dense, Seq("id"), "full_outer")
+        .select(col("id"), col("r_lex"), col("r_dense"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)), 8)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id")).limit(10)
+        .withColumn("rank", row_number().over(wr))
+        .orderBy(col("rank"))
     }),
 
     // K8 + language ID — predicted vs labeled language confusion matrix
@@ -1464,6 +1532,44 @@ object LlmQueries {
         |SELECT doc, n_hit_terms, bm25, CAST(rk AS INTEGER) AS rk
         |FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc) AS rk FROM sc)
         |WHERE rk <= 20 ORDER BY rk""".stripMargin),
+
+    // RRF hybrid fusion: the bm25 CTE chain verbatim for the lexical
+    // leg, the k4 duckCosine for the dense leg, reciprocal ranks summed
+    // in one fixed-shape double expression (missing leg -> 0)
+    "k7_hybrid_search" -> (tokCte +
+      s""", terms AS (SELECT doc_id AS doc, unnest(t) AS term FROM tk),
+         |tf AS (SELECT doc, term, COUNT(*) AS tf FROM terms GROUP BY doc, term),
+         |dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY doc),
+         |ad AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |qdf AS (SELECT term, COUNT(*) AS df FROM tf
+         |        WHERE term IN ('spark', 'join', 'vector') GROUP BY term),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |sterm AS (SELECT tf.doc,
+         |  CAST(ROUND(
+         |    (ln(1.0 + (n.n - CAST(qdf.df AS DOUBLE) + 0.5) / (CAST(qdf.df AS DOUBLE) + 0.5))
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2))
+         |    / (CAST(tf.tf AS DOUBLE)
+         |       + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / ad.avgdl)), 6)
+         |    AS DECIMAL(28,6)) AS s
+         |  FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.doc = dl.doc
+         |  CROSS JOIN n CROSS JOIN ad),
+         |sc AS (SELECT doc, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25 FROM sterm GROUP BY doc),
+         |lex AS (SELECT doc AS id,
+         |        CAST(row_number() OVER (ORDER BY bm25 DESC, doc) AS INTEGER) AS r_lex
+         |        FROM sc QUALIFY r_lex <= 30),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |dns AS (SELECT vec_id AS id, ${duckCosine("embedding", "q")} AS cos
+         |        FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+         |dense AS (SELECT id,
+         |        CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS r_dense
+         |        FROM dns QUALIFY r_dense <= 30),
+         |f AS (SELECT COALESCE(lex.id, dense.id) AS id, r_lex, r_dense,
+         |      ROUND(COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+         |          + COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0), 8) AS rrf
+         |      FROM lex FULL OUTER JOIN dense ON lex.id = dense.id)
+         |SELECT id, r_lex, r_dense, rrf,
+         |       CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank
+         |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin),
 
     "k8_langid_matrix" -> (tokCte +
       """, sc AS (SELECT doc_id, lang,

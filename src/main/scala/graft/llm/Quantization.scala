@@ -292,21 +292,91 @@ object Quantization {
     val model = pqTrain(vecs, "v", "id", m, k, lloydRounds)
     val batches = vecs.select(col("__batch").cast("long")).distinct()
       .as[Long].collect().sorted.toSeq
+    writeCodes(vecs, model, path, dynamic = false)
+    writeModelSidecar(spark, model, batches, path)
+    model
+  }
+
+  /** Encode the selected index vectors with `model`'s frozen codebooks
+    * and land them under `pq_codes/cell=<c>/__batch=<b>/` — the same
+    * cell-static-pruning + per-batch-replay layout as the vectors
+    * themselves. `dynamic` overwrites only the written partitions (the
+    * append path); a full write replaces the table.
+    */
+  private def writeCodes(vecs: DataFrame, model: PqModel, path: String,
+                         dynamic: Boolean): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
-    vecs.select(col("id"), col("cell"), col("v").as("__v"))
+    val codes = vecs.select(col("id"), col("cell"), col("__batch"), col("v").as("__v"))
       .join(broadcast(cbRow))
-      .select(col("id"), col("cell"), array((0 until model.m).map { mi =>
+      .select(col("id"), col("cell"), col("__batch"), array((0 until model.m).map { mi =>
         graft.functions.NearestCentroid(
           slice(col("__v"), mi * model.subDim + 1, model.subDim),
           element_at(col("__cb"), mi + 1))
       }: _*).as("code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pq_codes")
+    val w = codes.write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("cell", "__batch").parquet(s"$path/pq_codes")
+  }
+
+  private def writeModelSidecar(spark: org.apache.spark.sql.SparkSession,
+                                model: PqModel, batches: Seq[Long],
+                                path: String): Unit = {
+    import spark.implicits._
     val rows = for {
       (cb, mi) <- model.codebooks.zipWithIndex
       (c, ki) <- cb.zipWithIndex
     } yield (model.m, model.k, model.subDim, mi, ki, c, batches)
     rows.toDF("m", "k", "sub_dim", "mi", "ki", "c", "batches")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_model")
+  }
+
+  /** Append-encode ONE index batch into the code table with the FROZEN
+    * codebooks — the PQ lifecycle's counterpart of
+    * [[Similarity.ivfAppendBatch]], closing the gap where every index
+    * append forced a full-corpus re-encode. Cost is O(batch): one
+    * map-only pass of m native argmins over the `__batch=batchId`
+    * partition only; dynamic overwrite of exactly that batch's code
+    * partitions makes a replayed append land on itself (the
+    * Ingest.scala replay-idempotence rule). The model sidecar's batch
+    * list is rewritten LAST — it is the commit point the
+    * [[ivfPqKnn]] liveness guard checks, so a crash between the code
+    * write and the sidecar write leaves a read surface that REFUSES
+    * loudly (never silently missing a batch) and a retry heals it.
+    *
+    * Codebooks are frozen exactly like the IVF centroids they sit
+    * under: the per-batch `drift_stats/` sidecar
+    * ([[Similarity.ivfDriftStats]]) measures the same
+    * distance-to-geometry distribution, so one rebuild trigger serves
+    * both — when drift says rebuild, `ivfWriteIndex` + a full
+    * [[ivfPqWriteCodes]] re-derive index and codes together (and after
+    * [[Similarity.ivfCompact]] collapses batch provenance the liveness
+    * guard refuses until the same full re-encode).
+    */
+  def ivfPqAppendCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                       batchId: Long): PqModel = {
+    require(batchId > 0, s"batchId must be > 0 (batch 0 is the base encode): $batchId")
+    val (model, encodedBatches) = pqLoadModel(spark, path)
+    // refuse a pre-batch-layout code table rather than corrupt it:
+    // writing __batch= leaves under cell dirs whose files sit flat would
+    // break partition discovery on every future read (the ivfAppendBatch
+    // mixed-depth guard, for codes; listing is nCells-bounded)
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$path/pq_codes")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(codesRoot), s"no code table at $path — run ivfPqWriteCodes first")
+    val flatCell = fs.listStatus(codesRoot).map(_.getPath)
+      .filter(_.getName.startsWith("cell="))
+      .exists(c => !fs.listStatus(c).exists(_.getPath.getName.startsWith("__batch=")))
+    require(!flatCell,
+      s"$codesRoot is not the batch-partitioned layout (pre-append code table): " +
+        "re-derive it with ivfPqWriteCodes before appending")
+    val batch = Similarity.ivfVectors(spark, path)
+      .where(col("__batch") === batchId)
+    require(!batch.isEmpty,
+      s"no __batch=$batchId in the index at $path — run ivfAppendBatch first")
+    writeCodes(batch, model, path, dynamic = true)
+    writeModelSidecar(spark, model, (encodedBatches :+ batchId).distinct.sorted, path)
     model
   }
 

@@ -672,7 +672,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // non-equi (self-exclusion) as a bounded query batch — both
     // documented-safe; k4_pq_recall's exact side is the same bounded
     // brute-force shape as k4_knn_bruteforce
-    "k4_pq_knn", "k4_pq_recall")
+    "k4_pq_knn", "k4_pq_recall",
+    "k7_hybrid_search") // dense leg: 1-row query-vector broadcast
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
@@ -682,7 +683,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms",
     "j12_funnel", // three 1-row stage counts
     "k4_pq_recall", // 1-row recall summary per shortlist setting
-    "k7_bm25_search") // rank window over the post-limit 20-row frame
+    "k7_bm25_search", // rank window over the post-limit 20-row frame
+    "k7_hybrid_search") // leg ranks + fusion over post-limit <=30-row frames
   // queries that execute work at construction time (streams, index
   // writes, eager cached pipelines, file roundtrips) — audited by their
   // own dedicated plan specs instead of this blanket pass
@@ -697,7 +699,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k10_streaming_decontaminate", // two-drain MemoryStream replay + partitioned writes
     "k4_ivf_knn", "k4_ivf_drift", "b9_schema_drift", "g8_sample",
     "k8_stratified_sample", "e4_sketch_merge",
-    "k4_ivf_pq_knn") // writes index + code table at construction; IvfPqSpec audits
+    "k4_ivf_pq_knn", // writes index + code table at construction; IvfPqSpec audits
+    "k4_ivf_pq_append") // index build + append + two encodes at construction
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries

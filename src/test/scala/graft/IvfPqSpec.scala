@@ -87,4 +87,51 @@ class IvfPqSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(out === bruteL2(rows, queries, 5))
   }
+
+  test("append-encode: O(batch) codes equal a frozen-model encode, replay idempotent") {
+    val rows = blobCorpus()
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    Similarity.ivfWriteIndex(rows.where(col("id") < 250L), "v", "id",
+      nCells = 5, lloydRounds = 1, path = path)
+    val model = Quantization.ivfPqWriteCodes(spark, path, m = 4, k = 8)
+    // appending codes for a batch the index does not hold refuses
+    val missing = intercept[IllegalArgumentException] {
+      Quantization.ivfPqAppendCodes(spark, path, batchId = 7L)
+    }
+    assert(missing.getMessage.contains("ivfAppendBatch"))
+    Similarity.ivfAppendBatch(spark, path,
+      rows.where(col("id") >= 250L), "v", "id", batchId = 1L)
+    // the crash-window surface: index appended, codes not yet — the read
+    // REFUSES (never silently misses the batch) until append-codes lands
+    val queries = rows.where(col("id") < 3L)
+    intercept[IllegalArgumentException] {
+      Quantization.ivfPqKnn(spark, path, queries, "v", "id",
+        kNN = 5, nProbe = 5, shortlist = 300)
+    }
+    Quantization.ivfPqAppendCodes(spark, path, batchId = 1L)
+    // the healed read covers the appended rows exactly
+    val out = Quantization.ivfPqKnn(spark, path, queries, "v", "id",
+        kNN = 5, nProbe = 5, shortlist = 300)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === bruteL2(rows, queries, 5))
+    // parity: the appended partition's codes are EXACTLY what encoding
+    // the batch with the frozen model yields (no retrain drift)
+    def batchCodes() = spark.read.parquet(s"$path/pq_codes")
+      .where(col("__batch") === 1L).select(col("id"), col("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val appended = batchCodes()
+    val expected = Quantization.pqEncode(
+        rows.where(col("id") >= 250L), "v", "id", model)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(appended === expected)
+    // replay: the same append lands on itself (dynamic overwrite), the
+    // model's batch list stays deduplicated, the read keeps working
+    Quantization.ivfPqAppendCodes(spark, path, batchId = 1L)
+    assert(batchCodes() === expected)
+    val (_, batches) = Quantization.pqLoadModel(spark, path)
+    assert(batches === Seq(0L, 1L))
+    assert(Quantization.ivfPqKnn(spark, path, queries, "v", "id",
+      kNN = 5, nProbe = 5, shortlist = 300).count() === 15L)
+  }
 }
