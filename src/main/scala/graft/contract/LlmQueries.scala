@@ -529,6 +529,47 @@ object LlmQueries {
         .orderBy(col("__batch"))
     }),
 
+    // K4/K9 — STREAMING IVF-PQ maintenance (▶): base index + base codes
+    // over the first 80% of ids, the rest arriving as two MemoryStream
+    // batches through foreachBatchIvfPqAppend — each micro-batch appends
+    // vectors AND append-encodes its codes with the frozen codebooks, so
+    // the compressed read surface follows the stream. Returns the
+    // per-batch vector-vs-code coverage audit (equal counts per __batch
+    // IS the ivfPqKnn liveness invariant, held through the stream).
+    // Rows-only (float cells + codebooks); wrapper halves are each
+    // spec-pinned (IvfPqSpec, IvfAppendSpec).
+    "k4_streaming_ivf_pq_append" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val e = t(s, dir, "embeddings")
+      val split = e.agg((max(col("vec_id")) * lit(0.8)).cast("long")).head().getLong(0)
+      val mid = e.agg((max(col("vec_id")) * lit(0.9)).cast("long")).head().getLong(0)
+      val path = freshScratchDir("graft-ivfpqstr")
+      val ckpt = freshScratchDir("graft-ivfpqstr-ckpt")
+      Similarity.ivfWriteIndex(
+        e.where(col("vec_id") < split)
+          .select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", "id", nCells = 8, lloydRounds = 1, path = path)
+      Quantization.ivfPqWriteCodes(s, path, m = 8, k = 16)
+      val rest = e.where(col("vec_id") >= split)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchIvfPqAppend(
+          src.toDS().toDF("vec_id", "embedding"), path, ckpt, "embedding", "vec_id")
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < mid).toSeq); drain()
+      src.addData(rest.filter(_._1 >= mid).toSeq); drain()
+      val codes = s.read.parquet(s"$path/pq_codes")
+        .groupBy(col("__batch")).agg(count(lit(1)).as("n_codes"))
+      s.read.parquet(s"$path/vectors")
+        .groupBy(col("__batch")).agg(count(lit(1)).as("n_vectors"))
+        .join(codes, Seq("__batch"), "full_outer")
+        .orderBy(col("__batch"))
+    }),
+
     // K4 — the IVF tuning harness: recall@k vs the exact brute-force
     // ground truth as nProbe sweeps 1 → nCells. At nProbe = nCells the
     // probe set covers every cell, so the last row's recall is exactly

@@ -290,8 +290,7 @@ object Quantization {
     import spark.implicits._
     val vecs = Similarity.ivfVectors(spark, path)
     val model = pqTrain(vecs, "v", "id", m, k, lloydRounds)
-    val batches = vecs.select(col("__batch").cast("long")).distinct()
-      .as[Long].collect().sorted.toSeq
+    val batches = Similarity.ivfLiveBatches(spark, path)
     writeCodes(vecs, model, path, dynamic = false)
     writeModelSidecar(spark, model, batches, path)
     model
@@ -371,10 +370,12 @@ object Quantization {
     require(!flatCell,
       s"$codesRoot is not the batch-partitioned layout (pre-append code table): " +
         "re-derive it with ivfPqWriteCodes before appending")
+    // existence from partition-directory names — no probe job; a batch
+    // dir exists iff ivfAppendBatch landed rows for it
+    require(Similarity.ivfLiveBatches(spark, path).contains(batchId),
+      s"no __batch=$batchId in the index at $path — run ivfAppendBatch first")
     val batch = Similarity.ivfVectors(spark, path)
       .where(col("__batch") === batchId)
-    require(!batch.isEmpty,
-      s"no __batch=$batchId in the index at $path — run ivfAppendBatch first")
     writeCodes(batch, model, path, dynamic = true)
     writeModelSidecar(spark, model, (encodedBatches :+ batchId).distinct.sorted, path)
     model
@@ -411,8 +412,8 @@ object Quantization {
     import spark.implicits._
     require(shortlist >= kNN, s"shortlist $shortlist must cover kNN $kNN")
     val (model, encodedBatches) = pqLoadModel(spark, path)
-    val liveBatches = Similarity.ivfVectors(spark, path)
-      .select(col("__batch").cast("long")).distinct().as[Long].collect().sorted.toSeq
+    // liveness from partition-directory names — no Spark job per read
+    val liveBatches = Similarity.ivfLiveBatches(spark, path)
     require(liveBatches == encodedBatches,
       s"pq_codes at $path encoded batches $encodedBatches but the index now " +
         s"holds $liveBatches — the code table is stale (append or compaction " +

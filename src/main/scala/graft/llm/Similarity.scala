@@ -325,6 +325,29 @@ object Similarity {
   def ivfVectors(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(ivfVectorsDir(spark, path))
 
+  /** The index's live `__batch` set, read from the partition DIRECTORY
+    * names — nCells-bounded FS listings, no Spark job (a batch partition
+    * directory exists iff the batch landed rows: dynamic overwrite never
+    * writes empty partitions). The metadata entry point for liveness
+    * guards ([[graft.llm.Quantization.ivfPqKnn]]) that would otherwise
+    * pay a distinct-scan job per read.
+    */
+  def ivfLiveBatches(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Seq[Long] = {
+    val fs = ivfFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(ivfVectorsDir(spark, path))
+    val batches = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(c => fs.listStatus(c).map(_.getPath.getName)
+        .filter(_.startsWith("__batch="))
+        .map(_.stripPrefix("__batch=").toLong))
+      .distinct.sorted.toSeq
+    require(batches.nonEmpty,
+      s"$root holds no __batch= partitions (pre-append flat layout?) — " +
+        "rebuild it with ivfWriteIndex")
+    batches
+  }
+
   /** (Re)write `cell_stats/` — (cell, n) per `__batch` — from the
     * persisted vectors. `dynamicOnly = false` clears stale stats from a
     * previous index generation (the base-build path).

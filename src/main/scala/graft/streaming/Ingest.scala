@@ -155,6 +155,36 @@ object Ingest {
       }
       .start()
 
+  /** [[foreachBatchIvfAppend]] for an IVF-PQ index: every micro-batch is
+    * appended to the vectors AND append-encoded into the code table with
+    * the frozen codebooks ([[graft.llm.Quantization.ivfPqAppendCodes]]),
+    * so the compressed-domain read surface follows the stream without
+    * full re-encodes. Attach only to an index whose base codes exist
+    * (`ivfPqWriteCodes` after the base build). Both halves are
+    * replay-idempotent dynamic overwrites of the micro-batch's own
+    * partitions; a crash BETWEEN them leaves `ivfPqKnn` refusing loudly
+    * (stale code table — never a silently missing batch) and the
+    * checkpointed replay of the same micro-batch heals it. Same lineage
+    * rules as the other streaming index maintainers: one (indexPath,
+    * checkpointDir) pair per lineage, ids unique across the stream,
+    * deterministic-replay source.
+    */
+  def foreachBatchIvfPqAppend(embeddings: DataFrame, indexPath: String,
+                              checkpointDir: String, vecCol: String, idCol: String,
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    embeddings.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        graft.llm.Similarity.ivfAppendBatch(s, indexPath, batch,
+          vecCol, idCol, batchId = id + 1)
+        graft.llm.Quantization.ivfPqAppendCodes(s, indexPath, batchId = id + 1)
+        ()
+      }
+      .start()
+
   /** Attach incremental simhash-index appends to a streaming frame of
     * documents — the third member of the streaming index-maintenance
     * family ([[foreachBatchIngestDedup]] for LSH, [[foreachBatchIvfAppend]]

@@ -700,7 +700,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k4_ivf_knn", "k4_ivf_drift", "b9_schema_drift", "g8_sample",
     "k8_stratified_sample", "e4_sketch_merge",
     "k4_ivf_pq_knn", // writes index + code table at construction; IvfPqSpec audits
-    "k4_ivf_pq_append") // index build + append + two encodes at construction
+    "k4_ivf_pq_append", // index build + append + two encodes at construction
+    "k4_streaming_ivf_pq_append") // two-drain MemoryStream + index/code writes
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries
