@@ -118,6 +118,19 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K1 substring form (round 10) — maximal duplicated token spans:
+    // every 3-gram window occurring >= 5 times corpus-wide, chained per
+    // document into maximal spans by the gaps-and-islands window. The
+    // df pass covers the WHOLE corpus; only the reported slice is
+    // bounded (doc_id < 50). Hash-exact: md5-prefix gram longs + pure
+    // int window arithmetic on both sides.
+    "k1_duplicated_spans" -> ((s, dir) => {
+      Dedup.duplicatedNgramSpans(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, minDf = 5L)
+        .where(col("doc_id") < 50L)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // K2 — MinHash signature portability (first 4 components)
     "k2_minhash_signature" -> ((s, dir) => {
       val sh = shingles(col("text"), 3)
@@ -1124,6 +1137,38 @@ object LlmQueries {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
         |  MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    // positional md5-prefix gram hashes -> corpus-wide df -> per-doc
+    // gaps-and-islands (chain while the start gap <= n) — the
+    // duplicatedNgramSpans math token for token
+    "k1_duplicated_spans" -> (tokCte + {
+      val P = graft.functions.TextFunctions.MinhashP
+      s""", g AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN []
+         |       ELSE list_transform(range(0, len(t) - 2),
+         |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+         |  FROM tk),
+         |pg AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos, grams FROM g),
+         |ph AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    i -> (strpos('0123456789abcdef',
+         |           substr(md5(grams[CAST(pos + 1 AS INTEGER)]), CAST(i AS INTEGER), 1)) - 1)
+         |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+         |  FROM pg),
+         |dup AS (SELECT h FROM ph GROUP BY h HAVING COUNT(*) >= 5),
+         |hits AS (SELECT doc_id, pos FROM ph JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+         |       THEN 0 ELSE 1 END AS brk FROM hits),
+         |sp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM isl),
+         |agg AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
+         |  COUNT(*) AS n_dup_grams FROM sp GROUP BY doc_id, span)
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_tokens, n_dup_grams
+         |FROM agg WHERE doc_id < 50
+         |ORDER BY doc_id, span_start""".stripMargin
+    }),
 
     "k1_exact_dedup_survivors" ->
       """SELECT lang, COUNT(*) AS n FROM (

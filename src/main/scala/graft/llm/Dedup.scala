@@ -71,6 +71,61 @@ object Dedup {
       .groupBy(col("__h").as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
 
+  /** K1 substring form — duplicated-SPAN detection, the relational
+    * re-expression of the exact-substring-dedup recipe from the public
+    * training-data writeups (suffix-array substring dedup): find every
+    * maximal token span whose n-gram windows each occur at least `minDf`
+    * times corpus-wide (all occurrences count, including repeats within
+    * one document — the substring-dedup semantic). Downstream either
+    * drops the spans from the text or drops documents dominated by them.
+    *
+    * Shape at 100 TB: one codegen'd positional gram-hash pass (md5-prefix
+    * longs — 8 bytes per gram, the Decontaminate/MinHash representation,
+    * and the reason a SQL oracle reproduces the set bit-for-bit), ONE
+    * shuffle on the hash for corpus-wide df, one equi-join back (hash
+    * shuffle — the df side is corpus-derived, so it is never broadcast),
+    * then a per-document gaps-and-islands window: hits at starts p and q
+    * chain into one span while q - p <= n (their [p, p+n-1] coverages
+    * overlap or abut). Returns (doc_id, span_start, span_end,
+    * span_tokens, n_dup_grams) with token indices 0-based inclusive,
+    * eagerly materialized (localCheckpoint) so the positional gram cache
+    * can be released before the caller composes further.
+    */
+  def duplicatedNgramSpans(df: DataFrame, textCol: String, idCol: String,
+                           n: Int, minDf: Long = 2L): DataFrame = {
+    require(n >= 2, s"span grams need n >= 2: $n")
+    require(minDf >= 2L, s"minDf < 2 would mark every gram duplicated: $minDf")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val grams = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(normalizeText(col("__text"))).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(shingleHashes(ngrams(col("__toks"), n))))
+      .withColumnRenamed("col", "gh")
+      .persist()
+    try {
+      grams.count() // two consumers below (df agg + hit join) hit cache
+      val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= minDf)
+      val hits = grams.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      hits
+        .withColumn("__brk",
+          when(col("pos") - lag(col("pos"), 1).over(wd) <= n, lit(0))
+            .otherwise(lit(1))) // null gap (first hit) starts a span
+        .withColumn("__span", sum(col("__brk")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("__span"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + lit(n - 1)).as("span_end"),
+          count(lit(1)).as("n_dup_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + lit(1)).as("span_tokens"),
+          col("n_dup_grams"))
+        .localCheckpoint(true)
+    } finally grams.unpersist(false)
+  }
+
   /** K2 — MinHash/LSH near-duplicate candidate pairs.
     *
     * shingle (distinct word n-grams) → k-component MinHash signature (pure

@@ -279,6 +279,25 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(viaPart.nonEmpty)
   }
 
+  test("duplicatedNgramSpans: maximal cross-doc spans, islands split at gap > n") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two alpha beta gamma delta seven eight"),
+      (2L, "totally unique words here nine ten"),
+      // shares "alpha beta gamma" (p0) and "beta gamma delta" (p7) with
+      // gap 7 > n=3 → two separate spans, not one
+      (3L, "alpha beta gamma x y z q beta gamma delta")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedNgramSpans(docs, "text", "doc_id", n = 3, minDf = 2L)
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(spans === Set(
+      (0L, 0, 3, 4, 2L), // "alpha beta gamma delta": grams at 0,1 chain
+      (1L, 2, 5, 4, 2L), // the same run, offset by the prefix
+      (3L, 0, 2, 3, 1L),
+      (3L, 7, 9, 3, 1L)))
+  }
+
   test("simhashPairs finds identical docs at distance 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "unrelated content entirely")).toDF("id", "text")
