@@ -64,7 +64,8 @@ object Bench {
     "k4_pq_query",           // ADC top-k over the code table (the compressed-domain scan)
     "k4_ivf_pq_encode",      // cell-partitioned code table beside the IVF index (amortized once)
     "k4_ivf_pq_read",        // the composed two-axis read: cell prune -> ADC shortlist -> exact rerank
-    "k7_bm25_search")        // BM25 scored search over the corpus (round 10)
+    "k7_bm25_search",        // BM25 scored search over the corpus (round 10)
+    "k1_duplicated_spans")   // substring-dedup span pipeline: positional grams + df + islands
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

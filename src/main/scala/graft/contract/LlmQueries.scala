@@ -131,6 +131,16 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // K1 substring form — the per-doc duplication profile over the same
+    // span chain: dup-token count and fraction per document (zeros when
+    // span-free), the threshold input for the drop/trim policy.
+    "k1_duplication_stats" -> ((s, dir) => {
+      Dedup.duplicationStats(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, minDf = 5L)
+        .where(col("doc_id") < 50L)
+        .orderBy(col("doc_id"))
+    }),
+
     // K2 — MinHash signature portability (first 4 components)
     "k2_minhash_signature" -> ((s, dir) => {
       val sh = shingles(col("text"), 3)
@@ -1141,34 +1151,27 @@ object LlmQueries {
     // positional md5-prefix gram hashes -> corpus-wide df -> per-doc
     // gaps-and-islands (chain while the start gap <= n) — the
     // duplicatedNgramSpans math token for token
-    "k1_duplicated_spans" -> (tokCte + {
-      val P = graft.functions.TextFunctions.MinhashP
-      s""", g AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 3 THEN []
-         |       ELSE list_transform(range(0, len(t) - 2),
-         |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
-         |  FROM tk),
-         |pg AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos, grams FROM g),
-         |ph AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-         |  CAST(list_sum(list_transform(range(1, 9),
-         |    i -> (strpos('0123456789abcdef',
-         |           substr(md5(grams[CAST(pos + 1 AS INTEGER)]), CAST(i AS INTEGER), 1)) - 1)
-         |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
-         |  FROM pg),
-         |dup AS (SELECT h FROM ph GROUP BY h HAVING COUNT(*) >= 5),
-         |hits AS (SELECT doc_id, pos FROM ph JOIN dup USING (h)),
-         |isl AS (SELECT doc_id, pos,
-         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
-         |       THEN 0 ELSE 1 END AS brk FROM hits),
-         |sp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM isl),
-         |agg AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
-         |  COUNT(*) AS n_dup_grams FROM sp GROUP BY doc_id, span)
-         |SELECT doc_id, span_start, span_end,
-         |  span_end - span_start + 1 AS span_tokens, n_dup_grams
-         |FROM agg WHERE doc_id < 50
-         |ORDER BY doc_id, span_start""".stripMargin
-    }),
+    "k1_duplicated_spans" -> (tokCte + dupSpanCtes +
+      """
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_tokens, n_dup_grams
+        |FROM spanagg WHERE doc_id < 50
+        |ORDER BY doc_id, span_start""".stripMargin),
+
+    // the span chain aggregated per doc against its token count — the
+    // duplicationStats drop/trim decision input
+    "k1_duplication_stats" -> (tokCte + dupSpanCtes +
+      """,
+        |pd AS (SELECT doc_id,
+        |  CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+        |  FROM spanagg GROUP BY doc_id)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CASE WHEN len(tk.t) > 0
+        |       THEN ROUND(CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / len(tk.t), 6)
+        |       ELSE 0.0 END AS dup_fraction
+        |FROM tk LEFT JOIN pd USING (doc_id)
+        |WHERE tk.doc_id < 50 ORDER BY tk.doc_id""".stripMargin),
 
     "k1_exact_dedup_survivors" ->
       """SELECT lang, COUNT(*) AS n FROM (
@@ -1837,6 +1840,37 @@ object LlmQueries {
     * hashes, so a (deterministic, engine-identical) prefix collision
     * changes both sides equally.
     */
+  /** Shared DuckDB closure for the K1 substring-span family: positional
+    * 3-gram md5-prefix hashes, corpus-wide df >= 5, per-doc
+    * gaps-and-islands — ends in `spanagg(doc_id, span_start, span_end,
+    * n_dup_grams)`, the [[graft.llm.Dedup.duplicatedNgramSpans]] math
+    * token for token (n = 3, minDf = 5).
+    */
+  private def dupSpanCtes: String = {
+    val P = graft.functions.TextFunctions.MinhashP
+    s""", g AS (SELECT doc_id,
+       |  CASE WHEN len(t) < 3 THEN []
+       |       ELSE list_transform(range(0, len(t) - 2),
+       |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+       |  FROM tk),
+       |pg AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos, grams FROM g),
+       |ph AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+       |  CAST(list_sum(list_transform(range(1, 9),
+       |    i -> (strpos('0123456789abcdef',
+       |           substr(md5(grams[CAST(pos + 1 AS INTEGER)]), CAST(i AS INTEGER), 1)) - 1)
+       |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+       |  FROM pg),
+       |dup AS (SELECT h FROM ph GROUP BY h HAVING COUNT(*) >= 5),
+       |hits AS (SELECT doc_id, pos FROM ph JOIN dup USING (h)),
+       |isl AS (SELECT doc_id, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+       |       THEN 0 ELSE 1 END AS brk FROM hits),
+       |sp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM isl),
+       |spanagg AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
+       |  COUNT(*) AS n_dup_grams FROM sp GROUP BY doc_id, span)""".stripMargin
+  }
+
   private def decontamCtes: String = {
     val P = graft.functions.TextFunctions.MinhashP
     s""", gr AS (SELECT doc_id,

@@ -126,6 +126,28 @@ object Dedup {
     } finally grams.unpersist(false)
   }
 
+  /** Per-document duplication profile from [[duplicatedNgramSpans]]:
+    * (doc_id, n_tokens, dup_tokens, dup_fraction). Spans within a doc are
+    * disjoint by construction (maximal islands), so their token sum IS
+    * the duplicated token count; docs with no spans report zeros. This is
+    * the drop/trim decision input — drop when dup_fraction exceeds the
+    * policy threshold, else trim the spans.
+    */
+  def duplicationStats(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, minDf: Long = 2L): DataFrame = {
+    val perDoc = duplicatedNgramSpans(df, textCol, idCol, n, minDf)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(tokens(normalizeText(col(textCol)))).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        round(when(col("n_tokens") > 0,
+            col("dup_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("dup_fraction"))
+  }
+
   /** K2 — MinHash/LSH near-duplicate candidate pairs.
     *
     * shingle (distinct word n-grams) → k-component MinHash signature (pure
