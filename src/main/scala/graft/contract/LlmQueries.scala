@@ -258,6 +258,19 @@ object LlmQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // K2 — the simhash tuning harness (round 10): precision of the
+    // banded candidate join and the recall cost of the bucket cap, on
+    // the bounded doc_id < 300 sample (the documented harness usage —
+    // tune on a sample, run the pipeline at scale). Ground truth is the
+    // UNCAPPED banded join (complete by pigeonhole), so the oracle
+    // models the whole thing exactly: 16-bit signatures, 4-bit band
+    // keys, width-capped buckets, integer counts.
+    "k2_simhash_quality" -> ((s, dir) => {
+      Dedup.simhashQualityMetrics(
+        t(s, dir, "documents").where(col("doc_id") < 300L), "text", "doc_id",
+        bits = 16, maxHamming = 3, maxBucketSize = 25)
+    }),
+
     // K2 — n-gram Jaccard near-dup pairs (first-token blocking)
     "k2_ngram_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -1280,6 +1293,50 @@ object LlmQueries {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(2.0 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // the signature + banding chain on the doc_id < 300 sample, bucket
+    // widths capped at 25 exactly like capOverWideBuckets, uncapped
+    // join as the pigeonhole-complete truth — the simhashQualityMetrics
+    // counts and ratios bit for bit
+    "k2_simhash_quality" -> (tokCte +
+      """, tok AS (SELECT doc_id, unnest(t) AS w FROM tk WHERE doc_id < 300),
+        |h AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) AS th
+        |  FROM tok),
+        |bits AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN CAST(floor(th / (2.0 ** j)) AS BIGINT) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+        |sg AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(2.0 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, j AS band,
+        |  CAST(floor(sig / (2.0 ** (j * 4))) AS BIGINT) % 16 AS key
+        |  FROM sg CROSS JOIN range(4) r(j)),
+        |widths AS (SELECT band, key, COUNT(*) AS bw FROM banded GROUP BY band, key),
+        |keep AS (SELECT band, key FROM widths WHERE bw <= 25),
+        |cb AS (SELECT b.* FROM banded b JOIN keep USING (band, key)),
+        |truthc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM cb a JOIN cb b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |m AS (SELECT
+        |  CAST((SELECT COUNT(*) FROM truthc WHERE hamming <= 3) AS BIGINT) AS n_true,
+        |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+        |  CAST((SELECT COUNT(*) FROM cand WHERE hamming <= 3) AS BIGINT) AS n_hit,
+        |  CAST((SELECT COUNT(*) FROM widths WHERE bw > 25) AS BIGINT) AS dropped_buckets)
+        |SELECT n_true, n_candidates, n_hit, dropped_buckets,
+        |  CASE WHEN n_candidates = 0 THEN NULL
+        |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_candidates, 6) END AS precision,
+        |  CASE WHEN n_true = 0 THEN NULL
+        |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall
+        |FROM m""".stripMargin),
 
     // the k2_simhash signature chain, then 4-bit band keys (16 bits /
     // (maxHamming 3 + 1) bands — the pigeonhole split), a corpus×batch

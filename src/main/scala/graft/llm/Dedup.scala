@@ -678,6 +678,62 @@ object Dedup {
     } finally banded.unpersist(false)
   }
 
+  /** Quality harness for the simhash banding — the invariant-5 symmetry
+    * completing the tuning-harness family (LSH: [[lshQualityMetrics]];
+    * IVF: `ivfRecallCurve`): precision of the (band, key) candidate join
+    * and the recall COST of the over-wide-bucket cap, on a bounded
+    * sample. Ground truth needs NO cross join: two signatures within
+    * `maxHamming` share at least one of the maxHamming+1 bands exactly
+    * (the pigeonhole split), so the UNCAPPED banded join is a complete
+    * candidate universe and its Hamming-verified pairs ARE the truth
+    * set. One row: (n_true, n_candidates, n_hit, dropped_buckets,
+    * precision, recall) where candidates/hits come from the CAPPED
+    * pipeline — recall < 1 is exactly the pair mass the cap dropped
+    * (route those buckets through exact dedup, the documented policy)
+    * and precision is the band-collision verification waste the
+    * (bits, maxHamming) choice is tuned against.
+    */
+  def simhashQualityMetrics(df: DataFrame, textCol: String, idCol: String,
+                            bits: Int = 32, maxHamming: Int = 3,
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val banded = simhashBandedRows(df, textCol, idCol, bits, maxHamming).persist()
+    try {
+      banded.count() // width probe + all join sides read the cache
+      def candPairs(buckets: DataFrame): DataFrame = {
+        val a = buckets.as("a"); val b = buckets.as("b")
+        a.join(b,
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
+          .dropDuplicates("id_a", "id_b")
+      }
+      val uRow = candPairs(banded)
+        .agg(count(lit(1)).as("ncu"),
+          count(when(col("hamming") <= maxHamming, 1)).as("nt")).head()
+      val (nCandUncapped, nTrue) = (uRow.getLong(0), uRow.getLong(1))
+      val (capped, dropped) = capOverWideBuckets(banded, maxBucketSize,
+        "simhashQualityMetrics")
+      // nothing dropped → the capped join IS the uncapped one; skip it
+      val (nCand, nHit) =
+        if (dropped == 0L) (nCandUncapped, nTrue)
+        else {
+          val cRow = candPairs(capped)
+            .agg(count(lit(1)).as("nc"),
+              count(when(col("hamming") <= maxHamming, 1)).as("nh")).head()
+          (cRow.getLong(0), cRow.getLong(1))
+        }
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((nTrue, nCand, nHit, dropped))
+        .toDF("n_true", "n_candidates", "n_hit", "dropped_buckets")
+        .withColumn("precision", when(col("n_candidates") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_candidates"), 6)))
+        .withColumn("recall", when(col("n_true") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_true"), 6)))
+    } finally banded.unpersist(false)
+  }
+
   /** The banded simhash rows (id, sig, band, key) — zero shuffle after
     * an input spread; the sub-band split is the pigeonhole guarantee
     * (two docs within hamming distance d share at least one of d+1
