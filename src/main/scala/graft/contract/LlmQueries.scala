@@ -131,6 +131,15 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // K1 substring form — the trim arm: rebuild text with duplicated
+    // spans removed; string-exact against the oracle's rebuild.
+    "k1_span_trimmed" -> ((s, dir) => {
+      Dedup.trimDuplicatedSpans(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, minDf = 5L)
+        .where(col("doc_id") < 50L)
+        .orderBy(col("doc_id"))
+    }),
+
     // K1 substring form — the per-doc duplication profile over the same
     // span chain: dup-token count and fraction per document (zeros when
     // span-free), the threshold input for the drop/trim policy.
@@ -1170,6 +1179,25 @@ object LlmQueries {
         |  span_end - span_start + 1 AS span_tokens, n_dup_grams
         |FROM spanagg WHERE doc_id < 50
         |ORDER BY doc_id, span_start""".stripMargin),
+
+    // the span chain as per-doc (start, end) lists, then a token-index
+    // filter rebuild — trimDuplicatedSpans string for string
+    "k1_span_trimmed" -> (tokCte + dupSpanCtes +
+      """,
+        |docspans AS (SELECT doc_id,
+        |  LIST(struct_pack(a := span_start, b := span_end)) AS spans
+        |  FROM spanagg GROUP BY doc_id)
+        |SELECT tk.doc_id,
+        |  COALESCE(array_to_string(
+        |    list_filter(
+        |      list_transform(range(0, len(tk.t)),
+        |        i -> CASE WHEN ds.spans IS NULL
+        |                    OR len(list_filter(ds.spans,
+        |                         s -> i >= s.a AND i <= s.b)) = 0
+        |             THEN tk.t[CAST(i + 1 AS INTEGER)] END),
+        |      x -> x IS NOT NULL), ' '), '') AS trimmed_text
+        |FROM tk LEFT JOIN docspans ds USING (doc_id)
+        |WHERE tk.doc_id < 50 ORDER BY tk.doc_id""".stripMargin),
 
     // the span chain aggregated per doc against its token count — the
     // duplicationStats drop/trim decision input

@@ -678,6 +678,30 @@ object Dedup {
     } finally banded.unpersist(false)
   }
 
+  /** The TRIM arm of the drop-or-trim policy over
+    * [[duplicatedNgramSpans]]: rebuild each document's text with every
+    * duplicated span's tokens removed, remainder re-joined by single
+    * spaces (the tokenizer's own normalization, so trimming is
+    * idempotent modulo newly-exposed duplicate junctions). Span
+    * membership is an `exists` over the doc's (start, end) list — spans
+    * are disjoint and per-doc few, so the check is a codegen'd HOF, not
+    * a join blowup; docs without spans pass through whole.
+    */
+  def trimDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                          n: Int, minDf: Long = 2L): DataFrame = {
+    val spans = duplicatedNgramSpans(df, textCol, idCol, n, minDf)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.select(col(idCol).as("doc_id"), tokens(normalizeText(col(textCol))).as("__t"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        concat_ws(" ",
+          filter(col("__t"), (_, i) =>
+            coalesce(!exists(col("__spans"), s =>
+              i >= s("span_start") && i <= s("span_end")), lit(true))))
+          .as("trimmed_text"))
+  }
+
   /** Quality harness for the simhash banding — the invariant-5 symmetry
     * completing the tuning-harness family (LSH: [[lshQualityMetrics]];
     * IVF: `ivfRecallCurve`): precision of the (band, key) candidate join
