@@ -65,7 +65,9 @@ object Bench {
     "k4_ivf_pq_encode",      // cell-partitioned code table beside the IVF index (amortized once)
     "k4_ivf_pq_read",        // the composed two-axis read: cell prune -> ADC shortlist -> exact rerank
     "k7_bm25_search",        // BM25 scored search over the corpus (round 10)
-    "k1_duplicated_spans")   // substring-dedup span pipeline: positional grams + df + islands
+    "k1_duplicated_spans",   // substring-dedup span pipeline: positional grams + df + islands
+    "x3_bloom_build",        // per-file bloom sidecar write (amortized once)
+    "x3_bloom_read")         // point lookup through the bloom (min/max can't prune it)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -207,6 +209,13 @@ object Bench {
                 .select(col("vec_id").as("id"), col("embedding")),
               "embedding", "id", pqModel, kNN = 5)
             .write.format("noop").mode("overwrite").save()
+        case "x3_bloom_build" =>
+          graft.ops.Manifest.writeBloom(spark, manifestTable, "o_orderkey")
+        case "x3_bloom_read" =>
+          // the table is range-clustered by DATE, so this key lookup is
+          // exactly the case min/max skipping cannot touch
+          graft.ops.Manifest.bloomRead(spark, manifestTable, "o_orderkey", lit(999L))
+            .write.format("noop").mode("overwrite").save()
         case "k4_ivf_pq_encode" =>
           // train + cell-partitioned encode of the shared k4 index —
           // overwrite-idempotent, so every rep times identical work;
@@ -276,7 +285,9 @@ object Bench {
     ensure("k4_ivf_build", "k4_ivf_pq_encode")
     ensure("k4_ivf_build", "k4_ivf_pq_read")
     ensure("k4_ivf_pq_encode", "k4_ivf_pq_read")
-    if (selected.exists(_.startsWith("x2_manifest"))) manifestTableReady
+    if (selected.exists(n => n.startsWith("x2_manifest") || n.startsWith("x3_bloom")))
+      manifestTableReady
+    ensure("x3_bloom_build", "x3_bloom_read")
     ensure("x2_manifest_build", "x2_manifest_refresh")
     ensure("x2_manifest_build", "x2_manifest_read")
     ensure("x2_manifest_build", "x2_manifest_read_trusted")

@@ -159,6 +159,25 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // x3 — Bloom file skipping (round 10): the table is clustered by
+    // DATE, so a point lookup on o_orderkey gets no help from min/max
+    // (every file's key range spans the table) — the per-file Bloom
+    // sidecar is what prunes it. Must agree exactly with the plain
+    // full-scan equality filter; ManifestSpec pins that the pruning
+    // actually bites (files scanned << files total) and the staleness
+    // fallback.
+    "x3_bloom_point_read" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(out)
+      graft.ops.Manifest.writeBloom(s, out, "o_orderkey")
+      graft.ops.Manifest.bloomRead(s, out, "o_orderkey", lit(999L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"))
+        .orderBy(col("o_orderkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -255,5 +274,10 @@ object ExtraQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x3_bloom_point_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey = 999 ORDER BY o_orderkey""".stripMargin)
 }

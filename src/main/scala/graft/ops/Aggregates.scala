@@ -52,6 +52,54 @@ object Aggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
+  /** Kirsch–Mitzenmacher double hashing over one 64-bit input hash:
+    * position i = h + i·h2 mod numBits, h2 derived and forced ODD so the
+    * i-sequence cycles the whole bit space. Shared by [[BloomFilterAgg]]
+    * and every probe ([[Manifest.bloomRead]]) — build and query MUST
+    * agree bit for bit or membership silently breaks.
+    */
+  def bloomPos(h: Long, i: Int, numBits: Int): Int = {
+    val h2 = (java.lang.Long.rotateLeft(h, 27) * 0x9E3779B97F4A7C15L) | 1L
+    val g = h + i.toLong * h2
+    (((g % numBits) + numBits) % numBits).toInt
+  }
+
+  /** Fixed-width Bloom filter over PRE-HASHED (`xxhash64`) values — the
+    * file-skipping aggregate: the buffer is a flat bit array mutated in
+    * place (O(k) per row, zero allocation), merge is bitwise OR, so
+    * partial aggregation applies and the shuffle carries ONE
+    * numBits/8-byte buffer per group (file), never rows. 131072 bits =
+    * 16 KB ≈ 1.5% false positives at 20k distinct values per file.
+    */
+  class BloomFilterAgg(val numBits: Int, val numHashes: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numBits > 0 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64: $numBits")
+    require(numHashes > 0, s"numHashes must be > 0: $numHashes")
+    override def zero: Array[Long] = new Array[Long](numBits / 64)
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < numHashes) {
+        val p = bloomPos(h, i, numBits)
+        buf(p >>> 6) |= 1L << (p & 63)
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   def geometricMeanUdaf = udaf(GeometricMean)
   def elementwiseMinUdaf(width: Int) = udaf(new ElementwiseMin(width))
+  def bloomFilterUdaf(numBits: Int, numHashes: Int) =
+    udaf(new BloomFilterAgg(numBits, numHashes), Encoders.scalaLong)
 }

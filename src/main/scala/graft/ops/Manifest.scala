@@ -184,6 +184,77 @@ object Manifest {
     * (new files invisible, vanished files fail the scan) instead of
     * detecting the drift — only declare immutable what is immutable.
     */
+  private def bloomDir(c: String): String = s"${ManifestDir}_bloom_$c"
+
+  /** Per-file BLOOM sidecar for point lookups on `c` — the skipping tool
+    * where min/max cannot bite: a high-cardinality key spread across
+    * every file (id lookups on a table clustered by something else) has
+    * file-spanning [min, max] ranges, but its per-file Bloom filter
+    * answers "could this file hold value v" in one bit probe. One
+    * codegen'd pass + one map-side-combined shuffle whose payload is ONE
+    * 16 KB buffer per file ([[Aggregates.BloomFilterAgg]]); the sidecar
+    * is nFiles × numBits/8 bytes beside the min/max manifest, hidden
+    * from table scans by the `_` prefix.
+    */
+  def writeBloom(spark: SparkSession, tablePath: String, c: String,
+                 numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    val agg = Aggregates.bloomFilterUdaf(numBits, numHashes)
+    spark.read.parquet(tablePath)
+      .select(input_file_name().as("file"), xxhash64(col(c)).as("__h"))
+      .groupBy(col("file"))
+      .agg(agg(col("__h")).as("bloom"), count(lit(1)).as("n_rows"))
+      .withColumn("num_bits", lit(numBits))
+      .withColumn("num_hashes", lit(numHashes))
+      .coalesce(1) // one row per data file
+      .write.mode("overwrite").parquet(s"$tablePath/${bloomDir(c)}")
+    spark.read.parquet(s"$tablePath/${bloomDir(c)}")
+  }
+
+  /** Point-lookup read through the Bloom sidecar: scan only the files
+    * whose filter MIGHT hold `value`, then apply the exact equality —
+    * semantically equal to the plain full-scan filter (a Bloom false
+    * positive costs one extra file scan, never a wrong row; a true
+    * negative is guaranteed by construction). The membership test runs
+    * INSIDE the sidecar scan as k codegen'd bit probes (the k positions
+    * are derived from the probe value driver-side — no UDF, no collect
+    * of non-matching files), so driver state is bounded by MATCHING
+    * files. Staleness mirrors [[prunedRead]]: the table listing is
+    * diffed against the sidecar's file set and any drift falls back to
+    * the full scan — stale can cost speed, never rows; `trustBloom`
+    * skips the listing for declared-immutable tables.
+    */
+  def bloomRead(spark: SparkSession, tablePath: String, c: String,
+                value: Column, trustBloom: Boolean = false): DataFrame = {
+    val side = s"$tablePath/${bloomDir(c)}"
+    val bl = spark.read.parquet(side)
+    if (!trustBloom) {
+      val known = bl.select(col("file")).collect()
+        .map(r => normalizePath(r.getString(0))).toSet
+      val current = listDataFiles(spark, tablePath).map(normalizePath).toSet
+      if (known != current) {
+        log.warn(s"bloom sidecar at $side is stale " +
+          s"(${(current -- known).size} unknown / ${(known -- current).size} missing " +
+          "files) — falling back to a full scan; run Manifest.writeBloom")
+        return spark.read.parquet(tablePath).where(col(c) === value)
+      }
+    }
+    val head = bl.select(col("num_bits"), col("num_hashes")).head()
+    val (numBits, numHashes) = (head.getInt(0), head.getInt(1))
+    // the probe value hashes through the SAME xxhash64 the build used —
+    // evaluated by the engine so any literal type matches its column
+    val h = spark.range(1).select(xxhash64(value).as("h")).head().getLong(0)
+    val cond = (0 until numHashes).map(i => Aggregates.bloomPos(h, i, numBits))
+      .distinct.map { p =>
+        element_at(col("bloom"), p / 64 + 1)
+          .bitwiseAND(lit(1L << (p & 63))) =!= lit(0L)
+      }.reduce(_ && _)
+    val files = bl.where(cond).select(col("file")).collect().map(_.getString(0)).toSeq
+    val base =
+      if (files.isEmpty) spark.read.parquet(tablePath).where(lit(false))
+      else spark.read.parquet(files: _*)
+    base.where(col(c) === value)
+  }
+
   def prunedRead(spark: SparkSession, tablePath: String, c: String,
                  lo: Column, hi: Column, trustManifest: Boolean = false): DataFrame = {
     val m = read(spark, tablePath)

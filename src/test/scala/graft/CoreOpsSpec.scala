@@ -883,6 +883,50 @@ class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(none.count() === 0)
   }
 
+  test("bloom sidecar prunes point lookups min/max cannot; stale sidecar falls back") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom-spec").toString
+    val orders = core.Engine.table(spark, TestSpark.sf, "orders")
+    // clustered by DATE: every file's o_orderkey range spans the table,
+    // so min/max skipping is useless for a key point lookup — the case
+    // the bloom sidecar exists for
+    orders.repartitionByRange(6, col("o_orderdate")).write.mode("overwrite").parquet(out)
+    val bl = graft.ops.Manifest.writeBloom(spark, out, "o_orderkey")
+    assert(bl.count() === 6)
+    assert(bl.agg(sum(col("n_rows"))).head.getLong(0) === orders.count())
+
+    def viaBloom(k: Long) = graft.ops.Manifest
+      .bloomRead(spark, out, "o_orderkey", lit(k))
+      .select(col("o_orderkey"), col("o_custkey")).collect().toSeq
+    def fullScan(k: Long) = spark.read.parquet(out)
+      .where(col("o_orderkey") === k)
+      .select(col("o_orderkey"), col("o_custkey")).collect().toSeq
+    assert(viaBloom(999L) === fullScan(999L))
+    assert(viaBloom(999L).nonEmpty)
+    // a key outside the domain: every bloom answers "definitely not"
+    // with overwhelming probability at 17-bit filters — but never a
+    // wrong row either way; equality with the full scan is the contract
+    assert(viaBloom(-12345L) === fullScan(-12345L))
+
+    // the pruning BITES: the key lives in one file; with 5 probes into
+    // 2^17 bits the chance a second file false-positives is ~1e-9, so
+    // the sidecar must keep at most 2 of 6 files (1 real + fp slack)
+    val h = spark.range(1)
+      .select(xxhash64(lit(999L)).as("h")).head().getLong(0)
+    val head = bl.select(col("num_bits"), col("num_hashes")).head()
+    val cond = (0 until head.getInt(1))
+      .map(i => graft.ops.Aggregates.bloomPos(h, i, head.getInt(0)))
+      .distinct.map { p =>
+        element_at(col("bloom"), p / 64 + 1)
+          .bitwiseAND(lit(1L << (p & 63))) =!= lit(0L)
+      }.reduce(_ && _)
+    assert(bl.where(cond).count() <= 2)
+
+    // stale sidecar (appended files) → full-scan fallback, never lost rows
+    orders.where(col("o_orderkey") === 42L).write.mode("append").parquet(out)
+    assert(viaBloom(42L).size === fullScan(42L).size)
+    assert(viaBloom(42L).size === 2) // original row + appended copy
+  }
+
   test("stale manifest falls back to full scan; refresh is incremental and byte-identical") {
     val out = java.nio.file.Files.createTempDirectory("graft-manifest-refresh").toString
     val orders = core.Engine.table(spark, TestSpark.sf, "orders")
