@@ -210,6 +210,52 @@ object Manifest {
     spark.read.parquet(s"$tablePath/${bloomDir(c)}")
   }
 
+  /** Incremental Bloom-sidecar repair — [[refresh]]'s twin: filters are
+    * built only for files absent from the sidecar, retained rows are
+    * carried over byte-identical, rows for vanished files are dropped.
+    * Cost ∝ new files; the (numBits, numHashes) geometry is read FROM
+    * the existing sidecar so appended filters always probe-match the
+    * originals. Falls back to a full [[writeBloom]] when no sidecar
+    * exists.
+    */
+  def refreshBloom(spark: SparkSession, tablePath: String, c: String): DataFrame = {
+    val side = s"$tablePath/${bloomDir(c)}"
+    val sidePath = new org.apache.hadoop.fs.Path(side)
+    val fs = sidePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(sidePath)) return writeBloom(spark, tablePath, c)
+    val existing = spark.read.parquet(side)
+    val head = existing.select(col("num_bits"), col("num_hashes")).head()
+    val (numBits, numHashes) = (head.getInt(0), head.getInt(1))
+    val known = existing.select(col("file")).collect().map(_.getString(0))
+    val knownNorm = known.map(normalizePath).toSet
+    val current = listDataFiles(spark, tablePath)
+    val currentNorm = current.map(normalizePath).toSet
+    val newFiles = current.filterNot(f => knownNorm.contains(normalizePath(f)))
+    val removed = known.filterNot(f => currentNorm.contains(normalizePath(f)))
+    if (newFiles.isEmpty && removed.isEmpty) return existing
+    log.info(s"bloom refresh for $tablePath($c): ${newFiles.size} new, " +
+      s"${removed.size} removed of ${current.size} files")
+    val retained =
+      if (removed.isEmpty) existing
+      else existing.where(!col("file").isin(removed.toSeq: _*))
+    val agg = Aggregates.bloomFilterUdaf(numBits, numHashes)
+    val newStats =
+      if (newFiles.isEmpty) None
+      else Some(spark.read.parquet(newFiles: _*)
+        .select(input_file_name().as("file"), xxhash64(col(c)).as("__h"))
+        .groupBy(col("file"))
+        .agg(agg(col("__h")).as("bloom"), count(lit(1)).as("n_rows"))
+        .withColumn("num_bits", lit(numBits))
+        .withColumn("num_hashes", lit(numHashes)))
+    val merged = newStats.fold(retained)(retained.unionByName(_))
+      .coalesce(1)
+      // materialize BEFORE overwriting the directory the retained rows
+      // read from (the refresh rule); one row per file
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(side)
+    spark.read.parquet(side)
+  }
+
   /** Point-lookup read through the Bloom sidecar: scan only the files
     * whose filter MIGHT hold `value`, then apply the exact equality —
     * semantically equal to the plain full-scan filter (a Bloom false

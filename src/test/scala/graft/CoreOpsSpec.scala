@@ -925,6 +925,18 @@ class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
     orders.where(col("o_orderkey") === 42L).write.mode("append").parquet(out)
     assert(viaBloom(42L).size === fullScan(42L).size)
     assert(viaBloom(42L).size === 2) // original row + appended copy
+
+    // incremental repair: only the appended file gets a new filter row,
+    // the 6 original rows survive byte-identical, and the healed
+    // sidecar serves the appended row WITHOUT the fallback
+    val before = bl.collect().map(r => r.getString(r.fieldIndex("file")) -> r.toSeq).toMap
+    val bl1 = graft.ops.Manifest.refreshBloom(spark, out, "o_orderkey")
+    assert(bl1.count() === 7)
+    val after = bl1.collect().map(r => r.getString(r.fieldIndex("file")) -> r.toSeq).toMap
+    before.foreach { case (f, row) => assert(after(f) === row, s"retained row changed: $f") }
+    assert(viaBloom(42L).size === 2)
+    // idempotent when nothing changed
+    assert(graft.ops.Manifest.refreshBloom(spark, out, "o_orderkey").count() === 7)
   }
 
   test("stale manifest falls back to full scan; refresh is incremental and byte-identical") {
