@@ -134,9 +134,19 @@ object Dedup {
     * policy threshold, else trim the spans.
     */
   def duplicationStats(df: DataFrame, textCol: String, idCol: String,
-                       n: Int, minDf: Long = 2L): DataFrame = {
-    val perDoc = duplicatedNgramSpans(df, textCol, idCol, n, minDf)
-      .groupBy(col("doc_id"))
+                       n: Int, minDf: Long = 2L): DataFrame =
+    duplicationStatsFrom(df,
+      duplicatedNgramSpans(df, textCol, idCol, n, minDf), textCol, idCol)
+
+  /** [[duplicationStats]] against precomputed spans — compute
+    * [[duplicatedNgramSpans]] ONCE and feed both this and
+    * [[trimDuplicatedSpansFrom]] when a pipeline needs stats AND
+    * trimming (the Decontaminate `...AgainstGrams` rule: the expensive
+    * pass is shared, the policy arms read the checkpointed result).
+    */
+  def duplicationStatsFrom(df: DataFrame, spans: DataFrame,
+                           textCol: String, idCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id"))
       .agg(sum(col("span_tokens")).as("dup_tokens"))
     df.select(col(idCol).as("doc_id"),
         size(tokens(normalizeText(col(textCol)))).as("n_tokens"))
@@ -688,12 +698,19 @@ object Dedup {
     * a join blowup; docs without spans pass through whole.
     */
   def trimDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-                          n: Int, minDf: Long = 2L): DataFrame = {
-    val spans = duplicatedNgramSpans(df, textCol, idCol, n, minDf)
-      .groupBy(col("doc_id"))
+                          n: Int, minDf: Long = 2L): DataFrame =
+    trimDuplicatedSpansFrom(df,
+      duplicatedNgramSpans(df, textCol, idCol, n, minDf), textCol, idCol)
+
+  /** [[trimDuplicatedSpans]] against precomputed spans — see
+    * [[duplicationStatsFrom]].
+    */
+  def trimDuplicatedSpansFrom(df: DataFrame, spans: DataFrame,
+                              textCol: String, idCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     df.select(col(idCol).as("doc_id"), tokens(normalizeText(col(textCol))).as("__t"))
-      .join(spans, Seq("doc_id"), "left_outer")
+      .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         concat_ws(" ",
           filter(col("__t"), (_, i) =>
