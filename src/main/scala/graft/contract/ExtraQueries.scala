@@ -168,6 +168,24 @@ object ExtraQueries {
     // full-scan equality filter; ManifestSpec pins that the pruning
     // actually bites (files scanned << files total) and the staleness
     // fallback.
+    // x4 — crash-atomic corpus versioning (round 10): two publishes,
+    // the read serves the SECOND atomically (generation commit marker),
+    // the first stays pinned-readable. The checked result is the current
+    // version's per-lang profile + the version number — the oracle is
+    // the same aggregate over the v2 slice of documents.
+    "x4_corpus_versions" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-corpusver-q").toString
+      val docs = t(s, dir, "documents")
+      graft.ops.CorpusVersions.publish(s, out, docs.where(col("doc_id") < 300L))
+      val v2 = graft.ops.CorpusVersions.publish(s, out,
+        docs.select(col("doc_id"), col("lang"), col("n_chars")))
+      graft.ops.CorpusVersions.read(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("version", lit(v2))
+        .orderBy(col("lang"))
+    }),
+
     "x3_bloom_point_read" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
       t(s, dir, "orders")
@@ -279,5 +297,10 @@ object ExtraQueries {
     "x3_bloom_point_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(o_totalprice AS DOUBLE) AS price
-        |FROM orders WHERE o_orderkey = 999 ORDER BY o_orderkey""".stripMargin)
+        |FROM orders WHERE o_orderkey = 999 ORDER BY o_orderkey""".stripMargin,
+
+    "x4_corpus_versions" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(2 AS BIGINT) AS version
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-atomic corpus VERSIONING over [[Generations]] — dataset
+  * snapshot publishing for training-data pipelines (the Delta/Iceberg
+  * snapshot idea over plain parquet, sharing the index family's swap
+  * mechanism).
+  *
+  * Why it is its own operator: a training corpus is rebuilt (dedup
+  * rerun, decontamination refresh, new crawl folded in) while training
+  * jobs READ it, and "overwrite the directory" has no safe ordering —
+  * the same problem index compaction solved, but here the publishes ARE
+  * the write path and the version history is a product feature:
+  * reproducing a training run means pinning the exact corpus version it
+  * read. So unlike compaction, publishing never garbage-collects —
+  * every version stays readable until [[vacuumVersions]] explicitly
+  * retires it.
+  *
+  * Mechanics (all inherited from [[Generations]], kill-point-specced
+  * there): version N's data lives at `data_gen=N/`, becomes current the
+  * instant its immutable commit marker is atomically created, and
+  * readers resolve the highest committed version — a crash mid-publish
+  * leaves the previous version served, never a partial directory.
+  * Reading a never-published corpus fails loudly on the missing dir.
+  */
+object CorpusVersions {
+
+  private val Base = "data"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Publish `df` as the next version of the corpus at `path`; returns
+    * the new version number. The snapshot is fully written into its own
+    * generation directory BEFORE the one-marker commit, so readers flip
+    * from the old version to the new one atomically and a kill at any
+    * point leaves a complete corpus served.
+    */
+  def publish(spark: SparkSession, path: String, df: DataFrame): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, path)
+    val (staged, gen) = Generations.stage(fs, root, Base)
+    df.write.mode("overwrite").parquet(staged.toString)
+    Generations.commit(fs, root, Base, gen)
+    gen
+  }
+
+  /** The current version's frame. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(
+      Generations.currentDir(fsOf(spark, path), new Path(path), Base).toString)
+
+  /** A PINNED version's frame — what a reproducible training run records
+    * and re-reads. Refuses loudly when the version was never published
+    * or has been vacuumed.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    require(Generations.committedGens(fs, root, Base).contains(version),
+      s"corpus at $path has no committed version $version " +
+        s"(history: ${Generations.committedGens(fs, root, Base).mkString(",")})")
+    spark.read.parquet(Generations.genDir(root, Base, version).toString)
+  }
+
+  /** Version history, ascending: (version, is_current, dir). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    val cur = Generations.currentGen(fs, root, Base)
+    Generations.committedGens(fs, root, Base)
+      .map(g => (g, g == cur, Generations.genDir(root, Base, g).toString))
+      .toDF("version", "is_current", "dir")
+  }
+
+  /** Re-publish an old version's snapshot as the new current — roll
+    * FORWARD, one distributed copy: no marker is ever deleted on the
+    * serve path, so the rollback itself is crash-atomic and the history
+    * keeps recording what was served when. Returns the new version.
+    */
+  def rollback(spark: SparkSession, path: String, toVersion: Long): Long =
+    publish(spark, path, readVersion(spark, path, toVersion))
+
+  /** Retire history: drop all but the last `keepLast` versions (the
+    * current one is always kept). Run on the retention cadence that owns
+    * reproducibility windows — a vacuumed version's `readVersion` fails
+    * loudly thereafter.
+    */
+  def vacuumVersions(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    Generations.committedGens(fs, root, Base).dropRight(keepLast)
+      .foreach(Generations.dropGeneration(fs, root, Base, _))
+  }
+}

@@ -65,6 +65,22 @@ object Generations {
   def currentGen(fs: FileSystem, root: Path, base: String): Long =
     committed(fs, root, base).lastOption.getOrElse(0L)
 
+  /** Committed generations, ascending — the corpus-versioning history
+    * surface ([[CorpusVersions.history]]).
+    */
+  def committedGens(fs: FileSystem, root: Path, base: String): Seq[Long] =
+    committed(fs, root, base)
+
+  /** Drop ONE committed generation (marker before data, the GC ordering).
+    * Refuses the current generation — the serve path never loses its
+    * directory.
+    */
+  def dropGeneration(fs: FileSystem, root: Path, base: String, gen: Long): Unit = {
+    require(gen != currentGen(fs, root, base),
+      s"refusing to drop the CURRENT generation $gen of $base")
+    dropGen(fs, root, base, gen)
+  }
+
   /** The directory readers should scan right now. */
   def currentDir(fs: FileSystem, root: Path, base: String): Path =
     genDir(root, base, currentGen(fs, root, base))

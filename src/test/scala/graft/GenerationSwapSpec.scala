@@ -270,3 +270,55 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(post(0L)._1 === e.count(), "post-compaction baseline covers the whole corpus")
   }
 }
+
+/** Corpus versioning over the generation mechanism: publishes are
+  * atomic version flips, history stays readable for pinned reproduction
+  * until explicitly vacuumed, rollback rolls FORWARD.
+  */
+class CorpusVersionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.ops.CorpusVersions
+
+  test("publish/read/pin/rollback/vacuum lifecycle") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-corpusver").toString
+    val v1df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    val v2df = Seq((1L, "alpha"), (2L, "beta PATCHED"), (3L, "gamma")).toDF("id", "text")
+
+    assert(CorpusVersions.publish(spark, path, v1df) === 1L)
+    assert(CorpusVersions.read(spark, path).count() === 2L)
+    assert(CorpusVersions.publish(spark, path, v2df) === 2L)
+    // current flips to v2; the pinned v1 read is byte-stable
+    assert(CorpusVersions.read(spark, path).count() === 3L)
+    assert(CorpusVersions.readVersion(spark, path, 1L)
+      .orderBy(col("id")).as[(Long, String)].collect().toSeq ===
+      Seq((1L, "alpha"), (2L, "beta")))
+    val hist = CorpusVersions.history(spark, path)
+      .orderBy(col("version")).as[(Long, Boolean, String)].collect()
+    assert(hist.map(h => (h._1, h._2)).toSeq === Seq((1L, false), (2L, true)))
+
+    // rollback ROLLS FORWARD: v3 serves v1's content, history grows
+    assert(CorpusVersions.rollback(spark, path, 1L) === 3L)
+    assert(CorpusVersions.read(spark, path)
+      .orderBy(col("id")).as[(Long, String)].collect().toSeq ===
+      Seq((1L, "alpha"), (2L, "beta")))
+
+    // vacuum keeps the last 2 (v2, v3); the retired v1 refuses loudly
+    CorpusVersions.vacuumVersions(spark, path, keepLast = 2)
+    assert(CorpusVersions.history(spark, path)
+      .select(col("version")).as[Long].collect().toSeq === Seq(2L, 3L))
+    val gone = intercept[IllegalArgumentException] {
+      CorpusVersions.readVersion(spark, path, 1L)
+    }
+    assert(gone.getMessage.contains("no committed version"))
+    // current still serves after the vacuum
+    assert(CorpusVersions.read(spark, path).count() === 2L)
+
+    // an unpublished corpus reads loudly, not emptily
+    intercept[Exception] {
+      CorpusVersions.read(spark, java.nio.file.Files
+        .createTempDirectory("graft-corpusver-empty").toString).collect()
+    }
+  }
+}
