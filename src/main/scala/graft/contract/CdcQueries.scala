@@ -276,6 +276,22 @@ object CdcQueries {
         .groupBy(col("signup_id"))
         .agg(count(lit(1)).as("n_clicks"))
         .orderBy(col("signup_id"))
+    }),
+
+    // J7 outer form — EVERY signup appears, zero-click signups included
+    // (the retention-analysis shape an inner join silently drops).
+    // count(click_id) counts matches only; unmatched rows carry nulls.
+    "j7_interval_outer" -> ((s, dir) => {
+      val evs = t(s, dir, "events")
+      val signups = evs.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      val clicks = evs.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      Streams.intervalJoinOuter(signups, clicks, "s_ts", "c_ts", "user_id",
+          "1 day", "10 minutes", "10 minutes")
+        .groupBy(col("signup_id"))
+        .agg(count(col("click_id")).as("n_clicks"))
+        .orderBy(col("signup_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -469,6 +485,16 @@ object CdcQueries {
         |FROM e s JOIN e c
         |  ON c.user_id = s.user_id
         | AND s.event_type = 'signup' AND c.event_type = 'click'
+        | AND c.ts >= s.ts - INTERVAL 10 MINUTE
+        | AND c.ts <= s.ts + INTERVAL 10 MINUTE
+        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin),
+
+    "j7_interval_outer" -> (mts +
+      """
+        |SELECT s.event_id AS signup_id, COUNT(c.event_id) AS n_clicks
+        |FROM (SELECT * FROM e WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON c.user_id = s.user_id
         | AND c.ts >= s.ts - INTERVAL 10 MINUTE
         | AND c.ts <= s.ts + INTERVAL 10 MINUTE
         |GROUP BY s.event_id ORDER BY signup_id""".stripMargin))

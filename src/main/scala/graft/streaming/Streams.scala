@@ -159,4 +159,28 @@ object Streams {
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lowerBound") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"))
   }
+
+  /** J7 outer form — stream-stream LEFT OUTER interval join. Matches
+    * emit like the inner form; an UNMATCHED left row emits with nulled
+    * right columns once the watermark passes its join window (Spark's
+    * outer-result-on-state-expiry rule — which is why both watermarks
+    * are mandatory here, not just state hygiene: without them the
+    * engine could never prove "no match will arrive" and unmatched rows
+    * would be held forever). Same bounded state as the inner form; rows
+    * whose window the final watermark has not yet passed remain pending
+    * — an AvailableNow drain emits outer results only for windows below
+    * max(event time) - delay.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        leftTs: String, rightTs: String, key: String,
+                        delay: String, lowerBound: String,
+                        upperBound: String): DataFrame = {
+    val l = withLateness(left, leftTs, delay).alias("l")
+    val r = withLateness(right, rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lowerBound") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"),
+      "left_outer")
+  }
 }

@@ -570,6 +570,43 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(streamed.size === 5, s"one in-window click per signup: $streamed")
   }
 
+  test("outer interval join emits unmatched signups once the watermark passes (J7 outer)") {
+    implicit val sql = spark.sqlContext
+    val signups = (1 to 5).map(u => SignupRow(u.toLong, 100L + u, ts(1000L * u)))
+    // u5 gets NO click; u1..u4 one in-window click each
+    val clicks = (1 to 4).map(u => ClickRow(u.toLong, 200L + u, ts(1000L * u + 300)))
+    val sSrc = MemoryStream[SignupRow]
+    val cSrc = MemoryStream[ClickRow]
+    val name = s"j7o_spec_${System.nanoTime() % 100000}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-j7o").toString
+    // ONE long-lived query; outer results emit in a batch that RUNS with
+    // a watermark past the window, and the watermark a batch uses is the
+    // one the PREVIOUS batch persisted — so: data batch, then a pusher
+    // batch to advance the watermark, then one more batch to flush
+    // expired outer state (pusher users are outside the asserted range)
+    val q = Streams.intervalJoinOuter(sSrc.toDS().toDF(), cSrc.toDS().toDF(),
+        "s_ts", "c_ts", "user_id", "10 seconds", "10 minutes", "10 minutes")
+      .select(col("signup_id"), col("click_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      sSrc.addData(signups); cSrc.addData(clicks); q.processAllAvailable()
+      sSrc.addData(Seq(SignupRow(98L, 998L, ts(10000000L))))
+      cSrc.addData(Seq(ClickRow(99L, 999L, ts(10000000L)))); q.processAllAvailable()
+      sSrc.addData(Seq(SignupRow(96L, 996L, ts(20000000L))))
+      cSrc.addData(Seq(ClickRow(97L, 997L, ts(20000000L)))); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select(col("signup_id"), col("click_id"))
+      .as[(Long, Option[Long])].collect().filter(_._1 <= 105L).toSet
+    val expected = (1 to 4).map(u => (100L + u, Some(200L + u))).toSet + ((105L, None))
+    assert(rows === expected,
+      "matched signups pair with their click; the zero-click signup must " +
+        s"emit with a NULL click once its window expired: $rows")
+  }
+
   test("cdcFileStream equals the batch envelope parse (A4 contract)") {
     val watch = java.nio.file.Files.createTempDirectory("graft-a4-spec").toString
     goldenLines.toDF("value").coalesce(1).write.mode("overwrite").text(watch)
