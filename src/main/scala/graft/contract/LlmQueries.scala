@@ -1075,6 +1075,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // K12 — deterministic 30k-token budget sample (round 10): md5-lottery
+    // admission order, bucketed cutoff instead of a global window; the
+    // oracle IS the naive global running sum, so the hash-match doubles
+    // as cross-engine row parity for the bucketed decomposition.
+    "k12_token_budget" -> ((s, dir) => {
+      Mixing.tokenBudgetSample(t(s, dir, "documents"), "text", "doc_id",
+          budget = 30000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+        .orderBy(col("lang"))
+    }),
+
     // K12 — temperature (alpha=0.5) language rebalancing to an expected
     // 300-doc budget: weight ∝ sqrt(count), deterministic md5 uniforms,
     // thresholds rounded to 6 decimals on both sides
@@ -1843,6 +1855,18 @@ object LlmQueries {
         |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM pr WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // the NAIVE global running sum — matching it hash-exactly proves the
+    // engine's bucketed cutoff decomposition row-identical
+    "k12_token_budget" ->
+      """WITH tt AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok,
+        |  md5(CAST(doc_id AS VARCHAR)) AS prio FROM documents),
+        |r AS (SELECT doc_id, lang, tok,
+        |  SUM(tok) OVER (ORDER BY prio, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tt)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(tok) AS BIGINT) AS toks
+        |FROM r WHERE cum <= 30000 GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the weight sum folds in SORTED stratum order (list_reduce over
     // list(w ORDER BY lang)) to mirror the engine's driver-side sorted

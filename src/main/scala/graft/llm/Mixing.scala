@@ -21,6 +21,68 @@ object Mixing {
     conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0d)
 
+  /** K12 — deterministic TOKEN-BUDGET sampling: the "give me a ~50B-token
+    * subset" mix operation. Documents are ranked by the md5(id) priority
+    * (the [[perSourceCap]] lottery — stable across runs, partitionings
+    * and engines) and admitted in that order while the running token
+    * total stays within `budget`; the first document that would cross it
+    * is dropped, as is everything after. Tokens are whitespace tokens of
+    * the RAW text (the K5 `k5_token_counts` convention), returned as
+    * `n_tokens`.
+    *
+    * Scale shape — NO global window: a global running sum would move the
+    * corpus through one task. The md5-priority space is split into
+    * 16^bucketHexChars PREFIX buckets (hex is lowercase fixed-width, so
+    * prefix-value order IS the global priority order), one narrow
+    * map-side-combined aggregate yields per-bucket token totals (a
+    * parameter-bounded driver list), whole buckets below the cutoff are
+    * admitted with zero per-doc work, buckets above it are dropped, and
+    * ONLY the cutoff bucket runs the exact per-doc running sum — a
+    * window over ~1/buckets of the corpus, partitioned, never global.
+    * Row-identical to the naive global-window form (spec-pinned). The
+    * result is eagerly severed (localCheckpoint) so the shared
+    * projection cache releases — the spans-family rule.
+    */
+  def tokenBudgetSample(df: DataFrame, textCol: String, idCol: String,
+                        budget: Long, bucketHexChars: Int = 2): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0: $budget")
+    require(bucketHexChars >= 1 && bucketHexChars <= 4,
+      s"bucketHexChars must be in 1..4: $bucketHexChars")
+    val base = df
+      .withColumn("__prio", md5(col(idCol).cast("string")))
+      .withColumn("n_tokens",
+        size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long"))
+      .withColumn("__b",
+        conv(substring(col("__prio"), 1, bucketHexChars), 16, 10).cast("long"))
+      .persist()
+    try {
+      base.count() // two consumers: the bucket totals and the final scan
+      val perBucket = base.groupBy(col("__b")).agg(sum(col("n_tokens")).as("t"))
+        .orderBy(col("__b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var cum = 0L; var cut = -1L; var offset = 0L
+      val it = perBucket.iterator
+      while (it.hasNext && cut < 0) {
+        val (b, t) = it.next()
+        if (cum + t > budget) { cut = b; offset = cum } else cum += t
+      }
+      val out =
+        if (cut < 0) base.drop("__prio", "__b") // the whole corpus fits
+        else {
+          val below = base.where(col("__b") < cut)
+          val w = Window.partitionBy(col("__b"))
+            .orderBy(col("__prio"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val inCut = base.where(col("__b") === cut)
+            .withColumn("__cum", sum(col("n_tokens")).over(w))
+            .where(col("__cum") + lit(offset) <= budget)
+            .drop("__cum")
+          below.unionByName(inCut).drop("__prio", "__b")
+        }
+      out.localCheckpoint(true)
+    } finally base.unpersist(false)
+  }
+
   /** Per-source (domain) cap: keep at most `cap` documents per source,
     * chosen by a deterministic md5 priority over the doc id (ties broken
     * by id). The Common-Crawl-style guard against any one domain

@@ -1356,6 +1356,32 @@ class MixingScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ids(chain) === ids(joined), "both regimes must draw the identical sample")
   }
 
+  test("tokenBudgetSample: bucketed cutoff == naive global running sum; edges") {
+    val d = core.Engine.table(spark, TestSpark.sf, "documents")
+    def naive(budget: Long) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__prio"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      d.withColumn("__prio", md5(col("doc_id").cast("string")))
+        .withColumn("__tok",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+        .withColumn("__cum", sum(col("__tok")).over(w))
+        .where(col("__cum") <= budget)
+        .select("doc_id").orderBy("doc_id").collect().toSeq
+    }
+    def bucketed(budget: Long, h: Int) = graft.llm.Mixing
+      .tokenBudgetSample(d, "text", "doc_id", budget, bucketHexChars = h)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    // mid-corpus cutoff at two bucket geometries — row parity with the
+    // global-window form the oracle also checks cross-engine
+    assert(bucketed(30000L, 1) === naive(30000L))
+    assert(bucketed(30000L, 2) === naive(30000L))
+    // budget 0 admits nothing; a budget past the corpus admits everything
+    assert(bucketed(0L, 2).isEmpty)
+    assert(bucketed(Long.MaxValue / 4, 2).size === d.count())
+  }
+
   test("perSourceCapSkewed == perSourceCap when every source is routed mega") {
     val d = core.Engine.table(spark, TestSpark.sf, "documents")
     val plain = graft.llm.Mixing.perSourceCap(d, "source", "doc_id", cap = 20)
