@@ -69,3 +69,62 @@ class BoundedPairsPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Generative parity law for [[Mixing.tokenBudgetSample]]: for ANY
+  * random corpus (doc count, token sizes, id spacing) and ANY budget,
+  * the bucketed-cutoff decomposition must admit EXACTLY the documents
+  * the naive global running sum admits — bucketing shapes only the
+  * physical plan, never the sample. The oracle checks one fixed corpus
+  * cross-engine; this pins the law over the input space.
+  */
+class TokenBudgetPropertySpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def forSamples[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
+        .foreach(body)
+    }
+
+  private case class Case(nDocs: Int, maxTokens: Int, budgetFrac: Double,
+                          hexChars: Int, seed: Long)
+  private val caseGen: Gen[Case] = for {
+    n <- Gen.chooseNum(1, 120)
+    mt <- Gen.chooseNum(1, 40)
+    f <- Gen.chooseNum(0, 130).map(_ / 100.0) // 0..1.3× the corpus total
+    h <- Gen.chooseNum(1, 2)
+    seed <- Gen.chooseNum(0L, 1000000L)
+  } yield Case(n, mt, f, h, seed)
+
+  test("bucketed token-budget cutoff equals the naive global cumsum for random corpora") {
+    import spark.implicits._
+    forSamples(caseGen, 8) { c =>
+      val rnd = new scala.util.Random(c.seed)
+      // sparse ids so the md5 lottery order varies across draws; token
+      // counts are exact words, so n_tokens is deterministic
+      val docs = (0 until c.nDocs).map { i =>
+        val id = i.toLong * rnd.between(1, 7) + rnd.between(0, 3)
+        (id, Seq.fill(rnd.between(1, c.maxTokens + 1))("w").mkString(" "))
+      }.distinctBy(_._1)
+      val df = docs.toDF("doc_id", "text")
+      val total = docs.map(_._2.split(" ").length.toLong).sum
+      val budget = (total * c.budgetFrac).toLong
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__prio"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val naive = df
+        .withColumn("__prio", md5(col("doc_id").cast("string")))
+        .withColumn("__tok",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+        .withColumn("__cum", sum(col("__tok")).over(w))
+        .where(col("__cum") <= budget)
+        .select("doc_id").as[Long].collect().toSet
+      val bucketed = Mixing
+        .tokenBudgetSample(df, "text", "doc_id", budget, bucketHexChars = c.hexChars)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bucketed === naive,
+        s"n=${c.nDocs} budget=$budget/$total h=${c.hexChars} seed=${c.seed}")
+    }
+  }
+}
