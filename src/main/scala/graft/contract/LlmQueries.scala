@@ -302,6 +302,24 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // K13 — INCREMENTAL component maintenance (round 10): the pair set
+    // splits into a deterministic "historical" half (CC'd the normal
+    // way) and a "today's batch" half merged in through the assignment —
+    // the assignment IS the state, historical pairs are never
+    // re-traversed. The oracle is the FULL-closure SQL over all pairs:
+    // hash-matching it proves the incremental path row-identical to a
+    // full recompute, labels included.
+    "k13_incremental_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 2, threshold = 0.1)
+      val historical = pairs.where((col("id_a") + col("id_b")) % 2 === 0)
+      val batch = pairs.where((col("id_a") + col("id_b")) % 2 === 1)
+      val assignment = graft.ops.Graph.connectedComponents(historical, "id_a", "id_b")
+      graft.ops.Graph.incrementalComponents(assignment, "id", "component",
+          batch, "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     // K13 — full dedup resolution: every doc gets its component
     // (singletons = own id) and exactly one canonical keeper per
     // component (longest text, ties to smallest id) via a skew-proof
@@ -1460,6 +1478,17 @@ object LlmQueries {
     // every node reachable from id over the symmetrized pair graph;
     // MIN(comp) is then exactly the large-star/small-star label
     "k13_connected_components" -> (recTokCte + jaccardPairCtes(0.1) +
+      """, e AS (SELECT id_a AS s, id_b AS d FROM pr
+        |        UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d)
+        |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin),
+
+    // the FULL closure over ALL pairs — the incremental path must be
+    // row-identical to a from-scratch recompute, so it shares this SQL
+    "k13_incremental_components" -> (recTokCte + jaccardPairCtes(0.1) +
       """, e AS (SELECT id_a AS s, id_b AS d FROM pr
         |        UNION ALL SELECT id_b, id_a FROM pr),
         |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e

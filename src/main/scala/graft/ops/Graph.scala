@@ -84,6 +84,44 @@ object Graph extends org.apache.spark.internal.Logging {
       .union(e.select(col("dst").as("id"), col("dst").as("component")).distinct())
   }
 
+  /** INCREMENTAL connected components — merge a new batch of edges into
+    * an existing assignment without re-traversing historical edges: the
+    * assignment's (id, component) rows ARE edges (every node linked,
+    * transitively via its representative, to every old neighbor), so CC
+    * over assignment-edges ∪ new-edges yields exactly the components of
+    * the full historical graph plus the batch. Because labels are
+    * component-MINIMUM ids on both paths, the result is ROW-IDENTICAL
+    * to a full recompute (spec-pinned and oracle-checked against the
+    * full-closure SQL), not merely isomorphic — so batches can chain
+    * forever: feed each output back as the next call's assignment.
+    *
+    * Cost: the traversed graph is |V_old| + |E_new| edges instead of
+    * |E_old| + |E_new| — the pair history never needs retention; the
+    * ASSIGNMENT is the state, the same state-is-the-index rule as the
+    * LSH/IVF append families. Nodes whose component collapses to a
+    * singleton (self-loop-only in the union) are re-emitted with their
+    * own id, so output coverage is exactly nodes(assignment) ∪
+    * nodes(newEdges).
+    */
+  def incrementalComponents(assignment: DataFrame, idCol: String, compCol: String,
+                            newEdges: DataFrame, srcCol: String, dstCol: String,
+                            maxIter: Int = 50): DataFrame = {
+    val oldE = assignment.select(
+      col(idCol).cast("long").as("s"), col(compCol).cast("long").as("d"))
+    val newE = newEdges.select(
+      col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    val comp = connectedComponents(oldE.unionByName(newE), "s", "d", maxIter)
+    // the core drops self-loops, so roots/singletons with no surviving
+    // edge fall out of its output — restore them as their own label
+    val nodes = oldE.select(col("s").as("id"))
+      .union(oldE.select(col("d").as("id")))
+      .union(newE.select(col("s").as("id")))
+      .union(newE.select(col("d").as("id")))
+      .where(col("id").isNotNull).distinct()
+    nodes.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Dedup resolution over a full corpus: assign every doc its near-dup
     * component (docs in no pair are their own singleton component) and
     * flag the ONE canonical doc to keep per component — the doc

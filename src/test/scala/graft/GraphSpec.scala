@@ -58,6 +58,53 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalComponents == full recompute on random edge splits (law)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 60)
+      m <- Gen.chooseNum(1, 120)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+      cut <- Gen.chooseNum(0, m) // any prefix/suffix split, incl. empty sides
+    } yield (es, cut)
+    forSamples(gen, 10) { case (es, cut) =>
+      val clean = es.filter(e => e._1 != e._2)
+      if (clean.nonEmpty) {
+        val (oldE, newE) = clean.splitAt(math.min(cut, clean.size))
+        val base = Graph.connectedComponents(
+          (if (oldE.isEmpty) Seq.empty[(Long, Long)] else oldE).toDF("a", "b"),
+          "a", "b")
+        val inc = Graph.incrementalComponents(base, "id", "component",
+            newE.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc === unionFind(clean), s"old=${oldE.size} new=${newE.size}")
+      }
+    }
+  }
+
+  test("incrementalComponents merges across batches and admits brand-new nodes") {
+    import spark.implicits._
+    // batch 1: {1,2} and {3,4}; batch 2's 2-3 edge merges them to min 1,
+    // and 10-11 arrives as a completely new component
+    val base = Graph.connectedComponents(
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b")
+    val inc = Graph.incrementalComponents(base, "id", "component",
+        Seq((2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // chaining: feeding the output back in with a further merge works
+    val inc2 = Graph.incrementalComponents(
+        Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L))
+          .toDF("id", "component"), "id", "component",
+        Seq((4L, 10L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 1L, 11L -> 1L))
+  }
+
   test("a 200-node path converges (worst-case diameter) and labels by min") {
     val es = (0L until 199L).map(i => (i + 1, i))
     val got = run(es)
