@@ -209,6 +209,31 @@ object Ingest {
       }
       .start()
 
+  /** Attach incremental BM25-index appends to a streaming frame of
+    * documents — the fourth member of the streaming index-maintenance
+    * family (LSH, IVF/IVF-PQ, simhash, and now the text-search index):
+    * every micro-batch is tokenized once and appended under
+    * `__batch = stream batch + 1` with dynamic-overwrite replay
+    * idempotence (`__batch = 0` stays reserved for the base build); the
+    * batch's stats row is the commit point, so a crash mid-append leaves
+    * [[graft.llm.Search.bm25Indexed]] refusing loudly and the
+    * checkpointed replay heals it. Same lineage rules as the other
+    * three: one (indexPath, checkpointDir) pair per stream lineage, ids
+    * unique across the whole stream, deterministic-replay source.
+    */
+  def foreachBatchBm25Append(docs: DataFrame, indexPath: String,
+                             checkpointDir: String, textCol: String, idCol: String,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Search.bm25AppendBatch(batch.sparkSession, indexPath, batch,
+          textCol, idCol, batchId = id + 1)
+      }
+      .start()
+
   /** Attach the ingestion-dedup loop to a streaming frame of documents. */
   def foreachBatchIngestDedup(docs: DataFrame, indexPath: String, admittedDir: String,
                               checkpointDir: String, textCol: String, idCol: String,
