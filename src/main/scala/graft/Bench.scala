@@ -65,6 +65,8 @@ object Bench {
     "k4_ivf_pq_encode",      // cell-partitioned code table beside the IVF index (amortized once)
     "k4_ivf_pq_read",        // the composed two-axis read: cell prune -> ADC shortlist -> exact rerank
     "k7_bm25_search",        // BM25 scored search over the corpus (round 10)
+    "k7_bm25_idx_build",     // persisted postings/stats index write (round 11; amortized once)
+    "k7_bm25_idx_query",     // scored search THROUGH the index: |postings(terms)| per query
     "k1_duplicated_spans",   // substring-dedup span pipeline: positional grams + df + islands
     "x3_bloom_build",        // per-file bloom sidecar write (amortized once)
     "x3_bloom_read")         // point lookup through the bloom (min/max can't prune it)
@@ -120,6 +122,8 @@ object Bench {
     // the amortized-once model cost, the ivfAppendBaseReady precedent);
     // the encode/query entries time the distributed passes
     val pqCodesPath = java.nio.file.Files.createTempDirectory("graft-bench-pqcodes").toString
+    // the BM25 inverted index shared by the build/query entry pair
+    val bm25Path = java.nio.file.Files.createTempDirectory("graft-bench-bm25").toString
     lazy val pqModel: graft.llm.Quantization.PqModel = {
       System.err.println("[bench] training PQ codebooks (untimed)")
       val e = graft.core.Engine.table(spark, sfDir, "embeddings")
@@ -209,6 +213,19 @@ object Bench {
                 .select(col("vec_id").as("id"), col("embedding")),
               "embedding", "id", pqModel, kNN = 5)
             .write.format("noop").mode("overwrite").save()
+        case "k7_bm25_idx_build" =>
+          // the amortized-once postings/stats/meta write — the cost the
+          // per-call corpus scan of k7_bm25_search trades away
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.Search.bm25IndexWrite(d, "text", "doc_id", bm25Path,
+            nBuckets = 16)
+        case "k7_bm25_idx_query" =>
+          // the per-query cost through the index: bucket-pruned postings
+          // scan + nBatches-row stats read — must land ≪ the build (and
+          // ≪ k7_bm25_search, which re-tokenizes the corpus every call)
+          graft.llm.Search.bm25Indexed(spark, bm25Path,
+              query = Seq("spark", "join", "vector"))
+            .write.format("noop").mode("overwrite").save()
         case "x3_bloom_build" =>
           graft.ops.Manifest.writeBloom(spark, manifestTable, "o_orderkey")
         case "x3_bloom_read" =>
@@ -288,6 +305,7 @@ object Bench {
     if (selected.exists(n => n.startsWith("x2_manifest") || n.startsWith("x3_bloom")))
       manifestTableReady
     ensure("x3_bloom_build", "x3_bloom_read")
+    ensure("k7_bm25_idx_build", "k7_bm25_idx_query")
     ensure("x2_manifest_build", "x2_manifest_refresh")
     ensure("x2_manifest_build", "x2_manifest_read")
     ensure("x2_manifest_build", "x2_manifest_read_trusted")

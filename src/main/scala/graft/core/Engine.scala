@@ -98,6 +98,16 @@ object Engine {
         f.dataType == org.apache.spark.sql.types.LongType)) {
       df.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    } else if (df.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)) {
+      // a µs-precision parquet timestamp WITHOUT isAdjustedToUTC surfaces
+      // as TIMESTAMP_NTZ; the engine (and the DuckDB oracle, which reads
+      // the same wall-clock values in a UTC session) works in the µs
+      // TimestampType — the session is pinned UTC, so this cast is a pure
+      // type-tag change, never a value shift
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
     } else df
   }
 
