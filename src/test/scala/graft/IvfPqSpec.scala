@@ -119,11 +119,13 @@ class IvfPqSpec extends AnyFunSuite {
     // the batch with the frozen model yields (no retrain drift)
     def batchCodes() = spark.read.parquet(s"$path/pq_codes")
       .where(col("__batch") === 1L).select(col("id"), col("code"))
-      .as[(Long, Seq[Int])].collect().toMap
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, c) => id -> c.toSeq }.toMap
     val appended = batchCodes()
     val expected = Quantization.pqEncode(
         rows.where(col("id") >= 250L), "v", "id", model)
-      .as[(Long, Seq[Int])].collect().toMap
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, c) => id -> c.toSeq }.toMap
     assert(appended === expected)
     // replay: the same append lands on itself (dynamic overwrite), the
     // model's batch list stays deduplicated, the read keeps working

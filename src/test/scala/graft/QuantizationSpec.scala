@@ -41,7 +41,7 @@ class QuantizationSpec extends AnyFunSuite {
     assert(rec.getAs[Long]("n_queries") === 3L)
   }
 
-  test("training is deterministic and encode emits m codes in 1..k") {
+  test("training is deterministic and encode emits m byte-packed codes in 1..k") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { i =>
       (i.toLong, Seq.fill(8)(rnd.between(-4.0f, 4.0f)))
@@ -49,10 +49,16 @@ class QuantizationSpec extends AnyFunSuite {
     val m1 = Quantization.pqTrain(rows, "v", "id", m = 4, k = 8)
     val m2 = Quantization.pqTrain(rows, "v", "id", m = 4, k = 8)
     assert(m1 === m2)
-    val enc = Quantization.pqEncode(rows, "v", "id", m1)
-      .select(col("code")).as[Seq[Int]].collect()
+    val encDf = Quantization.pqEncode(rows, "v", "id", m1)
+    // the storage-size law (r10 verdict #2): a code row is EXACTLY m
+    // bytes of BinaryType — the scaladoc's 32×-at-dim-64 arithmetic is
+    // the shipped arithmetic, not an int-array approximation of it
+    assert(encDf.schema("code").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val enc = encDf.select(col("code")).as[Array[Byte]].collect()
     assert(enc.length === 200)
-    assert(enc.forall(c => c.length === 4 && c.forall(k => k >= 1 && k <= 8)))
+    assert(enc.forall(c => c.length === 4 &&
+      c.forall(b => (b & 0xff) + 1 >= 1 && (b & 0xff) + 1 <= 8)))
   }
 
   test("blob corpus: shortlist covers quantization resolution; rerank is exact") {
