@@ -366,6 +366,35 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // K13 — STREAMING dedup resolution (▶, hash-matched): the pair set
+    // arrives as two MemoryStream micro-batches through
+    // foreachBatchResolve, each folded into the crash-atomically
+    // persisted assignment (first fold = plain CC, second =
+    // incrementalComponents over assignment ∪ batch — historical pairs
+    // never re-read). The oracle is the SAME full-closure SQL as
+    // k13_incremental_components: hash-matching it proves the streamed
+    // fold row-identical to a from-scratch recompute over all pairs,
+    // labels included.
+    "k13_streaming_resolve" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 2, threshold = 0.1)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect() // MemoryStream rig: pair-count bounded
+      val path = freshScratchDir("graft-ccstr")
+      val ckpt = freshScratchDir("graft-ccstr-ckpt")
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchResolve(
+          src.toDS().toDF("id_a", "id_b"), path, ckpt, "id_a", "id_b")
+        q.awaitTermination()
+      }
+      src.addData(pairs.filter(p => (p._1 + p._2) % 2 == 0).toSeq); drain()
+      src.addData(pairs.filter(p => (p._1 + p._2) % 2 == 1).toSeq); drain()
+      graft.ops.Graph.assignment(s, path).orderBy(col("id"))
+    }),
+
     // K2 — STREAMING simhash-index maintenance (▶, hash-matched): base
     // index over docs < 400, docs 400..499 arriving as two MemoryStream
     // batches through foreachBatchSimhashAppend (banding read from the
@@ -1597,6 +1626,16 @@ object LlmQueries {
     // the FULL closure over ALL pairs — the incremental path must be
     // row-identical to a from-scratch recompute, so it shares this SQL
     "k13_incremental_components" -> (recTokCte + jaccardPairCtes(0.1) +
+      """, e AS (SELECT id_a AS s, id_b AS d FROM pr
+        |        UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d)
+        |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin),
+
+    // the streamed fold must ALSO be row-identical to the full closure
+    "k13_streaming_resolve" -> (recTokCte + jaccardPairCtes(0.1) +
       """, e AS (SELECT id_a AS s, id_b AS d FROM pr
         |        UNION ALL SELECT id_b, id_a FROM pr),
         |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e

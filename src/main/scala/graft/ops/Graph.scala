@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components + dedup resolution — the endgame of every
@@ -150,6 +151,67 @@ object Graph extends org.apache.spark.internal.Logging {
       .select(col("id"), col("component"),
         (col("id") === col("__canonical")).as("is_canonical"))
   }
+
+  /** PERSISTED assignment folding — the streaming K13 state step: merge
+    * one batch of near-dup pairs into the crash-atomically persisted
+    * (id, component) assignment at `path`. The first fold runs a plain
+    * [[connectedComponents]]; every later fold goes through
+    * [[incrementalComponents]], so the traversed graph is |V_assigned| +
+    * |E_batch| — pair history is never retained or re-read. The
+    * ASSIGNMENT is the state (the same state-is-the-index rule as the
+    * LSH/IVF append families).
+    *
+    * Durability is a [[Generations]] swap: the new assignment is fully
+    * written into the next `assignment_gen=N/` directory and becomes
+    * current the instant its immutable commit marker lands, so readers
+    * always resolve a COMPLETE assignment and a crash at any point
+    * leaves the previous fold served. Superseded generations are GC'd
+    * down to current+previous (the in-flight-reader grace period).
+    *
+    * Replay safety (foreachBatch is at-least-once) needs NO batch-id
+    * sidecar here, unlike the append families: folding edges whose
+    * closure the assignment already contains is a mathematical no-op
+    * (CC(assignment ∪ E) = assignment when E's closure ⊆ assignment), so
+    * a replayed batch recomputes the identical assignment and publishes
+    * a content-identical generation. An edgeless batch is skipped
+    * entirely.
+    */
+  def foldBatch(spark: SparkSession, path: String, pairs: DataFrame,
+                aCol: String, bCol: String, maxIter: Int = 50): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // canonicalize BEFORE the emptiness probe: a batch of self-loops /
+    // nulls only must be a no-op, not an empty published generation
+    val edges = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+      .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
+    if (edges.isEmpty) return
+    val cur = Generations.genDir(root, AssignmentBase,
+      Generations.currentGen(fs, root, AssignmentBase))
+    val next =
+      if (fs.exists(cur))
+        incrementalComponents(spark.read.parquet(cur.toString), "id", "component",
+          edges, "s", "d", maxIter)
+      else connectedComponents(edges, "s", "d", maxIter)
+    val (staged, gen) = Generations.stage(fs, root, AssignmentBase)
+    next.write.mode("overwrite").parquet(staged.toString)
+    Generations.commit(fs, root, AssignmentBase, gen)
+    Generations.gcOld(fs, root, AssignmentBase)
+  }
+
+  /** The current persisted (id, component) assignment at `path` —
+    * generation-resolved, so it is always a complete fold. Refuses
+    * loudly before the first fold.
+    */
+  def assignment(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = Generations.currentDir(fs, root, AssignmentBase)
+    require(fs.exists(cur),
+      s"no persisted assignment at $path — fold at least one pair batch first")
+    spark.read.parquet(cur.toString)
+  }
+
+  private val AssignmentBase = "assignment"
 
   /** large-star: every node re-points its LARGER neighbors at the
     * minimum of its neighborhood (including itself). Emitted edges

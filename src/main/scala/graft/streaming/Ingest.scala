@@ -234,6 +234,37 @@ object Ingest {
       }
       .start()
 
+  /** Attach incremental dedup RESOLUTION to a streaming frame of
+    * near-dup pairs — the dedup endgame's streaming twin (round 10 built
+    * K13 batch + incremental; this closes the family the way LSH / IVF /
+    * simhash / BM25 close theirs): every micro-batch of pairs is folded
+    * through [[graft.ops.Graph.foldBatch]] into the crash-atomically
+    * persisted (id, component) assignment at `assignmentPath`, so the
+    * corpus-wide duplicate-cluster labels FOLLOW the pair stream without
+    * ever re-traversing historical pairs (the assignment is the state —
+    * the traversed graph per batch is |V_assigned| + |E_batch|).
+    *
+    * Replay safety differs from the append families and is stronger:
+    * folding a replayed batch is a mathematical no-op on the assignment
+    * content (its closure is already absorbed), so no batch-id layout is
+    * needed — any at-least-once redelivery republishes an identical
+    * generation. Same lineage rule as the others: one (assignmentPath,
+    * checkpointDir) pair per stream lineage, deterministic-replay source.
+    */
+  def foreachBatchResolve(pairs: DataFrame, assignmentPath: String,
+                          checkpointDir: String, aCol: String, bCol: String,
+                          maxIter: Int = 50,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    pairs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Graph.foldBatch(batch.sparkSession, assignmentPath, batch,
+          aCol, bCol, maxIter)
+      }
+      .start()
+
   /** Attach the ingestion-dedup loop to a streaming frame of documents. */
   def foreachBatchIngestDedup(docs: DataFrame, indexPath: String, admittedDir: String,
                               checkpointDir: String, textCol: String, idCol: String,

@@ -180,4 +180,58 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-graph-fold").toString
+
+  private def readAssignment(path: String): Map[Long, Long] =
+    Graph.assignment(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("foldBatch chains micro-batches into the full closure (streaming law)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(4, 50)
+      m <- Gen.chooseNum(2, 90)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    forSamples(gen, 6) { es =>
+      val path = freshDir()
+      // three deterministic micro-batches; some may be edgeless after the
+      // self-loop filter — foldBatch must absorb those as no-ops too
+      (0 until 3).foreach { b =>
+        val batch = es.filter(e => (e._1 + e._2) % 3 == b)
+        Graph.foldBatch(spark, path, batch.toDF("a", "b"), "a", "b")
+      }
+      val full = run(es)
+      if (full.nonEmpty) assert(readAssignment(path) === full)
+    }
+  }
+
+  test("refolding an absorbed batch is a content no-op (replay law)") {
+    import spark.implicits._
+    val path = freshDir()
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 20L))
+    val b2 = Seq((3L, 4L), (20L, 30L))
+    Graph.foldBatch(spark, path, b1.toDF("a", "b"), "a", "b")
+    Graph.foldBatch(spark, path, b2.toDF("a", "b"), "a", "b")
+    val before = readAssignment(path)
+    // at-least-once redelivery: the SAME batch folds again
+    Graph.foldBatch(spark, path, b2.toDF("a", "b"), "a", "b")
+    assert(readAssignment(path) === before)
+    assert(before === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                          10L -> 10L, 20L -> 10L, 30L -> 10L))
+  }
+
+  test("assignment() before any fold refuses loudly; edgeless folds skip") {
+    import spark.implicits._
+    val path = freshDir()
+    intercept[IllegalArgumentException] { Graph.assignment(spark, path) }
+    // an edgeless batch (self-loops only) publishes nothing
+    Graph.foldBatch(spark, path, Seq((5L, 5L)).toDF("a", "b"), "a", "b")
+    intercept[IllegalArgumentException] { Graph.assignment(spark, path) }
+  }
 }
