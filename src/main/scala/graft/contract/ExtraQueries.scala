@@ -186,6 +186,31 @@ object ExtraQueries {
         .orderBy(col("lang"))
     }),
 
+    // x4 — VERSION-AWARE data skipping (round 11): the publish writes
+    // the per-file min/max manifest INSIDE the staged generation before
+    // the commit marker, so the sidecar is atomically part of the
+    // version and a pinned read can prune through it with the manifest
+    // TRUSTED outright (a committed version is immutable by
+    // construction — no per-query staleness listing). A second publish
+    // of a different slice proves the pinned v1 read serves v1's data
+    // through v1's own sidecar. Must agree exactly with the plain
+    // filter over orders; ManifestSpec's version test pins that the
+    // pruning actually bites (files scanned << files in the version).
+    "x4_version_pruned" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-verprune").toString
+      val orders = t(s, dir, "orders").repartitionByRange(8, col("o_orderdate"))
+      graft.ops.CorpusVersions.publish(s, out, orders,
+        statsCols = Seq("o_orderdate"))
+      graft.ops.CorpusVersions.publish(s, out,
+        orders.where(col("o_orderkey") < 100L), statsCols = Seq("o_orderdate"))
+      graft.ops.CorpusVersions.readVersionPruned(s, out, 1L, "o_orderdate",
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "x3_bloom_point_read" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
       t(s, dir, "orders")
@@ -298,6 +323,13 @@ object ExtraQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey = 999 ORDER BY o_orderkey""".stripMargin,
+
+    "x4_version_pruned" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "x4_corpus_versions" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,

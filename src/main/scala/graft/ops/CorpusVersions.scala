@@ -37,12 +37,29 @@ object CorpusVersions {
     * generation directory BEFORE the one-marker commit, so readers flip
     * from the old version to the new one atomically and a kill at any
     * point leaves a complete corpus served.
+    *
+    * `statsCols` / `bloomCols` (round 11): data-skipping sidecars —
+    * per-file min/max manifest for the named columns, per-file Bloom
+    * filters for point-lookup keys ([[Manifest]]) — are written INSIDE
+    * the staged generation directory before the marker lands, so the
+    * one-marker commit covers data AND sidecars atomically (a kill
+    * between them can never publish a corpus whose sidecars are
+    * missing or stale) and every pinned version keeps ITS OWN skipping
+    * index forever. The `_`-prefixed sidecar dirs are invisible to the
+    * snapshot scan itself, and a published version is immutable by
+    * construction — exactly the declared-immutable contract the
+    * trust-the-manifest read mode was built for, which is why
+    * [[readVersionPruned]] / [[readVersionPoint]] skip the staleness
+    * listing entirely.
     */
-  def publish(spark: SparkSession, path: String, df: DataFrame): Long = {
+  def publish(spark: SparkSession, path: String, df: DataFrame,
+              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, path)
     val (staged, gen) = Generations.stage(fs, root, Base)
     df.write.mode("overwrite").parquet(staged.toString)
+    if (statsCols.nonEmpty) Manifest.write(spark, staged.toString, statsCols)
+    bloomCols.foreach(c => Manifest.writeBloom(spark, staged.toString, c))
     Generations.commit(fs, root, Base, gen)
     gen
   }
@@ -56,13 +73,54 @@ object CorpusVersions {
     * and re-reads. Refuses loudly when the version was never published
     * or has been vacuumed.
     */
-  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.parquet(versionDir(spark, path, version))
+
+  /** The committed generation directory of `version` — refuses loudly
+    * when the version was never published or has been vacuumed.
+    */
+  private def versionDir(spark: SparkSession, path: String, version: Long): String = {
     val fs = fsOf(spark, path)
     val root = new Path(path)
     require(Generations.committedGens(fs, root, Base).contains(version),
       s"corpus at $path has no committed version $version " +
         s"(history: ${Generations.committedGens(fs, root, Base).mkString(",")})")
-    spark.read.parquet(Generations.genDir(root, Base, version).toString)
+    Generations.genDir(root, Base, version).toString
+  }
+
+  private def requireSidecar(spark: SparkSession, dir: String, sub: String,
+                             hint: String): Unit =
+    require(fsOf(spark, dir).exists(new Path(dir, sub)),
+      s"version at $dir carries no $sub sidecar — publish with $hint")
+
+  /** Range-filtered read of a PINNED version through its own min/max
+    * manifest: scans only the files whose range can intersect [lo, hi],
+    * exactly equal to `readVersion(...).where(c between lo and hi)`.
+    * The version is immutable by construction (it was committed with its
+    * sidecar under one marker), so the manifest is trusted outright — no
+    * per-query staleness listing, the read mode a 1M-file pinned
+    * training corpus needs. Refuses a version published without
+    * `statsCols` rather than silently full-scanning.
+    */
+  def readVersionPruned(spark: SparkSession, path: String, version: Long,
+                        c: String, lo: org.apache.spark.sql.Column,
+                        hi: org.apache.spark.sql.Column): DataFrame = {
+    val dir = versionDir(spark, path, version)
+    requireSidecar(spark, dir, Manifest.ManifestDir, s"statsCols including $c")
+    Manifest.prunedRead(spark, dir, c, lo, hi, trustManifest = true)
+  }
+
+  /** Point-lookup read of a PINNED version through its per-file Bloom
+    * sidecar — the skipping tool for high-cardinality keys whose
+    * per-file min/max ranges span the corpus. Same immutability-derived
+    * trust as [[readVersionPruned]]; refuses a version published
+    * without `bloomCols` for `c`.
+    */
+  def readVersionPoint(spark: SparkSession, path: String, version: Long,
+                       c: String, value: org.apache.spark.sql.Column): DataFrame = {
+    val dir = versionDir(spark, path, version)
+    requireSidecar(spark, dir, Manifest.bloomDir(c), s"bloomCols including $c")
+    Manifest.bloomRead(spark, dir, c, value, trustBloom = true)
   }
 
   /** Version history, ascending: (version, is_current, dir). */
@@ -80,9 +138,14 @@ object CorpusVersions {
     * FORWARD, one distributed copy: no marker is ever deleted on the
     * serve path, so the rollback itself is crash-atomic and the history
     * keeps recording what was served when. Returns the new version.
+    * Sidecars are re-DERIVED, not copied (manifest rows pin absolute
+    * file paths, which the copy invalidates) — pass the same
+    * `statsCols` / `bloomCols` the original publish used to keep the
+    * restored version skippable.
     */
-  def rollback(spark: SparkSession, path: String, toVersion: Long): Long =
-    publish(spark, path, readVersion(spark, path, toVersion))
+  def rollback(spark: SparkSession, path: String, toVersion: Long,
+               statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    publish(spark, path, readVersion(spark, path, toVersion), statsCols, bloomCols)
 
   /** Retire history: drop all but the last `keepLast` versions (the
     * current one is always kept). Run on the retention cadence that owns

@@ -184,7 +184,7 @@ object Manifest {
     * (new files invisible, vanished files fail the scan) instead of
     * detecting the drift — only declare immutable what is immutable.
     */
-  private def bloomDir(c: String): String = s"${ManifestDir}_bloom_$c"
+  private[graft] def bloomDir(c: String): String = s"${ManifestDir}_bloom_$c"
 
   /** Per-file BLOOM sidecar for point lookups on `c` — the skipping tool
     * where min/max cannot bite: a high-cardinality key spread across
