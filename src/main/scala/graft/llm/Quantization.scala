@@ -63,7 +63,8 @@ object Quantization {
   }
 
   /** Train per-subspace codebooks on a deterministic bounded sample
-    * (order by id, limit `trainSampleMaxRows`) — farthest-point seeds +
+    * (hash-ordered by md5(id), limit `trainSampleMaxRows`) —
+    * farthest-point seeds +
     * `lloydRounds` of driver-side Lloyd per subspace. Deterministic:
     * same corpus → bit-identical model. Empty Lloyd cells keep their
     * previous codeword (the standard fix; deterministic).
@@ -82,7 +83,11 @@ object Quantization {
         "PQ deployments keep k ≤ 256 — raise m instead")
     val sample = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy(col("id"))
+      // hash-ordered (md5 of the id, ties by id): a deterministic SPREAD
+      // of the corpus instead of its lowest-id stratum — codebooks see
+      // every ingestion epoch even when id order correlates with content
+      // drift (r10 verdict). Same TakeOrdered cost, same determinism.
+      .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(math.min(math.max(k.toLong * m * 16, 4096L), trainSampleMaxRows).toInt)
       .as[(Long, Seq[Float])].collect().map(_._2)
     require(sample.nonEmpty, "cannot train a PQ model on an empty corpus")
@@ -423,7 +428,7 @@ object Quantization {
       s"pq_codes at $path encoded batches $encodedBatches but the index now " +
         s"holds $liveBatches — the code table is stale (append or compaction " +
         "since the encode); re-run ivfPqWriteCodes")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = Similarity.ivfCentroids(spark, path)
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__cd").asc, col("cell").asc)

@@ -73,12 +73,17 @@ object Similarity {
     // driver-bounded) so the assignment plan stays one broadcast join deep
     // instead of nesting round upon round of lazy lineage.
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // Farthest-point seeding on a bounded sample (deterministic order by
-    // id). The collect is gated at [[SeedSampleMaxRows]]: 64 candidates
-    // per cell is plenty for seeding quality, but nCells·64 must not grow
-    // into a data-scale driver collect when someone sizes nCells ≈ n/10k
-    // for a SemDeDup corpus (the k ≈ 4096 case the docs below describe).
-    val sample = c.orderBy(col("id"))
+    // Farthest-point seeding on a bounded sample — HASH-ordered (md5 of
+    // the stringified id, ties by id) so the sample is a deterministic
+    // SPREAD of the corpus rather than its lowest-id stratum: when
+    // ingestion order correlates with content drift, an id-prefix sample
+    // seeds only the oldest data (r10 verdict). Same TakeOrdered cost and
+    // the same determinism contract (same corpus → same sample →
+    // bit-identical seeds). The collect is gated at [[SeedSampleMaxRows]]:
+    // 64 candidates per cell is plenty for seeding quality, but nCells·64
+    // must not grow into a data-scale driver collect when someone sizes
+    // nCells ≈ n/10k for a SemDeDup corpus (the k ≈ 4096 case below).
+    val sample = c.orderBy(md5(col("id").cast("string")), col("id"))
       .limit(math.min(math.max(nCells * 64, 1024), SeedSampleMaxRows).toInt)
       .as[(Long, Seq[Float])].collect()
     val seeds = farthestPointSeeds(sample.map(_._2), nCells)
@@ -227,7 +232,7 @@ object Similarity {
     require(!flatCell,
       s"$vecRoot is not the batch-partitioned layout (pre-append index): " +
         "rebuild it with ivfWriteIndex before appending")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = ivfCentroids(spark, path)
     val assigned = assignCells(
         batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
       .select(col("id"), col("v"), col("cell"))
@@ -286,6 +291,11 @@ object Similarity {
       .withColumn("__batch", lit(0L))
       .write.mode("overwrite").partitionBy("cell", "__batch")
       .parquet(staged.toString)
+    // centroids travel WITH the generation (r11): once a rebuild has
+    // stored them in-generation, a later compaction must carry them
+    // forward or GC of the rebuilt generation would orphan the geometry
+    ivfCentroids(spark, path).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staged, "_centroids").toString)
     graft.ops.Generations.commit(fs, root, "vectors", gen)
     graft.ops.Generations.gcOld(fs, root, "vectors")
     writeCellStats(spark, path, dynamicOnly = false)
@@ -300,6 +310,81 @@ object Similarity {
   def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     graft.ops.Generations.vacuum(ivfFs(spark, path),
       new org.apache.hadoop.fs.Path(path), "vectors")
+
+  /** The index's centroid table, generation-resolved: a maintenance pass
+    * that RE-DERIVES centroids ([[ivfRebuild]]) stores them as a
+    * `_centroids/` subdir INSIDE the vectors generation it assigned —
+    * `_`-prefixed, so the vectors scan never sees it, and riding the SAME
+    * commit marker, so centroids and cell assignments swap as ONE atomic
+    * unit (committing them as two separate dirs would open a window where
+    * probes pick cells by new centroids over old assignments). Falls back
+    * to the base build's plain `$path/centroids` when the current
+    * generation carries none (fresh builds, appends, pre-r11 layouts).
+    */
+  def ivfCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val fs = ivfFs(spark, path)
+    val inGen = new org.apache.hadoop.fs.Path(ivfVectorsDir(spark, path), "_centroids")
+    if (fs.exists(inGen)) spark.read.parquet(inGen.toString)
+    else spark.read.parquet(s"$path/centroids")
+  }
+
+  /** REBUILD the index's cell geometry in place — the drift answer
+    * ([[ivfDriftStats]] measures it; this is the repair): re-seed and
+    * re-Lloyd over the CURRENT corpus (base + every appended batch), then
+    * swap vectors AND centroids as one crash-atomic generation commit.
+    * Readers stay on the old geometry until the marker lands and resolve
+    * the new one after — never a mix. The rebuilt index is a single
+    * `__batch=0` (the corpus is re-assigned wholesale), so the drift
+    * baseline re-anchors on everything admitted so far, like
+    * [[ivfCompact]]. A composed IVF-PQ code table becomes stale by
+    * construction (its recorded batch set no longer matches) and refuses
+    * loudly until re-encoded — rebuild the codes with `ivfPqWriteCodes`
+    * after a geometry rebuild.
+    *
+    * `nCells` defaults to the current centroid count; `lloydRounds`
+    * mirrors [[ivfWriteIndex]].
+    */
+  def ivfRebuild(spark: org.apache.spark.sql.SparkSession, path: String,
+                 lloydRounds: Int = 2, nCells: Int = 0): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = ivfFs(spark, path)
+    val cells = if (nCells > 0) nCells else ivfCentroids(spark, path).count().toInt
+    val corpus = ivfVectors(spark, path).select(col("id"), col("v"))
+    val (indexed, centroids) = ivfIndex(corpus, "v", "id", cells, lloydRounds)
+    val (staged, gen) = graft.ops.Generations.stage(fs, root, "vectors")
+    indexed.withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("cell", "__batch")
+      .parquet(staged.toString)
+    centroids.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staged, "_centroids").toString)
+    graft.ops.Generations.commit(fs, root, "vectors", gen)
+    graft.ops.Generations.gcOld(fs, root, "vectors")
+    writeCellStats(spark, path, dynamicOnly = false)
+    writeDriftStats(spark, path, dynamicOnly = false)
+  }
+
+  /** ONE maintenance entry point composing the measured pieces — the
+    * policy the append lifecycle's knobs were built for: REBUILD
+    * ([[ivfRebuild]]) when any appended batch's drift metric flags
+    * against the batch-0 baseline (the geometry no longer fits the
+    * corpus — compaction would merge files but keep serving bad cells);
+    * otherwise COMPACT ([[ivfCompact]]) when the live `__batch` count
+    * exceeds `maxLiveBatches` (fragmentation: every append adds one
+    * directory of small files per touched cell); otherwise do nothing.
+    * Both actions are crash-atomic generation swaps, so the index is
+    * readable at every instant of either. Returns the action taken:
+    * "rebuild", "compact", or "none".
+    */
+  def ivfMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+                  maxLiveBatches: Int = 8, driftFlagRatio: Double = 2.0,
+                  lloydRounds: Int = 2): String = {
+    val drifted = ivfDriftStats(spark, path, driftFlagRatio)
+      .where(col("drifted")).limit(1).count() > 0
+    if (drifted) { ivfRebuild(spark, path, lloydRounds); "rebuild" }
+    else if (ivfLiveBatches(spark, path).size > maxLiveBatches) {
+      ivfCompact(spark, path); "compact"
+    } else "none"
+  }
 
   private def ivfFs(spark: org.apache.spark.sql.SparkSession,
                     path: String): org.apache.hadoop.fs.FileSystem =
@@ -382,7 +467,7 @@ object Similarity {
   private def writeDriftStats(spark: org.apache.spark.sql.SparkSession,
                               path: String, dynamicOnly: Boolean): Unit = {
     val stats = driftStatsOf(ivfVectors(spark, path),
-      spark.read.parquet(s"$path/centroids"))
+      ivfCentroids(spark, path))
     val w = stats.write.mode("overwrite")
     (if (dynamicOnly) w.option("partitionOverwriteMode", "dynamic") else w)
       .partitionBy("__batch").parquet(s"$path/drift_stats")
@@ -453,7 +538,7 @@ object Similarity {
   def ivfKnnPruned(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, vecCol: String, idCol: String,
                    k: Int, nProbe: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = ivfCentroids(spark, path)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("cell").asc)
     val probes = q.join(broadcast(centroids))

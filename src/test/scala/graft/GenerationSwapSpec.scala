@@ -269,6 +269,54 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(post.keySet === Set(0L) && !post(0L)._3)
     assert(post(0L)._1 === e.count(), "post-compaction baseline covers the whole corpus")
   }
+
+  test("ivfMaintain: drifted rebuilds (atomic geometry swap); fragmented compacts; healthy no-ops") {
+    import graft.llm.Similarity
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val s80 = e.agg((max(col("id")) * lit(0.8)).cast("long")).head().getLong(0)
+    val queries = e.where(col("id") < 5L)
+
+    // CASE 1: a drifted append → the policy rebuilds the geometry
+    val p1 = java.nio.file.Files.createTempDirectory("graft-maintain-drift").toString
+    Similarity.ivfWriteIndex(e.where(col("id") < s80), "v", "id",
+      nCells = 4, lloydRounds = 1, path = p1)
+    Similarity.ivfAppendBatch(spark, p1,
+      e.where(col("id") >= s80)
+        .select(col("id"), transform(col("v"), x => x + lit(4.0f)).as("v")),
+      "v", "id", batchId = 1L)
+    assert(Similarity.ivfMaintain(spark, p1) === "rebuild")
+    // rebuilt: one batch, re-anchored unflagged baseline over everything
+    assert(Similarity.ivfLiveBatches(spark, p1) === Seq(0L))
+    val post = Similarity.ivfDriftStats(spark, p1, flagRatio = 2.0).collect()
+    assert(post.length === 1 && !post.head.getBoolean(6))
+    assert(post.head.getLong(1) === e.count(), "rebuild re-assigns the whole corpus")
+    // the new centroids live INSIDE the committed generation (one-marker
+    // swap of geometry + assignments) and the read path resolves them:
+    // full-probe recall over the rebuilt index is exactly 1
+    val fs = new org.apache.hadoop.fs.Path(p1)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      Similarity.ivfVectorsDir(spark, p1), "_centroids")))
+    assert(Similarity.ivfCentroids(spark, p1).count() === 4L)
+    val recall = Similarity.ivfRecallCurve(spark, p1, queries, "v", "id",
+      k = 5, probes = Seq(4)).head().getDouble(3)
+    assert(recall === 1.0, s"full-probe recall after rebuild: $recall")
+    // maintain again: the rebuilt index is healthy → no-op
+    assert(Similarity.ivfMaintain(spark, p1) === "none")
+
+    // CASE 2: in-distribution appends → compact only when fragmented
+    val p2 = java.nio.file.Files.createTempDirectory("graft-maintain-frag").toString
+    Similarity.ivfWriteIndex(e.where(col("id") < s80), "v", "id",
+      nCells = 4, lloydRounds = 1, path = p2)
+    Similarity.ivfAppendBatch(spark, p2, e.where(col("id") >= s80), "v", "id",
+      batchId = 1L)
+    assert(Similarity.ivfMaintain(spark, p2, maxLiveBatches = 8) === "none")
+    assert(Similarity.ivfMaintain(spark, p2, maxLiveBatches = 1) === "compact")
+    assert(Similarity.ivfLiveBatches(spark, p2) === Seq(0L))
+    // compaction carried the plain-layout centroids forward in-generation
+    assert(Similarity.ivfCentroids(spark, p2).count() === 4L)
+  }
 }
 
 /** Corpus versioning over the generation mechanism: publishes are
@@ -319,6 +367,53 @@ class CorpusVersionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[Exception] {
       CorpusVersions.read(spark, java.nio.file.Files
         .createTempDirectory("graft-corpusver-empty").toString).collect()
+    }
+  }
+
+  test("published sidecars ride the version: pinned reads prune, and bite") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-corpusver-side").toString
+    // 200 rows range-clustered into 8 files → per-file key ranges are
+    // tight, so a narrow range must NOT touch most files
+    val df = spark.range(0, 200).select(col("id"), (col("id") * 2).as("k"),
+      concat(lit("doc "), col("id")).as("text"))
+      .repartitionByRange(8, col("id"))
+    assert(CorpusVersions.publish(spark, path, df,
+      statsCols = Seq("id"), bloomCols = Seq("k")) === 1L)
+    // a second version, published WITHOUT sidecars — the pinned v1 read
+    // must keep serving v1's rows through v1's OWN sidecar
+    CorpusVersions.publish(spark, path, df.where(col("id") < 50L))
+
+    val pruned = CorpusVersions.readVersionPruned(spark, path, 1L, "id",
+      lit(10L), lit(30L))
+    assert(pruned.orderBy(col("id")).select(col("id")).as[Long].collect().toSeq
+      === (10L to 30L))
+    val v1files = CorpusVersions.readVersion(spark, path, 1L).inputFiles.length
+    assert(v1files === 8, s"expected 8 clustered files, got $v1files")
+    assert(pruned.inputFiles.length < v1files,
+      s"manifest pruning did not bite: ${pruned.inputFiles.length} of $v1files files")
+    // the sidecars are INSIDE the generation dir (atomic with the data)
+    // and invisible to the snapshot scan
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/data_gen=1/_graft_manifest")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/data_gen=1/_graft_manifest_bloom_k")))
+    assert(CorpusVersions.readVersion(spark, path, 1L).count() === 200L)
+
+    // Bloom point read on the pinned version: exact rows, fewer files
+    val pt = CorpusVersions.readVersionPoint(spark, path, 1L, "k", lit(100L))
+    assert(pt.select(col("id")).as[Long].collect().toSeq === Seq(50L))
+    assert(pt.inputFiles.length < v1files,
+      s"bloom pruning did not bite: ${pt.inputFiles.length} of $v1files files")
+
+    // a version published WITHOUT sidecars refuses both skipping reads
+    val bare = intercept[IllegalArgumentException] {
+      CorpusVersions.readVersionPruned(spark, path, 2L, "id", lit(0L), lit(1L))
+    }
+    assert(bare.getMessage.contains("sidecar"))
+    intercept[IllegalArgumentException] {
+      CorpusVersions.readVersionPoint(spark, path, 2L, "k", lit(0L))
     }
   }
 }
