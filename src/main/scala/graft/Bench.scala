@@ -69,7 +69,9 @@ object Bench {
     "k7_bm25_idx_query",     // scored search THROUGH the index: |postings(terms)| per query
     "k1_duplicated_spans",   // substring-dedup span pipeline: positional grams + df + islands
     "x3_bloom_build",        // per-file bloom sidecar write (amortized once)
-    "x3_bloom_read")         // point lookup through the bloom (min/max can't prune it)
+    "x3_bloom_read",         // point lookup through the bloom (min/max can't prune it)
+    "k13_fold_batch",        // one pair batch folded into the persisted assignment (round 11; the streaming-resolve per-batch cost, ≪ k13_dedup_resolve's from-scratch pipeline)
+    "x4_version_read_pruned")// pinned-version range read through the version's OWN sidecar (round 11; trusted manifest, no staleness listing)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,6 +126,21 @@ object Bench {
     val pqCodesPath = java.nio.file.Files.createTempDirectory("graft-bench-pqcodes").toString
     // the BM25 inverted index shared by the build/query entry pair
     val bm25Path = java.nio.file.Files.createTempDirectory("graft-bench-bm25").toString
+    // the K13 persisted assignment + its precomputed pair table: the
+    // fold entry times ONLY the incremental CC (assignment ∪ batch),
+    // never the gram pipeline that generates pairs (k13_dedup_resolve
+    // already times that end to end)
+    val ccPath = java.nio.file.Files.createTempDirectory("graft-bench-cc").toString
+    val ccPairsPath = java.nio.file.Files.createTempDirectory("graft-bench-ccpairs").toString
+    lazy val ccBaseReady: Unit = {
+      System.err.println("[bench] building k13_fold_batch's base assignment (untimed)")
+      val d = graft.core.Engine.table(spark, sfDir, "documents")
+      graft.llm.Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 2, threshold = 0.1)
+        .write.mode("overwrite").parquet(ccPairsPath)
+      val p = spark.read.parquet(ccPairsPath)
+      graft.ops.Graph.foldBatch(spark, ccPath,
+        p.where((col("id_a") + col("id_b")) % 2 === 0), "id_a", "id_b")
+    }
     lazy val pqModel: graft.llm.Quantization.PqModel = {
       System.err.println("[bench] training PQ codebooks (untimed)")
       val e = graft.core.Engine.table(spark, sfDir, "embeddings")
@@ -147,6 +164,14 @@ object Bench {
       graft.core.Engine.table(spark, sfDir, "orders")
         .repartitionByRange(32, col("o_orderdate"))
         .write.mode("overwrite").parquet(manifestTable)
+    // a published, sidecar-carrying corpus version for the pinned read
+    val verPath = java.nio.file.Files.createTempDirectory("graft-bench-ver").toString
+    lazy val versionReady: Unit = {
+      System.err.println("[bench] publishing the sidecar-carrying corpus version (untimed)")
+      manifestTableReady
+      graft.ops.CorpusVersions.publish(spark, verPath,
+        spark.read.parquet(manifestTable), statsCols = Seq("o_orderdate"))
+    }
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try name match {
@@ -250,6 +275,22 @@ object Bench {
                 .select(col("vec_id").as("id"), col("embedding")),
               "embedding", "id", kNN = 5, nProbe = 4, shortlist = 50)
             .write.format("noop").mode("overwrite").save()
+        case "k13_fold_batch" =>
+          // the per-batch cost of streaming dedup resolution: incremental
+          // CC over assignment ∪ batch (V_assigned + E_batch edges) +
+          // the generation-swapped publish — pair generation excluded
+          // (precomputed untimed; it is k13_dedup_resolve's cost)
+          graft.ops.Graph.foldBatch(spark, ccPath,
+            spark.read.parquet(ccPairsPath)
+              .where((col("id_a") + col("id_b")) % 2 === 1), "id_a", "id_b")
+        case "x4_version_read_pruned" =>
+          // pinned-version range read THROUGH the version's own manifest:
+          // trusted outright (committed versions are immutable), so no
+          // staleness listing — the x2_manifest_read_trusted of versions
+          graft.ops.CorpusVersions.readVersionPruned(spark, verPath, 1L,
+              "o_orderdate", lit("1996-01-01").cast("timestamp"),
+              lit("1996-12-31").cast("timestamp"))
+            .write.format("noop").mode("overwrite").save()
         case "k4_ivf_append" =>
           // dynamic overwrite of __batch=1 → every rep times identical
           // work (assign + rewrite the same partitions), no reset needed
@@ -306,6 +347,8 @@ object Bench {
       manifestTableReady
     ensure("x3_bloom_build", "x3_bloom_read")
     ensure("k7_bm25_idx_build", "k7_bm25_idx_query")
+    if (selected.contains("k13_fold_batch")) ccBaseReady
+    if (selected.contains("x4_version_read_pruned")) versionReady
     ensure("x2_manifest_build", "x2_manifest_refresh")
     ensure("x2_manifest_build", "x2_manifest_read")
     ensure("x2_manifest_build", "x2_manifest_read_trusted")

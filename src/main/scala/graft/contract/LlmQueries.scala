@@ -136,6 +136,47 @@ object LlmQueries {
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |  * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin.replace("\n", " ")
 
+  /** The RRF hybrid oracle (shared by `k7_hybrid_search` and the
+    * index-served `k7_hybrid_indexed` — both paths must be rank- and
+    * score-identical): the bm25 CTE chain verbatim for the lexical leg,
+    * the k4 duckCosine for the dense leg, reciprocal ranks summed in one
+    * fixed-shape double expression (missing leg → 0).
+    */
+  private def hybridOracle: String = tokCte +
+    s""", terms AS (SELECT doc_id AS doc, unnest(t) AS term FROM tk),
+       |tf AS (SELECT doc, term, COUNT(*) AS tf FROM terms GROUP BY doc, term),
+       |dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY doc),
+       |ad AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+       |qdf AS (SELECT term, COUNT(*) AS df FROM tf
+       |        WHERE term IN ('spark', 'join', 'vector') GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |sterm AS (SELECT tf.doc,
+       |  CAST(ROUND(
+       |    (ln(1.0 + (n.n - CAST(qdf.df AS DOUBLE) + 0.5) / (CAST(qdf.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2))
+       |    / (CAST(tf.tf AS DOUBLE)
+       |       + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / ad.avgdl)), 6)
+       |    AS DECIMAL(28,6)) AS s
+       |  FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.doc = dl.doc
+       |  CROSS JOIN n CROSS JOIN ad),
+       |sc AS (SELECT doc, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25 FROM sterm GROUP BY doc),
+       |lex AS (SELECT doc AS id,
+       |        CAST(row_number() OVER (ORDER BY bm25 DESC, doc) AS INTEGER) AS r_lex
+       |        FROM sc QUALIFY r_lex <= 30),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |dns AS (SELECT vec_id AS id, ${duckCosine("embedding", "q")} AS cos
+       |        FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+       |dense AS (SELECT id,
+       |        CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS r_dense
+       |        FROM dns QUALIFY r_dense <= 30),
+       |f AS (SELECT COALESCE(lex.id, dense.id) AS id, r_lex, r_dense,
+       |      ROUND(COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+       |          + COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0), 8) AS rrf
+       |      FROM lex FULL OUTER JOIN dense ON lex.id = dense.id)
+       |SELECT id, r_lex, r_dense, rrf,
+       |       CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank
+       |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // K1 — exact dedup: group audit view (hash, keeper, size)
@@ -955,6 +996,41 @@ object LlmQueries {
       val wd = Window.orderBy(col("cos").desc, col("id"))
       val dense = e.where(col("vec_id") =!= 0L)
         .join(broadcast(qv)) // 1-row condition-free broadcast (the k4 shape)
+        .select(col("vec_id").as("id"),
+          VectorFunctions.cosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("id")).limit(30)
+        .select(col("id"), row_number().over(wd).as("r_dense"))
+      val wr = Window.orderBy(col("rrf").desc, col("id"))
+      lex.join(dense, Seq("id"), "full_outer")
+        .select(col("id"), col("r_lex"), col("r_dense"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)), 8)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id")).limit(10)
+        .withColumn("rank", row_number().over(wr))
+        .orderBy(col("rank"))
+    }),
+
+    // K7 — hybrid retrieval through the PERSISTED index (round 11): the
+    // lexical leg reads |postings(query terms)| from the BM25 index
+    // instead of re-tokenizing the corpus; the dense leg and the RRF
+    // fusion are unchanged. Hash-matches the SAME oracle as
+    // k7_hybrid_search — the served-from-index hybrid must be
+    // rank-identical to the scan-everything hybrid, scores included.
+    "k7_hybrid_indexed" -> ((s, dir) => {
+      val path = sessionScratchDir("graft-bm25hyb")
+      graft.llm.Search.bm25IndexWrite(t(s, dir, "documents"), "text", "doc_id",
+        path, nBuckets = 16)
+      val e = t(s, dir, "embeddings")
+      val wl = Window.orderBy(col("bm25").desc, col("doc"))
+      val lex = graft.llm.Search.bm25Indexed(s, path,
+          query = Seq("spark", "join", "vector"))
+        .orderBy(col("bm25").desc, col("doc")).limit(30)
+        .select(col("doc").as("id"), row_number().over(wl).as("r_lex"))
+      val qv = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val wd = Window.orderBy(col("cos").desc, col("id"))
+      val dense = e.where(col("vec_id") =!= 0L)
+        .join(broadcast(qv))
         .select(col("vec_id").as("id"),
           VectorFunctions.cosine(col("embedding"), col("qv")).as("cos"))
         .orderBy(col("cos").desc, col("id")).limit(30)
@@ -1885,40 +1961,10 @@ object LlmQueries {
     // RRF hybrid fusion: the bm25 CTE chain verbatim for the lexical
     // leg, the k4 duckCosine for the dense leg, reciprocal ranks summed
     // in one fixed-shape double expression (missing leg -> 0)
-    "k7_hybrid_search" -> (tokCte +
-      s""", terms AS (SELECT doc_id AS doc, unnest(t) AS term FROM tk),
-         |tf AS (SELECT doc, term, COUNT(*) AS tf FROM terms GROUP BY doc, term),
-         |dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY doc),
-         |ad AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-         |qdf AS (SELECT term, COUNT(*) AS df FROM tf
-         |        WHERE term IN ('spark', 'join', 'vector') GROUP BY term),
-         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-         |sterm AS (SELECT tf.doc,
-         |  CAST(ROUND(
-         |    (ln(1.0 + (n.n - CAST(qdf.df AS DOUBLE) + 0.5) / (CAST(qdf.df AS DOUBLE) + 0.5))
-         |      * (CAST(tf.tf AS DOUBLE) * 2.2))
-         |    / (CAST(tf.tf AS DOUBLE)
-         |       + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / ad.avgdl)), 6)
-         |    AS DECIMAL(28,6)) AS s
-         |  FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.doc = dl.doc
-         |  CROSS JOIN n CROSS JOIN ad),
-         |sc AS (SELECT doc, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25 FROM sterm GROUP BY doc),
-         |lex AS (SELECT doc AS id,
-         |        CAST(row_number() OVER (ORDER BY bm25 DESC, doc) AS INTEGER) AS r_lex
-         |        FROM sc QUALIFY r_lex <= 30),
-         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
-         |dns AS (SELECT vec_id AS id, ${duckCosine("embedding", "q")} AS cos
-         |        FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
-         |dense AS (SELECT id,
-         |        CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS r_dense
-         |        FROM dns QUALIFY r_dense <= 30),
-         |f AS (SELECT COALESCE(lex.id, dense.id) AS id, r_lex, r_dense,
-         |      ROUND(COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
-         |          + COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0), 8) AS rrf
-         |      FROM lex FULL OUTER JOIN dense ON lex.id = dense.id)
-         |SELECT id, r_lex, r_dense, rrf,
-         |       CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank
-         |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin),
+    "k7_hybrid_search" -> hybridOracle,
+
+    // the index-served hybrid must be rank- and score-identical
+    "k7_hybrid_indexed" -> hybridOracle,
 
     "k8_langid_matrix" -> (tokCte +
       """, sc AS (SELECT doc_id, lang,
