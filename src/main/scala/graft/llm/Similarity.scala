@@ -374,16 +374,34 @@ object Similarity {
     * Both actions are crash-atomic generation swaps, so the index is
     * readable at every instant of either. Returns the action taken:
     * "rebuild", "compact", or "none".
+    *
+    * Either action collapses the `__batch` set, so a composed IVF-PQ
+    * code table derived from this index is stale by construction the
+    * moment the swap commits (its recorded batch list no longer matches
+    * — `ivfPqKnn` refuses loudly). `healCodes` (default on) closes that
+    * loop: when a `pq_model` sidecar exists, the codes are re-derived
+    * with their OWN recorded (m, k) geometry right after the swap, so
+    * the compressed read path comes back without operator intervention
+    * — after a rebuild the codebooks retrain on the re-assigned corpus,
+    * which is exactly what a geometry change calls for.
     */
   def ivfMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
                   maxLiveBatches: Int = 8, driftFlagRatio: Double = 2.0,
-                  lloydRounds: Int = 2): String = {
+                  lloydRounds: Int = 2, healCodes: Boolean = true): String = {
     val drifted = ivfDriftStats(spark, path, driftFlagRatio)
       .where(col("drifted")).limit(1).count() > 0
-    if (drifted) { ivfRebuild(spark, path, lloydRounds); "rebuild" }
-    else if (ivfLiveBatches(spark, path).size > maxLiveBatches) {
-      ivfCompact(spark, path); "compact"
-    } else "none"
+    val action =
+      if (drifted) { ivfRebuild(spark, path, lloydRounds); "rebuild" }
+      else if (ivfLiveBatches(spark, path).size > maxLiveBatches) {
+        ivfCompact(spark, path); "compact"
+      } else "none"
+    if (healCodes && action != "none" &&
+        ivfFs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/pq_model"))) {
+      val (model, _) = graft.llm.Quantization.pqLoadModel(spark, path)
+      graft.llm.Quantization.ivfPqWriteCodes(spark, path, model.m, model.k)
+      ()
+    }
+    action
   }
 
   private def ivfFs(spark: org.apache.spark.sql.SparkSession,

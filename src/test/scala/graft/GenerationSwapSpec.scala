@@ -311,11 +311,20 @@ class IvfDriftSpec extends AnyFunSuite {
       nCells = 4, lloydRounds = 1, path = p2)
     Similarity.ivfAppendBatch(spark, p2, e.where(col("id") >= s80), "v", "id",
       batchId = 1L)
+    // a composed PQ code table rides the index; maintain must heal it
+    // through the swap (the compact collapses its recorded batch set)
+    graft.llm.Quantization.ivfPqWriteCodes(spark, p2, m = 8, k = 4)
     assert(Similarity.ivfMaintain(spark, p2, maxLiveBatches = 8) === "none")
     assert(Similarity.ivfMaintain(spark, p2, maxLiveBatches = 1) === "compact")
     assert(Similarity.ivfLiveBatches(spark, p2) === Seq(0L))
     // compaction carried the plain-layout centroids forward in-generation
     assert(Similarity.ivfCentroids(spark, p2).count() === 4L)
+    // and the compressed read path is live again without a manual
+    // re-encode — before the heal, ivfPqKnn would refuse on the stale
+    // batch list (IvfPqSpec pins that refusal)
+    val pq = graft.llm.Quantization.ivfPqKnn(spark, p2, queries, "v", "id",
+      kNN = 3, nProbe = 4, shortlist = 10)
+    assert(pq.count() > 0)
   }
 }
 
