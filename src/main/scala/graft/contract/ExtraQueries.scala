@@ -211,6 +211,19 @@ object ExtraQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // x4 — VERSION DIFF (round 11): what entered/left the corpus between
+    // two pinned versions — the reproducibility audit behind "why did
+    // run B train on different data than run A". Two key-projected
+    // anti-joins; hash-matched against the set arithmetic in DuckDB.
+    "x4_version_diff" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-verdiff").toString
+      val docs = t(s, dir, "documents")
+      graft.ops.CorpusVersions.publish(s, out, docs.where(col("doc_id") < 300L))
+      graft.ops.CorpusVersions.publish(s, out, docs.where(col("doc_id") >= 100L))
+      graft.ops.CorpusVersions.diff(s, out, 1L, 2L, "doc_id")
+        .orderBy(col("change"), col("key"))
+    }),
+
     "x3_bloom_point_read" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
       t(s, dir, "orders")
@@ -323,6 +336,12 @@ object ExtraQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey = 999 ORDER BY o_orderkey""".stripMargin,
+
+    "x4_version_diff" ->
+      """SELECT doc_id AS key, 'added' AS change FROM documents WHERE doc_id >= 300
+        |UNION ALL
+        |SELECT doc_id AS key, 'removed' AS change FROM documents WHERE doc_id < 100
+        |ORDER BY change, key""".stripMargin,
 
     "x4_version_pruned" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -1046,6 +1046,44 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // K7 — hybrid retrieval with BOTH legs index-served (round 11): the
+    // lexical leg reads the BM25 postings index, the dense leg reads
+    // the IVF index through ivfKnnPruned — the 100 TB hybrid shape
+    // (neither leg ever scans the corpus). Probed at nProbe = nCells,
+    // the IVF read is EXACT cosine top-k by the full-probe law (the
+    // same law IvfPqSpec pins), so this query hash-matches the same
+    // oracle as the scan-everything hybrid; nProbe is the declared
+    // recall/cost knob a production deployment would lower.
+    "k7_hybrid_both_indexed" -> ((s, dir) => {
+      val bmPath = sessionScratchDir("graft-hyb2bm")
+      val ivfPath = sessionScratchDir("graft-hyb2ivf")
+      graft.llm.Search.bm25IndexWrite(t(s, dir, "documents"), "text", "doc_id",
+        bmPath, nBuckets = 16)
+      val e = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfWriteIndex(
+        e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
+        nCells = 16, lloydRounds = 1, path = ivfPath)
+      val wl = Window.orderBy(col("bm25").desc, col("doc"))
+      val lex = graft.llm.Search.bm25Indexed(s, bmPath,
+          query = Seq("spark", "join", "vector"))
+        .orderBy(col("bm25").desc, col("doc")).limit(30)
+        .select(col("doc").as("id"), row_number().over(wl).as("r_lex"))
+      val dense = graft.llm.Similarity.ivfKnnPruned(s, ivfPath,
+          e.where(col("vec_id") === 0L)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "embedding", "qid", k = 30, nProbe = 16)
+        .select(col("neighbor_id").as("id"), col("rank").as("r_dense"))
+      val wr = Window.orderBy(col("rrf").desc, col("id"))
+      lex.join(dense, Seq("id"), "full_outer")
+        .select(col("id"), col("r_lex"), col("r_dense"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)), 8)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id")).limit(10)
+        .withColumn("rank", row_number().over(wr))
+        .orderBy(col("rank"))
+    }),
+
     // K7 — BM25 through the PERSISTED index (round 11, the r10 verdict's
     // top item): build postings/stats/meta once, then the query reads
     // |postings(query terms)| — bucket-pruned, term-pushdown — instead
@@ -1963,8 +2001,10 @@ object LlmQueries {
     // in one fixed-shape double expression (missing leg -> 0)
     "k7_hybrid_search" -> hybridOracle,
 
-    // the index-served hybrid must be rank- and score-identical
+    // the index-served hybrids must be rank- and score-identical (the
+    // both-legs form probes every cell, so its IVF leg is exact)
     "k7_hybrid_indexed" -> hybridOracle,
+    "k7_hybrid_both_indexed" -> hybridOracle,
 
     "k8_langid_matrix" -> (tokCte +
       """, sc AS (SELECT doc_id, lang,

@@ -147,6 +147,28 @@ object CorpusVersions {
                statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
     publish(spark, path, readVersion(spark, path, toVersion), statsCols, bloomCols)
 
+  /** What changed between two published versions, by key: one row per
+    * key present in exactly one of them — (key, change ∈ added/removed).
+    * The product question behind it: "what entered/left the training
+    * corpus between the run pinned at v1 and the run pinned at v2".
+    * Cost at 100 TB: two key-projected anti-joins (each one shuffle on
+    * the key — the honest lower bound for a presence diff over corpora
+    * written independently); keys-only projection reaches the scans, so
+    * the shuffled payload is the key column, never the documents.
+    * Key-level by design: a content-level diff is `readVersion(v1)
+    * EXCEPT readVersion(v2)` composed by the caller when rows are small
+    * enough to compare wholesale.
+    */
+  def diff(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long,
+           keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val from = readVersion(spark, path, fromVersion).select(col(keyCol).as("key"))
+    val to = readVersion(spark, path, toVersion).select(col(keyCol).as("key"))
+    to.join(from, Seq("key"), "left_anti").withColumn("change", lit("added"))
+      .unionByName(
+        from.join(to, Seq("key"), "left_anti").withColumn("change", lit("removed")))
+  }
+
   /** Retire history: drop all but the last `keepLast` versions (the
     * current one is always kept). Run on the retention cadence that owns
     * reproducibility windows — a vacuumed version's `readVersion` fails
