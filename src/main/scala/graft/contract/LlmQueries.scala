@@ -177,6 +177,32 @@ object LlmQueries {
        |       CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank
        |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin
 
+  /** The full dedup-resolution oracle (shared by `k13_dedup_resolve`
+    * and the stream-maintained `k13_streaming_canonical`): recursive
+    * transitive closure over all pairs, singleton restore, canonical =
+    * (pref desc, id asc) argmax per component.
+    */
+  private def k13ResolveOracle: String = recTokCte + jaccardPairCtes(0.1) +
+    """, e AS (SELECT id_a AS s, id_b AS d FROM pr
+      |        UNION ALL SELECT id_b, id_a FROM pr),
+      |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
+      |  UNION
+      |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d),
+      |comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+      |asg AS (SELECT d.doc_id AS id,
+      |    COALESCE(c.component, d.doc_id) AS component,
+      |    length(d.text) AS pref
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      |canon AS (SELECT component, id AS canonical FROM
+      |    (SELECT component, id,
+      |       row_number() OVER (PARTITION BY component
+      |                          ORDER BY pref DESC, id ASC) AS rn
+      |     FROM asg)
+      |  WHERE rn = 1)
+      |SELECT a.id, a.component, a.id = c.canonical AS is_canonical
+      |FROM asg a JOIN canon c ON c.component = a.component
+      |ORDER BY a.id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // K1 — exact dedup: group audit view (hash, keeper, size)
@@ -434,6 +460,37 @@ object LlmQueries {
       src.addData(pairs.filter(p => (p._1 + p._2) % 2 == 0).toSeq); drain()
       src.addData(pairs.filter(p => (p._1 + p._2) % 2 == 1).toSeq); drain()
       graft.ops.Graph.assignment(s, path).orderBy(col("id"))
+    }),
+
+    // K13 — STREAMING pipeline to the CANONICAL VIEW (▶, hash-matched):
+    // the same two-drain pair stream maintains the persisted assignment;
+    // resolveFromAssignment then turns it into the corpus-wide
+    // keeper/drop decision ON DEMAND — no CC re-run, singletons restored,
+    // the same skew-proof max_by canonical pick. Hash-matching the
+    // k13_dedup_resolve oracle proves stream-maintained state + read-time
+    // resolve ≡ the from-scratch batch resolution, labels and canonical
+    // flags included.
+    "k13_streaming_canonical" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 2, threshold = 0.1)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val path = freshScratchDir("graft-cccanon")
+      val ckpt = freshScratchDir("graft-cccanon-ckpt")
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchResolve(
+          src.toDS().toDF("id_a", "id_b"), path, ckpt, "id_a", "id_b")
+        q.awaitTermination()
+      }
+      src.addData(pairs.filter(p => (p._1 + p._2) % 2 == 0).toSeq); drain()
+      src.addData(pairs.filter(p => (p._1 + p._2) % 2 == 1).toSeq); drain()
+      graft.ops.Graph.resolveFromAssignment(docs, "doc_id", length(col("text")),
+          graft.ops.Graph.assignment(s, path), "id", "component")
+        .orderBy(col("id"))
     }),
 
     // K2 — STREAMING simhash-index maintenance (▶, hash-matched): base
@@ -1758,26 +1815,11 @@ object LlmQueries {
         |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin),
 
-    "k13_dedup_resolve" -> (recTokCte + jaccardPairCtes(0.1) +
-      """, e AS (SELECT id_a AS s, id_b AS d FROM pr
-        |        UNION ALL SELECT id_b, id_a FROM pr),
-        |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
-        |  UNION
-        |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d),
-        |comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
-        |asg AS (SELECT d.doc_id AS id,
-        |    COALESCE(c.component, d.doc_id) AS component,
-        |    length(d.text) AS pref
-        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-        |canon AS (SELECT component, id AS canonical FROM
-        |    (SELECT component, id,
-        |       row_number() OVER (PARTITION BY component
-        |                          ORDER BY pref DESC, id ASC) AS rn
-        |     FROM asg)
-        |  WHERE rn = 1)
-        |SELECT a.id, a.component, a.id = c.canonical AS is_canonical
-        |FROM asg a JOIN canon c ON c.component = a.component
-        |ORDER BY a.id""".stripMargin),
+    "k13_dedup_resolve" -> k13ResolveOracle,
+
+    // stream-maintained assignment + read-time resolve must equal the
+    // from-scratch batch resolution exactly
+    "k13_streaming_canonical" -> k13ResolveOracle,
 
     "k3_cosine_pairs" ->
       s"""SELECT a.vec_id AS vec_id,

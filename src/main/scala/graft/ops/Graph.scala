@@ -139,8 +139,23 @@ object Graph extends org.apache.spark.internal.Logging {
     */
   def dedupResolve(docs: DataFrame, idCol: String, prefer: Column,
                    pairs: DataFrame, aCol: String, bCol: String,
-                   maxIter: Int = 50): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+                   maxIter: Int = 50): DataFrame =
+    resolveFromAssignment(docs, idCol, prefer,
+      connectedComponents(pairs, aCol, bCol), "id", "component")
+
+  /** [[dedupResolve]] when the components already exist — the read side
+    * of the persisted-assignment lifecycle ([[foldBatch]] /
+    * `Ingest.foreachBatchResolve` maintain the assignment as the stream
+    * runs; THIS turns it into the corpus-wide keeper/drop decision on
+    * demand, without re-running any CC): docs outside the assignment
+    * are their own singleton component, the canonical pick is the same
+    * skew-proof `max_by` hash aggregate (never a per-component window).
+    */
+  def resolveFromAssignment(docs: DataFrame, idCol: String, prefer: Column,
+                            assignment: DataFrame, aIdCol: String,
+                            compCol: String): DataFrame = {
+    val comp = assignment.select(
+      col(aIdCol).cast("long").as("id"), col(compCol).cast("long").as("component"))
     val assigned = docs
       .select(col(idCol).cast("long").as("id"), prefer.as("__pref"))
       .join(comp, Seq("id"), "left")
