@@ -692,7 +692,10 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // documented-safe; k4_pq_recall's exact side is the same bounded
     // brute-force shape as k4_knn_bruteforce
     "k4_pq_knn", "k4_pq_recall",
-    "k7_hybrid_search") // dense leg: 1-row query-vector broadcast
+    "k7_hybrid_search",  // dense leg: 1-row query-vector broadcast
+    // same 1-row query-vector broadcast; only the lexical source differs
+    // (postings index instead of corpus scan)
+    "k7_hybrid_indexed", "k7_hybrid_both_indexed")
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
@@ -703,7 +706,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "j12_funnel", // three 1-row stage counts
     "k4_pq_recall", // 1-row recall summary per shortlist setting
     "k7_bm25_search", // rank window over the post-limit 20-row frame
-    "k7_hybrid_search") // leg ranks + fusion over post-limit <=30-row frames
+    "k7_hybrid_search", // leg ranks + fusion over post-limit <=30-row frames
+    "k7_hybrid_indexed", "k7_hybrid_both_indexed") // same bounded frames
   // queries that execute work at construction time (streams, index
   // writes, eager cached pipelines, file roundtrips) — audited by their
   // own dedicated plan specs instead of this blanket pass
@@ -720,7 +724,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k8_stratified_sample", "e4_sketch_merge",
     "k4_ivf_pq_knn", // writes index + code table at construction; IvfPqSpec audits
     "k4_ivf_pq_append", // index build + append + two encodes at construction
-    "k4_streaming_ivf_pq_append") // two-drain MemoryStream + index/code writes
+    "k4_streaming_ivf_pq_append", // two-drain MemoryStream + index/code writes
+    "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
+    "k13_streaming_canonical") // same stream + read-time resolve
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries
