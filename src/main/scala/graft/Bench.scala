@@ -71,7 +71,9 @@ object Bench {
     "x3_bloom_build",        // per-file bloom sidecar write (amortized once)
     "x3_bloom_read",         // point lookup through the bloom (min/max can't prune it)
     "k13_fold_batch",        // one pair batch folded into the persisted assignment (round 11; the streaming-resolve per-batch cost, ≪ k13_dedup_resolve's from-scratch pipeline)
-    "x4_version_read_pruned")// pinned-version range read through the version's OWN sidecar (round 11; trusted manifest, no staleness listing)
+    "x4_version_read_pruned",// pinned-version range read through the version's OWN sidecar (round 11; trusted manifest, no staleness listing)
+    "k14_lm_train",          // bigram-LM model write (round 11; amortized once)
+    "k14_lm_score")          // corpus perplexity THROUGH the persisted model (the per-sweep cost)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,6 +128,7 @@ object Bench {
     val pqCodesPath = java.nio.file.Files.createTempDirectory("graft-bench-pqcodes").toString
     // the BM25 inverted index shared by the build/query entry pair
     val bm25Path = java.nio.file.Files.createTempDirectory("graft-bench-bm25").toString
+    val lmPath = java.nio.file.Files.createTempDirectory("graft-bench-lm").toString
     // the K13 persisted assignment + its precomputed pair table: the
     // fold entry times ONLY the incremental CC (assignment ∪ batch),
     // never the gram pipeline that generates pairs (k13_dedup_resolve
@@ -251,6 +254,17 @@ object Bench {
           graft.llm.Search.bm25Indexed(spark, bm25Path,
               query = Seq("spark", "join", "vector"))
             .write.format("noop").mode("overwrite").save()
+        case "k14_lm_train" =>
+          // the amortized-once bigram-count model write — one tokenize
+          // pass + one map-side-combined (w1, w2) count shuffle
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.LanguageModel.lmWrite(d, "text", "doc_id", lmPath)
+        case "k14_lm_score" =>
+          // per-sweep cost: score the whole corpus through the persisted
+          // model (explode + gated-broadcast join + doc-keyed agg)
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.LanguageModel.lmScoreIndexed(spark, lmPath, d, "text", "doc_id")
+            .write.format("noop").mode("overwrite").save()
         case "x3_bloom_build" =>
           graft.ops.Manifest.writeBloom(spark, manifestTable, "o_orderkey")
         case "x3_bloom_read" =>
@@ -347,6 +361,7 @@ object Bench {
       manifestTableReady
     ensure("x3_bloom_build", "x3_bloom_read")
     ensure("k7_bm25_idx_build", "k7_bm25_idx_query")
+    ensure("k14_lm_train", "k14_lm_score")
     if (selected.contains("k13_fold_batch")) ccBaseReady
     if (selected.contains("x4_version_read_pruned")) versionReady
     ensure("x2_manifest_build", "x2_manifest_refresh")

@@ -121,6 +121,38 @@ object LlmQueries {
        |FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc) AS rk FROM sc)
        |WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  /** K14 bigram-LM CTE chain — mirrors [[graft.llm.LanguageModel]] token
+    * for token: add-one smoothing over exact integer counts, the context
+    * total ctx(a) = Σ_b c(a,b) and V = |distinct w2| both derived from
+    * the ONE bigram table, per-transition ln rounded to 6dp and summed
+    * as decimal (the SUM is the hashed value — round-after-divide is
+    * the one shape the cross-engine contract cannot pin). `where`
+    * restricts the train+score corpus (the streaming twin stops at
+    * doc_id < 500, like the bm25 twin); `tail` is the final SELECT (or
+    * further CTEs + SELECT) over `sc(doc, n_bigrams, sum_logprob)`.
+    */
+  private def lmOracle(tail: String, where: String = ""): String =
+    s"""WITH tk AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+       |              x -> len(x) > 0) AS t
+       |  FROM documents $where)""".stripMargin +
+      s""", bg AS (SELECT doc_id AS doc,
+         |  t[CAST(i AS INTEGER)] AS w1, t[CAST(i+1 AS INTEGER)] AS w2
+         |  FROM tk, UNNEST(range(1, len(t))) AS u(i)),
+         |mdl AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+         |ctx AS (SELECT w1, SUM(c) AS ctx FROM mdl GROUP BY w1),
+         |vv AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v FROM mdl),
+         |s AS (SELECT bg.doc,
+         |  CAST(ROUND(ln((CAST(COALESCE(mdl.c, 0) AS DOUBLE) + 1.0)
+         |    / (CAST(COALESCE(ctx.ctx, 0) AS DOUBLE) + 1.0 * vv.v)), 6)
+         |    AS DECIMAL(28,6)) AS s
+         |  FROM bg LEFT JOIN mdl ON bg.w1 = mdl.w1 AND bg.w2 = mdl.w2
+         |  LEFT JOIN ctx ON bg.w1 = ctx.w1 CROSS JOIN vv),
+         |sc AS (SELECT doc, COUNT(*) AS n_bigrams,
+         |  ROUND(CAST(SUM(s) AS DOUBLE), 6) AS sum_logprob
+         |  FROM s GROUP BY doc)
+         |$tail""".stripMargin
+
   /** DuckDB cosine between two FLOAT[64] columns, computed exactly like the
     * Spark HOFs: per-element double products, sequential sum, double sqrt.
     */
@@ -491,6 +523,92 @@ object LlmQueries {
       graft.ops.Graph.resolveFromAssignment(docs, "doc_id", length(col("text")),
           graft.ops.Graph.assignment(s, path), "id", "component")
         .orderBy(col("id"))
+    }),
+
+    // K14 — bigram-LM perplexity scoring (round 11, the CCNet quality
+    // signal): train an add-one bigram LM on the corpus, score every
+    // document's mean transition logprob. Exact integer counts + the
+    // 6dp-decimal per-transition sum discipline, so the whole family is
+    // hash-checked against DuckDB — unlike a blackbox KenLM.
+    "k14_lm_perplexity" -> ((s, dir) => {
+      graft.llm.LanguageModel.perplexity(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K14 — scoring THROUGH the persisted model (train once / score
+    // many): lmWrite persists the one-table bigram model, lmScoreIndexed
+    // scores against its summed counts. Hash-matches the SAME oracle as
+    // k14_lm_perplexity — the persisted path must be score-identical to
+    // the inline path.
+    "k14_lm_model_indexed" -> ((s, dir) => {
+      val path = sessionScratchDir("graft-lmmodel")
+      val docs = t(s, dir, "documents")
+      graft.llm.LanguageModel.lmWrite(docs, "text", "doc_id", path)
+      graft.llm.LanguageModel.lmScoreIndexed(s, path, docs, "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K14 — INCREMENTAL model maintenance: base model over the first 80%
+    // of docs, the rest appended as two O(batch) count batches. Bigram
+    // counts are additive, so the score-time per-(w1,w2) sum makes the
+    // appended model BIT-identical to a full retrain — proven by
+    // hash-matching the one-shot full-corpus oracle.
+    "k14_lm_incremental" -> ((s, dir) => {
+      val path = sessionScratchDir("graft-lminc")
+      val docs = t(s, dir, "documents")
+      graft.llm.LanguageModel.lmWrite(docs.where(col("doc_id") < 400L),
+        "text", "doc_id", path)
+      graft.llm.LanguageModel.lmAppendBatch(s, path,
+        docs.where(col("doc_id") >= 400L && col("doc_id") < 450L),
+        "text", "doc_id", batchId = 1L)
+      graft.llm.LanguageModel.lmAppendBatch(s, path,
+        docs.where(col("doc_id") >= 450L), "text", "doc_id", batchId = 2L)
+      graft.llm.LanguageModel.lmScoreIndexed(s, path, docs, "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K14 — STREAMING model maintenance (▶, hash-matched): base model
+    // over docs < 400, the rest arriving as two MemoryStream batches
+    // through foreachBatchLmAppend. The model is one sidecar-free count
+    // table (no crash window at all), and scoring arithmetic is the
+    // pinned shared tree, so the streaming path is checked EXACTLY
+    // against the one-shot full-corpus oracle.
+    "k14_streaming_lm_append" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-lmstr")
+      val ckpt = freshScratchDir("graft-lmstr-ckpt")
+      graft.llm.LanguageModel.lmWrite(docs.where(col("doc_id") < 400L),
+        "text", "doc_id", path)
+      val rest = docs.where(col("doc_id") >= 400L && col("doc_id") < 500L)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchLmAppend(
+          src.toDS().toDF("doc_id", "text"), path, ckpt, "text", "doc_id")
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < 450L).toSeq); drain()
+      src.addData(rest.filter(_._1 >= 450L).toSeq); drain()
+      // score the streamed-up corpus (docs < 500 at every SF) — train
+      // set and score set must match the oracle's WHERE, like the bm25
+      // streaming twin
+      graft.llm.LanguageModel.lmScoreIndexed(s, path,
+          docs.where(col("doc_id") < 500L), "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K14 — CCNet band assignment: head/middle/tail by the corpus's
+    // exact (25th, 75th) avg_logprob percentiles. The cutoffs are ONE
+    // 1-row aggregate broadcast back over the scores — never a
+    // corpus-wide rank window.
+    "k14_lm_quality_band" -> ((s, dir) => {
+      val scores = graft.llm.LanguageModel.perplexity(
+        t(s, dir, "documents"), "text", "doc_id")
+      graft.llm.LanguageModel.perplexityBands(scores)
+        .select(col("doc"), col("n_bigrams"), col("sum_logprob"), col("band"))
+        .orderBy(col("doc"))
     }),
 
     // K2 — STREAMING simhash-index maintenance (▶, hash-matched): base
@@ -1820,6 +1938,29 @@ object LlmQueries {
     // stream-maintained assignment + read-time resolve must equal the
     // from-scratch batch resolution exactly
     "k13_streaming_canonical" -> k13ResolveOracle,
+
+    // K14 bigram-LM perplexity: one oracle, four paths — inline,
+    // persisted-model, incremental-append, and streaming-append all
+    // hash-match it (counts are additive; the score tree is pinned)
+    "k14_lm_perplexity" -> lmOracle(
+      "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc"),
+    "k14_lm_model_indexed" -> lmOracle(
+      "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc"),
+    "k14_lm_incremental" -> lmOracle(
+      "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc"),
+    "k14_streaming_lm_append" -> lmOracle(
+      "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc",
+      where = "WHERE doc_id < 500"),
+    "k14_lm_quality_band" -> lmOracle(
+      """, av AS (SELECT doc, n_bigrams, sum_logprob,
+        |  sum_logprob / CAST(n_bigrams AS DOUBLE) AS a FROM sc),
+        |cut AS (SELECT quantile_cont(a, 0.75) AS hi,
+        |        quantile_cont(a, 0.25) AS lo FROM av)
+        |SELECT doc, n_bigrams, sum_logprob,
+        |  CASE WHEN a >= hi THEN 'head'
+        |       WHEN a >= lo THEN 'middle'
+        |       ELSE 'tail' END AS band
+        |FROM av CROSS JOIN cut ORDER BY doc""".stripMargin),
 
     "k3_cosine_pairs" ->
       s"""SELECT a.vec_id AS vec_id,

@@ -234,6 +234,31 @@ object Ingest {
       }
       .start()
 
+  /** Attach incremental LM-model appends to a streaming frame of
+    * documents — the language-model member of the streaming
+    * index-maintenance family: every micro-batch's bigram counts land
+    * under `__batch = stream batch + 1` with dynamic-overwrite replay
+    * idempotence (`__batch = 0` stays reserved for the base build).
+    * Counts are ADDITIVE and the model is one sidecar-free table, so
+    * this is the simplest member: a single atomic write per batch, no
+    * crash window, and the streamed-up model scores bit-identically to
+    * a full retrain ([[graft.llm.LanguageModel.lmAppendBatch]]). Same
+    * lineage rules as the others: one (modelPath, checkpointDir) pair
+    * per stream lineage, deterministic-replay source.
+    */
+  def foreachBatchLmAppend(docs: DataFrame, modelPath: String,
+                           checkpointDir: String, textCol: String, idCol: String,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.LanguageModel.lmAppendBatch(batch.sparkSession, modelPath,
+          batch, textCol, idCol, batchId = id + 1)
+      }
+      .start()
+
   /** Attach incremental dedup RESOLUTION to a streaming frame of
     * near-dup pairs — the dedup endgame's streaming twin (round 10 built
     * K13 batch + incremental; this closes the family the way LSH / IVF /

@@ -726,7 +726,12 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k4_ivf_pq_append", // index build + append + two encodes at construction
     "k4_streaming_ivf_pq_append", // two-drain MemoryStream + index/code writes
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
-    "k13_streaming_canonical") // same stream + read-time resolve
+    "k13_streaming_canonical", // same stream + read-time resolve
+    // the K14 LM family executes its train pass (cache/checkpoint/model
+    // write/stream drain) at construction; LanguageModelSpec audits the
+    // gated-broadcast score join, and the band cutoffs are a 1-row agg
+    "k14_lm_perplexity", "k14_lm_model_indexed", "k14_lm_incremental",
+    "k14_streaming_lm_append", "k14_lm_quality_band")
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries
