@@ -1113,6 +1113,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // K8 — the full Gopher repetition-signal set (round 11): dominant
+    // 2-/3-gram (count, tie-broken gram, covered chars) + duplicated-
+    // 5-gram mass, per document, ZERO shuffle (per-row HOFs over one
+    // tokenize pass). All integers or gram-count-denominated ratios, so
+    // the whole row hashes exactly.
+    "k8_gopher_signals" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // K6 — corpus n-gram frequency table (bigrams seen ≥ 10 times)
     "k6_ngram_counts" -> ((s, dir) => {
       TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", 2)
@@ -2142,6 +2152,46 @@ object LlmQueries {
         |  CAST(MAX(c) AS BIGINT) AS top_bigram_n,
         |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // mirrors TextAnalysis.repetitionSignals: dominant-gram counts via
+    // count-per-distinct list scans, ties broken to the list_min gram,
+    // every number an exact integer or a gram-count-denominated ratio
+    "k8_gopher_signals" -> (tokCte +
+      """, sg AS (SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm, t,
+        |  CASE WHEN len(t) < 2 THEN [] ELSE list_transform(range(0, len(t) - 1),
+        |    i -> array_to_string(t[(i+1):(i+2)], ' ')) END AS g2,
+        |  CASE WHEN len(t) < 3 THEN [] ELSE list_transform(range(0, len(t) - 2),
+        |    i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS g3,
+        |  CASE WHEN len(t) < 5 THEN [] ELSE list_transform(range(0, len(t) - 4),
+        |    i -> array_to_string(t[(i+1):(i+5)], ' ')) END AS g5
+        |  FROM tk),
+        |tp AS (SELECT *,
+        |  CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+        |    d -> len(list_filter(g2, x -> x = d)))), 0) AS BIGINT) AS top2_n,
+        |  CAST(COALESCE(list_max(list_transform(list_distinct(g3),
+        |    d -> len(list_filter(g3, x -> x = d)))), 0) AS BIGINT) AS top3_n
+        |  FROM sg),
+        |tg AS (SELECT *,
+        |  COALESCE(list_min(list_filter(list_distinct(g2),
+        |    d -> len(list_filter(g2, x -> x = d)) = top2_n)), '') AS top2_gram,
+        |  COALESCE(list_min(list_filter(list_distinct(g3),
+        |    d -> len(list_filter(g3, x -> x = d)) = top3_n)), '') AS top3_gram
+        |  FROM tp)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(norm) AS BIGINT) AS n_chars,
+        |  top2_n, top2_gram,
+        |  top2_n * CAST(len(top2_gram) AS BIGINT) AS top2_chars,
+        |  ROUND(CAST(top2_n AS DOUBLE)
+        |    / GREATEST(CAST(len(g2) AS DOUBLE), 1.0), 6) AS top2_frac,
+        |  top3_n, top3_gram,
+        |  top3_n * CAST(len(top3_gram) AS BIGINT) AS top3_chars,
+        |  CAST(len(g5) - len(list_distinct(g5)) AS BIGINT) AS dup5_n,
+        |  CAST(len(g5) AS BIGINT) AS n_5grams,
+        |  ROUND(CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE)
+        |    / GREATEST(CAST(len(g5) AS DOUBLE), 1.0), 6) AS dup5_frac
+        |FROM tg ORDER BY doc_id""".stripMargin),
 
     "k6_ngram_counts" -> (tokCte +
       """, gr AS (SELECT doc_id,

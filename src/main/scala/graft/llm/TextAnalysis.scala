@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analytics over a document corpus (K5-K8 + language ID, quality
@@ -229,6 +229,65 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         size(col("__ctoks")).cast("long").as("n_tokens"),
         concat_ws(" ", col("__ctoks")).as("chunk_text"))
+  }
+
+  /** K8 — Gopher-style repetition signals (Rae et al. 2021 §A1.1), per
+    * document, ZERO shuffle: the dominant 2-/3-gram (count, the gram
+    * itself, and the characters it covers) and the duplicated-5-gram
+    * mass, all as per-row HOF arithmetic over one tokenize pass. The
+    * relational twin `k8_repetition_stats` (explode + two doc-keyed
+    * aggregations) computes the dominant-bigram subset of this with
+    * shuffles; this form trades per-row CPU — O(distinct · len) per
+    * document from the count-per-distinct-gram scan — for a pipeline
+    * with no exchange at all, the right trade for the ≤ a-few-thousand-
+    * token documents quality filters run on (for book-length inputs,
+    * prefer the relational twin).
+    *
+    * Determinism discipline: every emitted number is an exact integer
+    * or a ratio whose denominator is a per-doc gram count (≤ doc
+    * length, so its decimal expansion fits inside 6dp — round-exact on
+    * both engines). Character FRACTIONS (Gopher's headline form) are
+    * deliberately left to the consumer as `top2_chars / n_chars`: a
+    * char-count denominator can straddle a 7th-digit rounding boundary
+    * the cross-engine contract cannot pin (the k14 lesson). Ties on
+    * the dominant count break to the lexicographically smallest gram.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = normalizeText(col(textCol))
+    def cntOf(grams: Column, g: Column): Column =
+      size(filter(grams, y => y === g))
+    def topN(grams: Column): Column = coalesce(
+      array_max(transform(array_distinct(grams), d => cntOf(grams, d))),
+      lit(0)).cast("long")
+    def topGram(grams: Column, topn: Column): Column = coalesce(
+      array_min(filter(array_distinct(grams),
+        d => cntOf(grams, d).cast("long") === topn)), lit(""))
+    df.select(col(idCol), norm.as("__norm"),
+        tokens(norm).as("__t"))
+      .withColumn("__g2", ngrams(col("__t"), 2))
+      .withColumn("__g3", ngrams(col("__t"), 3))
+      .withColumn("__g5", ngrams(col("__t"), 5))
+      .withColumn("top2_n", topN(col("__g2")))
+      .withColumn("top3_n", topN(col("__g3")))
+      .withColumn("top2_gram", topGram(col("__g2"), col("top2_n")))
+      .withColumn("top3_gram", topGram(col("__g3"), col("top3_n")))
+      .select(
+        col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        length(col("__norm")).cast("long").as("n_chars"),
+        col("top2_n"), col("top2_gram"),
+        (col("top2_n") * length(col("top2_gram"))).as("top2_chars"),
+        round(col("top2_n").cast("double") /
+          greatest(size(col("__g2")).cast("double"), lit(1.0)), 6)
+          .as("top2_frac"),
+        col("top3_n"), col("top3_gram"),
+        (col("top3_n") * length(col("top3_gram"))).as("top3_chars"),
+        (size(col("__g5")) - size(array_distinct(col("__g5"))))
+          .cast("long").as("dup5_n"),
+        size(col("__g5")).cast("long").as("n_5grams"),
+        round((size(col("__g5")) - size(array_distinct(col("__g5")))).cast("double") /
+          greatest(size(col("__g5")).cast("double"), lit(1.0)), 6)
+          .as("dup5_frac"))
   }
 
   /** K6 — n-gram frequency table over the corpus. */

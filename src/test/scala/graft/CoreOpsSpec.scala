@@ -191,6 +191,38 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(covered === (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("repetitionSignals: hand-checked dominants, ties to min gram, zero exchange") {
+    val docs = Seq(
+      // "x y" ×3 dominates the bigrams; "x y x y x" repeats its 5-gram
+      (1L, "x y x y x y x"),
+      // every bigram unique; tie on count 1 must break to the lex-min
+      (2L, "b a c"),
+      (3L, "solo"),   // 1 token: no grams at all
+      (4L, " ")       // zero tokens
+    ).toDF("id", "text")
+    val out = llm.TextAnalysis.repetitionSignals(docs, "text", "id")
+      .orderBy("id").collect()
+    val r1 = out(0)
+    // doc 1: 7 tokens, 6 bigrams, "x y" ×3, "x y x" ×3 of 5 trigrams,
+    // 5-grams: [x y x y x, y x y x y, x y x y x] → 1 duplicate of 3
+    assert((r1.getLong(1), r1.getLong(2)) === ((7L, 13L))) // tokens, chars
+    assert((r1.getLong(3), r1.getString(4), r1.getLong(5)) === ((3L, "x y", 9L)))
+    assert(r1.getDouble(6) === 0.5) // 3/6
+    assert((r1.getLong(7), r1.getString(8)) === ((3L, "x y x")))
+    assert((r1.getLong(10), r1.getLong(11), r1.getDouble(12)) === ((1L, 3L, 0.333333)))
+    val r2 = out(1)
+    assert((r2.getLong(3), r2.getString(4)) === ((1L, "a c")),
+      "count ties must break to the lexicographically smallest gram")
+    val r3 = out(2)
+    assert((r3.getLong(3), r3.getString(4), r3.getLong(10)) === ((0L, "", 0L)))
+    assert(out(3).getLong(1) === 0L)
+    // the scale claim: per-row HOFs only — no exchange anywhere
+    val plan = llm.TextAnalysis.repetitionSignals(
+      core.Engine.table(spark, TestSpark.sf, "documents"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetitionSignals must not shuffle:\n$plan")
+  }
+
   test("connectedComponents: transitive closure incl. a 4-node chain") {
     // components: {1,2,3,4} via chain 1-2-3-4 (needs >1 round), {7,8}, {9} absent (no edges)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
