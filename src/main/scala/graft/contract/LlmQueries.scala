@@ -795,6 +795,36 @@ object LlmQueries {
         .orderBy(col("__batch"))
     }),
 
+    // K4 — PQ codebook-staleness metric (round 11; rows-only like
+    // k4_ivf_drift — float centroids): quantization-error distribution
+    // per appended batch vs the batch-0 baseline the codebooks trained
+    // on. Batch 1 is in-distribution, batch 2 is shifted by +4.0 —
+    // PqDriftSpec pins the flag/no-flag asymmetry; this entry exercises
+    // the full sidecar lifecycle (write → two appends → report).
+    "k4_pq_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = sessionScratchDir("graft-pqdrift")
+      val s80 = e.agg((max(col("vec_id")) * lit(0.8)).cast("long")).head().getLong(0)
+      val s90 = e.agg((max(col("vec_id")) * lit(0.9)).cast("long")).head().getLong(0)
+      Similarity.ivfWriteIndex(
+        e.where(col("vec_id") < s80)
+          .select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", "id", nCells = 8, lloydRounds = 1, path = path)
+      Quantization.ivfPqWriteCodes(s, path, m = 8, k = 16)
+      Similarity.ivfAppendBatch(s, path,
+        e.where(col("vec_id") >= s80 && col("vec_id") < s90)
+          .select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", batchId = 1L)
+      Quantization.ivfPqAppendCodes(s, path, batchId = 1L)
+      Similarity.ivfAppendBatch(s, path,
+        e.where(col("vec_id") >= s90)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x + lit(4.0f)).as("embedding")),
+        "embedding", "vec_id", batchId = 2L)
+      Quantization.ivfPqAppendCodes(s, path, batchId = 2L)
+      Quantization.pqDriftStats(s, path, flagRatio = 2.0)
+    }),
+
     // K11/K4 — SemDeDup over a persisted IVF index: within-cell cosine
     // pairs from the write-once partitionBy(cell) layout — the amortized
     // dedup shape (no re-clustering per pass). Rows-only (float-centroid

@@ -514,6 +514,33 @@ object Dedup {
     graft.ops.Generations.gcOld(fs, root, base)
   }
 
+  /** ONE maintenance entry point for the text-similarity indexes (LSH
+    * and simhash share the `buckets`(+`sigs`) layout and
+    * [[compactIndex]]) — the [[Similarity.ivfMaintain]] policy shape,
+    * minus the drift arm: banded signatures have no geometry to drift
+    * (the banding is pinned in `meta/` and md5-derived), so the only
+    * measured degradation is FRAGMENTATION — every append adds one
+    * `__batch` directory of small files. COMPACT when the live batch
+    * count exceeds `maxLiveBatches`, else no-op; returns the action
+    * taken ("compact" | "none"). Same retired-lineage rule as every
+    * compacting family: run only after the appending stream's
+    * checkpoint is dropped.
+    */
+  def indexMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+                    maxLiveBatches: Int = 8,
+                    maxBucketSize: Int = DefaultMaxBucketSize): String = {
+    val root = new org.apache.hadoop.fs.Path(bucketsDir(spark, path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $path — build it first")
+    // __batch partition-directory names — an FS listing, no Spark job
+    // (a flat pre-batch layout counts as one batch)
+    val live = fs.listStatus(root).map(_.getPath.getName)
+      .count(_.startsWith("__batch=")).max(1)
+    if (live > maxLiveBatches) {
+      compactIndex(spark, path, maxBucketSize); "compact"
+    } else "none"
+  }
+
   /** Reclaim every superseded generation (buckets AND sigs) — run when no
     * reader can still be older than the last [[compactIndex]] commit.
     */

@@ -265,6 +265,18 @@ object LanguageModel {
     graft.ops.Generations.gcOld(fs, root, BigramsBase)
   }
 
+  /** The [[graft.llm.Similarity.ivfMaintain]] policy shape for the LM
+    * model — fragmentation-only (counts have no geometry to drift):
+    * COMPACT when the live `__batch` count exceeds `maxLiveBatches`,
+    * else no-op; returns "compact" | "none". Retired-lineage rule
+    * applies ([[lmCompact]]).
+    */
+  def lmMaintain(spark: SparkSession, path: String,
+                 maxLiveBatches: Int = 8): String =
+    if (liveBatches(spark, path).size > maxLiveBatches) {
+      lmCompact(spark, path); "compact"
+    } else "none"
+
   /** Reclaim every superseded model generation — run when no reader can
     * be older than the last [[lmCompact]] commit.
     */

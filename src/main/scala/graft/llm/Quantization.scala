@@ -302,6 +302,7 @@ object Quantization {
     val batches = Similarity.ivfLiveBatches(spark, path)
     writeCodes(vecs, model, path, dynamic = false)
     writeModelSidecar(spark, model, batches, path)
+    writePqDriftStats(path, vecs, model, dynamicOnly = false)
     model
   }
 
@@ -388,7 +389,95 @@ object Quantization {
       .where(col("__batch") === batchId)
     writeCodes(batch, model, path, dynamic = true)
     writeModelSidecar(spark, model, (encodedBatches :+ batchId).distinct.sorted, path)
+    writePqDriftStats(path, batch, model, dynamicOnly = true)
     model
+  }
+
+  /** Per-row quantization error Σ_mi min_ki ‖sub_v − codeword‖² — the
+    * distance between a vector and its PQ reconstruction, computed from
+    * the vector and the broadcast codebooks alone: the assigned codeword
+    * IS the per-subspace argmin, so no code read or byte unpack is
+    * needed. Double arithmetic like [[exactL2]].
+    */
+  private def quantErrorCol(model: PqModel): Column =
+    (0 until model.m).map { mi =>
+      array_min(transform(element_at(col("__cb"), mi + 1),
+        cw => aggregate(
+          zip_with(slice(col("__v"), mi * model.subDim + 1, model.subDim), cw,
+            (a, b) => (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0d), (acc, x) => acc + x)))
+    }.reduce(_ + _)
+
+  /** One (n, mean_qe, p95_qe) row per `__batch` of `vecs` — the
+    * [[Similarity.ivfDriftStats]] shape with quantization error in place
+    * of distance-to-centroid.
+    */
+  private def pqDriftRowsOf(vecs: DataFrame, model: PqModel): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
+    vecs.select(col("__batch"), col("v").as("__v"))
+      .join(broadcast(cbRow))
+      .select(col("__batch"), quantErrorCol(model).as("__qe"))
+      .groupBy(col("__batch"))
+      .agg(count(lit(1)).as("n"), avg(col("__qe")).as("mean_qe"),
+        percentile_approx(col("__qe"), lit(0.95), lit(10000)).as("p95_qe"))
+  }
+
+  /** (Re)write / append the `pq_drift_stats/` sidecar — full on
+    * [[ivfPqWriteCodes]] (re-anchors the batch-0 baseline on whatever
+    * the fresh codebooks were trained against), dynamic per-batch on
+    * [[ivfPqAppendCodes]] (one extra aggregation over the batch already
+    * being encoded — zero additional source scans, the
+    * `writeDriftStats` amortization).
+    */
+  private def writePqDriftStats(path: String, vecs: DataFrame, model: PqModel,
+                                dynamicOnly: Boolean): Unit = {
+    val stats = pqDriftRowsOf(vecs, model)
+    val w = stats.write.mode("overwrite")
+    (if (dynamicOnly) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("__batch").parquet(s"$path/pq_drift_stats")
+  }
+
+  /** Codebook-staleness report for an appended IVF-PQ code table — the
+    * PQ analog of [[Similarity.ivfDriftStats]] (r10 built the measured
+    * rebuild trigger for the IVF geometry; this is the same trigger for
+    * the CODEBOOKS): each batch's quantization-error distribution
+    * against the batch-0 baseline the codebooks were trained with. One
+    * row per batch: (__batch, n, mean_qe, p95_qe, mean_ratio, p95_ratio,
+    * drifted). A flagged batch means the frozen codebooks no longer fit
+    * the appended distribution — ADC distances are biased even though
+    * every guard passes — and the action is [[ivfPqWriteCodes]]: retrain
+    * + full re-encode (which [[Similarity.ivfMaintain]]'s healCodes
+    * already runs after any geometry swap). Cost: one read of the
+    * nBatches-row sidecar — no corpus pass.
+    *
+    * A degenerate baseline (mean_qe = 0: the quantizer is lossless on
+    * the base corpus) yields null ratios; `drifted` then flags any batch
+    * with nonzero error.
+    */
+  def pqDriftStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                   flagRatio: Double = 2.0): DataFrame = {
+    require(flagRatio > 0, s"flagRatio must be > 0: $flagRatio")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq_drift_stats")),
+      s"no pq_drift_stats sidecar at $path (pre-drift code table) — " +
+        "re-derive it with ivfPqWriteCodes to establish the baseline")
+    val d = spark.read.parquet(s"$path/pq_drift_stats")
+      .select(col("__batch").cast("long").as("__batch"),
+        col("n"), col("mean_qe"), col("p95_qe"))
+    val base = d.orderBy(col("__batch")).limit(1).head()
+    val (m0, p0) = (base.getDouble(2), base.getDouble(3))
+    def ratio(c: Column, denom: Double): Column =
+      if (denom == 0.0) lit(null).cast("double") else round(c / lit(denom), 6)
+    d.withColumn("mean_ratio", ratio(col("mean_qe"), m0))
+      .withColumn("p95_ratio", ratio(col("p95_qe"), p0))
+      .withColumn("drifted",
+        coalesce(col("mean_ratio") >= flagRatio || col("p95_ratio") >= flagRatio,
+          col("mean_qe") > 0.0))
+      .orderBy(col("__batch"))
   }
 
   /** Load the persisted PQ model and the `__batch` set it encoded. */

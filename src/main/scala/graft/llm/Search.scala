@@ -313,6 +313,18 @@ object Search {
     collapsed.write.mode("overwrite").partitionBy("__batch").parquet(s"$path/stats")
   }
 
+  /** The [[graft.llm.Similarity.ivfMaintain]] policy shape for the BM25
+    * index — fragmentation-only (postings have no geometry to drift):
+    * COMPACT when the live `__batch` count exceeds `maxLiveBatches`,
+    * else no-op; returns "compact" | "none". Retired-lineage rule
+    * applies ([[bm25Compact]]).
+    */
+  def bm25Maintain(spark: SparkSession, path: String,
+                   maxLiveBatches: Int = 8): String =
+    if (liveBatches(spark, path).size > maxLiveBatches) {
+      bm25Compact(spark, path); "compact"
+    } else "none"
+
   /** Reclaim every superseded postings generation — run when no reader
     * can be older than the last [[bm25Compact]] commit.
     */

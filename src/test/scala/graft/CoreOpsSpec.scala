@@ -756,6 +756,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k8_stratified_sample", "e4_sketch_merge",
     "k4_ivf_pq_knn", // writes index + code table at construction; IvfPqSpec audits
     "k4_ivf_pq_append", // index build + append + two encodes at construction
+    "k4_pq_drift",      // index build + two appends + three encodes at construction
     "k4_streaming_ivf_pq_append", // two-drain MemoryStream + index/code writes
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve

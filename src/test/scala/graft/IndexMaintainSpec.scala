@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fragmentation-policy symmetry (round 11): every appendable index
+  * family exposes ONE maintenance entry point with the `ivfMaintain`
+  * contract — act only past the fragment bound, stay readable and
+  * result-invariant through the action, report what was done.
+  * (`ivfMaintain` itself — the drift arm included — is covered by
+  * IvfDriftSpec.)
+  */
+class IndexMaintainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs: DataFrame =
+    core.Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("simhash indexMaintain: compacts past the bound, no-op inside it") {
+    val path = tmp("graft-maint-sim")
+    llm.Dedup.simhashIndexWrite(docs.where(col("doc_id") < 30L), "text", "doc_id",
+      path, bits = 16, maxHamming = 3, maxBucketSize = Int.MaxValue)
+    llm.Dedup.simhashAppendBatch(spark, path, 1L,
+      docs.where(col("doc_id") >= 30L && col("doc_id") < 40L), "text", "doc_id",
+      maxBucketSize = Int.MaxValue)
+    llm.Dedup.simhashAppendBatch(spark, path, 2L,
+      docs.where(col("doc_id") >= 40L && col("doc_id") < 50L), "text", "doc_id",
+      maxBucketSize = Int.MaxValue)
+    val probe = docs.where(col("doc_id") >= 50L).limit(5)
+    def pairs(): Set[(Long, Long)] =
+      llm.Dedup.simhashPairsAgainstIndex(spark, path, probe, "text", "doc_id")
+        .select(col("new_id"), col("corpus_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    assert(llm.Dedup.indexMaintain(spark, path, maxLiveBatches = 4) === "none",
+      "3 live batches within a bound of 4 must not compact")
+    assert(llm.Dedup.indexMaintain(spark, path, maxLiveBatches = 2,
+      maxBucketSize = Int.MaxValue) === "compact")
+    assert(pairs() === before, "compaction must be result-invariant")
+    assert(llm.Dedup.indexMaintain(spark, path, maxLiveBatches = 2) === "none",
+      "a freshly-compacted index is one batch — inside any bound")
+  }
+
+  test("bm25Maintain: compacts past the bound, scores invariant") {
+    val path = tmp("graft-maint-bm25")
+    val q = Seq("spark", "join", "vector")
+    llm.Search.bm25IndexWrite(docs.where(col("doc_id") < 40L), "text", "doc_id",
+      path, nBuckets = 8)
+    llm.Search.bm25AppendBatch(spark, path, docs.where(col("doc_id") >= 40L),
+      "text", "doc_id", batchId = 1L)
+    def scores(): Set[(Long, Long, Double)] =
+      llm.Search.bm25Indexed(spark, path, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = scores()
+    assert(llm.Search.bm25Maintain(spark, path, maxLiveBatches = 2) === "none")
+    assert(llm.Search.bm25Maintain(spark, path, maxLiveBatches = 1) === "compact")
+    assert(scores() === before)
+    assert(llm.Search.bm25Maintain(spark, path, maxLiveBatches = 1) === "none")
+  }
+
+  test("lmMaintain: compacts past the bound, model invariant") {
+    val path = tmp("graft-maint-lm")
+    llm.LanguageModel.lmWrite(docs.where(col("doc_id") < 40L),
+      "text", "doc_id", path)
+    llm.LanguageModel.lmAppendBatch(spark, path,
+      docs.where(col("doc_id") >= 40L), "text", "doc_id", 1L)
+    def model(): Set[(String, String, Long)] =
+      llm.LanguageModel.lmModel(spark, path)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val before = model()
+    assert(llm.LanguageModel.lmMaintain(spark, path, maxLiveBatches = 2) === "none")
+    assert(llm.LanguageModel.lmMaintain(spark, path, maxLiveBatches = 1) === "compact")
+    assert(model() === before)
+    assert(llm.LanguageModel.lmMaintain(spark, path, maxLiveBatches = 1) === "none")
+  }
+}
