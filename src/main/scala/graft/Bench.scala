@@ -73,7 +73,9 @@ object Bench {
     "k13_fold_batch",        // one pair batch folded into the persisted assignment (round 11; the streaming-resolve per-batch cost, ≪ k13_dedup_resolve's from-scratch pipeline)
     "x4_version_read_pruned",// pinned-version range read through the version's OWN sidecar (round 11; trusted manifest, no staleness listing)
     "k14_lm_train",          // bigram-LM model write (round 11; amortized once)
-    "k14_lm_score")          // corpus perplexity THROUGH the persisted model (the per-sweep cost)
+    "k14_lm_score",          // corpus perplexity THROUGH the persisted model (the per-sweep cost)
+    "k15_nb_train",          // NB classifier count-model write (round 11; amortized once)
+    "k15_nb_classify")       // whole-corpus classification THROUGH the persisted model
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,6 +131,7 @@ object Bench {
     // the BM25 inverted index shared by the build/query entry pair
     val bm25Path = java.nio.file.Files.createTempDirectory("graft-bench-bm25").toString
     val lmPath = java.nio.file.Files.createTempDirectory("graft-bench-lm").toString
+    val nbPath = java.nio.file.Files.createTempDirectory("graft-bench-nb").toString
     // the K13 persisted assignment + its precomputed pair table: the
     // fold entry times ONLY the incremental CC (assignment ∪ batch),
     // never the gram pipeline that generates pairs (k13_dedup_resolve
@@ -265,6 +268,18 @@ object Bench {
           val d = graft.core.Engine.table(spark, sfDir, "documents")
           graft.llm.LanguageModel.lmScoreIndexed(spark, lmPath, d, "text", "doc_id")
             .write.format("noop").mode("overwrite").save()
+        case "k15_nb_train" =>
+          // the amortized-once NB count-model write — one tokenize pass +
+          // one map-side-combined (label, word) count shuffle
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.Classifier.nbWrite(d, "text", "lang", nbPath)
+        case "k15_nb_classify" =>
+          // per-sweep cost: classify the whole corpus through the
+          // persisted model (explode × bounded class list +
+          // gated-broadcast join + (doc, label)-keyed agg + argmax agg)
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.Classifier.nbClassifyIndexed(spark, nbPath, d, "text", "doc_id")
+            .write.format("noop").mode("overwrite").save()
         case "x3_bloom_build" =>
           graft.ops.Manifest.writeBloom(spark, manifestTable, "o_orderkey")
         case "x3_bloom_read" =>
@@ -362,6 +377,7 @@ object Bench {
     ensure("x3_bloom_build", "x3_bloom_read")
     ensure("k7_bm25_idx_build", "k7_bm25_idx_query")
     ensure("k14_lm_train", "k14_lm_score")
+    ensure("k15_nb_train", "k15_nb_classify")
     if (selected.contains("k13_fold_batch")) ccBaseReady
     if (selected.contains("x4_version_read_pruned")) versionReady
     ensure("x2_manifest_build", "x2_manifest_refresh")

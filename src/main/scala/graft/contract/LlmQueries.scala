@@ -153,6 +153,51 @@ object LlmQueries {
          |  FROM s GROUP BY doc)
          |$tail""".stripMargin
 
+  /** K15 multinomial-NB CTE chain — mirrors [[graft.llm.Classifier]]
+    * token for token: the ONE-table model (per-(label, word) counts +
+    * the `word = ''` per-label doc-count sentinel rows), add-one
+    * smoothing with ctx(c) = Σ_w cnt(c,w) and V = |distinct word|, the
+    * prior ln(dc/N), each log rounded to 6dp decimal and the
+    * per-occurrence terms decimal-summed (never a tf × decimal product
+    * — the type-widening shape the per-occurrence sum avoids). The
+    * argmax is max score with ties to the greatest label — the window
+    * form here equals the engine's max(struct(score, label)) aggregate.
+    * `where` restricts the train+score corpus; `tail` selects over
+    * `best(doc, n_tokens, predicted, score)` / `sc` / `tk`.
+    */
+  private def nbOracle(tail: String, where: String = ""): String =
+    s"""WITH tk AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+       |              x -> len(x) > 0) AS t
+       |  FROM documents $where)""".stripMargin +
+      s""", wc AS (SELECT lang AS label, unnest(t) AS word FROM tk),
+         |mdl AS (SELECT label, word, COUNT(*) AS c FROM wc GROUP BY label, word),
+         |dcs AS (SELECT lang AS label, COUNT(*) AS dc FROM tk GROUP BY lang),
+         |nn AS (SELECT CAST(SUM(dc) AS DOUBLE) AS n FROM dcs),
+         |vv AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM mdl),
+         |ctx AS (SELECT label, SUM(c) AS ctx FROM mdl GROUP BY label),
+         |pri AS (SELECT d.label,
+         |  CAST(ROUND(ln(CAST(d.dc AS DOUBLE) / nn.n), 6) AS DECIMAL(28,6)) AS prior
+         |  FROM dcs d CROSS JOIN nn),
+         |occ AS (SELECT doc_id AS doc, unnest(t) AS word FROM tk),
+         |s AS (SELECT occ.doc, p.label,
+         |  CAST(ROUND(ln((CAST(COALESCE(mdl.c, 0) AS DOUBLE) + 1.0)
+         |    / (CAST(COALESCE(ctx.ctx, 0) AS DOUBLE) + vv.v)), 6)
+         |    AS DECIMAL(28,6)) AS s
+         |  FROM occ CROSS JOIN (SELECT label FROM pri) p
+         |  LEFT JOIN mdl ON mdl.label = p.label AND mdl.word = occ.word
+         |  LEFT JOIN ctx ON ctx.label = p.label
+         |  CROSS JOIN vv),
+         |ag AS (SELECT doc, label, COUNT(*) AS n_tokens, SUM(s) AS ws
+         |       FROM s GROUP BY doc, label),
+         |sc AS (SELECT ag.doc, ag.label, ag.n_tokens,
+         |  ROUND(CAST(ag.ws + p.prior AS DOUBLE), 6) AS score
+         |  FROM ag JOIN pri p ON p.label = ag.label),
+         |best AS (SELECT doc, n_tokens, label AS predicted, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc
+         |    ORDER BY score DESC, label DESC) AS rn FROM sc) WHERE rn = 1)
+         |$tail""".stripMargin
+
   /** DuckDB cosine between two FLOAT[64] columns, computed exactly like the
     * Spark HOFs: per-element double products, sequential sum, double sqrt.
     */
@@ -608,6 +653,94 @@ object LlmQueries {
         t(s, dir, "documents"), "text", "doc_id")
       graft.llm.LanguageModel.perplexityBands(scores)
         .select(col("doc"), col("n_bigrams"), col("sum_logprob"), col("band"))
+        .orderBy(col("doc"))
+    }),
+
+    // K15 — multinomial Naive-Bayes classification (round 11, the
+    // trainable corpus-filter signal: CCNet/GPT-3 keep corpora with a
+    // linear text classifier; NB is that family's deterministic member):
+    // self-train a per-lang model on the corpus, classify every
+    // document. Exact integer counts + the 6dp-decimal per-occurrence
+    // sum discipline, so the whole family is hash-checked against
+    // DuckDB — unlike a blackbox fastText binary.
+    "k15_nb_classify" -> ((s, dir) => {
+      graft.llm.Classifier.nbSelfClassify(t(s, dir, "documents"),
+          "text", "lang", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K15 — the classifier's quality harness: the exact integer
+    // confusion matrix of predicted vs true label (the tune-or-ship
+    // number for a filter model).
+    "k15_nb_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Classifier.nbSelfClassify(docs, "text", "lang", "doc_id")
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+        .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // K15 — classification THROUGH the persisted model (train once /
+    // classify many): nbWrite persists the one-table count model,
+    // nbClassifyIndexed scores against its summed counts. Hash-matches
+    // the SAME oracle as k15_nb_classify — the persisted path must be
+    // score-identical to the inline path.
+    "k15_nb_model_indexed" -> ((s, dir) => {
+      val path = sessionScratchDir("graft-nbmodel")
+      val docs = t(s, dir, "documents")
+      graft.llm.Classifier.nbWrite(docs, "text", "lang", path)
+      graft.llm.Classifier.nbClassifyIndexed(s, path, docs, "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K15 — INCREMENTAL model maintenance: base model over the first
+    // 400 docs, the rest appended as two O(batch) count batches. Token
+    // AND document counts are additive, so the appended model is
+    // BIT-identical to a full retrain — proven by hash-matching the
+    // one-shot full-corpus oracle.
+    "k15_nb_incremental" -> ((s, dir) => {
+      val path = sessionScratchDir("graft-nbinc")
+      val docs = t(s, dir, "documents")
+      graft.llm.Classifier.nbWrite(docs.where(col("doc_id") < 400L),
+        "text", "lang", path)
+      graft.llm.Classifier.nbAppendBatch(s, path,
+        docs.where(col("doc_id") >= 400L && col("doc_id") < 450L),
+        "text", "lang", batchId = 1L)
+      graft.llm.Classifier.nbAppendBatch(s, path,
+        docs.where(col("doc_id") >= 450L), "text", "lang", batchId = 2L)
+      graft.llm.Classifier.nbClassifyIndexed(s, path, docs, "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K15 — STREAMING model maintenance (▶, hash-matched): base model
+    // over docs < 400, the rest arriving as two MemoryStream batches
+    // through foreachBatchNbAppend. The model is one sidecar-free
+    // additive count table (no crash window at all) and the scoring
+    // arithmetic is the pinned shared tree, so the streaming path is
+    // checked EXACTLY against the one-shot oracle over the same corpus.
+    "k15_streaming_nb_append" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-nbstr")
+      val ckpt = freshScratchDir("graft-nbstr-ckpt")
+      graft.llm.Classifier.nbWrite(docs.where(col("doc_id") < 400L),
+        "text", "lang", path)
+      val rest = docs.where(col("doc_id") >= 400L && col("doc_id") < 500L)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchNbAppend(
+          src.toDS().toDF("doc_id", "text", "lang"), path, ckpt, "text", "lang")
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < 450L).toSeq); drain()
+      src.addData(rest.filter(_._1 >= 450L).toSeq); drain()
+      // classify the streamed-up corpus (docs < 500 at every SF) — train
+      // set and score set must match the oracle's WHERE
+      graft.llm.Classifier.nbClassifyIndexed(s, path,
+          docs.where(col("doc_id") < 500L), "text", "doc_id")
         .orderBy(col("doc"))
     }),
 
@@ -2001,6 +2134,24 @@ object LlmQueries {
         |       WHEN a >= lo THEN 'middle'
         |       ELSE 'tail' END AS band
         |FROM av CROSS JOIN cut ORDER BY doc""".stripMargin),
+
+    // K15 multinomial NB: one oracle, four paths — inline, persisted-
+    // model, incremental-append, and streaming-append all hash-match it
+    // (counts are additive; the score tree is pinned)
+    "k15_nb_classify" -> nbOracle(
+      "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc"),
+    "k15_nb_model_indexed" -> nbOracle(
+      "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc"),
+    "k15_nb_incremental" -> nbOracle(
+      "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc"),
+    "k15_streaming_nb_append" -> nbOracle(
+      "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc",
+      where = "WHERE doc_id < 500"),
+    "k15_nb_confusion" -> nbOracle(
+      """SELECT tk.lang, b.predicted, COUNT(*) AS n
+        |FROM best b JOIN tk ON tk.doc_id = b.doc
+        |GROUP BY tk.lang, b.predicted
+        |ORDER BY lang, predicted""".stripMargin),
 
     "k3_cosine_pairs" ->
       s"""SELECT a.vec_id AS vec_id,

@@ -259,6 +259,29 @@ object Ingest {
       }
       .start()
 
+  /** Attach incremental Naive-Bayes model appends to a streaming frame
+    * of LABELED documents — the classifier member of the streaming
+    * index-maintenance family, and arithmetically the LM twin: the
+    * model is one sidecar-free additive count table
+    * ([[graft.llm.Classifier]]), so each micro-batch is a single atomic
+    * dynamic-overwrite write, there is no crash window, and the
+    * streamed-up model classifies bit-identically to a full retrain.
+    * Same lineage rules: one (modelPath, checkpointDir) pair per stream
+    * lineage, deterministic-replay source.
+    */
+  def foreachBatchNbAppend(docs: DataFrame, modelPath: String,
+                           checkpointDir: String, textCol: String, labelCol: String,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Classifier.nbAppendBatch(batch.sparkSession, modelPath,
+          batch, textCol, labelCol, batchId = id + 1)
+      }
+      .start()
+
   /** Attach incremental dedup RESOLUTION to a streaming frame of
     * near-dup pairs — the dedup endgame's streaming twin (round 10 built
     * K13 batch + incremental; this closes the family the way LSH / IVF /

@@ -758,6 +758,11 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k4_ivf_pq_append", // index build + append + two encodes at construction
     "k4_pq_drift",      // index build + two appends + three encodes at construction
     "k4_streaming_ivf_pq_append", // two-drain MemoryStream + index/code writes
+    // K15 NB classifier: every path eagerly materializes (persist /
+    // localCheckpoint / model writes / MemoryStream drains) at
+    // construction; ClassifierSpec audits the plan shapes
+    "k15_nb_classify", "k15_nb_confusion", "k15_nb_model_indexed",
+    "k15_nb_incremental", "k15_streaming_nb_append",
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve
     // the K14 LM family executes its train pass (cache/checkpoint/model
