@@ -1609,6 +1609,30 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // K10 — SEMANTIC decontamination (round 11): the embedding-space
+    // complement of the gram pass — paraphrase leakage has no n-gram
+    // collision, but its embedding sits next to the eval example. The
+    // bounded benchmark side broadcasts; the corpus is scanned once and
+    // every stat rides the bit-matched codegen cosine, so the whole
+    // frame is hash-exact.
+    "k10_semantic_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Decontaminate.semanticOverlapStats(
+        e.where(col("vec_id") % 20 =!= 0).select(col("vec_id"), col("embedding")),
+        e.where(col("vec_id") % 20 === 0),
+        "embedding", "vec_id", threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
+    // K2 — pairwise SOURCE overlap (round 11): each source's distinct
+    // bigram set, Jaccard over every source pair — the "how much of
+    // dump B is already in dump A" curation diagnostic. Gram-keyed
+    // equi self-join (per-gram work ≤ sources²), never a cross join.
+    "k2_source_overlap" -> ((s, dir) => {
+      TextAnalysis.sourceOverlap(t(s, dir, "documents"), "text", "source", n = 2)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // K11 — deterministic fixed-point k-means over the embeddings corpus
     // (semantic clustering for dedup/sampling): integer quantization makes
     // the 3-round Lloyd model bit-reproducible in the DuckDB oracle
@@ -2511,6 +2535,41 @@ object LlmQueries {
         |          JOIN embeddings eb ON eb.vec_id = pr.id_b)
         |SELECT id_a, id_b, cosine FROM co WHERE cosine >= 0.35
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // the semantic complement of k10_decontaminate: exact cosine vs the
+    // bounded benchmark split, rounded before the max/threshold so the
+    // whole stat frame hashes
+    "k10_semantic_decontaminate" ->
+      s"""WITH c AS (SELECT a.vec_id AS vec_id,
+         |  ROUND(${duckCosine("a.embedding", "b.embedding")}, 6) AS c
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id % 20 = 0
+         |  WHERE a.vec_id % 20 <> 0)
+         |SELECT vec_id, MAX(c) AS max_cos,
+         |  CAST(SUM(CASE WHEN c >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  MAX(c) >= 0.35 AS contaminated
+         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // pairwise source bigram Jaccard — distinct gram sets per source,
+    // gram-keyed intersection, exact sizes
+    "k2_source_overlap" ->
+      """WITH tk AS (SELECT source,
+        |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |              x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT g, gram FROM (
+        |  SELECT source AS g,
+        |    unnest(CASE WHEN len(t) < 2 THEN []
+        |           ELSE list_transform(range(0, len(t) - 1),
+        |                               i -> array_to_string(t[(i+1):(i+2)], ' ')) END) AS gram
+        |  FROM tk)),
+        |sz AS (SELECT g, COUNT(*) AS n FROM sh GROUP BY g),
+        |inter AS (SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.g < b.g
+        |  GROUP BY a.g, b.g)
+        |SELECT i.src_a, i.src_b, i.n_inter,
+        |  ROUND(CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter), 6) AS jaccard
+        |FROM inter i JOIN sz za ON za.g = i.src_a JOIN sz zb ON zb.g = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "k12_per_source_cap" ->
       """WITH pr AS (SELECT doc_id, source,

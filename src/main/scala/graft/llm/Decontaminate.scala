@@ -125,4 +125,52 @@ object Decontaminate {
       .where(col("contaminated")).select(col(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** EMBEDDING-space decontamination — the semantic complement of the
+    * n-gram overlap above: a training example whose embedding is
+    * near-identical to an eval example leaks the benchmark even when
+    * its wording differs (paraphrase leakage — the reason public
+    * writeups pair n-gram decontamination with an embedding pass).
+    *
+    * One row per corpus vector: (idCol, max_cos, n_hits, contaminated)
+    * where `max_cos` is the maximum 6dp-rounded cosine against ANY
+    * benchmark vector ([[graft.functions.VectorFunctions.cosine]] — the
+    * bit-matched codegen expression, so the whole stat is
+    * DuckDB-oracle-exact), `n_hits` how many benchmark vectors clear
+    * `threshold`, and `contaminated` = max_cos >= threshold.
+    *
+    * Scale shape — the same asymmetry as the gram pass: the benchmark
+    * side is BOUNDED by construction (eval sets are thousands of rows,
+    * the corpus is billions), so it rides one broadcast and the corpus
+    * is scanned exactly once, per-partition, with a map-side-combinable
+    * (id)-keyed aggregate; the corpus is never shuffled whole and never
+    * self-joined. The broadcast nested-loop shape is the documented-safe
+    * bounded-broadcast class (the k4 brute-force rule): its cost is
+    * |corpus| × |bench| cosines spread across every executor — the
+    * honest cost of exact semantic overlap; cap the benchmark, not the
+    * corpus.
+    */
+  def semanticOverlapStats(docs: DataFrame, bench: DataFrame, vecCol: String,
+                           idCol: String, threshold: Double = 0.99): DataFrame = {
+    val b = broadcast(bench.select(col(vecCol).as("__bvec")))
+    docs.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(b)
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.cosine(col("__v"), col("__bvec")), 6)
+          .as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("max_cos"),
+        sum(when(col("__c") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", col("max_cos") >= threshold)
+  }
+
+  /** The production form of the semantic pass: `docs` minus rows whose
+    * embedding clears `threshold` against any benchmark vector.
+    */
+  def semanticClean(docs: DataFrame, bench: DataFrame, vecCol: String,
+                    idCol: String, threshold: Double = 0.99): DataFrame = {
+    val flagged = semanticOverlapStats(docs, bench, vecCol, idCol, threshold)
+      .where(col("contaminated")).select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -291,6 +291,47 @@ object TextAnalysis {
   }
 
   /** K6 — n-gram frequency table over the corpus. */
+  /** Pairwise n-gram Jaccard overlap BETWEEN CORPUS GROUPS (sources,
+    * dumps, shards) — the dataset-curation diagnostic behind "how much
+    * of dump B is already in dump A" decisions: each group is its
+    * distinct n-gram SET, and every group pair gets
+    * J = |A ∩ B| / |A ∪ B|, exact.
+    *
+    * Scale shape: ONE tokenize pass projects (group, gram) distinct
+    * rows — the only corpus-sized shuffle. The pairwise intersection is
+    * a GRAM-KEYED equi self-join: per gram the work is (groups sharing
+    * that gram)² ≤ G², so the join output is |distinct grams| × G²
+    * bounded with G = #groups a dataset-curation constant (tens), never
+    * corpus². No cross join, no per-group collect; group sizes are a
+    * G-row aggregate joined back broadcast.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, groupCol: String,
+                    n: Int = 2): DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    // distinct (group, gram): the group's gram set, materialized once —
+    // it feeds the sizes aggregate and both sides of the self-join
+    val grams = df
+      .select(col(groupCol).as("g"), explode(ngrams(toks, n)).as("gram"))
+      .distinct()
+      .persist()
+    grams.count() // eager: three consumers below read the cache
+    try {
+      val sizes = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val inter = grams.alias("a")
+        .join(grams.alias("b"),
+          col("a.gram") === col("b.gram") && col("a.g") < col("b.g"))
+        .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("g").as("src_a"), col("n").as("__na"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("g").as("src_b"), col("n").as("__nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("__na") + col("__nb") - col("n_inter")), 6).as("jaccard"))
+        .localCheckpoint(true)
+    } finally grams.unpersist(false)
+  }
+
   def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(explode(ngrams(tokens(normalizeText(col(textCol))), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("freq"))

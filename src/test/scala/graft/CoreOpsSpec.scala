@@ -724,6 +724,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // documented-safe; k4_pq_recall's exact side is the same bounded
     // brute-force shape as k4_knn_bruteforce
     "k4_pq_knn", "k4_pq_recall",
+    "k10_semantic_decontaminate", // bounded benchmark (eval-set) broadcast vs corpus scan
     "k7_hybrid_search",  // dense leg: 1-row query-vector broadcast
     // same 1-row query-vector broadcast; only the lexical source differs
     // (postings index instead of corpus scan)
@@ -763,6 +764,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // construction; ClassifierSpec audits the plan shapes
     "k15_nb_classify", "k15_nb_confusion", "k15_nb_model_indexed",
     "k15_nb_incremental", "k15_streaming_nb_append",
+    "k2_source_overlap", // persist + eager count + checkpointed G²-row result
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve
     // the K14 LM family executes its train pass (cache/checkpoint/model
