@@ -211,6 +211,41 @@ object ExtraQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // x5 — STREAMING SIDECAR MAINTENANCE (▶ real stream, round 11): the
+    // streaming twin of the x2/x3 data-skipping family. Two date-split
+    // micro-batches land as `__batch` partitions through
+    // foreachBatchCorpusAppend, which refreshes the min/max manifest AND
+    // the o_orderkey Bloom sidecar O(new files) inside each batch turn;
+    // the final pruned range read goes THROUGH the freshly-maintained
+    // manifest (no fallback — the sidecar is exactly current) and
+    // hash-matches the plain relational oracle.
+    "x5_streaming_sidecar_append" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val out = java.nio.file.Files.createTempDirectory("graft-x5").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-x5-ckpt").toString
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"))
+        .as[(Long, String, Double, java.sql.Timestamp)].collect()
+      val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchCorpusAppend(
+          src.toDS().toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+          out, ckpt, statsCols = Seq("o_orderdate"), bloomCols = Seq("o_orderkey"))
+        q.awaitTermination()
+      }
+      src.addData(rows.filter(_._4.before(cut)).toSeq); drain()
+      src.addData(rows.filterNot(_._4.before(cut)).toSeq); drain()
+      graft.ops.Manifest.prunedRead(s, out, "o_orderdate",
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // x4 — VERSION DIFF (round 11): what entered/left the corpus between
     // two pinned versions — the reproducibility audit behind "why did
     // run B train on different data than run A". Two key-projected
@@ -353,5 +388,14 @@ object ExtraQueries {
     "x4_corpus_versions" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |  CAST(2 AS BIGINT) AS version
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the streamed-up, sidecar-maintained table must read back as the
+    // plain relational range aggregate
+    "x5_streaming_sidecar_append" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

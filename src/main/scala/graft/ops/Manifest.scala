@@ -134,7 +134,12 @@ object Manifest {
       val st = it.next()
       val p = st.getPath.toUri.getPath
       val rel = p.stripPrefix(rootPath).split('/').filter(_.nonEmpty)
-      if (st.isFile && !rel.exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+      // Spark's own hidden-path rule: `_`/`.`-prefixed names are metadata
+      // (the manifest itself, _SUCCESS) — EXCEPT names containing `=`,
+      // which are partition directories (`__batch=0`) and carry data
+      val hidden = rel.exists(seg =>
+        (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
+      if (st.isFile && !hidden)
         out += st.getPath.toString
     }
     out.result()

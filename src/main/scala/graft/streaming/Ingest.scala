@@ -282,6 +282,39 @@ object Ingest {
       }
       .start()
 
+  /** Attach a DATA-SKIPPING-MAINTAINED corpus append to a streaming
+    * frame — the streaming twin of the x2/x3 sidecar family: every
+    * micro-batch lands under its own `__batch` partition (dynamic
+    * overwrite — the standard replay-idempotence layout), then the
+    * min/max manifest and any per-column Bloom sidecars are refreshed
+    * INSIDE the same foreachBatch turn via the O(new files) incremental
+    * repairs ([[graft.ops.Manifest.refresh]]/`refreshBloom` — cost ∝
+    * the appended files, never the table). Readers between batches are
+    * always safe: a pruned read that races the refresh sees a stale
+    * manifest and falls back to a full scan (the staleness contract —
+    * stale costs speed, never rows); after the refresh it skips again.
+    * A replayed batch rewrites its own partition with NEW file names,
+    * which the refresh diff handles as removed+added — sidecars
+    * converge to the replayed content.
+    */
+  def foreachBatchCorpusAppend(rows: DataFrame, tablePath: String,
+                               checkpointDir: String, statsCols: Seq[String],
+                               bloomCols: Seq[String] = Nil,
+                               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        batch.withColumn("__batch", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(tablePath)
+        graft.ops.Manifest.refresh(spark, tablePath, statsCols)
+        bloomCols.foreach(c => graft.ops.Manifest.refreshBloom(spark, tablePath, c))
+      }
+      .start()
+
   /** Attach incremental dedup RESOLUTION to a streaming frame of
     * near-dup pairs — the dedup endgame's streaming twin (round 10 built
     * K13 batch + incremental; this closes the family the way LSH / IVF /

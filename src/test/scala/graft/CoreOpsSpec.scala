@@ -765,6 +765,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k15_nb_classify", "k15_nb_confusion", "k15_nb_model_indexed",
     "k15_nb_incremental", "k15_streaming_nb_append",
     "k2_source_overlap", // persist + eager count + checkpointed G²-row result
+    "x5_streaming_sidecar_append", // two-drain MemoryStream + sidecar refreshes
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve
     // the K14 LM family executes its train pass (cache/checkpoint/model
@@ -988,6 +989,61 @@ class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(viaBloom(42L).size === 2)
     // idempotent when nothing changed
     assert(graft.ops.Manifest.refreshBloom(spark, out, "o_orderkey").count() === 7)
+  }
+
+  test("streaming corpus append maintains manifest + bloom sidecars per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-x5-spec").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-x5-spec-ckpt").toString
+    val orders = core.Engine.table(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    val rows = orders.as[(Long, String, Double, java.sql.Timestamp)].collect()
+    val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    def drain(): Unit = {
+      val q = graft.streaming.Ingest.foreachBatchCorpusAppend(
+        src.toDS().toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        out, ckpt, statsCols = Seq("o_orderdate"), bloomCols = Seq("o_orderkey"))
+      q.awaitTermination()
+    }
+    // scheme-insensitive comparison (input_file_name reports file:///,
+    // the FS listing file:/) — the normalizePath rule
+    def norm(f: String): String = new org.apache.hadoop.fs.Path(f).toUri.getPath
+    src.addData(rows.filter(_._4.before(cut)).toSeq); drain()
+
+    // after batch 0 the sidecars are CURRENT: manifest file set == table
+    val files0 = graft.ops.Manifest.listDataFiles(spark, out).map(norm).toSet
+    val mFiles0 = graft.ops.Manifest.read(spark, out)
+      .select(col("file")).collect().map(r => norm(r.getString(0))).toSet
+    assert(mFiles0 === files0, "batch-0 refresh must leave a fresh manifest")
+
+    src.addData(rows.filterNot(_._4.before(cut)).toSeq); drain()
+    val files1 = graft.ops.Manifest.listDataFiles(spark, out).map(norm).toSet
+    val mFiles1 = graft.ops.Manifest.read(spark, out)
+      .select(col("file")).collect().map(r => norm(r.getString(0))).toSet
+    assert(mFiles1 === files1, "batch-1 refresh must cover the appended partition")
+    assert(files1.size > files0.size)
+
+    // pruning BITES through the streamed manifest: the date-split means a
+    // 1996+ range excludes every batch-0 file
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1999-12-31").cast("timestamp")
+    val kept = graft.ops.Manifest.pruneFiles(spark, out, "o_orderdate", lo, hi)
+      .map(norm).toSet
+    assert(kept.nonEmpty && (kept & files0).isEmpty,
+      s"the pre-1996 batch partition must prune away: kept ${kept.size}")
+
+    // the pruned read and the bloom point read agree with full scans
+    val viaManifest = graft.ops.Manifest.prunedRead(spark, out, "o_orderdate", lo, hi)
+      .agg(count(lit(1))).head.getLong(0)
+    val full = spark.read.parquet(out)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .agg(count(lit(1))).head.getLong(0)
+    assert(viaManifest === full && full > 0)
+    val k = rows.head._1
+    assert(graft.ops.Manifest.bloomRead(spark, out, "o_orderkey", lit(k)).count() ===
+      spark.read.parquet(out).where(col("o_orderkey") === k).count())
   }
 
   test("stale manifest falls back to full scan; refresh is incremental and byte-identical") {
