@@ -744,6 +744,29 @@ object LlmQueries {
         .orderBy(col("doc"))
     }),
 
+    // K16 — feature-hashed document embeddings (round 11, the hashing
+    // trick): a train-free text→vector bridge — signed md5 buckets, so
+    // every document becomes an exact INTEGER vector with no model and
+    // no vocabulary, usable by the whole k3/k4/k11 similarity stack.
+    "k16_hashed_embedding" -> ((s, dir) => {
+      TextAnalysis.hashedEmbedding(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"), col("bucket"))
+    }),
+
+    // K16 — the bridge in action: brute-force cosine top-5 over the
+    // hashed vectors (integer-valued doubles — cosine arithmetic is
+    // exactly mirrored, so ranks hash-match like k4_knn_bruteforce).
+    "k16_hashed_knn" -> ((s, dir) => {
+      val vecs = TextAnalysis.hashedEmbeddingVec(
+          t(s, dir, "documents"), "text", "doc_id")
+        .localCheckpoint(true) // feeds the query AND corpus sides
+      Similarity.bruteForceKnn(
+          corpus = vecs.select(col("doc").as("id"), col("vec")),
+          queries = vecs.where(col("doc") < 10L).select(col("doc").as("id"), col("vec")),
+          vecCol = "vec", idCol = "id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // K2 — STREAMING simhash-index maintenance (▶, hash-matched): base
     // index over docs < 400, docs 400..499 arriving as two MemoryStream
     // batches through foreachBatchSimhashAppend (banding read from the
@@ -2176,6 +2199,52 @@ object LlmQueries {
         |FROM best b JOIN tk ON tk.doc_id = b.doc
         |GROUP BY tk.lang, b.predicted
         |ORDER BY lang, predicted""".stripMargin),
+
+    // K16 feature hashing: signed md5 buckets — exact integer weights,
+    // so the sparse frame needs no rounding discipline at all
+    "k16_hashed_embedding" -> (tokCte +
+      """, tok AS (SELECT doc_id AS doc, unnest(t) AS w FROM tk),
+        |sp AS (SELECT doc,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) % 16 AS bucket,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(w), 9, 1)) - 1) % 2 = 0
+        |       THEN 1 ELSE -1 END AS s
+        |  FROM tok)
+        |SELECT doc, bucket, CAST(SUM(s) AS BIGINT) AS weight
+        |FROM sp GROUP BY doc, bucket HAVING SUM(s) <> 0
+        |ORDER BY doc, bucket""".stripMargin),
+
+    // K16 knn over the hashed vectors — integer-valued doubles through
+    // the exact k4 cosine/rank discipline
+    "k16_hashed_knn" -> {
+      val cos16 =
+        """(list_sum(list_transform(range(1, 17), i -> q.v[i] * c.v[i]))
+          | / (sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+          |  * sqrt(list_sum(list_transform(range(1, 17), i -> c.v[i] * c.v[i])))))""".stripMargin.replace("\n", " ")
+      tokCte +
+        s""", tok AS (SELECT doc_id AS doc, unnest(t) AS w FROM tk),
+           |sp AS (SELECT doc,
+           |  CAST(list_sum(list_transform(range(1, 9),
+           |    i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INTEGER), 1)) - 1)
+           |         * 16.0 ** (8 - i))) AS BIGINT) % 16 AS bucket,
+           |  CASE WHEN (strpos('0123456789abcdef', substr(md5(w), 9, 1)) - 1) % 2 = 0
+           |       THEN 1 ELSE -1 END AS s
+           |  FROM tok),
+           |we AS (SELECT doc, bucket, CAST(SUM(s) AS BIGINT) AS weight
+           |       FROM sp GROUP BY doc, bucket HAVING SUM(s) <> 0),
+           |grid AS (SELECT d.doc, r.j FROM (SELECT DISTINCT doc FROM we) d
+           |         CROSS JOIN range(16) r(j)),
+           |vec AS (SELECT g.doc, list(CAST(COALESCE(we.weight, 0) AS DOUBLE) ORDER BY g.j) AS v
+           |        FROM grid g LEFT JOIN we ON we.doc = g.doc AND we.bucket = g.j
+           |        GROUP BY g.doc)
+           |SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+           |  SELECT q.doc AS query_id, c.doc AS neighbor_id, $cos16 AS cosine,
+           |    CAST(row_number() OVER (PARTITION BY q.doc
+           |      ORDER BY $cos16 DESC, c.doc) AS INTEGER) AS rank
+           |  FROM vec q JOIN vec c ON c.doc <> q.doc WHERE q.doc < 10)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "k3_cosine_pairs" ->
       s"""SELECT a.vec_id AS vec_id,

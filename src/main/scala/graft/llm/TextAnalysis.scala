@@ -332,6 +332,56 @@ object TextAnalysis {
     } finally grams.unpersist(false)
   }
 
+  /** Feature-hashed document embeddings (the hashing trick: Weinberger
+    * et al., ICML'09) — a TRAIN-FREE text→vector bridge: token t
+    * contributes sign(t) to bucket(t), both md5-derived, so every
+    * document becomes a dim-sized INTEGER vector with no model, no
+    * vocabulary, and bit-exact cross-engine reproducibility. The signed
+    * hash keeps bucket collisions unbiased (E[collision noise] = 0 —
+    * the reason the trick preserves inner products), which is what
+    * makes these vectors usable by the whole k3/k4/k11 similarity
+    * stack without an external embedding model.
+    *
+    * Sparse form: (doc, bucket, weight) rows, zero-sum buckets dropped.
+    * One explode + ONE (doc, bucket)-keyed map-side-combinable shuffle;
+    * weights are exact integers, so the frame hashes with no rounding
+    * discipline at all.
+    */
+  def hashedEmbedding(df: DataFrame, textCol: String, idCol: String,
+                      dim: Int = 16): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val th = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    // sign from the 9th hex char's parity — independent of the bucket
+    // bits (prefix chars 1-8), the two-hash form of the trick
+    val parity = conv(substring(md5(col("w")), 9, 1), 16, 10).cast("long") % 2
+    df.select(col(idCol).as("doc"),
+        explode(tokens(normalizeText(col(textCol)))).as("w"))
+      .select(col("doc"), pmod(th, lit(dim.toLong)).as("bucket"),
+        when(parity === 0L, lit(1L)).otherwise(lit(-1L)).as("__s"))
+      .groupBy(col("doc"), col("bucket"))
+      .agg(sum(col("__s")).as("weight"))
+      .where(col("weight") =!= 0L)
+  }
+
+  /** The dense form: (doc, vec array<double>) — the shape the
+    * k3/k4/k11 vector operators consume. Densification collects the
+    * ≤ dim sparse rows per doc (one doc-keyed shuffle of dim-bounded
+    * rows on top of the sparse agg) and fills a dim-length array via a
+    * map lookup HOF. Documents whose every bucket cancelled (or with no
+    * tokens) have no sparse rows and drop out — a zero vector has no
+    * direction for cosine to measure.
+    */
+  def hashedEmbeddingVec(df: DataFrame, textCol: String, idCol: String,
+                         dim: Int = 16): DataFrame =
+    hashedEmbedding(df, textCol, idCol, dim)
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("bucket"), col("weight"))).as("__sp"))
+      .select(col("doc"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          j => coalesce(
+            element_at(map_from_entries(col("__sp")), j), lit(0L))
+            .cast("double")).as("vec"))
+
   def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(explode(ngrams(tokens(normalizeText(col(textCol))), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
