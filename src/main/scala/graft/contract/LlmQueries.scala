@@ -162,14 +162,22 @@ object LlmQueries {
     * — the type-widening shape the per-occurrence sum avoids). The
     * argmax is max score with ties to the greatest label — the window
     * form here equals the engine's max(struct(score, label)) aggregate.
-    * `where` restricts the train+score corpus; `tail` selects over
-    * `best(doc, n_tokens, predicted, score)` / `sc` / `tk`.
+    * `where` restricts the TRAINING corpus; `scoreWhere` the scored set
+    * (defaults to the training set — the self-classify queries; the
+    * ingest-gate query scores unseen docs against a frozen model);
+    * `tail` selects over `best(doc, n_tokens, predicted, score)` /
+    * `sc` / `tk`.
     */
-  private def nbOracle(tail: String, where: String = ""): String =
+  private def nbOracle(tail: String, where: String = "",
+                       scoreWhere: String = null): String =
     s"""WITH tk AS (SELECT doc_id, lang, text,
        |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
        |              x -> len(x) > 0) AS t
-       |  FROM documents $where)""".stripMargin +
+       |  FROM documents $where),
+       |sk AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+       |              x -> len(x) > 0) AS t
+       |  FROM documents ${Option(scoreWhere).getOrElse(where)})""".stripMargin +
       s""", wc AS (SELECT lang AS label, unnest(t) AS word FROM tk),
          |mdl AS (SELECT label, word, COUNT(*) AS c FROM wc GROUP BY label, word),
          |dcs AS (SELECT lang AS label, COUNT(*) AS dc FROM tk GROUP BY lang),
@@ -179,7 +187,7 @@ object LlmQueries {
          |pri AS (SELECT d.label,
          |  CAST(ROUND(ln(CAST(d.dc AS DOUBLE) / nn.n), 6) AS DECIMAL(28,6)) AS prior
          |  FROM dcs d CROSS JOIN nn),
-         |occ AS (SELECT doc_id AS doc, unnest(t) AS word FROM tk),
+         |occ AS (SELECT doc_id AS doc, unnest(t) AS word FROM sk),
          |s AS (SELECT occ.doc, p.label,
          |  CAST(ROUND(ln((CAST(COALESCE(mdl.c, 0) AS DOUBLE) + 1.0)
          |    / (CAST(COALESCE(ctx.ctx, 0) AS DOUBLE) + vv.v)), 6)
@@ -741,6 +749,38 @@ object LlmQueries {
       // set and score set must match the oracle's WHERE
       graft.llm.Classifier.nbClassifyIndexed(s, path,
           docs.where(col("doc_id") < 500L), "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K15 — the INGEST-TIME QUALITY GATE (▶, hash-matched): the
+    // production use of the classifier — a frozen model trained on the
+    // curated base (docs < 400) gates two incoming crawl batches; only
+    // predicted-'en' documents are admitted, carrying their audit
+    // columns. Per-doc decisions vs a static model are batch-boundary-
+    // invariant, so the admitted corpus is checked EXACTLY against the
+    // one-shot train-on-base/score-on-stream oracle.
+    "k15_streaming_quality_gate" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val model = freshScratchDir("graft-nbgate-model")
+      val admitted = freshScratchDir("graft-nbgate-adm")
+      val ckpt = freshScratchDir("graft-nbgate-ckpt")
+      graft.llm.Classifier.nbWrite(docs.where(col("doc_id") < 400L),
+        "text", "lang", model)
+      val rest = docs.where(col("doc_id") >= 400L && col("doc_id") < 500L)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchClassifyFilter(
+          src.toDS().toDF("doc_id", "text"), model, admitted, ckpt,
+          "text", "doc_id", keepLabels = Seq("en"))
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < 450L).toSeq); drain()
+      src.addData(rest.filter(_._1 >= 450L).toSeq); drain()
+      s.read.parquet(admitted)
+        .select(col("doc_id").as("doc"), col("n_tokens"), col("predicted"), col("score"))
         .orderBy(col("doc"))
     }),
 
@@ -2194,6 +2234,10 @@ object LlmQueries {
     "k15_streaming_nb_append" -> nbOracle(
       "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc",
       where = "WHERE doc_id < 500"),
+    "k15_streaming_quality_gate" -> nbOracle(
+      "SELECT doc, n_tokens, predicted, score FROM best WHERE predicted = 'en' ORDER BY doc",
+      where = "WHERE doc_id < 400",
+      scoreWhere = "WHERE doc_id >= 400 AND doc_id < 500"),
     "k15_nb_confusion" -> nbOracle(
       """SELECT tk.lang, b.predicted, COUNT(*) AS n
         |FROM best b JOIN tk ON tk.doc_id = b.doc

@@ -282,6 +282,50 @@ object Ingest {
       }
       .start()
 
+  /** Attach an INGEST-TIME QUALITY GATE to a streaming frame of
+    * documents — the production use of the K15 classifier: every
+    * micro-batch is classified against the FROZEN persisted NB model at
+    * `modelPath` ([[graft.llm.Classifier.nbClassifyIndexed]]) and only
+    * documents whose predicted label is in `keepLabels` are admitted to
+    * the corpus at `admittedDir` (the CCNet/GPT-3 pattern: a trained
+    * quality/language filter between the crawl and the training set).
+    * Admitted rows carry their (n_tokens, predicted, score) columns —
+    * the filter decision is auditable forever.
+    *
+    * Per-doc decisions against a STATIC model are batch-boundary-
+    * invariant, so the admitted corpus equals the batch classify+filter
+    * exactly (the k10 streaming-decontaminate argument) — the contract
+    * query hash-checks it against the one-shot oracle. Replay safety is
+    * the standard layout: `__batch` partitions + dynamic overwrite.
+    * The model is NOT appended to here — gating and model maintenance
+    * ([[foreachBatchNbAppend]]) are separate lifecycles; a model that
+    * trained on its own gated output would drift unaudited.
+    */
+  def foreachBatchClassifyFilter(docs: DataFrame, modelPath: String,
+                                 admittedDir: String, checkpointDir: String,
+                                 textCol: String, idCol: String,
+                                 keepLabels: Seq[String],
+                                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(keepLabels.nonEmpty, "an empty keep set admits nothing — pass the labels to keep")
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val kept = graft.llm.Classifier
+          .nbClassifyIndexed(spark, modelPath, batch, textCol, idCol)
+          .where(col("predicted").isin(keepLabels: _*))
+          .withColumnRenamed("doc", "__doc")
+        batch.join(kept, batch(idCol) === kept("__doc"), "inner")
+          .drop("__doc")
+          .withColumn("__batch", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(admittedDir)
+      }
+      .start()
+  }
+
   /** Attach a DATA-SKIPPING-MAINTAINED corpus append to a streaming
     * frame — the streaming twin of the x2/x3 sidecar family: every
     * micro-batch lands under its own `__batch` partition (dynamic

@@ -767,6 +767,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k2_source_overlap", // persist + eager count + checkpointed G²-row result
     "x5_streaming_sidecar_append", // two-drain MemoryStream + sidecar refreshes
     "k16_hashed_knn", // checkpoints the shared vector frame at construction
+    "k15_streaming_quality_gate", // two-drain MemoryStream + model write + gated appends
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve
     // the K14 LM family executes its train pass (cache/checkpoint/model
