@@ -47,6 +47,33 @@ object Envelope {
     df.withColumn("e", from_json(col(valueCol).cast("string"), schema(rowSchema)))
       .select(col("e.*"))
 
+  /** B13 — production parse with a DEAD-LETTER route: malformed
+    * envelopes (a truncated Kafka record, a producer bug, a schema the
+    * registry never saw) must never be dropped silently NOR poison the
+    * typed stream. `from_json` yields a NULL struct for unparseable
+    * input; this splits on that — (parsed frame, dead-letter frame) —
+    * with the dead letters carrying the ORIGINAL raw value for
+    * quarantine/replay. Both frames are narrow projections of one pass
+    * (the filter fuses into the scan; zero shuffles), so routing costs
+    * nothing at any scale.
+    *
+    * Detection is the corrupt-record-column idiom, NOT a null check:
+    * `from_json` in PERMISSIVE mode materializes an all-null struct for
+    * unparseable input (indistinguishable from a legitimately sparse
+    * envelope), but with `columnNameOfCorruptRecord` in the schema the
+    * raw text lands in that field EXACTLY when parsing failed.
+    */
+  def parseWithDeadLetter(df: DataFrame, rowSchema: StructType,
+                          valueCol: String = "value"): (DataFrame, DataFrame) = {
+    val corruptCol = "_graft_corrupt"
+    val sch = schema(rowSchema).add(corruptCol, org.apache.spark.sql.types.StringType)
+    val parsed = df.withColumn("e",
+      from_json(col(valueCol).cast("string"), sch,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+    (parsed.where(col(s"e.$corruptCol").isNull).select(col("e.*")).drop(corruptCol),
+      parsed.where(col(s"e.$corruptCol").isNotNull).select(col(valueCol)))
+  }
+
   /** A4 — Kafka CDC source entry point: subscribe to a topic of envelope
     * JSON and parse into typed columns. This is the north star's
     * "Structured Streaming + Kafka source" composition; it compiles

@@ -72,6 +72,37 @@ object CdcQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // B13 — dead-letter routing (round 11): a deterministic 1/13th of
+    // the envelopes arrive truncated mid-object (the torn-record /
+    // producer-bug case); parseWithDeadLetter routes them to a
+    // quarantine frame instead of silently dropping them or poisoning
+    // the typed stream. Output = every cleanly-parsed row + one
+    // dead-letter tally row — both exact.
+    "b13_dead_letter" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = c.select(to_json(struct(
+        struct(c.columns.map(col).toIndexedSeq: _*).as("after"),
+        struct(
+          lit("graft").as("connector"), lit("db").as("db"),
+          lit("public").as("schema"), lit("customer").as("table"),
+          col("c_custkey").as("lsn"), lit(true).as("snapshot"),
+          lit(1700000000000L).as("ts_ms")).as("source"),
+        lit("r").as("op"),
+        lit(1700000000000L).as("ts_ms"))).as("value"),
+        col("c_custkey").as("__k"))
+      val mangled = raw.select(
+        when(col("__k") % 13 === 0, substring(col("value"), 1, 10))
+          .otherwise(col("value")).as("value"))
+      val (ok, dead) = Envelope.parseWithDeadLetter(mangled, customerRowSchema)
+      val okOut = Envelope.extractNewRecordState(ok)
+        .select(lit("ok").as("kind"), col("c_custkey").as("key"),
+          col("c_name").as("payload"))
+      val deadOut = dead.agg(count(lit(1)).as("__n"))
+        .select(lit("dead").as("kind"), lit(null).cast("long").as("key"),
+          col("__n").cast("string").as("payload"))
+      okOut.unionByName(deadOut).orderBy(col("kind"), col("key"))
+    }),
+
     // B3+B4 — op filter + regex router
     "b3_op_filter_route" -> ((s, dir) => {
       val evs = withOp(t(s, dir, "events"))
@@ -298,6 +329,16 @@ object CdcQueries {
     "b1_envelope_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, 'r' AS __op, false AS __deleted
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the corrupted 13th envelopes land in the dead-letter tally; every
+    // other row parses cleanly
+    "b13_dead_letter" ->
+      """SELECT 'ok' AS kind, c_custkey AS key, c_name AS payload
+        |FROM customer WHERE c_custkey % 13 <> 0
+        |UNION ALL
+        |SELECT 'dead', NULL, CAST(COUNT(*) AS VARCHAR)
+        |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY kind, key""".stripMargin,
 
     "b3_op_filter_route" -> (mts +
       """

@@ -784,6 +784,17 @@ object LlmQueries {
         .orderBy(col("doc"))
     }),
 
+    // K17 — corpus-novelty scoring (round 11): per doc, the fraction of
+    // its distinct 3-gram hashes whose FIRST corpus occurrence (min
+    // doc_id) is this document — the "how much does this doc add"
+    // freshness signal, the corpus-level complement of the pairwise
+    // duplication stats. Shares the k2/k10 gram-hash projection, so the
+    // oracle reproduces it bit-for-bit.
+    "k17_novelty" -> ((s, dir) => {
+      TextAnalysis.noveltyScores(t(s, dir, "documents"), "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // K16 — feature-hashed document embeddings (round 11, the hashing
     // trick): a train-free text→vector bridge — signed md5 buckets, so
     // every document becomes an exact INTEGER vector with no model and
@@ -2243,6 +2254,31 @@ object LlmQueries {
         |FROM best b JOIN tk ON tk.doc_id = b.doc
         |GROUP BY tk.lang, b.predicted
         |ORDER BY lang, predicted""".stripMargin),
+
+    // K17 novelty: the shared gram-hash pipeline + a gram-keyed min-id
+    // aggregate — first-occurrence fractions, exact
+    "k17_novelty" -> {
+      val P = graft.functions.TextFunctions.MinhashP
+      tokCte +
+        s""", gr AS (SELECT doc_id,
+           |  CASE WHEN len(t) < 3 THEN []
+           |       ELSE list_transform(range(0, len(t) - 2),
+           |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+           |  FROM tk),
+           |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
+           |hm AS (SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(1, 9),
+           |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
+           |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+           |  FROM sh),
+           |hd AS (SELECT DISTINCT doc_id, h FROM hm),
+           |fi AS (SELECT h, MIN(doc_id) AS first_doc FROM hd GROUP BY h)
+           |SELECT hd.doc_id, COUNT(*) AS n_grams,
+           |  CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  ROUND(CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |        / COUNT(*), 6) AS novelty
+           |FROM hd JOIN fi USING (h) GROUP BY hd.doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // K16 feature hashing: signed md5 buckets — exact integer weights,
     // so the sparse frame needs no rounding discipline at all

@@ -332,6 +332,40 @@ object TextAnalysis {
     } finally grams.unpersist(false)
   }
 
+  /** Corpus-novelty scoring — per document, the fraction of its
+    * distinct n-gram hashes whose FIRST corpus occurrence (minimum id
+    * over the whole corpus) is this document: the "how much does this
+    * doc actually add" curation signal (near-1 = fresh content, near-0
+    * = recombination of text the corpus already has — the complement of
+    * the duplication stats, measured at the corpus level rather than
+    * pairwise).
+    *
+    * Rides the shared [[Dedup.shingleHashProjection]] (8-byte md5-prefix
+    * gram hashes — the SCALING.md explode-from-cache discipline, and
+    * hash-identical on the DuckDB side so the contract is exact; a rare
+    * prefix collision merges two grams' first-occurrence records
+    * IDENTICALLY in both engines). Two keyed shuffles: the gram-keyed
+    * min-id aggregate and the doc-keyed stats — the k10 cost class.
+    * First-occurrence ties cannot exist (min over ids; each (doc, gram)
+    * appears once).
+    */
+  def noveltyScores(df: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3): DataFrame = {
+    val proj = Dedup.shingleHashProjection(df, textCol, idCol, n).persist()
+    proj.count() // eager: the first-occurrence agg and the stats read the cache
+    try {
+      val hd = proj.select(col("id"), explode(col("hs")).as("h"))
+      val first = hd.groupBy(col("h")).agg(min(col("id")).as("__first"))
+      hd.join(first, Seq("h"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .localCheckpoint(true)
+    } finally proj.unpersist(false)
+  }
+
   /** Feature-hashed document embeddings (the hashing trick: Weinberger
     * et al., ICML'09) — a TRAIN-FREE text→vector bridge: token t
     * contributes sign(t) to bucket(t), both md5-derived, so every

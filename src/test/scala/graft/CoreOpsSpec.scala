@@ -737,6 +737,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k5_sequence_packing", "e4_sketch_merge", "g3_limit_offset",
     "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms",
     "j12_funnel", // three 1-row stage counts
+    "b13_dead_letter", // the dead-letter TALLY is one 1-row count; routing itself is shuffle-free
     "k4_pq_recall", // 1-row recall summary per shortlist setting
     "k7_bm25_search", // rank window over the post-limit 20-row frame
     "k7_hybrid_search", // leg ranks + fusion over post-limit <=30-row frames
@@ -768,6 +769,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "x5_streaming_sidecar_append", // two-drain MemoryStream + sidecar refreshes
     "k16_hashed_knn", // checkpoints the shared vector frame at construction
     "k15_streaming_quality_gate", // two-drain MemoryStream + model write + gated appends
+    "k17_novelty", // persists the shared gram projection at construction
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve
     // the K14 LM family executes its train pass (cache/checkpoint/model
