@@ -795,6 +795,26 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // K18 — tokenizer-style vocabulary build (round 11): the 1000 most
+    // frequent tokens, ids in (count desc, word) order — id 1 = most
+    // frequent, id 0 reserved for OOV. TakeOrdered cut + post-limit id
+    // window (the bm25 top-k discipline).
+    "k18_vocab" -> ((s, dir) => {
+      TextAnalysis.buildVocab(t(s, dir, "documents"), "text", maxVocab = 1000)
+        .select(col("id"), col("word"), col("cnt"))
+        .orderBy(col("id"))
+    }),
+
+    // K18 — corpus encoding through the vocabulary: every doc becomes
+    // its id sequence (OOV → 0), order preserved through the shuffle by
+    // carried positions. The id arrays hash exactly.
+    "k18_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.buildVocab(docs, "text", maxVocab = 1000)
+      TextAnalysis.encodeTokens(docs, vocab, "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
     // K16 — feature-hashed document embeddings (round 11, the hashing
     // trick): a train-free text→vector bridge — signed md5 buckets, so
     // every document becomes an exact INTEGER vector with no model and
@@ -2279,6 +2299,30 @@ object LlmQueries {
            |        / COUNT(*), 6) AS novelty
            |FROM hd JOIN fi USING (h) GROUP BY hd.doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // K18 vocab: frequency-ranked top-1000, deterministic (cnt desc,
+    // word) tie-break
+    "k18_vocab" -> (tokCte +
+      """, wc AS (SELECT unnest(t) AS word FROM tk),
+        |cnts AS (SELECT word, COUNT(*) AS cnt FROM wc GROUP BY word
+        |         ORDER BY cnt DESC, word LIMIT 1000)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS id,
+        |  word, cnt
+        |FROM cnts ORDER BY id""".stripMargin),
+
+    "k18_encode" -> (tokCte +
+      """, wc AS (SELECT unnest(t) AS word FROM tk),
+        |cnts AS (SELECT word, COUNT(*) AS cnt FROM wc GROUP BY word
+        |         ORDER BY cnt DESC, word LIMIT 1000),
+        |v AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS id,
+        |      word FROM cnts),
+        |tok AS (SELECT doc_id AS doc, unnest(t) AS word,
+        |        generate_subscripts(t, 1) AS pos FROM tk),
+        |enc AS (SELECT tok.doc, tok.pos, COALESCE(v.id, 0) AS tid
+        |        FROM tok LEFT JOIN v ON v.word = tok.word)
+        |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  list(tid ORDER BY pos) AS ids
+        |FROM enc GROUP BY doc ORDER BY doc""".stripMargin),
 
     // K16 feature hashing: signed md5 buckets — exact integer weights,
     // so the sparse frame needs no rounding discipline at all

@@ -332,6 +332,54 @@ object TextAnalysis {
     } finally grams.unpersist(false)
   }
 
+  /** Frequency-ranked vocabulary over a corpus — the tokenizer-training
+    * primitive: the `maxVocab` most frequent tokens, ids assigned in
+    * (count desc, word asc) order so the mapping is deterministic and
+    * id 1 is the most frequent token (id 0 is reserved for OOV by
+    * [[encodeTokens]]).
+    *
+    * Scale shape: one tokenize pass + ONE map-side-combined word-count
+    * shuffle (the table is vocab-sized, ≪ corpus); the top-N cut rides
+    * orderBy+limit (TakeOrdered — per-partition top-k, driver merge),
+    * and the id window runs over the post-limit ≤ maxVocab-row frame —
+    * the bm25 top-20 discipline, never a corpus-global window.
+    */
+  def buildVocab(df: DataFrame, textCol: String, maxVocab: Int = 1000): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(normalizeText(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxVocab)
+    counts.withColumn("id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+  }
+
+  /** Encode every document to its id sequence through a vocabulary
+    * frame ([[buildVocab]] or a persisted copy): (doc, n_tokens, ids)
+    * with out-of-vocabulary tokens mapping to 0. Token order is
+    * preserved through the shuffle by carrying the position and
+    * sort_array-ing the collected (pos, id) structs — collect_list
+    * alone has no order guarantee after an exchange.
+    *
+    * Scale shape: one posexplode, one broadcast join against the
+    * vocab (vocab is maxVocab-bounded by construction — always
+    * broadcastable, unlike a corpus-derived table), one doc-keyed
+    * aggregation.
+    */
+  def encodeTokens(df: DataFrame, vocab: DataFrame, textCol: String,
+                   idCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        posexplode(tokens(normalizeText(col(textCol)))).as(Seq("pos", "word")))
+      .join(broadcast(vocab.select(col("word"), col("id"))), Seq("word"), "left")
+      .select(col("doc"), col("pos"), coalesce(col("id"), lit(0L)).as("tid"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("tid")))).as("__s"))
+      .select(col("doc"), col("n_tokens"),
+        transform(col("__s"), s => s.getField("tid")).as("ids"))
+
   /** Corpus-novelty scoring — per document, the fraction of its
     * distinct n-gram hashes whose FIRST corpus occurrence (minimum id
     * over the whole corpus) is this document: the "how much does this

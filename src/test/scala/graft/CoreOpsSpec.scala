@@ -738,6 +738,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms",
     "j12_funnel", // three 1-row stage counts
     "b13_dead_letter", // the dead-letter TALLY is one 1-row count; routing itself is shuffle-free
+    // the vocab id window runs over the post-limit <= maxVocab-row frame
+    // (the bm25 top-20 discipline); the corpus-side passes stay keyed
+    "k18_vocab", "k18_encode",
     "k4_pq_recall", // 1-row recall summary per shortlist setting
     "k7_bm25_search", // rank window over the post-limit 20-row frame
     "k7_hybrid_search", // leg ranks + fusion over post-limit <=30-row frames
