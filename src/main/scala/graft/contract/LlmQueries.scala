@@ -206,6 +206,36 @@ object LlmQueries {
          |    ORDER BY score DESC, label DESC) AS rn FROM sc) WHERE rn = 1)
          |$tail""".stripMargin
 
+  /** K17 corpus-novelty oracle — the shared gram-hash pipeline + a
+    * gram-keyed min-id aggregate; `where` restricts the corpus (the
+    * streaming twin stops at doc_id < 500, like every ▶ twin).
+    */
+  private def k17NoveltyOracle(where: String = ""): String = {
+    val P = graft.functions.TextFunctions.MinhashP
+    s"""WITH tk AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+       |              x -> len(x) > 0) AS t
+       |  FROM documents $where)""".stripMargin +
+      s""", gr AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN []
+         |       ELSE list_transform(range(0, len(t) - 2),
+         |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+         |  FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
+         |hm AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
+         |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+         |  FROM sh),
+         |hd AS (SELECT DISTINCT doc_id, h FROM hm),
+         |fi AS (SELECT h, MIN(doc_id) AS first_doc FROM hd GROUP BY h)
+         |SELECT hd.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  ROUND(CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / COUNT(*), 6) AS novelty
+         |FROM hd JOIN fi USING (h) GROUP BY hd.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB cosine between two FLOAT[64] columns, computed exactly like the
     * Spark HOFs: per-element double products, sequential sum, double sqrt.
     */
@@ -793,6 +823,47 @@ object LlmQueries {
     "k17_novelty" -> ((s, dir) => {
       TextAnalysis.noveltyScores(t(s, dir, "documents"), "text", "doc_id", n = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // K17 — INCREMENTAL novelty through the persisted gram-set index:
+    // base corpus indexed once, two later batches scored O(batch)
+    // (membership anti-join + in-batch min-id). Monotone ids mean a
+    // later batch can never steal first-ness, so the accumulated
+    // scores hash-match the full-corpus oracle EXACTLY.
+    "k17_incremental_novelty" -> ((s, dir) => {
+      val path = sessionScratchDir("graft-novidx")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.noveltyIndexWrite(docs.where(col("doc_id") < 400L),
+        "text", "doc_id", path)
+      TextAnalysis.noveltyAppendBatch(s, path,
+        docs.where(col("doc_id") >= 400L && col("doc_id") < 450L),
+        "text", "doc_id", batchId = 1L)
+      TextAnalysis.noveltyAppendBatch(s, path,
+        docs.where(col("doc_id") >= 450L), "text", "doc_id", batchId = 2L)
+      TextAnalysis.noveltyScoresIndexed(s, path).orderBy(col("doc_id"))
+    }),
+
+    // K17 — STREAMING novelty (▶, hash-matched): the freshness signal
+    // follows the document stream through foreachBatchNoveltyAppend.
+    "k17_streaming_novelty" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-novstr")
+      val ckpt = freshScratchDir("graft-novstr-ckpt")
+      TextAnalysis.noveltyIndexWrite(docs.where(col("doc_id") < 400L),
+        "text", "doc_id", path)
+      val rest = docs.where(col("doc_id") >= 400L && col("doc_id") < 500L)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchNoveltyAppend(
+          src.toDS().toDF("doc_id", "text"), path, ckpt, "text", "doc_id")
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < 450L).toSeq); drain()
+      src.addData(rest.filter(_._1 >= 450L).toSeq); drain()
+      TextAnalysis.noveltyScoresIndexed(s, path).orderBy(col("doc_id"))
     }),
 
     // K18 — tokenizer-style vocabulary build (round 11): the 1000 most
@@ -2276,29 +2347,13 @@ object LlmQueries {
         |ORDER BY lang, predicted""".stripMargin),
 
     // K17 novelty: the shared gram-hash pipeline + a gram-keyed min-id
-    // aggregate — first-occurrence fractions, exact
-    "k17_novelty" -> {
-      val P = graft.functions.TextFunctions.MinhashP
-      tokCte +
-        s""", gr AS (SELECT doc_id,
-           |  CASE WHEN len(t) < 3 THEN []
-           |       ELSE list_transform(range(0, len(t) - 2),
-           |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
-           |  FROM tk),
-           |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
-           |hm AS (SELECT doc_id,
-           |  CAST(list_sum(list_transform(range(1, 9),
-           |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
-           |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
-           |  FROM sh),
-           |hd AS (SELECT DISTINCT doc_id, h FROM hm),
-           |fi AS (SELECT h, MIN(doc_id) AS first_doc FROM hd GROUP BY h)
-           |SELECT hd.doc_id, COUNT(*) AS n_grams,
-           |  CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-           |  ROUND(CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-           |        / COUNT(*), 6) AS novelty
-           |FROM hd JOIN fi USING (h) GROUP BY hd.doc_id ORDER BY doc_id""".stripMargin
-    },
+    // aggregate — first-occurrence fractions, exact. ONE oracle, three
+    // paths: inline, incremental-index, and streaming-append all
+    // hash-match it (first-occurrence is an id min, so monotone-id
+    // batch folds are row-identical to the full recompute).
+    "k17_novelty" -> k17NoveltyOracle(),
+    "k17_incremental_novelty" -> k17NoveltyOracle(),
+    "k17_streaming_novelty" -> k17NoveltyOracle("WHERE doc_id < 500"),
 
     // K18 vocab: frequency-ranked top-1000, deterministic (cnt desc,
     // word) tie-break

@@ -414,6 +414,128 @@ object TextAnalysis {
     } finally proj.unpersist(false)
   }
 
+  // ---------------------------------------------------------------- //
+  // K17 persisted novelty index — score each arriving batch O(batch)  //
+  // ---------------------------------------------------------------- //
+
+  private val GramSetBase = "gramset"
+
+  private def fsOfPath(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def gramSetDir(spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.ops.Generations.currentDir(fsOfPath(spark, path),
+      new org.apache.hadoop.fs.Path(path), GramSetBase).toString
+
+  /** Build the PERSISTED novelty index over a base corpus: per-doc
+    * novelty scores land under `scores/__batch=0` and the corpus's
+    * distinct gram-hash set under `gramset/__batch=0`. Later batches
+    * score O(batch) against the gram set ([[noveltyAppendBatch]]), and
+    * the accumulated scores read back EXACTLY as a full-corpus
+    * [[noveltyScores]] recompute — provided batches arrive in
+    * increasing-id order (first-occurrence is an id min, and an id in a
+    * later batch can never steal first-ness from an earlier one; the
+    * same monotonicity every `__batch` ingest family assumes).
+    */
+  def noveltyIndexWrite(df: DataFrame, textCol: String, idCol: String,
+                        path: String, n: Int = 3): Unit = {
+    val spark = df.sparkSession
+    graft.ops.Generations.reset(fsOfPath(spark, path),
+      new org.apache.hadoop.fs.Path(path), GramSetBase)
+    val proj = Dedup.shingleHashProjection(df, textCol, idCol, n).persist()
+    proj.count()
+    try {
+      val hd = proj.select(col("id"), explode(col("hs")).as("h"))
+      val first = hd.groupBy(col("h")).agg(min(col("id")).as("__first"))
+      hd.join(first, Seq("h"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .withColumn("__batch", lit(0L))
+        .write.mode("overwrite").partitionBy("__batch").parquet(s"$path/scores")
+      hd.select(col("h")).distinct()
+        .withColumn("__batch", lit(0L))
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(s"$path/$GramSetBase")
+    } finally proj.unpersist(false)
+  }
+
+  /** Score ONE arriving batch against the persisted gram set and fold
+    * it in — O(batch): the batch's own gram projection, one gram-keyed
+    * membership anti-join against the index (a gram already indexed
+    * was first seen earlier — ids are monotone), one within-batch
+    * min-id pass for the genuinely new grams, and two dynamic
+    * overwrites (batch scores + the batch's distinct grams). Replay
+    * rewrites exactly itself.
+    */
+  def noveltyAppendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, textCol: String, idCol: String,
+                         batchId: Long, n: Int = 3): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (batch 0 is the base build): $batchId")
+    val root = new org.apache.hadoop.fs.Path(gramSetDir(spark, path))
+    require(fsOfPath(spark, path).exists(root),
+      s"no novelty index at $path — run noveltyIndexWrite first")
+    val proj = Dedup.shingleHashProjection(batch, textCol, idCol, n).persist()
+    proj.count()
+    try {
+      val hd = proj.select(col("id"), explode(col("hs")).as("h"))
+      // membership vs STRICTLY EARLIER batches (partition-pruned): on a
+      // replay the batch's own grams are already indexed under its id,
+      // and reading them back would score every replayed doc as 0-novel
+      // — the < batchId filter makes first play and replay see the
+      // identical gram set. (Corollary = the family's retired-lineage
+      // rule: compaction folds provenance into __batch=0, so compact
+      // only after the appending stream's checkpoint is dropped.)
+      val seen = spark.read.parquet(root.toString)
+        .where(col("__batch") < batchId).select(col("h")).distinct()
+      // genuinely new grams: first occurrence is inside THIS batch
+      val fresh = hd.join(seen, Seq("h"), "left_anti")
+        .groupBy(col("h")).agg(min(col("id")).as("__first"))
+      hd.join(fresh, Seq("h"), "left")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$path/scores")
+      hd.select(col("h")).distinct()
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(root.toString)
+    } finally proj.unpersist(false)
+  }
+
+  /** The accumulated per-doc scores — row-identical to a full-corpus
+    * [[noveltyScores]] over everything ingested (monotone-id batches).
+    */
+  def noveltyScoresIndexed(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    spark.read.parquet(s"$path/scores")
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+
+  /** Fold the gram-set `__batch` fragments into one distinct
+    * `__batch=0` — crash-atomic via the shared Generations swap; scores
+    * are untouched (they are outputs, not index state). Same
+    * retired-lineage rule as every compacting family.
+    */
+  def noveltyCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOfPath(spark, path)
+    val cur = graft.ops.Generations.currentDir(fs, root, GramSetBase)
+    val (staged, gen) = graft.ops.Generations.stage(fs, root, GramSetBase)
+    spark.read.parquet(cur.toString)
+      .select(col("h")).distinct()
+      .withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
+    graft.ops.Generations.commit(fs, root, GramSetBase, gen)
+    graft.ops.Generations.gcOld(fs, root, GramSetBase)
+  }
+
   /** Feature-hashed document embeddings (the hashing trick: Weinberger
     * et al., ICML'09) — a TRAIN-FREE text→vector bridge: token t
     * contributes sign(t) to bucket(t), both md5-derived, so every

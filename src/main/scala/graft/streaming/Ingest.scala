@@ -282,6 +282,32 @@ object Ingest {
       }
       .start()
 
+  /** Attach incremental NOVELTY scoring to a streaming frame of
+    * documents — the freshness-signal member of the streaming
+    * index-maintenance family: every micro-batch is scored O(batch)
+    * against the persisted gram set (membership anti-join + an
+    * in-batch min-id pass) and folds its own distinct grams in
+    * ([[graft.llm.TextAnalysis.noveltyAppendBatch]]). With monotone-id
+    * batches the accumulated scores are row-identical to a full-corpus
+    * recompute — the contract query hash-checks it against the same
+    * oracle as the one-shot path. Standard lineage rules: one
+    * (indexPath, checkpointDir) pair per stream lineage,
+    * deterministic-replay source, `__batch` dynamic overwrites.
+    */
+  def foreachBatchNoveltyAppend(docs: DataFrame, indexPath: String,
+                                checkpointDir: String, textCol: String, idCol: String,
+                                n: Int = 3,
+                                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.TextAnalysis.noveltyAppendBatch(batch.sparkSession, indexPath,
+          batch, textCol, idCol, batchId = id + 1, n = n)
+      }
+      .start()
+
   /** Attach an INGEST-TIME QUALITY GATE to a streaming frame of
     * documents — the production use of the K15 classifier: every
     * micro-batch is classified against the FROZEN persisted NB model at

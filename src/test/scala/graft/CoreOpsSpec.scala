@@ -773,6 +773,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k16_hashed_knn", // checkpoints the shared vector frame at construction
     "k15_streaming_quality_gate", // two-drain MemoryStream + model write + gated appends
     "k17_novelty", // persists the shared gram projection at construction
+    "k17_incremental_novelty", // index write + two appends at construction
+    "k17_streaming_novelty", // two-drain MemoryStream + index writes
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve
     // the K14 LM family executes its train pass (cache/checkpoint/model
