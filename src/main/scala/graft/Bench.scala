@@ -75,7 +75,9 @@ object Bench {
     "k14_lm_train",          // bigram-LM model write (round 11; amortized once)
     "k14_lm_score",          // corpus perplexity THROUGH the persisted model (the per-sweep cost)
     "k15_nb_train",          // NB classifier count-model write (round 11; amortized once)
-    "k15_nb_classify")       // whole-corpus classification THROUGH the persisted model
+    "k15_nb_classify",       // whole-corpus classification THROUGH the persisted model
+    "k17_idx_build",         // novelty index: base scores + gram set (round 11; amortized once)
+    "k17_batch_score")       // one 10% batch scored vs the gram set (the per-batch cost)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,6 +134,9 @@ object Bench {
     val bm25Path = java.nio.file.Files.createTempDirectory("graft-bench-bm25").toString
     val lmPath = java.nio.file.Files.createTempDirectory("graft-bench-lm").toString
     val nbPath = java.nio.file.Files.createTempDirectory("graft-bench-nb").toString
+    // novelty index shares the LSH entries' 90/10 corpus/crawl split
+    val novPath = java.nio.file.Files.createTempDirectory("graft-bench-nov").toString
+    lazy val novSplit: Long = lshSplit
     // the K13 persisted assignment + its precomputed pair table: the
     // fold entry times ONLY the incremental CC (assignment ∪ batch),
     // never the gram pipeline that generates pairs (k13_dedup_resolve
@@ -280,6 +285,19 @@ object Bench {
           val d = graft.core.Engine.table(spark, sfDir, "documents")
           graft.llm.Classifier.nbClassifyIndexed(spark, nbPath, d, "text", "doc_id")
             .write.format("noop").mode("overwrite").save()
+        case "k17_idx_build" =>
+          // amortized-once: base-corpus novelty scores + the distinct
+          // gram-hash set (90% of docs — the k2_idx_build split)
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.TextAnalysis.noveltyIndexWrite(
+            d.where(col("doc_id") < novSplit), "text", "doc_id", novPath)
+        case "k17_batch_score" =>
+          // the per-batch cost: membership anti-join vs earlier batches
+          // + in-batch min-id + two dynamic overwrites — O(batch), the
+          // k2_incremental_query twin
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.TextAnalysis.noveltyAppendBatch(spark, novPath,
+            d.where(col("doc_id") >= novSplit), "text", "doc_id", batchId = 1L)
         case "x3_bloom_build" =>
           graft.ops.Manifest.writeBloom(spark, manifestTable, "o_orderkey")
         case "x3_bloom_read" =>
@@ -378,6 +396,7 @@ object Bench {
     ensure("k7_bm25_idx_build", "k7_bm25_idx_query")
     ensure("k14_lm_train", "k14_lm_score")
     ensure("k15_nb_train", "k15_nb_classify")
+    ensure("k17_idx_build", "k17_batch_score")
     if (selected.contains("k13_fold_batch")) ccBaseReady
     if (selected.contains("x4_version_read_pruned")) versionReady
     ensure("x2_manifest_build", "x2_manifest_refresh")

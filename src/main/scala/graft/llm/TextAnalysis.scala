@@ -464,16 +464,23 @@ object TextAnalysis {
   }
 
   /** Score ONE arriving batch against the persisted gram set and fold
-    * it in — O(batch): the batch's own gram projection, one gram-keyed
-    * membership anti-join against the index (a gram already indexed
-    * was first seen earlier — ids are monotone), one within-batch
-    * min-id pass for the genuinely new grams, and two dynamic
-    * overwrites (batch scores + the batch's distinct grams). Replay
-    * rewrites exactly itself.
+    * it in — the batch's own gram projection, a membership probe
+    * against the index, one within-batch min-id pass for the genuinely
+    * new grams, and two dynamic overwrites (batch scores + the batch's
+    * distinct grams). Replay rewrites exactly itself.
+    *
+    * The membership probe is shaped so the INDEX IS SCANNED, NEVER
+    * SHUFFLED: the batch's distinct gram set (batch-bounded) broadcasts
+    * and the index side is a columnar scan probing that hash — a plain
+    * anti-join would sort-merge the corpus-sized gram set per batch
+    * (measured: the first wiring's `.distinct()` over the index cost as
+    * much as the full rebuild). Batches too large for the broadcast
+    * gate fall back to the shuffled anti-join.
     */
   def noveltyAppendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                          batch: DataFrame, textCol: String, idCol: String,
-                         batchId: Long, n: Int = 3): Unit = {
+                         batchId: Long, n: Int = 3,
+                         maxBroadcastGrams: Long = DfreqBroadcastMaxVocab): Unit = {
     require(batchId > 0, s"batchId must be > 0 (batch 0 is the base build): $batchId")
     val root = new org.apache.hadoop.fs.Path(gramSetDir(spark, path))
     require(fsOfPath(spark, path).exists(root),
@@ -490,9 +497,17 @@ object TextAnalysis {
       // rule: compaction folds provenance into __batch=0, so compact
       // only after the appending stream's checkpoint is dropped.)
       val seen = spark.read.parquet(root.toString)
-        .where(col("__batch") < batchId).select(col("h")).distinct()
+        .where(col("__batch") < batchId).select(col("h"))
+      val batchGrams = hd.select(col("h")).distinct().localCheckpoint(true)
+      val gate = batchGrams.count() <= maxBroadcastGrams
+      // grams of this batch the index has seen: index SCAN probing the
+      // broadcast batch set; duplicates across index batches collapse in
+      // the (small) distinct AFTER the semi-join
+      val stale =
+        if (gate) seen.join(broadcast(batchGrams), Seq("h"), "left_semi").distinct()
+        else seen.distinct()
       // genuinely new grams: first occurrence is inside THIS batch
-      val fresh = hd.join(seen, Seq("h"), "left_anti")
+      val fresh = hd.join(stale, Seq("h"), "left_anti")
         .groupBy(col("h")).agg(min(col("id")).as("__first"))
       hd.join(fresh, Seq("h"), "left")
         .groupBy(col("id"))
