@@ -323,6 +323,22 @@ object CdcQueries {
         .groupBy(col("signup_id"))
         .agg(count(col("click_id")).as("n_clicks"))
         .orderBy(col("signup_id"))
+    }),
+
+    // J7 full-outer form — the reconciliation shape: every signup AND
+    // every orphaned click survives (nulls sentineled to -1 so the
+    // cross-engine row set is null-free and exact).
+    "j7_interval_full" -> ((s, dir) => {
+      val evs = t(s, dir, "events")
+      val signups = evs.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      val clicks = evs.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      Streams.intervalJoinFull(signups, clicks, "s_ts", "c_ts", "user_id",
+          "1 day", "10 minutes", "10 minutes")
+        .select(coalesce(col("signup_id"), lit(-1L)).as("signup_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy(col("signup_id"), col("click_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -538,5 +554,16 @@ object CdcQueries {
         |  ON c.user_id = s.user_id
         | AND c.ts >= s.ts - INTERVAL 10 MINUTE
         | AND c.ts <= s.ts + INTERVAL 10 MINUTE
-        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin))
+        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin),
+
+    "j7_interval_full" -> (mts +
+      """
+        |SELECT COALESCE(s.event_id, -1) AS signup_id,
+        |  COALESCE(c.event_id, -1) AS click_id
+        |FROM (SELECT * FROM e WHERE event_type = 'signup') s
+        |FULL JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON c.user_id = s.user_id
+        | AND c.ts >= s.ts - INTERVAL 10 MINUTE
+        | AND c.ts <= s.ts + INTERVAL 10 MINUTE
+        |ORDER BY signup_id, click_id""".stripMargin))
 }

@@ -183,4 +183,24 @@ object Streams {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"),
       "left_outer")
   }
+
+  /** J7 full-outer form — BOTH sides' unmatched rows emit with nulled
+    * opposite columns on watermark expiry (left-outer's rule applied
+    * symmetrically; both watermarks mandatory for the same reason).
+    * The audit-complete join: every signup AND every orphaned click
+    * survives — the shape reconciliation pipelines need, where a
+    * dropped row on either side is a miscount.
+    */
+  def intervalJoinFull(left: DataFrame, right: DataFrame,
+                       leftTs: String, rightTs: String, key: String,
+                       delay: String, lowerBound: String,
+                       upperBound: String): DataFrame = {
+    val l = withLateness(left, leftTs, delay).alias("l")
+    val r = withLateness(right, rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lowerBound") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"),
+      "full_outer")
+  }
 }
