@@ -414,6 +414,70 @@ object TextAnalysis {
     } finally proj.unpersist(false)
   }
 
+  /** The per-source DATASET CARD — one frame answering "what is in
+    * this corpus, source by source": doc/token counts, quality mass,
+    * corpus-wide exact-duplicate count, novelty mass, and language
+    * entropy. The capstone composition: four existing operators
+    * (quality scoring, exact dedup, novelty, lang distribution) joined
+    * on the bounded source key — the report a curation team runs
+    * before deciding mixing weights.
+    *
+    * Every number follows the sum-not-mean discipline: counts are exact
+    * integers, quality/novelty are SUMS of the 6dp-rounded per-doc
+    * scores (decimal-summed — means derive downstream; round-after-
+    * divide is the one shape the cross-engine contract cannot pin),
+    * and entropy is a decimal sum of per-lang round6(-p·ln p) terms.
+    * `sum_novelty`/`n_scored` cover the docs the novelty pipeline
+    * scores (≥ n tokens).
+    *
+    * Scale shape: four independent keyed aggregations (each one
+    * map-side-combined shuffle; the dup check is the k1 content-hash
+    * shuffle + a groups join), assembled by joins on the source key —
+    * a G-row frame with G = #sources, a curation constant.
+    */
+  def datasetCard(df: DataFrame, textCol: String, sourceCol: String,
+                  langCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val base = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val toks = tokens(normalizeText(col("__text")))
+    val stats = base
+      .withColumn("__q", graft.functions.TextFunctions.qualityScore(col("__text"))
+        .cast("decimal(28,6)"))
+      .withColumn("__nt", size(toks).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        round(sum(col("__q")).cast("double"), 6).as("sum_quality"))
+    val hashed = base.select(col("source"),
+      md5(normalizeText(col("__text"))).as("__h"))
+    val dupHashes = hashed.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1L).select(col("__h"))
+    val dups = hashed.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    val nov = noveltyScores(base, "__text", "doc_id", n)
+      .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum(col("novelty").cast("decimal(28,6)")).cast("double"), 6)
+          .as("sum_novelty"))
+    val langCounts = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__n"))
+    val langTotals = langCounts.groupBy(col("source")).agg(sum(col("__n")).as("__tot"))
+    val p = col("__n").cast("double") / col("__tot").cast("double")
+    val entropy = langCounts.join(langTotals, Seq("source"))
+      .withColumn("__e", round(-(p * log(p)), 6).cast("decimal(28,6)"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("__e")).cast("double"), 6).as("lang_entropy"))
+    stats
+      .join(dups, Seq("source"), "left")
+      .join(nov, Seq("source"), "left")
+      .join(entropy, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("sum_quality"), coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("sum_novelty"), lit(0.0d)).as("sum_novelty"),
+        col("lang_entropy"))
+  }
+
   // ---------------------------------------------------------------- //
   // K17 persisted novelty index — score each arriving batch O(batch)  //
   // ---------------------------------------------------------------- //
