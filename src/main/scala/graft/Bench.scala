@@ -77,7 +77,8 @@ object Bench {
     "k15_nb_train",          // NB classifier count-model write (round 11; amortized once)
     "k15_nb_classify",       // whole-corpus classification THROUGH the persisted model
     "k17_idx_build",         // novelty index: base scores + gram set (round 11; amortized once)
-    "k17_batch_score")       // one 10% batch scored vs the gram set (the per-batch cost)
+    "k17_batch_score",       // one 10% batch scored vs the gram set (the per-batch cost)
+    "k19_dataset_card")      // the four-operator per-source corpus report (round 11 capstone)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
