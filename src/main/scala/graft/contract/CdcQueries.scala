@@ -103,6 +103,42 @@ object CdcQueries {
       okOut.unionByName(deadOut).orderBy(col("kind"), col("key"))
     }),
 
+    // B14 — Kafka TOMBSTONES (round 11): delete events arrive as
+    // key+NULL-value compaction tombstones instead of delete
+    // envelopes (the tombstone-only pipeline mode); parseWithTombstones
+    // synthesizes op='d' rows from them, and the materialized state
+    // must equal b5's envelope-only path EXACTLY — one oracle, two
+    // delete encodings.
+    "b14_tombstones" -> ((s, dir) => {
+      val evs = withOp(t(s, dir, "events"))
+      val eventsRowSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_id", LongType),
+        StructField("value", DoubleType)))
+      val records = evs.select(
+        col("user_id").cast("string").as("key"),
+        when(col("op") === "d", lit(null).cast("string")).otherwise(
+          to_json(struct(
+            struct(col("user_id"), col("event_id"), col("value")).as("after"),
+            struct(
+              lit("graft").as("connector"), lit("db").as("db"),
+              lit("public").as("schema"), lit("events").as("table"),
+              col("event_id").as("lsn"), lit(false).as("snapshot"),
+              lit(1700000000000L).as("ts_ms")).as("source"),
+            col("op").as("op"),
+            lit(1700000000000L).as("ts_ms")))).as("value"),
+        col("ts"), col("event_id").as("offset"))
+      val parsed = Envelope.parseWithTombstones(records, eventsRowSchema)
+      val typed = parsed.select(
+        coalesce(col("after.user_id"), col("key").cast("long")).as("user_id"),
+        col("after.event_id").as("last_event_id"),
+        col("ts"), col("offset"), col("op"), col("after.value").as("value"))
+      Materialize.changelog(typed, Seq("user_id"), Seq(col("ts"), col("offset")))
+        .select(col("user_id"), col("last_event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // B3+B4 — op filter + regex router
     "b3_op_filter_route" -> ((s, dir) => {
       val evs = withOp(t(s, dir, "events"))
@@ -364,6 +400,15 @@ object CdcQueries {
         |ORDER BY event_id""".stripMargin),
 
     "b5_materialize" -> (mts +
+      """
+        |SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin),
+
+    // tombstone deletes must land exactly where envelope deletes do
+    "b14_tombstones" -> (mts +
       """
         |SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
