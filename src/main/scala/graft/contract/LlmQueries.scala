@@ -682,6 +682,17 @@ object LlmQueries {
         .orderBy(col("doc"))
     }),
 
+    // K14 — interpolated TRIGRAM perplexity (round 11, one order
+    // deeper): ln(0.7·P(w3|w1w2) + 0.3·P(w3|w2)), both add-one
+    // smoothed, EVERY statistic derived from the ONE trigram count
+    // table (ctx, backoff counts, V — the family's one-table invariant
+    // an order up); 6dp-decimal per-occurrence sums.
+    "k14_trigram_perplexity" -> ((s, dir) => {
+      graft.llm.LanguageModel.trigramPerplexity(
+          t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
     // K14 — CCNet band assignment: head/middle/tail by the corpus's
     // exact (25th, 75th) avg_logprob percentiles. The cutoffs are ONE
     // 1-row aggregate broadcast back over the scores — never a
@@ -2325,6 +2336,35 @@ object LlmQueries {
     "k14_streaming_lm_append" -> lmOracle(
       "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc",
       where = "WHERE doc_id < 500"),
+    // interpolated trigram: both λ legs' conditionals + V derived from
+    // the one trigram count table, expression tree mirrored exactly
+    // (0.3 is a literal on BOTH sides — 1.0-0.7 in IEEE is not 0.3)
+    "k14_trigram_perplexity" -> (tokCte +
+      """, tg AS (SELECT doc_id AS doc,
+        |  t[CAST(i AS INTEGER)] AS w1, t[CAST(i+1 AS INTEGER)] AS w2,
+        |  t[CAST(i+2 AS INTEGER)] AS w3
+        |  FROM tk, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |m3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY w1, w2, w3),
+        |cx AS (SELECT w1, w2, SUM(c3) AS ctx12 FROM m3 GROUP BY w1, w2),
+        |m23 AS (SELECT w2, w3, SUM(c3) AS c23 FROM m3 GROUP BY w2, w3),
+        |cx2 AS (SELECT w2, SUM(c3) AS ctx2 FROM m3 GROUP BY w2),
+        |vv AS (SELECT CAST(COUNT(DISTINCT w3) AS DOUBLE) AS v FROM m3),
+        |s AS (SELECT tg.doc, CAST(ROUND(ln(
+        |    0.7 * ((CAST(COALESCE(m3.c3, 0) AS DOUBLE) + 1.0)
+        |           / (CAST(COALESCE(cx.ctx12, 0) AS DOUBLE) + vv.v))
+        |    + 0.3 * ((CAST(COALESCE(m23.c23, 0) AS DOUBLE) + 1.0)
+        |           / (CAST(COALESCE(cx2.ctx2, 0) AS DOUBLE) + vv.v))), 6)
+        |    AS DECIMAL(28,6)) AS s
+        |  FROM tg LEFT JOIN m3 ON tg.w1 = m3.w1 AND tg.w2 = m3.w2 AND tg.w3 = m3.w3
+        |  LEFT JOIN cx ON tg.w1 = cx.w1 AND tg.w2 = cx.w2
+        |  LEFT JOIN m23 ON tg.w2 = m23.w2 AND tg.w3 = m23.w3
+        |  LEFT JOIN cx2 ON tg.w2 = cx2.w2
+        |  CROSS JOIN vv),
+        |sc AS (SELECT doc, COUNT(*) AS n_trigrams,
+        |  ROUND(CAST(SUM(s) AS DOUBLE), 6) AS sum_logprob
+        |  FROM s GROUP BY doc)
+        |SELECT doc, n_trigrams, sum_logprob FROM sc ORDER BY doc""".stripMargin),
+
     "k14_lm_quality_band" -> lmOracle(
       """, av AS (SELECT doc, n_bigrams, sum_logprob,
         |  sum_logprob / CAST(n_bigrams AS DOUBLE) AS a FROM sc),

@@ -150,6 +150,76 @@ object LanguageModel {
     } finally bg.unpersist(false)
   }
 
+  /** (doc, w1, w2, w3) trigram-occurrence rows — the [[transitions]]
+    * rule one order up (O(1) element_at lookups, never a slice).
+    */
+  private[graft] def trigramTransitions(docs: DataFrame, textCol: String,
+                                        idCol: String): DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    docs
+      .select(col(idCol).as("doc"), toks.as("__t"))
+      .where(size(col("__t")) >= 3)
+      .select(col("doc"), explode(transform(sequence(lit(0), size(col("__t")) - 3),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2"),
+          element_at(col("__t"), i + 3).as("w3")))).as("__p"))
+      .select(col("doc"), col("__p.w1").as("w1"), col("__p.w2").as("w2"),
+        col("__p.w3").as("w3"))
+  }
+
+  /** Interpolated TRIGRAM perplexity — one order deeper than
+    * [[perplexity]], same contract discipline: per trigram occurrence
+    * ln(λ·P(w3|w1w2) + (1−λ)·P(w3|w2)), both conditionals add-one
+    * smoothed, rounded to 6dp and decimal-summed per doc.
+    *
+    * EVERY statistic derives from the ONE trigram count table over the
+    * corpus's trigram events (the family's one-table invariant, an
+    * order up): ctx(w1,w2) = Σ_w3 c, the backoff counts
+    * c(w2,w3) = Σ_w1 c and ctx(w2) = Σ c over the SAME event space,
+    * and V = |distinct w3|. A fully-OOV transition floors at −ln V
+    * (λ/V + (1−λ)/V = 1/V), so cross-corpus scoring needs no special
+    * path. λ and 1−λ are BOTH explicit literals — deriving 0.3 as
+    * 1.0 − 0.7 in IEEE gives 0.30000000000000004 and the oracle could
+    * never write that down.
+    *
+    * Scale shape: one tokenize pass feeding the count aggregate and
+    * the score rows (persisted, the [[perplexity]] shared-pass shape);
+    * model-side tables are vocab³-bounded aggregations; the score
+    * joins are broadcast-gated like [[lmScore]].
+    */
+  def trigramPerplexity(docs: DataFrame, textCol: String, idCol: String,
+                        lambda: Double = 0.7, oneMinusLambda: Double = 0.3,
+                        maxBroadcastVocab: Long = TextAnalysis.DfreqBroadcastMaxVocab): DataFrame = {
+    val tri = trigramTransitions(docs, textCol, idCol).persist()
+    tri.count() // eager: the model aggregates and score rows read the cache
+    try {
+      val m3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3")).localCheckpoint(true)
+      val gate = m3.count() <= maxBroadcastVocab
+      val ctx12 = m3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("ctx12"))
+      val m23 = m3.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c23"))
+      val ctx2 = m3.groupBy(col("w2")).agg(sum(col("c3")).as("ctx2"))
+      val v = m3.agg(countDistinct(col("w3")).cast("double").as("__v"))
+      def side(d: DataFrame) = if (gate) broadcast(d) else d
+      val p3 = (coalesce(col("c3"), lit(0L)).cast("double") + lit(1.0)) /
+        (coalesce(col("ctx12"), lit(0L)).cast("double") + col("__v"))
+      val p2 = (coalesce(col("c23"), lit(0L)).cast("double") + lit(1.0)) /
+        (coalesce(col("ctx2"), lit(0L)).cast("double") + col("__v"))
+      val lnp = log(lit(lambda) * p3 + lit(oneMinusLambda) * p2)
+      tri
+        .join(side(m3), Seq("w1", "w2", "w3"), "left")
+        .join(side(ctx12), Seq("w1", "w2"), "left")
+        .join(side(m23), Seq("w2", "w3"), "left")
+        .join(side(ctx2), Seq("w2"), "left")
+        .join(broadcast(v))
+        .withColumn("__s", round(lnp, 6).cast("decimal(28,6)"))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(sum(col("__s")).cast("double"), 6).as("sum_logprob"))
+        .localCheckpoint(true)
+    } finally tri.unpersist(false)
+  }
+
   /** CCNet band assignment on the logprob scale: per-doc MEAN logprob
     * (sum_logprob / n_bigrams, UNROUNDED — IEEE division agrees
     * bit-for-bit across engines; it is only round-after-divide that

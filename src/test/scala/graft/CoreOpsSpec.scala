@@ -782,7 +782,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // write/stream drain) at construction; LanguageModelSpec audits the
     // gated-broadcast score join, and the band cutoffs are a 1-row agg
     "k14_lm_perplexity", "k14_lm_model_indexed", "k14_lm_incremental",
-    "k14_streaming_lm_append", "k14_lm_quality_band")
+    "k14_streaming_lm_append", "k14_lm_quality_band",
+    "k14_trigram_perplexity") // shared-pass persist + checkpoint at construction
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries
