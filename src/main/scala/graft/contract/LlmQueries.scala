@@ -682,6 +682,31 @@ object LlmQueries {
         .orderBy(col("doc"))
     }),
 
+    // K20 — LEAKAGE-SAFE dataset split (round 11): the hash-stable
+    // 90/5/5 split keyed by the doc's DEDUP COMPONENT instead of its
+    // id, so near-duplicate documents can never straddle train/test —
+    // the data-leakage trap a naive per-doc split walks into (the
+    // near-dup of a test doc sitting in train is contamination the
+    // n-gram decontaminate pass cannot see). Composition: k13
+    // components ∘ k8 split rule; singletons key by their own id.
+    "k20_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 2, threshold = 0.1)
+      val comp = graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val withComp = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val bucket = pmod(
+        conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      withComp.withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
     // K14 — interpolated TRIGRAM perplexity (round 11, one order
     // deeper): ln(0.7·P(w3|w1w2) + 0.3·P(w3|w2)), both add-one
     // smoothed, EVERY statistic derived from the ONE trigram count
@@ -2317,6 +2342,27 @@ object LlmQueries {
         |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d)
         |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin),
+
+    // component-keyed split: the closure's MIN label feeds the k8
+    // md5-bucket rule, so a whole near-dup cluster lands on one side
+    "k20_leakage_safe_split" -> (recTokCte + jaccardPairCtes(0.1) +
+      """, e AS (SELECT id_a AS s, id_b AS d FROM pr
+        |        UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d),
+        |cc AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        |wc AS (SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+        |       FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        |b AS (SELECT doc_id, component,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(component AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) % 100 AS bk
+        |  FROM wc)
+        |SELECT doc_id, component,
+        |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
 
     "k13_dedup_resolve" -> k13ResolveOracle,
 

@@ -775,6 +775,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k17_novelty", // persists the shared gram projection at construction
     "k17_incremental_novelty", // index write + two appends at construction
     "k19_dataset_card", // the novelty leg persists/checkpoints at construction
+    "k20_leakage_safe_split", // pair generation + CC execute at construction
     "k17_streaming_novelty", // two-drain MemoryStream + index writes
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve

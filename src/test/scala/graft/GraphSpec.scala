@@ -234,4 +234,26 @@ class GraphSpec extends AnyFunSuite {
     Graph.foldBatch(spark, path, Seq((5L, 5L)).toDF("a", "b"), "a", "b")
     intercept[IllegalArgumentException] { Graph.assignment(spark, path) }
   }
+
+  test("leakage-safe split law: near-dup pairs never straddle a split boundary") {
+    // the k20 contract: split is a function of the component, so any two
+    // docs connected by a pair — even transitively — share a split
+    val docs = graft.core.Engine.table(spark, graft.TestSpark.sf, "documents")
+    val pairs = graft.llm.Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.1)
+      .localCheckpoint(true)
+    val split = graft.SparkEntry.queries("k20_leakage_safe_split")(spark, graft.TestSpark.sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("split"))
+    val a = split.withColumnRenamed("doc_id", "id_a")
+      .withColumnRenamed("split", "split_a")
+    val b = split.withColumnRenamed("doc_id", "id_b")
+      .withColumnRenamed("split", "split_b")
+    val straddling = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .where(org.apache.spark.sql.functions.col("split_a") =!=
+        org.apache.spark.sql.functions.col("split_b"))
+      .count()
+    assert(straddling === 0L, "a near-dup pair crossed the train/test boundary")
+    assert(pairs.count() > 0L, "the fixture corpus must actually have near-dup pairs")
+  }
 }
