@@ -682,6 +682,18 @@ object LlmQueries {
         .orderBy(col("doc"))
     }),
 
+    // K12 — sample DOWN to a TARGET distribution (round 11, the
+    // "hit the DoReMi weights" op): the binding stratum sets the scale
+    // s = min_l(count_l / target_l), each stratum keeps
+    // floor(s · target_l) docs by the deterministic md5 lottery — the
+    // largest subcorpus matching the target shares up to flooring.
+    "k12_target_mix" -> ((s, dir) => {
+      Mixing.targetMix(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // K20 — LEAKAGE-SAFE dataset split (round 11): the hash-stable
     // 90/5/5 split keyed by the doc's DEDUP COMPONENT instead of its
     // id, so near-duplicate documents can never straddle train/test —
@@ -2342,6 +2354,23 @@ object LlmQueries {
         |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d)
         |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin),
+
+    // binding-stratum scale + floored per-stratum keeps + the md5
+    // lottery rank — all IEEE arithmetic mirrored exactly
+    "k12_target_mix" ->
+      """WITH tg(lang, t) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
+        |                            ('fr', 0.15), ('zh', 0.05)),
+        |c AS (SELECT d.lang, COUNT(*) AS n FROM documents d GROUP BY d.lang),
+        |sc AS (SELECT MIN(CAST(c.n AS DOUBLE) / tg.t) AS s
+        |       FROM c JOIN tg ON tg.lang = c.lang),
+        |k AS (SELECT c.lang, CAST(floor(sc.s * tg.t) AS BIGINT) AS keep
+        |      FROM c JOIN tg ON tg.lang = c.lang CROSS JOIN sc),
+        |pr AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT pr.doc_id, pr.lang FROM pr JOIN k ON k.lang = pr.lang
+        |WHERE pr.rn <= k.keep ORDER BY doc_id""".stripMargin,
 
     // component-keyed split: the closure's MIN label feeds the k8
     // md5-bucket rule, so a whole near-dup cluster lands on one side

@@ -95,6 +95,48 @@ object Mixing {
     * the corpus (its two-level salted top-k is exact and keeps every
     * partition bounded at n_source / saltBuckets).
     */
+  /** Sample the corpus DOWN to a TARGET stratum distribution — the
+    * "hit the DoReMi weights" operator: given per-stratum target shares
+    * (they need not sum to 1; relative weights suffice), keep the
+    * largest subcorpus whose stratum proportions match the targets up
+    * to flooring. The binding stratum is the one with the least
+    * headroom: s = min_l (count_l / target_l), and each stratum keeps
+    * floor(s · target_l) documents — its full count for the binding
+    * stratum, proportionally fewer everywhere else. Strata WITHOUT a
+    * target are dropped (weight 0).
+    *
+    * Selection within a stratum is the deterministic md5 lottery
+    * ([[perSourceCap]]'s rule): rank by (md5(id), id), keep the top
+    * floor(s · t_l) — engines draw the identical subcorpus, so the
+    * whole result hashes. All arithmetic is IEEE (count/target
+    * division, min, s·t, floor) mirrored token for token by the
+    * oracle.
+    *
+    * Scale shape: one stratum-keyed count, two broadcast-bounded
+    * joins (targets are a mixing parameter; the scale frame is one
+    * row), one stratum-keyed rank window. Nothing collects.
+    */
+  def targetMix(df: DataFrame, stratumCol: String, idCol: String,
+                targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targetMix needs at least one stratum target")
+    require(targets.values.forall(_ > 0), s"targets must be positive: $targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.toDF("__stratum", "__t")
+    val counts = df.groupBy(col(stratumCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val scaled = counts.join(broadcast(t), Seq("__stratum"))
+    val s = scaled.agg(min(col("__n").cast("double") / col("__t")).as("__s"))
+    val keeps = scaled.join(broadcast(s))
+      .select(col("__stratum"), floor(col("__s") * col("__t")).cast("long").as("__keep"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(keeps), col(stratumCol) === col("__stratum"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__keep"))
+      .drop("__stratum", "__t", "__keep", "__rn")
+  }
+
   def perSourceCap(df: DataFrame, sourceCol: String, idCol: String,
                    cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1: $cap")

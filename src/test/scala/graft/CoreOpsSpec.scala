@@ -725,6 +725,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // brute-force shape as k4_knn_bruteforce
     "k4_pq_knn", "k4_pq_recall",
     "k10_semantic_decontaminate", // bounded benchmark (eval-set) broadcast vs corpus scan
+    "k12_target_mix", // the 1-ROW binding-stratum scale rides a condition-free broadcast
     "k7_hybrid_search",  // dense leg: 1-row query-vector broadcast
     // same 1-row query-vector broadcast; only the lexical source differs
     // (postings index instead of corpus scan)
@@ -738,6 +739,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms",
     "j12_funnel", // three 1-row stage counts
     "b13_dead_letter", // the dead-letter TALLY is one 1-row count; routing itself is shuffle-free
+    "k12_target_mix", // the binding-stratum scale is one 1-row min over strata-count rows
     // the vocab id window runs over the post-limit <= maxVocab-row frame
     // (the bm25 top-20 discipline); the corpus-side passes stay keyed
     "k18_vocab", "k18_encode",
