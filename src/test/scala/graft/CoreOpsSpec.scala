@@ -1503,6 +1503,28 @@ class MixingScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(bucketed(Long.MaxValue / 4, 2).size === d.count())
   }
 
+  test("targetMix keeps exactly floor(s*t) per stratum, binding stratum whole") {
+    val d = core.Engine.table(spark, TestSpark.sf, "documents")
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05)
+    val kept = graft.llm.Mixing.targetMix(d, "lang", "doc_id", targets)
+      .groupBy(col("lang")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = targets.map { case (l, t) => counts(l) / t }.min
+    targets.foreach { case (l, t) =>
+      assert(kept(l) === math.floor(s * t).toLong, s"stratum $l keep count")
+    }
+    // the binding stratum (least headroom) is kept whole up to flooring
+    val binding = targets.minBy { case (l, t) => counts(l) / t }._1
+    assert(kept(binding) >= counts(binding) - 1,
+      "the binding stratum must survive (almost) entirely")
+    // an untargeted stratum is dropped outright
+    val some = graft.llm.Mixing.targetMix(d, "lang", "doc_id", Map("en" -> 1.0))
+    assert(some.where(col("lang") =!= "en").count() === 0L)
+    assert(some.count() === counts("en"))
+  }
+
   test("perSourceCapSkewed == perSourceCap when every source is routed mega") {
     val d = core.Engine.table(spark, TestSpark.sf, "documents")
     val plain = graft.llm.Mixing.perSourceCap(d, "source", "doc_id", cap = 20)
