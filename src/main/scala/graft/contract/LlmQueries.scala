@@ -955,6 +955,15 @@ object LlmQueries {
         .orderBy(col("doc"), col("bucket"))
     }),
 
+    // K16 — the IDF-weighted variant: rare terms dominate, stopwords
+    // vanish — the quality step for retrieval, at the price of one
+    // corpus statistic (df). k7's ln(N/df) per occurrence, 6dp-decimal
+    // bucket sums.
+    "k16_hashed_idf" -> ((s, dir) => {
+      TextAnalysis.hashedEmbeddingIdf(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"), col("bucket"))
+    }),
+
     // K16 — the bridge in action: brute-force cosine top-5 over the
     // hashed vectors (integer-valued doubles — cosine arithmetic is
     // exactly mirrored, so ranks hash-match like k4_knn_bruteforce).
@@ -2581,6 +2590,26 @@ object LlmQueries {
         |  FROM tok)
         |SELECT doc, bucket, CAST(SUM(s) AS BIGINT) AS weight
         |FROM sp GROUP BY doc, bucket HAVING SUM(s) <> 0
+        |ORDER BY doc, bucket""".stripMargin),
+
+    // idf-weighted buckets: the same signed md5 hashing with k7's
+    // ln(N/df) as the per-occurrence mass, decimal-summed
+    "k16_hashed_idf" -> (tokCte +
+      """, occ AS (SELECT doc_id AS doc, unnest(t) AS w FROM tk),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM
+        |        (SELECT DISTINCT doc, w FROM occ) GROUP BY w),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |sp AS (SELECT occ.doc,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(occ.w), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) AS BIGINT) % 16 AS bucket,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(occ.w), 9, 1)) - 1) % 2 = 0
+        |       THEN CAST(ROUND(ln(n.n / CAST(dfq.df AS DOUBLE)), 6) AS DECIMAL(28,6))
+        |       ELSE -CAST(ROUND(ln(n.n / CAST(dfq.df AS DOUBLE)), 6) AS DECIMAL(28,6))
+        |  END AS c
+        |  FROM occ JOIN dfq ON dfq.w = occ.w CROSS JOIN n)
+        |SELECT doc, bucket, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS weight
+        |FROM sp GROUP BY doc, bucket HAVING SUM(c) <> 0
         |ORDER BY doc, bucket""".stripMargin),
 
     // K16 knn over the hashed vectors — integer-valued doubles through

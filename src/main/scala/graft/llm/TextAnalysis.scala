@@ -646,6 +646,54 @@ object TextAnalysis {
       .where(col("weight") =!= 0L)
   }
 
+  /** IDF-weighted feature hashing — [[hashedEmbedding]] with each
+    * occurrence contributing sign(t) · idf(t) instead of ±1: rare
+    * terms dominate the vector and stopwords vanish, the quality step
+    * that makes hashed vectors usable for retrieval, at the price of
+    * ONE corpus statistic (document frequency — so this variant is
+    * corpus-dependent where the unweighted one is stateless). The idf
+    * is k7's ln(N/df) rounded to 6dp decimal, per-occurrence
+    * decimal-summed per bucket (the house discipline), published as
+    * round6 doubles; exactly-cancelled buckets drop like the ±1 form.
+    *
+    * Scale shape: the shared occurrence pass feeds the df aggregate
+    * and the scoring rows (persisted once); the df join is
+    * broadcast-gated (corpus-derived vocabulary — the k7 rule);
+    * then one (doc, bucket)-keyed map-side-combined shuffle.
+    */
+  def hashedEmbeddingIdf(df: DataFrame, textCol: String, idCol: String,
+                         dim: Int = 16,
+                         maxBroadcastVocab: Long = DfreqBroadcastMaxVocab): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val occ = df
+      .select(col(idCol).as("doc"),
+        explode(tokens(normalizeText(col(textCol)))).as("w"))
+      .persist()
+    occ.count() // eager: the df aggregate and the scoring rows read the cache
+    try {
+      val dfreq = occ.select(col("doc"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("__df"))
+        .localCheckpoint(true)
+      val gate = dfreq.count() <= maxBroadcastVocab
+      val n = df.agg(count(lit(1)).cast("double").as("__n"))
+      val th = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+      val parity = conv(substring(md5(col("w")), 9, 1), 16, 10).cast("long") % 2
+      val idf = round(log(col("__n") / col("__df").cast("double")), 6)
+        .cast("decimal(28,6)")
+      occ
+        .join(if (gate) broadcast(dfreq) else dfreq, Seq("w"))
+        .join(broadcast(n))
+        .select(col("doc"), pmod(th, lit(dim.toLong)).as("bucket"),
+          when(parity === 0L, idf).otherwise(-idf).as("__c"))
+        .groupBy(col("doc"), col("bucket"))
+        .agg(sum(col("__c")).as("__w"))
+        .where(col("__w") =!= 0)
+        .select(col("doc"), col("bucket"),
+          round(col("__w").cast("double"), 6).as("weight"))
+        .localCheckpoint(true)
+    } finally occ.unpersist(false)
+  }
+
   /** The dense form: (doc, vec array<double>) — the shape the
     * k3/k4/k11 vector operators consume. Densification collects the
     * ≤ dim sparse rows per doc (one doc-keyed shuffle of dim-bounded

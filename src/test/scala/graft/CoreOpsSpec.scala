@@ -773,6 +773,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k2_source_overlap", // persist + eager count + checkpointed G²-row result
     "x5_streaming_sidecar_append", // two-drain MemoryStream + sidecar refreshes
     "k16_hashed_knn", // checkpoints the shared vector frame at construction
+    "k16_hashed_idf", // shared occurrence pass persists at construction
     "k15_streaming_quality_gate", // two-drain MemoryStream + model write + gated appends
     "k17_novelty", // persists the shared gram projection at construction
     "k17_incremental_novelty", // index write + two appends at construction
