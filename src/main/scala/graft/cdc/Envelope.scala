@@ -65,6 +65,10 @@ object Envelope {
   def parseWithTombstones(df: DataFrame, rowSchema: StructType,
                           keyCol: String = "key", valueCol: String = "value",
                           deleteOp: String = "d"): DataFrame = {
+    require(df.columns.contains(keyCol),
+      s"parseWithTombstones: key column '$keyCol' not present " +
+        s"(have: ${df.columns.mkString(", ")}) — a tombstone is addressed " +
+        "by its key; without one the delete cannot be materialized")
     val sch = schema(rowSchema)
     val parsed = from_json(col(valueCol).cast("string"), sch)
     val tombstone = struct(
@@ -73,7 +77,15 @@ object Envelope {
       lit(null).cast(sourceSchema).as("source"),
       lit(deleteOp).as("op"),
       lit(null).cast("long").as("ts_ms"))
-    val carry = df.columns.filterNot(_ == valueCol).map(col).toSeq
+    // A NULL-keyed tombstone is unaddressable — fail loudly instead of
+    // emitting a delete nobody can apply. The guard wraps the carried
+    // key column itself, so column pruning can never drop it.
+    val guardedKey = when(col(valueCol).isNull && col(keyCol).isNull,
+        raise_error(lit("parseWithTombstones: tombstone record with a " +
+          s"NULL '$keyCol' — the delete has no addressable key")))
+      .otherwise(col(keyCol)).as(keyCol)
+    val carry = df.columns.filterNot(_ == valueCol).toSeq
+      .map(c => if (c == keyCol) guardedKey else col(c))
     df.withColumn("e",
         when(col(valueCol).isNotNull, parsed).otherwise(tombstone))
       .select(carry :+ col("e.*"): _*)

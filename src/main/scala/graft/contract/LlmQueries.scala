@@ -938,11 +938,17 @@ object LlmQueries {
 
     // K18 — corpus encoding through the vocabulary: every doc becomes
     // its id sequence (OOV → 0), order preserved through the shuffle by
-    // carried positions. The id arrays hash exactly.
+    // carried positions. The sequence is published as a space-joined
+    // STRING, not a raw array — the driver harness canonicalizes rows
+    // with a pandas sort and cannot sort array cells (round-11 red
+    // row); flat strings hash identically and sort everywhere.
     "k18_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val vocab = TextAnalysis.buildVocab(docs, "text", maxVocab = 1000)
       TextAnalysis.encodeTokens(docs, vocab, "text", "doc_id")
+        .select(col("doc"), col("n_tokens"),
+          array_join(transform(col("ids"), i => i.cast("string")), " ")
+            .as("ids"))
         .orderBy(col("doc"))
     }),
 
@@ -2574,7 +2580,7 @@ object LlmQueries {
         |enc AS (SELECT tok.doc, tok.pos, COALESCE(v.id, 0) AS tid
         |        FROM tok LEFT JOIN v ON v.word = tok.word)
         |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |  list(tid ORDER BY pos) AS ids
+        |  array_to_string(list(tid ORDER BY pos), ' ') AS ids
         |FROM enc GROUP BY doc ORDER BY doc""".stripMargin),
 
     // K16 feature hashing: signed md5 buckets — exact integer weights,

@@ -93,6 +93,20 @@ object Classifier {
     */
   def nbScore(score: DataFrame, model: DataFrame, textCol: String, idCol: String,
               maxBroadcastModel: Long = TextAnalysis.DfreqBroadcastMaxVocab): DataFrame = {
+    val occ = score
+      .select(col(idCol).as("doc"),
+        explode(tokens(normalizeText(col(textCol)))).as("word"))
+    scoreOccurrences(occ, model, maxBroadcastModel)
+  }
+
+  /** The ONE scoring tree — shared by [[nbScore]] and
+    * [[nbSelfClassify]] so a smoothing/prior fix can never fork the
+    * 'one oracle, four paths' invariant. `occ` is the (doc, word)
+    * occurrence frame (one row per token occurrence); `model` the
+    * one-table counts.
+    */
+  private def scoreOccurrences(occ: DataFrame, model: DataFrame,
+                               maxBroadcastModel: Long): DataFrame = {
     // model feeds four consumers (ctx, V, priors, the score join): a
     // (vocab × classes)-bounded table, materialized once — the
     // SCALING.md fan-out rule
@@ -114,14 +128,11 @@ object Classifier {
     val gate = nModel <= maxBroadcastModel
     val wSide = if (gate) broadcast(words) else words
     val ctxSide = if (gate) broadcast(ctx) else ctx
-    val occ = score
-      .select(col(idCol).as("doc"),
-        explode(tokens(normalizeText(col(textCol)))).as("word"))
     // ln((c + 1) / (ctx + V)) — expression tree mirrored token for token
     // by the DuckDB oracle (double arithmetic is order-sensitive)
     val lnp = log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
       (coalesce(col("ctx"), lit(0L)).cast("double") + col("__v")))
-    occ
+    occ.select(col("doc"), col("word"))
       .crossJoin(broadcast(priors.select(col("label"))))
       .join(wSide, Seq("label", "word"), "left")
       .join(ctxSide, Seq("label"), "left")
@@ -171,31 +182,9 @@ object Classifier {
       val dc = docs.groupBy(col(labelCol).cast("string").as("label"))
         .agg(count(lit(1)).as("c"))
         .select(col("label"), lit(DocCountWord).as("word"), col("c"))
-      val model = words.unionByName(dc).localCheckpoint(true)
-      val gate = model.count() <= TextAnalysis.DfreqBroadcastMaxVocab
-      val w = model.where(col("word") =!= lit(DocCountWord))
-      val dcs = model.where(col("word") === lit(DocCountWord))
-        .select(col("label"), col("c").as("dc"))
-      val ctx = w.groupBy(col("label")).agg(sum(col("c")).as("ctx"))
-      val v = w.agg(countDistinct(col("word")).cast("double").as("__v"))
-      val n = dcs.agg(sum(col("dc")).cast("double").as("__n"))
-      val priors = dcs.join(broadcast(n))
-        .select(col("label"),
-          round(log(col("dc").cast("double") / col("__n")), 6)
-            .cast("decimal(28,6)").as("__prior"))
-      val lnp = log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
-        (coalesce(col("ctx"), lit(0L)).cast("double") + col("__v")))
-      val scored = occ.select(col("doc"), col("word"))
-        .crossJoin(broadcast(priors.select(col("label"))))
-        .join(if (gate) broadcast(w) else w, Seq("label", "word"), "left")
-        .join(if (gate) broadcast(ctx) else ctx, Seq("label"), "left")
-        .join(broadcast(v))
-        .withColumn("__s", round(lnp, 6).cast("decimal(28,6)"))
-        .groupBy(col("doc"), col("label"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("__s")).as("__ws"))
-        .join(broadcast(priors), Seq("label"))
-        .select(col("doc"), col("label"), col("n_tokens"),
-          round((col("__ws") + col("__prior")).cast("double"), 6).as("score"))
+      val model = words.unionByName(dc)
+      val scored = scoreOccurrences(occ.select(col("doc"), col("word")),
+        model, TextAnalysis.DfreqBroadcastMaxVocab)
       pickBest(scored).localCheckpoint(true)
     } finally occ.unpersist(false)
   }

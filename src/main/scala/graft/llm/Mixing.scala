@@ -125,6 +125,18 @@ object Mixing {
     val t = targets.toSeq.toDF("__stratum", "__t")
     val counts = df.groupBy(col(stratumCol).as("__stratum"))
       .agg(count(lit(1)).as("__n"))
+    // A targeted stratum with ZERO corpus rows makes the requested
+    // distribution unsatisfiable (s = min n_l/t_l = 0 → empty result);
+    // silently dropping it from the binding min (the pre-round-12
+    // behavior) would instead VIOLATE the distribution. Fail fast — the
+    // collect is bounded by |targets|, a mixing parameter.
+    val observed = counts.join(broadcast(t), Seq("__stratum"), "left_semi")
+      .select(col("__stratum").cast("string")).as[String].collect().toSet
+    val missing = targets.keySet -- observed
+    require(missing.isEmpty,
+      s"targetMix: targeted strata absent from the corpus: " +
+        s"${missing.toSeq.sorted.mkString(", ")} — a zero-count targeted " +
+        "stratum cannot meet the requested distribution")
     val scaled = counts.join(broadcast(t), Seq("__stratum"))
     val s = scaled.agg(min(col("__n").cast("double") / col("__t")).as("__s"))
     val keeps = scaled.join(broadcast(s))

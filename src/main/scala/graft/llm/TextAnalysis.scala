@@ -492,6 +492,26 @@ object TextAnalysis {
     graft.ops.Generations.currentDir(fsOfPath(spark, path),
       new org.apache.hadoop.fs.Path(path), GramSetBase).toString
 
+  private val WatermarkFile = "_compact_watermark"
+
+  /** Highest batch id folded away by [[noveltyCompact]] — 0 if never
+    * compacted. Lives INSIDE the gram-set generation dir (underscore
+    * prefix → invisible to the parquet scan), so it rides the same
+    * crash-atomic swap as the folded data it describes.
+    */
+  def noveltyCompactWatermark(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Long = {
+    val fs = fsOfPath(spark, path)
+    val wm = new org.apache.hadoop.fs.Path(gramSetDir(spark, path), WatermarkFile)
+    if (!fs.exists(wm)) 0L
+    else {
+      val in = fs.open(wm)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Build the PERSISTED novelty index over a base corpus: per-doc
     * novelty scores land under `scores/__batch=0` and the corpus's
     * distinct gram-hash set under `gramset/__batch=0`. Later batches
@@ -549,6 +569,17 @@ object TextAnalysis {
     val root = new org.apache.hadoop.fs.Path(gramSetDir(spark, path))
     require(fsOfPath(spark, path).exists(root),
       s"no novelty index at $path — run noveltyIndexWrite first")
+    // Replay guard (was only a comment until round 12): compaction folds
+    // provenance into __batch=0, so a replay of an already-compacted
+    // batch would see its own grams as 'seen' and overwrite its scores
+    // as 0-novel. The compact step persists the highest folded batch id
+    // and appends below it are REJECTED — the retired-lineage rule,
+    // enforced rather than documented.
+    val wm = noveltyCompactWatermark(spark, path)
+    require(batchId > wm,
+      s"batchId $batchId is at or below the compaction watermark $wm — " +
+        "batches folded by noveltyCompact cannot be replayed (drop the " +
+        "appending stream's checkpoint before compacting)")
     val proj = Dedup.shingleHashProjection(batch, textCol, idCol, n).persist()
     proj.count()
     try {
@@ -606,11 +637,20 @@ object TextAnalysis {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOfPath(spark, path)
     val cur = graft.ops.Generations.currentDir(fs, root, GramSetBase)
+    val curSet = spark.read.parquet(cur.toString)
+    // highest batch id being folded — persisted as the replay watermark
+    // (monotone across compactions; a compact of an already-compacted
+    // set keeps the prior watermark)
+    val prior = noveltyCompactWatermark(spark, path)
+    val folded = curSet.agg(max(col("__batch").cast("long"))).head.getLong(0)
+    val wm = math.max(prior, folded)
     val (staged, gen) = graft.ops.Generations.stage(fs, root, GramSetBase)
-    spark.read.parquet(cur.toString)
+    curSet
       .select(col("h")).distinct()
       .withColumn("__batch", lit(0L))
       .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staged, WatermarkFile), true)
+    try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
     graft.ops.Generations.commit(fs, root, GramSetBase, gen)
     graft.ops.Generations.gcOld(fs, root, GramSetBase)
   }

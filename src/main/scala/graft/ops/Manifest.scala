@@ -135,10 +135,12 @@ object Manifest {
       val p = st.getPath.toUri.getPath
       val rel = p.stripPrefix(rootPath).split('/').filter(_.nonEmpty)
       // Spark's own hidden-path rule: `_`/`.`-prefixed names are metadata
-      // (the manifest itself, _SUCCESS) — EXCEPT names containing `=`,
-      // which are partition directories (`__batch=0`) and carry data
+      // (the manifest itself, _SUCCESS) — EXCEPT `_`-prefixed names
+      // containing `=`, which are partition directories (`__batch=0`)
+      // and carry data. Dot-prefixed names stay hidden even with an `=`
+      // (Spark hides them unconditionally — e.g. hive staging dirs).
       val hidden = rel.exists(seg =>
-        (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
+        seg.startsWith(".") || (seg.startsWith("_") && !seg.contains("=")))
       if (st.isFile && !hidden)
         out += st.getPath.toString
     }

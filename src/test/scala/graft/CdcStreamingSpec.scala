@@ -47,6 +47,28 @@ class CdcStreamingSpec extends AnyFunSuite {
     assert(current === Array((1L, "a2", 11.0), (2L, "b9", 25.0), (3L, "c3", 32.0)))
   }
 
+  test("parseWithTombstones rejects a missing key column and NULL-keyed tombstones") {
+    val rowSchema = contract.CdcQueries.customerRowSchema
+    // key column absent → plan-build-time failure, not a silent no-key parse
+    val noKey = Seq(("""{"after":null}""", 1L)).toDF("value", "offset")
+    val exMissing = intercept[IllegalArgumentException] {
+      Envelope.parseWithTombstones(noKey, rowSchema)
+    }
+    assert(exMissing.getMessage.contains("key"))
+    // a tombstone (NULL value) with a NULL key is unaddressable → runtime error
+    val badKey = Seq((null: String, null: String))
+      .toDF("key", "value")
+    val exNull = intercept[Exception] {
+      Envelope.parseWithTombstones(badKey, rowSchema).collect()
+    }
+    assert(exNull.getMessage.contains("NULL 'key'"))
+    // a keyed tombstone and a normal envelope still parse fine
+    val ok = Seq(("1", goldenLines.head), ("2", null: String)).toDF("key", "value")
+    val parsed = Envelope.parseWithTombstones(ok, rowSchema)
+    assert(parsed.count() === 2)
+    assert(parsed.where(col("op") === "d").select("key").as[String].head() === "2")
+  }
+
   test("materialize is idempotent and snapshot∪delta-consistent") {
     val raw = goldenLines.toDF("value")
     val flat = Envelope.extractNewRecordState(

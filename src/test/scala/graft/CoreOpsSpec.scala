@@ -948,6 +948,21 @@ class ManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
     val none = graft.ops.Manifest.prunedRead(spark, out, "o_orderdate",
       lit("1899-01-01").cast("timestamp"), lit("1899-12-31").cast("timestamp"))
     assert(none.count() === 0)
+
+    // hidden-path rule matches Spark's: `_p=1` is a partition dir (data),
+    // but a DOT-prefixed name is hidden even when it contains '=' (hive
+    // staging dirs) — its files must NOT be listed as data
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val before = graft.ops.Manifest.listDataFiles(spark, out).size
+    val staged = new org.apache.hadoop.fs.Path(out, ".hive-staging_x=1/part-0.parquet")
+    val os = fs.create(staged, true); os.write(1); os.close()
+    val under = new org.apache.hadoop.fs.Path(out, "_p=1/part-0.parquet")
+    val os2 = fs.create(under, true); os2.write(1); os2.close()
+    val listed = graft.ops.Manifest.listDataFiles(spark, out)
+    assert(listed.size === before + 1, "only the _-prefixed partition dir counts")
+    assert(!listed.exists(_.contains("hive-staging")))
+    fs.delete(staged.getParent, true); fs.delete(under.getParent, true)
   }
 
   test("bloom sidecar prunes point lookups min/max cannot; stale sidecar falls back") {
@@ -1524,6 +1539,13 @@ class MixingScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
     val some = graft.llm.Mixing.targetMix(d, "lang", "doc_id", Map("en" -> 1.0))
     assert(some.where(col("lang") =!= "en").count() === 0L)
     assert(some.count() === counts("en"))
+    // a target naming a stratum ABSENT from the corpus is unsatisfiable
+    // (s would be 0) — it must fail fast, never silently violate the mix
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.Mixing.targetMix(d, "lang", "doc_id",
+        Map("en" -> 0.5, "klingon" -> 0.5))
+    }
+    assert(ex.getMessage.contains("klingon"))
   }
 
   test("perSourceCapSkewed == perSourceCap when every source is routed mega") {

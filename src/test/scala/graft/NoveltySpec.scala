@@ -47,5 +47,21 @@ class NoveltySpec extends AnyFunSuite {
     // gram-set compaction is score-invariant and further appends stay exact
     graft.llm.TextAnalysis.noveltyCompact(spark, path)
     assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === full)
+    // compaction folds provenance away, so a replay of an already-folded
+    // batch would see its own grams as 'seen' and zero its scores — the
+    // persisted watermark REJECTS it (the retired-lineage rule, enforced)
+    assert(graft.llm.TextAnalysis.noveltyCompactWatermark(spark, path) === 2L)
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.noveltyAppendBatch(spark, path,
+        docs.where(col("doc_id") >= 400L), "text", "doc_id", batchId = 2L)
+    }
+    assert(ex.getMessage.contains("watermark"))
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === full,
+      "the rejected replay must not have touched the scores")
+    // a genuinely NEW batch above the watermark still appends exactly
+    val extra = docs.limit(0) // empty new batch exercises the path cheaply
+    graft.llm.TextAnalysis.noveltyAppendBatch(spark, path, extra,
+      "text", "doc_id", batchId = 3L)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === full)
   }
 }

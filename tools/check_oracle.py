@@ -61,6 +61,17 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        # The DRIVER harness sorts rows with pandas, which cannot sort
+        # array cells (round-11 k18_encode red row). Mirror that limit:
+        # any list-typed Spark output column is a hard FAIL here.
+        import pyarrow.types as pat
+        listy = [f.name for f in sdf.schema
+                 if pat.is_list(f.type) or pat.is_large_list(f.type)]
+        if listy:
+            print(f"FAIL {name}: array-typed output columns {listy} "
+                  "(driver harness cannot sort array cells — stringify)")
+            n_fail += 1
+            continue
         scols, ocols = sorted(sdf.column_names), sorted(odf.column_names)
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
