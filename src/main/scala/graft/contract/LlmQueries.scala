@@ -3,7 +3,7 @@ package graft.contract
 import graft.core.Engine
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llm.{Clustering, Decontaminate, Dedup, Mixing, Multimodal, Quantization, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Clustering, Decontaminate, Dedup, Mixing, Multimodal, Quantization, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -57,6 +57,55 @@ object LlmQueries {
     * clause when ANY chained CTE (the k13 closures) is recursive.
     */
   private def recTokCte = "WITH RECURSIVE" + tokCte.stripPrefix("WITH")
+
+  /** K18b BPE trainer parameters — shared by the three `k18_bpe_*`
+    * queries and their generated oracles.
+    */
+  private val BpeMerges = 20
+  private val BpeMaxWordTypes = 100000
+
+  /** DuckDB replay of [[graft.llm.Bpe.train]]'s merge loop as chained
+    * SQL steps: per step, pair counts (lead window, occurrence-
+    * weighted), the argmax pair (cnt desc, lhs, rhs — the trainer's
+    * tie-break), and the LEFTMOST-GREEDY merge via gaps-and-islands
+    * parity (consecutive marked positions only arise for same-symbol
+    * chains; the odd ones within each island merge, the row after each
+    * merge is consumed via lag). All integer/string arithmetic — the
+    * merge table, vocabulary and encodings hash with no rounding
+    * discipline. `nx`/`s` CTEs are MATERIALIZED: each is referenced by
+    * multiple downstream CTEs and DuckDB's inlining would otherwise
+    * re-expand the chain exponentially (the k13 fixpoint-CTE rule).
+    */
+  private def bpeSteps(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s""", wc AS (SELECT unnest(t) AS word FROM tk),
+         |wt AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM wc GROUP BY word
+         |      ORDER BY cnt DESC, word LIMIT $BpeMaxWordTypes),
+         |sp0 AS (SELECT word, cnt, unnest(range(1, length(word)+1)) AS pos FROM wt),
+         |s0 AS MATERIALIZED (SELECT word, cnt, CAST(pos AS BIGINT) AS pos,
+         |     substr(word, CAST(pos AS INTEGER), 1) AS sym FROM sp0)""".stripMargin)
+    for (i <- 1 to n) {
+      val p = i - 1
+      sb.append(
+        s""",
+           |nx$i AS MATERIALIZED (SELECT word, cnt, pos, sym,
+           |     lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM s$p),
+           |b$i AS (SELECT sym AS l, nsym AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM nx$i
+           |     WHERE nsym IS NOT NULL GROUP BY sym, nsym ORDER BY c DESC, l, r LIMIT 1),
+           |mk$i AS (SELECT n.word, n.cnt, n.pos, n.sym, n.nsym,
+           |     CASE WHEN b.l IS NOT NULL THEN 1 ELSE 0 END AS m
+           |     FROM nx$i n LEFT JOIN b$i b ON n.sym = b.l AND n.nsym = b.r),
+           |g$i AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS isl FROM mk$i),
+           |k$i AS (SELECT *, CASE WHEN m = 1 AND ROW_NUMBER() OVER (PARTITION BY word, m, isl ORDER BY pos) % 2 = 1
+           |     THEN 1 ELSE 0 END AS keep FROM g$i),
+           |s$i AS MATERIALIZED (SELECT word, cnt, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           |     CASE WHEN keep = 1 THEN sym || nsym ELSE sym END AS sym
+           |     FROM (SELECT *, lag(keep) OVER (PARTITION BY word ORDER BY pos) AS pk FROM k$i)
+           |     WHERE COALESCE(pk, 0) = 0)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** The k2 n-gram Jaccard pair pipeline as chained CTEs ending in
     * `pr(id_a, id_b)` — the raw-thresholded edge list the k13 component
@@ -950,6 +999,38 @@ object LlmQueries {
           array_join(transform(col("ids"), i => i.cast("string")), " ")
             .as("ids"))
         .orderBy(col("doc"))
+    }),
+
+    // K18b — BPE subword tokenizer training (round 12): the rank-
+    // ordered merge table — the globally most frequent adjacent symbol
+    // pair per step, counts weighted by word-type frequency, ties to
+    // the smallest (lhs, rhs). The DuckDB oracle replays the identical
+    // loop as generated chained SQL steps; all-integer arithmetic, so
+    // the whole table hashes with no rounding discipline.
+    "k18_bpe_merges" -> ((s, dir) => {
+      val model = Bpe.train(t(s, dir, "documents"), "text",
+        numMerges = BpeMerges, maxWordTypes = BpeMaxWordTypes)
+      Bpe.mergesDf(s, model).orderBy(col("rnk"))
+    }),
+
+    // K18b — the trained SUBWORD vocabulary: final symbols of the
+    // merged word-type table, ids in (occurrence-weighted count desc,
+    // symbol) order — id 1 = heaviest subword, 0 reserved for OOV.
+    "k18_bpe_vocab" -> ((s, dir) => {
+      val model = Bpe.train(t(s, dir, "documents"), "text",
+        numMerges = BpeMerges, maxWordTypes = BpeMaxWordTypes)
+      Bpe.vocabDf(s, model).orderBy(col("id"))
+    }),
+
+    // K18b — corpus encoding through the trained merges: every doc
+    // becomes its SUBWORD id sequence, order carried by (token pos,
+    // symbol pos) structs; published as a flat space-joined string
+    // (the k18_encode driver-harness rule).
+    "k18_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Bpe.train(docs, "text",
+        numMerges = BpeMerges, maxWordTypes = BpeMaxWordTypes)
+      Bpe.encode(docs, model, "text", "doc_id").orderBy(col("doc"))
     }),
 
     // K16 — feature-hashed document embeddings (round 11, the hashing
@@ -2582,6 +2663,32 @@ object LlmQueries {
         |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  array_to_string(list(tid ORDER BY pos), ' ') AS ids
         |FROM enc GROUP BY doc ORDER BY doc""".stripMargin),
+
+    // K18b BPE: the generated merge-loop replay (bpeSteps) + the three
+    // published frames
+    "k18_bpe_merges" -> (tokCte + bpeSteps(BpeMerges) + "\nSELECT * FROM (" +
+      (1 to BpeMerges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rnk, l AS lhs, r AS rhs, c FROM b$i")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY rnk"),
+
+    "k18_bpe_vocab" -> (tokCte + bpeSteps(BpeMerges) +
+      s""",
+         |sv AS (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS cnt FROM s$BpeMerges GROUP BY sym)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, sym) AS BIGINT) AS id, sym, cnt
+         |FROM sv ORDER BY id""".stripMargin),
+
+    "k18_bpe_encode" -> (tokCte + bpeSteps(BpeMerges) +
+      s""",
+         |v AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(SUM(cnt) AS BIGINT) DESC, sym) AS BIGINT) AS id, sym
+         |      FROM s$BpeMerges GROUP BY sym),
+         |tok2 AS (SELECT doc_id AS doc, unnest(t) AS word, generate_subscripts(t, 1) AS pos FROM tk),
+         |enc AS (SELECT tok2.doc, tok2.pos AS pos, s.pos AS spos, COALESCE(v.id, 0) AS tid
+         |        FROM tok2 JOIN s$BpeMerges s ON s.word = tok2.word
+         |        LEFT JOIN v ON v.sym = s.sym)
+         |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_subwords,
+         |  array_to_string(list(tid ORDER BY pos, spos), ' ') AS ids
+         |FROM enc GROUP BY doc ORDER BY doc""".stripMargin),
 
     // K16 feature hashing: signed md5 buckets — exact integer weights,
     // so the sparse frame needs no rounding discipline at all

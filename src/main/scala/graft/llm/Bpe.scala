@@ -144,11 +144,13 @@ object Bpe {
     Model(merges.result(), syms)
   }
 
-  /** The merge table as a frame: (rank, left, right, c). */
+  /** The merge table as a frame: (rnk, lhs, rhs, c) — `lhs`/`rhs`
+    * because LEFT/RIGHT/RANK are SQL keywords on the oracle side.
+    */
   def mergesDf(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
     model.merges.map(m => (m.rank, m.left, m.right, m.c))
-      .toDF("rank", "left", "right", "c")
+      .toDF("rnk", "lhs", "rhs", "c")
   }
 
   /** The symbol vocabulary as a frame: (id, sym, cnt). */
