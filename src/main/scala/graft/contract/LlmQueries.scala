@@ -657,6 +657,27 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // K13 — RETRACTION (round 12): drop a batch of docs from the
+    // persisted assignment and re-close ONLY the components they
+    // touched (a removed bridge doc SPLITS its component — the case a
+    // grow-only fold cannot express). The published assignment must be
+    // row-identical to a from-scratch closure over the surviving pair
+    // set — labels included — which is exactly what the oracle
+    // computes.
+    "k13_retract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 2, threshold = 0.1)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .localCheckpoint(true) // feeds the fold AND the retraction evidence
+      val path = freshScratchDir("graft-ccretract")
+      graft.ops.Graph.foldBatch(s, path, pairs, "id_a", "id_b")
+      graft.ops.Graph.retractBatch(s, path,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+      graft.ops.Graph.assignment(s, path).orderBy(col("id"))
+    }),
+
     // K14 — bigram-LM perplexity scoring (round 11, the CCNet quality
     // signal): train an add-one bigram LM on the corpus, score every
     // document's mean transition logprob. Exact integer counts + the
@@ -2488,6 +2509,28 @@ object LlmQueries {
         |SELECT doc_id, component,
         |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin),
+
+    // retraction: the from-scratch closure over the SURVIVING pair set
+    // (both endpoints outside the removed batch), with surviving nodes
+    // of the original pair graph that lost every pair restored as their
+    // own singletons — coverage = nodes(assignment) minus removed
+    "k13_retract" -> (recTokCte + jaccardPairCtes(0.1) +
+      """, rm AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 3),
+        |spr AS MATERIALIZED (SELECT id_a, id_b FROM pr
+        |  WHERE id_a NOT IN (SELECT id FROM rm)
+        |    AND id_b NOT IN (SELECT id FROM rm)),
+        |e AS (SELECT id_a AS s, id_b AS d FROM spr
+        |      UNION ALL SELECT id_b, id_a FROM spr),
+        |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
+        |  UNION
+        |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d),
+        |cc AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)
+        |  WHERE id NOT IN (SELECT id FROM rm))
+        |SELECT n.id, COALESCE(cc.component, n.id) AS component
+        |FROM nodes n LEFT JOIN cc ON cc.id = n.id
+        |ORDER BY n.id""".stripMargin),
 
     "k13_dedup_resolve" -> k13ResolveOracle,
 

@@ -213,6 +213,68 @@ object Graph extends org.apache.spark.internal.Logging {
     Generations.gcOld(fs, root, AssignmentBase)
   }
 
+  /** RETRACTION — remove documents from the persisted assignment and
+    * re-close ONLY the components they touched. Removing a doc can
+    * SPLIT a component (the star assignment keeps labels, not the pair
+    * evidence — a bridge doc's neighbors may have no surviving path),
+    * so retraction needs pair evidence for the affected components:
+    * `pairs` must cover (at least) the historically folded pairs among
+    * the affected components' surviving members — either a retained
+    * pair log or a re-mine over just those docs (bounded by the
+    * affected membership, never the corpus). Pairs reaching OUTSIDE
+    * the affected components are ignored: an untouched component's
+    * rows survive verbatim (by closure, no historical pair crosses
+    * component boundaries).
+    *
+    * Result: rows of removed docs are gone; affected components are
+    * re-closed from the surviving pairs (members left pairless become
+    * their own singletons, preserving output coverage =
+    * nodes(assignment) ∖ removed); labels remain component-minimum
+    * ids, so the published assignment is ROW-IDENTICAL to a
+    * from-scratch closure over the surviving pair set (oracle-pinned
+    * by `k13_retract`). Publishing rides the same crash-atomic
+    * generation swap as [[foldBatch]]; a replay of the same retraction
+    * republishes a content-identical generation (idempotent).
+    *
+    * Scale shape: the affected component set is bounded by the removal
+    * batch; everything beyond three semi/anti-joins on the assignment
+    * runs on the affected subgraph only.
+    */
+  def retractBatch(spark: SparkSession, path: String, removedIds: DataFrame,
+                   idCol: String, pairs: DataFrame, aCol: String, bCol: String,
+                   maxIter: Int = 50): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val asg = assignment(spark, path)
+    val removed = removedIds.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct().localCheckpoint(true)
+    if (removed.isEmpty) return
+    // components losing at least one member — bounded by the removal batch
+    val affected = asg.join(removed, Seq("id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint(true)
+    val untouched = asg.join(affected, Seq("component"), "left_anti")
+    // surviving members of the affected components
+    val members = asg.join(affected, Seq("component"), "left_semi")
+      .join(removed, Seq("id"), "left_anti")
+      .select(col("id")).localCheckpoint(true)
+    // pair evidence restricted to surviving affected members (drops
+    // pairs touching removed docs AND pairs outside the affected set)
+    val e = pairs
+      .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+      .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
+      .join(members.select(col("id").as("s")), Seq("s"), "left_semi")
+      .join(members.select(col("id").as("d")), Seq("d"), "left_semi")
+    val reclosed = connectedComponents(e, "s", "d", maxIter)
+    // members whose every pair involved a removed doc → singletons
+    val rebuilt = members.join(reclosed, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val next = untouched.select(col("id"), col("component")).unionByName(rebuilt)
+    val (staged, gen) = Generations.stage(fs, root, AssignmentBase)
+    next.write.mode("overwrite").parquet(staged.toString)
+    Generations.commit(fs, root, AssignmentBase, gen)
+    Generations.gcOld(fs, root, AssignmentBase)
+  }
+
   /** The current persisted (id, component) assignment at `path` —
     * generation-resolved, so it is always a complete fold. Refuses
     * loudly before the first fold.

@@ -226,6 +226,52 @@ class GraphSpec extends AnyFunSuite {
                           10L -> 10L, 20L -> 10L, 30L -> 10L))
   }
 
+  test("retractBatch splits a bridged component and equals the surviving closure (law)") {
+    import spark.implicits._
+    // deterministic bridge case first: 1-2-3-4-5 path; removing bridge 3
+    // must SPLIT {1..5} into {1,2} and {4,5}
+    val path = freshDir()
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 20L))
+    Graph.foldBatch(spark, path, es.toDF("a", "b"), "a", "b")
+    assert(readAssignment(path)(5L) === 1L, "pre-retraction: one component")
+    Graph.retractBatch(spark, path, Seq(3L).toDF("id"), "id",
+      es.toDF("a", "b"), "a", "b")
+    assert(readAssignment(path) === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 20L -> 10L))
+    // replay: the same retraction republishes identical content
+    Graph.retractBatch(spark, path, Seq(3L).toDF("id"), "id",
+      es.toDF("a", "b"), "a", "b")
+    assert(readAssignment(path) === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 20L -> 10L))
+    // law: on random graphs, retract == from-scratch closure over the
+    // surviving pair set, with pairless survivors as singletons
+    val gen = for {
+      n <- Gen.chooseNum(4, 40)
+      m <- Gen.chooseNum(2, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+      rm <- Gen.someOf(0L to n.toLong)
+    } yield (es, rm.toSet)
+    forSamples(gen, 6) { case (es, rm) =>
+      val real = es.filter(e => e._1 != e._2)
+      if (real.nonEmpty) {
+        val p = freshDir()
+        Graph.foldBatch(spark, p, es.toDF("a", "b"), "a", "b")
+        Graph.retractBatch(spark, p, rm.toSeq.toDF("id"), "id",
+          es.toDF("a", "b"), "a", "b")
+        val surviving = real.filter(e => !rm(e._1) && !rm(e._2))
+        val nodes = real.flatMap(e => Seq(e._1, e._2)).toSet -- rm
+        val closure = unionFind(surviving)
+        val expected = nodes.map(id => id -> closure.getOrElse(id, id)).toMap
+        if (rm.nonEmpty || nodes.nonEmpty)
+          assert(readAssignment(p) === expected,
+            s"edges=$real removed=$rm")
+      }
+    }
+  }
+
   test("assignment() before any fold refuses loudly; edgeless folds skip") {
     import spark.implicits._
     val path = freshDir()
