@@ -285,6 +285,74 @@ object LlmQueries {
          |FROM hd JOIN fi USING (h) GROUP BY hd.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** K21 composed-ingest oracle — the three stage oracles chained in ONE
+    * SQL: the NB gate tree (nbOracle's formulas, train < 400 / score
+    * 400..500, keep 'en'), the LSH scored-pair chain over the GATED docs
+    * only ([[lshScoredCtes]] with a doc filter), the two-batch
+    * fold/drop logic (the k2_streaming_ingest_dedup shape at the 450
+    * batch boundary), and the novelty first-occurrence aggregate over
+    * the admitted set (reusing the LSH chain's `hd` gram hashes — the
+    * same shared-pass structure the Spark pipeline has).
+    */
+  private def k21Oracle: String = tokCte +
+    s""", wc AS (SELECT lang AS label, unnest(t) AS word FROM tk WHERE doc_id < 400),
+       |mdl AS (SELECT label, word, COUNT(*) AS c FROM wc GROUP BY label, word),
+       |dcs AS (SELECT lang AS label, COUNT(*) AS dc FROM tk WHERE doc_id < 400 GROUP BY lang),
+       |nn AS (SELECT CAST(SUM(dc) AS DOUBLE) AS n FROM dcs),
+       |vv AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM mdl),
+       |ctx AS (SELECT label, SUM(c) AS ctx FROM mdl GROUP BY label),
+       |pri AS (SELECT d.label,
+       |  CAST(ROUND(ln(CAST(d.dc AS DOUBLE) / nn.n), 6) AS DECIMAL(28,6)) AS prior
+       |  FROM dcs d CROSS JOIN nn),
+       |occ AS (SELECT doc_id AS doc, unnest(t) AS word FROM tk
+       |        WHERE doc_id >= 400 AND doc_id < 500),
+       |s AS (SELECT occ.doc, p.label,
+       |  CAST(ROUND(ln((CAST(COALESCE(mdl.c, 0) AS DOUBLE) + 1.0)
+       |    / (CAST(COALESCE(ctx.ctx, 0) AS DOUBLE) + vv.v)), 6)
+       |    AS DECIMAL(28,6)) AS s
+       |  FROM occ CROSS JOIN (SELECT label FROM pri) p
+       |  LEFT JOIN mdl ON mdl.label = p.label AND mdl.word = occ.word
+       |  LEFT JOIN ctx ON ctx.label = p.label
+       |  CROSS JOIN vv),
+       |ag AS (SELECT doc, label, COUNT(*) AS n_tokens, SUM(s) AS ws
+       |       FROM s GROUP BY doc, label),
+       |sc AS (SELECT ag.doc, ag.label, ag.n_tokens,
+       |  ROUND(CAST(ag.ws + p.prior AS DOUBLE), 6) AS score
+       |  FROM ag JOIN pri p ON p.label = ag.label),
+       |best AS (SELECT doc, n_tokens, label AS predicted, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc
+       |    ORDER BY score DESC, label DESC) AS rn FROM sc) WHERE rn = 1),
+       |gate AS (SELECT doc, n_tokens, predicted, score FROM best
+       |         WHERE predicted = 'en')""".stripMargin +
+    lshScoredCtes(cap = Int.MaxValue,
+      docWhere = "WHERE doc_id IN (SELECT doc FROM gate)") +
+    s""",
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |d1 AS (SELECT DISTINCT id_b FROM p WHERE id_b < 450),
+       |surv1 AS (SELECT doc FROM gate WHERE doc < 450
+       |          AND doc NOT IN (SELECT id_b FROM d1)),
+       |dup2 AS (SELECT DISTINCT id_b AS doc FROM p
+       |         WHERE id_a IN (SELECT doc FROM surv1) AND id_b >= 450),
+       |v2 AS (SELECT doc FROM gate WHERE doc >= 450
+       |       AND doc NOT IN (SELECT doc FROM dup2)),
+       |d2 AS (SELECT DISTINCT id_b FROM p
+       |       WHERE id_a IN (SELECT doc FROM v2) AND id_b IN (SELECT doc FROM v2)),
+       |adm AS (SELECT doc FROM surv1
+       |        UNION ALL
+       |        SELECT doc FROM v2 WHERE doc NOT IN (SELECT id_b FROM d2)),
+       |nhd AS (SELECT hd.doc_id, hd.h FROM hd JOIN adm ON adm.doc = hd.doc_id),
+       |nfi AS (SELECT h, MIN(doc_id) AS first_doc FROM nhd GROUP BY h),
+       |nov AS (SELECT nhd.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN nfi.first_doc = nhd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  ROUND(CAST(SUM(CASE WHEN nfi.first_doc = nhd.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS novelty
+       |  FROM nhd JOIN nfi USING (h) GROUP BY nhd.doc_id)
+       |SELECT a.doc, g.n_tokens, g.predicted, g.score,
+       |  nov.n_grams, nov.n_novel, nov.novelty
+       |FROM adm a JOIN gate g ON g.doc = a.doc
+       |LEFT JOIN nov ON nov.doc_id = a.doc
+       |ORDER BY a.doc""".stripMargin
+
   /** DuckDB cosine between two FLOAT[64] columns, computed exactly like the
     * Spark HOFs: per-element double products, sequential sum, double sqrt.
     */
@@ -676,6 +744,46 @@ object LlmQueries {
         docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id",
         pairs, "id_a", "id_b")
       graft.ops.Graph.assignment(s, path).orderBy(col("id"))
+    }),
+
+    // K21 — the COMPOSED INGEST TURN (round 12, ▶ hash-matched): ONE
+    // foreachBatch runs quality gate (frozen NB model) → LSH near-dedup
+    // (vs-index + intra-batch) → corpus append + sidecar refresh →
+    // novelty fold, all off ONE cached shingle pass. The published
+    // frame fuses the gate audit columns with the novelty scores of
+    // every admitted doc, and hash-matches a one-SQL composition of the
+    // three stage oracles — proving the fused turn ≡ the stages run
+    // sequentially.
+    "k21_ingest_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val model = freshScratchDir("graft-k21-model")
+      val idx = freshScratchDir("graft-k21-idx")
+      val adm = freshScratchDir("graft-k21-adm") + "/t"
+      val nov = freshScratchDir("graft-k21-nov")
+      val ckpt = freshScratchDir("graft-k21-ckpt")
+      graft.llm.Classifier.nbWrite(docs.where(col("doc_id") < 400L),
+        "text", "lang", model)
+      val rest = docs.where(col("doc_id") >= 400L && col("doc_id") < 500L)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchCuratePipeline(
+          src.toDS().toDF("doc_id", "text"), model, Seq("en"), idx, adm, nov,
+          ckpt, "text", "doc_id", shingleN = 3, k = 8, bands = 4,
+          threshold = 0.8, maxBucketSize = Int.MaxValue,
+          statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < 450L).toSeq); drain()
+      src.addData(rest.filter(_._1 >= 450L).toSeq); drain()
+      graft.streaming.Ingest.admitted(s, adm)
+        .select(col("doc_id").as("doc"), col("n_tokens"), col("predicted"),
+          col("score"))
+        .join(graft.llm.TextAnalysis.noveltyScoresIndexed(s, nov)
+          .withColumnRenamed("doc_id", "doc"), Seq("doc"), "left")
+        .orderBy(col("doc"))
     }),
 
     // K14 — bigram-LM perplexity scoring (round 11, the CCNet quality
@@ -2070,6 +2178,37 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K12 — STREAMING ADMISSION GATE (round 12, ▶ hash-matched): the
+    // mixing policy gating a LIVE ingest — per-source cap then global
+    // token budget, decided in arrival (id) order against persisted
+    // running totals. Two id-monotone batches stream through
+    // foreachBatchMixGate; the admitted set must equal the same two
+    // windows over the UNION of the batches — which is exactly the
+    // oracle.
+    "k12_streaming_mix_gate" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val rows = docs.as[(Long, String, String)].collect().sortBy(_._1)
+      val state = freshScratchDir("graft-mixgate-state")
+      val adm = freshScratchDir("graft-mixgate-adm") + "/t"
+      val ckpt = freshScratchDir("graft-mixgate-ckpt")
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchMixGate(
+          src.toDS().toDF("doc_id", "text", "source"), state, adm, ckpt,
+          "text", "doc_id", "source", tokenBudget = 15000L, sourceCap = 20L)
+        q.awaitTermination()
+      }
+      val cut = rows(rows.length / 2)._1
+      src.addData(rows.filter(_._1 < cut).toSeq); drain()
+      src.addData(rows.filter(_._1 >= cut).toSeq); drain()
+      graft.streaming.Ingest.admitted(s, adm)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // K12 — temperature (alpha=0.5) language rebalancing to an expected
     // 300-doc budget: weight ∝ sqrt(count), deterministic md5 uniforms,
     // thresholds rounded to 6 decimals on both sides
@@ -2611,6 +2750,10 @@ object LlmQueries {
         |FROM best b JOIN tk ON tk.doc_id = b.doc
         |GROUP BY tk.lang, b.predicted
         |ORDER BY lang, predicted""".stripMargin),
+
+    // K21 composed ingest: gate → dedup → novelty in ONE SQL — the
+    // fused turn must equal the stages run sequentially
+    "k21_ingest_pipeline" -> k21Oracle,
 
     // K17 novelty: the shared gram-hash pipeline + a gram-keyed min-id
     // aggregate — first-occurrence fractions, exact. ONE oracle, three
@@ -3211,6 +3354,22 @@ object LlmQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tt)
         |SELECT lang, COUNT(*) AS n, CAST(SUM(tok) AS BIGINT) AS toks
         |FROM r WHERE cum <= 30000 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the streamed gate's admitted set == the two prefix windows over
+    // the union: source-cap rank by id, then the global token cumsum in
+    // id order over cap survivors (the budget line never reopens)
+    "k12_streaming_mix_gate" ->
+      """WITH tt AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |a AS (SELECT doc_id, source, tok,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM tt),
+        |ka AS (SELECT doc_id, source, tok FROM a WHERE rn <= 20),
+        |r AS (SELECT doc_id, source, tok,
+        |  SUM(tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ka)
+        |SELECT doc_id, source, CAST(tok AS BIGINT) AS n_tokens
+        |FROM r WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
 
     // the weight sum folds in SORTED stratum order (list_reduce over
     // list(w ORDER BY lang)) to mirror the engine's driver-side sorted

@@ -265,8 +265,8 @@ object Dedup {
     * element_at); hash then dedupe (deduping 8-byte longs beats sorting
     * string arrays).
     */
-  private[llm] def shingleHashProjection(df: DataFrame, textCol: String, idCol: String,
-                                         shingleN: Int): DataFrame = {
+  private[graft] def shingleHashProjection(df: DataFrame, textCol: String, idCol: String,
+                                           shingleN: Int): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism, col("id"))
@@ -370,7 +370,8 @@ object Dedup {
                          shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                          threshold: Double = 0.8,
                          maxBucketSize: Int = DefaultMaxBucketSize,
-                         appendToIndex: Boolean = true): DataFrame = {
+                         appendToIndex: Boolean = true,
+                         projection: Option[DataFrame] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasData(dir: String): Boolean = {
@@ -397,8 +398,14 @@ object Dedup {
           "files); ingestAgainstIndex appends need the batch-partitioned layout — " +
           "start from an empty index dir (or rebuild via ingest batches)")
     }
-    val projected = shingleHashProjection(newDf, textCol, idCol, shingleN).persist()
-    projected.count()
+    // `projection` lets a composed pipeline (Ingest.curateBatch) share
+    // ONE shingle pass across dedup and novelty: it must be
+    // shingleHashProjection(newDf, textCol, idCol, shingleN), already
+    // persisted — the caller owns its lifecycle
+    val ownProj = projection.isEmpty
+    val projected = projection.getOrElse(
+      shingleHashProjection(newDf, textCol, idCol, shingleN).persist())
+    if (ownProj) projected.count()
     val base = projected.where(size(col("hs")) > 0)
     val bucketed = bandBucketRows(base, k, bands).persist()
     bucketed.count()
@@ -451,7 +458,7 @@ object Dedup {
     val admitted = newDf
       .join(dropIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint(true) // sever lineage before the caches release
-    projected.unpersist(false)
+    if (ownProj) projected.unpersist(false)
     bucketed.unpersist(false)
     admitted
   }

@@ -288,4 +288,101 @@ object Mixing {
       }
     } finally countsDf.unpersist(false)
   }
+
+  // ---------------------------------------------------------------- //
+  // K12 STREAMING admission — gate a live ingest on running totals    //
+  // ---------------------------------------------------------------- //
+
+  /** Admit ONE arriving batch under a per-source document cap and a
+    * global token budget, against PERSISTED running totals — the
+    * streaming twin of the K12 mixing policies: where the batch
+    * operators choose the best subset of a corpus they can see whole
+    * (md5-lottery ranks), a live gate must decide in ARRIVAL order and
+    * can never retract an admitted doc. The admission rule is therefore
+    * prefix-based and batch-boundary-invariant by construction:
+    *
+    *   - stage A (source cap): docs ranked within their source by id;
+    *     admitted while prior-batches' stage-A count + rank ≤ cap;
+    *   - stage B (token budget): over stage-A survivors, in global id
+    *     order, admitted while the running token sum (including every
+    *     PRIOR stage-A survivor's tokens — the budget line does not
+    *     reopen when a later doc is rejected) ≤ budget.
+    *
+    * With id-monotone batches (the standard ingest-lineage rule) the
+    * admitted set is IDENTICAL to running the same two windows over the
+    * union of all batches — the ▶ contract query hash-checks exactly
+    * that equivalence.
+    *
+    * State is the novelty-index shape (state-is-the-index, no sidecar):
+    * one `totals/__batch=<id>` row per (batch, source) holding the
+    * batch's stage-A survivor count and token mass; priors are the sum
+    * over `__batch < batchId` (partition-pruned), so an at-least-once
+    * replay sees the identical prior and rewrites exactly itself via
+    * dynamic overwrite. The per-batch global cumsum runs on the
+    * micro-batch frame — batch-bounded by the trigger, the documented
+    * benign window class (the corpus-scale operators never do this).
+    */
+  def mixGateBatch(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                   batch: DataFrame, textCol: String, idCol: String,
+                   sourceCol: String, batchId: Long, tokenBudget: Long,
+                   sourceCap: Long, admittedDir: String): Unit = {
+    require(batchId >= 0L, s"batchId must be >= 0: $batchId")
+    require(tokenBudget >= 0L, s"tokenBudget must be >= 0: $tokenBudget")
+    require(sourceCap >= 1L, s"sourceCap must be >= 1: $sourceCap")
+    val totalsDir = s"$statePath/totals"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = {
+      val p = new org.apache.hadoop.fs.Path(totalsDir)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("__batch="))
+    }
+    val b = batch
+      .withColumn("__nt",
+        size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long"))
+      .persist()
+    b.count() // feeds stage A, stage B, and the state write
+    try {
+      val prior =
+        if (!hasState)
+          spark.emptyDataFrame
+            .select(lit("").as(sourceCol), lit(0L).as("__pn"), lit(0L).as("__pt"))
+            .where(lit(false))
+        else
+          spark.read.parquet(totalsDir).where(col("__batch") < batchId)
+            .groupBy(col(sourceCol))
+            .agg(sum(col("n_surv")).as("__pn"), sum(col("t_surv")).as("__pt"))
+            .localCheckpoint(true)
+      val priorTokens =
+        if (!hasState) 0L
+        else {
+          val r = prior.agg(sum(col("__pt"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+      val wSrc = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      // source-count state is source-keyed and bounded (one row per
+      // source per batch) — always broadcastable on the gate side
+      val stageA = b.withColumn("__rn", row_number().over(wSrc))
+        .join(broadcast(prior), Seq(sourceCol), "left")
+        .where(col("__rn") + coalesce(col("__pn"), lit(0L)) <= sourceCap)
+        .persist()
+      stageA.count() // feeds the budget scan and the state write
+      try {
+        val wAll = Window.orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        stageA
+          .withColumn("__cum", sum(col("__nt")).over(wAll))
+          .where(col("__cum") + lit(priorTokens) <= tokenBudget)
+          .drop("__rn", "__pn", "__pt", "__cum")
+          .withColumnRenamed("__nt", "n_tokens")
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(admittedDir)
+        stageA.groupBy(col(sourceCol))
+          .agg(count(lit(1)).as("n_surv"), sum(col("__nt")).as("t_surv"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(totalsDir)
+      } finally stageA.unpersist(false)
+    } finally b.unpersist(false)
+  }
 }

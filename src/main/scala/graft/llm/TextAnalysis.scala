@@ -523,12 +523,17 @@ object TextAnalysis {
     * same monotonicity every `__batch` ingest family assumes).
     */
   def noveltyIndexWrite(df: DataFrame, textCol: String, idCol: String,
-                        path: String, n: Int = 3): Unit = {
+                        path: String, n: Int = 3,
+                        projection: Option[DataFrame] = None): Unit = {
     val spark = df.sparkSession
     graft.ops.Generations.reset(fsOfPath(spark, path),
       new org.apache.hadoop.fs.Path(path), GramSetBase)
-    val proj = Dedup.shingleHashProjection(df, textCol, idCol, n).persist()
-    proj.count()
+    // shared-pass hook (Ingest.curateBatch): a caller-owned, persisted
+    // shingleHashProjection(df, textCol, idCol, n)
+    val ownProj = projection.isEmpty
+    val proj = projection.getOrElse(
+      Dedup.shingleHashProjection(df, textCol, idCol, n).persist())
+    if (ownProj) proj.count()
     try {
       val hd = proj.select(col("id"), explode(col("hs")).as("h"))
       val first = hd.groupBy(col("h")).agg(min(col("id")).as("__first"))
@@ -544,7 +549,7 @@ object TextAnalysis {
         .withColumn("__batch", lit(0L))
         .write.mode("overwrite").partitionBy("__batch")
         .parquet(s"$path/$GramSetBase")
-    } finally proj.unpersist(false)
+    } finally if (ownProj) proj.unpersist(false)
   }
 
   /** Score ONE arriving batch against the persisted gram set and fold
@@ -564,7 +569,8 @@ object TextAnalysis {
   def noveltyAppendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                          batch: DataFrame, textCol: String, idCol: String,
                          batchId: Long, n: Int = 3,
-                         maxBroadcastGrams: Long = DfreqBroadcastMaxVocab): Unit = {
+                         maxBroadcastGrams: Long = DfreqBroadcastMaxVocab,
+                         projection: Option[DataFrame] = None): Unit = {
     require(batchId > 0, s"batchId must be > 0 (batch 0 is the base build): $batchId")
     val root = new org.apache.hadoop.fs.Path(gramSetDir(spark, path))
     require(fsOfPath(spark, path).exists(root),
@@ -580,8 +586,12 @@ object TextAnalysis {
       s"batchId $batchId is at or below the compaction watermark $wm — " +
         "batches folded by noveltyCompact cannot be replayed (drop the " +
         "appending stream's checkpoint before compacting)")
-    val proj = Dedup.shingleHashProjection(batch, textCol, idCol, n).persist()
-    proj.count()
+    // shared-pass hook (Ingest.curateBatch): a caller-owned, persisted
+    // shingleHashProjection(batch, textCol, idCol, n)
+    val ownProj = projection.isEmpty
+    val proj = projection.getOrElse(
+      Dedup.shingleHashProjection(batch, textCol, idCol, n).persist())
+    if (ownProj) proj.count()
     try {
       val hd = proj.select(col("id"), explode(col("hs")).as("h"))
       // membership vs STRICTLY EARLIER batches (partition-pruned): on a
@@ -617,7 +627,7 @@ object TextAnalysis {
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch").parquet(root.toString)
-    } finally proj.unpersist(false)
+    } finally if (ownProj) proj.unpersist(false)
   }
 
   /** The accumulated per-doc scores — row-identical to a full-corpus

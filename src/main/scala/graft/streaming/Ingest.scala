@@ -434,6 +434,144 @@ object Ingest {
       }
       .start()
 
+  /** ONE COMPOSED INGEST TURN — the production intake shape: each
+    * micro-batch runs quality gate → LSH near-dedup (vs-index +
+    * intra-batch) → corpus append + data-skipping sidecar refresh →
+    * novelty scoring/index fold, all inside a single foreachBatch turn
+    * and all off ONE cached tokenize/shingle pass. Running the four
+    * stage families as separate streams (their standalone
+    * `foreachBatch*` attachments) re-tokenizes the batch once per
+    * stage and re-shingles it twice; here the classifier's gate output
+    * is cached once and the shingle-hash projection is computed once
+    * and shared by dedup AND novelty (the `projection` hooks on
+    * [[graft.llm.Dedup.ingestAgainstIndex]] /
+    * [[graft.llm.TextAnalysis.noveltyAppendBatch]]).
+    *
+    * Stage semantics are EXACTLY the standalone operators', so the
+    * composed result equals running the stages sequentially (the
+    * `k21_ingest_pipeline` contract query hash-checks the whole fused
+    * frame — gate audit columns AND novelty scores — against a one-SQL
+    * composition of the three oracles):
+    *   1. gate: frozen NB model at `modelPath`, keep `keepLabels`
+    *      predictions; admitted rows carry (n_tokens, predicted, score);
+    *   2. dedup: [[ingestBatch]]'s core against the LSH index at
+    *      `indexPath` — survivors append to the index;
+    *   3. corpus: survivors land under `__batch=<id>` at `admittedDir`
+    *      (dynamic overwrite — the replay-idempotent layout), min/max
+    *      manifest + Bloom sidecars refreshed in the same turn;
+    *   4. novelty: batch 0 base-builds the gram-set index at
+    *      `noveltyPath` ([[graft.llm.TextAnalysis.noveltyIndexWrite]]);
+    *      later batches fold O(batch) appends (batchId = stream batch
+    *      id, > 0 by construction).
+    *
+    * Lineage rules are the union of the stage families': one
+    * (indexPath, admittedDir, noveltyPath, checkpointDir) tuple per
+    * stream lineage, ids unique and MONOTONE non-decreasing across
+    * batches (novelty first-ness), deterministic-replay source, and
+    * the FIRST batch must admit at least one document (an empty base
+    * novelty index fails the later append loudly).
+    */
+  def curateBatch(batch: DataFrame, batchId: Long, modelPath: String,
+                  keepLabels: Seq[String], indexPath: String,
+                  admittedDir: String, noveltyPath: String,
+                  textCol: String, idCol: String,
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                  threshold: Double = 0.8,
+                  maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Unit = {
+    require(keepLabels.nonEmpty, "an empty keep set admits nothing — pass the labels to keep")
+    val spark = batch.sparkSession
+    // stage 1 — quality gate against the frozen model; the gated frame
+    // (with its audit columns) feeds every later stage, so cache it
+    val scored = graft.llm.Classifier
+      .nbClassifyIndexed(spark, modelPath, batch, textCol, idCol)
+      .where(col("predicted").isin(keepLabels: _*))
+      .withColumnRenamed("doc", "__doc")
+    val gated = batch.join(scored, batch(idCol) === scored("__doc"), "inner")
+      .drop("__doc").persist()
+    gated.count()
+    // THE shared pass: one shingle-hash projection for dedup + novelty
+    val proj = Dedup.shingleHashProjection(gated, textCol, idCol, shingleN)
+      .persist()
+    proj.count()
+    try {
+      // stage 2 — near-dedup vs index + intra-batch; survivors append
+      // to the LSH index inside the call
+      val kept = Dedup.ingestAgainstIndex(spark, indexPath, batchId, gated,
+        textCol, idCol, shingleN, k, bands, threshold, maxBucketSize,
+        appendToIndex = true, projection = Some(proj))
+      // stage 3 — corpus append + sidecar refresh (the x5 shape)
+      kept.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(admittedDir)
+      if (statsCols.nonEmpty) graft.ops.Manifest.refresh(spark, admittedDir, statsCols)
+      bloomCols.foreach(c => graft.ops.Manifest.refreshBloom(spark, admittedDir, c))
+      // stage 4 — novelty over the SURVIVORS: restrict the shared
+      // projection to kept ids (a semi-join over the cache, no re-shingle)
+      val keptProj = proj.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      if (batchId == 0L)
+        graft.llm.TextAnalysis.noveltyIndexWrite(kept, textCol, idCol,
+          noveltyPath, n = shingleN, projection = Some(keptProj))
+      else
+        graft.llm.TextAnalysis.noveltyAppendBatch(spark, noveltyPath, kept,
+          textCol, idCol, batchId = batchId, n = shingleN,
+          projection = Some(keptProj))
+    } finally { proj.unpersist(false); gated.unpersist(false) }
+  }
+
+  /** Attach [[curateBatch]] to a streaming frame of documents — the
+    * single-stream, shared-pass replacement for chaining
+    * foreachBatchClassifyFilter → foreachBatchIngestDedup →
+    * foreachBatchNoveltyAppend → foreachBatchCorpusAppend.
+    */
+  def foreachBatchCuratePipeline(docs: DataFrame, modelPath: String,
+                                 keepLabels: Seq[String], indexPath: String,
+                                 admittedDir: String, noveltyPath: String,
+                                 checkpointDir: String,
+                                 textCol: String, idCol: String,
+                                 shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                                 threshold: Double = 0.8,
+                                 maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+                                 statsCols: Seq[String] = Nil,
+                                 bloomCols: Seq[String] = Nil,
+                                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        curateBatch(batch, id, modelPath, keepLabels, indexPath, admittedDir,
+          noveltyPath, textCol, idCol, shingleN, k, bands, threshold,
+          maxBucketSize, statsCols, bloomCols)
+      }
+      .start()
+
+  /** Attach the K12 STREAMING ADMISSION GATE to a document stream —
+    * per-batch token-budget / per-source-cap admission against
+    * persisted running totals ([[graft.llm.Mixing.mixGateBatch]]): the
+    * policy that stops a live ingest when the corpus is full, per
+    * source and globally. Same lineage rules as the other gates:
+    * id-monotone batches (the admitted set then equals the batch
+    * windows over the union — the ▶ contract query's claim), one
+    * (statePath, admittedDir, checkpointDir) tuple per lineage,
+    * deterministic-replay source.
+    */
+  def foreachBatchMixGate(docs: DataFrame, statePath: String,
+                          admittedDir: String, checkpointDir: String,
+                          textCol: String, idCol: String, sourceCol: String,
+                          tokenBudget: Long, sourceCap: Long,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Mixing.mixGateBatch(batch.sparkSession, statePath, batch,
+          textCol, idCol, sourceCol, id, tokenBudget, sourceCap, admittedDir)
+      }
+      .start()
+
   /** The admitted corpus (layout column dropped). */
   def admitted(spark: org.apache.spark.sql.SparkSession, admittedDir: String): DataFrame =
     spark.read.parquet(admittedDir).drop("__batch")

@@ -1519,6 +1519,42 @@ class MixingScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(bucketed(Long.MaxValue / 4, 2).size === d.count())
   }
 
+  test("mixGateBatch: any id-monotone batch split equals the union windows; replay-safe") {
+    val d = core.Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    def freshDirs() = (
+      java.nio.file.Files.createTempDirectory("graft-mixgate-st").toString,
+      java.nio.file.Files.createTempDirectory("graft-mixgate-adm").toString + "/t")
+    def run(cuts: Seq[Long]): Seq[(Long, Long)] = {
+      val (st, adm) = freshDirs()
+      val bounds = Long.MinValue +: cuts :+ Long.MaxValue
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        graft.llm.Mixing.mixGateBatch(spark, st,
+          d.where(col("doc_id") >= lo && col("doc_id") < hi),
+          "text", "doc_id", "source", i.toLong,
+          tokenBudget = 15000L, sourceCap = 20L, admittedDir = adm)
+      }
+      spark.read.parquet(adm).select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id")).collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val one = run(Nil)
+    assert(one.nonEmpty && one.size < d.count(), "both constraints must bite")
+    assert(run(Seq(200L)) === one, "two id-monotone batches == one batch")
+    assert(run(Seq(150L, 350L)) === one, "three batches == one batch")
+    // replay: re-running the LAST batch against its own state is a no-op
+    val (st, adm) = freshDirs()
+    graft.llm.Mixing.mixGateBatch(spark, st, d.where(col("doc_id") < 250L),
+      "text", "doc_id", "source", 0L, 15000L, 20L, adm)
+    graft.llm.Mixing.mixGateBatch(spark, st, d.where(col("doc_id") >= 250L),
+      "text", "doc_id", "source", 1L, 15000L, 20L, adm)
+    val before = spark.read.parquet(adm).select("doc_id")
+      .orderBy("doc_id").collect().toSeq
+    graft.llm.Mixing.mixGateBatch(spark, st, d.where(col("doc_id") >= 250L),
+      "text", "doc_id", "source", 1L, 15000L, 20L, adm)
+    assert(spark.read.parquet(adm).select("doc_id")
+      .orderBy("doc_id").collect().toSeq === before)
+  }
+
   test("targetMix keeps exactly floor(s*t) per stratum, binding stratum whole") {
     val d = core.Engine.table(spark, TestSpark.sf, "documents")
     val targets = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05)
