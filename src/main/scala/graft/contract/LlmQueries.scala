@@ -91,7 +91,7 @@ object LlmQueries {
         s""",
            |nx$i AS MATERIALIZED (SELECT word, cnt, pos, sym,
            |     lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM s$p),
-           |b$i AS (SELECT sym AS l, nsym AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM nx$i
+           |b$i AS MATERIALIZED (SELECT sym AS l, nsym AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM nx$i
            |     WHERE nsym IS NOT NULL GROUP BY sym, nsym ORDER BY c DESC, l, r LIMIT 1),
            |mk$i AS (SELECT n.word, n.cnt, n.pos, n.sym, n.nsym,
            |     CASE WHEN b.l IS NOT NULL THEN 1 ELSE 0 END AS m
@@ -102,6 +102,41 @@ object LlmQueries {
            |s$i AS MATERIALIZED (SELECT word, cnt, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
            |     CASE WHEN keep = 1 THEN sym || nsym ELSE sym END AS sym
            |     FROM (SELECT *, lag(keep) OVER (PARTITION BY word ORDER BY pos) AS pk FROM k$i)
+           |     WHERE COALESCE(pk, 0) = 0)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** The APPLICATION half of the BPE replay, for an arbitrary word-type
+    * table `<p>wt(word)`: per step, LEFT JOIN the training chain's
+    * `b$i` argmax pair and run the identical parity-greedy merge — no
+    * pair counting of its own (the merges are FROZEN; this is
+    * [[graft.llm.Bpe.encodeAny]]'s serving path, where unseen word
+    * types segment through the trained merge list). Ends in `<p>$n`
+    * (word, pos, sym).
+    */
+  private def bpeApplySteps(p: String, n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s""",
+         |${p}sp0 AS (SELECT word, unnest(range(1, length(word)+1)) AS pos FROM ${p}wt),
+         |${p}0 AS MATERIALIZED (SELECT word, CAST(pos AS BIGINT) AS pos,
+         |     substr(word, CAST(pos AS INTEGER), 1) AS sym FROM ${p}sp0)""".stripMargin)
+    for (i <- 1 to n) {
+      val q = i - 1
+      sb.append(
+        s""",
+           |${p}n$i AS (SELECT word, pos, sym,
+           |     lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM $p$q),
+           |${p}m$i AS (SELECT n.word, n.pos, n.sym, n.nsym,
+           |     CASE WHEN b.l IS NOT NULL THEN 1 ELSE 0 END AS m
+           |     FROM ${p}n$i n LEFT JOIN b$i b ON n.sym = b.l AND n.nsym = b.r),
+           |${p}g$i AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS isl FROM ${p}m$i),
+           |${p}k$i AS (SELECT *, CASE WHEN m = 1 AND ROW_NUMBER() OVER (PARTITION BY word, m, isl ORDER BY pos) % 2 = 1
+           |     THEN 1 ELSE 0 END AS keep FROM ${p}g$i),
+           |$p$i AS MATERIALIZED (SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           |     CASE WHEN keep = 1 THEN sym || nsym ELSE sym END AS sym
+           |     FROM (SELECT *, lag(keep) OVER (PARTITION BY word ORDER BY pos) AS pk FROM ${p}k$i)
            |     WHERE COALESCE(pk, 0) = 0)""".stripMargin)
     }
     sb.toString
@@ -532,6 +567,27 @@ object LlmQueries {
       val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
       Dedup.minhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
         path, shingleN = 3, k = 8, bands = 4)
+      Dedup.minhashPairsAgainstIndex(s, path, docs.where(col("doc_id") >= 400L),
+          "text", "doc_id", shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.0)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
+    // K2 — index RETRACTION (round 12): tombstoned docs drop out of
+    // candidate generation WITHOUT an index rewrite (the Lucene-deletes
+    // shape; K13's retractBatch for the index families). The queried
+    // pairs must equal an index whose retracted docs never entered it —
+    // with write-time bucket caps deliberately NOT reopened (they
+    // recompute at the next compaction), which is exactly what the
+    // oracle models: caps over the full pre-retraction corpus, then the
+    // removed set filtered from the scored pairs.
+    "k2_retract_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-lshret")
+      Dedup.minhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
+        path, shingleN = 3, k = 8, bands = 4)
+      Dedup.retractFromIndex(s, path,
+        docs.where(col("doc_id") < 400L && col("doc_id") % 7 === 3)
+          .select(col("doc_id")), "doc_id", retractionId = 0L)
       Dedup.minhashPairsAgainstIndex(s, path, docs.where(col("doc_id") >= 400L),
           "text", "doc_id", shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.0)
         .orderBy(col("new_id"), col("corpus_id"))
@@ -1160,6 +1216,22 @@ object LlmQueries {
       val model = Bpe.train(docs, "text",
         numMerges = BpeMerges, maxWordTypes = BpeMaxWordTypes)
       Bpe.encode(docs, model, "text", "doc_id").orderBy(col("doc"))
+    }),
+
+    // K18b — the SERVING path: encode a corpus containing word types
+    // the trainer never saw (synthesized by prefixing each doc's
+    // `source` into its text — the natural corpus has a closed
+    // vocabulary at every split). Unseen words segment by replaying
+    // the FROZEN merge list; their symbols map to trained ids, unseen
+    // symbols to 0. The oracle applies the same 20 merges to the score
+    // word-type table through a second generated chain.
+    "k18_bpe_encode_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Bpe.train(docs, "text",
+        numMerges = BpeMerges, maxWordTypes = BpeMaxWordTypes)
+      val score = docs.select(col("doc_id"),
+        concat_ws(" ", col("source"), col("text")).as("text"))
+      Bpe.encodeAny(score, model, "text", "doc_id").orderBy(col("doc"))
     }),
 
     // K16 — feature-hashed document embeddings (round 11, the hashing
@@ -2404,6 +2476,15 @@ object LlmQueries {
         |WHERE id_a < 400 AND id_b >= 400
         |ORDER BY new_id, corpus_id""".stripMargin),
 
+    // retraction-at-read: identical chain (caps over the FULL
+    // pre-retraction corpus — write-time caps do not reopen), the
+    // tombstoned ids filtered from the scored pairs
+    "k2_retract_neardup" -> (tokCte + lshScoredCtes("WHERE doc_id < 400") +
+      """
+        |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
+        |WHERE id_a < 400 AND id_b >= 400 AND id_a % 7 <> 3
+        |ORDER BY new_id, corpus_id""".stripMargin),
+
     // recursive transitive closure over the same scored pairs — the
     // strongest possible oracle for distributed connected components
     "k2_dedup_clusters" -> (tokCte.replace("WITH tk", "WITH RECURSIVE tk") +
@@ -2750,6 +2831,28 @@ object LlmQueries {
         |FROM best b JOIN tk ON tk.doc_id = b.doc
         |GROUP BY tk.lang, b.predicted
         |ORDER BY lang, predicted""".stripMargin),
+
+    // K18b OOV serving: the training chain produces the b_i merges; a
+    // second application chain segments the source-prefixed corpus's
+    // word types through them; ids from the TRAINED symbol vocabulary
+    "k18_bpe_encode_oov" -> (tokCte + bpeSteps(BpeMerges) +
+      s""",
+         |stk AS (SELECT doc_id,
+         |  list_filter(string_split_regex(regexp_replace(trim(lower(source || ' ' || text)), '\\s+', ' ', 'g'), ' '),
+         |              x -> len(x) > 0) AS t
+         |  FROM documents),
+         |zwt AS (SELECT DISTINCT unnest(t) AS word FROM stk)""".stripMargin +
+      bpeApplySteps("z", BpeMerges) +
+      s""",
+         |v AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(SUM(cnt) AS BIGINT) DESC, sym) AS BIGINT) AS id, sym
+         |      FROM s$BpeMerges GROUP BY sym),
+         |tok2 AS (SELECT doc_id AS doc, unnest(t) AS word, generate_subscripts(t, 1) AS pos FROM stk),
+         |enc AS (SELECT tok2.doc, tok2.pos AS pos, z.pos AS spos, COALESCE(v.id, 0) AS tid
+         |        FROM tok2 JOIN z$BpeMerges z ON z.word = tok2.word
+         |        LEFT JOIN v ON v.sym = z.sym)
+         |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_subwords,
+         |  array_to_string(list(tid ORDER BY pos, spos), ' ') AS ids
+         |FROM enc GROUP BY doc ORDER BY doc""".stripMargin),
 
     // K21 composed ingest: gate → dedup → novelty in ONE SQL — the
     // fused turn must equal the stages run sequentially

@@ -333,6 +333,70 @@ object Dedup {
     projected.unpersist(false)
   }
 
+  // ---------------------------------------------------------------- //
+  // Retraction — deletes without an index rewrite (tombstones)        //
+  // ---------------------------------------------------------------- //
+
+  private val RemovedBase = "removed"
+
+  private[graft] def removedDir(path: String): String = s"$path/$RemovedBase"
+
+  /** The tombstoned id set of the index at `path`, or None when nothing
+    * was ever retracted — the common case pays ONE filesystem existence
+    * check per query, no scan and no plan change.
+    */
+  private[graft] def removedSet(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(removedDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) ||
+        !fs.listStatus(p).exists(_.getPath.getName.startsWith("__ret=")))
+      None
+    else Some(spark.read.parquet(p.toString).select(col("id")))
+  }
+
+  /** Apply the tombstone filter to an index-side frame carrying `idCol`. */
+  private def dropRemoved(df: DataFrame, removed: Option[DataFrame],
+                          idCol: String): DataFrame = removed match {
+    case None => df
+    case Some(r) =>
+      df.join(r.select(col("id").cast(df.schema(idCol).dataType).as(idCol)),
+        Seq(idCol), "left_anti")
+  }
+
+  /** RETRACT documents from a persisted text-similarity index (MinHash
+    * OR simhash — both keep the `buckets`(+`sigs`) layout) WITHOUT
+    * rewriting it — the Lucene-deletes shape, and the index-family
+    * counterpart of [[graft.ops.Graph.retractBatch]]: retraction lands
+    * as a tombstone id set under `removed/__ret=<retractionId>`
+    * (dynamic overwrite — a replayed retraction rewrites exactly
+    * itself), every read path anti-joins it, and the next
+    * [[compactIndex]] applies it PHYSICALLY and clears it. At 100 TB a
+    * delete therefore costs O(removals) now and rides the compaction
+    * the index already schedules — never an immediate corpus-scale
+    * rewrite.
+    *
+    * Semantics at read time are IDENTICAL to an index whose retracted
+    * docs never entered it, with one deliberate exception: bucket-width
+    * caps were computed at write time over the then-full corpus and do
+    * not reopen on retraction (a capped bucket stays capped until the
+    * compaction recomputes widths) — the same write-time-cap rule the
+    * append families follow.
+    */
+  def retractFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       removedIds: DataFrame, idCol: String,
+                       retractionId: Long): Unit = {
+    require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
+    val root = new org.apache.hadoop.fs.Path(bucketsDir(spark, path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $path — build it first")
+    removedIds.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+      .withColumn("__ret", lit(retractionId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__ret").parquet(removedDir(path))
+  }
+
   /** The CURRENT buckets directory of the LSH index at `path` —
     * generation-resolved ([[graft.ops.Generations]]): `buckets/` until the
     * first [[compactIndex]], the highest committed `buckets_gen=N/` after.
@@ -415,8 +479,13 @@ object Dedup {
       if (!hasData(bucketsDir(spark, indexPath)))
         base.select(col("id")).where(lit(false)) // typed empty
       else {
+        // retracted corpus docs must not veto new arrivals (tombstones
+        // consulted at read — the retractFromIndex contract)
+        val liveBuckets = dropRemoved(
+          spark.read.parquet(bucketsDir(spark, indexPath)),
+          removedSet(spark, indexPath), "id")
         val pairs = capped.as("n")
-          .join(spark.read.parquet(bucketsDir(spark, indexPath)).as("o"),
+          .join(liveBuckets.as("o"),
             col("n.band") === col("o.band") && col("n.key") === col("o.key"))
           .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
           .where(col("new_id") =!= col("corpus_id"))
@@ -490,7 +559,13 @@ object Dedup {
                    maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val b = spark.read.parquet(graft.ops.Generations.currentDir(fs, root, "buckets").toString)
+    // tombstones apply PHYSICALLY here (retractFromIndex's deferred
+    // half): retracted rows drop before the width pass, so bucket caps
+    // recompute over the surviving membership
+    val removed = removedSet(spark, path)
+    val b = dropRemoved(
+      spark.read.parquet(graft.ops.Generations.currentDir(fs, root, "buckets").toString),
+      removed, "id")
     val wide = b.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__bw")).where(col("__bw") > maxBucketSize)
       .select(col("band"), col("key"))
@@ -501,10 +576,17 @@ object Dedup {
     // sigs are verification payload, the cap is a bucket concern)
     val sigsCur = graft.ops.Generations.currentDir(fs, root, "sigs")
     if (fs.exists(sigsCur)) {
-      val s = spark.read.parquet(sigsCur.toString)
+      val s = dropRemoved(spark.read.parquet(sigsCur.toString), removed, "id")
       if (s.columns.contains("__batch"))
         swapGeneration(fs, root, "sigs", s.withColumn("__batch", lit(0L)))
+      else if (removed.isDefined)
+        swapGeneration(fs, root, "sigs", s)
     }
+    // tombstones are now baked into the committed generations — clear
+    // them (a crash mid-delete leaves no-op tombstones for ids that are
+    // already gone; readers stay correct at every point)
+    if (removed.isDefined)
+      fs.delete(new org.apache.hadoop.fs.Path(removedDir(path)), true)
   }
 
   /** Stage → write → commit → GC one generation swap (the write is
@@ -594,8 +676,12 @@ object Dedup {
     val projected = shingleHashProjection(newDf, textCol, idCol, shingleN).persist()
     projected.count()
     val newBase = projected.where(size(col("hs")) > 0)
+    // tombstoned ids drop out of candidate generation (retractFromIndex
+    // deletes-at-read; None in the common never-retracted case)
+    val idxBuckets = dropRemoved(spark.read.parquet(bucketsDir(spark, path)),
+      removedSet(spark, path), "id")
     val pairs = bandBucketRows(newBase, k, bands).as("n")
-      .join(spark.read.parquet(bucketsDir(spark, path)).as("o"),
+      .join(idxBuckets.as("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key"))
       .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
@@ -899,7 +985,10 @@ object Dedup {
   def simhashPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                                newDf: DataFrame, textCol: String, idCol: String): DataFrame = {
     val (bits, maxHamming) = simhashMeta(spark, path)
-    val idx = spark.read.parquet(bucketsDir(spark, path))
+    // the same tombstone contract as the MinHash paths (retractFromIndex
+    // serves both layouts)
+    val idx = dropRemoved(spark.read.parquet(bucketsDir(spark, path)),
+      removedSet(spark, path), "id")
     simhashBandedRows(newDf, textCol, idCol, bits, maxHamming).as("n")
       .join(idx.as("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key") &&

@@ -1655,6 +1655,54 @@ class LshQualitySpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._
   import graft.functions.TextFunctions.shingles
 
+  test("retractFromIndex: tombstones at read == rebuild-on-survivors; compact bakes them") {
+    import spark.implicits._
+    val docs = core.Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") < 400L)
+    val batch = docs.where(col("doc_id") >= 400L)
+    val removed = corpus.where(col("doc_id") % 7 === 3).select(col("doc_id"))
+    def pairsOf(path: String) =
+      graft.llm.Dedup.minhashPairsAgainstIndex(spark, path, batch,
+          "text", "doc_id", shingleN = 3, k = 8, bands = 4)
+        .select("new_id", "corpus_id", "jaccard")
+        .orderBy("new_id", "corpus_id").collect().toSeq
+    // cap-free so retraction-at-read is EXACTLY rebuild-on-survivors
+    val full = java.nio.file.Files.createTempDirectory("graft-lshret-full").toString
+    graft.llm.Dedup.minhashIndexWrite(corpus, "text", "doc_id", full,
+      shingleN = 3, k = 8, bands = 4, maxBucketSize = Int.MaxValue)
+    val survivors = java.nio.file.Files.createTempDirectory("graft-lshret-surv").toString
+    graft.llm.Dedup.minhashIndexWrite(
+      corpus.join(removed, Seq("doc_id"), "left_anti"), "text", "doc_id",
+      survivors, shingleN = 3, k = 8, bands = 4, maxBucketSize = Int.MaxValue)
+    val before = pairsOf(full)
+    graft.llm.Dedup.retractFromIndex(spark, full, removed, "doc_id", 0L)
+    val tombstoned = pairsOf(full)
+    assert(tombstoned === pairsOf(survivors),
+      "tombstoned reads must equal an index the removed docs never entered")
+    assert(tombstoned.size < before.size, "the retraction must actually bite")
+    // a replayed retraction rewrites exactly itself
+    graft.llm.Dedup.retractFromIndex(spark, full, removed, "doc_id", 0L)
+    assert(pairsOf(full) === tombstoned)
+    // compaction bakes the tombstones physically and clears them
+    graft.llm.Dedup.compactIndex(spark, full, maxBucketSize = Int.MaxValue)
+    assert(graft.llm.Dedup.removedSet(spark, full).isEmpty,
+      "compaction must clear the applied tombstone set")
+    assert(pairsOf(full) === tombstoned, "baked == tombstoned-at-read")
+    val sigIds = spark.read.parquet(
+        java.nio.file.Paths.get(full).toString + "/sigs_gen=1")
+      .select("id").as[Long].collect().toSet
+    assert(removed.as[Long].collect().forall(id => !sigIds.contains(id)),
+      "retracted ids must be physically gone from the folded sigs")
+    // retracted corpus docs no longer veto new arrivals at ingest
+    val admitted = graft.llm.Dedup.dedupAgainstIndex(spark, full, batch,
+      "text", "doc_id", shingleN = 3, k = 8, bands = 4, threshold = 0.8)
+    val admittedSurv = graft.llm.Dedup.dedupAgainstIndex(spark, survivors, batch,
+      "text", "doc_id", shingleN = 3, k = 8, bands = 4, threshold = 0.8)
+    assert(admitted.select("doc_id").orderBy("doc_id").collect().toSeq ===
+      admittedSurv.select("doc_id").orderBy("doc_id").collect().toSeq)
+  }
+
   test("seeded exact dups are fully recalled; metrics agree with the pair output") {
     val base = core.Engine.table(spark, TestSpark.sf, "documents")
       .where(col("doc_id") < 40L)
