@@ -1365,6 +1365,26 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // K4 — retraction-at-read over the vector index (round 12, the
+    // ivfRetract tombstone contract): every 5th vector tombstoned, the
+    // pruned ANN read over the SURVIVING corpus. Rows-only like the
+    // rest of the k4 family (float centroids); the exactness evidence
+    // is IndexMaintainSpec's full-probe == brute-force-over-survivors
+    // law and the compaction-baking invariants.
+    "k4_ivf_retract_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = freshScratchDir("graft-ivfret")
+      Similarity.ivfWriteIndex(
+        e.select(col("vec_id").as("id"), col("embedding").as("v")), "v", "id",
+        nCells = 16, lloydRounds = 1, path = path)
+      Similarity.ivfRetract(s, path,
+        e.where(col("vec_id") % 5 === 2).select(col("vec_id")), "vec_id", 0L)
+      Similarity.ivfKnnPruned(s, path,
+          e.where(col("vec_id") < 20L).select(col("vec_id").as("id"), col("embedding")),
+          "embedding", "id", k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // K4 — product-quantized ADC KNN (round 10): codebooks trained on a
     // deterministic bounded sample, corpus encoded to m 1-based codeword
     // ids in one map-only pass, queries scored against the codes through

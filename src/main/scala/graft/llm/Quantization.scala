@@ -550,7 +550,11 @@ object Quantization {
       (qid, t.toSeq)
     }.toDF("query_id", "__qt")
     val probeTab = probes.join(qTab, Seq("query_id")) // both broadcast-tiny
-    val codes = spark.read.parquet(s"$path/pq_codes")
+    // the code table carries rows for tombstoned vectors until the next
+    // compaction re-encode — filter them like every vector-table read
+    val codes = Similarity.ivfDropRemoved(
+        spark.read.parquet(s"$path/pq_codes"),
+        Similarity.ivfRemovedSet(spark, path))
       .where(col("cell").isin(cells: _*)) // static partition pruning
     // a pre-round-11 code table stored array<int> codes; refuse it loudly
     // (the stale-layout rule) rather than mis-score through the byte path

@@ -285,7 +285,10 @@ object Similarity {
     val fs = ivfFs(spark, path)
     val cur = graft.ops.Generations.currentDir(fs, root, "vectors")
     val (staged, gen) = graft.ops.Generations.stage(fs, root, "vectors")
-    spark.read.parquet(cur.toString)
+    // tombstones bake into the folded generation ([[ivfRetract]]'s
+    // deferred half); cleared below once the commit marker lands
+    val removed = ivfRemovedSet(spark, path)
+    ivfDropRemoved(spark.read.parquet(cur.toString), removed)
       .select(col("id"), col("v"), col("cell"))
       .repartition(col("cell"))
       .withColumn("__batch", lit(0L))
@@ -298,6 +301,8 @@ object Similarity {
       .parquet(new org.apache.hadoop.fs.Path(staged, "_centroids").toString)
     graft.ops.Generations.commit(fs, root, "vectors", gen)
     graft.ops.Generations.gcOld(fs, root, "vectors")
+    if (removed.isDefined)
+      fs.delete(new org.apache.hadoop.fs.Path(ivfRemovedDir(path)), true)
     writeCellStats(spark, path, dynamicOnly = false)
     // the drift baseline is re-anchored on the compacted corpus: batch 0
     // is now "everything", the reference future appends compare against
@@ -359,6 +364,10 @@ object Similarity {
       .parquet(new org.apache.hadoop.fs.Path(staged, "_centroids").toString)
     graft.ops.Generations.commit(fs, root, "vectors", gen)
     graft.ops.Generations.gcOld(fs, root, "vectors")
+    // the rebuild read the corpus THROUGH the tombstone filter
+    // (ivfVectors), so the committed generation is retraction-applied
+    if (ivfRemovedSet(spark, path).isDefined)
+      fs.delete(new org.apache.hadoop.fs.Path(ivfRemovedDir(path)), true)
     writeCellStats(spark, path, dynamicOnly = false)
     writeDriftStats(spark, path, dynamicOnly = false)
   }
@@ -420,13 +429,66 @@ object Similarity {
     graft.ops.Generations.currentDir(ivfFs(spark, path),
       new org.apache.hadoop.fs.Path(path), "vectors").toString
 
+  private val IvfRemovedBase = "removed"
+
+  private[graft] def ivfRemovedDir(path: String): String = s"$path/$IvfRemovedBase"
+
+  /** The index's tombstoned id set, or None when nothing was ever
+    * retracted (one fs existence check on the common path, no scan).
+    */
+  private[graft] def ivfRemovedSet(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(ivfRemovedDir(path))
+    val fs = ivfFs(spark, path)
+    if (!fs.exists(p) ||
+        !fs.listStatus(p).exists(_.getPath.getName.startsWith("__ret=")))
+      None
+    else Some(spark.read.parquet(p.toString).select(col("id")))
+  }
+
+  /** RETRACT vectors from the persisted IVF index without a rewrite —
+    * the [[graft.llm.Dedup.retractFromIndex]] contract for the vector
+    * family: tombstones under `removed/__ret=<retractionId>` (dynamic
+    * overwrite — replays rewrite exactly themselves), every read of the
+    * vector table ([[ivfVectors]] — ANN reads, SemDeDup, drift stats,
+    * PQ training/encoding) and of the composed PQ code table
+    * ([[graft.llm.Quantization.ivfPqKnn]]) anti-joins them, and the
+    * next [[ivfCompact]]/[[ivfRebuild]] applies them physically and
+    * clears them. Cell geometry (centroids) deliberately does NOT move
+    * on retraction — that is [[ivfRebuild]]'s drift-gated decision.
+    */
+  def ivfRetract(spark: org.apache.spark.sql.SparkSession, path: String,
+                 removedIds: DataFrame, idCol: String,
+                 retractionId: Long): Unit = {
+    require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
+    val fs = ivfFs(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(ivfVectorsDir(spark, path))),
+      s"no IVF index at $path — build it first")
+    removedIds.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+      .withColumn("__ret", lit(retractionId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__ret").parquet(ivfRemovedDir(path))
+  }
+
+  /** Tombstone filter for an index-side frame keyed by long `id`. */
+  private[graft] def ivfDropRemoved(df: DataFrame,
+                                    removed: Option[DataFrame]): DataFrame =
+    removed match {
+      case None => df
+      case Some(r) => df.join(r, Seq("id"), "left_anti")
+    }
+
   /** The persisted index's vector table (id, v, cell, __batch), read
     * through the current generation — the public read entry point (raw
     * `spark.read.parquet("$path/vectors")` would see a stale generation
-    * after a compaction).
+    * after a compaction). Tombstoned ids ([[ivfRetract]]) are filtered
+    * here, so every consumer — ANN reads, SemDeDup, PQ train/encode,
+    * drift stats, rebuilds — sees the surviving corpus.
     */
   def ivfVectors(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(ivfVectorsDir(spark, path))
+    ivfDropRemoved(spark.read.parquet(ivfVectorsDir(spark, path)),
+      ivfRemovedSet(spark, path))
 
   /** The index's live `__batch` set, read from the partition DIRECTORY
     * names — nCells-bounded FS listings, no Spark job (a batch partition

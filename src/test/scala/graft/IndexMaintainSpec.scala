@@ -21,6 +21,54 @@ class IndexMaintainSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("ivfRetract: tombstones at read == brute force over survivors; compaction bakes") {
+    import spark.implicits._
+    val path = tmp("graft-ivfret")
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    llm.Similarity.ivfWriteIndex(e, "v", "id", nCells = 8, lloydRounds = 1,
+      path = path)
+    llm.Quantization.ivfPqWriteCodes(spark, path, m = 8, k = 16)
+    val removed = e.where(col("id") % 5 === 2).select(col("id"))
+    val removedIds = removed.as[Long].collect().toSet
+    val queries = e.where(col("id") < 10L)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    llm.Similarity.ivfRetract(spark, path, removed, "id", 0L)
+    // full-probe IVF over the tombstoned index == brute-force cosine
+    // top-k over the SURVIVING corpus (candidate set = every survivor)
+    def ivfTop(): Seq[(Long, Long, Int)] =
+      llm.Similarity.ivfKnnPruned(spark, path, queries, "qv", "qid",
+          k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val brute = llm.Similarity.bruteForceKnn(
+        corpus = e.join(removed, Seq("id"), "left_anti"),
+        queries = e.where(col("id") < 10L),
+        vecCol = "v", idCol = "id", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ivfTop() === brute,
+      "tombstoned full-probe IVF must equal brute force over survivors")
+    // the composed PQ read also never surfaces a tombstoned id
+    val pq = llm.Quantization.ivfPqKnn(spark, path, queries, "qv", "qid",
+        kNN = 5, nProbe = 8, shortlist = 50)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(pq.intersect(removedIds).isEmpty,
+      "PQ shortlist must not resurface tombstoned vectors")
+    // compaction bakes the tombstones and clears them; reads unchanged
+    val before = ivfTop()
+    llm.Similarity.ivfCompact(spark, path)
+    assert(llm.Similarity.ivfRemovedSet(spark, path).isEmpty)
+    assert(ivfTop() === before, "baked == tombstoned-at-read")
+    val rawIds = spark.read.parquet(
+        llm.Similarity.ivfVectorsDir(spark, path))
+      .select(col("id")).as[Long].collect().toSet
+    assert(rawIds.intersect(removedIds).isEmpty,
+      "retracted ids must be physically gone after compaction")
+  }
+
   test("simhash indexMaintain: compacts past the bound, no-op inside it") {
     val path = tmp("graft-maint-sim")
     llm.Dedup.simhashIndexWrite(docs.where(col("doc_id") < 30L), "text", "doc_id",
