@@ -1992,6 +1992,26 @@ object LlmQueries {
         .orderBy(col("rk"))
     }),
 
+    // K7 — BM25 RETRACTION (round 12): the one index whose SCORES
+    // depend on corpus-global stats (idf on N/df, length norm on
+    // avgdl) — deleting docs changes every survivor's score. Tombstones
+    // filter the hits (survivor df falls out of the filtered count) and
+    // the removed docs' NEGATED stats fold into the sidecar sum, so the
+    // scored frame hash-matches the survivor-corpus oracle exactly —
+    // bit-identical to an index the retracted docs never entered.
+    "k7_bm25_retract" -> ((s, dir) => {
+      val path = freshScratchDir("graft-bm25ret")
+      val docs = t(s, dir, "documents")
+      graft.llm.Search.bm25IndexWrite(docs, "text", "doc_id", path, nBuckets = 16)
+      graft.llm.Search.bm25Retract(s, path,
+        docs.where(col("doc_id") % 7 === 3), "text", "doc_id", retractionId = 0L)
+      val w = Window.orderBy(col("bm25").desc, col("doc"))
+      graft.llm.Search.bm25Indexed(s, path, query = Seq("spark", "join", "vector"))
+        .orderBy(col("bm25").desc, col("doc")).limit(20)
+        .withColumn("rk", row_number().over(w))
+        .orderBy(col("rk"))
+    }),
+
     // K7 — INCREMENTAL BM25 index maintenance (round 11): base build
     // over the first 80% of docs, the rest appended as two O(batch)
     // batches (each tokenizes only itself; stats rows accumulate, df
@@ -3320,6 +3340,9 @@ object LlmQueries {
     // its oracle restricts the corpus the same way
     "k7_bm25_indexed" -> bm25Oracle(""),
     "k7_bm25_incremental" -> bm25Oracle(""),
+    // retraction: the ORACLE is the full recompute over the surviving
+    // corpus — the tombstone+negated-stats correction must be exact
+    "k7_bm25_retract" -> bm25Oracle("WHERE doc_id % 7 <> 3"),
     "k7_streaming_bm25_append" -> bm25Oracle("WHERE doc_id < 500"),
 
     // RRF hybrid fusion: the bm25 CTE chain verbatim for the lexical

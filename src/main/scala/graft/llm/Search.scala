@@ -227,6 +227,68 @@ object Search {
     * lacks — the crash window of [[bm25AppendBatch]]; replay the append
     * to heal (never a silently-wrong N).
     */
+  private val RemovedBase = "removed"
+
+  /** The retraction ids present under `removed/` — an fs listing. */
+  private def removedRetIds(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(s"$path/$RemovedBase")
+    val fs = fsOf(spark, path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("__ret="))
+      .map(_.stripPrefix("__ret=").toLong).toSeq.sorted
+  }
+
+  private def bm25RemovedSet(spark: SparkSession, path: String): Option[DataFrame] =
+    if (removedRetIds(spark, path).isEmpty) None
+    else Some(spark.read.parquet(s"$path/$RemovedBase").select(col("id").as("doc")))
+
+  /** RETRACT documents from the BM25 index without a rewrite — the
+    * tombstone contract of the other index families, completed for the
+    * one index whose SCORES depend on corpus-global statistics: BM25's
+    * idf rides (N, df) and its length normalization rides avgdl, so
+    * deleting a doc changes every other doc's score. The correction is
+    * still exact and O(removed):
+    *
+    *   - tombstone ids land under `removed/__ret=<retractionId>` —
+    *     query-time hits anti-join them, which yields the SURVIVOR df
+    *     per term for free (df is counted from the filtered hits);
+    *   - the removed docs' aggregate stats (doc count, tokenized count,
+    *     token mass) are written NEGATED under `stats/__batch=
+    *     -(retractionId+1)` — the stats sidecar is a sum over batches,
+    *     so N and avgdl come out exactly as if the docs never entered.
+    *
+    * The caller supplies the removed DOCUMENTS (not just ids) — the
+    * [[graft.ops.Graph.retractBatch]] evidence rule: the index cannot
+    * recover a doc's token mass without a corpus-scale postings scan,
+    * but the deleter holds the docs being deleted. Scores after
+    * retraction are bit-identical to an index built on the survivors
+    * (the contract query shares the survivor-corpus oracle). Writes are
+    * ordered tombstones-first, stats-second with a read-side pairing
+    * guard: a crash between them refuses loudly and the replay heals
+    * (both writes are dynamic-overwrite idempotent). Retract a doc at
+    * most ONCE per compaction epoch (a second retraction of the same
+    * doc would double-subtract its stats — the same ids-unique class of
+    * precondition as the append families); [[bm25Compact]] applies
+    * tombstones physically and clears them.
+    */
+  def bm25Retract(spark: SparkSession, path: String, removedDocs: DataFrame,
+                  textCol: String, idCol: String, retractionId: Long): Unit = {
+    require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
+    readMeta(spark, path) // loud no-index refusal
+    removedDocs.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+      .withColumn("__ret", lit(retractionId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__ret").parquet(s"$path/$RemovedBase")
+    statsOf(removedDocs, textCol)
+      .select((-col("n_docs")).as("n_docs"), (-col("n_docs_dl")).as("n_docs_dl"),
+        (-col("sum_dl")).as("sum_dl"))
+      .withColumn("__batch", lit(-(retractionId + 1L)))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$path/stats")
+  }
+
   def bm25Indexed(spark: SparkSession, path: String, query: Seq[String],
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25Indexed needs at least one query term")
@@ -239,6 +301,14 @@ object Search {
       s"postings at $path hold batches $live but stats only $stBatches — " +
         "a bm25AppendBatch crashed between its postings and stats writes; " +
         "replay the append to heal")
+    // retraction pairing: every tombstone set must have its negated
+    // stats delta (tombstones write first, stats second — a crash
+    // between them refuses here and the retraction replay heals)
+    val retIds = removedRetIds(spark, path)
+    require(retIds.forall(r => stBatches.contains(-(r + 1L))),
+      s"retractions $retIds at $path lack stats deltas (have $stBatches) — " +
+        "a bm25Retract crashed between its tombstone and stats writes; " +
+        "replay the retraction to heal")
     // global statistics from the nBatches-bounded sidecar: exact long
     // sums, so n and avgdl equal the corpus-scan COUNT/AVG bit-for-bit
     val st = spark.read.parquet(s"$path/stats")
@@ -252,9 +322,15 @@ object Search {
     // |terms| rows, evaluating the SAME hash expression the write used
     val buckets = qterms.toDF("term").select(termBucket(nBuckets).as("tb"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val hits = spark.read.parquet(postingsDir(spark, path))
+    val rawHits = spark.read.parquet(postingsDir(spark, path))
       .where(col("tb").isin(buckets: _*) && col("term").isin(qterms: _*))
       .select(col("term"), col("doc"), col("tf"), col("dl"))
+    // tombstoned docs drop from the hits BEFORE df is counted, so the
+    // per-term df is the SURVIVOR df with no stored correction needed
+    val hits = (bm25RemovedSet(spark, path) match {
+        case None => rawHits
+        case Some(r) => rawHits.join(r, Seq("doc"), "left_anti")
+      })
       .persist() // two consumers: df count + the score rows
     hits.count()
     try {
@@ -297,7 +373,15 @@ object Search {
     val fs = fsOf(spark, path)
     val cur = graft.ops.Generations.currentDir(fs, root, PostingsBase)
     val (staged, gen) = graft.ops.Generations.stage(fs, root, PostingsBase)
-    spark.read.parquet(cur.toString)
+    // tombstones bake into the folded postings; the negated stats
+    // deltas fold into the collapsed stats row below, so the compacted
+    // index IS the survivor index
+    val removed = bm25RemovedSet(spark, path)
+    val folded = removed match {
+      case None => spark.read.parquet(cur.toString)
+      case Some(r) => spark.read.parquet(cur.toString).join(r, Seq("doc"), "left_anti")
+    }
+    folded
       .select(col("term"), col("doc"), col("tf"), col("dl"), col("tb"))
       .repartition(col("tb"))
       .withColumn("__batch", lit(0L))
@@ -305,6 +389,11 @@ object Search {
       .parquet(staged.toString)
     graft.ops.Generations.commit(fs, root, PostingsBase, gen)
     graft.ops.Generations.gcOld(fs, root, PostingsBase)
+    // clear tombstones BEFORE collapsing stats: after this point they
+    // are no-ops (the ids are out of the committed postings), and the
+    // pairing guard must not see a tombstone set whose delta row the
+    // collapse absorbed (the deltas stay until the very next step)
+    if (removed.isDefined) fs.delete(new Path(s"$path/$RemovedBase"), true)
     val collapsed = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_docs_dl")).as("n_docs_dl"),
         sum(col("sum_dl")).as("sum_dl"))

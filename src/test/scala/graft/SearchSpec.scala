@@ -58,6 +58,42 @@ class SearchSpec extends AnyFunSuite {
       "a replayed batch id must be idempotent")
   }
 
+  test("bm25Retract == rebuild on survivors; crash window refuses; compact bakes") {
+    val path = tmp("graft-bm25-spec-ret")
+    llm.Search.bm25IndexWrite(docs, "text", "doc_id", path, nBuckets = 8)
+    val removedDocs = docs.where(col("doc_id") % 7 === 3)
+    val survivors = docs.where(col("doc_id") % 7 =!= 3)
+    val survivorScores = scores(llm.TextAnalysis.bm25(survivors, "text", "doc_id", Q))
+    llm.Search.bm25Retract(spark, path, removedDocs, "text", "doc_id", 0L)
+    assert(scores(llm.Search.bm25Indexed(spark, path, Q)) === survivorScores,
+      "tombstone + negated-stats correction must equal a survivor rebuild exactly")
+    // replayed retraction rewrites exactly itself
+    llm.Search.bm25Retract(spark, path, removedDocs, "text", "doc_id", 0L)
+    assert(scores(llm.Search.bm25Indexed(spark, path, Q)) === survivorScores)
+    // crash window: tombstones landed but the stats delta did not —
+    // simulate by deleting the delta partition; reads must refuse
+    val fs = fsOf(path)
+    assert(fs.delete(new Path(s"$path/stats/__batch=-1"), true))
+    val ex = intercept[IllegalArgumentException] {
+      llm.Search.bm25Indexed(spark, path, Q)
+    }
+    assert(ex.getMessage.contains("retraction"))
+    // the documented heal: replay the retraction
+    llm.Search.bm25Retract(spark, path, removedDocs, "text", "doc_id", 0L)
+    assert(scores(llm.Search.bm25Indexed(spark, path, Q)) === survivorScores)
+    // compaction bakes tombstones + deltas and clears the tombstone set
+    llm.Search.bm25Compact(spark, path)
+    assert(!fs.exists(new Path(s"$path/removed")),
+      "compaction must clear the applied tombstones")
+    assert(scores(llm.Search.bm25Indexed(spark, path, Q)) === survivorScores,
+      "the compacted index IS the survivor index")
+    import spark.implicits._
+    val rawDocs = spark.read.parquet(llm.Search.postingsDir(spark, path))
+      .select(col("doc")).distinct().as[Long].collect().toSet
+    assert(rawDocs.forall(_ % 7 != 3),
+      "retracted docs must be physically gone from the folded postings")
+  }
+
   test("crash window between postings and stats writes: reads refuse, replay heals") {
     val path = tmp("graft-bm25-spec-crash")
     val split = docs.agg((max(col("doc_id")) * lit(0.7)).cast("long")).head().getLong(0)
