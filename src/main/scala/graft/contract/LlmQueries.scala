@@ -865,6 +865,22 @@ object LlmQueries {
         .orderBy(col("doc"))
     }),
 
+    // K14 — RETRACTION (round 12): additive counts make deletion the
+    // NEGATED train of the removed docs under a negative batch; the
+    // summed model (zero rows filtered, so V and the smoothing
+    // denominators shrink) scores the survivors bit-identically to a
+    // retrain — hash-matched against the survivor-corpus oracle.
+    "k14_lm_retract" -> ((s, dir) => {
+      val path = freshScratchDir("graft-lmret")
+      val docs = t(s, dir, "documents")
+      graft.llm.LanguageModel.lmWrite(docs, "text", "doc_id", path)
+      graft.llm.LanguageModel.lmRetractBatch(s, path,
+        docs.where(col("doc_id") % 7 === 3), "text", "doc_id", retractionId = 0L)
+      graft.llm.LanguageModel.lmScoreIndexed(s, path,
+          docs.where(col("doc_id") % 7 =!= 3), "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
     // K14 — INCREMENTAL model maintenance: base model over the first 80%
     // of docs, the rest appended as two O(batch) count batches. Bigram
     // counts are additive, so the score-time per-(w1,w2) sum makes the
@@ -1010,6 +1026,22 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
       graft.llm.Classifier.nbWrite(docs, "text", "lang", path)
       graft.llm.Classifier.nbClassifyIndexed(s, path, docs, "text", "doc_id")
+        .orderBy(col("doc"))
+    }),
+
+    // K15 — RETRACTION (round 12): the LM twin for the classifier —
+    // negated token AND per-class document counts under a negative
+    // batch; the summed model classifies the survivors bit-identically
+    // to a retrain (zero rows filtered — a fully-removed class would
+    // vanish from the priors like a retrain's would).
+    "k15_nb_retract" -> ((s, dir) => {
+      val path = freshScratchDir("graft-nbret")
+      val docs = t(s, dir, "documents")
+      graft.llm.Classifier.nbWrite(docs, "text", "lang", path)
+      graft.llm.Classifier.nbRetractBatch(s, path,
+        docs.where(col("doc_id") % 7 === 3), "text", "lang", retractionId = 0L)
+      graft.llm.Classifier.nbClassifyIndexed(s, path,
+          docs.where(col("doc_id") % 7 =!= 3), "text", "doc_id")
         .orderBy(col("doc"))
     }),
 
@@ -2807,6 +2839,11 @@ object LlmQueries {
       "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc"),
     "k14_lm_incremental" -> lmOracle(
       "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc"),
+    // retraction: the survivor-corpus oracle — negated counts + the
+    // zero-row filter must equal a retrain exactly
+    "k14_lm_retract" -> lmOracle(
+      "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc",
+      where = "WHERE doc_id % 7 <> 3"),
     "k14_streaming_lm_append" -> lmOracle(
       "SELECT doc, n_bigrams, sum_logprob FROM sc ORDER BY doc",
       where = "WHERE doc_id < 500"),
@@ -2859,6 +2896,9 @@ object LlmQueries {
       "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc"),
     "k15_nb_incremental" -> nbOracle(
       "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc"),
+    "k15_nb_retract" -> nbOracle(
+      "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc",
+      where = "WHERE doc_id % 7 <> 3"),
     "k15_streaming_nb_append" -> nbOracle(
       "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc",
       where = "WHERE doc_id < 500"),

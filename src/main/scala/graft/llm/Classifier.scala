@@ -242,6 +242,33 @@ object Classifier {
       s"no NB model at $path — run nbWrite first")
     spark.read.parquet(root.toString)
       .groupBy(col("label"), col("word")).agg(sum(col("c")).as("c"))
+      // retraction-cancelled rows drop: a retrained survivor model
+      // never saw them, and V / ctx / the priors must shrink with them
+      .where(col("c") =!= 0L)
+  }
+
+  /** RETRACT labeled documents from the persisted model — the
+    * [[LanguageModel.lmRetractBatch]] contract for the classifier:
+    * counts (token AND per-class document) are additive, so deletion is
+    * the NEGATED [[nbTrain]] of the removed docs under a negative
+    * `__batch = -(retractionId+1)` partition; the summed model equals a
+    * retrain on the survivors bit-for-bit (zero-summed rows filtered by
+    * [[nbModel]] — a fully-removed class loses its sentinel row and
+    * vanishes from the priors, exactly like a retrain). Same evidence
+    * and once-per-epoch preconditions as the LM twin; O(removed).
+    */
+  def nbRetractBatch(spark: SparkSession, path: String, removedDocs: DataFrame,
+                     textCol: String, labelCol: String,
+                     retractionId: Long): Unit = {
+    require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
+    val root = new Path(countsDir(spark, path))
+    require(fsOf(spark, path).exists(root),
+      s"no NB model at $path — run nbWrite first")
+    nbTrain(removedDocs, textCol, labelCol)
+      .select(col("label"), col("word"), (-col("c")).as("c"))
+      .withColumn("__batch", lit(-(retractionId + 1L)))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(root.toString)
   }
 
   /** Classify documents THROUGH the persisted model — [[nbClassify]]
@@ -263,6 +290,7 @@ object Classifier {
     val (staged, gen) = graft.ops.Generations.stage(fs, root, CountsBase)
     spark.read.parquet(cur.toString)
       .groupBy(col("label"), col("word")).agg(sum(col("c")).as("c"))
+      .where(col("c") =!= 0L) // retraction-cancelled rows bake away
       .withColumn("__batch", lit(0L))
       .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
     graft.ops.Generations.commit(fs, root, CountsBase, gen)

@@ -293,9 +293,41 @@ object LanguageModel {
       .partitionBy("__batch").parquet(root.toString)
   }
 
+  /** RETRACT documents from the persisted model — counts are ADDITIVE,
+    * so deletion is the NEGATED train of the removed docs under a
+    * negative `__batch = -(retractionId+1)` partition (disjoint from
+    * the append id space; dynamic overwrite — a replayed retraction
+    * rewrites exactly itself). The summed model then equals a one-shot
+    * retrain on the survivors bit-for-bit: transitions whose count
+    * cancels to zero drop out of the summed table ([[lmModel]]'s
+    * `c != 0` filter), so V and the smoothing denominators shrink
+    * exactly as a retrain's would. The caller supplies the removed
+    * DOCUMENTS (the [[graft.ops.Graph.retractBatch]] evidence rule —
+    * the deleter holds what it deletes); retract a doc at most once
+    * per compaction epoch (a second retraction double-subtracts — the
+    * append families' ids-unique precondition class). O(removed): one
+    * tokenize pass, zero reads of the existing model.
+    */
+  def lmRetractBatch(spark: SparkSession, path: String, removedDocs: DataFrame,
+                     textCol: String, idCol: String, retractionId: Long): Unit = {
+    require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
+    val root = new Path(bigramsDir(spark, path))
+    require(fsOf(spark, path).exists(root),
+      s"no LM model at $path — run lmWrite first")
+    lmTrain(removedDocs, textCol, idCol)
+      .select(col("w1"), col("w2"), (-col("c")).as("c"))
+      .withColumn("__batch", lit(-(retractionId + 1L)))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(root.toString)
+  }
+
   /** The persisted model's summed bigram table — one vocab²-bounded
     * aggregation over the live batches; identical to a one-shot
-    * [[lmTrain]] over the union of every ingested document set.
+    * [[lmTrain]] over the union of every ingested document set minus
+    * every retracted one. Transitions whose counts cancel to zero are
+    * DROPPED: a retrained model never saw them, and the event space V
+    * (distinct `w2`) must shrink with them for the smoothing
+    * denominators to match a retrain exactly.
     */
   def lmModel(spark: SparkSession, path: String): DataFrame = {
     val root = new Path(bigramsDir(spark, path))
@@ -303,6 +335,7 @@ object LanguageModel {
       s"no LM model at $path — run lmWrite first")
     spark.read.parquet(root.toString)
       .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+      .where(col("c") =!= 0L)
   }
 
   /** Score documents THROUGH the persisted model — [[lmScore]] over
@@ -329,6 +362,7 @@ object LanguageModel {
     val (staged, gen) = graft.ops.Generations.stage(fs, root, BigramsBase)
     spark.read.parquet(cur.toString)
       .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+      .where(col("c") =!= 0L) // retraction-cancelled rows bake away
       .withColumn("__batch", lit(0L))
       .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
     graft.ops.Generations.commit(fs, root, BigramsBase, gen)

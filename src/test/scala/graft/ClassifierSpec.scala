@@ -43,6 +43,36 @@ class ClassifierSpec extends AnyFunSuite {
     assert(inline.nonEmpty)
   }
 
+  test("retraction equals a survivor retrain; a fully-removed class vanishes") {
+    val path = tmp("graft-nb-ret")
+    val removed = docs.where(col("doc_id") % 7 === 3)
+    val survivors = docs.where(col("doc_id") % 7 =!= 3)
+    llm.Classifier.nbWrite(docs, "text", "lang", path)
+    llm.Classifier.nbRetractBatch(spark, path, removed, "text", "lang", 0L)
+    val retrain = cls(llm.Classifier.nbClassify(survivors,
+      llm.Classifier.nbTrain(survivors, "text", "lang"), "text", "doc_id"))
+    assert(cls(llm.Classifier.nbClassifyIndexed(spark, path, survivors,
+      "text", "doc_id")) === retrain,
+      "negated counts + zero-row filter must equal a survivor retrain")
+    // replay rewrites exactly itself; compaction bakes the cancellation
+    llm.Classifier.nbRetractBatch(spark, path, removed, "text", "lang", 0L)
+    llm.Classifier.nbCompact(spark, path)
+    assert(cls(llm.Classifier.nbClassifyIndexed(spark, path, survivors,
+      "text", "doc_id")) === retrain)
+    // a class retracted WHOLE must vanish from the priors like a retrain
+    val p2 = tmp("graft-nb-ret2")
+    val corpus = tiny((1L, "aa bb", "x"), (2L, "aa cc", "x"), (3L, "dd ee", "y"))
+    llm.Classifier.nbWrite(corpus, "text", "lang", p2)
+    llm.Classifier.nbRetractBatch(spark, p2,
+      tiny((3L, "dd ee", "y")), "text", "lang", 0L)
+    val m = llm.Classifier.nbModel(spark, p2)
+    assert(m.where(col("label") === "y").count() === 0L,
+      "class y's counts (sentinel included) must cancel away entirely")
+    val out = cls(llm.Classifier.nbClassifyIndexed(spark, p2,
+      tiny((9L, "dd ee", "?")), "text", "doc_id"))
+    assert(out.forall(_._3 == "x"), "only the surviving class can be predicted")
+  }
+
   test("incremental appends classify identically to a one-shot build; replay idempotent") {
     val path = tmp("graft-nb-spec-inc")
     val split = docs.agg((max(col("doc_id")) * lit(0.7)).cast("long")).head().getLong(0)

@@ -54,6 +54,30 @@ class LanguageModelSpec extends AnyFunSuite {
       "a replayed batch must not double-count")
   }
 
+  test("retraction equals a survivor retrain; replay idempotent; compact bakes zeros") {
+    val path = tmp("graft-lm-ret")
+    val removed = docs.where(col("doc_id") % 7 === 3)
+    val survivors = docs.where(col("doc_id") % 7 =!= 3)
+    llm.LanguageModel.lmWrite(docs, "text", "doc_id", path)
+    llm.LanguageModel.lmRetractBatch(spark, path, removed, "text", "doc_id", 0L)
+    // the MODEL TABLE itself equals a survivor retrain (not just scores)
+    val retrained = modelRows(llm.LanguageModel.lmTrain(survivors, "text", "doc_id"))
+    assert(modelRows(llm.LanguageModel.lmModel(spark, path)) === retrained,
+      "summed counts minus negated counts, zero rows dropped == retrain")
+    val want = scores(llm.LanguageModel.lmScoreIndexed(spark, path, survivors,
+      "text", "doc_id"))
+    assert(want === scores(llm.LanguageModel.lmScore(survivors,
+      llm.LanguageModel.lmTrain(survivors, "text", "doc_id"), "text", "doc_id")))
+    // replayed retraction rewrites exactly itself
+    llm.LanguageModel.lmRetractBatch(spark, path, removed, "text", "doc_id", 0L)
+    assert(modelRows(llm.LanguageModel.lmModel(spark, path)) === retrained)
+    // compaction bakes the cancellation: zero rows gone from the fold
+    llm.LanguageModel.lmCompact(spark, path)
+    assert(modelRows(llm.LanguageModel.lmModel(spark, path)) === retrained)
+    assert(scores(llm.LanguageModel.lmScoreIndexed(spark, path, survivors,
+      "text", "doc_id")) === want)
+  }
+
   test("compaction collapses batches without changing scores") {
     val path = tmp("graft-lm-compact")
     val split = 40L
