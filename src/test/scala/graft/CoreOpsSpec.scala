@@ -782,6 +782,18 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k17_streaming_novelty", // two-drain MemoryStream + index writes
     "k13_streaming_resolve",   // two-drain MemoryStream + generation-swapped folds
     "k13_streaming_canonical", // same stream + read-time resolve
+    // round 12: queries that fold/retract/build persisted state at
+    // construction — their plan shapes are audited by their own specs
+    // (GraphSpec, LshQualitySpec, IndexMaintainSpec, SearchSpec,
+    // LanguageModelSpec, ClassifierSpec, BpeSpec, MixingScaleSpec)
+    "k13_retract",             // full fold + affected-component re-closure
+    "k2_retract_neardup",      // index write + tombstone write at construction
+    "k7_bm25_retract",         // index write + retraction at construction
+    "k14_lm_retract", "k15_nb_retract", // model writes + negated-count batches
+    "k4_ivf_retract_knn",      // index write + tombstones; same family as k4_ivf_knn
+    "k18_bpe_merges", "k18_bpe_vocab", "k18_bpe_encode", "k18_bpe_encode_oov",
+    "k21_ingest_pipeline",     // two-drain MemoryStream through the fused turn
+    "k12_streaming_mix_gate",  // two-drain MemoryStream + state writes
     // the K14 LM family executes its train pass (cache/checkpoint/model
     // write/stream drain) at construction; LanguageModelSpec audits the
     // gated-broadcast score join, and the band cutoffs are a 1-row agg
