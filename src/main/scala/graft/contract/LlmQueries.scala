@@ -593,6 +593,36 @@ object LlmQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // K2 — STREAMING retraction (round 12, ▶ hash-matched): a live
+    // DELETE feed (the CDC tombstone shape) drives per-batch index
+    // retraction — two removal batches stream through
+    // foreachBatchIndexRetract, and the queried pairs must equal the
+    // same single-shot retraction of their union (tombstone sets are
+    // order- and batching-insensitive), i.e. the k2_retract oracle.
+    "k2_streaming_retract" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-lshstret")
+      val ckpt = freshScratchDir("graft-lshstret-ckpt")
+      Dedup.minhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
+        path, shingleN = 3, k = 8, bands = 4)
+      val rm = docs.where(col("doc_id") < 400L && col("doc_id") % 7 === 3)
+        .select(col("doc_id")).as[Long].collect().sorted
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchIndexRetract(
+          src.toDS().toDF("doc_id"), path, ckpt, "doc_id")
+        q.awaitTermination()
+      }
+      val cut = rm(rm.length / 2)
+      src.addData(rm.filter(_ < cut).toSeq); drain()
+      src.addData(rm.filter(_ >= cut).toSeq); drain()
+      Dedup.minhashPairsAgainstIndex(s, path, docs.where(col("doc_id") >= 400L),
+          "text", "doc_id", shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.0)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // K2 — STREAMING ingestion dedup (▶ real stream): two AvailableNow
     // drains over one checkpoint feed the corpus in two crawl batches;
     // each batch near-dedups against the persisted index of prior
@@ -2552,6 +2582,14 @@ object LlmQueries {
     // pre-retraction corpus — write-time caps do not reopen), the
     // tombstoned ids filtered from the scored pairs
     "k2_retract_neardup" -> (tokCte + lshScoredCtes("WHERE doc_id < 400") +
+      """
+        |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
+        |WHERE id_a < 400 AND id_b >= 400 AND id_a % 7 <> 3
+        |ORDER BY new_id, corpus_id""".stripMargin),
+
+    // streamed retraction batches union to the same tombstone set —
+    // the SAME oracle as the one-shot retraction
+    "k2_streaming_retract" -> (tokCte + lshScoredCtes("WHERE doc_id < 400") +
       """
         |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
         |WHERE id_a < 400 AND id_b >= 400 AND id_a % 7 <> 3

@@ -572,6 +572,30 @@ object Ingest {
       }
       .start()
 
+  /** Attach LIVE RETRACTION to a stream of removal ids — the delete
+    * side of the ingest lifecycle (the natural upstream is a CDC delete
+    * feed: `Envelope.parseWithTombstones` / op='d' envelopes keyed by
+    * doc id): every micro-batch tombstones its ids out of the
+    * text-similarity index at `indexPath`
+    * ([[graft.llm.Dedup.retractFromIndex]], retractionId = the stream
+    * batch id — dynamic overwrite, so an at-least-once replay rewrites
+    * exactly itself). Reads see the deletes the moment the batch
+    * commits; the index's scheduled compaction applies them physically.
+    * Same lineage rules as the append families.
+    */
+  def foreachBatchIndexRetract(removedIds: DataFrame, indexPath: String,
+                               checkpointDir: String, idCol: String,
+                               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    removedIds.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Dedup.retractFromIndex(batch.sparkSession, indexPath,
+          batch, idCol, retractionId = id)
+      }
+      .start()
+
   /** The admitted corpus (layout column dropped). */
   def admitted(spark: org.apache.spark.sql.SparkSession, admittedDir: String): DataFrame =
     spark.read.parquet(admittedDir).drop("__batch")
