@@ -329,7 +329,26 @@ object LlmQueries {
     * the admitted set (reusing the LSH chain's `hd` gram hashes — the
     * same shared-pass structure the Spark pipeline has).
     */
-  private def k21Oracle: String = tokCte +
+  private def k21Oracle: String = k21OracleWith(admission = false)
+
+  /** [[k21Oracle]] with the K12 admission stage prefixed (the
+    * `k21_full_intake` variant): the cap/budget prefix windows over the
+    * stream window in id order, the NB gate then scoring only the
+    * admitted docs — everything downstream restricts transitively.
+    */
+  private def k21OracleWith(admission: Boolean): String = tokCte +
+    (if (!admission) ""
+     else
+       s""", att AS (SELECT doc_id, source,
+          |  len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
+          |  FROM documents WHERE doc_id >= 400 AND doc_id < 500),
+          |aa AS (SELECT doc_id, tok,
+          |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM att),
+          |ar AS (SELECT doc_id,
+          |  SUM(tok) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM aa WHERE rn <= 8),
+          |adm0 AS (SELECT doc_id FROM ar WHERE cum <= 3000)""".stripMargin) +
     s""", wc AS (SELECT lang AS label, unnest(t) AS word FROM tk WHERE doc_id < 400),
        |mdl AS (SELECT label, word, COUNT(*) AS c FROM wc GROUP BY label, word),
        |dcs AS (SELECT lang AS label, COUNT(*) AS dc FROM tk WHERE doc_id < 400 GROUP BY lang),
@@ -340,7 +359,8 @@ object LlmQueries {
        |  CAST(ROUND(ln(CAST(d.dc AS DOUBLE) / nn.n), 6) AS DECIMAL(28,6)) AS prior
        |  FROM dcs d CROSS JOIN nn),
        |occ AS (SELECT doc_id AS doc, unnest(t) AS word FROM tk
-       |        WHERE doc_id >= 400 AND doc_id < 500),
+       |        WHERE doc_id >= 400 AND doc_id < 500${
+         if (admission) " AND doc_id IN (SELECT doc_id FROM adm0)" else ""}),
        |s AS (SELECT occ.doc, p.label,
        |  CAST(ROUND(ln((CAST(COALESCE(mdl.c, 0) AS DOUBLE) + 1.0)
        |    / (CAST(COALESCE(ctx.ctx, 0) AS DOUBLE) + vv.v)), 6)
@@ -860,6 +880,48 @@ object LlmQueries {
           ckpt, "text", "doc_id", shingleN = 3, k = 8, bands = 4,
           threshold = 0.8, maxBucketSize = Int.MaxValue,
           statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+        q.awaitTermination()
+      }
+      src.addData(rest.filter(_._1 < 450L).toSeq); drain()
+      src.addData(rest.filter(_._1 >= 450L).toSeq); drain()
+      graft.streaming.Ingest.admitted(s, adm)
+        .select(col("doc_id").as("doc"), col("n_tokens"), col("predicted"),
+          col("score"))
+        .join(graft.llm.TextAnalysis.noveltyScoresIndexed(s, nov)
+          .withColumnRenamed("doc_id", "doc"), Seq("doc"), "left")
+        .orderBy(col("doc"))
+    }),
+
+    // K21 — the FULL intake turn (round 12, ▶ hash-matched): the k21
+    // pipeline with the K12 admission stage composed in front — ONE
+    // foreachBatch runs cap+budget admission (persisted running
+    // totals) → quality gate → LSH dedup → corpus append + sidecars →
+    // novelty, all five production intake stages in one turn. The
+    // oracle prefixes the admission windows onto the three-stage
+    // composition; both constraints bite at both SFs.
+    "k21_full_intake" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val model = freshScratchDir("graft-k21f-model")
+      val idx = freshScratchDir("graft-k21f-idx")
+      val adm = freshScratchDir("graft-k21f-adm") + "/t"
+      val nov = freshScratchDir("graft-k21f-nov")
+      val mix = freshScratchDir("graft-k21f-mix")
+      val ckpt = freshScratchDir("graft-k21f-ckpt")
+      graft.llm.Classifier.nbWrite(docs.where(col("doc_id") < 400L),
+        "text", "lang", model)
+      val rest = docs.where(col("doc_id") >= 400L && col("doc_id") < 500L)
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchCuratePipeline(
+          src.toDS().toDF("doc_id", "text", "source"), model, Seq("en"), idx,
+          adm, nov, ckpt, "text", "doc_id", shingleN = 3, k = 8, bands = 4,
+          threshold = 0.8, maxBucketSize = Int.MaxValue,
+          statsCols = Seq("doc_id"), mixStatePath = mix, sourceCol = "source",
+          tokenBudget = 3000L, sourceCap = 8L)
         q.awaitTermination()
       }
       src.addData(rest.filter(_._1 < 450L).toSeq); drain()
@@ -2975,6 +3037,10 @@ object LlmQueries {
     // K21 composed ingest: gate → dedup → novelty in ONE SQL — the
     // fused turn must equal the stages run sequentially
     "k21_ingest_pipeline" -> k21Oracle,
+
+    // the FULL intake: the same composition with the K12 admission
+    // windows prefixed
+    "k21_full_intake" -> k21OracleWith(admission = true),
 
     // K17 novelty: the shared gram-hash pipeline + a gram-keyed min-id
     // aggregate — first-occurrence fractions, exact. ONE oracle, three

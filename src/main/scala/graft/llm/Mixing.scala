@@ -326,6 +326,25 @@ object Mixing {
                    batch: DataFrame, textCol: String, idCol: String,
                    sourceCol: String, batchId: Long, tokenBudget: Long,
                    sourceCap: Long, admittedDir: String): Unit = {
+    val admitted = mixGateAdmit(spark, statePath, batch, textCol, idCol,
+      sourceCol, batchId, tokenBudget, sourceCap)
+    admitted
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(admittedDir)
+  }
+
+  /** The admission CORE of [[mixGateBatch]]: updates the persisted
+    * running totals for `batchId` and RETURNS the admitted rows
+    * (batch columns + `n_tokens`, eagerly checkpointed) instead of
+    * writing them — the composition point for
+    * [[graft.streaming.Ingest.curateBatch]]'s stage 0, where admission
+    * feeds the quality gate inside the same turn.
+    */
+  def mixGateAdmit(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                   batch: DataFrame, textCol: String, idCol: String,
+                   sourceCol: String, batchId: Long, tokenBudget: Long,
+                   sourceCap: Long): DataFrame = {
     require(batchId >= 0L, s"batchId must be >= 0: $batchId")
     require(tokenBudget >= 0L, s"tokenBudget must be >= 0: $tokenBudget")
     require(sourceCap >= 1L, s"sourceCap must be >= 1: $sourceCap")
@@ -369,19 +388,18 @@ object Mixing {
       try {
         val wAll = Window.orderBy(col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        stageA
+        val admitted = stageA
           .withColumn("__cum", sum(col("__nt")).over(wAll))
           .where(col("__cum") + lit(priorTokens) <= tokenBudget)
           .drop("__rn", "__pn", "__pt", "__cum")
           .withColumnRenamed("__nt", "n_tokens")
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch").parquet(admittedDir)
+          .localCheckpoint(true) // sever lineage before the caches release
         stageA.groupBy(col(sourceCol))
           .agg(count(lit(1)).as("n_surv"), sum(col("__nt")).as("t_surv"))
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(totalsDir)
+        admitted
       } finally stageA.unpersist(false)
     } finally b.unpersist(false)
   }

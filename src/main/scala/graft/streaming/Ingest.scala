@@ -479,16 +479,31 @@ object Ingest {
                   threshold: Double = 0.8,
                   maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
                   statsCols: Seq[String] = Nil,
-                  bloomCols: Seq[String] = Nil): Unit = {
+                  bloomCols: Seq[String] = Nil,
+                  mixStatePath: String = null,
+                  sourceCol: String = null,
+                  tokenBudget: Long = Long.MaxValue,
+                  sourceCap: Long = Long.MaxValue): Unit = {
     require(keepLabels.nonEmpty, "an empty keep set admits nothing — pass the labels to keep")
+    require((mixStatePath == null) == (sourceCol == null),
+      "admission needs BOTH mixStatePath and sourceCol (or neither)")
     val spark = batch.sparkSession
+    // stage 0 (optional) — K12 admission: per-source cap + token budget
+    // in arrival order against the persisted running totals at
+    // `mixStatePath` (mixGateAdmit updates them and returns the
+    // admitted rows); everything downstream sees only what got in
+    val intake =
+      if (mixStatePath == null) batch
+      else graft.llm.Mixing.mixGateAdmit(spark, mixStatePath, batch,
+        textCol, idCol, sourceCol, batchId, tokenBudget, sourceCap)
+        .drop("n_tokens") // the gate's own n_tokens audit column follows
     // stage 1 — quality gate against the frozen model; the gated frame
     // (with its audit columns) feeds every later stage, so cache it
     val scored = graft.llm.Classifier
-      .nbClassifyIndexed(spark, modelPath, batch, textCol, idCol)
+      .nbClassifyIndexed(spark, modelPath, intake, textCol, idCol)
       .where(col("predicted").isin(keepLabels: _*))
       .withColumnRenamed("doc", "__doc")
-    val gated = batch.join(scored, batch(idCol) === scored("__doc"), "inner")
+    val gated = intake.join(scored, intake(idCol) === scored("__doc"), "inner")
       .drop("__doc").persist()
     gated.count()
     // THE shared pass: one shingle-hash projection for dedup + novelty
@@ -535,6 +550,10 @@ object Ingest {
                                  maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
                                  statsCols: Seq[String] = Nil,
                                  bloomCols: Seq[String] = Nil,
+                                 mixStatePath: String = null,
+                                 sourceCol: String = null,
+                                 tokenBudget: Long = Long.MaxValue,
+                                 sourceCap: Long = Long.MaxValue,
                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -543,7 +562,8 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         curateBatch(batch, id, modelPath, keepLabels, indexPath, admittedDir,
           noveltyPath, textCol, idCol, shingleN, k, bands, threshold,
-          maxBucketSize, statsCols, bloomCols)
+          maxBucketSize, statsCols, bloomCols, mixStatePath, sourceCol,
+          tokenBudget, sourceCap)
       }
       .start()
 

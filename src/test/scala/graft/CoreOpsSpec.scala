@@ -793,6 +793,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k4_ivf_retract_knn",      // index write + tombstones; same family as k4_ivf_knn
     "k18_bpe_merges", "k18_bpe_vocab", "k18_bpe_encode", "k18_bpe_encode_oov",
     "k21_ingest_pipeline",     // two-drain MemoryStream through the fused turn
+    "k21_full_intake",         // same turn with the admission stage composed in
+    "k2_streaming_retract",    // two-drain MemoryStream + tombstone writes
     "k12_streaming_mix_gate",  // two-drain MemoryStream + state writes
     // the K14 LM family executes its train pass (cache/checkpoint/model
     // write/stream drain) at construction; LanguageModelSpec audits the
