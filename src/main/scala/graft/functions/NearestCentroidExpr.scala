@@ -208,6 +208,10 @@ object NearestCentroid {
   * `k4_ivf_pq_encode` (the r11 2× regression). Same loop, same
   * null/length/NaN-skip semantics, always double arithmetic (the
   * witness's `cast("double")` path); no defined centroid → null.
+  * Same declared witness divergence as [[NearestCentroid]]: EVERY
+  * distance NaN (a NaN-bearing vector) → null here where the HOF's
+  * `array_min` would return NaN — all-NaN vectors are out of contract,
+  * and aggregates over the drift column treat both as absent.
   */
 case class MinCentroidDistance(left: Expression, right: Expression)
   extends BinaryExpression {

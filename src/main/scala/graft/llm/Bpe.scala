@@ -45,6 +45,30 @@ object Bpe {
   /** One trained merge: apply left||right at `rank` order. */
   final case class Merge(rank: Long, left: String, right: String, c: Long)
 
+  /** UTF-8 BYTEWISE (unsigned) string ordering — the collation the
+    * DuckDB oracle's `ORDER BY` and Spark's own UTF8String comparisons
+    * use. Scala/Java's default String ordering compares UTF-16 code
+    * units, which DISAGREES for supplementary-plane symbols vs
+    * upper-BMP ones (an emoji's surrogate 0xD83D sorts before U+FB00
+    * in UTF-16 but after it in UTF-8 bytes) — a tied pair count at such
+    * a boundary would pick a different merge and diverge the whole
+    * model from the oracle (round-12 review finding).
+    */
+  private[graft] val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val r = (x(i) & 0xff) - (y(i) & 0xff)
+        if (r != 0) return r
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** The trained model: the rank-ordered merge list plus each trained
     * word type's (corpus count, final symbol sequence). Bounded by
     * `maxWordTypes` — a trainer parameter, never corpus-proportional.
@@ -67,8 +91,12 @@ object Bpe {
       wordSyms.foreach { case (_, c, s) =>
         s.foreach(sym => weights(sym) = weights.getOrElse(sym, 0L) + c)
       }
-      weights.toSeq.sortBy { case (sym, c) => (-c, sym) }
-        .zipWithIndex.map { case ((sym, c), i) => ((i + 1).toLong, sym, c) }
+      weights.toSeq.sorted(new Ordering[(String, Long)] {
+        def compare(a: (String, Long), b: (String, Long)): Int = {
+          val c = java.lang.Long.compare(b._2, a._2) // cnt desc
+          if (c != 0) c else Utf8Ordering.compare(a._1, b._1)
+        }
+      }).zipWithIndex.map { case ((sym, c), i) => ((i + 1).toLong, sym, c) }
     }
   }
 
@@ -132,10 +160,16 @@ object Bpe {
       }
       if (pc.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = pc.toSeq.min(
-          Ordering.by[((String, String), Long), (Long, String, String)] {
-            case ((l0, r0), c0) => (-c0, l0, r0)
-          })
+        val ((l, r), c) = pc.toSeq.min(new Ordering[((String, String), Long)] {
+          def compare(p: ((String, String), Long), q: ((String, String), Long)): Int = {
+            val cc = java.lang.Long.compare(q._2, p._2) // cnt desc
+            if (cc != 0) cc
+            else {
+              val lc = Utf8Ordering.compare(p._1._1, q._1._1)
+              if (lc != 0) lc else Utf8Ordering.compare(p._1._2, q._1._2)
+            }
+          }
+        })
         rank += 1
         merges += Merge(rank, l, r, c)
         syms = syms.map { case (w, cw, s) => (w, cw, mergeOnce(s, l, r)) }
@@ -211,8 +245,12 @@ object Bpe {
       bTrained.value.getOrElse(w, applyMerges(w, bMerges.value))
         .zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
     }
+    // the exploded token frame feeds the word-type distinct AND the
+    // final id join — materialize it once (the shared-pass rule; a lazy
+    // frame would re-tokenize the corpus for the second consumer)
     val toks = docs.select(col(idCol).as("doc"),
-      posexplode(tokens(normalizeText(col(textCol)))).as(Seq("pos", "word")))
+        posexplode(tokens(normalizeText(col(textCol)))).as(Seq("pos", "word")))
+      .localCheckpoint(true)
     val wordTypes = toks.select(col("word")).distinct().localCheckpoint(true)
     val words = wordTypes
       .withColumn("__segs", segment(col("word")))

@@ -337,32 +337,16 @@ object Dedup {
   // Retraction — deletes without an index rewrite (tombstones)        //
   // ---------------------------------------------------------------- //
 
-  private val RemovedBase = "removed"
+  private[graft] def removedDir(path: String): String =
+    graft.ops.Tombstones.dir(path)
 
-  private[graft] def removedDir(path: String): String = s"$path/$RemovedBase"
-
-  /** The tombstoned id set of the index at `path`, or None when nothing
-    * was ever retracted — the common case pays ONE filesystem existence
-    * check per query, no scan and no plan change.
-    */
   private[graft] def removedSet(spark: org.apache.spark.sql.SparkSession,
-                                path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(removedDir(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) ||
-        !fs.listStatus(p).exists(_.getPath.getName.startsWith("__ret=")))
-      None
-    else Some(spark.read.parquet(p.toString).select(col("id")))
-  }
+                                path: String): Option[DataFrame] =
+    graft.ops.Tombstones.set(spark, path)
 
-  /** Apply the tombstone filter to an index-side frame carrying `idCol`. */
   private def dropRemoved(df: DataFrame, removed: Option[DataFrame],
-                          idCol: String): DataFrame = removed match {
-    case None => df
-    case Some(r) =>
-      df.join(r.select(col("id").cast(df.schema(idCol).dataType).as(idCol)),
-        Seq(idCol), "left_anti")
-  }
+                          idCol: String): DataFrame =
+    graft.ops.Tombstones.drop(df, removed, idCol)
 
   /** RETRACT documents from a persisted text-similarity index (MinHash
     * OR simhash — both keep the `buckets`(+`sigs`) layout) WITHOUT
@@ -382,19 +366,22 @@ object Dedup {
     * not reopen on retraction (a capped bucket stays capped until the
     * compaction recomputes widths) — the same write-time-cap rule the
     * append families follow.
+    *
+    * PRECONDITION (the whole-stream id-uniqueness rule's delete-side
+    * twin): a retracted id must NOT be re-ingested before a compaction
+    * has applied and cleared its tombstone — the tombstone is id-keyed,
+    * so a re-added doc under the same id would be invisible to every
+    * read until then, and the next compaction would physically delete
+    * its fresh rows. Re-use an id only after the compaction epoch that
+    * absorbed its retraction (or use fresh ids — the cheaper rule).
     */
   def retractFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        removedIds: DataFrame, idCol: String,
                        retractionId: Long): Unit = {
-    require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
     val root = new org.apache.hadoop.fs.Path(bucketsDir(spark, path))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no index at $path — build it first")
-    removedIds.select(col(idCol).cast("long").as("id"))
-      .where(col("id").isNotNull).distinct()
-      .withColumn("__ret", lit(retractionId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__ret").parquet(removedDir(path))
+    graft.ops.Tombstones.write(spark, path, removedIds, idCol, retractionId)
   }
 
   /** The CURRENT buckets directory of the LSH index at `path` —
@@ -585,8 +572,7 @@ object Dedup {
     // tombstones are now baked into the committed generations — clear
     // them (a crash mid-delete leaves no-op tombstones for ids that are
     // already gone; readers stay correct at every point)
-    if (removed.isDefined)
-      fs.delete(new org.apache.hadoop.fs.Path(removedDir(path)), true)
+    if (removed.isDefined) graft.ops.Tombstones.clear(spark, path)
   }
 
   /** Stage → write → commit → GC one generation swap (the write is

@@ -123,8 +123,12 @@ object Mixing {
     val spark = df.sparkSession
     import spark.implicits._
     val t = targets.toSeq.toDF("__stratum", "__t")
+    // strata-bounded; materialized once — it feeds BOTH the missing-
+    // strata guard and the binding-stratum computation (the guard would
+    // otherwise re-run the corpus-scale stratum count)
     val counts = df.groupBy(col(stratumCol).as("__stratum"))
       .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     // A targeted stratum with ZERO corpus rows makes the requested
     // distribution unsatisfiable (s = min n_l/t_l = 0 → empty result);
     // silently dropping it from the binding min (the pre-round-12

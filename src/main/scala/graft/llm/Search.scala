@@ -227,21 +227,13 @@ object Search {
     * lacks — the crash window of [[bm25AppendBatch]]; replay the append
     * to heal (never a silently-wrong N).
     */
-  private val RemovedBase = "removed"
-
   /** The retraction ids present under `removed/` — an fs listing. */
-  private def removedRetIds(spark: SparkSession, path: String): Seq[Long] = {
-    val p = new Path(s"$path/$RemovedBase")
-    val fs = fsOf(spark, path)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("__ret="))
-      .map(_.stripPrefix("__ret=").toLong).toSeq.sorted
-  }
+  private def removedRetIds(spark: SparkSession, path: String): Seq[Long] =
+    graft.ops.Tombstones.retIds(spark, path)
 
   private def bm25RemovedSet(spark: SparkSession, path: String): Option[DataFrame] =
-    if (removedRetIds(spark, path).isEmpty) None
-    else Some(spark.read.parquet(s"$path/$RemovedBase").select(col("id").as("doc")))
+    graft.ops.Tombstones.set(spark, path)
+      .map(_.select(col("id").as("doc")))
 
   /** RETRACT documents from the BM25 index without a rewrite — the
     * tombstone contract of the other index families, completed for the
@@ -269,18 +261,18 @@ object Search {
     * (both writes are dynamic-overwrite idempotent). Retract a doc at
     * most ONCE per compaction epoch (a second retraction of the same
     * doc would double-subtract its stats — the same ids-unique class of
-    * precondition as the append families); [[bm25Compact]] applies
+    * precondition as the append families), and do NOT re-ingest a
+    * retracted id before the compaction that absorbs its tombstone (the
+    * re-added doc's postings would be filtered at read and deleted at
+    * compaction while its positive stats row survived — N/avgdl would
+    * silently drift from the postings); [[bm25Compact]] applies
     * tombstones physically and clears them.
     */
   def bm25Retract(spark: SparkSession, path: String, removedDocs: DataFrame,
                   textCol: String, idCol: String, retractionId: Long): Unit = {
     require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
     readMeta(spark, path) // loud no-index refusal
-    removedDocs.select(col(idCol).cast("long").as("id"))
-      .where(col("id").isNotNull).distinct()
-      .withColumn("__ret", lit(retractionId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__ret").parquet(s"$path/$RemovedBase")
+    graft.ops.Tombstones.write(spark, path, removedDocs, idCol, retractionId)
     statsOf(removedDocs, textCol)
       .select((-col("n_docs")).as("n_docs"), (-col("n_docs_dl")).as("n_docs_dl"),
         (-col("sum_dl")).as("sum_dl"))
@@ -393,7 +385,7 @@ object Search {
     // are no-ops (the ids are out of the committed postings), and the
     // pairing guard must not see a tombstone set whose delta row the
     // collapse absorbed (the deltas stay until the very next step)
-    if (removed.isDefined) fs.delete(new Path(s"$path/$RemovedBase"), true)
+    if (removed.isDefined) graft.ops.Tombstones.clear(spark, path)
     val collapsed = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_docs_dl")).as("n_docs_dl"),
         sum(col("sum_dl")).as("sum_dl"))

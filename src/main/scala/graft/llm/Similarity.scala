@@ -280,7 +280,8 @@ object Similarity {
     * appends/compactions still belong to one maintenance cadence; readers
     * are safe at every instant.
     */
-  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                 healCodes: Boolean = true): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = ivfFs(spark, path)
     val cur = graft.ops.Generations.currentDir(fs, root, "vectors")
@@ -301,13 +302,33 @@ object Similarity {
       .parquet(new org.apache.hadoop.fs.Path(staged, "_centroids").toString)
     graft.ops.Generations.commit(fs, root, "vectors", gen)
     graft.ops.Generations.gcOld(fs, root, "vectors")
-    if (removed.isDefined)
-      fs.delete(new org.apache.hadoop.fs.Path(ivfRemovedDir(path)), true)
+    if (removed.isDefined) graft.ops.Tombstones.clear(spark, path)
     writeCellStats(spark, path, dynamicOnly = false)
     // the drift baseline is re-anchored on the compacted corpus: batch 0
     // is now "everything", the reference future appends compare against
     writeDriftStats(spark, path, dynamicOnly = false)
+    // a composed PQ code table is stale the moment the swap commits —
+    // and when the PRE-compaction batch set was already {0} the
+    // ivfPqKnn liveness guard cannot even detect it (the recorded set
+    // still matches), so stale code rows for tombstoned/re-assigned
+    // vectors would crowd the ADC shortlist. Heal here by default, the
+    // ivfMaintain rule pushed down into the swap itself.
+    if (healCodes) healPqCodes(spark, path)
   }
+
+  /** Re-derive the composed PQ code table with its OWN recorded (m, k)
+    * geometry — the heal step every vectors-generation swap must run
+    * when a `pq_model` sidecar exists (compact bakes tombstones;
+    * rebuild re-assigns cells; either way the code table no longer
+    * matches the vectors it compresses).
+    */
+  private def healPqCodes(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit =
+    if (ivfFs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/pq_model"))) {
+      val (model, _) = graft.llm.Quantization.pqLoadModel(spark, path)
+      graft.llm.Quantization.ivfPqWriteCodes(spark, path, model.m, model.k)
+      ()
+    }
 
   /** Reclaim every superseded generation of the vectors layout — run when
     * no reader can still be older than the last [[ivfCompact]] commit.
@@ -350,7 +371,8 @@ object Similarity {
     * mirrors [[ivfWriteIndex]].
     */
   def ivfRebuild(spark: org.apache.spark.sql.SparkSession, path: String,
-                 lloydRounds: Int = 2, nCells: Int = 0): Unit = {
+                 lloydRounds: Int = 2, nCells: Int = 0,
+                 healCodes: Boolean = true): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = ivfFs(spark, path)
     val cells = if (nCells > 0) nCells else ivfCentroids(spark, path).count().toInt
@@ -367,9 +389,10 @@ object Similarity {
     // the rebuild read the corpus THROUGH the tombstone filter
     // (ivfVectors), so the committed generation is retraction-applied
     if (ivfRemovedSet(spark, path).isDefined)
-      fs.delete(new org.apache.hadoop.fs.Path(ivfRemovedDir(path)), true)
+      graft.ops.Tombstones.clear(spark, path)
     writeCellStats(spark, path, dynamicOnly = false)
     writeDriftStats(spark, path, dynamicOnly = false)
+    if (healCodes) healPqCodes(spark, path) // re-assigned cells = stale codes
   }
 
   /** ONE maintenance entry point composing the measured pieces — the
@@ -399,17 +422,15 @@ object Similarity {
                   lloydRounds: Int = 2, healCodes: Boolean = true): String = {
     val drifted = ivfDriftStats(spark, path, driftFlagRatio)
       .where(col("drifted")).limit(1).count() > 0
+    // the heal now rides INSIDE the swap operations themselves (round
+    // 12 review: a direct ivfCompact after a retraction left stale PQ
+    // code rows the liveness guard could not detect when the batch set
+    // was already {0})
     val action =
-      if (drifted) { ivfRebuild(spark, path, lloydRounds); "rebuild" }
+      if (drifted) { ivfRebuild(spark, path, lloydRounds, healCodes = healCodes); "rebuild" }
       else if (ivfLiveBatches(spark, path).size > maxLiveBatches) {
-        ivfCompact(spark, path); "compact"
+        ivfCompact(spark, path, healCodes = healCodes); "compact"
       } else "none"
-    if (healCodes && action != "none" &&
-        ivfFs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/pq_model"))) {
-      val (model, _) = graft.llm.Quantization.pqLoadModel(spark, path)
-      graft.llm.Quantization.ivfPqWriteCodes(spark, path, model.m, model.k)
-      ()
-    }
     action
   }
 
@@ -429,22 +450,12 @@ object Similarity {
     graft.ops.Generations.currentDir(ivfFs(spark, path),
       new org.apache.hadoop.fs.Path(path), "vectors").toString
 
-  private val IvfRemovedBase = "removed"
+  private[graft] def ivfRemovedDir(path: String): String =
+    graft.ops.Tombstones.dir(path)
 
-  private[graft] def ivfRemovedDir(path: String): String = s"$path/$IvfRemovedBase"
-
-  /** The index's tombstoned id set, or None when nothing was ever
-    * retracted (one fs existence check on the common path, no scan).
-    */
   private[graft] def ivfRemovedSet(spark: org.apache.spark.sql.SparkSession,
-                                   path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(ivfRemovedDir(path))
-    val fs = ivfFs(spark, path)
-    if (!fs.exists(p) ||
-        !fs.listStatus(p).exists(_.getPath.getName.startsWith("__ret=")))
-      None
-    else Some(spark.read.parquet(p.toString).select(col("id")))
-  }
+                                   path: String): Option[DataFrame] =
+    graft.ops.Tombstones.set(spark, path)
 
   /** RETRACT vectors from the persisted IVF index without a rewrite —
     * the [[graft.llm.Dedup.retractFromIndex]] contract for the vector
@@ -460,24 +471,16 @@ object Similarity {
   def ivfRetract(spark: org.apache.spark.sql.SparkSession, path: String,
                  removedIds: DataFrame, idCol: String,
                  retractionId: Long): Unit = {
-    require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
     val fs = ivfFs(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(ivfVectorsDir(spark, path))),
       s"no IVF index at $path — build it first")
-    removedIds.select(col(idCol).cast("long").as("id"))
-      .where(col("id").isNotNull).distinct()
-      .withColumn("__ret", lit(retractionId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__ret").parquet(ivfRemovedDir(path))
+    graft.ops.Tombstones.write(spark, path, removedIds, idCol, retractionId)
   }
 
   /** Tombstone filter for an index-side frame keyed by long `id`. */
   private[graft] def ivfDropRemoved(df: DataFrame,
                                     removed: Option[DataFrame]): DataFrame =
-    removed match {
-      case None => df
-      case Some(r) => df.join(r, Seq("id"), "left_anti")
-    }
+    graft.ops.Tombstones.drop(df, removed, "id")
 
   /** The persisted index's vector table (id, v, cell, __batch), read
     * through the current generation — the public read entry point (raw

@@ -24,6 +24,13 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.applyMerges("abab", Seq(("a", "b"), ("ab", "ab"))) === Vector("abab"))
     // code-point split survives supplementary characters
     assert(Bpe.chars("a😀b") === Vector("a", "😀", "b"))
+    // tie-breaks compare UTF-8 BYTES (the oracle's collation), not
+    // UTF-16 code units: an emoji (UTF-8 F0..) sorts AFTER U+FB00
+    // (UTF-8 EF..) even though its UTF-16 surrogate 0xD83D is smaller
+    assert(Bpe.Utf8Ordering.compare("😀", "ﬀ") > 0,
+      "UTF-8 byte order, not UTF-16 code-unit order")
+    assert(Bpe.Utf8Ordering.compare("a", "ab") < 0)
+    assert(Bpe.Utf8Ordering.compare("ab", "ab") === 0)
   }
 
   test("trainer is deterministic and merge counts are frequency-ordered") {

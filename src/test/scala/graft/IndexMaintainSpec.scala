@@ -67,6 +67,27 @@ class IndexMaintainSpec extends AnyFunSuite {
       .select(col("id")).as[Long].collect().toSet
     assert(rawIds.intersect(removedIds).isEmpty,
       "retracted ids must be physically gone after compaction")
+    // the compaction HEALED the composed code table in the same call
+    // (round-12 review: with a single-batch index the liveness guard
+    // cannot detect staleness — {0} still matches {0} — so stale code
+    // rows for retracted ids would crowd the ADC shortlist); the PQ
+    // read must work post-compaction and never resurface a removed id
+    val pqAfter = llm.Quantization.ivfPqKnn(spark, path, queries, "qv", "qid",
+        kNN = 5, nProbe = 8, shortlist = 50)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(pqAfter.nonEmpty && pqAfter.intersect(removedIds).isEmpty,
+      "post-compaction PQ read must serve healed, tombstone-free codes")
+    val rawCodeIds = spark.read.parquet(s"$path/pq_codes")
+      .select(col("id")).as[Long].collect().toSet
+    assert(rawCodeIds.intersect(removedIds).isEmpty,
+      "the healed code table must not carry retracted ids")
+    // a retraction batch with non-long-castable ids refuses loudly
+    // instead of silently writing an empty tombstone set
+    val ex = intercept[IllegalArgumentException] {
+      llm.Similarity.ivfRetract(spark, path,
+        Seq("doc-abc", "7").toDF("id"), "id", 1L)
+    }
+    assert(ex.getMessage.contains("cast"))
   }
 
   test("simhash indexMaintain: compacts past the bound, no-op inside it") {
