@@ -207,9 +207,26 @@ object Bpe {
     import spark.implicits._
     val symRows = model.symRows.toDF("word", "spos", "sym")
     val vocab = model.vocab.toDF("id", "sym", "cnt")
-    docs
+    // Coverage guard (r12 advice): the inner join below would SILENTLY
+    // drop every occurrence of a word type outside the trained table —
+    // exactly what happens when the trainer's maxWordTypes truncated the
+    // corpus vocabulary — so n_subwords would undercount with no signal.
+    // Materialize the exploded frame once (it feeds the guard and the
+    // encode), probe for uncovered word types, and refuse loudly,
+    // routing the caller to [[encodeAny]] (which segments OOV words).
+    val toks = docs
       .select(col(idCol).as("doc"),
         posexplode(tokens(normalizeText(col(textCol)))).as(Seq("pos", "word")))
+      .localCheckpoint(true)
+    val missing = toks.select(col("word")).distinct()
+      .join(broadcast(symRows.select(col("word")).distinct()), Seq("word"), "left_anti")
+      .limit(5).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"encode() requires every input word type in the trained table; " +
+        s"uncovered word types found (first ${missing.length}): " +
+        s"${missing.mkString(", ")} — the trainer likely hit maxWordTypes; " +
+        "use encodeAny() for corpora with out-of-vocabulary words")
+    toks
       .join(broadcast(symRows), Seq("word"))
       .join(broadcast(vocab.select(col("sym"), col("id"))), Seq("sym"), "left")
       .select(col("doc"), col("pos"), col("spos"),

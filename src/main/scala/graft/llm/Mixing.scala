@@ -383,9 +383,15 @@ object Mixing {
         }
       val wSrc = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
       // source-count state is source-keyed and bounded (one row per
-      // source per batch) — always broadcastable on the gate side
+      // source per batch) — always broadcastable on the gate side.
+      // The lookup is NULL-SAFE (<=>): the state write's groupBy folds
+      // NULL sources into one row, and a null-unsafe equi-join would
+      // never match it back — resetting that source's cap every batch
+      // and breaking batch-boundary invariance (r12 advice).
       val stageA = b.withColumn("__rn", row_number().over(wSrc))
-        .join(broadcast(prior), Seq(sourceCol), "left")
+        .join(broadcast(prior.withColumnRenamed(sourceCol, "__psrc")),
+          col(sourceCol) <=> col("__psrc"), "left")
+        .drop("__psrc")
         .where(col("__rn") + coalesce(col("__pn"), lit(0L)) <= sourceCap)
         .persist()
       stageA.count() // feeds the budget scan and the state write

@@ -302,18 +302,22 @@ object Similarity {
       .parquet(new org.apache.hadoop.fs.Path(staged, "_centroids").toString)
     graft.ops.Generations.commit(fs, root, "vectors", gen)
     graft.ops.Generations.gcOld(fs, root, "vectors")
-    if (removed.isDefined) graft.ops.Tombstones.clear(spark, path)
-    writeCellStats(spark, path, dynamicOnly = false)
-    // the drift baseline is re-anchored on the compacted corpus: batch 0
-    // is now "everything", the reference future appends compare against
-    writeDriftStats(spark, path, dynamicOnly = false)
     // a composed PQ code table is stale the moment the swap commits —
     // and when the PRE-compaction batch set was already {0} the
     // ivfPqKnn liveness guard cannot even detect it (the recorded set
     // still matches), so stale code rows for tombstoned/re-assigned
     // vectors would crowd the ADC shortlist. Heal here by default, the
-    // ivfMaintain rule pushed down into the swap itself.
+    // ivfMaintain rule pushed down into the swap itself — and BEFORE the
+    // tombstone clear: a crash between the two then leaves tombstones in
+    // place (the read-side filter still covers the stale rows) instead of
+    // stale codes with no filter. The heal reads through ivfVectors, so
+    // replaying it under leftover tombstones is a harmless no-op.
     if (healCodes) healPqCodes(spark, path)
+    if (removed.isDefined) graft.ops.Tombstones.clear(spark, path)
+    writeCellStats(spark, path, dynamicOnly = false)
+    // the drift baseline is re-anchored on the compacted corpus: batch 0
+    // is now "everything", the reference future appends compare against
+    writeDriftStats(spark, path, dynamicOnly = false)
   }
 
   /** Re-derive the composed PQ code table with its OWN recorded (m, k)

@@ -50,9 +50,15 @@ object Tombstones {
     require(retractionId >= 0L, s"retractionId must be >= 0: $retractionId")
     val ids = removedIds
       .select(col(idCol).as("__raw"), col(idCol).cast("long").as("id"))
-      .where(col("__raw").isNotNull)
-      .localCheckpoint(true) // two consumers: the guard and the write
-    val bad = ids.where(col("id").isNull).count()
+      .localCheckpoint(true) // three consumers: two guards and the write
+    // NULL removal ids are the same silent-no-op class as non-castable
+    // ones (r12 advice): a null-keyed delete matches nothing downstream,
+    // so refuse it loudly instead of filtering it away.
+    val nul = ids.where(col("__raw").isNull).count()
+    require(nul == 0L,
+      s"$nul removal id(s) are NULL (idCol '$idCol') — a null-keyed " +
+        "tombstone deletes nothing; the caller's removal batch is malformed")
+    val bad = ids.where(col("__raw").isNotNull && col("id").isNull).count()
     require(bad == 0L,
       s"$bad removal id(s) do not cast to long (idCol '$idCol') — the " +
         "engine keys every index by long-castable ids; a silently dropped " +
