@@ -1249,6 +1249,29 @@ object LlmQueries {
       TextAnalysis.noveltyScoresIndexed(s, path).orderBy(col("doc_id"))
     }),
 
+    // K17 — RETRACTION (round 13): the delete path for first-occurrence
+    // attribution. Index the full corpus in three batches, retract every
+    // doc_id % 7 == 3 WITH its text (the BM25 caller-supplies-documents
+    // discipline), and the read must hash-match a full novelty recompute
+    // over the SURVIVOR corpus: removed docs vanish, each gram whose
+    // first occurrence was removed re-credits its next surviving holder,
+    // grams with no surviving holder leave the seen set.
+    "k17_retract" -> ((s, dir) => {
+      val path = sessionScratchDir("graft-novret")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.noveltyIndexWrite(docs.where(col("doc_id") < 400L),
+        "text", "doc_id", path)
+      TextAnalysis.noveltyAppendBatch(s, path,
+        docs.where(col("doc_id") >= 400L && col("doc_id") < 450L),
+        "text", "doc_id", batchId = 1L)
+      TextAnalysis.noveltyAppendBatch(s, path,
+        docs.where(col("doc_id") >= 450L), "text", "doc_id", batchId = 2L)
+      TextAnalysis.noveltyRetract(s, path,
+        docs.where(col("doc_id") % 7L === 3L), "text", "doc_id",
+        retractionId = 1L)
+      TextAnalysis.noveltyScoresIndexed(s, path).orderBy(col("doc_id"))
+    }),
+
     // K17 — STREAMING novelty (▶, hash-matched): the freshness signal
     // follows the document stream through foreachBatchNoveltyAppend.
     "k17_streaming_novelty" -> ((s, dir) => {
@@ -3049,6 +3072,7 @@ object LlmQueries {
     // batch folds are row-identical to the full recompute).
     "k17_novelty" -> k17NoveltyOracle(),
     "k17_incremental_novelty" -> k17NoveltyOracle(),
+    "k17_retract" -> k17NoveltyOracle("WHERE doc_id % 7 <> 3"),
     "k17_streaming_novelty" -> k17NoveltyOracle("WHERE doc_id < 500"),
 
     // K19 dataset card: four operator oracles composed per source —

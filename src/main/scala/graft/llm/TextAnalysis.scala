@@ -483,6 +483,8 @@ object TextAnalysis {
   // ---------------------------------------------------------------- //
 
   private val GramSetBase = "gramset"
+  private val ScoresBase = "scores"
+  private val OccBase = "occ"
 
   private def fsOfPath(spark: org.apache.spark.sql.SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -492,7 +494,32 @@ object TextAnalysis {
     graft.ops.Generations.currentDir(fsOfPath(spark, path),
       new org.apache.hadoop.fs.Path(path), GramSetBase).toString
 
+  private def scoresDir(spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.ops.Generations.currentDir(fsOfPath(spark, path),
+      new org.apache.hadoop.fs.Path(path), ScoresBase).toString
+
+  private def occDir(spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.ops.Generations.currentDir(fsOfPath(spark, path),
+      new org.apache.hadoop.fs.Path(path), OccBase).toString
+
+  private def deltasDir(path: String): String = s"$path/ret_deltas"
+  private def deadGramsDir(path: String): String = s"$path/ret_deadgrams"
+
   private val WatermarkFile = "_compact_watermark"
+  private val FoldedRetsFile = "_folded_rets"
+
+  private def readLongMarker(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, name: String): Long = {
+    val fs = fsOfPath(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toLong
+      finally in.close()
+    }
+  }
 
   /** Highest batch id folded away by [[noveltyCompact]] — 0 if never
     * compacted. Lives INSIDE the gram-set generation dir (underscore
@@ -500,16 +527,65 @@ object TextAnalysis {
     * crash-atomic swap as the folded data it describes.
     */
   def noveltyCompactWatermark(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Long = {
-    val fs = fsOfPath(spark, path)
-    val wm = new org.apache.hadoop.fs.Path(gramSetDir(spark, path), WatermarkFile)
-    if (!fs.exists(wm)) 0L
-    else {
-      val in = fs.open(wm)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        .trim.toLong
-      finally in.close()
-    }
+                              path: String): Long =
+    readLongMarker(spark, gramSetDir(spark, path), WatermarkFile)
+
+  /** Highest retraction id whose deltas a [[noveltyCompact]] has baked
+    * into the scores table — 0 if none. Rides the scores generation
+    * swap (same discipline as the batch watermark), so the read side
+    * can never double-apply a delta the fold already absorbed: readers
+    * apply only `ret_deltas` with id above this mark.
+    */
+  def noveltyRetractWatermark(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Long =
+    readLongMarker(spark, scoresDir(spark, path), FoldedRetsFile)
+
+  /** Retraction ids that are COMMITTED (tombstones present — the last
+    * artifact [[noveltyRetract]] writes) and not yet folded by a
+    * compaction. These are the deltas/dead-gram generations every read
+    * path applies; an id with sidecars but no tombstone is a crash
+    * window awaiting replay and stays invisible.
+    */
+  private def liveRetIds(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Seq[Long] = {
+    val wm = noveltyRetractWatermark(spark, path)
+    graft.ops.Tombstones.retIds(spark, path).filter(_ > wm)
+  }
+
+  /** True when `dir` holds at least one `__ret=` partition — an empty
+    * retraction's sidecar write leaves only `_SUCCESS`, which the
+    * parquet reader cannot infer a schema from.
+    */
+  private def hasRetPartitions(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Boolean = {
+    val fs = fsOfPath(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("__ret="))
+  }
+
+  /** Pending first-occurrence credit, summed per doc: Some((doc_id,
+    * __d_novel)) when any live retraction has re-attributed grams.
+    */
+  private def pendingDeltas(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Option[DataFrame] = {
+    val live = liveRetIds(spark, path)
+    if (live.isEmpty || !hasRetPartitions(spark, deltasDir(path))) None
+    else Some(spark.read.parquet(deltasDir(path))
+      .where(col("__ret").isin(live: _*))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("d_novel")).as("__d_novel")))
+  }
+
+  /** Grams whose LAST surviving occurrence a live retraction removed —
+    * future batches must see them as never-seen again.
+    */
+  private def pendingDeadGrams(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Option[DataFrame] = {
+    val live = liveRetIds(spark, path)
+    if (live.isEmpty || !hasRetPartitions(spark, deadGramsDir(path))) None
+    else Some(spark.read.parquet(deadGramsDir(path))
+      .where(col("__ret").isin(live: _*)).select(col("h")))
   }
 
   /** Build the PERSISTED novelty index over a base corpus: per-doc
@@ -526,8 +602,14 @@ object TextAnalysis {
                         path: String, n: Int = 3,
                         projection: Option[DataFrame] = None): Unit = {
     val spark = df.sparkSession
-    graft.ops.Generations.reset(fsOfPath(spark, path),
-      new org.apache.hadoop.fs.Path(path), GramSetBase)
+    val fs = fsOfPath(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    Seq(GramSetBase, ScoresBase, OccBase)
+      .foreach(graft.ops.Generations.reset(fs, root, _))
+    // a fresh build starts a fresh retraction lineage too
+    fs.delete(new org.apache.hadoop.fs.Path(deltasDir(path)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(deadGramsDir(path)), true)
+    graft.ops.Tombstones.clear(spark, path)
     // shared-pass hook (Ingest.curateBatch): a caller-owned, persisted
     // shingleHashProjection(df, textCol, idCol, n)
     val ownProj = projection.isEmpty
@@ -544,11 +626,21 @@ object TextAnalysis {
         .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
           round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
         .withColumn("__batch", lit(0L))
-        .write.mode("overwrite").partitionBy("__batch").parquet(s"$path/scores")
+        .write.mode("overwrite").partitionBy("__batch").parquet(s"$path/$ScoresBase")
       hd.select(col("h")).distinct()
         .withColumn("__batch", lit(0L))
         .write.mode("overwrite").partitionBy("__batch")
         .parquet(s"$path/$GramSetBase")
+      // (h, id) occurrence postings — the attribution evidence exact
+      // retraction needs (the BM25-postings analogy: an index that
+      // supports deletes must know who ELSE holds each gram, or a
+      // removed first-occurrence leaves its credit pointing at a
+      // ghost). Map-only write off the cached projection; scanned only
+      // by [[noveltyRetract]] and folded by [[noveltyCompact]].
+      hd.select(col("h"), col("id"))
+        .withColumn("__batch", lit(0L))
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(s"$path/$OccBase")
     } finally if (ownProj) proj.unpersist(false)
   }
 
@@ -601,8 +693,14 @@ object TextAnalysis {
       // identical gram set. (Corollary = the family's retired-lineage
       // rule: compaction folds provenance into __batch=0, so compact
       // only after the appending stream's checkpoint is dropped.)
-      val seen = spark.read.parquet(root.toString)
+      // grams a live retraction killed entirely (last surviving holder
+      // removed) read as NEVER SEEN again — the survivor-corpus
+      // semantics [[noveltyRetract]] promises
+      val dead = pendingDeadGrams(spark, path)
+      val seen0 = spark.read.parquet(root.toString)
         .where(col("__batch") < batchId).select(col("h"))
+      val seen = dead.fold(seen0)(d =>
+        seen0.join(broadcast(d), Seq("h"), "left_anti"))
       val batchGrams = hd.select(col("h")).distinct().localCheckpoint(true)
       val gate = batchGrams.count() <= maxBroadcastGrams
       // grams of this batch the index has seen: index SCAN probing the
@@ -622,7 +720,11 @@ object TextAnalysis {
           round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(s"$path/scores")
+        .partitionBy("__batch").parquet(scoresDir(spark, path))
+      hd.select(col("h"), col("id"))
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(occDir(spark, path))
       hd.select(col("h")).distinct()
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -631,38 +733,208 @@ object TextAnalysis {
   }
 
   /** The accumulated per-doc scores — row-identical to a full-corpus
-    * [[noveltyScores]] over everything ingested (monotone-id batches).
+    * [[noveltyScores]] over everything ingested (monotone-id batches),
+    * and after a [[noveltyRetract]] row-identical to a full-corpus
+    * recompute over the SURVIVORS: tombstoned docs drop out and live
+    * retraction deltas add the re-attributed first-occurrence credit.
     */
   def noveltyScoresIndexed(spark: org.apache.spark.sql.SparkSession,
-                           path: String): DataFrame =
-    spark.read.parquet(s"$path/scores")
+                           path: String): DataFrame = {
+    val scores = spark.read.parquet(scoresDir(spark, path))
       .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+    val base = graft.ops.Tombstones.drop(scores,
+      graft.ops.Tombstones.set(spark, path), "doc_id")
+    pendingDeltas(spark, path) match {
+      case None => base
+      case Some(d) =>
+        // deltas are retraction-bounded (one row per re-attributed doc)
+        // — broadcast side of the corpus-scale scores scan
+        base.join(broadcast(d), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            (col("n_novel") + coalesce(col("__d_novel"), lit(0L))).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+    }
+  }
 
-  /** Fold the gram-set `__batch` fragments into one distinct
-    * `__batch=0` — crash-atomic via the shared Generations swap; scores
-    * are untouched (they are outputs, not index state). Same
-    * retired-lineage rule as every compacting family.
+  /** RETRACT documents from the persisted novelty index — the K17
+    * delete path. Novelty is FIRST-OCCURRENCE attribution (min doc id
+    * per gram), so deleting a doc must re-attribute the credit for
+    * exactly the grams whose first occurrence was a removed doc: the
+    * next-smallest SURVIVING holder gains a unit of `n_novel`, and a
+    * gram with no surviving holder leaves the seen set entirely (a
+    * future ingest of it is first again). After this call,
+    * [[noveltyScoresIndexed]] reads row-identical to a full
+    * [[noveltyScores]] recompute over the survivor corpus.
+    *
+    * The caller supplies the removed DOCUMENTS (id + text — the BM25
+    * retraction discipline: the index cannot recover a doc's gram set
+    * from its aggregates alone, and the affected-gram bound derives
+    * from exactly that set). Cost shape at 100 TB: the removed batch is
+    * re-projected O(removals); the `occ` postings are SCANNED ONCE,
+    * probed by the broadcast affected-gram set (never shuffled — the
+    * same index-scan discipline as the append's membership probe); only
+    * the affected grams' occurrence rows reach the one gram-keyed
+    * aggregate. Artifacts land as `ret_deltas/__ret=<id>` (credit
+    * gained per surviving doc) and `ret_deadgrams/__ret=<id>`, then the
+    * tombstone set LAST — the commit point: a crash before it leaves
+    * the sidecars invisible (readers apply only tombstone-listed ids)
+    * and a replay rewrites every artifact identically (dynamic
+    * overwrite, including under LATER retractions — the prior-survivor
+    * state a replay sees is unchanged). The next [[noveltyCompact]]
+    * folds all three physically.
+    *
+    * Precondition (the delete-side id rule shared with the LSH family):
+    * a retracted id must not be re-ingested before a compaction has
+    * folded its tombstone, and `retractionId`s are monotone — ids at or
+    * below the folded watermark are refused.
+    */
+  def noveltyRetract(spark: org.apache.spark.sql.SparkSession, path: String,
+                     removedDocs: DataFrame, textCol: String, idCol: String,
+                     retractionId: Long, n: Int = 3,
+                     maxBroadcastGrams: Long = DfreqBroadcastMaxVocab): Unit = {
+    require(fsOfPath(spark, path).exists(
+      new org.apache.hadoop.fs.Path(gramSetDir(spark, path))),
+      s"no novelty index at $path — run noveltyIndexWrite first")
+    val wm = noveltyRetractWatermark(spark, path)
+    require(retractionId > wm,
+      s"retractionId $retractionId is at or below the folded-retraction " +
+        s"watermark $wm — a compaction already baked that lineage")
+    val rg = Dedup.shingleHashProjection(removedDocs, textCol, idCol, n)
+      .select(col("id").as("__rid"), explode(col("hs")).as("h"))
+      .localCheckpoint(true)
+    val curIds = removedDocs.select(col(idCol).cast("long").as("__rid"))
+      .distinct().localCheckpoint(true)
+    val rgGrams = rg.select(col("h")).distinct().localCheckpoint(true)
+    val gate = rgGrams.count() <= maxBroadcastGrams
+    val occ = spark.read.parquet(occDir(spark, path)).select(col("h"), col("id"))
+    // occurrences of the affected grams only: index scan probing the
+    // broadcast removed-gram set (shuffled fallback above the gate)
+    val occRg =
+      if (gate) occ.join(broadcast(rgGrams), Seq("h"), "left_semi")
+      else occ.join(rgGrams, Seq("h"), "left_semi")
+    // survivors of PRIOR retractions define "current first" — their
+    // rows are physically present until a compaction folds them
+    val priorRets = graft.ops.Tombstones.retIds(spark, path)
+      .filter(_ < retractionId)
+    val occPrior =
+      if (priorRets.isEmpty) occRg
+      else occRg.join(
+        spark.read.parquet(graft.ops.Tombstones.dir(path))
+          .where(col("__ret") < retractionId).select(col("id")),
+        Seq("id"), "left_anti")
+    val firsts = occPrior
+      .join(broadcast(curIds), occPrior("id") === curIds("__rid"), "left")
+      .groupBy(col("h"))
+      .agg(min(col("id")).as("__old"),
+        min(when(col("__rid").isNull, col("id"))).as("__new"))
+      .where(col("__new").isNull || col("__new") =!= col("__old"))
+      .localCheckpoint(true) // bounded by the removed docs' gram mass
+    firsts.where(col("__new").isNotNull)
+      .groupBy(col("__new").as("doc_id"))
+      .agg(count(lit(1)).as("d_novel"))
+      .withColumn("__ret", lit(retractionId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__ret").parquet(deltasDir(path))
+    firsts.where(col("__new").isNull).select(col("h"))
+      .withColumn("__ret", lit(retractionId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__ret").parquet(deadGramsDir(path))
+    // commit point: the tombstone listing is what makes the sidecars
+    // visible to every read path
+    graft.ops.Tombstones.write(spark, path,
+      removedDocs.select(col(idCol)), idCol, retractionId)
+  }
+
+  /** Fold the novelty index's accumulated state — gram-set `__batch`
+    * fragments into one distinct `__batch=0`, and every LIVE retraction
+    * applied PHYSICALLY (the compaction-bakes rule shared with the LSH
+    * family): tombstoned docs leave the scores and occurrence tables,
+    * pending deltas bake into the survivors' `n_novel`, dead grams
+    * leave the gram set, and the sidecars + tombstones clear.
+    *
+    * Crash ordering (each swap is Generations-atomic; the windows
+    * between them are all read-safe): scores fold FIRST and carry the
+    * folded-retraction watermark in-generation, so a crash before the
+    * sidecar GC cannot double-apply a delta (readers skip ids at or
+    * below the mark); the gram-set and occ folds are subtractive, so
+    * replaying them over leftover sidecars is a no-op; tombstones clear
+    * LAST (an anti-join against already-removed rows is harmless).
+    * Re-running a crashed compact heals every window.
     */
   def noveltyCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOfPath(spark, path)
+    val rets = graft.ops.Tombstones.retIds(spark, path)
+    val removed = graft.ops.Tombstones.set(spark, path)
+    // 1. scores: drop tombstoned docs, bake live deltas, advance the
+    //    folded-retraction watermark with the swap
+    if (rets.nonEmpty) {
+      val retWm = math.max(noveltyRetractWatermark(spark, path), rets.max)
+      val curScores = spark.read.parquet(scoresDir(spark, path))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          col("novelty"), col("__batch"))
+      val survivors = graft.ops.Tombstones.drop(curScores, removed, "doc_id")
+      // same fold the read path applies, with __batch carried through
+      val foldedScores = pendingDeltas(spark, path) match {
+        case None => survivors
+        case Some(d) =>
+          survivors.join(broadcast(d), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_grams"),
+              (col("n_novel") + coalesce(col("__d_novel"), lit(0L))).as("n_novel"),
+              col("__batch"))
+            .select(col("doc_id"), col("n_grams"), col("n_novel"),
+              round(col("n_novel").cast("double") / col("n_grams"), 6)
+                .as("novelty"),
+              col("__batch"))
+      }
+      val (stagedS, genS) = graft.ops.Generations.stage(fs, root, ScoresBase)
+      foldedScores
+        .write.mode("overwrite").partitionBy("__batch").parquet(stagedS.toString)
+      val outS = fs.create(
+        new org.apache.hadoop.fs.Path(stagedS, FoldedRetsFile), true)
+      try outS.write(retWm.toString.getBytes("UTF-8")) finally outS.close()
+      graft.ops.Generations.commit(fs, root, ScoresBase, genS)
+      graft.ops.Generations.gcOld(fs, root, ScoresBase)
+    }
+    // 2. gram set: fold batches to __batch=0, subtract dead grams,
+    //    advance the batch-replay watermark with the swap
     val cur = graft.ops.Generations.currentDir(fs, root, GramSetBase)
     val curSet = spark.read.parquet(cur.toString)
     // highest batch id being folded — persisted as the replay watermark
     // (monotone across compactions; a compact of an already-compacted
     // set keeps the prior watermark)
     val prior = noveltyCompactWatermark(spark, path)
-    val folded = curSet.agg(max(col("__batch").cast("long"))).head.getLong(0)
+    val folded = curSet.agg(max(col("__batch").cast("long"))).head().getLong(0)
     val wm = math.max(prior, folded)
+    val dead = pendingDeadGrams(spark, path)
     val (staged, gen) = graft.ops.Generations.stage(fs, root, GramSetBase)
-    curSet
-      .select(col("h")).distinct()
+    dead.fold(curSet.select(col("h")))(d =>
+        curSet.select(col("h")).join(broadcast(d), Seq("h"), "left_anti"))
+      .distinct()
       .withColumn("__batch", lit(0L))
       .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
     val out = fs.create(new org.apache.hadoop.fs.Path(staged, WatermarkFile), true)
     try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
     graft.ops.Generations.commit(fs, root, GramSetBase, gen)
     graft.ops.Generations.gcOld(fs, root, GramSetBase)
+    // 3. occ postings: drop tombstoned docs' rows, fold to __batch=0
+    //    (replay below the batch watermark is refused upstream)
+    if (fs.exists(new org.apache.hadoop.fs.Path(occDir(spark, path)))) {
+      val occ = spark.read.parquet(occDir(spark, path))
+        .select(col("h"), col("id"))
+      val (stagedO, genO) = graft.ops.Generations.stage(fs, root, OccBase)
+      graft.ops.Tombstones.drop(occ, removed, "id")
+        .withColumn("__batch", lit(0L))
+        .write.mode("overwrite").partitionBy("__batch").parquet(stagedO.toString)
+      graft.ops.Generations.commit(fs, root, OccBase, genO)
+      graft.ops.Generations.gcOld(fs, root, OccBase)
+    }
+    // 4. retraction GC: sidecars before tombstones (readers gate on the
+    //    tombstone listing ∩ above-watermark, so each deletion is safe)
+    fs.delete(new org.apache.hadoop.fs.Path(deadGramsDir(path)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(deltasDir(path)), true)
+    if (rets.nonEmpty) graft.ops.Tombstones.clear(spark, path)
   }
 
   /** Feature-hashed document embeddings (the hashing trick: Weinberger

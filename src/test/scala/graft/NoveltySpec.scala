@@ -64,4 +64,73 @@ class NoveltySpec extends AnyFunSuite {
       "text", "doc_id", batchId = 3L)
     assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === full)
   }
+
+  test("retraction: credit re-attributes, a later doc GAINS novelty, dead grams reopen") {
+    import spark.implicits._
+    val path = tmp("graft-nov-ret")
+    // d1 holds gram "aa bb cc" first; d2 shares it and owns "bb cc dd";
+    // d3 is disjoint — the smallest corpus where every retraction case
+    // (re-attribution, death, disjoint untouched) is visible by eye
+    val corpus = Seq((1L, "aa bb cc"), (2L, "aa bb cc dd"), (3L, "ee ff gg"))
+      .toDF("doc_id", "text")
+    graft.llm.TextAnalysis.noveltyIndexWrite(corpus, "text", "doc_id", path)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) ===
+      Set((1L, 1L, 1L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0)))
+    // remove d1: its gram's first-occurrence credit must move to d2 —
+    // the later doc GAINS novelty (0.5 → 1.0)
+    val d1 = corpus.where(col("doc_id") === 1L)
+    graft.llm.TextAnalysis.noveltyRetract(spark, path, d1, "text", "doc_id", 1L)
+    val afterR1 = Set((2L, 2L, 2L, 1.0), (3L, 1L, 1L, 1.0))
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === afterR1,
+      "d2 must gain the first-occurrence credit d1 held")
+    // replay of the same retraction rewrites exactly itself
+    graft.llm.TextAnalysis.noveltyRetract(spark, path, d1, "text", "doc_id", 1L)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === afterR1)
+    // remove d2 too: both its grams now have NO surviving holder — they
+    // must leave the seen set entirely (dead grams)
+    graft.llm.TextAnalysis.noveltyRetract(spark, path,
+      corpus.where(col("doc_id") === 2L), "text", "doc_id", 2L)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) ===
+      Set((3L, 1L, 1L, 1.0)))
+    // a future ingest of a dead gram is FIRST again — survivor-corpus
+    // semantics, not tombstone-only semantics
+    graft.llm.TextAnalysis.noveltyAppendBatch(spark, path,
+      Seq((10L, "aa bb cc")).toDF("doc_id", "text"), "text", "doc_id", batchId = 1L)
+    val afterIngest = Set((3L, 1L, 1L, 1.0), (10L, 1L, 1L, 1.0))
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === afterIngest,
+      "a dead gram's next ingest must score as novel again")
+    // compaction bakes all of it physically and clears the lineage
+    graft.llm.TextAnalysis.noveltyCompact(spark, path)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === afterIngest)
+    assert(graft.ops.Tombstones.retIds(spark, path).isEmpty,
+      "compaction must clear applied tombstones")
+    assert(graft.llm.TextAnalysis.noveltyRetractWatermark(spark, path) === 2L)
+    // a folded retraction lineage is retired — replaying it is refused
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.noveltyRetract(spark, path, d1, "text", "doc_id", 2L)
+    }
+    assert(ex.getMessage.contains("watermark"))
+    // the lifecycle continues above the watermark: retract the re-ingest
+    graft.llm.TextAnalysis.noveltyRetract(spark, path,
+      Seq((10L, "aa bb cc")).toDF("doc_id", "text"), "text", "doc_id", 3L)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) ===
+      Set((3L, 1L, 1L, 1.0)))
+  }
+
+  test("retraction at corpus scale equals the survivor-corpus recompute") {
+    val path = tmp("graft-nov-ret-sf")
+    val survivors = docs.where(col("doc_id") % 5L =!= 2L)
+    val removed = docs.where(col("doc_id") % 5L === 2L)
+    val truth = rows(graft.llm.TextAnalysis.noveltyScores(survivors, "text", "doc_id"))
+    graft.llm.TextAnalysis.noveltyIndexWrite(docs.where(col("doc_id") < 300L),
+      "text", "doc_id", path)
+    graft.llm.TextAnalysis.noveltyAppendBatch(spark, path,
+      docs.where(col("doc_id") >= 300L), "text", "doc_id", batchId = 1L)
+    graft.llm.TextAnalysis.noveltyRetract(spark, path, removed,
+      "text", "doc_id", retractionId = 1L)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === truth)
+    graft.llm.TextAnalysis.noveltyCompact(spark, path)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === truth,
+      "the physical fold must preserve the survivor-corpus scores exactly")
+  }
 }
