@@ -843,12 +843,13 @@ object LlmQueries {
       val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
           n = 2, threshold = 0.1)
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .localCheckpoint(true) // feeds the fold AND the retraction evidence
       val path = freshScratchDir("graft-ccretract")
-      graft.ops.Graph.foldBatch(s, path, pairs, "id_a", "id_b")
-      graft.ops.Graph.retractBatch(s, path,
-        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id",
-        pairs, "id_a", "id_b")
+      graft.ops.Graph.foldBatch(s, path, pairs, "id_a", "id_b", batchId = 0L)
+      // round 13: the retraction reads its evidence from the
+      // component-bucketed store the fold persisted — partition-pruned
+      // to the affected buckets, never the caller's retained pair log
+      graft.ops.Graph.retractBatchStored(s, path,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
       graft.ops.Graph.assignment(s, path).orderBy(col("id"))
     }),
 

@@ -192,7 +192,8 @@ object Graph extends org.apache.spark.internal.Logging {
     * entirely.
     */
   def foldBatch(spark: SparkSession, path: String, pairs: DataFrame,
-                aCol: String, bCol: String, maxIter: Int = 50): Unit = {
+                aCol: String, bCol: String, maxIter: Int = 50,
+                batchId: Long = -1L): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // canonicalize BEFORE the emptiness probe: a batch of self-loops /
@@ -200,6 +201,35 @@ object Graph extends org.apache.spark.internal.Logging {
     val edges = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
       .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
     if (edges.isEmpty) return
+    // pair-evidence store, written BEFORE the fold commits (a crash
+    // between the two replays into a no-op refold + identical rewrite;
+    // the reverse order could publish a closure whose evidence a
+    // retraction later needs and cannot find). Bucketed by the SMALLER
+    // endpoint id mod [[PairBuckets]] — equivalent to component
+    // bucketing for pruning (a component label IS the min member id,
+    // current or historical, so every pair a retraction must see lives
+    // in a bucket of some affected-member-or-removed id) without the
+    // edge→component join a label-keyed layout would need per fold, and
+    // immune to label drift when components later merge.
+    val canonical = edges
+      .select(greatest(col("s"), col("d")).as("src"),
+        least(col("s"), col("d")).as("dst"))
+      .distinct()
+      // int: partition-dir inference reads the values back as int, and
+      // the prune literals must match the column type exactly or the
+      // induced cast defeats partition pruning
+      .withColumn("__cb", pmod(col("dst"), lit(PairBuckets)).cast("int"))
+      .withColumn("__batch", lit(batchId))
+    if (batchId >= 0L)
+      // streaming folds: a replayed batch rewrites exactly itself
+      canonical.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch", "__cb").parquet(pairStoreDir(path))
+    else
+      // one-shot folds with no replay lineage: plain append (duplicate
+      // pairs from a re-run are absorbed — every consumer distincts)
+      canonical.write.mode("append")
+        .partitionBy("__batch", "__cb").parquet(pairStoreDir(path))
     val cur = Generations.genDir(root, AssignmentBase,
       Generations.currentGen(fs, root, AssignmentBase))
     val next =
@@ -212,6 +242,15 @@ object Graph extends org.apache.spark.internal.Logging {
     Generations.commit(fs, root, AssignmentBase, gen)
     Generations.gcOld(fs, root, AssignmentBase)
   }
+
+  /** Buckets of the fold-time pair-evidence store — enough for a
+    * retraction's partition pruning to skip most of the pair history on
+    * a small removal batch, few enough that a micro-batch fold does not
+    * spray thousands of small files.
+    */
+  val PairBuckets = 64L
+
+  private[graft] def pairStoreDir(path: String): String = s"$path/pairs"
 
   /** RETRACTION — remove documents from the persisted assignment and
     * re-close ONLY the components they touched. Removing a doc can
@@ -243,6 +282,49 @@ object Graph extends org.apache.spark.internal.Logging {
   def retractBatch(spark: SparkSession, path: String, removedIds: DataFrame,
                    idCol: String, pairs: DataFrame, aCol: String, bCol: String,
                    maxIter: Int = 50): Unit = {
+    val evidence = pairs
+      .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+      .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
+    retractCore(spark, path, removedIds, idCol, (_, _) => evidence, maxIter)
+  }
+
+  /** [[retractBatch]] reading its pair evidence from the store
+    * [[foldBatch]] persists — the scale-safe delete path: instead of a
+    * full pair-history scan (or a caller-retained log), the read is
+    * PARTITION-PRUNED to the buckets of the affected members ∪ removed
+    * ids. Every pair inside an affected component (under any historical
+    * label) has its smaller endpoint among those ids, so the pruned
+    * read is exact, and on a small removal batch it touches a handful
+    * of `__cb=` directories out of [[PairBuckets]] — O(affected), never
+    * O(pair history).
+    */
+  def retractBatchStored(spark: SparkSession, path: String, removedIds: DataFrame,
+                         idCol: String, maxIter: Int = 50): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(pairStoreDir(path))),
+      s"no pair-evidence store at $path — fold batches through foldBatch " +
+        "(which persists it) or pass the evidence to retractBatch directly")
+    retractCore(spark, path, removedIds, idCol, (members, removed) => {
+      // ≤ PairBuckets distinct values; the aggregate is distributed and
+      // only the bucket list reaches the driver
+      val buckets = members
+        .select(pmod(col("id"), lit(PairBuckets)).cast("int").as("b"))
+        .union(removed.select(pmod(col("id"), lit(PairBuckets)).cast("int").as("b")))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      spark.read.parquet(pairStoreDir(path))
+        .where(col("__cb").isin(buckets: _*))
+        .select(col("src").as("s"), col("dst").as("d"))
+    }, maxIter)
+  }
+
+  /** Shared retraction core: `evidence(members, removed)` supplies the
+    * pair rows as canonical long (s, d) — either caller-retained or the
+    * pruned store read.
+    */
+  private def retractCore(spark: SparkSession, path: String, removedIds: DataFrame,
+                          idCol: String,
+                          evidence: (DataFrame, DataFrame) => DataFrame,
+                          maxIter: Int): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val asg = assignment(spark, path)
@@ -259,9 +341,7 @@ object Graph extends org.apache.spark.internal.Logging {
       .select(col("id")).localCheckpoint(true)
     // pair evidence restricted to surviving affected members (drops
     // pairs touching removed docs AND pairs outside the affected set)
-    val e = pairs
-      .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
-      .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
+    val e = evidence(members, removed)
       .join(members.select(col("id").as("s")), Seq("s"), "left_semi")
       .join(members.select(col("id").as("d")), Seq("d"), "left_semi")
     val reclosed = connectedComponents(e, "s", "d", maxIter)

@@ -410,9 +410,9 @@ object Ingest {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.ops.Graph.foldBatch(batch.sparkSession, assignmentPath, batch,
-          aCol, bCol, maxIter)
+          aCol, bCol, maxIter, batchId = id)
       }
       .start()
 

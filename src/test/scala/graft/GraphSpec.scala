@@ -272,6 +272,45 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("retractBatchStored prunes the persisted pair store and equals the evidence path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = freshDir()
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 20L), (100L, 200L))
+    // two folds — the store must accumulate evidence across batches
+    Graph.foldBatch(spark, path, es.take(3).toDF("a", "b"), "a", "b", batchId = 0L)
+    Graph.foldBatch(spark, path, es.drop(3).toDF("a", "b"), "a", "b", batchId = 1L)
+    // twin retraction with caller-retained evidence — the equality law
+    val twin = freshDir()
+    Graph.foldBatch(spark, twin, es.toDF("a", "b"), "a", "b")
+    Graph.retractBatch(spark, twin, Seq(3L).toDF("id"), "id",
+      es.toDF("a", "b"), "a", "b")
+    Graph.retractBatchStored(spark, path, Seq(3L).toDF("id"), "id")
+    assert(readAssignment(path) === readAssignment(twin))
+    assert(readAssignment(path) === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 20L -> 10L, 100L -> 100L, 200L -> 100L))
+    // replay republishes identical content off the same store
+    Graph.retractBatchStored(spark, path, Seq(3L).toDF("id"), "id")
+    assert(readAssignment(path) === readAssignment(twin))
+    // the store read is a REAL partition prune: affected buckets are
+    // {1,2,3,4,5} mod 64, while the store also holds buckets for the
+    // untouched components (10, 100 — dst of their canonical pairs), so
+    // the scan's PartitionFilters skip real directories
+    val buckets = Seq(1, 2, 3, 4, 5).map(_ % Graph.PairBuckets.toInt).distinct
+    val store = spark.read.parquet(s"$path/pairs")
+    val pruned = store.where(col("__cb").isin(buckets: _*))
+    val planLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(planLine.contains("__cb"),
+      s"expected __cb inside the scan's PartitionFilters, got: $planLine")
+    val allBuckets = store.select(col("__cb")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert((allBuckets -- buckets.toSet).nonEmpty,
+      "the store must hold buckets outside the prune set for the test to bite")
+    assert(pruned.select(col("__cb")).distinct().collect().map(_.getInt(0)).toSet
+      === allBuckets.intersect(buckets.toSet))
+  }
+
   test("assignment() before any fold refuses loudly; edgeless folds skip") {
     import spark.implicits._
     val path = freshDir()
