@@ -320,6 +320,38 @@ object LlmQueries {
          |FROM hd JOIN fi USING (h) GROUP BY hd.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** K2 LSH retraction oracle — vs-index pairs with the tombstoned
+    * corpus docs gone (shared by `k2_retract_neardup`,
+    * `k2_streaming_retract`, and the k21 delete-turn union).
+    */
+  private def k2RetractOracle: String =
+    tokCte + lshScoredCtes("WHERE doc_id < 400") +
+      """
+        |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
+        |WHERE id_a < 400 AND id_b >= 400 AND id_a % 7 <> 3
+        |ORDER BY new_id, corpus_id""".stripMargin
+
+  /** K13 retraction oracle — the from-scratch closure over the SURVIVING
+    * pair set (shared by `k13_retract` and the k21 delete-turn union).
+    */
+  private def k13RetractOracle: String = recTokCte + jaccardPairCtes(0.1) +
+    """, rm AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 3),
+      |spr AS MATERIALIZED (SELECT id_a, id_b FROM pr
+      |  WHERE id_a NOT IN (SELECT id FROM rm)
+      |    AND id_b NOT IN (SELECT id FROM rm)),
+      |e AS (SELECT id_a AS s, id_b AS d FROM spr
+      |      UNION ALL SELECT id_b, id_a FROM spr),
+      |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
+      |  UNION
+      |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d),
+      |cc AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+      |nodes AS (SELECT DISTINCT id FROM
+      |  (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)
+      |  WHERE id NOT IN (SELECT id FROM rm))
+      |SELECT n.id, COALESCE(cc.component, n.id) AS component
+      |FROM nodes n LEFT JOIN cc ON cc.id = n.id
+      |ORDER BY n.id""".stripMargin
+
   /** K21 composed-ingest oracle — the three stage oracles chained in ONE
     * SQL: the NB gate tree (nbOracle's formulas, train < 400 / score
     * 400..500, keep 'en'), the LSH scored-pair chain over the GATED docs
@@ -933,6 +965,100 @@ object LlmQueries {
         .join(graft.llm.TextAnalysis.noveltyScoresIndexed(s, nov)
           .withColumnRenamed("doc_id", "doc"), Seq("doc"), "left")
         .orderBy(col("doc"))
+    }),
+
+    // K21 — the COMPOSED DELETE TURN (round 13, ▶ hash-matched): the
+    // mirror of the intake pipeline. Build every stateful family over
+    // the corpus (LSH index, BM25, LM, NB, the K13 assignment + pair
+    // store, the novelty index, the admitted corpus), then stream the
+    // removal feed (docs' before-images, the CDC op='d' shape) in TWO
+    // micro-batches through foreachBatchRetractPipeline — ONE turn
+    // fanning each batch to all seven retraction entry points. The
+    // published frame is the UNION of every family's survivor surface,
+    // normalized to (family, doc, m1, m2, m3), and hash-matches the
+    // union of the per-family survivor-corpus oracles — proving no
+    // family was missed AND that batch splits are invisible (the
+    // streamed union equals the single-shot retraction).
+    "k21_retract_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val lsh = freshScratchDir("graft-k21r-lsh")
+      val bm = freshScratchDir("graft-k21r-bm25")
+      val lm = freshScratchDir("graft-k21r-lm")
+      val nb = freshScratchDir("graft-k21r-nb")
+      val gph = freshScratchDir("graft-k21r-gph")
+      val nov = freshScratchDir("graft-k21r-nov")
+      val adm = freshScratchDir("graft-k21r-adm") + "/t"
+      val ckpt = freshScratchDir("graft-k21r-ckpt")
+      Dedup.minhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
+        lsh, shingleN = 3, k = 8, bands = 4)
+      graft.llm.Search.bm25IndexWrite(docs, "text", "doc_id", bm, nBuckets = 16)
+      graft.llm.LanguageModel.lmWrite(docs, "text", "doc_id", lm)
+      graft.llm.Classifier.nbWrite(docs, "text", "lang", nb)
+      graft.ops.Graph.foldBatch(s, gph,
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.1)
+          .select(col("id_a").cast("long"), col("id_b").cast("long")),
+        "id_a", "id_b", batchId = 0L)
+      graft.llm.TextAnalysis.noveltyIndexWrite(docs, "text", "doc_id", nov)
+      docs.select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("__batch", lit(0L))
+        .write.mode("overwrite").partitionBy("__batch").parquet(adm)
+      val targets = graft.streaming.Ingest.RetractTargets(
+        lshIndexPath = Some(lsh), bm25IndexPath = Some(bm),
+        lmModelPath = Some(lm), nbModelPath = Some(nb),
+        graphPath = Some(gph), noveltyPath = Some(nov), corpusDir = Some(adm))
+      val rm = docs.where(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchRetractPipeline(
+          src.toDS().toDF("doc_id", "lang", "text"), targets, ckpt,
+          "text", "doc_id", labelCol = "lang")
+        q.awaitTermination()
+      }
+      val cut = rm(rm.length / 2)._1
+      src.addData(rm.filter(_._1 < cut).toSeq); drain()
+      src.addData(rm.filter(_._1 >= cut).toSeq); drain()
+      // the union read: one normalized survivor row set per family
+      val surv = docs.where(col("doc_id") % 7 =!= 3)
+      val corpusF = graft.streaming.Ingest.admitted(s, adm)
+        .select(lit("corpus").as("family"), col("doc_id").as("doc"),
+          lit(0.0).as("m1"), lit(0.0).as("m2"), lit("").as("m3"))
+      val k13F = graft.ops.Graph.assignment(s, gph)
+        .select(lit("k13").as("family"), col("id").as("doc"),
+          col("component").cast("double").as("m1"), lit(0.0).as("m2"),
+          lit("").as("m3"))
+      val k14F = graft.llm.LanguageModel.lmScoreIndexed(s, lm, surv, "text", "doc_id")
+        .select(lit("k14").as("family"), col("doc"),
+          col("n_bigrams").cast("double").as("m1"),
+          col("sum_logprob").as("m2"), lit("").as("m3"))
+      val k15F = graft.llm.Classifier.nbClassifyIndexed(s, nb, surv, "text", "doc_id")
+        .select(lit("k15").as("family"), col("doc"),
+          col("n_tokens").cast("double").as("m1"), col("score").as("m2"),
+          col("predicted").as("m3"))
+      val k17F = graft.llm.TextAnalysis.noveltyScoresIndexed(s, nov)
+        .select(lit("k17").as("family"), col("doc_id").as("doc"),
+          col("n_grams").cast("double").as("m1"), col("novelty").as("m2"),
+          col("n_novel").cast("string").as("m3"))
+      val w = Window.orderBy(col("bm25").desc, col("doc"))
+      val k7F = graft.llm.Search.bm25Indexed(s, bm, query = Seq("spark", "join", "vector"))
+        .orderBy(col("bm25").desc, col("doc")).limit(20)
+        .withColumn("rk", row_number().over(w))
+        .select(lit("k7").as("family"), col("doc"), lit(0.0).as("m1"),
+          col("bm25").as("m2"),
+          concat(col("n_hit_terms").cast("string"), lit(":"),
+            col("rk").cast("string")).as("m3"))
+      val k2F = Dedup.minhashPairsAgainstIndex(s, lsh,
+          docs.where(col("doc_id") >= 400L), "text", "doc_id",
+          shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.0)
+        .select(lit("k2").as("family"), col("new_id").as("doc"),
+          col("corpus_id").cast("double").as("m1"), col("jaccard").as("m2"),
+          lit("").as("m3"))
+      corpusF.unionByName(k13F).unionByName(k14F).unionByName(k15F)
+        .unionByName(k17F).unionByName(k7F).unionByName(k2F)
+        .orderBy(col("family"), col("doc"), col("m1"))
     }),
 
     // K14 — bigram-LM perplexity scoring (round 11, the CCNet quality
@@ -2667,19 +2793,11 @@ object LlmQueries {
     // retraction-at-read: identical chain (caps over the FULL
     // pre-retraction corpus — write-time caps do not reopen), the
     // tombstoned ids filtered from the scored pairs
-    "k2_retract_neardup" -> (tokCte + lshScoredCtes("WHERE doc_id < 400") +
-      """
-        |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
-        |WHERE id_a < 400 AND id_b >= 400 AND id_a % 7 <> 3
-        |ORDER BY new_id, corpus_id""".stripMargin),
+    "k2_retract_neardup" -> k2RetractOracle,
 
     // streamed retraction batches union to the same tombstone set —
     // the SAME oracle as the one-shot retraction
-    "k2_streaming_retract" -> (tokCte + lshScoredCtes("WHERE doc_id < 400") +
-      """
-        |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
-        |WHERE id_a < 400 AND id_b >= 400 AND id_a % 7 <> 3
-        |ORDER BY new_id, corpus_id""".stripMargin),
+    "k2_streaming_retract" -> k2RetractOracle,
 
     // recursive transitive closure over the same scored pairs — the
     // strongest possible oracle for distributed connected components
@@ -2930,23 +3048,7 @@ object LlmQueries {
     // (both endpoints outside the removed batch), with surviving nodes
     // of the original pair graph that lost every pair restored as their
     // own singletons — coverage = nodes(assignment) minus removed
-    "k13_retract" -> (recTokCte + jaccardPairCtes(0.1) +
-      """, rm AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 3),
-        |spr AS MATERIALIZED (SELECT id_a, id_b FROM pr
-        |  WHERE id_a NOT IN (SELECT id FROM rm)
-        |    AND id_b NOT IN (SELECT id FROM rm)),
-        |e AS (SELECT id_a AS s, id_b AS d FROM spr
-        |      UNION ALL SELECT id_b, id_a FROM spr),
-        |reach AS (SELECT DISTINCT s AS id, s AS comp FROM e
-        |  UNION
-        |  SELECT e.s, r.comp FROM e JOIN reach r ON r.id = e.d),
-        |cc AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
-        |nodes AS (SELECT DISTINCT id FROM
-        |  (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)
-        |  WHERE id NOT IN (SELECT id FROM rm))
-        |SELECT n.id, COALESCE(cc.component, n.id) AS component
-        |FROM nodes n LEFT JOIN cc ON cc.id = n.id
-        |ORDER BY n.id""".stripMargin),
+    "k13_retract" -> k13RetractOracle,
 
     "k13_dedup_resolve" -> k13ResolveOracle,
 
@@ -3065,6 +3167,42 @@ object LlmQueries {
     // the FULL intake: the same composition with the K12 admission
     // windows prefixed
     "k21_full_intake" -> k21OracleWith(admission = true),
+
+    // the composed DELETE turn: the union of every family's
+    // survivor-corpus oracle, normalized to (family, doc, m1, m2, m3) —
+    // each branch is the SAME oracle its standalone retraction query
+    // hash-matches, so a missed fan-out in any family breaks the hash
+    "k21_retract_pipeline" -> {
+      val sw = "WHERE doc_id % 7 <> 3"
+      s"""SELECT family, doc, m1, m2, m3 FROM (
+         |SELECT 'corpus' AS family, doc_id AS doc, 0.0 AS m1, 0.0 AS m2, '' AS m3
+         |FROM documents $sw
+         |UNION ALL
+         |SELECT 'k13', id, CAST(component AS DOUBLE), 0.0, '' FROM (
+         |$k13RetractOracle
+         |) AS t13
+         |UNION ALL
+         |SELECT 'k14', doc, CAST(n_bigrams AS DOUBLE), sum_logprob, '' FROM (
+         |${lmOracle("SELECT doc, n_bigrams, sum_logprob FROM sc", where = sw)}
+         |) AS t14
+         |UNION ALL
+         |SELECT 'k15', doc, CAST(n_tokens AS DOUBLE), score, predicted FROM (
+         |${nbOracle("SELECT doc, n_tokens, predicted, score FROM best", where = sw)}
+         |) AS t15
+         |UNION ALL
+         |SELECT 'k17', doc_id, CAST(n_grams AS DOUBLE), novelty, CAST(n_novel AS VARCHAR) FROM (
+         |${k17NoveltyOracle(sw)}
+         |) AS t17
+         |UNION ALL
+         |SELECT 'k7', doc, 0.0, bm25, CONCAT(n_hit_terms, ':', rk) FROM (
+         |${bm25Oracle(sw)}
+         |) AS t7
+         |UNION ALL
+         |SELECT 'k2', new_id, CAST(corpus_id AS DOUBLE), jaccard, '' FROM (
+         |$k2RetractOracle
+         |) AS t2
+         |) AS u ORDER BY family, doc, m1""".stripMargin
+    },
 
     // K17 novelty: the shared gram-hash pipeline + a gram-keyed min-id
     // aggregate — first-occurrence fractions, exact. ONE oracle, three

@@ -616,9 +616,117 @@ object Ingest {
       }
       .start()
 
-  /** The admitted corpus (layout column dropped). */
-  def admitted(spark: org.apache.spark.sql.SparkSession, admittedDir: String): DataFrame =
-    spark.read.parquet(admittedDir).drop("__batch")
+  /** Where a composed delete turn fans out — every index, model, and
+    * store a [[curateBatch]]-style intake maintains, each optional so
+    * one turn serves any pipeline shape. `corpusDir` is the admitted
+    * corpus root: its tombstones live under the underscore-prefixed
+    * `_ret/` subdir (invisible to the corpus parquet scan) and
+    * [[admitted]] applies them.
+    */
+  final case class RetractTargets(
+      lshIndexPath: Option[String] = None,
+      simhashIndexPath: Option[String] = None,
+      ivfIndexPath: Option[String] = None,
+      bm25IndexPath: Option[String] = None,
+      lmModelPath: Option[String] = None,
+      nbModelPath: Option[String] = None,
+      graphPath: Option[String] = None,
+      noveltyPath: Option[String] = None,
+      corpusDir: Option[String] = None)
+
+  private def corpusRetRoot(admittedDir: String): String = s"$admittedDir/_ret"
+
+  /** ONE COMPOSED DELETE TURN — the mirror of [[curateBatch]]: fan one
+    * batch of removed DOCUMENTS to every registered per-family
+    * retraction entry point. Before this existed, a compliance delete
+    * was seven separate calls and one missed call meant stale state;
+    * here the target list is a value, so "delete everywhere" is one
+    * statement and the set of everywheres is auditable.
+    *
+    * The batch must carry the removed docs' id + TEXT (+ label when an
+    * NB model is targeted) — the evidence rule shared by the BM25 / LM
+    * / NB / novelty retractions: additive state cannot recover a
+    * removed doc's mass from its aggregates. Id-only families (LSH,
+    * simhash, IVF, the K13 assignment, the corpus) take just the key.
+    *
+    * Each family's own retraction is atomic and replay-idempotent
+    * under the SAME `retractionId` (dynamic `__ret=`/`__batch=-(id+1)`
+    * overwrites, generation swaps), so the composed turn is
+    * at-least-once safe: a crash mid-fan-out leaves some families
+    * retracted and some not, and the replay re-runs every family —
+    * already-applied ones rewrite identical content, missed ones catch
+    * up. Per-family preconditions apply unchanged (retract a doc at
+    * most once per compaction epoch; novelty ids are monotone and > the
+    * folded watermark, so pass `retractionId >= 1` when targeting it).
+    *
+    * Cost shape at 100 TB: the input frame is checkpointed ONCE and
+    * every family reads that cache; each family's own work is
+    * O(removals) except the evidence-bounded novelty occ probe and the
+    * partition-pruned K13 pair read — nothing scans a corpus.
+    */
+  def retractEverywhere(spark: org.apache.spark.sql.SparkSession,
+                        removedDocs: DataFrame, retractionId: Long,
+                        targets: RetractTargets, textCol: String, idCol: String,
+                        labelCol: String = null, shingleN: Int = 3): Unit = {
+    require(targets.productIterator.exists(_ != None),
+      "retractEverywhere with no targets deletes nothing — register at least one path")
+    require(targets.nbModelPath.isEmpty || labelCol != null,
+      "NB model retraction needs the removed docs' labelCol")
+    val rm = removedDocs.localCheckpoint(true) // one evaluation feeds every family
+    val ids = rm.select(col(idCol))
+    targets.lshIndexPath.foreach(p =>
+      Dedup.retractFromIndex(spark, p, ids, idCol, retractionId))
+    targets.simhashIndexPath.foreach(p =>
+      Dedup.retractFromIndex(spark, p, ids, idCol, retractionId))
+    targets.ivfIndexPath.foreach(p =>
+      graft.llm.Similarity.ivfRetract(spark, p, ids, idCol, retractionId))
+    targets.bm25IndexPath.foreach(p =>
+      graft.llm.Search.bm25Retract(spark, p, rm, textCol, idCol, retractionId))
+    targets.lmModelPath.foreach(p =>
+      graft.llm.LanguageModel.lmRetractBatch(spark, p, rm, textCol, idCol, retractionId))
+    targets.nbModelPath.foreach(p =>
+      graft.llm.Classifier.nbRetractBatch(spark, p, rm, textCol, labelCol, retractionId))
+    targets.graphPath.foreach(p =>
+      graft.ops.Graph.retractBatchStored(spark, p, ids, idCol))
+    targets.noveltyPath.foreach(p =>
+      graft.llm.TextAnalysis.noveltyRetract(spark, p, rm, textCol, idCol,
+        retractionId, n = shingleN))
+    targets.corpusDir.foreach(p =>
+      graft.ops.Tombstones.write(spark, corpusRetRoot(p), ids, idCol, retractionId))
+  }
+
+  /** Attach [[retractEverywhere]] to a stream of removed documents —
+    * the delete mirror of [[foreachBatchCuratePipeline]] (the natural
+    * upstream is a CDC delete feed carrying the deleted rows' before
+    * images — `Envelope` op='d'). retractionId = stream batch id + 1
+    * (novelty retraction ids start at 1), so an at-least-once replay
+    * rewrites every family identically, and batch splits are invisible:
+    * two streamed removal batches equal the single-shot retraction of
+    * their union (pinned by the ▶ contract query).
+    */
+  def foreachBatchRetractPipeline(removedDocs: DataFrame, targets: RetractTargets,
+                                  checkpointDir: String, textCol: String,
+                                  idCol: String, labelCol: String = null,
+                                  shingleN: Int = 3,
+                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    removedDocs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        retractEverywhere(batch.sparkSession, batch, retractionId = id + 1,
+          targets, textCol, idCol, labelCol, shingleN)
+      }
+      .start()
+
+  /** The admitted corpus (layout column dropped, tombstoned docs — a
+    * [[retractEverywhere]] with a `corpusDir` target — filtered out).
+    */
+  def admitted(spark: org.apache.spark.sql.SparkSession, admittedDir: String,
+               idCol: String = "doc_id"): DataFrame =
+    graft.ops.Tombstones.drop(
+      spark.read.parquet(admittedDir).drop("__batch"),
+      graft.ops.Tombstones.set(spark, corpusRetRoot(admittedDir)), idCol)
 
   /** Streaming benchmark decontamination — the production shape of K10:
     * "scrub today's crawl" at ingest time, instead of decontaminating the
