@@ -1774,6 +1774,34 @@ object LlmQueries {
       Quantization.pqDriftStats(s, path, flagRatio = 2.0)
     }),
 
+    // K4 — PQ MAINTENANCE (round 13, rows-only: float class): the drift
+    // signal finally CONSUMED — same drifted-append scenario as
+    // k4_pq_drift, then pqMaintain retrains the codebooks + re-encodes
+    // and re-anchors the baseline. Published frame: the post-maintain
+    // drift stats with the action taken; PqDriftSpec pins the
+    // threshold gate, the no-op path, and state idempotence.
+    "k4_pq_maintain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = freshScratchDir("graft-pqmaint")
+      val s80 = e.agg((max(col("vec_id")) * lit(0.8)).cast("long")).head().getLong(0)
+      val s90 = e.agg((max(col("vec_id")) * lit(0.9)).cast("long")).head().getLong(0)
+      Similarity.ivfWriteIndex(
+        e.where(col("vec_id") < s80)
+          .select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", "id", nCells = 8, lloydRounds = 1, path = path)
+      Quantization.ivfPqWriteCodes(s, path, m = 8, k = 16)
+      Similarity.ivfAppendBatch(s, path,
+        e.where(col("vec_id") >= s90)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x + lit(4.0f)).as("embedding")),
+        "embedding", "vec_id", batchId = 1L)
+      Quantization.ivfPqAppendCodes(s, path, batchId = 1L)
+      val action = Quantization.pqMaintain(s, path, flagRatio = 2.0)
+      Quantization.pqDriftStats(s, path, flagRatio = 2.0)
+        .withColumn("action", lit(action))
+        .orderBy(col("__batch"))
+    }),
+
     // K11/K4 — SemDeDup over a persisted IVF index: within-cell cosine
     // pairs from the write-once partitionBy(cell) layout — the amortized
     // dedup shape (no re-clustering per pass). Rows-only (float-centroid

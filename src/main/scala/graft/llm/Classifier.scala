@@ -278,6 +278,18 @@ object Classifier {
                         textCol: String, idCol: String): DataFrame =
     nbClassify(docs, nbModel(spark, path), textCol, idCol)
 
+  /** [[nbClassifyIndexed]] over a PRE-TOKENIZED (doc, word) occurrence
+    * frame — the `curateBatch` shared-pass hook: when the caller has
+    * already tokenized the batch for another stage (the shingle
+    * projection), the gate must not tokenize it again. Scoring goes
+    * through the ONE shared tree, so the result is row-identical to
+    * the textCol path.
+    */
+  def nbClassifyOccurrences(spark: SparkSession, path: String,
+                            occ: DataFrame): DataFrame =
+    pickBest(scoreOccurrences(occ.select(col("doc"), col("word")),
+      nbModel(spark, path), TextAnalysis.DfreqBroadcastMaxVocab))
+
   /** Fold the accumulated `__batch` fragments into one summed
     * `__batch=0` — crash-atomic via the shared [[graft.ops.Generations]]
     * swap; scores are invariant (the sum of per-batch counts is the

@@ -268,11 +268,22 @@ object Dedup {
   private[graft] def shingleHashProjection(df: DataFrame, textCol: String, idCol: String,
                                            shingleN: Int): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(parallelism, col("id"))
-      .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
-      .select(col("id"), array_distinct(shingleHashes(ngrams(col("__toks"), shingleN))).as("hs"))
+    shingleHashProjectionFromTokens(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(parallelism, col("id"))
+        .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks")),
+      shingleN)
   }
+
+  /** [[shingleHashProjection]] from a PRE-TOKENIZED (id, __toks) frame —
+    * the `curateBatch` shared-pass hook (one tokenization feeds the NB
+    * gate AND this projection). Same expressions, so `hs` is
+    * bit-identical to the textCol path.
+    */
+  private[graft] def shingleHashProjectionFromTokens(toks: DataFrame,
+                                                     shingleN: Int): DataFrame =
+    toks.select(col("id"),
+      array_distinct(shingleHashes(ngrams(col("__toks"), shingleN))).as("hs"))
 
   /** (id, band, key) LSH bucket rows for a (id, hs) frame — a pure MAP
     * over the cached projection, zero shuffle.

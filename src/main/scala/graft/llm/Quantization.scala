@@ -486,6 +486,29 @@ object Quantization {
       .orderBy(col("__batch"))
   }
 
+  /** The ONE codebook maintenance policy — the PQ twin of
+    * [[Similarity.ivfMaintain]]: consume the [[pqDriftStats]] staleness
+    * signal and ACT on it (round 12 built the signal; nothing consumed
+    * it). Any batch at or past `flagRatio` → RETRAIN:
+    * [[ivfPqWriteCodes]] with the recorded (m, k) — codebooks retrained
+    * on the hash-ordered bounded sample of EVERYTHING live, the corpus
+    * re-encoded in one map-only pass, the drift baseline re-anchored;
+    * no flag → no-op. Crash safety rides ivfPqWriteCodes' commit-point
+    * ordering (codes first, the model sidecar with its batch list
+    * LAST): a crash mid-retrain reads as the loud stale refusal and a
+    * replay heals. Training is deterministic, so a replayed retrain is
+    * byte-identical — the maintenance turn is state-idempotent.
+    * Returns "retrain" or "none" (the ivfMaintain reporting shape).
+    */
+  def pqMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+                 flagRatio: Double = 2.0): String = {
+    val (model, _) = pqLoadModel(spark, path)
+    val drifted = pqDriftStats(spark, path, flagRatio)
+      .where(col("drifted")).count() > 0L
+    if (drifted) { ivfPqWriteCodes(spark, path, model.m, model.k); "retrain" }
+    else "none"
+  }
+
   /** Load the persisted PQ model and the `__batch` set it encoded. */
   def pqLoadModel(spark: org.apache.spark.sql.SparkSession,
                   path: String): (PqModel, Seq[Long]) = {

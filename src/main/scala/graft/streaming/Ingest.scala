@@ -497,19 +497,39 @@ object Ingest {
       else graft.llm.Mixing.mixGateAdmit(spark, mixStatePath, batch,
         textCol, idCol, sourceCol, batchId, tokenBudget, sourceCap)
         .drop("n_tokens") // the gate's own n_tokens audit column follows
+    // THE shared tokenize pass (round 13): ONE tokens(normalizeText())
+    // over the intake feeds the NB gate's occurrence frame AND the
+    // shingle projection — before this, the gate re-tokenized the batch
+    // the projection had already tokenized (the k21 verdict's remaining
+    // shared-pass win). Cached once; identical expressions keep both
+    // consumers bit-identical to their standalone paths.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val toks = intake
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism, col("id"))
+      .select(col("id"),
+        graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.normalizeText(col("__text"))).as("__toks"))
+      .persist()
+    toks.count()
     // stage 1 — quality gate against the frozen model; the gated frame
     // (with its audit columns) feeds every later stage, so cache it
     val scored = graft.llm.Classifier
-      .nbClassifyIndexed(spark, modelPath, intake, textCol, idCol)
+      .nbClassifyOccurrences(spark, modelPath,
+        toks.select(col("id").as("doc"), explode(col("__toks")).as("word")))
       .where(col("predicted").isin(keepLabels: _*))
       .withColumnRenamed("doc", "__doc")
     val gated = intake.join(scored, intake(idCol) === scored("__doc"), "inner")
       .drop("__doc").persist()
     gated.count()
-    // THE shared pass: one shingle-hash projection for dedup + novelty
-    val proj = Dedup.shingleHashProjection(gated, textCol, idCol, shingleN)
+    // the shingle projection rides the SAME token cache, restricted to
+    // the gate's survivors
+    val proj = Dedup.shingleHashProjectionFromTokens(
+        toks.join(gated.select(col(idCol).cast(toks.schema("id").dataType).as("id")),
+          Seq("id"), "left_semi"), shingleN)
       .persist()
     proj.count()
+    toks.unpersist(false)
     try {
       // stage 2 — near-dedup vs index + intra-batch; survivors append
       // to the LSH index inside the call

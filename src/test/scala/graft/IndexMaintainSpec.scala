@@ -90,6 +90,51 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cast"))
   }
 
+  test("IVF re-ingest of a retracted id is visible ONLY after compaction (delete-side id rule)") {
+    import spark.implicits._
+    val path = tmp("graft-ivf-reingest")
+    val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    llm.Similarity.ivfWriteIndex(e, "v", "id", nCells = 8, lloydRounds = 1,
+      path = path)
+    val removed = e.where(col("id") % 5 === 2)
+    val removedIds = removed.select(col("id")).as[Long].collect().toSet
+    val queries = e.where(col("id") < 10L)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    def neigh(): Set[Long] =
+      llm.Similarity.ivfKnnPruned(spark, path, queries, "qv", "qid",
+          k = 5, nProbe = 8)
+        .select(col("neighbor_id")).as[Long].collect().toSet
+    llm.Similarity.ivfRetract(spark, path, removed.select(col("id")), "id", 0L)
+    // HAZARD pinned: re-appending the tombstoned ids BEFORE compaction —
+    // the id-keyed tombstone hides the fresh rows from every read, and
+    // the next compaction physically deletes them (the scaladoc
+    // precondition's exact failure mode)
+    llm.Similarity.ivfAppendBatch(spark, path, removed, "v", "id", batchId = 1L)
+    assert(neigh().intersect(removedIds).isEmpty,
+      "pre-compaction re-ingest must stay invisible behind the tombstone")
+    llm.Similarity.ivfCompact(spark, path)
+    assert(neigh().intersect(removedIds).isEmpty,
+      "…and the compaction deletes the re-added rows with the tombstone")
+    assert(llm.Similarity.ivfRemovedSet(spark, path).isEmpty)
+    // SAFE path: re-ingest AFTER the compaction epoch that absorbed the
+    // retraction — the id is a fresh doc again and full-probe reads
+    // equal brute force over the complete corpus
+    llm.Similarity.ivfAppendBatch(spark, path, removed, "v", "id", batchId = 2L)
+    val brute = llm.Similarity.bruteForceKnn(corpus = e,
+        queries = e.where(col("id") < 10L), vecCol = "v", idCol = "id", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val full = llm.Similarity.ivfKnnPruned(spark, path, queries, "qv", "qid",
+        k = 5, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(full === brute,
+      "post-compaction re-ingest must read as a corpus the id never left")
+  }
+
   test("simhash indexMaintain: compacts past the bound, no-op inside it") {
     val path = tmp("graft-maint-sim")
     llm.Dedup.simhashIndexWrite(docs.where(col("doc_id") < 30L), "text", "doc_id",

@@ -57,6 +57,49 @@ class PqDriftSpec extends AnyFunSuite {
       === Array(0L, 1L, 2L))
   }
 
+  test("pqMaintain: retrains past the flag, no-ops inside it, state-idempotent") {
+    val path = tmp("graft-pqmaint-spec")
+    val e = emb
+    val s80 = e.agg((max(col("vec_id")) * lit(0.8)).cast("long")).head().getLong(0)
+    val s90 = e.agg((max(col("vec_id")) * lit(0.9)).cast("long")).head().getLong(0)
+    llm.Similarity.ivfWriteIndex(
+      e.where(col("vec_id") < s80)
+        .select(col("vec_id").as("id"), col("embedding").as("v")),
+      "v", "id", nCells = 4, lloydRounds = 1, path = path)
+    llm.Quantization.ivfPqWriteCodes(spark, path, m = 8, k = 16)
+    // in-distribution append: the signal stays quiet, maintain no-ops
+    llm.Similarity.ivfAppendBatch(spark, path,
+      e.where(col("vec_id") >= s80 && col("vec_id") < s90)
+        .select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", batchId = 1L)
+    llm.Quantization.ivfPqAppendCodes(spark, path, batchId = 1L)
+    assert(llm.Quantization.pqMaintain(spark, path) === "none",
+      "an unflagged sidecar must not trigger a retrain")
+    // shifted append: flagged → maintain retrains + re-encodes
+    llm.Similarity.ivfAppendBatch(spark, path,
+      e.where(col("vec_id") >= s90)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(4.0f)).as("embedding")),
+      "embedding", "vec_id", batchId = 2L)
+    llm.Quantization.ivfPqAppendCodes(spark, path, batchId = 2L)
+    assert(llm.Quantization.pqMaintain(spark, path) === "retrain")
+    // the retrain re-anchored the baseline over every live batch and
+    // the composed read serves with no stale refusal
+    val stats = llm.Quantization.pqDriftStats(spark, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    assert(stats.map(_._1) === Set(0L, 1L, 2L))
+    val queries = e.where(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    assert(llm.Quantization.ivfPqKnn(spark, path, queries, "qv", "qid",
+      kNN = 3, nProbe = 4, shortlist = 30).count() > 0)
+    // state idempotence: whatever a second turn decides, deterministic
+    // training makes the resulting sidecar identical
+    llm.Quantization.pqMaintain(spark, path)
+    val stats2 = llm.Quantization.pqDriftStats(spark, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    assert(stats2 === stats, "a replayed maintenance turn must be state-idempotent")
+  }
+
   test("a pre-drift code table refuses loudly") {
     val path = tmp("graft-pqdrift-refuse")
     intercept[IllegalArgumentException] {

@@ -94,6 +94,39 @@ class SearchSpec extends AnyFunSuite {
       "retracted docs must be physically gone from the folded postings")
   }
 
+  test("re-ingest of a retracted id is safe ONLY after compaction (delete-side id rule)") {
+    val removedDocs = docs.where(col("doc_id") % 7 === 3)
+    val fullScores = scores(llm.TextAnalysis.bm25(docs, "text", "doc_id", Q))
+    val survivorScores = scores(llm.TextAnalysis.bm25(
+      docs.where(col("doc_id") % 7 =!= 3), "text", "doc_id", Q))
+    // HAZARD pinned: re-adding a tombstoned id BEFORE the compaction —
+    // the id-keyed tombstone filters the fresh postings at read while
+    // the appended stats row counts the doc, so the index serves scores
+    // that match NEITHER a full corpus NOR the survivors. This is the
+    // drift the scaladoc precondition forbids.
+    val hazard = tmp("graft-bm25-reingest-hazard")
+    llm.Search.bm25IndexWrite(docs, "text", "doc_id", hazard, nBuckets = 8)
+    llm.Search.bm25Retract(spark, hazard, removedDocs, "text", "doc_id", 0L)
+    llm.Search.bm25AppendBatch(spark, hazard, removedDocs, "text", "doc_id",
+      batchId = 1L)
+    val drifted = scores(llm.Search.bm25Indexed(spark, hazard, Q))
+    assert(drifted !== fullScores,
+      "pre-compaction re-ingest must NOT read as a clean re-add")
+    assert(drifted !== survivorScores,
+      "…and the appended stats already skew the survivor scores")
+    // SAFE path: the compaction absorbs the tombstone first; the same
+    // id then re-ingests as a fresh doc and the index equals a corpus
+    // the doc never left
+    val safe = tmp("graft-bm25-reingest-safe")
+    llm.Search.bm25IndexWrite(docs, "text", "doc_id", safe, nBuckets = 8)
+    llm.Search.bm25Retract(spark, safe, removedDocs, "text", "doc_id", 0L)
+    llm.Search.bm25Compact(spark, safe)
+    llm.Search.bm25AppendBatch(spark, safe, removedDocs, "text", "doc_id",
+      batchId = 1L)
+    assert(scores(llm.Search.bm25Indexed(spark, safe, Q)) === fullScores,
+      "post-compaction re-ingest must be score-identical to the full corpus")
+  }
+
   test("crash window between postings and stats writes: reads refuse, replay heals") {
     val path = tmp("graft-bm25-spec-crash")
     val split = docs.agg((max(col("doc_id")) * lit(0.7)).cast("long")).head().getLong(0)
