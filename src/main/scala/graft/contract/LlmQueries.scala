@@ -290,6 +290,68 @@ object LlmQueries {
          |    ORDER BY score DESC, label DESC) AS rn FROM sc) WHERE rn = 1)
          |$tail""".stripMargin
 
+  /** K19 dataset-card oracle — shared by the one-shot card and the
+    * round-13 incremental fold.
+    */
+  private def k19CardOracle: String = {
+    val P = graft.functions.TextFunctions.MinhashP
+    s"""WITH tk AS (SELECT doc_id, lang, source,
+       |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm,
+         |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+         |              x -> len(x) > 0) AS t
+         |  FROM documents),
+         |q AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS nt,
+         |  CAST(ROUND(
+         |    least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
+         |    + CASE WHEN length(nrm) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(nrm, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+         |                / CAST(length(nrm) AS DOUBLE) END * 0.4
+         |    + least(CAST(len(list_filter(t,
+         |        x -> list_contains(['the','and','of','to','is','le','la','les','et','est',
+         |                            'el','los','las','es','y','der','die','das','und','ist',
+         |                            '的','是','了','在','我'], x))) AS DOUBLE) / 3.0, 1.0) * 0.2
+         |  , 6) AS DECIMAL(28,6)) AS q
+         |  FROM tk),
+         |st AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |       ROUND(CAST(SUM(q) AS DOUBLE), 6) AS sum_quality FROM q GROUP BY source),
+         |hs AS (SELECT source, md5(nrm) AS h FROM tk),
+         |dh AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 1),
+         |dp AS (SELECT hs.source, COUNT(*) AS n_dup FROM hs JOIN dh USING (h)
+         |       GROUP BY hs.source),
+         |gr AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN []
+         |       ELSE list_transform(range(0, len(t) - 2),
+         |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+         |  FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
+         |hm AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
+         |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+         |  FROM sh),
+         |hd AS (SELECT DISTINCT doc_id, h FROM hm),
+         |fi AS (SELECT h, MIN(doc_id) AS first_doc FROM hd GROUP BY h),
+         |nv AS (SELECT hd.doc_id,
+         |  ROUND(CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / COUNT(*), 6) AS novelty
+         |  FROM hd JOIN fi USING (h) GROUP BY hd.doc_id),
+         |nvs AS (SELECT tk.source, COUNT(*) AS n_scored,
+         |        ROUND(CAST(SUM(CAST(nv.novelty AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_novelty
+         |        FROM nv JOIN tk ON tk.doc_id = nv.doc_id GROUP BY tk.source),
+         |lc AS (SELECT source, lang, COUNT(*) AS n FROM tk GROUP BY source, lang),
+         |lt AS (SELECT source, SUM(n) AS tot FROM lc GROUP BY source),
+         |en AS (SELECT lc.source,
+         |       ROUND(CAST(SUM(CAST(ROUND(-((CAST(lc.n AS DOUBLE) / CAST(lt.tot AS DOUBLE))
+         |         * ln(CAST(lc.n AS DOUBLE) / CAST(lt.tot AS DOUBLE))), 6) AS DECIMAL(28,6)))
+         |         AS DOUBLE), 6) AS lang_entropy
+         |       FROM lc JOIN lt USING (source) GROUP BY lc.source)
+         |SELECT st.source, st.n_docs, st.n_tokens, st.sum_quality,
+         |  COALESCE(dp.n_dup, 0) AS n_dup, COALESCE(nvs.n_scored, 0) AS n_scored,
+         |  COALESCE(nvs.sum_novelty, 0.0) AS sum_novelty, en.lang_entropy
+         |FROM st LEFT JOIN dp USING (source) LEFT JOIN nvs USING (source)
+         |JOIN en USING (source) ORDER BY source""".stripMargin
+  }
+
   /** K17 corpus-novelty oracle — the shared gram-hash pipeline + a
     * gram-keyed min-id aggregate; `where` restricts the corpus (the
     * streaming twin stops at doc_id < 500, like every ▶ twin).
@@ -1432,6 +1494,34 @@ object LlmQueries {
       TextAnalysis.datasetCard(t(s, dir, "documents"),
           "text", "source", "lang", "doc_id")
         .orderBy(col("source"))
+    }),
+
+    // K19 — INCREMENTAL dataset card (round 13): each intake batch
+    // folds compact per-source sidecars (counts, unrounded decimal
+    // quality/novelty partials, content-hash dup evidence, lang
+    // counts); the card then assembles from sidecars alone — no
+    // full-corpus recompute. The novelty partials ride the persisted
+    // novelty index (per-doc scores are final at append time under
+    // monotone ids). Hash-matches the SAME oracle as the one-shot card
+    // over the union of the three batches.
+    "k19_card_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nov = freshScratchDir("graft-k19i-nov")
+      val card = freshScratchDir("graft-k19i-card")
+      def slice(lo: Long, hi: Long) =
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+      TextAnalysis.noveltyIndexWrite(slice(0L, 400L), "text", "doc_id", nov)
+      TextAnalysis.cardAccumulate(s, card, slice(0L, 400L), "text", "source",
+        "lang", "doc_id", batchId = 0L, noveltyPath = nov)
+      TextAnalysis.noveltyAppendBatch(s, nov, slice(400L, 450L),
+        "text", "doc_id", batchId = 1L)
+      TextAnalysis.cardAccumulate(s, card, slice(400L, 450L), "text", "source",
+        "lang", "doc_id", batchId = 1L, noveltyPath = nov)
+      TextAnalysis.noveltyAppendBatch(s, nov, slice(450L, Long.MaxValue),
+        "text", "doc_id", batchId = 2L)
+      TextAnalysis.cardAccumulate(s, card, slice(450L, Long.MaxValue), "text",
+        "source", "lang", "doc_id", batchId = 2L, noveltyPath = nov)
+      TextAnalysis.cardIndexed(s, card).orderBy(col("source"))
     }),
 
     // K18 — tokenizer-style vocabulary build (round 11): the 1000 most
@@ -3245,64 +3335,12 @@ object LlmQueries {
     // K19 dataset card: four operator oracles composed per source —
     // quality (k8's formula per doc), exact-dup hashes (k1's md5),
     // novelty (k17's chain), lang entropy; sums decimal, counts exact
-    "k19_dataset_card" -> {
-      val P = graft.functions.TextFunctions.MinhashP
-      s"""WITH tk AS (SELECT doc_id, lang, source,
-         |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm,
-         |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
-         |              x -> len(x) > 0) AS t
-         |  FROM documents),
-         |q AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS nt,
-         |  CAST(ROUND(
-         |    least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
-         |    + CASE WHEN length(nrm) = 0 THEN 0.0
-         |           ELSE CAST(length(regexp_replace(nrm, '[^\\p{L}]', '', 'g')) AS DOUBLE)
-         |                / CAST(length(nrm) AS DOUBLE) END * 0.4
-         |    + least(CAST(len(list_filter(t,
-         |        x -> list_contains(['the','and','of','to','is','le','la','les','et','est',
-         |                            'el','los','las','es','y','der','die','das','und','ist',
-         |                            '的','是','了','在','我'], x))) AS DOUBLE) / 3.0, 1.0) * 0.2
-         |  , 6) AS DECIMAL(28,6)) AS q
-         |  FROM tk),
-         |st AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
-         |       ROUND(CAST(SUM(q) AS DOUBLE), 6) AS sum_quality FROM q GROUP BY source),
-         |hs AS (SELECT source, md5(nrm) AS h FROM tk),
-         |dh AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 1),
-         |dp AS (SELECT hs.source, COUNT(*) AS n_dup FROM hs JOIN dh USING (h)
-         |       GROUP BY hs.source),
-         |gr AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 3 THEN []
-         |       ELSE list_transform(range(0, len(t) - 2),
-         |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
-         |  FROM tk),
-         |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
-         |hm AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(1, 9),
-         |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
-         |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
-         |  FROM sh),
-         |hd AS (SELECT DISTINCT doc_id, h FROM hm),
-         |fi AS (SELECT h, MIN(doc_id) AS first_doc FROM hd GROUP BY h),
-         |nv AS (SELECT hd.doc_id,
-         |  ROUND(CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-         |        / COUNT(*), 6) AS novelty
-         |  FROM hd JOIN fi USING (h) GROUP BY hd.doc_id),
-         |nvs AS (SELECT tk.source, COUNT(*) AS n_scored,
-         |        ROUND(CAST(SUM(CAST(nv.novelty AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_novelty
-         |        FROM nv JOIN tk ON tk.doc_id = nv.doc_id GROUP BY tk.source),
-         |lc AS (SELECT source, lang, COUNT(*) AS n FROM tk GROUP BY source, lang),
-         |lt AS (SELECT source, SUM(n) AS tot FROM lc GROUP BY source),
-         |en AS (SELECT lc.source,
-         |       ROUND(CAST(SUM(CAST(ROUND(-((CAST(lc.n AS DOUBLE) / CAST(lt.tot AS DOUBLE))
-         |         * ln(CAST(lc.n AS DOUBLE) / CAST(lt.tot AS DOUBLE))), 6) AS DECIMAL(28,6)))
-         |         AS DOUBLE), 6) AS lang_entropy
-         |       FROM lc JOIN lt USING (source) GROUP BY lc.source)
-         |SELECT st.source, st.n_docs, st.n_tokens, st.sum_quality,
-         |  COALESCE(dp.n_dup, 0) AS n_dup, COALESCE(nvs.n_scored, 0) AS n_scored,
-         |  COALESCE(nvs.sum_novelty, 0.0) AS sum_novelty, en.lang_entropy
-         |FROM st LEFT JOIN dp USING (source) LEFT JOIN nvs USING (source)
-         |JOIN en USING (source) ORDER BY source""".stripMargin
-    },
+    "k19_dataset_card" -> k19CardOracle,
+
+    // the incrementally-folded card must equal the one-shot card over
+    // the union of its batches — the SAME oracle
+    "k19_card_incremental" -> k19CardOracle,
+
 
     // K18 vocab: frequency-ranked top-1000, deterministic (cnt desc,
     // word) tie-break

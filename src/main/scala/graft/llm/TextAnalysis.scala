@@ -479,6 +479,106 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------- //
+  // K19 incremental dataset card — per-batch deltas, no recompute     //
+  // ---------------------------------------------------------------- //
+
+  /** Accumulate ONE batch's dataset-card deltas at `cardPath` — the
+    * incremental twin of [[datasetCard]] (round 13): instead of a
+    * full-corpus recompute per card, each intake batch folds four
+    * compact sidecars under its `__batch` partition (dynamic overwrite
+    * — a replayed batch rewrites exactly itself):
+    *   - `stats/`  (source, n_docs, n_tokens, sum_q) — sum_q kept as
+    *     the UNROUNDED decimal partial so cross-batch addition is the
+    *     same decimal sum the one-shot card computes;
+    *   - `hashes/` (source, content-md5, c) — the cross-batch evidence
+    *     the corpus-wide dup count needs (a batch-2 doc may duplicate
+    *     batch 1; a per-batch dup count could never see it);
+    *   - `langs/`  (source, lang, n) — entropy derives at read;
+    *   - `nov/`    (source, n_scored, sum_nov) — read from the batch's
+    *     scores in the novelty index at `noveltyPath` (per-doc novelty
+    *     is FINAL at append time under monotone ids, so the partials
+    *     are additive; the caller must have folded this batch into the
+    *     index first — [[curateBatch]]'s stage order).
+    * [[cardIndexed]] then assembles the card from sidecars alone —
+    * every read is proportional to (sources × batches) + the distinct
+    * content-hash table, never to the raw corpus.
+    */
+  def cardAccumulate(spark: org.apache.spark.sql.SparkSession, cardPath: String,
+                     batch: DataFrame, textCol: String, sourceCol: String,
+                     langCol: String, idCol: String, batchId: Long,
+                     noveltyPath: String): Unit = {
+    val base = batch.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      col(idCol).as("doc_id"), col(textCol).as("__text")).persist()
+    base.count() // four sidecar writes read the cache
+    def put(df: DataFrame, sub: String): Unit =
+      df.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$cardPath/$sub")
+    try {
+      val toks = tokens(normalizeText(col("__text")))
+      put(base
+        .withColumn("__q", graft.functions.TextFunctions.qualityScore(col("__text"))
+          .cast("decimal(28,6)"))
+        .withColumn("__nt", size(toks).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+          sum(col("__q")).as("sum_q")), "stats")
+      put(base.select(col("source"), md5(normalizeText(col("__text"))).as("__h"))
+        .groupBy(col("source"), col("__h")).agg(count(lit(1)).as("c")), "hashes")
+      put(base.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n")),
+        "langs")
+      put(spark.read.parquet(scoresDir(spark, noveltyPath))
+        .where(col("__batch") === batchId)
+        .select(col("doc_id"), col("novelty"))
+        .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(col("novelty").cast("decimal(28,6)")).as("sum_nov")), "nov")
+    } finally base.unpersist(false)
+  }
+
+  /** Assemble the dataset card from the accumulated sidecars — row- and
+    * value-identical to [[datasetCard]] over the union of the folded
+    * batches (hash-pinned by `k19_card_incremental`): counts sum, the
+    * decimal partials sum then round once, the dup count re-derives
+    * corpus-wide from the hash evidence, entropy re-derives from the
+    * summed lang counts through the identical expression tree.
+    */
+  def cardIndexed(spark: org.apache.spark.sql.SparkSession,
+                  cardPath: String): DataFrame = {
+    val stats = spark.read.parquet(s"$cardPath/stats")
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("sum_q")).cast("double"), 6).as("sum_quality"))
+    val hs = spark.read.parquet(s"$cardPath/hashes")
+    val dupHashes = hs.groupBy(col("__h")).agg(sum(col("c")).as("__tc"))
+      .where(col("__tc") > 1L).select(col("__h"))
+    val dups = hs.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(col("source")).agg(sum(col("c")).as("n_dup"))
+    val nov = spark.read.parquet(s"$cardPath/nov")
+      .groupBy(col("source"))
+      .agg(sum(col("n_scored")).as("n_scored"),
+        round(sum(col("sum_nov")).cast("double"), 6).as("sum_novelty"))
+    val langCounts = spark.read.parquet(s"$cardPath/langs")
+      .groupBy(col("source"), col("lang")).agg(sum(col("n")).as("__n"))
+    val langTotals = langCounts.groupBy(col("source")).agg(sum(col("__n")).as("__tot"))
+    val p = col("__n").cast("double") / col("__tot").cast("double")
+    val entropy = langCounts.join(langTotals, Seq("source"))
+      .withColumn("__e", round(-(p * log(p)), 6).cast("decimal(28,6)"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("__e")).cast("double"), 6).as("lang_entropy"))
+    stats
+      .join(dups, Seq("source"), "left")
+      .join(nov, Seq("source"), "left")
+      .join(entropy, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("sum_quality"), coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("sum_novelty"), lit(0.0d)).as("sum_novelty"),
+        col("lang_entropy"))
+  }
+
+  // ---------------------------------------------------------------- //
   // K17 persisted novelty index — score each arriving batch O(batch)  //
   // ---------------------------------------------------------------- //
 

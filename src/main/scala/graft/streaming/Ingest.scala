@@ -483,10 +483,16 @@ object Ingest {
                   mixStatePath: String = null,
                   sourceCol: String = null,
                   tokenBudget: Long = Long.MaxValue,
-                  sourceCap: Long = Long.MaxValue): Unit = {
+                  sourceCap: Long = Long.MaxValue,
+                  cardPath: String = null): Unit = {
     require(keepLabels.nonEmpty, "an empty keep set admits nothing — pass the labels to keep")
-    require((mixStatePath == null) == (sourceCol == null),
-      "admission needs BOTH mixStatePath and sourceCol (or neither)")
+    require(mixStatePath == null || sourceCol != null,
+      "admission (mixStatePath) needs sourceCol")
+    require(cardPath == null || sourceCol != null,
+      "the dataset card is per-source — a cardPath needs sourceCol")
+    require(sourceCol == null || mixStatePath != null || cardPath != null,
+      "sourceCol is consumed by admission (mixStatePath) or the card " +
+        "(cardPath) — set at least one, or drop sourceCol")
     val spark = batch.sparkSession
     // stage 0 (optional) — K12 admission: per-source cap + token budget
     // in arrival order against the persisted running totals at
@@ -552,6 +558,13 @@ object Ingest {
         graft.llm.TextAnalysis.noveltyAppendBatch(spark, noveltyPath, kept,
           textCol, idCol, batchId = batchId, n = shingleN,
           projection = Some(keptProj))
+      // stage 5 (optional) — K19 card deltas over the admitted docs,
+      // AFTER the novelty fold (the card's novelty partials read this
+      // batch's scores from the index). The gate's predicted label IS
+      // the lang dimension — lang-id at intake, the production shape.
+      if (cardPath != null)
+        graft.llm.TextAnalysis.cardAccumulate(spark, cardPath, kept, textCol,
+          sourceCol, "predicted", idCol, batchId, noveltyPath)
     } finally { proj.unpersist(false); gated.unpersist(false) }
   }
 
@@ -574,6 +587,7 @@ object Ingest {
                                  sourceCol: String = null,
                                  tokenBudget: Long = Long.MaxValue,
                                  sourceCap: Long = Long.MaxValue,
+                                 cardPath: String = null,
                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -583,7 +597,7 @@ object Ingest {
         curateBatch(batch, id, modelPath, keepLabels, indexPath, admittedDir,
           noveltyPath, textCol, idCol, shingleN, k, bands, threshold,
           maxBucketSize, statsCols, bloomCols, mixStatePath, sourceCol,
-          tokenBudget, sourceCap)
+          tokenBudget, sourceCap, cardPath)
       }
       .start()
 
