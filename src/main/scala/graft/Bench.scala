@@ -83,8 +83,10 @@ object Bench {
     "k12_mix_gate",          // one batch's cap+budget admission vs persisted running totals (round 12)
     "k18_bpe_train",         // BPE merge-table training: one word-count shuffle + driver merge loop (round 12)
     "k18_bpe_encode",        // corpus subword encoding through the trained merges (broadcast joins)
-    "k21_curate_batch",      // ONE composed ingest turn: gate→dedup→append+sidecars→novelty, shared shingle pass (round 12)
-    "k21_stages_separate")   // the same four stages run as separate operators (the shared-pass control)
+    "k21_curate_batch",      // ONE composed ingest turn: gate→dedup→append+sidecars→novelty, shared shingle+tokenize pass (round 12/13)
+    "k21_stages_separate",   // the same four stages run as separate operators (the shared-pass control)
+    "k17_retract",           // novelty retraction: occ-probe + delta/dead-gram sidecars + tombstones (round 13)
+    "k21_retract_fanout")    // ONE composed delete turn: seven-family retraction fan-out (round 13)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -205,6 +207,47 @@ object Bench {
         spark.read.parquet(ccPairsPath), "id_a", "id_b")
       copyRec(ccRetractPath, ccRetractSnap)
     }
+    // K17 retraction (round 13): a full-corpus novelty index snapshot,
+    // restored before every rep so each rep times the identical
+    // occ-probe + re-attribution (a second retract of the same ids
+    // would be a smaller affected set)
+    val novRetractPath = java.nio.file.Files.createTempDirectory("graft-bench-novret").toString
+    val novRetractSnap = java.nio.file.Files.createTempDirectory("graft-bench-novretsnap").toString
+    lazy val novRetractReady: Unit = {
+      System.err.println("[bench] building k17_retract's full novelty index (untimed)")
+      graft.llm.TextAnalysis.noveltyIndexWrite(
+        graft.core.Engine.table(spark, sfDir, "documents"),
+        "text", "doc_id", novRetractPath)
+      copyRec(novRetractPath, novRetractSnap)
+    }
+    // K21 composed delete turn (round 13): the seven per-family states a
+    // curation stack maintains, built once (untimed), snapshotted, and
+    // restored before every rep so each rep times the identical fan-out
+    val rfRoot = java.nio.file.Files.createTempDirectory("graft-bench-rf").toString
+    val rfSnap = java.nio.file.Files.createTempDirectory("graft-bench-rfsnap").toString
+    lazy val retractFanoutReady: Unit = {
+      System.err.println("[bench] building the delete turn's seven-family state (untimed)")
+      ccBaseReady // the shared precomputed pair table
+      val d = graft.core.Engine.table(spark, sfDir, "documents")
+      graft.llm.Dedup.minhashIndexWrite(d, "text", "doc_id", s"$rfRoot/lsh",
+        shingleN = 3, k = 8, bands = 4)
+      graft.llm.Search.bm25IndexWrite(d, "text", "doc_id", s"$rfRoot/bm25",
+        nBuckets = 16)
+      graft.llm.LanguageModel.lmWrite(d, "text", "doc_id", s"$rfRoot/lm")
+      graft.llm.Classifier.nbWrite(d, "text", "lang", s"$rfRoot/nb")
+      graft.ops.Graph.foldBatch(spark, s"$rfRoot/gph",
+        spark.read.parquet(ccPairsPath), "id_a", "id_b", batchId = 0L)
+      graft.llm.TextAnalysis.noveltyIndexWrite(d, "text", "doc_id", s"$rfRoot/nov")
+      d.select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("__batch", lit(0L))
+        .write.mode("overwrite").partitionBy("__batch").parquet(s"$rfRoot/adm/t")
+      copyRec(rfRoot, rfSnap)
+    }
+    lazy val rfTargets = graft.streaming.Ingest.RetractTargets(
+      lshIndexPath = Some(s"$rfRoot/lsh"), bm25IndexPath = Some(s"$rfRoot/bm25"),
+      lmModelPath = Some(s"$rfRoot/lm"), nbModelPath = Some(s"$rfRoot/nb"),
+      graphPath = Some(s"$rfRoot/gph"), noveltyPath = Some(s"$rfRoot/nov"),
+      corpusDir = Some(s"$rfRoot/adm/t"))
     // K12 streaming admission: batch 0 primes the running totals
     // (untimed, per rep); the entry times batch 1's gated admission
     val mixStatePath = java.nio.file.Files.createTempDirectory("graft-bench-mixst").toString
@@ -411,11 +454,28 @@ object Bench {
             "embedding", "vec_id", batchId = 1L)
         case "k13_retract" =>
           // remove every 7th doc: affected components re-close from the
-          // surviving pair evidence, untouched ones pass through verbatim
+          // PERSISTED pair store (round 13 — partition-pruned to the
+          // affected buckets; previously the caller-retained full log)
           val d = graft.core.Engine.table(spark, sfDir, "documents")
-          graft.ops.Graph.retractBatch(spark, ccRetractPath,
-            d.where(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id",
-            spark.read.parquet(ccPairsPath), "id_a", "id_b")
+          graft.ops.Graph.retractBatchStored(spark, ccRetractPath,
+            d.where(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+        case "k17_retract" =>
+          // the novelty delete path: removed docs re-projected O(removals),
+          // occ postings scanned ONCE probed by the broadcast gram set,
+          // delta/dead-gram sidecars + tombstones written
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.llm.TextAnalysis.noveltyRetract(spark, novRetractPath,
+            d.where(col("doc_id") % 7 === 3), "text", "doc_id",
+            retractionId = 1L)
+        case "k21_retract_fanout" =>
+          // ONE composed delete turn: the removal batch fans to all seven
+          // per-family retraction entry points (the delete mirror of
+          // k21_curate_batch)
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.streaming.Ingest.retractEverywhere(spark,
+            d.where(col("doc_id") % 7 === 3)
+              .select(col("doc_id"), col("lang"), col("text")),
+            retractionId = 1L, rfTargets, "text", "doc_id", labelCol = "lang")
         case "k12_mix_gate" =>
           // batch 1 (the 10% crawl) admitted against batch 0's persisted
           // totals — per-batch cost: one state read + two windows + two
@@ -514,6 +574,8 @@ object Bench {
     ensure("x2_manifest_build", "x2_manifest_read")
     ensure("x2_manifest_build", "x2_manifest_read_trusted")
     if (selected.contains("k13_retract")) ccRetractReady
+    if (selected.contains("k17_retract")) novRetractReady
+    if (selected.contains("k21_retract_fanout")) retractFanoutReady
     if (selected.contains("k18_bpe_encode")) bpeModel
     if (selected.exists(_.startsWith("k21_"))) curateModelReady
     // EVERY entry runs >=2 reps so the JSON carries BOTH a cold and a
@@ -549,6 +611,12 @@ object Bench {
           // restore the full-pair assignment so every rep re-closes the
           // same affected components (not a no-op over a shrunk state)
           deleteRec(ccRetractPath); copyRec(ccRetractSnap, ccRetractPath)
+        }
+        case "k17_retract" => () => {
+          deleteRec(novRetractPath); copyRec(novRetractSnap, novRetractPath)
+        }
+        case "k21_retract_fanout" => () => {
+          deleteRec(rfRoot); copyRec(rfSnap, rfRoot)
         }
         case "k12_mix_gate" => () => {
           // fresh state + batch 0 primed (untimed) — the entry times
