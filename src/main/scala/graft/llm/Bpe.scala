@@ -211,13 +211,15 @@ object Bpe {
     // drop every occurrence of a word type outside the trained table —
     // exactly what happens when the trainer's maxWordTypes truncated the
     // corpus vocabulary — so n_subwords would undercount with no signal.
-    // Materialize the exploded frame once (it feeds the guard and the
-    // encode), probe for uncovered word types, and refuse loudly,
-    // routing the caller to [[encodeAny]] (which segments OOV words).
+    // The guard probes only the DISTINCT word types (vocabulary-sized),
+    // so the corpus-scale exploded frame stays LAZY — it is evaluated
+    // once by the guard's aggregate and once by the encode job, never
+    // pinned to storage (a localCheckpoint of the full (doc, pos, word)
+    // frame would add corpus-sized memory/disk pressure to every encode
+    // — round-13 review).
     val toks = docs
       .select(col(idCol).as("doc"),
         posexplode(tokens(normalizeText(col(textCol)))).as(Seq("pos", "word")))
-      .localCheckpoint(true)
     val missing = toks.select(col("word")).distinct()
       .join(broadcast(symRows.select(col("word")).distinct()), Seq("word"), "left_anti")
       .limit(5).collect().map(_.getString(0))

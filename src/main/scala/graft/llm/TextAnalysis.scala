@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // NOT org.apache.spark.internal.Logging: its `log` member would shadow
+  // functions.log in every scoring expression below
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** K5 — per-document statistics. */
   def docStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = tokens(normalizeText(col(textCol)))
@@ -678,15 +682,32 @@ object TextAnalysis {
   }
 
   /** Grams whose LAST surviving occurrence a live retraction removed —
-    * future batches must see them as never-seen again.
+    * batches at or below the retraction's gram-set watermark must see
+    * them as never-seen again. Returns (h, __wm) with `__wm` = the
+    * highest gram-set `__batch` present when the (dominating) retraction
+    * ran: a gram-set row ABOVE the watermark is a post-retraction
+    * re-ingest that legitimately revived the gram, and filtering it too
+    * would hand first-occurrence credit out twice (round-13 review).
+    * Max over retractions: the latest kill dominates any earlier revive.
     */
   private def pendingDeadGrams(spark: org.apache.spark.sql.SparkSession,
                                path: String): Option[DataFrame] = {
     val live = liveRetIds(spark, path)
     if (live.isEmpty || !hasRetPartitions(spark, deadGramsDir(path))) None
     else Some(spark.read.parquet(deadGramsDir(path))
-      .where(col("__ret").isin(live: _*)).select(col("h")))
+      .where(col("__ret").isin(live: _*))
+      .groupBy(col("h")).agg(max(col("__wm")).as("__wm")))
   }
+
+  /** Drop from a (h, __batch, …) gram-set frame every row a live dead
+    * mark covers: broadcast-hash left join on h + the watermark filter —
+    * never a nested-loop anti-join (the corpus gram set is the big side).
+    */
+  private def dropDeadGrams(gramRows: DataFrame, dead: Option[DataFrame]): DataFrame =
+    dead.fold(gramRows)(d =>
+      gramRows.join(broadcast(d), Seq("h"), "left")
+        .where(col("__wm").isNull || col("__batch") > col("__wm"))
+        .drop("__wm"))
 
   /** Build the PERSISTED novelty index over a base corpus: per-doc
     * novelty scores land under `scores/__batch=0` and the corpus's
@@ -795,12 +816,13 @@ object TextAnalysis {
       // only after the appending stream's checkpoint is dropped.)
       // grams a live retraction killed entirely (last surviving holder
       // removed) read as NEVER SEEN again — the survivor-corpus
-      // semantics [[noveltyRetract]] promises
+      // semantics [[noveltyRetract]] promises. Watermark-aware: a
+      // gram-set row a LATER batch re-added after the kill is a revived
+      // gram and stays seen (see [[pendingDeadGrams]]).
       val dead = pendingDeadGrams(spark, path)
       val seen0 = spark.read.parquet(root.toString)
-        .where(col("__batch") < batchId).select(col("h"))
-      val seen = dead.fold(seen0)(d =>
-        seen0.join(broadcast(d), Seq("h"), "left_anti"))
+        .where(col("__batch") < batchId).select(col("h"), col("__batch"))
+      val seen = dropDeadGrams(seen0, dead).select(col("h"))
       val batchGrams = hd.select(col("h")).distinct().localCheckpoint(true)
       val gate = batchGrams.count() <= maxBroadcastGrams
       // grams of this batch the index has seen: index SCAN probing the
@@ -893,13 +915,31 @@ object TextAnalysis {
                      removedDocs: DataFrame, textCol: String, idCol: String,
                      retractionId: Long, n: Int = 3,
                      maxBroadcastGrams: Long = DfreqBroadcastMaxVocab): Unit = {
-    require(fsOfPath(spark, path).exists(
+    val fs = fsOfPath(spark, path)
+    require(fs.exists(
       new org.apache.hadoop.fs.Path(gramSetDir(spark, path))),
       s"no novelty index at $path — run noveltyIndexWrite first")
+    // Committed replay is a NO-OP (round-13 review): once the tombstone
+    // (the commit point) is listed, every artifact of this retraction is
+    // consistent — and the append stream may have folded batches SINCE,
+    // so recomputing the sidecars here would see post-retraction
+    // occurrences and re-attribute credit a later batch already scored
+    // (the interleaved-replay double count). Returning is the only
+    // recomputation that is correct at every interleaving.
+    if (graft.ops.Tombstones.retIds(spark, path).contains(retractionId)) {
+      logger.info(s"noveltyRetract($retractionId) already committed at $path — no-op replay")
+      return
+    }
     val wm = noveltyRetractWatermark(spark, path)
     require(retractionId > wm,
       s"retractionId $retractionId is at or below the folded-retraction " +
         s"watermark $wm — a compaction already baked that lineage")
+    // UNCOMMITTED leftovers of a crashed attempt at this id are cleared
+    // before the rewrite: a dynamic overwrite with ZERO rows (e.g. the
+    // dead-gram set came out empty this time) would otherwise leave the
+    // crashed attempt's stale partition to become visible at commit.
+    Seq(deltasDir(path), deadGramsDir(path)).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d, s"__ret=$retractionId"), true))
     val rg = Dedup.shingleHashProjection(removedDocs, textCol, idCol, n)
       .select(col("id").as("__rid"), explode(col("hs")).as("h"))
       .localCheckpoint(true)
@@ -936,7 +976,14 @@ object TextAnalysis {
       .withColumn("__ret", lit(retractionId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__ret").parquet(deltasDir(path))
+    // the dead mark covers gram-set rows up to the CURRENT batch
+    // watermark only — a later batch that re-ingests the gram revives
+    // it, and the append/compact dead filters honor that boundary
+    val wmRow = spark.read.parquet(gramSetDir(spark, path))
+      .agg(max(col("__batch").cast("long"))).head()
+    val batchWm = if (wmRow.isNullAt(0)) 0L else wmRow.getLong(0)
     firsts.where(col("__new").isNull).select(col("h"))
+      .withColumn("__wm", lit(batchWm))
       .withColumn("__ret", lit(retractionId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__ret").parquet(deadGramsDir(path))
@@ -967,6 +1014,16 @@ object TextAnalysis {
     val fs = fsOfPath(spark, path)
     val rets = graft.ops.Tombstones.retIds(spark, path)
     val removed = graft.ops.Tombstones.set(spark, path)
+    // Bind the live sidecar views BEFORE step 1 commits the scores
+    // generation: liveRetIds gates on the folded-retraction watermark,
+    // which step 1 ADVANCES — reading the sidecars after that commit
+    // would see every retraction as already folded and silently skip
+    // the dead-gram subtraction in step 2 (round-13 review: a retired
+    // gram would then stay "seen" forever after its sidecar GC'd). The
+    // live-id lists inside are evaluated NOW; the frames lazily read
+    // sidecar files that survive until step 4.
+    val liveDeltas = pendingDeltas(spark, path)
+    val liveDead = pendingDeadGrams(spark, path)
     // 1. scores: drop tombstoned docs, bake live deltas, advance the
     //    folded-retraction watermark with the swap
     if (rets.nonEmpty) {
@@ -976,7 +1033,7 @@ object TextAnalysis {
           col("novelty"), col("__batch"))
       val survivors = graft.ops.Tombstones.drop(curScores, removed, "doc_id")
       // same fold the read path applies, with __batch carried through
-      val foldedScores = pendingDeltas(spark, path) match {
+      val foldedScores = liveDeltas match {
         case None => survivors
         case Some(d) =>
           survivors.join(broadcast(d), Seq("doc_id"), "left")
@@ -1007,10 +1064,11 @@ object TextAnalysis {
     val prior = noveltyCompactWatermark(spark, path)
     val folded = curSet.agg(max(col("__batch").cast("long"))).head().getLong(0)
     val wm = math.max(prior, folded)
-    val dead = pendingDeadGrams(spark, path)
     val (staged, gen) = graft.ops.Generations.stage(fs, root, GramSetBase)
-    dead.fold(curSet.select(col("h")))(d =>
-        curSet.select(col("h")).join(broadcast(d), Seq("h"), "left_anti"))
+    // watermark-aware dead filter: rows a later batch re-added after
+    // the kill survive the fold (the gram is revived, not retired)
+    dropDeadGrams(curSet.select(col("h"), col("__batch")), liveDead)
+      .select(col("h"))
       .distinct()
       .withColumn("__batch", lit(0L))
       .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)

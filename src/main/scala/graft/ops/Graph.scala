@@ -196,51 +196,85 @@ object Graph extends org.apache.spark.internal.Logging {
                 batchId: Long = -1L): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Retired-lineage guard (mirrors the novelty family's enforced rule):
+    // [[pairsCompact]] folds streaming store partitions into __batch=0,
+    // so a replay of an already-compacted batch would (a) resurrect
+    // pairs the compaction pruned and (b) dynamic-overwrite the folded
+    // partition itself. Refused loudly — drop the folding stream's
+    // checkpoint before compacting.
+    val wm = pairsCompactWatermark(fs, path)
+    require(batchId < 0L || wm.forall(batchId > _),
+      s"batchId $batchId is at or below the pair-store compaction " +
+        s"watermark ${wm.get} — batches folded by pairsCompact cannot be " +
+        "replayed (drop the folding stream's checkpoint before compacting)")
     // canonicalize BEFORE the emptiness probe: a batch of self-loops /
-    // nulls only must be a no-op, not an empty published generation
-    val edges = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
-      .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
-    if (edges.isEmpty) return
-    // pair-evidence store, written BEFORE the fold commits (a crash
-    // between the two replays into a no-op refold + identical rewrite;
-    // the reverse order could publish a closure whose evidence a
-    // retraction later needs and cannot find). Bucketed by the SMALLER
-    // endpoint id mod [[PairBuckets]] — equivalent to component
-    // bucketing for pruning (a component label IS the min member id,
-    // current or historical, so every pair a retraction must see lives
-    // in a bucket of some affected-member-or-removed id) without the
-    // edge→component join a label-keyed layout would need per fold, and
-    // immune to label drift when components later merge.
-    val canonical = edges
-      .select(greatest(col("s"), col("d")).as("src"),
-        least(col("s"), col("d")).as("dst"))
-      .distinct()
-      // int: partition-dir inference reads the values back as int, and
-      // the prune literals must match the column type exactly or the
-      // induced cast defeats partition pruning
-      .withColumn("__cb", pmod(col("dst"), lit(PairBuckets)).cast("int"))
-      .withColumn("__batch", lit(batchId))
-    if (batchId >= 0L)
-      // streaming folds: a replayed batch rewrites exactly itself
-      canonical.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch", "__cb").parquet(pairStoreDir(path))
-    else
-      // one-shot folds with no replay lineage: plain append (duplicate
-      // pairs from a re-run are absorbed — every consumer distincts)
-      canonical.write.mode("append")
-        .partitionBy("__batch", "__cb").parquet(pairStoreDir(path))
-    val cur = Generations.genDir(root, AssignmentBase,
-      Generations.currentGen(fs, root, AssignmentBase))
-    val next =
-      if (fs.exists(cur))
-        incrementalComponents(spark.read.parquet(cur.toString), "id", "component",
-          edges, "s", "d", maxIter)
-      else connectedComponents(edges, "s", "d", maxIter)
-    val (staged, gen) = Generations.stage(fs, root, AssignmentBase)
-    next.write.mode("overwrite").parquet(staged.toString)
-    Generations.commit(fs, root, AssignmentBase, gen)
-    Generations.gcOld(fs, root, AssignmentBase)
+    // nulls only must be a no-op, not an empty published generation.
+    // Materialized ONCE — the frame feeds the emptiness probe, the
+    // evidence write, the re-ingest guard, and the CC fold (an uncached
+    // caller pipeline, e.g. a pair miner, would otherwise run 3-4×).
+    val edges = truncate(
+      pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+        .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull))
+    try {
+      if (edges.isEmpty) return
+      // Re-ingest guard (the delete-side id rule shared with the LSH /
+      // novelty families, ENFORCED here because this family's evidence
+      // store is what a stale id poisons): an edge touching a tombstoned
+      // id would make the retracted era's stored pairs read as evidence
+      // about the re-ingested doc. Tombstone set is retraction-bounded →
+      // two broadcast semi-probes over the (checkpointed) batch.
+      Tombstones.set(spark, path).foreach { r =>
+        val ts = broadcast(r.select(col("id")).distinct().localCheckpoint(true))
+        val nBad =
+          edges.join(ts.select(col("id").as("s")), Seq("s"), "left_semi").count() +
+            edges.join(ts.select(col("id").as("d")), Seq("d"), "left_semi").count()
+        require(nBad == 0L,
+          s"$nBad edge endpoint(s) in this batch are retracted ids still " +
+            "tombstoned in the pair store — re-ingest of a retracted id is " +
+            "safe only after pairsCompact has folded its tombstone")
+      }
+      // pair-evidence store, written BEFORE the fold commits (a crash
+      // between the two replays into a no-op refold + identical rewrite;
+      // the reverse order could publish a closure whose evidence a
+      // retraction later needs and cannot find). Bucketed by the SMALLER
+      // endpoint id mod [[PairBuckets]] — equivalent to component
+      // bucketing for pruning (a component label IS the min member id,
+      // current or historical, so every pair a retraction must see lives
+      // in a bucket of some affected-member-or-removed id) without the
+      // edge→component join a label-keyed layout would need per fold, and
+      // immune to label drift when components later merge.
+      val canonical = edges
+        .select(greatest(col("s"), col("d")).as("src"),
+          least(col("s"), col("d")).as("dst"))
+        .distinct()
+        // int: partition-dir inference reads the values back as int, and
+        // the prune literals must match the column type exactly or the
+        // induced cast defeats partition pruning
+        .withColumn("__cb", pmod(col("dst"), lit(PairBuckets)).cast("int"))
+        .withColumn("__batch", lit(batchId))
+      if (batchId >= 0L)
+        // streaming folds: a replayed batch rewrites exactly itself
+        canonical.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch", "__cb").parquet(pairStoreDir(fs, path))
+      else
+        // one-shot folds with no replay lineage: plain append (duplicate
+        // pairs from a re-run are absorbed — every consumer distincts,
+        // and [[pairsCompact]] folds them away physically)
+        canonical.write.mode("append")
+          .partitionBy("__batch", "__cb").parquet(pairStoreDir(fs, path))
+      val cur = Generations.genDir(root, AssignmentBase,
+        Generations.currentGen(fs, root, AssignmentBase))
+      val next =
+        if (fs.exists(cur))
+          incrementalComponents(spark.read.parquet(cur.toString), "id", "component",
+            edges, "s", "d", maxIter)
+        else connectedComponents(edges, "s", "d", maxIter)
+      val (staged, gen) = Generations.stage(fs, root, AssignmentBase)
+      next.write.mode("overwrite").parquet(staged.toString)
+      Generations.commit(fs, root, AssignmentBase, gen)
+      Generations.gcOld(fs, root, AssignmentBase)
+    } finally free(edges)
   }
 
   /** Buckets of the fold-time pair-evidence store — enough for a
@@ -250,7 +284,83 @@ object Graph extends org.apache.spark.internal.Logging {
     */
   val PairBuckets = 64L
 
-  private[graft] def pairStoreDir(path: String): String = s"$path/pairs"
+  private val PairsBase = "pairs"
+  private val PairsWatermarkFile = "_compact_watermark"
+
+  /** The pair store's serving directory — generation-resolved, so folds
+    * land in (and retractions read) the store [[pairsCompact]] last
+    * committed; a never-compacted store is the plain `pairs/` dir.
+    */
+  private[graft] def pairStoreDir(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String): String =
+    Generations.currentDir(fs, new Path(path), PairsBase).toString
+
+  /** Highest streaming `__batch` id [[pairsCompact]] has folded into the
+    * store's `__batch=0` — None if never compacted. Lives INSIDE the
+    * store's generation dir (underscore prefix → invisible to the
+    * parquet scan), so it rides the same crash-atomic swap as the folded
+    * data it describes.
+    */
+  private def pairsCompactWatermark(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: String): Option[Long] = {
+    val p = new Path(pairStoreDir(fs, path), PairsWatermarkFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** COMPACT the pair-evidence store: physically drop every pair
+    * touching a tombstoned (retracted) id, fold all `__batch` fragments
+    * (including the append-mode `__batch=-1` area, whose re-run
+    * duplicates collapse in the distinct) into one `__batch=0`, and
+    * clear the tombstones — the graph family's twin of the LSH / BM25 /
+    * novelty compactions, and the step that DISCHARGES the re-ingest
+    * precondition: after this, [[foldBatch]]'s tombstone guard passes
+    * for a previously retracted id because no stale evidence about it
+    * survives anywhere.
+    *
+    * Crash ordering: the rewrite rides a [[Generations]] swap (readers
+    * resolve a complete store at every instant); the folded-batch
+    * watermark commits with the swap, so a replayed streaming fold can
+    * never overwrite the folded partition; tombstones clear LAST — a
+    * crash before the clear re-runs the (idempotent) prune over the
+    * already-pruned store.
+    */
+  def pairsCompact(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeDir = pairStoreDir(fs, path)
+    if (!fs.exists(new Path(storeDir))) return
+    val cur = spark.read.parquet(storeDir)
+      .select(col("src"), col("dst"), col("__cb"), col("__batch"))
+    val top = cur.agg(max(col("__batch").cast("long"))).head()
+    val folded = if (top.isNullAt(0)) -1L else top.getLong(0)
+    // __batch=0 is where the fold lands, so the watermark is never
+    // below 0 even for an append-only (-1) store
+    val wm = math.max(0L,
+      math.max(pairsCompactWatermark(fs, path).getOrElse(-1L), folded))
+    val pruned = Tombstones.set(spark, path) match {
+      case None => cur
+      case Some(r) =>
+        val ts = r.select(col("id")).distinct().localCheckpoint(true)
+        cur.join(broadcast(ts.select(col("id").as("src"))), Seq("src"), "left_anti")
+          .join(broadcast(ts.select(col("id").as("dst"))), Seq("dst"), "left_anti")
+    }
+    val (staged, gen) = Generations.stage(fs, root, PairsBase)
+    pruned.select(col("src"), col("dst"), col("__cb")).distinct()
+      .withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch", "__cb")
+      .parquet(staged.toString)
+    val out = fs.create(new Path(staged, PairsWatermarkFile), true)
+    try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
+    Generations.commit(fs, root, PairsBase, gen)
+    Generations.gcOld(fs, root, PairsBase)
+    Tombstones.clear(spark, path)
+  }
 
   /** RETRACTION — remove documents from the persisted assignment and
     * re-close ONLY the components they touched. Removing a doc can
@@ -281,11 +391,12 @@ object Graph extends org.apache.spark.internal.Logging {
     */
   def retractBatch(spark: SparkSession, path: String, removedIds: DataFrame,
                    idCol: String, pairs: DataFrame, aCol: String, bCol: String,
-                   maxIter: Int = 50): Unit = {
+                   maxIter: Int = 50, retractionId: Long = -1L): Unit = {
     val evidence = pairs
       .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
       .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
-    retractCore(spark, path, removedIds, idCol, (_, _) => evidence, maxIter)
+    retractCore(spark, path, removedIds, idCol, (_, _) => evidence, maxIter,
+      retractionId)
   }
 
   /** [[retractBatch]] reading its pair evidence from the store
@@ -297,11 +408,21 @@ object Graph extends org.apache.spark.internal.Logging {
     * read is exact, and on a small removal batch it touches a handful
     * of `__cb=` directories out of [[PairBuckets]] — O(affected), never
     * O(pair history).
+    *
+    * Stale-evidence lifecycle: the retraction tombstones its ids (see
+    * [[retractCore]]'s ordering note); pairs touching them stay in the
+    * store PHYSICALLY until [[pairsCompact]] prunes them, but can never
+    * be READ as live evidence — retraction restricts evidence to
+    * surviving assignment members, and a removed id cannot re-enter the
+    * assignment because [[foldBatch]] refuses tombstoned endpoints. The
+    * compaction is what discharges the re-ingest rule and bounds the
+    * store's growth.
     */
   def retractBatchStored(spark: SparkSession, path: String, removedIds: DataFrame,
-                         idCol: String, maxIter: Int = 50): Unit = {
+                         idCol: String, maxIter: Int = 50,
+                         retractionId: Long = -1L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(pairStoreDir(path))),
+    require(fs.exists(new Path(pairStoreDir(fs, path))),
       s"no pair-evidence store at $path — fold batches through foldBatch " +
         "(which persists it) or pass the evidence to retractBatch directly")
     retractCore(spark, path, removedIds, idCol, (members, removed) => {
@@ -311,10 +432,10 @@ object Graph extends org.apache.spark.internal.Logging {
         .select(pmod(col("id"), lit(PairBuckets)).cast("int").as("b"))
         .union(removed.select(pmod(col("id"), lit(PairBuckets)).cast("int").as("b")))
         .distinct().collect().map(_.getInt(0)).toIndexedSeq
-      spark.read.parquet(pairStoreDir(path))
+      spark.read.parquet(pairStoreDir(fs, path))
         .where(col("__cb").isin(buckets: _*))
         .select(col("src").as("s"), col("dst").as("d"))
-    }, maxIter)
+    }, maxIter, retractionId)
   }
 
   /** Shared retraction core: `evidence(members, removed)` supplies the
@@ -324,7 +445,7 @@ object Graph extends org.apache.spark.internal.Logging {
   private def retractCore(spark: SparkSession, path: String, removedIds: DataFrame,
                           idCol: String,
                           evidence: (DataFrame, DataFrame) => DataFrame,
-                          maxIter: Int): Unit = {
+                          maxIter: Int, retractionId: Long): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val asg = assignment(spark, path)
@@ -353,6 +474,19 @@ object Graph extends org.apache.spark.internal.Logging {
     next.write.mode("overwrite").parquet(staged.toString)
     Generations.commit(fs, root, AssignmentBase, gen)
     Generations.gcOld(fs, root, AssignmentBase)
+    // Tombstone the removed ids AFTER the assignment commit: the
+    // assignment is physically pruned (the tombstones are not a read
+    // filter here) — they (a) make [[foldBatch]] refuse a premature
+    // re-ingest loudly and (b) tell [[pairsCompact]] which stored pairs
+    // are stale evidence to drop. A crash between the commit and this
+    // write replays into an identical republish + the tombstone catch-up.
+    // retractionId < 0 → derive the next monotone id (a replay then adds
+    // a duplicate tombstone batch of the same ids — harmless: every
+    // consumer reads the DISTINCT id set).
+    val rid =
+      if (retractionId >= 0L) retractionId
+      else Tombstones.retIds(spark, path).lastOption.getOrElse(-1L) + 1L
+    Tombstones.write(spark, path, removed, "id", rid)
   }
 
   /** The current persisted (id, component) assignment at `path` —

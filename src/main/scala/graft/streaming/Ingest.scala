@@ -721,7 +721,8 @@ object Ingest {
     targets.nbModelPath.foreach(p =>
       graft.llm.Classifier.nbRetractBatch(spark, p, rm, textCol, labelCol, retractionId))
     targets.graphPath.foreach(p =>
-      graft.ops.Graph.retractBatchStored(spark, p, ids, idCol))
+      graft.ops.Graph.retractBatchStored(spark, p, ids, idCol,
+        retractionId = retractionId))
     targets.noveltyPath.foreach(p =>
       graft.llm.TextAnalysis.noveltyRetract(spark, p, rm, textCol, idCol,
         retractionId, n = shingleN))

@@ -311,6 +311,57 @@ class GraphSpec extends AnyFunSuite {
       === allBuckets.intersect(buckets.toSet))
   }
 
+  test("pair-store lifecycle: tombstones refuse re-ingest, pairsCompact prunes and discharges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // round-13 review: the store used to keep retracted-era pairs
+    // forever with no compaction and no re-ingest guard, so a re-used id
+    // silently inherited stale evidence — docs that must split stayed
+    // merged. The family now carries the engine-wide rule ENFORCED:
+    // tombstone at retract, refuse folds touching tombstoned ids,
+    // compact to prune + discharge.
+    val path = freshDir()
+    Graph.foldBatch(spark, path,
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b"), "a", "b", batchId = 0L)
+    Graph.retractBatchStored(spark, path, Seq(3L).toDF("id"), "id",
+      retractionId = 0L)
+    // fold touching the retracted id → refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Graph.foldBatch(spark, path, Seq((3L, 6L)).toDF("a", "b"), "a", "b",
+        batchId = 1L)
+    }
+    assert(ex.getMessage.contains("retracted"))
+    // compaction prunes the stale evidence physically and clears the
+    // tombstone — the re-ingest rule is now DISCHARGED, not documented
+    Graph.pairsCompact(spark, path)
+    assert(graft.ops.Tombstones.retIds(spark, path).isEmpty)
+    // a replay of an already-folded store batch is refused (retired
+    // lineage — it could resurrect pruned pairs)
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.foldBatch(spark, path, Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+        batchId = 0L)
+    }
+    assert(ex2.getMessage.contains("watermark"))
+    // id 3 re-ingested as a NEW doc pairing with 6 — accepted now
+    Graph.foldBatch(spark, path, Seq((3L, 6L)).toDF("a", "b"), "a", "b",
+      batchId = 1L)
+    assert(readAssignment(path) === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      3L -> 3L, 6L -> 3L),
+      "the re-ingested id must NOT inherit the retracted era's component")
+    // the review's poison case: a retraction in the re-ingested doc's
+    // component must see ONLY current-era evidence — the stale (2,3)
+    // pair was pruned, so removing 6 leaves 3 a singleton, not merged
+    // into {1,2}
+    Graph.retractBatchStored(spark, path, Seq(6L).toDF("id"), "id")
+    assert(readAssignment(path) === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      3L -> 3L))
+    // compaction folded batches + the append area into one __batch=0
+    val store = spark.read.parquet(s"$path/pairs_gen=1")
+    assert(store.select(col("__batch")).distinct().collect()
+      .map(_.get(0).toString.toLong).toSet === Set(0L, 1L),
+      "post-compact store = folded __batch=0 plus the post-compact fold")
+  }
+
   test("assignment() before any fold refuses loudly; edgeless folds skip") {
     import spark.implicits._
     val path = freshDir()

@@ -117,6 +117,78 @@ class NoveltySpec extends AnyFunSuite {
       Set((3L, 1L, 1L, 1.0)))
   }
 
+  test("compaction retires dead grams PHYSICALLY — the next ingest is first again") {
+    import spark.implicits._
+    // round-13 review: the scores fold used to advance the folded-
+    // retraction watermark BEFORE the gram-set fold read the dead-gram
+    // sidecar, so the sidecar read came back empty, the gram stayed in
+    // the folded set, and step 4 deleted the sidecar for good — a
+    // post-compaction ingest of the retired gram scored 0-novel forever
+    val path = tmp("graft-nov-deadfold")
+    val corpus = Seq((1L, "aa bb cc"), (2L, "ee ff gg")).toDF("doc_id", "text")
+    graft.llm.TextAnalysis.noveltyIndexWrite(corpus, "text", "doc_id", path)
+    graft.llm.TextAnalysis.noveltyRetract(spark, path,
+      corpus.where(col("doc_id") === 1L), "text", "doc_id", 1L)
+    graft.llm.TextAnalysis.noveltyCompact(spark, path)
+    assert(graft.ops.Tombstones.retIds(spark, path).isEmpty)
+    graft.llm.TextAnalysis.noveltyAppendBatch(spark, path,
+      Seq((10L, "aa bb cc")).toDF("doc_id", "text"), "text", "doc_id", batchId = 1L)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) ===
+      Set((2L, 1L, 1L, 1.0), (10L, 1L, 1L, 1.0)),
+      "a gram whose kill was folded by compaction must be FIRST again on re-ingest")
+  }
+
+  test("a revived dead gram is seen by every LATER batch while the retraction is live") {
+    import spark.implicits._
+    // round-13 review: the dead filter used to drop gram-set rows on h
+    // alone, so a gram revived by batch N kept scoring novel in batch
+    // N+1, N+2, … until a compaction happened to run. The dead mark now
+    // carries the gram-set batch watermark at retraction time and leaves
+    // later rows alone.
+    val path = tmp("graft-nov-revive")
+    val corpus = Seq((1L, "aa bb cc"), (3L, "ee ff gg")).toDF("doc_id", "text")
+    graft.llm.TextAnalysis.noveltyIndexWrite(corpus, "text", "doc_id", path)
+    graft.llm.TextAnalysis.noveltyRetract(spark, path,
+      corpus.where(col("doc_id") === 1L), "text", "doc_id", 1L)
+    graft.llm.TextAnalysis.noveltyAppendBatch(spark, path,
+      Seq((10L, "aa bb cc")).toDF("doc_id", "text"), "text", "doc_id", batchId = 1L)
+    graft.llm.TextAnalysis.noveltyAppendBatch(spark, path,
+      Seq((20L, "aa bb cc")).toDF("doc_id", "text"), "text", "doc_id", batchId = 2L)
+    val expect = Set((3L, 1L, 1L, 1.0), (10L, 1L, 1L, 1.0), (20L, 1L, 0L, 0.0))
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === expect,
+      "batch 2 must see the gram batch 1 revived — only the FIRST revival is novel")
+    // and that is exactly the survivor-corpus recompute
+    val truth = rows(graft.llm.TextAnalysis.noveltyScores(
+      Seq((3L, "ee ff gg"), (10L, "aa bb cc"), (20L, "aa bb cc"))
+        .toDF("doc_id", "text"), "text", "doc_id"))
+    assert(expect === truth)
+    graft.llm.TextAnalysis.noveltyCompact(spark, path)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === expect,
+      "the watermark-aware gram-set fold must keep the revived gram")
+  }
+
+  test("a COMMITTED retraction replays as a no-op even after interleaved appends") {
+    import spark.implicits._
+    // round-13 review: the composed delete turn replays every family
+    // after a mid-fan-out crash; if the append stream folded a batch
+    // between first play and replay, recomputing the sidecars would see
+    // the post-retraction occurrences — a +1 delta for a doc whose
+    // stored score ALREADY holds the credit, plus a stale dead mark the
+    // empty dynamic overwrite cannot clear. Committed ⇒ return.
+    val path = tmp("graft-nov-replay")
+    val corpus = Seq((1L, "aa bb cc"), (3L, "ee ff gg")).toDF("doc_id", "text")
+    val d1 = corpus.where(col("doc_id") === 1L)
+    graft.llm.TextAnalysis.noveltyIndexWrite(corpus, "text", "doc_id", path)
+    graft.llm.TextAnalysis.noveltyRetract(spark, path, d1, "text", "doc_id", 1L)
+    graft.llm.TextAnalysis.noveltyAppendBatch(spark, path,
+      Seq((10L, "aa bb cc")).toDF("doc_id", "text"), "text", "doc_id", batchId = 1L)
+    val settled = Set((3L, 1L, 1L, 1.0), (10L, 1L, 1L, 1.0))
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === settled)
+    graft.llm.TextAnalysis.noveltyRetract(spark, path, d1, "text", "doc_id", 1L)
+    assert(rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path)) === settled,
+      "replaying a committed retraction must not double-credit the revived doc")
+  }
+
   test("retraction at corpus scale equals the survivor-corpus recompute") {
     val path = tmp("graft-nov-ret-sf")
     val survivors = docs.where(col("doc_id") % 5L =!= 2L)
