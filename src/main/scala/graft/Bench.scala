@@ -86,7 +86,8 @@ object Bench {
     "k21_curate_batch",      // ONE composed ingest turn: gate→dedup→append+sidecars→novelty, shared shingle+tokenize pass (round 12/13)
     "k21_stages_separate",   // the same four stages run as separate operators (the shared-pass control)
     "k17_retract",           // novelty retraction: occ-probe + delta/dead-gram sidecars + tombstones (round 13)
-    "k21_retract_fanout")    // ONE composed delete turn: seven-family retraction fan-out (round 13)
+    "k21_retract_fanout",    // ONE composed delete turn: seven-family retraction fan-out (round 13)
+    "k21_maintain_turn")     // ONE composed maintenance turn: every family's gated compaction fires (round 13)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,6 +249,25 @@ object Bench {
       lmModelPath = Some(s"$rfRoot/lm"), nbModelPath = Some(s"$rfRoot/nb"),
       graphPath = Some(s"$rfRoot/gph"), noveltyPath = Some(s"$rfRoot/nov"),
       corpusDir = Some(s"$rfRoot/adm/t"))
+    lazy val rfMaintTargets = graft.streaming.Ingest.MaintainTargets(
+      lshIndexPath = Some(s"$rfRoot/lsh"), bm25IndexPath = Some(s"$rfRoot/bm25"),
+      lmModelPath = Some(s"$rfRoot/lm"), nbModelPath = Some(s"$rfRoot/nb"),
+      graphPath = Some(s"$rfRoot/gph"), noveltyPath = Some(s"$rfRoot/nov"))
+    // K21 maintenance turn: the post-delete state (every family carrying
+    // tombstones / a negated batch), snapshotted so each rep times the
+    // identical six-family compaction pass
+    val rfMaintSnap = java.nio.file.Files.createTempDirectory("graft-bench-rfmsnap").toString
+    lazy val maintainReady: Unit = {
+      retractFanoutReady
+      System.err.println("[bench] retracting into the maintenance turn's base state (untimed)")
+      deleteRec(rfRoot); copyRec(rfSnap, rfRoot)
+      val d = graft.core.Engine.table(spark, sfDir, "documents")
+      graft.streaming.Ingest.retractEverywhere(spark,
+        d.where(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("lang"), col("text")),
+        retractionId = 1L, rfTargets, "text", "doc_id", labelCol = "lang")
+      copyRec(rfRoot, rfMaintSnap)
+    }
     // K12 streaming admission: batch 0 primes the running totals
     // (untimed, per rep); the entry times batch 1's gated admission
     val mixStatePath = java.nio.file.Files.createTempDirectory("graft-bench-mixst").toString
@@ -476,6 +496,13 @@ object Bench {
             d.where(col("doc_id") % 7 === 3)
               .select(col("doc_id"), col("lang"), col("text")),
             retractionId = 1L, rfTargets, "text", "doc_id", labelCol = "lang")
+        case "k21_maintain_turn" =>
+          // ONE composed maintenance turn over the post-delete state:
+          // every registered family has pending tombstones (or a negated
+          // count batch), so all six gated compactions fire — the cost
+          // of keeping the whole curation stack healthy in one pass
+          graft.streaming.Ingest.maintainEverywhere(spark, rfMaintTargets,
+            maxLiveBatches = 1)
         case "k12_mix_gate" =>
           // batch 1 (the 10% crawl) admitted against batch 0's persisted
           // totals — per-batch cost: one state read + two windows + two
@@ -576,6 +603,7 @@ object Bench {
     if (selected.contains("k13_retract")) ccRetractReady
     if (selected.contains("k17_retract")) novRetractReady
     if (selected.contains("k21_retract_fanout")) retractFanoutReady
+    if (selected.contains("k21_maintain_turn")) maintainReady
     if (selected.contains("k18_bpe_encode")) bpeModel
     if (selected.exists(_.startsWith("k21_"))) curateModelReady
     // EVERY entry runs >=2 reps so the JSON carries BOTH a cold and a
@@ -617,6 +645,9 @@ object Bench {
         }
         case "k21_retract_fanout" => () => {
           deleteRec(rfRoot); copyRec(rfSnap, rfRoot)
+        }
+        case "k21_maintain_turn" => () => {
+          deleteRec(rfRoot); copyRec(rfMaintSnap, rfRoot)
         }
         case "k12_mix_gate" => () => {
           // fresh state + batch 0 primed (untimed) — the entry times

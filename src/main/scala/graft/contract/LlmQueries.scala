@@ -46,6 +46,143 @@ object LlmQueries {
     dir.toString
   }
 
+  /** Paths of the seven-family curation state the composed delete /
+    * maintenance turns build and read.
+    */
+  private final case class FamilyState(lsh: String, bm: String, lm: String,
+                                       nb: String, gph: String, nov: String,
+                                       adm: String)
+
+  /** Build the seven per-family states a curation stack maintains — the
+    * shared setup of `k21_retract_pipeline` and `k21_maintain_turn`.
+    * `fragmented = true` splits the count-model families into base +
+    * append batches (content-identical by each family's incremental
+    * law, hash-matched by the `k7/k14/k15/k17 *_incremental` queries) so
+    * the maintenance turn's batch-count gates have fragments to fold.
+    */
+  private def buildSevenFamilyState(s: SparkSession, docs: DataFrame,
+                                    prefix: String,
+                                    fragmented: Boolean): FamilyState = {
+    val st = FamilyState(
+      lsh = freshScratchDir(s"$prefix-lsh"), bm = freshScratchDir(s"$prefix-bm25"),
+      lm = freshScratchDir(s"$prefix-lm"), nb = freshScratchDir(s"$prefix-nb"),
+      gph = freshScratchDir(s"$prefix-gph"), nov = freshScratchDir(s"$prefix-nov"),
+      adm = freshScratchDir(s"$prefix-adm") + "/t")
+    val (base, rest) =
+      (docs.where(col("doc_id") < 400L), docs.where(col("doc_id") >= 400L))
+    Dedup.minhashIndexWrite(base, "text", "doc_id",
+      st.lsh, shingleN = 3, k = 8, bands = 4)
+    if (fragmented) {
+      graft.llm.Search.bm25IndexWrite(base, "text", "doc_id", st.bm, nBuckets = 16)
+      graft.llm.Search.bm25AppendBatch(s, st.bm, rest, "text", "doc_id", batchId = 1L)
+      graft.llm.LanguageModel.lmWrite(base, "text", "doc_id", st.lm)
+      graft.llm.LanguageModel.lmAppendBatch(s, st.lm, rest, "text", "doc_id",
+        batchId = 1L)
+      graft.llm.Classifier.nbWrite(base, "text", "lang", st.nb)
+      graft.llm.Classifier.nbAppendBatch(s, st.nb, rest, "text", "lang", batchId = 1L)
+      graft.llm.TextAnalysis.noveltyIndexWrite(base, "text", "doc_id", st.nov)
+      graft.llm.TextAnalysis.noveltyAppendBatch(s, st.nov, rest, "text", "doc_id",
+        batchId = 1L)
+    } else {
+      graft.llm.Search.bm25IndexWrite(docs, "text", "doc_id", st.bm, nBuckets = 16)
+      graft.llm.LanguageModel.lmWrite(docs, "text", "doc_id", st.lm)
+      graft.llm.Classifier.nbWrite(docs, "text", "lang", st.nb)
+      graft.llm.TextAnalysis.noveltyIndexWrite(docs, "text", "doc_id", st.nov)
+    }
+    graft.ops.Graph.foldBatch(s, st.gph,
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.1)
+        .select(col("id_a").cast("long"), col("id_b").cast("long")),
+      "id_a", "id_b", batchId = 0L)
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(st.adm)
+    st
+  }
+
+  /** The union read shared by the composed delete and maintenance
+    * turns: one normalized (family, doc, m1, m2, m3) survivor row set
+    * per family — each branch reads THROUGH the family's persisted
+    * state and hash-matches the same survivor-corpus oracle its
+    * standalone retraction query does, so a missed fan-out (delete
+    * turn) or a value-moving compaction (maintenance turn) in ANY
+    * family breaks the hash.
+    */
+  private def survivorFamilyUnion(s: SparkSession, docs: DataFrame,
+                                  st: FamilyState): DataFrame = {
+    val surv = docs.where(col("doc_id") % 7 =!= 3)
+    val corpusF = graft.streaming.Ingest.admitted(s, st.adm)
+      .select(lit("corpus").as("family"), col("doc_id").as("doc"),
+        lit(0.0).as("m1"), lit(0.0).as("m2"), lit("").as("m3"))
+    val k13F = graft.ops.Graph.assignment(s, st.gph)
+      .select(lit("k13").as("family"), col("id").as("doc"),
+        col("component").cast("double").as("m1"), lit(0.0).as("m2"),
+        lit("").as("m3"))
+    val k14F = graft.llm.LanguageModel.lmScoreIndexed(s, st.lm, surv, "text", "doc_id")
+      .select(lit("k14").as("family"), col("doc"),
+        col("n_bigrams").cast("double").as("m1"),
+        col("sum_logprob").as("m2"), lit("").as("m3"))
+    val k15F = graft.llm.Classifier.nbClassifyIndexed(s, st.nb, surv, "text", "doc_id")
+      .select(lit("k15").as("family"), col("doc"),
+        col("n_tokens").cast("double").as("m1"), col("score").as("m2"),
+        col("predicted").as("m3"))
+    val k17F = graft.llm.TextAnalysis.noveltyScoresIndexed(s, st.nov)
+      .select(lit("k17").as("family"), col("doc_id").as("doc"),
+        col("n_grams").cast("double").as("m1"), col("novelty").as("m2"),
+        col("n_novel").cast("string").as("m3"))
+    val w = Window.orderBy(col("bm25").desc, col("doc"))
+    val k7F = graft.llm.Search.bm25Indexed(s, st.bm, query = Seq("spark", "join", "vector"))
+      .orderBy(col("bm25").desc, col("doc")).limit(20)
+      .withColumn("rk", row_number().over(w))
+      .select(lit("k7").as("family"), col("doc"), lit(0.0).as("m1"),
+        col("bm25").as("m2"),
+        concat(col("n_hit_terms").cast("string"), lit(":"),
+          col("rk").cast("string")).as("m3"))
+    val k2F = Dedup.minhashPairsAgainstIndex(s, st.lsh,
+        docs.where(col("doc_id") >= 400L), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.0)
+      .select(lit("k2").as("family"), col("new_id").as("doc"),
+        col("corpus_id").cast("double").as("m1"), col("jaccard").as("m2"),
+        lit("").as("m3"))
+    corpusF.unionByName(k13F).unionByName(k14F).unionByName(k15F)
+      .unionByName(k17F).unionByName(k7F).unionByName(k2F)
+  }
+
+  /** The union of every family's survivor-corpus oracle, normalized to
+    * (family, doc, m1, m2, m3) — each branch is the SAME oracle its
+    * standalone retraction query hash-matches. Shared by the composed
+    * delete turn and the composed maintenance turn (which must publish
+    * identical survivor values after its compactions).
+    */
+  private lazy val k21SurvivorUnionBranches: String = {
+    val sw = "WHERE doc_id % 7 <> 3"
+    s"""SELECT 'corpus' AS family, doc_id AS doc, 0.0 AS m1, 0.0 AS m2, '' AS m3
+       |FROM documents $sw
+       |UNION ALL
+       |SELECT 'k13', id, CAST(component AS DOUBLE), 0.0, '' FROM (
+       |$k13RetractOracle
+       |) AS t13
+       |UNION ALL
+       |SELECT 'k14', doc, CAST(n_bigrams AS DOUBLE), sum_logprob, '' FROM (
+       |${lmOracle("SELECT doc, n_bigrams, sum_logprob FROM sc", where = sw)}
+       |) AS t14
+       |UNION ALL
+       |SELECT 'k15', doc, CAST(n_tokens AS DOUBLE), score, predicted FROM (
+       |${nbOracle("SELECT doc, n_tokens, predicted, score FROM best", where = sw)}
+       |) AS t15
+       |UNION ALL
+       |SELECT 'k17', doc_id, CAST(n_grams AS DOUBLE), novelty, CAST(n_novel AS VARCHAR) FROM (
+       |${k17NoveltyOracle(sw)}
+       |) AS t17
+       |UNION ALL
+       |SELECT 'k7', doc, 0.0, bm25, CONCAT(n_hit_terms, ':', rk) FROM (
+       |${bm25Oracle(sw)}
+       |) AS t7
+       |UNION ALL
+       |SELECT 'k2', new_id, CAST(corpus_id AS DOUBLE), jaccard, '' FROM (
+       |$k2RetractOracle
+       |) AS t2""".stripMargin
+  }
+
   /** DuckDB-side normalized-token prelude shared by the text oracles. */
   private val tokCte =
     """WITH tk AS (SELECT doc_id, lang, text,
@@ -1045,31 +1182,13 @@ object LlmQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val docs = t(s, dir, "documents")
-      val lsh = freshScratchDir("graft-k21r-lsh")
-      val bm = freshScratchDir("graft-k21r-bm25")
-      val lm = freshScratchDir("graft-k21r-lm")
-      val nb = freshScratchDir("graft-k21r-nb")
-      val gph = freshScratchDir("graft-k21r-gph")
-      val nov = freshScratchDir("graft-k21r-nov")
-      val adm = freshScratchDir("graft-k21r-adm") + "/t"
+      val st = buildSevenFamilyState(s, docs, "graft-k21r", fragmented = false)
       val ckpt = freshScratchDir("graft-k21r-ckpt")
-      Dedup.minhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
-        lsh, shingleN = 3, k = 8, bands = 4)
-      graft.llm.Search.bm25IndexWrite(docs, "text", "doc_id", bm, nBuckets = 16)
-      graft.llm.LanguageModel.lmWrite(docs, "text", "doc_id", lm)
-      graft.llm.Classifier.nbWrite(docs, "text", "lang", nb)
-      graft.ops.Graph.foldBatch(s, gph,
-        Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.1)
-          .select(col("id_a").cast("long"), col("id_b").cast("long")),
-        "id_a", "id_b", batchId = 0L)
-      graft.llm.TextAnalysis.noveltyIndexWrite(docs, "text", "doc_id", nov)
-      docs.select(col("doc_id"), col("lang"), col("text"))
-        .withColumn("__batch", lit(0L))
-        .write.mode("overwrite").partitionBy("__batch").parquet(adm)
       val targets = graft.streaming.Ingest.RetractTargets(
-        lshIndexPath = Some(lsh), bm25IndexPath = Some(bm),
-        lmModelPath = Some(lm), nbModelPath = Some(nb),
-        graphPath = Some(gph), noveltyPath = Some(nov), corpusDir = Some(adm))
+        lshIndexPath = Some(st.lsh), bm25IndexPath = Some(st.bm),
+        lmModelPath = Some(st.lm), nbModelPath = Some(st.nb),
+        graphPath = Some(st.gph), noveltyPath = Some(st.nov),
+        corpusDir = Some(st.adm))
       val rm = docs.where(col("doc_id") % 7 === 3)
         .select(col("doc_id"), col("lang"), col("text"))
         .as[(Long, String, String)].collect().sortBy(_._1)
@@ -1083,43 +1202,47 @@ object LlmQueries {
       val cut = rm(rm.length / 2)._1
       src.addData(rm.filter(_._1 < cut).toSeq); drain()
       src.addData(rm.filter(_._1 >= cut).toSeq); drain()
-      // the union read: one normalized survivor row set per family
-      val surv = docs.where(col("doc_id") % 7 =!= 3)
-      val corpusF = graft.streaming.Ingest.admitted(s, adm)
-        .select(lit("corpus").as("family"), col("doc_id").as("doc"),
-          lit(0.0).as("m1"), lit(0.0).as("m2"), lit("").as("m3"))
-      val k13F = graft.ops.Graph.assignment(s, gph)
-        .select(lit("k13").as("family"), col("id").as("doc"),
-          col("component").cast("double").as("m1"), lit(0.0).as("m2"),
-          lit("").as("m3"))
-      val k14F = graft.llm.LanguageModel.lmScoreIndexed(s, lm, surv, "text", "doc_id")
-        .select(lit("k14").as("family"), col("doc"),
-          col("n_bigrams").cast("double").as("m1"),
-          col("sum_logprob").as("m2"), lit("").as("m3"))
-      val k15F = graft.llm.Classifier.nbClassifyIndexed(s, nb, surv, "text", "doc_id")
-        .select(lit("k15").as("family"), col("doc"),
-          col("n_tokens").cast("double").as("m1"), col("score").as("m2"),
-          col("predicted").as("m3"))
-      val k17F = graft.llm.TextAnalysis.noveltyScoresIndexed(s, nov)
-        .select(lit("k17").as("family"), col("doc_id").as("doc"),
-          col("n_grams").cast("double").as("m1"), col("novelty").as("m2"),
-          col("n_novel").cast("string").as("m3"))
-      val w = Window.orderBy(col("bm25").desc, col("doc"))
-      val k7F = graft.llm.Search.bm25Indexed(s, bm, query = Seq("spark", "join", "vector"))
-        .orderBy(col("bm25").desc, col("doc")).limit(20)
-        .withColumn("rk", row_number().over(w))
-        .select(lit("k7").as("family"), col("doc"), lit(0.0).as("m1"),
-          col("bm25").as("m2"),
-          concat(col("n_hit_terms").cast("string"), lit(":"),
-            col("rk").cast("string")).as("m3"))
-      val k2F = Dedup.minhashPairsAgainstIndex(s, lsh,
-          docs.where(col("doc_id") >= 400L), "text", "doc_id",
-          shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.0)
-        .select(lit("k2").as("family"), col("new_id").as("doc"),
-          col("corpus_id").cast("double").as("m1"), col("jaccard").as("m2"),
-          lit("").as("m3"))
-      corpusF.unionByName(k13F).unionByName(k14F).unionByName(k15F)
-        .unionByName(k17F).unionByName(k7F).unionByName(k2F)
+      survivorFamilyUnion(s, docs, st)
+        .orderBy(col("family"), col("doc"), col("m1"))
+    }),
+
+    // K21 — the COMPOSED MAINTENANCE TURN (round 13, hash-matched): the
+    // THIRD leg of the lifecycle (curate admits, retractEverywhere
+    // deletes, maintainEverywhere keeps the state healthy). Build the
+    // same seven-family state FRAGMENTED (base + append batches per
+    // count-model family — content-identical by each family's
+    // incremental law), delete a batch single-shot, then run ONE
+    // maintenance turn: every family's threshold-gated compaction fires
+    // (tombstones bake physically, fragments fold, the pair store
+    // prunes). The published frame is the SAME survivor union as the
+    // delete turn — proving maintenance moved NO served value anywhere
+    // — plus the turn's own (family → action) audit report, whose
+    // expected actions are constants in the oracle.
+    "k21_maintain_turn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val st = buildSevenFamilyState(s, docs, "graft-k21m", fragmented = true)
+      graft.streaming.Ingest.retractEverywhere(s,
+        docs.where(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("lang"), col("text")),
+        retractionId = 1L,
+        graft.streaming.Ingest.RetractTargets(
+          lshIndexPath = Some(st.lsh), bm25IndexPath = Some(st.bm),
+          lmModelPath = Some(st.lm), nbModelPath = Some(st.nb),
+          graphPath = Some(st.gph), noveltyPath = Some(st.nov),
+          corpusDir = Some(st.adm)),
+        "text", "doc_id", labelCol = "lang")
+      val report = graft.streaming.Ingest.maintainEverywhere(s,
+        graft.streaming.Ingest.MaintainTargets(
+          lshIndexPath = Some(st.lsh), bm25IndexPath = Some(st.bm),
+          lmModelPath = Some(st.lm), nbModelPath = Some(st.nb),
+          graphPath = Some(st.gph), noveltyPath = Some(st.nov)),
+        maxLiveBatches = 1)
+      import s.implicits._
+      val actions = report.toDF("f", "action")
+        .select(concat(lit("maint_"), col("f")).as("family"),
+          lit(0L).as("doc"), lit(0.0).as("m1"), lit(0.0).as("m2"),
+          col("action").as("m3"))
+      survivorFamilyUnion(s, docs, st).unionByName(actions)
         .orderBy(col("family"), col("doc"), col("m1"))
     }),
 
@@ -3290,37 +3413,23 @@ object LlmQueries {
     // survivor-corpus oracle, normalized to (family, doc, m1, m2, m3) —
     // each branch is the SAME oracle its standalone retraction query
     // hash-matches, so a missed fan-out in any family breaks the hash
-    "k21_retract_pipeline" -> {
-      val sw = "WHERE doc_id % 7 <> 3"
+    "k21_retract_pipeline" ->
       s"""SELECT family, doc, m1, m2, m3 FROM (
-         |SELECT 'corpus' AS family, doc_id AS doc, 0.0 AS m1, 0.0 AS m2, '' AS m3
-         |FROM documents $sw
+         |$k21SurvivorUnionBranches
+         |) AS u ORDER BY family, doc, m1""".stripMargin,
+
+    // the composed MAINTENANCE turn: the SAME survivor union (the
+    // compactions must move no served value in any family) plus the
+    // turn's audit report — the expected per-family actions are
+    // constants: every registered family has either pending tombstones
+    // or more live batches than the turn's maxLiveBatches=1 allows
+    "k21_maintain_turn" ->
+      s"""SELECT family, doc, m1, m2, m3 FROM (
+         |$k21SurvivorUnionBranches
          |UNION ALL
-         |SELECT 'k13', id, CAST(component AS DOUBLE), 0.0, '' FROM (
-         |$k13RetractOracle
-         |) AS t13
-         |UNION ALL
-         |SELECT 'k14', doc, CAST(n_bigrams AS DOUBLE), sum_logprob, '' FROM (
-         |${lmOracle("SELECT doc, n_bigrams, sum_logprob FROM sc", where = sw)}
-         |) AS t14
-         |UNION ALL
-         |SELECT 'k15', doc, CAST(n_tokens AS DOUBLE), score, predicted FROM (
-         |${nbOracle("SELECT doc, n_tokens, predicted, score FROM best", where = sw)}
-         |) AS t15
-         |UNION ALL
-         |SELECT 'k17', doc_id, CAST(n_grams AS DOUBLE), novelty, CAST(n_novel AS VARCHAR) FROM (
-         |${k17NoveltyOracle(sw)}
-         |) AS t17
-         |UNION ALL
-         |SELECT 'k7', doc, 0.0, bm25, CONCAT(n_hit_terms, ':', rk) FROM (
-         |${bm25Oracle(sw)}
-         |) AS t7
-         |UNION ALL
-         |SELECT 'k2', new_id, CAST(corpus_id AS DOUBLE), jaccard, '' FROM (
-         |$k2RetractOracle
-         |) AS t2
-         |) AS u ORDER BY family, doc, m1""".stripMargin
-    },
+         |SELECT f, 0, 0.0, 0.0, 'compact' FROM (VALUES ('maint_lsh'), ('maint_bm25'),
+         |('maint_lm'), ('maint_nb'), ('maint_k13'), ('maint_k17')) AS a(f)
+         |) AS u ORDER BY family, doc, m1""".stripMargin,
 
     // K17 novelty: the shared gram-hash pipeline + a gram-keyed min-id
     // aggregate — first-occurrence fractions, exact. ONE oracle, three

@@ -622,7 +622,11 @@ object Dedup {
     // (a flat pre-batch layout counts as one batch)
     val live = fs.listStatus(root).map(_.getPath.getName)
       .count(_.startsWith("__batch=")).max(1)
-    if (live > maxLiveBatches) {
+    // pending tombstones are the second degradation (round 13): every
+    // read anti-joins them until a compaction bakes them physically —
+    // and baking them is what re-opens their ids for ingest
+    val pendingRets = graft.ops.Tombstones.retIds(spark, path).nonEmpty
+    if (pendingRets || live > maxLiveBatches) {
       compactIndex(spark, path, maxBucketSize); "compact"
     } else "none"
   }

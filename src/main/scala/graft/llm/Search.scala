@@ -402,7 +402,10 @@ object Search {
     */
   def bm25Maintain(spark: SparkSession, path: String,
                    maxLiveBatches: Int = 8): String =
-    if (liveBatches(spark, path).size > maxLiveBatches) {
+    // pending tombstones gate too (round 13): every read anti-joins
+    // them until the compact bakes them, and baking re-opens their ids
+    if (graft.ops.Tombstones.retIds(spark, path).nonEmpty ||
+        liveBatches(spark, path).size > maxLiveBatches) {
       bm25Compact(spark, path); "compact"
     } else "none"
 

@@ -432,7 +432,10 @@ object Similarity {
     // was already {0})
     val action =
       if (drifted) { ivfRebuild(spark, path, lloydRounds, healCodes = healCodes); "rebuild" }
-      else if (ivfLiveBatches(spark, path).size > maxLiveBatches) {
+      // pending tombstones gate too (round 13): every read anti-joins
+      // them until the compact bakes them, and baking re-opens their ids
+      else if (graft.ops.Tombstones.retIds(spark, path).nonEmpty ||
+          ivfLiveBatches(spark, path).size > maxLiveBatches) {
         ivfCompact(spark, path, healCodes = healCodes); "compact"
       } else "none"
     action

@@ -1009,6 +1009,25 @@ object TextAnalysis {
     * LAST (an anti-join against already-removed rows is harmless).
     * Re-running a crashed compact heals every window.
     */
+  /** Threshold-gated maintenance for the novelty index — the
+    * bm25Maintain reporting shape: COMPACT when retractions are pending
+    * (they fold physically and clear) or the gram set has fragmented
+    * past `maxLiveBatches` live `__batch` dirs, else no-op. Returns
+    * "compact" | "none"; both probes are FS listings.
+    */
+  def noveltyMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxLiveBatches: Int = 8): String = {
+    val gs = new org.apache.hadoop.fs.Path(gramSetDir(spark, path))
+    val fs = fsOfPath(spark, path)
+    require(fs.exists(gs), s"no novelty index at $path — run noveltyIndexWrite first")
+    val liveBatches = fs.listStatus(gs)
+      .count(_.getPath.getName.startsWith("__batch="))
+    val pendingRets = graft.ops.Tombstones.retIds(spark, path).nonEmpty
+    if (pendingRets || liveBatches > maxLiveBatches) {
+      noveltyCompact(spark, path); "compact"
+    } else "none"
+  }
+
   def noveltyCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOfPath(spark, path)

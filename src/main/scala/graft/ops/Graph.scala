@@ -330,6 +330,27 @@ object Graph extends org.apache.spark.internal.Logging {
     * crash before the clear re-runs the (idempotent) prune over the
     * already-pruned store.
     */
+  /** Threshold-gated maintenance for the pair store — the engine's
+    * standard reporting shape: COMPACT when retraction tombstones are
+    * pending (stale evidence to prune — and the step that re-opens
+    * [[foldBatch]] for those ids) or the store has fragmented past
+    * `maxLiveBatches` live `__batch` partitions, else no-op. Returns
+    * "compact" | "none"; both probes are FS listings.
+    */
+  def pairsMaintain(spark: SparkSession, path: String,
+                    maxLiveBatches: Int = 8): String = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new Path(pairStoreDir(fs, path))
+    require(fs.exists(store),
+      s"no pair-evidence store at $path — fold at least one batch first")
+    val liveBatches = fs.listStatus(store)
+      .count(_.getPath.getName.startsWith("__batch="))
+    val pendingRets = Tombstones.retIds(spark, path).nonEmpty
+    if (pendingRets || liveBatches > maxLiveBatches) {
+      pairsCompact(spark, path); "compact"
+    } else "none"
+  }
+
   def pairsCompact(spark: SparkSession, path: String): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

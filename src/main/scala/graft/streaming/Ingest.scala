@@ -754,6 +754,94 @@ object Ingest {
       }
       .start()
 
+  /** Where a composed MAINTENANCE turn fans out — every state a
+    * [[curateBatch]]-style intake accumulates and a
+    * [[retractEverywhere]] tombstones. Each leg optional, like
+    * [[RetractTargets]]; `ivfPqCodes` additionally runs the PQ drift
+    * check at the IVF path; the corpus leg refreshes its min/max and
+    * Bloom sidecars (O(new files) each).
+    */
+  final case class MaintainTargets(
+      lshIndexPath: Option[String] = None,
+      simhashIndexPath: Option[String] = None,
+      ivfIndexPath: Option[String] = None,
+      ivfPqCodes: Boolean = false,
+      bm25IndexPath: Option[String] = None,
+      lmModelPath: Option[String] = None,
+      nbModelPath: Option[String] = None,
+      graphPath: Option[String] = None,
+      noveltyPath: Option[String] = None,
+      corpusDir: Option[String] = None,
+      corpusStatsCols: Seq[String] = Nil,
+      corpusBloomCols: Seq[String] = Nil)
+
+  /** ONE COMPOSED MAINTENANCE TURN — the third leg of the lifecycle
+    * ([[curateBatch]] admits, [[retractEverywhere]] deletes, THIS keeps
+    * the accumulated state healthy): fan one scheduled maintenance pass
+    * to every registered family's own threshold-gated entry point —
+    * LSH/simhash and novelty compactions (tombstones bake, fragments
+    * fold), IVF drift-or-fragmentation (+ the PQ codebook retrain
+    * check), BM25/LM/NB count-model folds, the K13 pair-store prune
+    * (which re-opens retracted ids for ingest), and the corpus sidecar
+    * refreshes. Before this existed, "keep the curation stack healthy"
+    * was nine separately scheduled calls; here the target list is a
+    * value and the returned (family, action) report is the audit trail
+    * a scheduler wants ("compact" / "rebuild" / "retrain" / "refresh" /
+    * "none" per family).
+    *
+    * Each family's gate is an FS listing (no Spark job on its no-op
+    * path) and each action is that family's own crash-atomic
+    * generation-swapped operation, so the composed turn is safe to
+    * re-run at any point: a crash mid-fan-out leaves every family
+    * either maintained or untouched, and the re-run's gates skip the
+    * already-maintained ones ("none") — the turn is state-idempotent
+    * (second run reports all-"none" absent new appends/retractions;
+    * spec-pinned).
+    */
+  def maintainEverywhere(spark: org.apache.spark.sql.SparkSession,
+                         targets: MaintainTargets,
+                         maxLiveBatches: Int = 8,
+                         maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+                         driftFlagRatio: Double = 2.0,
+                         lloydRounds: Int = 2): Seq[(String, String)] = {
+    require(targets.productIterator.exists {
+      case o: Option[_] => o.isDefined
+      case _            => false
+    }, "maintainEverywhere with no targets maintains nothing — register at least one path")
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    targets.lshIndexPath.foreach(p =>
+      out += "lsh" -> Dedup.indexMaintain(spark, p, maxLiveBatches, maxBucketSize))
+    targets.simhashIndexPath.foreach(p =>
+      out += "simhash" -> Dedup.indexMaintain(spark, p, maxLiveBatches, maxBucketSize))
+    targets.ivfIndexPath.foreach { p =>
+      out += "ivf" -> graft.llm.Similarity.ivfMaintain(spark, p, maxLiveBatches,
+        driftFlagRatio, lloydRounds)
+      if (targets.ivfPqCodes)
+        out += "pq" -> graft.llm.Quantization.pqMaintain(spark, p, driftFlagRatio)
+    }
+    targets.bm25IndexPath.foreach(p =>
+      out += "bm25" -> graft.llm.Search.bm25Maintain(spark, p, maxLiveBatches))
+    targets.lmModelPath.foreach(p =>
+      out += "lm" -> graft.llm.LanguageModel.lmMaintain(spark, p, maxLiveBatches))
+    targets.nbModelPath.foreach(p =>
+      out += "nb" -> graft.llm.Classifier.nbMaintain(spark, p, maxLiveBatches))
+    targets.graphPath.foreach(p =>
+      out += "k13" -> graft.ops.Graph.pairsMaintain(spark, p, maxLiveBatches))
+    targets.noveltyPath.foreach(p =>
+      out += "k17" -> graft.llm.TextAnalysis.noveltyMaintain(spark, p, maxLiveBatches))
+    targets.corpusDir.foreach { p =>
+      if (targets.corpusStatsCols.nonEmpty)
+        graft.ops.Manifest.refresh(spark, p, targets.corpusStatsCols)
+      targets.corpusBloomCols.foreach(c =>
+        graft.ops.Manifest.refreshBloom(spark, p, c))
+      out += "corpus" -> (
+        if (targets.corpusStatsCols.nonEmpty || targets.corpusBloomCols.nonEmpty)
+          "refresh"
+        else "none")
+    }
+    out.toSeq
+  }
+
   /** The admitted corpus (layout column dropped, tombstoned docs — a
     * [[retractEverywhere]] with a `corpusDir` target — filtered out).
     */

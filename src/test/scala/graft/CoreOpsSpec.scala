@@ -796,6 +796,18 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k21_full_intake",         // same turn with the admission stage composed in
     "k2_streaming_retract",    // two-drain MemoryStream + tombstone writes
     "k12_streaming_mix_gate",  // two-drain MemoryStream + state writes
+    // round 13: the delete/maintenance turns build + retract persisted
+    // state at construction; plan shapes audited by RetractPipelineSpec,
+    // NoveltySpec, PqDriftSpec, IntakeCardSpec. The BNLJ inside
+    // k21_retract_pipeline's union read is the NB gate's label-set-
+    // bounded crossJoin(broadcast(priors)); the single-partition
+    // exchange is the bm25 top-20 rank window — both bounded, both the
+    // same shapes their standalone (excluded) family queries carry.
+    "k17_retract",             // index write + occ-probe retraction at construction
+    "k21_retract_pipeline",    // seven-family state build + two-drain removal stream
+    "k21_maintain_turn",       // seven-family state + delete + composed compactions
+    "k4_pq_maintain",          // index build + drifted append + threshold retrain
+    "k19_card_incremental",    // novelty index + three card folds at construction
     // the K14 LM family executes its train pass (cache/checkpoint/model
     // write/stream drain) at construction; LanguageModelSpec audits the
     // gated-broadcast score join, and the band cutoffs are a 1-row agg

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed maintenance turn
+  * ([[graft.streaming.Ingest.maintainEverywhere]]): one scheduled pass
+  * must reach every registered family's threshold-gated entry point,
+  * move NO served value (the contract query `k21_maintain_turn`
+  * hash-checks that across the oracle-able families), and be
+  * state-idempotent — the second run's gates all report "none". This
+  * spec covers the float-class IVF/PQ leg (excluded from the hash
+  * union), the pending-tombstone gates added in round 13, and the
+  * misconfiguration guard.
+  */
+class MaintainTurnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("the turn compacts every pending family once, then reports all-none") {
+    import spark.implicits._
+    val docs = core.Engine.table(spark, TestSpark.sf, "documents")
+      .where(col("doc_id") < 300L).select(col("doc_id"), col("lang"), col("text"))
+    val lsh = tmp("graft-mt-lsh"); val bm = tmp("graft-mt-bm25")
+    val lm = tmp("graft-mt-lm"); val nb = tmp("graft-mt-nb")
+    val gph = tmp("graft-mt-gph"); val nov = tmp("graft-mt-nov")
+    val base = docs.where(col("doc_id") < 200L)
+    val rest = docs.where(col("doc_id") >= 200L)
+    llm.Dedup.minhashIndexWrite(docs, "text", "doc_id", lsh,
+      shingleN = 3, k = 8, bands = 4)
+    llm.Search.bm25IndexWrite(base, "text", "doc_id", bm, nBuckets = 8)
+    llm.Search.bm25AppendBatch(spark, bm, rest, "text", "doc_id", batchId = 1L)
+    llm.LanguageModel.lmWrite(base, "text", "doc_id", lm)
+    llm.LanguageModel.lmAppendBatch(spark, lm, rest, "text", "doc_id", batchId = 1L)
+    llm.Classifier.nbWrite(base, "text", "lang", nb)
+    llm.Classifier.nbAppendBatch(spark, nb, rest, "text", "lang", batchId = 1L)
+    ops.Graph.foldBatch(spark, gph,
+      llm.Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.1)
+        .select(col("id_a").cast("long"), col("id_b").cast("long")),
+      "id_a", "id_b", batchId = 0L)
+    llm.TextAnalysis.noveltyIndexWrite(docs, "text", "doc_id", nov)
+    streaming.Ingest.retractEverywhere(spark,
+      docs.where(col("doc_id") % 7 === 3), retractionId = 1L,
+      streaming.Ingest.RetractTargets(
+        lshIndexPath = Some(lsh), bm25IndexPath = Some(bm),
+        lmModelPath = Some(lm), nbModelPath = Some(nb),
+        graphPath = Some(gph), noveltyPath = Some(nov)),
+      "text", "doc_id", labelCol = "lang")
+    // served values BEFORE maintenance (tombstones applied at read)
+    def novRows() = llm.TextAnalysis.noveltyScoresIndexed(spark, nov)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def asgRows() = ops.Graph.assignment(spark, gph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bmRows() = llm.Search.bm25Indexed(spark, bm, Seq("spark", "join"))
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Double]("bm25"))).toSet
+    val (nov0, asg0, bm0) = (novRows(), asgRows(), bmRows())
+    val targets = streaming.Ingest.MaintainTargets(
+      lshIndexPath = Some(lsh), bm25IndexPath = Some(bm),
+      lmModelPath = Some(lm), nbModelPath = Some(nb),
+      graphPath = Some(gph), noveltyPath = Some(nov))
+    val report = streaming.Ingest.maintainEverywhere(spark, targets,
+      maxLiveBatches = 1)
+    assert(report === Seq("lsh" -> "compact", "bm25" -> "compact",
+      "lm" -> "compact", "nb" -> "compact", "k13" -> "compact",
+      "k17" -> "compact"),
+      s"every family had pending tombstones or >1 live batch: $report")
+    // maintenance moved no served value
+    assert(novRows() === nov0)
+    assert(asgRows() === asg0)
+    assert(bmRows() === bm0)
+    // and discharged everything: the second turn is all-none
+    val again = streaming.Ingest.maintainEverywhere(spark, targets,
+      maxLiveBatches = 1)
+    assert(again.forall(_._2 == "none"), s"second run must gate out: $again")
+  }
+
+  test("the IVF leg compacts on pending tombstones alone (round-13 gate)") {
+    import spark.implicits._
+    val emb = core.Engine.table(spark, TestSpark.sf, "embeddings")
+      .where(col("vec_id") < 500L)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val ivf = tmp("graft-mt-ivf")
+    llm.Similarity.ivfWriteIndex(emb, "v", "id", nCells = 4, lloydRounds = 1,
+      path = ivf)
+    llm.Similarity.ivfRetract(spark, ivf,
+      emb.where(col("id") % 5 === 2).select(col("id")), "id", retractionId = 1L)
+    val report = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(ivfIndexPath = Some(ivf)))
+    assert(report === Seq("ivf" -> "compact"),
+      "one live batch but pending tombstones — the compact must fire")
+    assert(ops.Tombstones.retIds(spark, ivf).isEmpty)
+    assert(streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(ivfIndexPath = Some(ivf)))
+      === Seq("ivf" -> "none"))
+  }
+
+  test("misconfiguration refuses loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      streaming.Ingest.maintainEverywhere(spark,
+        streaming.Ingest.MaintainTargets())
+    }
+    assert(ex.getMessage.contains("no targets"))
+  }
+}
