@@ -709,6 +709,21 @@ object TextAnalysis {
         .where(col("__wm").isNull || col("__batch") > col("__wm"))
         .drop("__wm"))
 
+  /** `partitionBy("__batch")` write that stays READABLE at zero rows: a
+    * partitioned parquet write of an empty frame emits only `_SUCCESS`
+    * (no schema footer anywhere), so the next reader dies on schema
+    * inference — the fully-retracted-index edge the lifecycle-law spec
+    * exposes (retract every doc, then compact). Zero rows → one empty
+    * footer-bearing file placed INSIDE an explicit `__batch=0/` dir, so
+    * the layout stays partition-discoverable and later dynamic appends
+    * coexist; nonzero → the ordinary partitioned write.
+    */
+  private def writeBatchPartitioned(df: DataFrame, dir: String): Unit =
+    if (df.isEmpty)
+      df.drop("__batch").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/__batch=0")
+    else df.write.mode("overwrite").partitionBy("__batch").parquet(dir)
+
   /** Build the PERSISTED novelty index over a base corpus: per-doc
     * novelty scores land under `scores/__batch=0` and the corpus's
     * distinct gram-hash set under `gramset/__batch=0`. Later batches
@@ -1065,8 +1080,7 @@ object TextAnalysis {
               col("__batch"))
       }
       val (stagedS, genS) = graft.ops.Generations.stage(fs, root, ScoresBase)
-      foldedScores
-        .write.mode("overwrite").partitionBy("__batch").parquet(stagedS.toString)
+      writeBatchPartitioned(foldedScores, stagedS.toString)
       val outS = fs.create(
         new org.apache.hadoop.fs.Path(stagedS, FoldedRetsFile), true)
       try outS.write(retWm.toString.getBytes("UTF-8")) finally outS.close()
@@ -1086,11 +1100,12 @@ object TextAnalysis {
     val (staged, gen) = graft.ops.Generations.stage(fs, root, GramSetBase)
     // watermark-aware dead filter: rows a later batch re-added after
     // the kill survive the fold (the gram is revived, not retired)
-    dropDeadGrams(curSet.select(col("h"), col("__batch")), liveDead)
-      .select(col("h"))
-      .distinct()
-      .withColumn("__batch", lit(0L))
-      .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
+    writeBatchPartitioned(
+      dropDeadGrams(curSet.select(col("h"), col("__batch")), liveDead)
+        .select(col("h"))
+        .distinct()
+        .withColumn("__batch", lit(0L)),
+      staged.toString)
     val out = fs.create(new org.apache.hadoop.fs.Path(staged, WatermarkFile), true)
     try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
     graft.ops.Generations.commit(fs, root, GramSetBase, gen)
@@ -1101,9 +1116,10 @@ object TextAnalysis {
       val occ = spark.read.parquet(occDir(spark, path))
         .select(col("h"), col("id"))
       val (stagedO, genO) = graft.ops.Generations.stage(fs, root, OccBase)
-      graft.ops.Tombstones.drop(occ, removed, "id")
-        .withColumn("__batch", lit(0L))
-        .write.mode("overwrite").partitionBy("__batch").parquet(stagedO.toString)
+      writeBatchPartitioned(
+        graft.ops.Tombstones.drop(occ, removed, "id")
+          .withColumn("__batch", lit(0L)),
+        stagedO.toString)
       graft.ops.Generations.commit(fs, root, OccBase, genO)
       graft.ops.Generations.gcOld(fs, root, OccBase)
     }

@@ -189,6 +189,78 @@ class NoveltySpec extends AnyFunSuite {
       "replaying a committed retraction must not double-credit the revived doc")
   }
 
+  test("lifecycle law: ANY append/retract/compact interleaving equals the survivor recompute") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // the generative version of every hand-picked edge above (the
+    // round-13 review found three lifecycle bugs in exactly this state
+    // machine): random monotone-id appends, random live-doc
+    // retractions, compactions at random points — after EVERY
+    // operation the indexed read must equal the full survivor-corpus
+    // recompute. Texts draw from a 4-token alphabet so gram collisions
+    // (revives, re-attributions, deaths) are frequent.
+    val tok = Gen.oneOf("aa", "bb", "cc", "dd")
+    val textGen = for {
+      k <- Gen.chooseNum(3, 5)
+      ts <- Gen.listOfN(k, tok)
+    } yield ts.mkString(" ")
+    val opGen = Gen.chooseNum(0, 2) // 0 = append, 1 = retract, 2 = compact
+    val caseGen = for {
+      nBase <- Gen.chooseNum(1, 4)
+      baseTexts <- Gen.listOfN(nBase, textGen)
+      nOps <- Gen.chooseNum(3, 5)
+      ops <- Gen.listOfN(nOps, opGen)
+      opTexts <- Gen.listOfN(nOps, Gen.listOfN(2, textGen))
+      rmPick <- Gen.listOfN(nOps, Gen.chooseNum(0, 1000))
+    } yield (baseTexts, ops, opTexts, rmPick)
+    var sample = 0
+    (0 until 6).foreach { seed =>
+      caseGen(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong))
+        .foreach { case (baseTexts, ops, opTexts, rmPick) =>
+          sample += 1
+          val path = tmp(s"graft-nov-law-$seed")
+          var live = baseTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          var nextId = live.size.toLong
+          var nextBatch = 1L
+          var nextRet = 1L
+          graft.llm.TextAnalysis.noveltyIndexWrite(
+            live.toDF("doc_id", "text"), "text", "doc_id", path)
+          def check(stage: String): Unit = {
+            val got = rows(graft.llm.TextAnalysis.noveltyScoresIndexed(spark, path))
+            val want =
+              if (live.isEmpty) Set.empty[(Long, Long, Long, Double)]
+              else rows(graft.llm.TextAnalysis.noveltyScores(
+                live.toDF("doc_id", "text"), "text", "doc_id"))
+            assert(got === want, s"seed=$seed $stage live=$live")
+          }
+          check("base")
+          ops.zip(opTexts).zip(rmPick).foreach { case ((op, texts), pick) =>
+            op match {
+              case 0 =>
+                val batch = texts.map { t => val d = (nextId, t); nextId += 1; d }
+                graft.llm.TextAnalysis.noveltyAppendBatch(spark, path,
+                  batch.toDF("doc_id", "text"), "text", "doc_id",
+                  batchId = nextBatch)
+                nextBatch += 1; live = live ++ batch
+                check(s"append b=${nextBatch - 1}")
+              case 1 if live.nonEmpty =>
+                val rm = Seq(live(pick % live.size))
+                graft.llm.TextAnalysis.noveltyRetract(spark, path,
+                  rm.toDF("doc_id", "text"), "text", "doc_id",
+                  retractionId = nextRet)
+                nextRet += 1; live = live.filterNot(d => rm.contains(d))
+                check(s"retract r=${nextRet - 1}")
+              case 2 =>
+                graft.llm.TextAnalysis.noveltyCompact(spark, path)
+                check("compact")
+              case _ => () // retract with no live docs: skip
+            }
+          }
+        }
+    }
+    assert(sample >= 5, "generator must produce the samples")
+  }
+
   test("retraction at corpus scale equals the survivor-corpus recompute") {
     val path = tmp("graft-nov-ret-sf")
     val survivors = docs.where(col("doc_id") % 5L =!= 2L)
