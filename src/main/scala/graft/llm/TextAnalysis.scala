@@ -955,8 +955,15 @@ object TextAnalysis {
     // crashed attempt's stale partition to become visible at commit.
     Seq(deltasDir(path), deadGramsDir(path)).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(d, s"__ret=$retractionId"), true))
-    val rg = Dedup.shingleHashProjection(removedDocs, textCol, idCol, n)
-      .select(col("id").as("__rid"), explode(col("hs")).as("h"))
+    // Materialize the removed docs' projection BEFORE the gram explode —
+    // the round-6 RULE (never explode an uncached HOF-gram pipeline):
+    // the interpreted tokenize/ngram/hash chain under a Generate gets no
+    // common-subexpression elimination, so the uncached form re-evaluates
+    // it per output row (measured 17 s vs 0.3 s on the sf0.1 bench
+    // corpus — it was the entire cost of the retraction).
+    val rproj = Dedup.shingleHashProjection(removedDocs, textCol, idCol, n)
+      .localCheckpoint(true)
+    val rg = rproj.select(col("id").as("__rid"), explode(col("hs")).as("h"))
       .localCheckpoint(true)
     val curIds = removedDocs.select(col(idCol).cast("long").as("__rid"))
       .distinct().localCheckpoint(true)
