@@ -269,6 +269,42 @@ object ExtraQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice").cast("double").as("price"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // x6 — exact hot-key detection (round 13): the diagnostic you run
+    // before deciding a join needs the salted path. One map-side-combined
+    // groupBy; hash-matched HAVING oracle.
+    "x6_hot_keys" -> ((s, dir) => {
+      graft.ops.Skew.hotKeys(t(s, dir, "lineitem"), "l_suppkey", minCount = 640L)
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // x6 — auto-salted join (round 13): detect the hot keys, salt ONLY
+    // the hot slice (cold slice joins plain), and hash-match the plain
+    // equi-join oracle — x1's salted join without its "salt everything"
+    // small-side blowup and without the caller having to know the skew
+    // a priori.
+    "x6_auto_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey"))
+      graft.ops.Skew.autoSaltedJoin(l, sup, "l_suppkey",
+          hotThreshold = 640L, saltFactor = 4)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // e13 — Misra–Gries heavy-hitter summary (round 13): one-pass,
+    // bounded-memory, mergeable — the 100 TB answer to "which keys are
+    // hot" when the exact groupBy's shuffle doesn't fit. Which
+    // below-threshold keys survive depends on partition merge order →
+    // declared rows-only; SkewSpec pins the three MG guarantees
+    // (all true heavy hitters present, never overestimates, undershoot
+    // ≤ N/(k+1)).
+    "e13_heavy_hitters" -> ((s, dir) => {
+      graft.ops.Skew.heavyHitters(t(s, dir, "lineitem"), col("l_suppkey"), k = 50)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -397,5 +433,18 @@ object ExtraQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x6_hot_keys" ->
+      """SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_suppkey HAVING COUNT(*) >= 640
+        |ORDER BY l_suppkey""".stripMargin,
+
+    // the hot/cold split + salted hot slice must agree exactly with the
+    // plain equi-join
+    "x6_auto_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
 }
