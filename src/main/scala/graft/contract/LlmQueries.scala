@@ -2602,6 +2602,20 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // K8 — distribution DRIFT (round 13): per-source population stability
+    // index between the even-doc_id (reference) and odd-doc_id (current)
+    // corpus halves over 10 char-length bins — "did this slice change
+    // shape vs the slice the gates were tuned on". Dense bin grid with
+    // 0.5 Laplace pseudo-counts (empty bins are the strongest drift
+    // signal and must not drop out); per-bin terms 8dp-decimal-summed so
+    // the PSI is order-independent and hash-exact vs DuckDB.
+    "k8_quality_drift" -> ((s, dir) => {
+      graft.llm.Drift.psiDrift(t(s, dir, "documents"), "source",
+          graft.llm.Drift.lengthBin(col("text"), width = 200),
+          isCur = col("doc_id") % 2 === 1L, nBins = 10)
+        .orderBy(col("source"))
+    }),
+
     // Document fingerprinting — bag-of-words md5 + order-sensitive rolling hash
     "k8_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents").where(col("doc_id") < 100L)
@@ -3872,6 +3886,28 @@ object LlmQueries {
         |        FROM documents))
         |SELECT lang, ROUND(AVG(q), 6) AS avg_quality
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k8_quality_drift" ->
+      """WITH base AS (SELECT source AS g,
+        |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b,
+        |    (doc_id % 2 = 1) AS cur
+        |  FROM documents),
+        |counts AS (SELECT g, cur, b, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
+        |totals AS (SELECT g, cur, SUM(c) AS tot FROM counts GROUP BY 1, 2),
+        |grid AS (SELECT gg.g, ss.cur, bb.b
+        |  FROM (SELECT DISTINCT g FROM base) gg,
+        |       (SELECT UNNEST([false, true]) AS cur) ss,
+        |       (SELECT UNNEST(range(10)) AS b) bb),
+        |probs AS (SELECT grid.g, grid.cur, grid.b,
+        |    (COALESCE(c.c, 0) + 0.5) / (COALESCE(t.tot, 0) + 5.0) AS p
+        |  FROM grid
+        |  LEFT JOIN counts c ON c.g = grid.g AND c.cur = grid.cur AND c.b = grid.b
+        |  LEFT JOIN totals t ON t.g = grid.g AND t.cur = grid.cur),
+        |terms AS (SELECT r.g,
+        |    CAST(ROUND((r.p - q.p) * LN(r.p / q.p), 8) AS DECIMAL(28,8)) AS term
+        |  FROM probs r JOIN probs q ON q.g = r.g AND q.b = r.b AND q.cur AND NOT r.cur)
+        |SELECT g AS source, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY g ORDER BY source""".stripMargin,
 
     "k8_fingerprints" -> (tokCte +
       """

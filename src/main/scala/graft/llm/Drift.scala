@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K8 — distribution-drift monitoring between two corpus slices.
+  *
+  * The production question behind it: "did this week's crawl change shape
+  * vs the corpus we trained the gates on?" The standard answer is the
+  * population stability index per source over binned quality signals:
+  * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), with p the reference slice's bin
+  * distribution and q the current slice's. PSI ≈ 0 → stable;
+  * > 0.1 drifting; > 0.25 shifted enough to re-tune gates.
+  *
+  * Scale shape: two map-side-combined groupBys over (group, slice, bin) —
+  * the corpus is touched once, everything downstream is
+  * O(groups × bins). The bin universe is densified (groups × slices ×
+  * bins cross join of the TINY distinct frames) so empty bins carry the
+  * 0.5 Laplace pseudo-count instead of dropping out — PSI is undefined at
+  * zero probabilities, and silently skipping empty bins UNDERSTATES drift
+  * exactly when a bin appears or vanishes, the strongest drift signal
+  * there is.
+  *
+  * Hash-exact discipline: each bin's term is rounded at 8 dp and summed
+  * as DECIMAL(28,8) (order-independent — the BM25 pattern), final PSI
+  * rounded at 6 dp; the DuckDB oracle applies the identical expression
+  * tree.
+  */
+object Drift {
+
+  /** PSI per `groupCol` between the `isCur = false` (reference) and
+    * `isCur = true` (current) slices of `df`, over `binCol` ∈ [0, nBins).
+    *
+    * `binCol` is any integer binning expression (see [[lengthBin]]);
+    * values outside [0, nBins) would silently escape the densified grid,
+    * so they are clamped into the edge bins defensively.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, binCol: Column, isCur: Column,
+               nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"psiDrift needs at least 2 bins, got $nBins")
+    val spark = df.sparkSession
+    val base = df.select(col(groupCol).as("g"),
+      // clamp into [0, nBins); a NULL signal (e.g. null text) lands in
+      // bin 0 instead of silently escaping the densified grid
+      coalesce(greatest(least(binCol.cast("int"), lit(nBins - 1)), lit(0)), lit(0)).as("b"),
+      isCur.cast("boolean").as("cur"))
+    val counts = base.groupBy("g", "cur", "b").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g", "cur").agg(sum(col("c")).as("tot"))
+    // dense (group × slice × bin) grid — groups is the only data-derived
+    // side and it is output-sized (distinct of the group key), so the
+    // cross joins are broadcast-trivial
+    val grid = base.select(col("g")).distinct()
+      .crossJoin(spark.range(nBins).select(col("id").cast("int").as("b")))
+      .crossJoin(spark.range(2).select((col("id") === 1L).as("cur")))
+    val probs = grid
+      .join(counts, Seq("g", "cur", "b"), "left")
+      .join(totals, Seq("g", "cur"), "left")
+      .na.fill(0L, Seq("c", "tot"))
+      // Laplace 0.5 pseudo-count per bin: p > 0 always, and an entirely
+      // missing slice degrades to the uniform distribution
+      .withColumn("p", (col("c") + lit(0.5d)) / (col("tot") + lit(nBins * 0.5d)))
+    val ref = probs.where(!col("cur")).select(col("g"), col("b"), col("p"))
+    val cur = probs.where(col("cur")).select(col("g"), col("b"), col("p").as("q"))
+    ref.join(cur, Seq("g", "b"))
+      .withColumn("__term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 8)
+          .cast("decimal(28,8)"))
+      .groupBy(col("g").as(groupCol))
+      .agg(round(sum(col("__term")).cast("double"), 6).as("psi"))
+  }
+
+  /** Character-length bin: bin i covers [i·width, (i+1)·width), last bin
+    * open-ended. The simplest quality signal with real drift power —
+    * boilerplate floods and truncation bugs both move it first.
+    */
+  def lengthBin(textCol: Column, width: Int = 200): Column =
+    floor(length(textCol) / lit(width)).cast("int")
+
+  /** Maintenance advisory: max PSI across groups vs the standard 0.25
+    * re-tune threshold — one tiny frame a maintenance turn can inspect
+    * (the gate-drift analogue of the IVF drift trigger).
+    */
+  def psiAdvisory(psi: DataFrame, threshold: Double = 0.25): DataFrame =
+    psi.agg(max(col("psi")).as("max_psi"),
+        sum(when(col("psi") > threshold, 1L).otherwise(0L)).as("groups_over"),
+        lit(threshold).as("threshold"))
+      .withColumn("retune", col("groups_over") > 0L)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.llm.Drift
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** K8 PSI drift — the laws the contract query's hash can't express:
+  * identical slices score ~0, a genuine shape shift scores high, a
+  * VANISHED bin registers (the Laplace grid's whole point), and the
+  * advisory trips exactly on the threshold.
+  */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "source", "text")
+
+  private def psiOf(rows: Seq[(Long, String, String)]): Map[String, Double] =
+    Drift.psiDrift(docs(rows), "source", Drift.lengthBin(col("text"), 10),
+        isCur = col("doc_id") % 2 === 1L, nBins = 5)
+      .as[(String, Double)].collect().toMap
+
+  test("identical distributions across halves give PSI near zero") {
+    // even and odd docs get the same length mix
+    val rows = (0L until 200L).map { i =>
+      (i, "s", "x" * (((i / 2) % 5).toInt * 10 + 5))
+    }
+    val psi = psiOf(rows)("s")
+    assert(psi >= 0.0 && psi < 0.01, s"stable corpus scored $psi")
+  }
+
+  test("a shifted distribution scores far above the re-tune threshold") {
+    // reference: short docs; current: long docs
+    val rows = (0L until 200L).map { i =>
+      val len = if (i % 2 == 0L) 5 else 45
+      (i, "s", "x" * len)
+    }
+    val psi = psiOf(rows)("s")
+    assert(psi > 1.0, s"hard shift scored only $psi")
+  }
+
+  test("a bin emptying out registers drift (Laplace grid keeps it)") {
+    // bin 4 exists only in the reference half
+    val rows = (0L until 100L).map { i =>
+      val len = if (i % 2 == 0L && i % 10 == 0L) 45 else 5
+      (i, "s", "x" * len)
+    }
+    val psi = psiOf(rows)("s")
+    assert(psi > 0.05, s"vanished bin scored only $psi")
+  }
+
+  test("groups are independent: one drifting source doesn't contaminate a stable one") {
+    val stable = (0L until 100L).map(i => (i, "stable", "x" * 5))
+    val drifty = (1000L until 1100L).map { i =>
+      (i, "drift", "x" * (if (i % 2 == 0L) 5 else 45))
+    }
+    val psi = psiOf(stable ++ drifty)
+    assert(psi("stable") < 0.01)
+    assert(psi("drift") > 1.0)
+  }
+
+  test("psiAdvisory trips on the threshold") {
+    val rows = (0L until 200L).map { i =>
+      val len = if (i % 2 == 0L) 5 else 45
+      (i, "s", "x" * len)
+    } ++ (1000L until 1100L).map(i => (i, "t", "x" * 5))
+    val psi = Drift.psiDrift(docs(rows), "source", Drift.lengthBin(col("text"), 10),
+      isCur = col("doc_id") % 2 === 1L, nBins = 5)
+    val adv = Drift.psiAdvisory(psi).select("retune", "groups_over")
+      .as[(Boolean, Long)].head()
+    assert(adv._1 && adv._2 === 1L)
+    val calm = Drift.psiAdvisory(psi.where(col("source") === "t"))
+      .select("retune").as[Boolean].head()
+    assert(!calm)
+  }
+}
