@@ -789,6 +789,19 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // K2 — CONTAINMENT near-dup (round 13): |A∩B|/|A| and its mirror over
+    // the same LSH candidate closure, thresholded on the larger side —
+    // the near-SUPERSET detector Jaccard structurally misses (a doc
+    // embedded verbatim in a 10× larger one: containment 1.0, Jaccard
+    // ≤ 0.1 — the boilerplate-wrapped-repost shape). Hash-matched: the
+    // oracle extends the shared LSH CTE chain with the two containment
+    // ratios.
+    "k2_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+          shingleN = 3, k = 8, bands = 4, containmentThreshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // K2 — LSH quality metrics on a bounded sample: precision/recall of
     // the bucketed candidate generation vs EXACT brute-force ground truth
     // at jaccard >= 0.5 — the number a production operator tunes
@@ -2933,7 +2946,9 @@ object LlmQueries {
       |  JOIN hd sb ON sb.doc_id = c.id_b AND sb.h = sa.h
       |  GROUP BY c.id_a, c.id_b),
       |scored AS (SELECT i.id_a, i.id_b,
-      |  ROUND(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard
+      |  ROUND(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard,
+      |  ROUND(CAST(i.i AS DOUBLE) / za.n, 6) AS cont_a,
+      |  ROUND(CAST(i.i AS DOUBLE) / zb.n, 6) AS cont_b
       |  FROM inter i
       |  JOIN sz za ON za.doc_id = i.id_a
       |  JOIN sz zb ON zb.doc_id = i.id_b)""".stripMargin
@@ -3012,6 +3027,13 @@ object LlmQueries {
     "k2_lsh_candidate_pairs" -> (tokCte + lshScoredCtes() +
       """
         |SELECT id_a, id_b, jaccard FROM scored
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "k2_containment" -> (tokCte + lshScoredCtes() +
+      """
+        |SELECT id_a, id_b, cont_a, cont_b,
+        |  GREATEST(cont_a, cont_b) AS containment, jaccard
+        |FROM scored WHERE GREATEST(cont_a, cont_b) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
 
     // sample-bounded quality closure: brute-force truth over the

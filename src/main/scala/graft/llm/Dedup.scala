@@ -209,7 +209,54 @@ object Dedup {
     */
   private def minhashCandidatePairsFrom(projected: DataFrame, k: Int, bands: Int,
                                         jaccardThreshold: Double,
-                                        maxBucketSize: Int): DataFrame = {
+                                        maxBucketSize: Int): DataFrame =
+    scoredCandidatePairsFrom(projected, k, bands, maxBucketSize) { d =>
+      // round BEFORE thresholding: the SQL oracle thresholds the rounded
+      // value, and a pair landing in [t - 5e-7, t) would otherwise be
+      // dropped here but kept there — invisible at test scale, real at
+      // shingle-set sizes where the 6th decimal is reachable
+      d.withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 6))
+        .where(col("jaccard") >= jaccardThreshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+
+  /** K2 — CONTAINMENT near-dup over the same LSH candidates (round 13):
+    * cont_a = |A∩B| / |A| (how much of A lives inside B), cont_b the
+    * mirror, thresholded on the larger of the two. Catches the
+    * near-SUPERSET pairs Jaccard structurally misses — a doc fully
+    * embedded in a 10× larger one has containment 1.0 but Jaccard ≤ 0.1,
+    * and boilerplate-wrapped exact reposts are exactly that shape.
+    * Candidate generation is the identical banded-bucket closure (LSH
+    * recall for high one-sided containment at skewed sizes is lower than
+    * for symmetric Jaccard — the declared trade; the bucket cap and
+    * bands are shared so one index serves both scores).
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                       containmentThreshold: Double = 0.5,
+                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val projected = shingleHashProjection(df, textCol, idCol, shingleN).persist()
+    projected.count()
+    try scoredCandidatePairsFrom(projected, k, bands, maxBucketSize) { d =>
+      val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+      d.withColumn("cont_a", round(inter / size(col("hs_a")), 6))
+        .withColumn("cont_b", round(inter / size(col("hs_b")), 6))
+        .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+        .withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 6))
+        .where(col("containment") >= containmentThreshold)
+        .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"),
+          col("containment"), col("jaccard"))
+    } finally projected.unpersist(false)
+  }
+
+  /** The shared LSH candidate core: banded buckets → capped pair closure
+    * → hash-set join-back; `score` maps the (id_a, id_b, hs_a, hs_b)
+    * frame to the final scored/filtered columns (Jaccard for the classic
+    * path, containment for [[containmentPairs]]).
+    */
+  private def scoredCandidatePairsFrom(projected: DataFrame, k: Int, bands: Int,
+                                       maxBucketSize: Int)
+                                      (score: DataFrame => DataFrame): DataFrame = {
     // Filter ABOVE the cache boundary: predicate pushdown would otherwise
     // shove `size(...) > 0` through the repartition and recompute the
     // whole shingle pipeline in the narrow pre-shuffle stage (measured: a
@@ -236,15 +283,9 @@ object Dedup {
     // 100 TB where the corpus can never be broadcast.
     val withA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
       .join(broadcast(pairs), Seq("id_a"))
-    val result = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
-      .join(broadcast(withA), Seq("id_b"))
-      // round BEFORE thresholding: the SQL oracle thresholds the rounded
-      // value, and a pair landing in [t - 5e-7, t) would otherwise be
-      // dropped here but kept there — invisible at test scale, real at
-      // shingle-set sizes where the 6th decimal is reachable
-      .withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 6))
-      .where(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val result = score(
+        base.select(col("id").as("id_b"), col("hs").as("hs_b"))
+          .join(broadcast(withA), Seq("id_b")))
       // Eagerly materialize the (bucket-bounded, tiny relative to the
       // corpus) pair list and sever lineage so the big intermediates can
       // be released NOW instead of accumulating for the session lifetime;

@@ -274,6 +274,30 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(pairs.count() === 0, "over-wide buckets must be dropped, not joined")
   }
 
+  test("containmentPairs keeps a superset pair the Jaccard threshold drops") {
+    // doc 1 is embedded verbatim in doc 2, which carries extra trailing
+    // boilerplate: containment of A in B is exactly 1.0 while Jaccard
+    // dilutes below a 0.9 dedup threshold. Both scores see the SAME
+    // candidate (the bands still collide at this size ratio); the point
+    // is the scoring semantics — the threshold that keeps the repost is
+    // containment, not Jaccard.
+    val small = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val filler = (1 to 8).map(i => s"extra$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, s"$small $filler"), (3L, "totally unrelated words"))
+      .toDF("id", "text")
+    val cont = Dedup.containmentPairs(docs, "text", "id",
+        shingleN = 3, k = 8, bands = 4, containmentThreshold = 0.95)
+      .where(col("id_a") === 1L && col("id_b") === 2L)
+      .select("cont_a", "jaccard").as[(Double, Double)].collect()
+    assert(cont.length === 1, "the superset pair must survive the containment threshold")
+    assert(cont(0)._1 === 1.0d, s"A fully inside B must score cont_a 1.0, got ${cont(0)._1}")
+    assert(cont(0)._2 < 0.9d, "the same pair must sit below the 0.9 Jaccard threshold")
+    // the classic Jaccard path at the same strictness drops the pair
+    val jac = Dedup.minhashCandidatePairs(docs, "text", "id",
+      shingleN = 3, k = 8, bands = 4, jaccardThreshold = 0.9).count()
+    assert(jac === 0L)
+  }
+
   test("persisted LSH index caps over-wide buckets at write time") {
     // Same degenerate corpus through the INCREMENTAL path: an uncapped
     // index bucket would join every colliding future batch forever, so the
