@@ -2629,6 +2629,39 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // K8 — STREAMING drift monitor (▶, round 13): the reference
+    // distribution is pinned from the even-doc_id half; the odd half
+    // arrives in two micro-batches through foreachBatchDriftAccumulate
+    // (per-batch O(groups × bins) count folds — the corpus is never
+    // rescanned); the PSI read back from persisted state must hash-match
+    // the ONE-SHOT oracle: counts are additive, so batch boundaries
+    // cannot move the number.
+    "k8_streaming_drift" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-drift")
+      val ckpt = freshScratchDir("graft-drift-ckpt")
+      val bin = graft.llm.Drift.lengthBin(col("text"), width = 200)
+      graft.llm.Drift.referenceWrite(s, path,
+        docs.where(col("doc_id") % 2 === 0L), "source", bin, nBins = 10)
+      val odd = docs.where(col("doc_id") % 2 === 1L)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect()
+      val cut = odd.map(_._1).sorted.apply(odd.length / 2)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchDriftAccumulate(
+          src.toDS().toDF("doc_id", "source", "text"), path, ckpt,
+          "source", bin, nBins = 10)
+        q.awaitTermination()
+      }
+      src.addData(odd.filter(_._1 < cut).toSeq); drain()
+      src.addData(odd.filter(_._1 >= cut).toSeq); drain()
+      graft.llm.Drift.psiAgainstReference(s, path, nBins = 10, groupOut = "source")
+        .orderBy(col("source"))
+    }),
+
     // Document fingerprinting — bag-of-words md5 + order-sensitive rolling hash
     "k8_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents").where(col("doc_id") < 100L)
@@ -2903,6 +2936,33 @@ object LlmQueries {
     (0 until 64).map(_ => 0L),
     (0 until 64).map(d => if (d % 2 == 0) 500000L else -500000L),
     (0 until 64).map(d => (d % 5 - 2) * 300000L))
+
+  /** K8 PSI drift oracle — shared by the one-shot and streaming entries
+    * (bin counts are additive across batches, so both compute the same
+    * number by construction). Mirrors Drift.psiFromCounts exactly: dense
+    * grid, 0.5 Laplace pseudo-counts, per-term 8dp decimal sum, 6dp PSI.
+    */
+  private val psiDriftSql: String =
+    """WITH base AS (SELECT source AS g,
+      |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b,
+      |    (doc_id % 2 = 1) AS cur
+      |  FROM documents),
+      |counts AS (SELECT g, cur, b, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
+      |totals AS (SELECT g, cur, SUM(c) AS tot FROM counts GROUP BY 1, 2),
+      |grid AS (SELECT gg.g, ss.cur, bb.b
+      |  FROM (SELECT DISTINCT g FROM base) gg,
+      |       (SELECT UNNEST([false, true]) AS cur) ss,
+      |       (SELECT UNNEST(range(10)) AS b) bb),
+      |probs AS (SELECT grid.g, grid.cur, grid.b,
+      |    (COALESCE(c.c, 0) + 0.5) / (COALESCE(t.tot, 0) + 5.0) AS p
+      |  FROM grid
+      |  LEFT JOIN counts c ON c.g = grid.g AND c.cur = grid.cur AND c.b = grid.b
+      |  LEFT JOIN totals t ON t.g = grid.g AND t.cur = grid.cur),
+      |terms AS (SELECT r.g,
+      |    CAST(ROUND((r.p - q.p) * LN(r.p / q.p), 8) AS DECIMAL(28,8)) AS term
+      |  FROM probs r JOIN probs q ON q.g = r.g AND q.b = r.b AND q.cur AND NOT r.cur)
+      |SELECT g AS source, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY g ORDER BY source""".stripMargin
 
   private def lshScoredCtes(bwWhere: String = "",
                             cap: Int = graft.llm.Dedup.DefaultMaxBucketSize,
@@ -3909,27 +3969,11 @@ object LlmQueries {
         |SELECT lang, ROUND(AVG(q), 6) AS avg_quality
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "k8_quality_drift" ->
-      """WITH base AS (SELECT source AS g,
-        |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b,
-        |    (doc_id % 2 = 1) AS cur
-        |  FROM documents),
-        |counts AS (SELECT g, cur, b, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
-        |totals AS (SELECT g, cur, SUM(c) AS tot FROM counts GROUP BY 1, 2),
-        |grid AS (SELECT gg.g, ss.cur, bb.b
-        |  FROM (SELECT DISTINCT g FROM base) gg,
-        |       (SELECT UNNEST([false, true]) AS cur) ss,
-        |       (SELECT UNNEST(range(10)) AS b) bb),
-        |probs AS (SELECT grid.g, grid.cur, grid.b,
-        |    (COALESCE(c.c, 0) + 0.5) / (COALESCE(t.tot, 0) + 5.0) AS p
-        |  FROM grid
-        |  LEFT JOIN counts c ON c.g = grid.g AND c.cur = grid.cur AND c.b = grid.b
-        |  LEFT JOIN totals t ON t.g = grid.g AND t.cur = grid.cur),
-        |terms AS (SELECT r.g,
-        |    CAST(ROUND((r.p - q.p) * LN(r.p / q.p), 8) AS DECIMAL(28,8)) AS term
-        |  FROM probs r JOIN probs q ON q.g = r.g AND q.b = r.b AND q.cur AND NOT r.cur)
-        |SELECT g AS source, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
-        |FROM terms GROUP BY g ORDER BY source""".stripMargin,
+    "k8_quality_drift" -> psiDriftSql,
+
+    // the streamed accumulator's PSI is the one-shot PSI by construction
+    // (bin counts are additive across batches) — same oracle
+    "k8_streaming_drift" -> psiDriftSql,
 
     "k8_fingerprints" -> (tokCte +
       """

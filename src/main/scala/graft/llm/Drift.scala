@@ -37,19 +37,44 @@ object Drift {
     */
   def psiDrift(df: DataFrame, groupCol: String, binCol: Column, isCur: Column,
                nBins: Int = 10): DataFrame = {
-    require(nBins >= 2, s"psiDrift needs at least 2 bins, got $nBins")
-    val spark = df.sparkSession
-    val base = df.select(col(groupCol).as("g"),
-      // clamp into [0, nBins); a NULL signal (e.g. null text) lands in
-      // bin 0 instead of silently escaping the densified grid
-      coalesce(greatest(least(binCol.cast("int"), lit(nBins - 1)), lit(0)), lit(0)).as("b"),
-      isCur.cast("boolean").as("cur"))
-    val counts = base.groupBy("g", "cur", "b").agg(count(lit(1)).as("c"))
+    val base = df.withColumn("__cur", isCur.cast("boolean"))
+    psiFromCounts(
+      binCounts(base.where(!col("__cur")), groupCol, binCol, nBins),
+      binCounts(base.where(col("__cur")), groupCol, binCol, nBins),
+      nBins, groupCol)
+  }
+
+  /** The (g, b, c) bin-count summary of one slice — the ONLY state the
+    * drift monitor ever persists or ships: O(groups × bins) regardless of
+    * corpus size, additive across batches (sum the c's), and computed in
+    * one map-side-combined groupBy.
+    */
+  def binCounts(df: DataFrame, groupCol: String, binCol: Column,
+                nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"binCounts needs at least 2 bins, got $nBins")
+    df.select(col(groupCol).as("g"),
+        // clamp into [0, nBins); a NULL signal (e.g. null text) lands in
+        // bin 0 instead of silently escaping the densified grid
+        coalesce(greatest(least(binCol.cast("int"), lit(nBins - 1)), lit(0)), lit(0)).as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** PSI from two bin-count summaries (reference p vs current q). Shared
+    * by the one-shot [[psiDrift]] and the persisted/streaming monitor, so
+    * the streamed PSI is definitionally the one-shot PSI of the
+    * accumulated counts — the batch-boundary-invariance law the ▶
+    * contract query pins.
+    */
+  private[graft] def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                                   nBins: Int, groupOut: String): DataFrame = {
+    val spark = refCounts.sparkSession
+    val counts = refCounts.withColumn("cur", lit(false))
+      .unionByName(curCounts.withColumn("cur", lit(true)))
     val totals = counts.groupBy("g", "cur").agg(sum(col("c")).as("tot"))
     // dense (group × slice × bin) grid — groups is the only data-derived
     // side and it is output-sized (distinct of the group key), so the
     // cross joins are broadcast-trivial
-    val grid = base.select(col("g")).distinct()
+    val grid = counts.select(col("g")).distinct()
       .crossJoin(spark.range(nBins).select(col("id").cast("int").as("b")))
       .crossJoin(spark.range(2).select((col("id") === 1L).as("cur")))
     val probs = grid
@@ -65,8 +90,47 @@ object Drift {
       .withColumn("__term",
         round((col("p") - col("q")) * log(col("p") / col("q")), 8)
           .cast("decimal(28,8)"))
-      .groupBy(col("g").as(groupCol))
+      .groupBy(col("g").as(groupOut))
       .agg(round(sum(col("__term")).cast("double"), 6).as("psi"))
+  }
+
+  // ---- persisted drift monitor (the streaming twin's state) ----
+
+  private def refDir(path: String) = s"$path/ref"
+  private def curDir(path: String) = s"$path/cur"
+
+  /** Pin the reference distribution: the bin counts of the slice the
+    * gates were tuned on. Overwrite-idempotent.
+    */
+  def referenceWrite(spark: org.apache.spark.sql.SparkSession, path: String,
+                     df: DataFrame, groupCol: String, binCol: Column,
+                     nBins: Int = 10): Unit =
+    binCounts(df, groupCol, binCol, nBins)
+      .write.mode("overwrite").parquet(refDir(path))
+
+  /** Fold one batch's bin counts into the current-side accumulator.
+    * Batch-id-partitioned dynamic overwrite — an at-least-once replay of
+    * the same batch rewrites its own partition instead of double-counting
+    * (the corpus-append sidecar discipline).
+    */
+  def accumulate(spark: org.apache.spark.sql.SparkSession, path: String,
+                 batch: DataFrame, groupCol: String, binCol: Column,
+                 nBins: Int, batchId: Long): Unit =
+    binCounts(batch, groupCol, binCol, nBins)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(curDir(path))
+
+  /** PSI of everything accumulated so far vs the pinned reference —
+    * O(groups × bins × batches) read, never a corpus rescan.
+    */
+  def psiAgainstReference(spark: org.apache.spark.sql.SparkSession, path: String,
+                          nBins: Int = 10,
+                          groupOut: String = "source"): DataFrame = {
+    val ref = spark.read.parquet(refDir(path)).select("g", "b", "c")
+    val cur = spark.read.parquet(curDir(path))
+      .groupBy("g", "b").agg(sum(col("c")).as("c"))
+    psiFromCounts(ref, cur, nBins, groupOut)
   }
 
   /** Character-length bin: bin i covers [i·width, (i+1)·width), last bin

@@ -626,6 +626,33 @@ object Ingest {
       }
       .start()
 
+  /** Attach the DRIFT MONITOR to a streaming frame of documents (round
+    * 13): each micro-batch folds its O(groups × bins) bin-count summary
+    * into the accumulator at `statePath` ([[graft.llm.Drift.accumulate]]
+    * — batch-id-partitioned dynamic overwrite, so at-least-once replay
+    * rewrites itself), against a reference distribution pinned once with
+    * [[graft.llm.Drift.referenceWrite]]. The monitored PSI at any point
+    * is [[graft.llm.Drift.psiAgainstReference]] — definitionally the
+    * one-shot PSI of the union of all batches (counts are additive), the
+    * batch-boundary-invariance law the ▶ contract query hash-pins. The
+    * corpus is never rescanned: per batch cost is one groupBy of the
+    * batch, read cost is the tiny count sidecars.
+    */
+  def foreachBatchDriftAccumulate(docs: DataFrame, statePath: String,
+                                  checkpointDir: String, groupCol: String,
+                                  binCol: org.apache.spark.sql.Column,
+                                  nBins: Int = 10,
+                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Drift.accumulate(batch.sparkSession, statePath, batch,
+          groupCol, binCol, nBins, batchId = id)
+      }
+      .start()
+
   /** Attach LIVE RETRACTION to a stream of removal ids — the delete
     * side of the ingest lifecycle (the natural upstream is a CDC delete
     * feed: `Envelope.parseWithTombstones` / op='d' envelopes keyed by

@@ -60,6 +60,28 @@ class DriftSpec extends AnyFunSuite {
     assert(psi("drift") > 1.0)
   }
 
+  test("accumulate is replay-idempotent and batching-invariant") {
+    val path = java.nio.file.Files.createTempDirectory("graft-driftspec").toString
+    val ref = (0L until 100L).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))
+    val curA = (100L until 150L).map(i => (i, "s", "x" * 45))
+    val curB = (150L until 200L).map(i => (i, "s", "x" * 5))
+    val bin = Drift.lengthBin(col("text"), 10)
+    Drift.referenceWrite(spark, path, docs(ref), "source", bin, nBins = 5)
+    Drift.accumulate(spark, path, docs(curA), "source", bin, 5, batchId = 0L)
+    Drift.accumulate(spark, path, docs(curB), "source", bin, 5, batchId = 1L)
+    // an at-least-once redelivery of batch 1 rewrites its own partition
+    Drift.accumulate(spark, path, docs(curB), "source", bin, 5, batchId = 1L)
+    val streamed = Drift.psiAgainstReference(spark, path, nBins = 5, groupOut = "source")
+      .as[(String, Double)].head()._2
+    // one-shot over the same split must agree exactly
+    val oneShot = Drift.psiDrift(
+        docs(ref.map(r => (r._1 * 2, r._2, r._3)) ++
+             (curA ++ curB).map(r => (r._1 * 2 + 1, r._2, r._3))),
+        "source", bin, isCur = col("doc_id") % 2 === 1L, nBins = 5)
+      .as[(String, Double)].head()._2
+    assert(streamed === oneShot)
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45
