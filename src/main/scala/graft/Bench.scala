@@ -87,7 +87,11 @@ object Bench {
     "k21_stages_separate",   // the same four stages run as separate operators (the shared-pass control)
     "k17_retract",           // novelty retraction: occ-probe + delta/dead-gram sidecars + tombstones (round 13)
     "k21_retract_fanout",    // ONE composed delete turn: seven-family retraction fan-out (round 13)
-    "k21_maintain_turn")     // ONE composed maintenance turn: every family's gated compaction fires (round 13)
+    "k21_maintain_turn",     // ONE composed maintenance turn: every family's gated compaction fires (round 13)
+    "x6_auto_salted_join",   // hot-key split + salted hot slice vs plain cold join (round 13)
+    "e13_heavy_hitters",     // one-pass Misra-Gries sketch over the fact table (round 13)
+    "k2_containment",        // containment scoring over the shared LSH candidate core (round 13)
+    "k8_quality_drift")      // per-source PSI: two count shuffles + O(groups×bins) tail (round 13)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

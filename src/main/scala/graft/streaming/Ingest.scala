@@ -800,7 +800,10 @@ object Ingest {
       noveltyPath: Option[String] = None,
       corpusDir: Option[String] = None,
       corpusStatsCols: Seq[String] = Nil,
-      corpusBloomCols: Seq[String] = Nil)
+      corpusBloomCols: Seq[String] = Nil,
+      driftStatePath: Option[String] = None,
+      driftNBins: Int = 10,
+      driftPsiThreshold: Double = 0.25)
 
   /** ONE COMPOSED MAINTENANCE TURN — the third leg of the lifecycle
     * ([[curateBatch]] admits, [[retractEverywhere]] deletes, THIS keeps
@@ -865,6 +868,19 @@ object Ingest {
         if (targets.corpusStatsCols.nonEmpty || targets.corpusBloomCols.nonEmpty)
           "refresh"
         else "none")
+    }
+    targets.driftStatePath.foreach { p =>
+      // gate-drift advisory (round 13): PSI of the accumulated intake vs
+      // the pinned reference — O(groups × bins) read, never a corpus
+      // rescan. Advisory-only by design: re-tuning gates is a modelling
+      // decision (new NB training set, new thresholds), not a mechanical
+      // compaction this turn could safely automate.
+      val adv = graft.llm.Drift.psiAdvisory(
+        graft.llm.Drift.psiAgainstReference(spark, p, targets.driftNBins),
+        targets.driftPsiThreshold).head()
+      out += "drift" -> (if (adv.getAs[Boolean]("retune"))
+        s"retune(max_psi=${adv.getAs[Double]("max_psi")})"
+      else "stable")
     }
     out.toSeq
   }

@@ -103,4 +103,27 @@ class MaintainTurnSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no targets"))
   }
+
+  test("the drift advisory leg reports stable vs retune from persisted state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-mt-drift").toString
+    val bin = graft.llm.Drift.lengthBin(col("text"), 10)
+    def docs(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "source", "text")
+    val ref = (0L until 100L).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))
+    graft.llm.Drift.referenceWrite(spark, path, docs(ref), "source", bin, nBins = 5)
+    // stable intake: same shape as the reference
+    graft.llm.Drift.accumulate(spark, path,
+      docs(ref.map(r => (r._1 + 1000L, r._2, r._3))), "source", bin, 5, batchId = 0L)
+    val stable = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5)).toMap
+    assert(stable("drift") === "stable")
+    // drifted intake: everything lands in the top bin
+    graft.llm.Drift.accumulate(spark, path,
+      docs((0L until 300L).map(i => (i + 2000L, "s", "x" * 45))),
+      "source", bin, 5, batchId = 1L)
+    val drifted = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5)).toMap
+    assert(drifted("drift").startsWith("retune("))
+  }
 }
