@@ -753,7 +753,12 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k7_hybrid_search",  // dense leg: 1-row query-vector broadcast
     // same 1-row query-vector broadcast; only the lexical source differs
     // (postings index instead of corpus scan)
-    "k7_hybrid_indexed", "k7_hybrid_both_indexed")
+    "k7_hybrid_indexed", "k7_hybrid_both_indexed",
+    // K8 PSI drift: the dense bin grid crossJoins the output-sized
+    // distinct-groups frame with the nBins-row and 2-row literal ranges —
+    // all three sides bounded by construction (groups × bins × 2 IS the
+    // monitor's whole state)
+    "k8_quality_drift")
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
@@ -768,6 +773,10 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // (the bm25 top-20 discipline); the corpus-side passes stay keyed
     "k18_vocab", "k18_encode",
     "k4_pq_recall", // 1-row recall summary per shortlist setting
+    // the Misra-Gries final merge combines one O(k)-entry summary per
+    // partition partial on one task — bounded by the sketch size, which
+    // is the sketch's whole point (the fact table itself never moves)
+    "e13_heavy_hitters",
     "k7_bm25_search", // rank window over the post-limit 20-row frame
     "k7_hybrid_search", // leg ranks + fusion over post-limit <=30-row frames
     "k7_hybrid_indexed", "k7_hybrid_both_indexed") // same bounded frames
@@ -837,7 +846,11 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // gated-broadcast score join, and the band cutoffs are a 1-row agg
     "k14_lm_perplexity", "k14_lm_model_indexed", "k14_lm_incremental",
     "k14_streaming_lm_append", "k14_lm_quality_band",
-    "k14_trigram_perplexity") // shared-pass persist + checkpoint at construction
+    "k14_trigram_perplexity", // shared-pass persist + checkpoint at construction
+    // round 13: two-drain MemoryStream + reference/accumulator writes at
+    // construction; the read-back plan is k8_quality_drift's audited
+    // bounded-grid shape (DriftSpec pins replay idempotence)
+    "k8_streaming_drift")
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries
