@@ -836,6 +836,22 @@ object LlmQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // K2 — INCREMENTAL containment (round 13): today's batch probed
+    // against the persisted corpus index with containment scoring — the
+    // "is this crawl a boilerplate-wrapped repost" production gate. Same
+    // persisted buckets as k2_incremental_neardup (one index, both
+    // scores).
+    "k2_incremental_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-lshcont").toString
+      Dedup.minhashIndexWrite(docs.where(col("doc_id") < 400L), "text", "doc_id",
+        path, shingleN = 3, k = 8, bands = 4)
+      Dedup.containmentPairsAgainstIndex(s, path, docs.where(col("doc_id") >= 400L),
+          "text", "doc_id", shingleN = 3, k = 8, bands = 4,
+          containmentThreshold = 0.5)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // K2 — index RETRACTION (round 12): tombstoned docs drop out of
     // candidate generation WITHOUT an index rewrite (the Lucene-deletes
     // shape; K13's retractBatch for the index families). The queried
@@ -3125,6 +3141,17 @@ object LlmQueries {
       """
         |SELECT id_b AS new_id, id_a AS corpus_id, jaccard FROM scored
         |WHERE id_a < 400 AND id_b >= 400
+        |ORDER BY new_id, corpus_id""".stripMargin),
+
+    // same restricted closure, containment columns (id_a = corpus side
+    // by the id split, so cont_a mirrors cont_corpus)
+    "k2_incremental_containment" -> (tokCte + lshScoredCtes("WHERE doc_id < 400") +
+      """
+        |SELECT id_b AS new_id, id_a AS corpus_id,
+        |  cont_b AS cont_new, cont_a AS cont_corpus,
+        |  GREATEST(cont_a, cont_b) AS containment, jaccard
+        |FROM scored
+        |WHERE id_a < 400 AND id_b >= 400 AND GREATEST(cont_a, cont_b) >= 0.5
         |ORDER BY new_id, corpus_id""".stripMargin),
 
     // retraction-at-read: identical chain (caps over the FULL

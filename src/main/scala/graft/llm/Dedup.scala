@@ -714,7 +714,47 @@ object Dedup {
   def minhashPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                                newDf: DataFrame, textCol: String, idCol: String,
                                shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                               jaccardThreshold: Double = 0.0): DataFrame = {
+                               jaccardThreshold: Double = 0.0): DataFrame =
+    scoredPairsAgainstIndex(spark, path, newDf, textCol, idCol, shingleN, k, bands) { d =>
+      // round before thresholding, like minhashCandidatePairs — the SQL
+      // oracle thresholds the rounded value
+      d.withColumn("jaccard", round(jaccard(col("hs_n"), col("hs_o")), 6))
+        .where(col("jaccard") >= jaccardThreshold)
+        .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    }
+
+  /** [[containmentPairs]] against a persisted index — the production
+    * "is today's crawl a boilerplate-wrapped repost of the corpus"
+    * probe: same banded candidate join as [[minhashPairsAgainstIndex]]
+    * (one index serves both scores), containment computed per side
+    * (cont_new = |N∩C| / |N|, cont_corpus the mirror) and thresholded
+    * on the larger.
+    */
+  def containmentPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                                   newDf: DataFrame, textCol: String, idCol: String,
+                                   shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                                   containmentThreshold: Double = 0.5): DataFrame =
+    scoredPairsAgainstIndex(spark, path, newDf, textCol, idCol, shingleN, k, bands) { d =>
+      val inter = size(array_intersect(col("hs_n"), col("hs_o"))).cast("double")
+      d.withColumn("cont_new", round(inter / size(col("hs_n")), 6))
+        .withColumn("cont_corpus", round(inter / size(col("hs_o")), 6))
+        .withColumn("containment", greatest(col("cont_new"), col("cont_corpus")))
+        .withColumn("jaccard", round(jaccard(col("hs_n"), col("hs_o")), 6))
+        .where(col("containment") >= containmentThreshold)
+        .select(col("new_id"), col("corpus_id"), col("cont_new"),
+          col("cont_corpus"), col("containment"), col("jaccard"))
+    }
+
+  /** The shared batch-vs-index candidate core (band-bucket equi-join into
+    * the persisted buckets, tombstones dropped at read, signature
+    * join-back); `score` maps (new_id, corpus_id, hs_n, hs_o) to the
+    * final scored/filtered columns.
+    */
+  private def scoredPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, newDf: DataFrame,
+                                      textCol: String, idCol: String,
+                                      shingleN: Int, k: Int, bands: Int)
+                                     (score: DataFrame => DataFrame): DataFrame = {
     val projected = shingleHashProjection(newDf, textCol, idCol, shingleN).persist()
     projected.count()
     val newBase = projected.where(size(col("hs")) > 0)
@@ -729,14 +769,10 @@ object Dedup {
       .dropDuplicates("new_id", "corpus_id")
     val idxSigs = spark.read.parquet(sigsDir(spark, path))
       .select(col("id").as("corpus_id"), col("hs").as("hs_o"))
-    val result = newBase.select(col("id").as("new_id"), col("hs").as("hs_n"))
-      .join(pairs, Seq("new_id"))
-      .join(idxSigs, Seq("corpus_id"))
-      // round before thresholding, like minhashCandidatePairs — the SQL
-      // oracle thresholds the rounded value
-      .withColumn("jaccard", round(jaccard(col("hs_n"), col("hs_o")), 6))
-      .where(col("jaccard") >= jaccardThreshold)
-      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    val result = score(
+        newBase.select(col("id").as("new_id"), col("hs").as("hs_n"))
+          .join(pairs, Seq("new_id"))
+          .join(idxSigs, Seq("corpus_id")))
       .localCheckpoint(true)
     projected.unpersist(false)
     result

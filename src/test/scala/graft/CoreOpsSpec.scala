@@ -789,6 +789,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "a8_foreach_upsert", "j5_stream_dedup", "j8_stream_upsert",
     "j8_stream_upsert_tws", "j9_stream_tumbling",
     "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
+    "k2_incremental_containment", // index write at construction, same as its jaccard twin
+    "k2_containment", // persist + eager count, same as k2_lsh_candidate_pairs
     "k2_incremental_simhash", "k2_streaming_simhash_append",
     "k2_streaming_ingest_dedup", // two-drain MemoryStream replay + index writes
     "k10_streaming_decontaminate", // two-drain MemoryStream replay + partitioned writes
