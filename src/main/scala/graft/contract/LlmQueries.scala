@@ -2678,6 +2678,28 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // K8 — drift-state RETRACTION (round 13): the negated-count-batch
+    // delete path for the monitor's accumulated state (the LM/NB
+    // pattern — drift joins every other stateful family in having one).
+    // Accumulate the odd half, retract the doc_id % 7 == 3 slice, and
+    // the monitored PSI must hash-match the SURVIVOR-corpus one-shot
+    // oracle; the retraction touches O(removed batch), never the
+    // accumulated history.
+    "k8_drift_retract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-driftret")
+      val bin = graft.llm.Drift.lengthBin(col("text"), width = 200)
+      graft.llm.Drift.referenceWrite(s, path,
+        docs.where(col("doc_id") % 2 === 0L), "source", bin, nBins = 10)
+      graft.llm.Drift.accumulate(s, path,
+        docs.where(col("doc_id") % 2 === 1L), "source", bin, 10, batchId = 0L)
+      graft.llm.Drift.retract(s, path,
+        docs.where(col("doc_id") % 2 === 1L && col("doc_id") % 7 === 3L),
+        "source", bin, 10, retractionId = 100L)
+      graft.llm.Drift.psiAgainstReference(s, path, nBins = 10, groupOut = "source")
+        .orderBy(col("source"))
+    }),
+
     // Document fingerprinting — bag-of-words md5 + order-sensitive rolling hash
     "k8_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents").where(col("doc_id") < 100L)
@@ -2958,11 +2980,17 @@ object LlmQueries {
     * number by construction). Mirrors Drift.psiFromCounts exactly: dense
     * grid, 0.5 Laplace pseudo-counts, per-term 8dp decimal sum, 6dp PSI.
     */
-  private val psiDriftSql: String =
-    """WITH base AS (SELECT source AS g,
+  private val psiDriftSql: String = psiDriftSqlWhere("")
+
+  /** Same oracle with a base filter — the retraction entry scores the
+    * SURVIVOR corpus (retracted odd docs excluded from the current
+    * slice), everything else identical.
+    */
+  private def psiDriftSqlWhere(baseWhere: String): String =
+    s"""WITH base AS (SELECT source AS g,
       |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b,
       |    (doc_id % 2 = 1) AS cur
-      |  FROM documents),
+      |  FROM documents $baseWhere),
       |counts AS (SELECT g, cur, b, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
       |totals AS (SELECT g, cur, SUM(c) AS tot FROM counts GROUP BY 1, 2),
       |grid AS (SELECT gg.g, ss.cur, bb.b
@@ -4001,6 +4029,11 @@ object LlmQueries {
     // the streamed accumulator's PSI is the one-shot PSI by construction
     // (bin counts are additive across batches) — same oracle
     "k8_streaming_drift" -> psiDriftSql,
+
+    // retraction = the survivor corpus's one-shot PSI (negated counts
+    // cancel exactly; fully-retracted bins drop to the grid default)
+    "k8_drift_retract" ->
+      psiDriftSqlWhere("WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 3)"),
 
     "k8_fingerprints" -> (tokCte +
       """

@@ -121,15 +121,49 @@ object Drift {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(curDir(path))
 
-  /** PSI of everything accumulated so far vs the pinned reference —
-    * O(groups × bins × batches) read, never a corpus rescan.
+  private def retDir(path: String) = s"$path/ret"
+
+  /** RETRACT removed docs from the monitored current distribution — the
+    * negated-count-batch pattern the LM/NB models use: bin counts of the
+    * removed docs written NEGATED under a retraction-id partition, summed
+    * away at read. Replay-idempotent (dynamic overwrite of the same
+    * retraction id), order/batching-insensitive (sums commute), and
+    * O(removed batch) — the accumulated history is never rewritten.
+    */
+  def retract(spark: org.apache.spark.sql.SparkSession, path: String,
+              removedDocs: DataFrame, groupCol: String, binCol: Column,
+              nBins: Int, retractionId: Long): Unit =
+    binCounts(removedDocs, groupCol, binCol, nBins)
+      .withColumn("c", -col("c"))
+      .withColumn("__batch", lit(retractionId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(retDir(path))
+
+  /** PSI of everything accumulated so far (minus retractions) vs the
+    * pinned reference — O(groups × bins × batches) read, never a corpus
+    * rescan.
     */
   def psiAgainstReference(spark: org.apache.spark.sql.SparkSession, path: String,
                           nBins: Int = 10,
                           groupOut: String = "source"): DataFrame = {
     val ref = spark.read.parquet(refDir(path)).select("g", "b", "c")
-    val cur = spark.read.parquet(curDir(path))
-      .groupBy("g", "b").agg(sum(col("c")).as("c"))
+    val retPath = new org.apache.hadoop.fs.Path(retDir(path))
+    val hasRet = retPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(retPath)
+    val raw = spark.read.parquet(curDir(path)).select("g", "b", "c")
+    val all = if (hasRet)
+      raw.unionByName(spark.read.parquet(retDir(path)).select("g", "b", "c"))
+    else raw
+    val cur = all.groupBy("g", "b").agg(sum(col("c")).as("c"))
+      .where(col("c") =!= 0L) // fully-retracted bins drop to the grid default
+    // a retraction of docs never accumulated would drive counts negative
+    // and the Laplace-smoothed probability ≤ 0 (ln undefined) — refuse
+    // loudly instead of silently producing NaN PSI. The check reads the
+    // O(groups × bins) summary, never the corpus.
+    val neg = cur.where(col("c") < 0L).count()
+    require(neg == 0L,
+      s"drift state at $path has $neg negative bin counts — a retraction " +
+        "removed docs that were never accumulated (wrong slice or double retract)")
     psiFromCounts(ref, cur, nBins, groupOut)
   }
 

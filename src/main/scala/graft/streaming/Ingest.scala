@@ -684,6 +684,15 @@ object Ingest {
     * `_ret/` subdir (invisible to the corpus parquet scan) and
     * [[admitted]] applies them.
     */
+  /** The drift monitor's retraction coordinates: the state path plus the
+    * binning that was used to accumulate (retraction must negate the
+    * EXACT counts the docs contributed, so the binning is part of the
+    * target's identity).
+    */
+  final case class DriftTarget(statePath: String, groupCol: String,
+                               binCol: org.apache.spark.sql.Column,
+                               nBins: Int = 10)
+
   final case class RetractTargets(
       lshIndexPath: Option[String] = None,
       simhashIndexPath: Option[String] = None,
@@ -693,7 +702,8 @@ object Ingest {
       nbModelPath: Option[String] = None,
       graphPath: Option[String] = None,
       noveltyPath: Option[String] = None,
-      corpusDir: Option[String] = None)
+      corpusDir: Option[String] = None,
+      driftState: Option[DriftTarget] = None)
 
   private def corpusRetRoot(admittedDir: String): String = s"$admittedDir/_ret"
 
@@ -755,6 +765,9 @@ object Ingest {
         retractionId, n = shingleN))
     targets.corpusDir.foreach(p =>
       graft.ops.Tombstones.write(spark, corpusRetRoot(p), ids, idCol, retractionId))
+    targets.driftState.foreach(t =>
+      graft.llm.Drift.retract(spark, t.statePath, rm, t.groupCol, t.binCol,
+        t.nBins, retractionId))
   }
 
   /** Attach [[retractEverywhere]] to a stream of removed documents —

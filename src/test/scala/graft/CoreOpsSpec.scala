@@ -852,7 +852,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // round 13: two-drain MemoryStream + reference/accumulator writes at
     // construction; the read-back plan is k8_quality_drift's audited
     // bounded-grid shape (DriftSpec pins replay idempotence)
-    "k8_streaming_drift")
+    "k8_streaming_drift",
+    "k8_drift_retract") // reference + accumulate + retract writes at construction
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries

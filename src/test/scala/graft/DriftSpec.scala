@@ -82,6 +82,37 @@ class DriftSpec extends AnyFunSuite {
     assert(streamed === oneShot)
   }
 
+  test("retraction through the composed delete turn; over-retraction refuses loudly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-driftret-spec").toString
+    val bin = Drift.lengthBin(col("text"), 10)
+    val ref = (0L until 100L).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))
+    val cur = (100L until 200L).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))
+    Drift.referenceWrite(spark, path, docs(ref), "source", bin, nBins = 5)
+    Drift.accumulate(spark, path, docs(cur), "source", bin, 5, batchId = 0L)
+    // delete a slice via the ONE composed turn (drift-only target)
+    val removed = cur.filter(_._1 % 7 == 3)
+    graft.streaming.Ingest.retractEverywhere(spark, docs(removed), 10L,
+      graft.streaming.Ingest.RetractTargets(
+        driftState = Some(graft.streaming.Ingest.DriftTarget(path, "source", bin, 5))),
+      textCol = "text", idCol = "doc_id")
+    val got = Drift.psiAgainstReference(spark, path, nBins = 5, groupOut = "source")
+      .as[(String, Double)].head()._2
+    // survivor-corpus one-shot
+    val want = Drift.psiDrift(
+        docs(ref.map(r => (r._1 * 2, r._2, r._3)) ++
+             cur.filterNot(_._1 % 7 == 3).map(r => (r._1 * 2 + 1, r._2, r._3))),
+        "source", bin, isCur = col("doc_id") % 2 === 1L, nBins = 5)
+      .as[(String, Double)].head()._2
+    assert(got === want)
+    // retracting docs that were never accumulated must refuse, not NaN
+    val ghost = (9000L until 9500L).map(i => (i, "s", "x" * 5))
+    Drift.retract(spark, path, docs(ghost), "source", bin, 5, retractionId = 11L)
+    val ex = intercept[IllegalArgumentException] {
+      Drift.psiAgainstReference(spark, path, nBins = 5, groupOut = "source").collect()
+    }
+    assert(ex.getMessage.contains("negative bin counts"))
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45
