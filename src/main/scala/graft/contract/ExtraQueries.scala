@@ -296,6 +296,23 @@ object ExtraQueries {
         .orderBy(col("s_nationkey"))
     }),
 
+    // x6 — SKETCH-routed salted join (round 13): the hot list comes from
+    // the one-pass Misra–Gries summary instead of the exact groupBy — the
+    // 100 TB detection path. The sketch only ROUTES rows (both routes are
+    // exact inner joins), so the result hash-matches the plain-join
+    // oracle even though the sketch is merge-order-dependent.
+    "x6_approx_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey"))
+      graft.ops.Skew.autoSaltedJoinApprox(l, sup, "l_suppkey",
+          sketchK = 64, hotThreshold = 500L, saltFactor = 4)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // e13 — Misra–Gries heavy-hitter summary (round 13): one-pass,
     // bounded-memory, mergeable — the 100 TB answer to "which keys are
     // hot" when the exact groupBy's shuffle doesn't fit. Which
@@ -443,6 +460,13 @@ object ExtraQueries {
     // the hot/cold split + salted hot slice must agree exactly with the
     // plain equi-join
     "x6_auto_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // the sketch only routes — the result is the same plain join
+    "x6_approx_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

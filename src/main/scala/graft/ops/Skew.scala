@@ -46,7 +46,43 @@ object Skew {
   def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
                      hotThreshold: Long = 100000L,
                      saltFactor: Int = 8): DataFrame = {
-    val hot = hotKeys(big, key, hotThreshold).select(col(key)).persist()
+    splitSaltedJoin(big, small, key,
+      hotKeys(big, key, hotThreshold).select(col(key)), saltFactor)
+  }
+
+  /** [[autoSaltedJoin]] with the hot-key list taken from the one-pass
+    * [[MisraGries]] sketch instead of the exact groupBy — the 100 TB
+    * detection path (no key-cardinality shuffle; the fact table is read
+    * once, narrow).
+    *
+    * Correctness does NOT depend on the sketch: the hot/cold split only
+    * routes rows, and both routes implement the identical inner-join
+    * semantics — a missed hot key degrades to the cold path (AQE's skew
+    * split then moderates it), a false positive pays one needless salt
+    * replication. That routing-only role is why the contract query can
+    * hash-match the plain-join oracle even though the sketch itself is
+    * merge-order-dependent. MG's guarantee does the tuning math: a key
+    * with true count c surfaces with est ≥ c − N/(k+1), so size k well
+    * above N/hotThreshold (and/or lower the est filter by that margin)
+    * and every truly hot key routes to the salted path.
+    */
+  def autoSaltedJoinApprox(big: DataFrame, small: DataFrame, key: String,
+                           sketchK: Int = 64,
+                           hotThreshold: Long = 100000L,
+                           saltFactor: Int = 8): DataFrame =
+    splitSaltedJoin(big, small, key,
+      heavyHitters(big, col(key), sketchK)
+        .where(col("est") >= hotThreshold)
+        .select(col("key").cast(big.schema(key).dataType).as(key)),
+      saltFactor)
+
+  /** The shared split-and-salt core: rows of `big` whose key is in `hot`
+    * take the salted path, the rest join plain; exact inner-join
+    * semantics either way, so the hot list is pure routing.
+    */
+  private def splitSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+                              hotList: DataFrame, saltFactor: Int): DataFrame = {
+    val hot = hotList.persist()
     // eager: both slices + the small-side split consume it via broadcast
     hot.count()
     val bigHot = big.join(broadcast(hot), Seq(key), "left_semi")

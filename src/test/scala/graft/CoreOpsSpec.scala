@@ -777,6 +777,7 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // partition partial on one task — bounded by the sketch size, which
     // is the sketch's whole point (the fact table itself never moves)
     "e13_heavy_hitters",
+    "x6_approx_salted_join", // same MG merge feeding the routing list
     "k7_bm25_search", // rank window over the post-limit 20-row frame
     "k7_hybrid_search", // leg ranks + fusion over post-limit <=30-row frames
     "k7_hybrid_indexed", "k7_hybrid_both_indexed") // same bounded frames

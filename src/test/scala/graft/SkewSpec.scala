@@ -43,6 +43,23 @@ class SkewSpec extends AnyFunSuite {
     assert(auto === plain)
   }
 
+  test("autoSaltedJoinApprox equals the plain join regardless of sketch routing") {
+    val big = skewed()
+    val small = (0 until 60).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    // tiny sketch (k=3, heavy decrementing) AND a threshold low enough to
+    // misroute cold keys — result must still be exact either way
+    for (sk <- Seq(3, 100); thr <- Seq(5L, 100L)) {
+      val approx = Skew.autoSaltedJoinApprox(big, small, "k",
+          sketchK = sk, hotThreshold = thr, saltFactor = 4)
+        .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(approx === plain, s"sketchK=$sk thr=$thr diverged")
+    }
+  }
+
   test("autoSaltedJoin with no hot keys degenerates to the plain join") {
     val big = skewed()
     val small = (0 until 60).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
