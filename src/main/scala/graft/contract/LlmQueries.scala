@@ -836,6 +836,19 @@ object LlmQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // K2 — containment DEDUP policy arm (round 13): drop every doc
+    // living ≥ 0.9 inside a strictly larger (or tie-smaller-id) doc —
+    // detection (k2_containment) turned into the cleanup action. The
+    // larger-or-earlier rule is non-greedy and order-free, so the
+    // survivor set is deterministic and the oracle is one EXISTS over
+    // the scored pairs.
+    "k2_containment_dedup" -> ((s, dir) => {
+      Dedup.containmentDedup(t(s, dir, "documents"), "text", "doc_id",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.9)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+
     // K2 — INCREMENTAL containment (round 13): today's batch probed
     // against the persisted corpus index with containment scoring — the
     // "is this crawl a boilerplate-wrapped repost" production gate. Same
@@ -3139,6 +3152,16 @@ object LlmQueries {
         |  GREATEST(cont_a, cont_b) AS containment, jaccard
         |FROM scored WHERE GREATEST(cont_a, cont_b) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // dropped: the strictly-smaller side of any >= 0.9 containment pair
+    // (ties to keep the smaller id) — one EXISTS over the scored pairs
+    "k2_containment_dedup" -> (tokCte + lshScoredCtes() +
+      """
+        |SELECT d.source, COUNT(*) AS n FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM scored s
+        |  WHERE (s.id_a = d.doc_id AND s.cont_a >= 0.9 AND s.cont_a > s.cont_b)
+        |     OR (s.id_b = d.doc_id AND s.cont_b >= 0.9 AND s.cont_b >= s.cont_a))
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     // sample-bounded quality closure: brute-force truth over the
     // inverted-index join (pairs sharing >= 1 shingle hash), LSH

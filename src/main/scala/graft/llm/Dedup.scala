@@ -803,6 +803,40 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The containment POLICY arm (round 13): drop every doc whose shingle
+    * set lives ≥ `threshold` inside a STRICTLY LARGER doc (ties broken
+    * to the smaller id) — the boilerplate-wrapped-repost cleanup
+    * [[containmentPairs]] detects. The larger-or-earlier rule makes the
+    * drop set non-greedy and order-free (a doc is dropped iff such a
+    * superset EXISTS among all docs, surviving or not — matching the
+    * transitive reality that the superset's own superset still contains
+    * the doc), so the survivor set is deterministic and the oracle is
+    * one EXISTS over the scored pairs.
+    */
+  def containmentDedup(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.9,
+                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = containmentPairs(df, textCol, idCol, shingleN, k, bands,
+      containmentThreshold = threshold, maxBucketSize = maxBucketSize)
+    // sizes decide the keeper: join the pair's two hash-set cardinalities
+    // back in via the scores already carried — cont_a = i/|A| and
+    // cont_b = i/|B|, so |A| < |B| exactly when cont_a > cont_b
+    // (same intersection), and |A| = |B| when they tie. Dropped:
+    //   id_a when cont_a >= t and (cont_a > cont_b  → A is smaller)
+    //   id_b when cont_b >= t and (cont_b > cont_a  → B is smaller,
+    //        or cont_a = cont_b → tie broken to keep the smaller id = a)
+    val losers = pairs.select(
+        when(col("cont_a") >= threshold && col("cont_a") > col("cont_b"),
+          col("id_a"))
+          .when(col("cont_b") >= threshold && col("cont_b") >= col("cont_a"),
+            col("id_b"))
+          .as(idCol))
+      .where(col(idCol).isNotNull)
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair list (e.g. the LSH
     * candidate pairs): every node gets the minimum id reachable from it as
     * its cluster label. This is what turns pairwise near-dup hits into

@@ -298,6 +298,23 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(jac === 0L)
   }
 
+  test("containmentDedup drops the contained doc, keeps superset and ties by id") {
+    val small = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val filler = (1 to 8).map(i => s"extra$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),                 // contained in 2 → dropped
+      (2L, s"$small $filler"),     // the superset → kept
+      (3L, "totally unrelated words"), // untouched → kept
+      // exact mutual pair on its own token set → tie keeps id 10
+      (10L, (1 to 40).map(i => s"other$i").mkString(" ")),
+      (11L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("id", "text")
+    val kept = Dedup.containmentDedup(docs, "text", "id",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 10L))
+  }
+
   test("persisted LSH index caps over-wide buckets at write time") {
     // Same degenerate corpus through the INCREMENTAL path: an uncapped
     // index bucket would join every colliding future batch forever, so the
