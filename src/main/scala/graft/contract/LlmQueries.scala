@@ -2691,6 +2691,38 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // K8 — drift TREND (▶, round 13): the per-batch PSI time series —
+    // each accumulated micro-batch scored ALONE against the pinned
+    // reference ("which crawl drifted", the monitor's time axis). Same
+    // two-drain feed as k8_streaming_drift; the oracle re-derives the
+    // batch split (rank ≤ half → batch 0) and computes both PSIs in one
+    // SQL — hash-exact per (batch, source).
+    "k8_drift_trend" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-dtrend")
+      val ckpt = freshScratchDir("graft-dtrend-ckpt")
+      val bin = graft.llm.Drift.lengthBin(col("text"), width = 200)
+      graft.llm.Drift.referenceWrite(s, path,
+        docs.where(col("doc_id") % 2 === 0L), "source", bin, nBins = 10)
+      val odd = docs.where(col("doc_id") % 2 === 1L)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect()
+      val cut = odd.map(_._1).sorted.apply(odd.length / 2)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchDriftAccumulate(
+          src.toDS().toDF("doc_id", "source", "text"), path, ckpt,
+          "source", bin, nBins = 10)
+        q.awaitTermination()
+      }
+      src.addData(odd.filter(_._1 < cut).toSeq); drain()
+      src.addData(odd.filter(_._1 >= cut).toSeq); drain()
+      graft.llm.Drift.psiTrend(s, path, nBins = 10, groupOut = "source")
+        .orderBy(col("batch"), col("source"))
+    }),
+
     // K8 — drift-state RETRACTION (round 13): the negated-count-batch
     // delete path for the monitor's accumulated state (the LM/NB
     // pattern — drift joins every other stateful family in having one).
@@ -4057,6 +4089,45 @@ object LlmQueries {
     // cancel exactly; fully-retracted bins drop to the grid default)
     "k8_drift_retract" ->
       psiDriftSqlWhere("WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 3)"),
+
+    // per-batch PSI: the first ⌊half⌋ odd docs (by id rank) are batch 0,
+    // the rest batch 1 — the same split the MemoryStream feed makes;
+    // reference probabilities shared, current probabilities per batch
+    "k8_drift_trend" ->
+      """WITH odd AS (SELECT doc_id, source, text,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn, COUNT(*) OVER () AS cnt
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |lbl AS (SELECT CASE WHEN rn <= CAST(FLOOR(cnt / 2) AS BIGINT)
+        |      THEN 0 ELSE 1 END AS batch,
+        |    source AS g,
+        |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b
+        |  FROM odd),
+        |refb AS (SELECT source AS g,
+        |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |rc AS (SELECT g, b, COUNT(*) AS c FROM refb GROUP BY 1, 2),
+        |rt AS (SELECT g, SUM(c) AS tot FROM rc GROUP BY 1),
+        |cc AS (SELECT batch, g, b, COUNT(*) AS c FROM lbl GROUP BY 1, 2, 3),
+        |ct AS (SELECT batch, g, SUM(c) AS tot FROM cc GROUP BY 1, 2),
+        |gs AS (SELECT DISTINCT g FROM (SELECT g FROM rc UNION ALL SELECT g FROM cc)),
+        |bb AS (SELECT UNNEST(range(10)) AS b),
+        |bt AS (SELECT DISTINCT batch FROM cc),
+        |pr AS (SELECT gs.g, bb.b,
+        |    (COALESCE(rc.c, 0) + 0.5) / (COALESCE(rt.tot, 0) + 5.0) AS p
+        |  FROM gs CROSS JOIN bb
+        |  LEFT JOIN rc ON rc.g = gs.g AND rc.b = bb.b
+        |  LEFT JOIN rt ON rt.g = gs.g),
+        |pc AS (SELECT bt.batch, gs.g, bb.b,
+        |    (COALESCE(cc.c, 0) + 0.5) / (COALESCE(ct.tot, 0) + 5.0) AS q
+        |  FROM bt CROSS JOIN gs CROSS JOIN bb
+        |  LEFT JOIN cc ON cc.batch = bt.batch AND cc.g = gs.g AND cc.b = bb.b
+        |  LEFT JOIN ct ON ct.batch = bt.batch AND ct.g = gs.g),
+        |tm AS (SELECT pc.batch, pr.g,
+        |    CAST(ROUND((pr.p - pc.q) * LN(pr.p / pc.q), 8) AS DECIMAL(28,8)) AS term
+        |  FROM pr JOIN pc ON pc.g = pr.g AND pc.b = pr.b)
+        |SELECT CAST(batch AS BIGINT) AS batch, g AS source,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        |FROM tm GROUP BY batch, g ORDER BY batch, source""".stripMargin,
 
     "k8_fingerprints" -> (tokCte +
       """

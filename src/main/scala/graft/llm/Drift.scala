@@ -139,6 +139,34 @@ object Drift {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(retDir(path))
 
+  /** The drift TIME SERIES: one PSI row per (accumulated batch, group) —
+    * each batch scored ALONE against the pinned reference, giving the
+    * monitor its time axis ("which crawl drifted", not just "did the
+    * total drift"). Reads only the persisted count sidecars; the batch
+    * list is stream-batch-bounded metadata (collected, like every other
+    * bounded driver list — SCALING.md boundedness inventory). Scores the
+    * INTAKE as it arrived: retractions change the live state
+    * ([[psiAgainstReference]]), not history.
+    */
+  def psiTrend(spark: org.apache.spark.sql.SparkSession, path: String,
+               nBins: Int = 10, groupOut: String = "source",
+               batchOut: String = "batch"): DataFrame = {
+    val ref = spark.read.parquet(refDir(path)).select("g", "b", "c")
+    val cur = spark.read.parquet(curDir(path))
+      .select(col("__batch").cast("long").as("__batch"), col("g"), col("b"), col("c"))
+    val batches = cur.select("__batch").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: # of stream batches
+    batches.map { bid =>
+        psiFromCounts(ref,
+            cur.where(col("__batch") === bid)
+              .groupBy("g", "b").agg(sum(col("c")).as("c")),
+            nBins, groupOut)
+          .withColumn(batchOut, lit(bid))
+      }
+      .reduce(_ unionByName _)
+      .select(col(batchOut), col(groupOut), col("psi"))
+  }
+
   /** PSI of everything accumulated so far (minus retractions) vs the
     * pinned reference — O(groups × bins × batches) read, never a corpus
     * rescan.

@@ -871,7 +871,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // construction; the read-back plan is k8_quality_drift's audited
     // bounded-grid shape (DriftSpec pins replay idempotence)
     "k8_streaming_drift",
-    "k8_drift_retract") // reference + accumulate + retract writes at construction
+    "k8_drift_retract", // reference + accumulate + retract writes at construction
+    "k8_drift_trend")   // same two-drain feed; per-batch PSI reads the sidecars
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries
