@@ -2691,6 +2691,22 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // K8 — QUANTILE-binned drift (round 13): PSI over the REFERENCE's
+    // decile bins instead of fixed widths — equal reference mass per
+    // bin, so drift sensitivity is uniform across the distribution (the
+    // production PSI binning). Edges are nBins−1 exact percentiles of
+    // the reference slice, 6dp-rounded (the e5-pinned percentile
+    // portability boundary) — hash-exact end to end.
+    "k8_quantile_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = graft.llm.Drift.quantileBinEdges(
+        docs.where(col("doc_id") % 2 === 0L), length(col("text")), nBins = 10)
+      graft.llm.Drift.psiDrift(docs, "source",
+          graft.llm.Drift.quantileBin(length(col("text")), edges),
+          isCur = col("doc_id") % 2 === 1L, nBins = 10)
+        .orderBy(col("source"))
+    }),
+
     // K8 — drift TREND (▶, round 13): the per-batch PSI time series —
     // each accumulated micro-batch scored ALONE against the pinned
     // reference ("which crawl drifted", the monitor's time axis). Same
@@ -3032,8 +3048,16 @@ object LlmQueries {
     * slice), everything else identical.
     */
   private def psiDriftSqlWhere(baseWhere: String): String =
-    s"""WITH base AS (SELECT source AS g,
-      |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b,
+    psiDriftSqlFor("CAST(FLOOR(LENGTH(text) / 200) AS INTEGER)", baseWhere)
+
+  /** The PSI chain over an arbitrary bin expression (`binSql` must yield
+    * an integer; the clamp + grid are shared) with an optional leading
+    * CTE (the quantile-edges entry computes its edges first).
+    */
+  private def psiDriftSqlFor(binSql: String, baseWhere: String = "",
+                             leadCte: String = ""): String =
+    s"""WITH ${leadCte}base AS (SELECT source AS g,
+      |    COALESCE(GREATEST(LEAST($binSql, 9), 0), 0) AS b,
       |    (doc_id % 2 = 1) AS cur
       |  FROM documents $baseWhere),
       |counts AS (SELECT g, cur, b, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
@@ -4089,6 +4113,16 @@ object LlmQueries {
     // cancel exactly; fully-retracted bins drop to the grid default)
     "k8_drift_retract" ->
       psiDriftSqlWhere("WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 3)"),
+
+    // deciles of the even-half reference, 6dp-rounded; bin = # edges
+    // strictly below the value — identical fold on both engines
+    "k8_quantile_drift" -> psiDriftSqlFor(
+      binSql = "CAST(list_sum(list_transform((SELECT edges FROM ed), " +
+        "e -> CASE WHEN CAST(LENGTH(text) AS DOUBLE) > e THEN 1 ELSE 0 END)) AS INTEGER)",
+      leadCte = "ed AS (SELECT list_transform(" +
+        "quantile_cont(CAST(LENGTH(text) AS DOUBLE), " +
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), " +
+        "x -> ROUND(x, 6)) AS edges FROM documents WHERE doc_id % 2 = 0), "),
 
     // per-batch PSI: the first ⌊half⌋ odd docs (by id rank) are batch 0,
     // the rest batch 1 — the same split the MemoryStream feed makes;

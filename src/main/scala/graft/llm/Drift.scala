@@ -202,6 +202,33 @@ object Drift {
   def lengthBin(textCol: Column, width: Int = 200): Column =
     floor(length(textCol) / lit(width)).cast("int")
 
+  /** Bin edges at the REFERENCE's exact quantiles — the production PSI
+    * binning: equal reference mass per bin, so drift sensitivity is
+    * uniform across the distribution instead of concentrated wherever a
+    * fixed width happens to resolve. nBins−1 exact percentiles, rounded
+    * at 6 dp (the e5-pinned engine-portability boundary for percentile
+    * interpolation) and collected once — parameter-bounded driver state,
+    * like the stratum thresholds.
+    */
+  def quantileBinEdges(ref: DataFrame, valueCol: Column, nBins: Int = 10): Seq[Double] = {
+    require(nBins >= 2, s"quantileBinEdges needs at least 2 bins, got $nBins")
+    val fr = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
+    val row = ref.select(valueCol.cast("double").as("__v"))
+      .selectExpr(s"transform(percentile(__v, array($fr)), x -> round(x, 6)) AS e")
+      .head()
+    require(!row.isNullAt(0), "quantileBinEdges over an empty reference slice")
+    row.getSeq[Double](0)
+  }
+
+  /** The bin for a value against [[quantileBinEdges]]: the number of
+    * edges strictly below it (NULL values land in bin 0, matching the
+    * grid clamp).
+    */
+  def quantileBin(valueCol: Column, edges: Seq[Double]): Column =
+    edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(valueCol.cast("double") > lit(e), 1).otherwise(0)
+    }
+
   /** Maintenance advisory: max PSI across groups vs the standard 0.25
     * re-tune threshold — one tiny frame a maintenance turn can inspect
     * (the gate-drift analogue of the IVF drift trigger).

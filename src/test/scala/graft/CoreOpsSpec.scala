@@ -775,7 +775,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // distinct-groups frame with the nBins-row and 2-row literal ranges —
     // all three sides bounded by construction (groups × bins × 2 IS the
     // monitor's whole state)
-    "k8_quality_drift")
+    "k8_quality_drift",
+    "k8_quantile_drift") // same bounded grid; edges are collected literals
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),

@@ -113,6 +113,17 @@ class DriftSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("negative bin counts"))
   }
 
+  test("quantile bins give equal reference mass; quantileBin counts edges below") {
+    val ref = (1L to 100L).map(i => (i, "s", "x" * i.toInt)).toDF("doc_id", "source", "text")
+    val edges = Drift.quantileBinEdges(ref, length(col("text")), nBins = 4)
+    assert(edges.length === 3)
+    // quartiles of 1..100 under linear interpolation: 25.75, 50.5, 75.25
+    assert(edges === Seq(25.75, 50.5, 75.25))
+    val binned = ref.select(Drift.quantileBin(length(col("text")), edges).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(binned === Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45
