@@ -2707,6 +2707,22 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // K8 — EMBEDDING-space drift (round 13): PSI over the k-means CELL
+    // ASSIGNMENT histogram between the even/odd vector halves — "did the
+    // embedding distribution move", the dense-side complement of the
+    // text-signal monitors (an embedding upgrade or a new modality mix
+    // moves cell occupancy before any text stat notices). The codebook
+    // is the exact integer Lloyd closure (k11), so assignments — and the
+    // PSI over them — are hash-exact in DuckDB.
+    "k8_embedding_drift" -> ((s, dir) => {
+      val model = Clustering.kmeans(
+        t(s, dir, "embeddings"), "embedding", "vec_id", k = 4, iters = 3)
+      graft.llm.Drift.psiDrift(
+          model.assignments.withColumn("grp", lit("all")), "grp",
+          col("cluster"), isCur = col("id") % 2 === 1L, nBins = 4)
+        .orderBy(col("grp"))
+    }),
+
     // K8 — drift TREND (▶, round 13): the per-batch PSI time series —
     // each accumulated micro-batch scored ALONE against the pinned
     // reference ("which crawl drifted", the monitor's time axis). Same
@@ -3059,23 +3075,30 @@ object LlmQueries {
     s"""WITH ${leadCte}base AS (SELECT source AS g,
       |    COALESCE(GREATEST(LEAST($binSql, 9), 0), 0) AS b,
       |    (doc_id % 2 = 1) AS cur
-      |  FROM documents $baseWhere),
+      |  FROM documents $baseWhere)""".stripMargin +
+      psiChainSql(nBins = 10, groupAlias = "source")
+
+  /** The PSI tail over an existing `base (g, b, cur)` CTE — shared by
+    * every drift oracle (documents bins, quantile bins, k-means cells).
+    */
+  private def psiChainSql(nBins: Int, groupAlias: String): String =
+    s""",
       |counts AS (SELECT g, cur, b, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
       |totals AS (SELECT g, cur, SUM(c) AS tot FROM counts GROUP BY 1, 2),
       |grid AS (SELECT gg.g, ss.cur, bb.b
       |  FROM (SELECT DISTINCT g FROM base) gg,
       |       (SELECT UNNEST([false, true]) AS cur) ss,
-      |       (SELECT UNNEST(range(10)) AS b) bb),
+      |       (SELECT UNNEST(range($nBins)) AS b) bb),
       |probs AS (SELECT grid.g, grid.cur, grid.b,
-      |    (COALESCE(c.c, 0) + 0.5) / (COALESCE(t.tot, 0) + 5.0) AS p
+      |    (COALESCE(c.c, 0) + 0.5) / (COALESCE(t.tot, 0) + ${nBins * 0.5}) AS p
       |  FROM grid
       |  LEFT JOIN counts c ON c.g = grid.g AND c.cur = grid.cur AND c.b = grid.b
       |  LEFT JOIN totals t ON t.g = grid.g AND t.cur = grid.cur),
       |terms AS (SELECT r.g,
       |    CAST(ROUND((r.p - q.p) * LN(r.p / q.p), 8) AS DECIMAL(28,8)) AS term
       |  FROM probs r JOIN probs q ON q.g = r.g AND q.b = r.b AND q.cur AND NOT r.cur)
-      |SELECT g AS source, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
-      |FROM terms GROUP BY g ORDER BY source""".stripMargin
+      |SELECT g AS $groupAlias, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY g ORDER BY $groupAlias""".stripMargin
 
   private def lshScoredCtes(bwWhere: String = "",
                             cap: Int = graft.llm.Dedup.DefaultMaxBucketSize,
@@ -4123,6 +4146,15 @@ object LlmQueries {
         "quantile_cont(CAST(LENGTH(text) AS DOUBLE), " +
         "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), " +
         "x -> ROUND(x, 6)) AS edges FROM documents WHERE doc_id % 2 = 0), "),
+
+    // the exact-integer kmeans closure's final assignment, cell id as
+    // the bin, one global group
+    "k8_embedding_drift" -> (kmeansCtes(k = 4, iters = 3) +
+      """,
+        |base AS (SELECT 'all' AS g,
+        |  COALESCE(GREATEST(LEAST(CAST(cid AS INTEGER), 3), 0), 0) AS b,
+        |  (vec_id % 2 = 1) AS cur FROM a3)""".stripMargin +
+      psiChainSql(nBins = 4, groupAlias = "grp")),
 
     // per-batch PSI: the first ⌊half⌋ odd docs (by id rank) are batch 0,
     // the rest batch 1 — the same split the MemoryStream feed makes;

@@ -776,7 +776,10 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // all three sides bounded by construction (groups × bins × 2 IS the
     // monitor's whole state)
     "k8_quality_drift",
-    "k8_quantile_drift") // same bounded grid; edges are collected literals
+    "k8_quantile_drift", // same bounded grid; edges are collected literals
+    // same bounded grid over the kmeans assignment (1-group × k cells);
+    // the kmeans itself runs at construction like k11's audited shape
+    "k8_embedding_drift")
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
