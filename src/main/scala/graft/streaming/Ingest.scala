@@ -484,7 +484,8 @@ object Ingest {
                   sourceCol: String = null,
                   tokenBudget: Long = Long.MaxValue,
                   sourceCap: Long = Long.MaxValue,
-                  cardPath: String = null): Unit = {
+                  cardPath: String = null,
+                  driftTarget: DriftTarget = null): Unit = {
     require(keepLabels.nonEmpty, "an empty keep set admits nothing — pass the labels to keep")
     require(mixStatePath == null || sourceCol != null,
       "admission (mixStatePath) needs sourceCol")
@@ -548,6 +549,12 @@ object Ingest {
         .partitionBy("__batch").parquet(admittedDir)
       if (statsCols.nonEmpty) graft.ops.Manifest.refresh(spark, admittedDir, statsCols)
       bloomCols.foreach(c => graft.ops.Manifest.refreshBloom(spark, admittedDir, c))
+      // stage 3.5 (optional) — drift counts over what was ADMITTED
+      // ("is what we're letting in drifting from the tuning corpus" —
+      // the monitor rides the same batch turn, one O(batch) groupBy)
+      if (driftTarget != null)
+        graft.llm.Drift.accumulate(spark, driftTarget.statePath, kept,
+          driftTarget.groupCol, driftTarget.binCol, driftTarget.nBins, batchId)
       // stage 4 — novelty over the SURVIVORS: restrict the shared
       // projection to kept ids (a semi-join over the cache, no re-shingle)
       val keptProj = proj.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
@@ -588,6 +595,7 @@ object Ingest {
                                  tokenBudget: Long = Long.MaxValue,
                                  sourceCap: Long = Long.MaxValue,
                                  cardPath: String = null,
+                                 driftTarget: DriftTarget = null,
                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -597,7 +605,7 @@ object Ingest {
         curateBatch(batch, id, modelPath, keepLabels, indexPath, admittedDir,
           noveltyPath, textCol, idCol, shingleN, k, bands, threshold,
           maxBucketSize, statsCols, bloomCols, mixStatePath, sourceCol,
-          tokenBudget, sourceCap, cardPath)
+          tokenBudget, sourceCap, cardPath, driftTarget)
       }
       .start()
 

@@ -124,6 +124,42 @@ class DriftSpec extends AnyFunSuite {
     assert(binned === Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
   }
 
+  test("intake-folded drift == one-shot PSI over the admitted corpus") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val corpus = graft.core.Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+    val model = tmp("graft-dint-model")
+    val idx = tmp("graft-dint-idx")
+    val adm = tmp("graft-dint-adm") + "/t"
+    val nov = tmp("graft-dint-nov")
+    val dft = tmp("graft-dint-drift")
+    val bin = Drift.lengthBin(col("text"), 200)
+    graft.llm.Classifier.nbWrite(corpus.where(col("doc_id") < 400L), "text", "lang", model)
+    Drift.referenceWrite(spark, dft, corpus.where(col("doc_id") < 400L),
+      "source", bin, nBins = 10)
+    def turn(lo: Long, hi: Long, id: Long): Unit =
+      graft.streaming.Ingest.curateBatch(
+        corpus.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id"), col("text"), col("source")),
+        id, model, Seq("en"), idx, adm, nov, "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.8,
+        maxBucketSize = Int.MaxValue,
+        driftTarget = graft.streaming.Ingest.DriftTarget(dft, "source", bin, 10))
+    turn(400L, 450L, 0L)
+    turn(450L, 500L, 1L)
+    val folded = Drift.psiAgainstReference(spark, dft, nBins = 10, groupOut = "source")
+      .as[(String, Double)].collect().toMap
+    // one-shot: reference half vs the ADMITTED corpus as the cur slice
+    val ref = corpus.where(col("doc_id") < 400L)
+      .select(col("source"), col("text")).withColumn("cur", lit(false))
+    val admitted = graft.streaming.Ingest.admitted(spark, adm)
+      .select(col("source"), col("text")).withColumn("cur", lit(true))
+    val oneShot = Drift.psiDrift(ref.unionByName(admitted), "source", bin,
+        isCur = col("cur"), nBins = 10)
+      .as[(String, Double)].collect().toMap
+    assert(folded === oneShot)
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45
