@@ -156,6 +156,8 @@ object Drift {
       .select(col("__batch").cast("long").as("__batch"), col("g"), col("b"), col("c"))
     val batches = cur.select("__batch").distinct()
       .collect().map(_.getLong(0)).sorted // bounded: # of stream batches
+    require(batches.nonEmpty,
+      s"psiTrend at $path: nothing accumulated yet — no batches to score")
     batches.map { bid =>
         psiFromCounts(ref,
             cur.where(col("__batch") === bid)
