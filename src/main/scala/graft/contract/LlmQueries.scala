@@ -2316,6 +2316,36 @@ object LlmQueries {
     // data-mixing primitive ("3× books, 1× web") expressed so both
     // engines draw the IDENTICAL sample: no rand(), the randomness is a
     // shared hash of the doc id. One window over the corpus, no collect.
+    // K8 — STREAMING weighted reservoir (▶, round 13): the A-res lottery
+    // folded per micro-batch into a generation-swapped k-row state.
+    // Deterministic md5 priorities make the reservoir mergeable (global
+    // top-k == top-k of unions of local top-ks), so the streamed sample
+    // IS the one-shot sample — same oracle as k8_weighted_sample.
+    "k8_streaming_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-res")
+      val ckpt = freshScratchDir("graft-res-ckpt")
+      val wt = when(col("source").isin("src0", "src1", "src2"), 3.0d).otherwise(1.0d)
+      val rows = docs.select(col("doc_id"), col("source"))
+        .as[(Long, String)].collect()
+      val cut = rows.map(_._1).sorted.apply(rows.length / 2)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchReservoir(
+          src.toDS().toDF("doc_id", "source"), path, ckpt,
+          "doc_id", wt, k = 100)
+        q.awaitTermination()
+      }
+      src.addData(rows.filter(_._1 < cut).toSeq); drain()
+      src.addData(rows.filter(_._1 >= cut).toSeq); drain()
+      graft.llm.TextAnalysis.reservoirRead(s, path)
+        .select(col("doc_id"), col("source"), col("__wt").as("wt"),
+          round(col("__skey"), 6).as("skey"))
+        .orderBy(col("doc_id"))
+    }),
+
     "k8_weighted_sample" -> ((s, dir) => {
       // top-k via orderBy+limit → TakeOrderedAndProject (per-partition
       // top-100 then a bounded merge), NOT a single-partition window
@@ -3077,6 +3107,23 @@ object LlmQueries {
       |    (doc_id % 2 = 1) AS cur
       |  FROM documents $baseWhere)""".stripMargin +
       psiChainSql(nBins = 10, groupAlias = "source")
+
+  /** A-res weighted sample — shared by the one-shot and streaming
+    * reservoir entries (deterministic md5 priorities are mergeable, so
+    * both compute the identical 100 rows).
+    */
+  private val weightedSampleSql: String =
+    """WITH sc AS (SELECT doc_id, source,
+      |  CAST(CASE WHEN source IN ('src0','src1','src2') THEN 3.0 ELSE 1.0 END AS DOUBLE) AS wt,
+      |  list_sum(list_transform(range(1, 9),
+      |    i -> (strpos('0123456789abcdef',
+      |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+      |         * 16.0 ** (8 - i))) / 4294967296.0 AS u
+      |  FROM documents),
+      |top AS (SELECT doc_id, source, wt, POW(u, 1.0 / wt) AS skey
+      |  FROM sc ORDER BY skey DESC, doc_id LIMIT 100)
+      |SELECT doc_id, source, wt, ROUND(skey, 6) AS skey
+      |FROM top ORDER BY doc_id""".stripMargin
 
   /** The PSI tail over an existing `base (g, b, cur)` CTE — shared by
     * every drift oracle (documents bins, quantile bins, k-means cells).
@@ -3950,18 +3997,11 @@ object LlmQueries {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM pk GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
 
-    "k8_weighted_sample" ->
-      """WITH sc AS (SELECT doc_id, source,
-        |  CAST(CASE WHEN source IN ('src0','src1','src2') THEN 3.0 ELSE 1.0 END AS DOUBLE) AS wt,
-        |  list_sum(list_transform(range(1, 9),
-        |    i -> (strpos('0123456789abcdef',
-        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
-        |         * 16.0 ** (8 - i))) / 4294967296.0 AS u
-        |  FROM documents),
-        |top AS (SELECT doc_id, source, wt, POW(u, 1.0 / wt) AS skey
-        |  FROM sc ORDER BY skey DESC, doc_id LIMIT 100)
-        |SELECT doc_id, source, wt, ROUND(skey, 6) AS skey
-        |FROM top ORDER BY doc_id""".stripMargin,
+    "k8_weighted_sample" -> weightedSampleSql,
+
+    // mergeable deterministic priorities: the streamed fold IS the
+    // one-shot sample — same oracle
+    "k8_streaming_weighted_sample" -> weightedSampleSql,
 
     "k8_dataset_split" ->
       """WITH b AS (SELECT doc_id, lang,

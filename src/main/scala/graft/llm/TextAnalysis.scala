@@ -439,6 +439,65 @@ object TextAnalysis {
     * shuffle + a groups join), assembled by joins on the source key —
     * a G-row frame with G = #sources, a curation constant.
     */
+  // ---- K8 streaming weighted reservoir (round 13) ----
+
+  /** A-res sampling priority u^(1/w), u = the id's md5 uniform — the
+    * deterministic weighted lottery `k8_weighted_sample` draws with.
+    * Deterministic priorities make the reservoir MERGEABLE: the global
+    * top-k equals the top-k of ANY union of per-slice top-ks, which is
+    * what makes [[reservoirFold]] exact, batching-order-free, and
+    * replay-idempotent — no RNG state to replay, unlike classic
+    * reservoir sampling.
+    */
+  def aresPriority(idCol: Column, weight: Column): Column =
+    pow(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("double")
+      / lit(4294967296.0d), lit(1.0d) / weight)
+
+  private val ResBase = "res"
+
+  /** Fold one batch into the persisted k-row weighted reservoir at
+    * `path` (generation-swapped, crash-atomic): state' = top-k by
+    * priority over (state ∪ batch's local top-k), deduped by id. Per
+    * turn the corpus-sized side contributes ONE TakeOrdered (per-
+    * partition top-k + bounded merge — never a global sort), and the
+    * state side is k rows; re-folding a replayed batch is a set no-op.
+    */
+  def reservoirFold(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, idCol: String, weight: Column,
+                    k: Int): Unit = {
+    require(k >= 1, s"reservoirFold needs k >= 1: $k")
+    val keyed = batch
+      .withColumn("__wt", weight.cast("double"))
+      .withColumn("__skey", aresPriority(col(idCol), col("__wt")))
+    val localTop = keyed.orderBy(col("__skey").desc, col(idCol)).limit(k)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = graft.ops.Generations.currentGen(fs, root, ResBase)
+    val unioned =
+      if (gen == 0L) localTop
+      else {
+        val prior = spark.read.parquet(
+          graft.ops.Generations.currentDir(fs, root, ResBase).toString)
+        prior.unionByName(localTop.select(prior.columns.map(col): _*))
+      }
+    val next = unioned.dropDuplicates(idCol)
+      .orderBy(col("__skey").desc, col(idCol)).limit(k)
+      .localCheckpoint(true) // sever lineage from the dir being swapped
+    val (dir, g) = graft.ops.Generations.stage(fs, root, ResBase)
+    next.write.mode("overwrite").parquet(dir.toString)
+    graft.ops.Generations.commit(fs, root, ResBase, g)
+    graft.ops.Generations.gcOld(fs, root, ResBase)
+  }
+
+  /** The reservoir's current k rows (batch columns + __wt/__skey). */
+  def reservoirRead(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(
+      graft.ops.Generations.currentDir(fs, root, ResBase).toString)
+  }
+
   def datasetCard(df: DataFrame, textCol: String, sourceCol: String,
                   langCol: String, idCol: String, n: Int = 3): DataFrame = {
     val base = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),

@@ -661,6 +661,27 @@ object Ingest {
       }
       .start()
 
+  /** Attach the WEIGHTED RESERVOIR to a streaming frame (round 13): each
+    * micro-batch folds its local A-res top-k into the generation-swapped
+    * k-row state ([[graft.llm.TextAnalysis.reservoirFold]]). Because the
+    * priorities are deterministic md5 lottery keys, the folded reservoir
+    * is EXACTLY the one-shot weighted sample over everything streamed —
+    * the ▶ contract query shares `k8_weighted_sample`'s oracle verbatim.
+    */
+  def foreachBatchReservoir(docs: DataFrame, statePath: String,
+                            checkpointDir: String, idCol: String,
+                            weight: org.apache.spark.sql.Column, k: Int,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.TextAnalysis.reservoirFold(batch.sparkSession, statePath,
+          batch, idCol, weight, k)
+      }
+      .start()
+
   /** Attach LIVE RETRACTION to a stream of removal ids — the delete
     * side of the ingest lifecycle (the natural upstream is a CDC delete
     * feed: `Envelope.parseWithTombstones` / op='d' envelopes keyed by

@@ -876,7 +876,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // bounded-grid shape (DriftSpec pins replay idempotence)
     "k8_streaming_drift",
     "k8_drift_retract", // reference + accumulate + retract writes at construction
-    "k8_drift_trend")   // same two-drain feed; per-batch PSI reads the sidecars
+    "k8_drift_trend",   // same two-drain feed; per-batch PSI reads the sidecars
+    "k8_streaming_weighted_sample") // two-drain feed + generation-swapped reservoir folds
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries

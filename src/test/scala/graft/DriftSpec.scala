@@ -160,6 +160,37 @@ class DriftSpec extends AnyFunSuite {
     assert(folded === oneShot)
   }
 
+  test("reservoirFold: replay no-op, batching-order-free, equals one-shot top-k") {
+    import graft.llm.TextAnalysis
+    val path = java.nio.file.Files.createTempDirectory("graft-res-spec").toString
+    val all = (0L until 300L).map(i => (i, if (i % 3 == 0) "heavy" else "light"))
+    val wt = when(col("source") === "heavy", 5.0d).otherwise(1.0d)
+    def fold(rows: Seq[(Long, String)]): Unit =
+      TextAnalysis.reservoirFold(spark, path, rows.toDF("doc_id", "source"),
+        "doc_id", wt, k = 20)
+    fold(all.filter(_._1 < 150L))
+    fold(all.filter(_._1 >= 150L))
+    fold(all.filter(_._1 >= 150L)) // at-least-once replay: set no-op
+    val got = TextAnalysis.reservoirRead(spark, path)
+      .select("doc_id").as[Long].collect().toSet
+    // one-shot top-20 over everything with the same deterministic keys
+    val oneShot = all.toDF("doc_id", "source")
+      .withColumn("__wt", wt)
+      .withColumn("__skey", TextAnalysis.aresPriority(col("doc_id"), col("__wt")))
+      .orderBy(col("__skey").desc, col("doc_id")).limit(20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === oneShot)
+    // reversed batch order converges to the same reservoir
+    val path2 = java.nio.file.Files.createTempDirectory("graft-res-spec2").toString
+    TextAnalysis.reservoirFold(spark, path2,
+      all.filter(_._1 >= 150L).toDF("doc_id", "source"), "doc_id", wt, 20)
+    TextAnalysis.reservoirFold(spark, path2,
+      all.filter(_._1 < 150L).toDF("doc_id", "source"), "doc_id", wt, 20)
+    val got2 = TextAnalysis.reservoirRead(spark, path2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 === oneShot)
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45
