@@ -946,6 +946,69 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // K2 — CONTAINMENT-AWARE streaming intake (▶, round 14, r13 verdict
+    // #4): the same two-batch ingest loop with scorer="both" — the
+    // production intake turn now drops boilerplate-wrapped verbatim
+    // reposts (containment 1.0, jaccard ≤ 0.1) that the jaccard-only
+    // gate admitted. All scores ride the ONE cached signature pass; the
+    // scorer only changes the verification predicate. Oracle: the greedy
+    // two-phase closure extended with the containment EXISTS — vs-index
+    // the new arrival loses to either wrap direction; intra-batch the
+    // strictly-smaller side loses (ties keep the smaller id), the
+    // containmentDedup rule.
+    "k2_containment_intake" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b0 = docs.where(col("doc_id") < 400L).as[(Long, String)].collect().toSeq
+      val b1 = docs.where(col("doc_id") >= 400L).as[(Long, String)].collect().toSeq
+      val idx = freshScratchDir("graft-contint-idx")
+      val adm = freshScratchDir("graft-contint-adm") + "/t"
+      val ckpt = freshScratchDir("graft-contint-ckpt")
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchIngestDedup(
+          src.toDS().toDF("doc_id", "text"), idx, adm, ckpt,
+          "text", "doc_id", shingleN = 3, k = 8, bands = 4, threshold = 0.8,
+          maxBucketSize = Int.MaxValue,
+          scorer = "both", containmentThreshold = 0.9)
+        q.awaitTermination()
+      }
+      src.addData(b0); drain()
+      src.addData(b1); drain()
+      graft.streaming.Ingest.admitted(s, adm)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // K21 — PHYSICAL corpus tombstone compaction (round 14, r13 verdict
+    // #6): before this, a [[retractEverywhere]] corpus delete was an
+    // anti-join applied at EVERY admitted() read forever; corpusCompact
+    // bakes the tombstones into a folded `data_gen=N` generation
+    // (crash-atomic marker commit, `_ret/` cleared after) and the read
+    // becomes a bare scan. The query pins content identity: admitted()
+    // after retract+compact equals the survivor corpus; the spec
+    // additionally pins plan shape (no anti-join post-compaction) and
+    // the before/after read equality.
+    "k21_corpus_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val adm = freshScratchDir("graft-ccomp") + "/t"
+      docs.where(col("doc_id") < 400L).withColumn("__batch", lit(0L))
+        .write.mode("overwrite").partitionBy("__batch").parquet(adm)
+      docs.where(col("doc_id") >= 400L).withColumn("__batch", lit(1L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(adm)
+      graft.streaming.Ingest.retractEverywhere(s,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
+        retractionId = 0L,
+        graft.streaming.Ingest.RetractTargets(corpusDir = Some(adm)),
+        "text", "doc_id")
+      val act = graft.streaming.Ingest.corpusCompact(s, adm, "doc_id")
+      require(act == "compact", s"expected compact, got $act")
+      graft.streaming.Ingest.admitted(s, adm)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // K2 — SimHash (16-bit, md5-derived votes)
     "k2_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2807,6 +2870,71 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // K8 — STREAMING quantile drift over PINNED edges (▶, round 14):
+    // the decile edges are derived ONCE from the even-half reference and
+    // persisted beside it (the binning is part of the DriftTarget
+    // identity — before this, the edges lived in a driver Seq the caller
+    // closed over, and a later session re-deriving them from a changed
+    // slice would silently bin new counts differently from the history
+    // they sum with). The odd half arrives in two micro-batches through
+    // foreachBatchQuantileDrift, each binned with the edges READ FROM
+    // THE STATE; hash-matches the one-shot quantile oracle (counts are
+    // additive and the pinned binning cannot diverge).
+    "k8_streaming_quantile_drift" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-qdrift")
+      val ckpt = freshScratchDir("graft-qdrift-ckpt")
+      graft.llm.Drift.quantileReferenceWrite(s, path,
+        docs.where(col("doc_id") % 2 === 0L), "source", length(col("text")),
+        nBins = 10)
+      val odd = docs.where(col("doc_id") % 2 === 1L)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect()
+      val cut = odd.map(_._1).sorted.apply(odd.length / 2)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchQuantileDrift(
+          src.toDS().toDF("doc_id", "source", "text"), path, ckpt,
+          "source", length(col("text")))
+        q.awaitTermination()
+      }
+      src.addData(odd.filter(_._1 < cut).toSeq); drain()
+      src.addData(odd.filter(_._1 >= cut).toSeq); drain()
+      graft.llm.Drift.quantilePsiAgainstReference(s, path, groupOut = "source")
+        .orderBy(col("source"))
+    }),
+
+    // K8 — the ACTIONABLE drift retune (round 14, r13 verdict #3): the
+    // maintenance turn's drift leg, armed with an opt-in RetuneTarget
+    // and a threshold that forces the flag, RE-PINS the reference to
+    // the live accumulated intake distribution under one crash-atomic
+    // generation swap (Drift.retune — the counts sidecars are read, the
+    // corpus never rescanned). Post-retune PSI vs the new reference is
+    // 0.0 for every group BY CONSTRUCTION (p = q bin for bin) — the
+    // oracle is the degenerate zero series over the odd-half sources,
+    // which is exactly the point: after a retune the monitor reports
+    // stable until the intake moves off its NEW baseline.
+    "k8_drift_retune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-retune")
+      val bin = graft.llm.Drift.lengthBin(col("text"), width = 200)
+      graft.llm.Drift.referenceWrite(s, path,
+        docs.where(col("doc_id") % 2 === 0L), "source", bin, nBins = 10)
+      graft.llm.Drift.accumulate(s, path,
+        docs.where(col("doc_id") % 2 === 1L), "source", bin, 10, batchId = 0L)
+      val report = graft.streaming.Ingest.maintainEverywhere(s,
+        graft.streaming.Ingest.MaintainTargets(
+          driftStatePath = Some(path),
+          driftPsiThreshold = -1.0, // any PSI flags — force the action arm
+          driftRetune = Some(graft.streaming.Ingest.RetuneTarget())))
+      require(report.exists { case (f, a) => f == "drift" && a.startsWith("retrain") },
+        s"expected the drift leg to report retrain, got $report")
+      graft.llm.Drift.psiAgainstReference(s, path, nBins = 10, groupOut = "source")
+        .orderBy(col("source"))
+    }),
+
     // Document fingerprinting — bag-of-words md5 + order-sensitive rolling hash
     "k8_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents").where(col("doc_id") < 100L)
@@ -3103,7 +3231,7 @@ object LlmQueries {
   private def psiDriftSqlFor(binSql: String, baseWhere: String = "",
                              leadCte: String = ""): String =
     s"""WITH ${leadCte}base AS (SELECT source AS g,
-      |    COALESCE(GREATEST(LEAST($binSql, 9), 0), 0) AS b,
+      |    COALESCE(GREATEST(LEAST(COALESCE($binSql, 0), 9), 0), 0) AS b,
       |    (doc_id % 2 = 1) AS cur
       |  FROM documents $baseWhere)""".stripMargin +
       psiChainSql(nBins = 10, groupAlias = "source")
@@ -3376,6 +3504,49 @@ object LlmQueries {
         |UNION ALL
         |SELECT doc_id FROM v1 WHERE doc_id NOT IN (SELECT id_b FROM drop1)
         |ORDER BY doc_id""".stripMargin),
+
+    // the same greedy two-phase closure EXTENDED with the containment
+    // drop arms (scorer="both"): intra-batch the jaccard rule drops the
+    // greater id and the containment rule drops the strictly-smaller
+    // side (tie → the greater id); vs-index the new arrival drops on
+    // either score. id_a < id_b always and batch-0 ids < 400 <= batch-1
+    // ids, so a cross pair's id_a is the corpus side.
+    "k2_containment_intake" -> (tokCte +
+      lshScoredCtes("", Int.MaxValue) +
+      """,
+        |p AS (SELECT id_a, id_b, jaccard, cont_a, cont_b FROM scored),
+        |l0 AS (SELECT id_b AS d FROM p WHERE id_a < 400 AND id_b < 400
+        |         AND (jaccard >= 0.8 OR (cont_b >= 0.9 AND cont_b >= cont_a))
+        |       UNION
+        |       SELECT id_a FROM p WHERE id_a < 400 AND id_b < 400
+        |         AND cont_a >= 0.9 AND cont_a > cont_b),
+        |surv0 AS (SELECT doc_id FROM documents WHERE doc_id < 400
+        |          AND doc_id NOT IN (SELECT d FROM l0)),
+        |dup1 AS (SELECT DISTINCT id_b AS doc_id FROM p
+        |         WHERE id_a IN (SELECT doc_id FROM surv0) AND id_b >= 400
+        |           AND (jaccard >= 0.8 OR GREATEST(cont_a, cont_b) >= 0.9)),
+        |v1 AS (SELECT doc_id FROM documents WHERE doc_id >= 400
+        |       AND doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |l1 AS (SELECT id_b AS d FROM p
+        |         WHERE id_a IN (SELECT doc_id FROM v1)
+        |           AND id_b IN (SELECT doc_id FROM v1)
+        |           AND (jaccard >= 0.8 OR (cont_b >= 0.9 AND cont_b >= cont_a))
+        |       UNION
+        |       SELECT id_a FROM p
+        |         WHERE id_a IN (SELECT doc_id FROM v1)
+        |           AND id_b IN (SELECT doc_id FROM v1)
+        |           AND cont_a >= 0.9 AND cont_a > cont_b)
+        |SELECT doc_id FROM surv0
+        |UNION ALL
+        |SELECT doc_id FROM v1 WHERE doc_id NOT IN (SELECT d FROM l1)
+        |ORDER BY doc_id""".stripMargin),
+
+    // compaction moves no served value: admitted() after retract+compact
+    // is the survivor corpus (plan shape — the vanished anti-join — is
+    // the spec's concern)
+    "k21_corpus_compact" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
 
     "k2_simhash" -> (tokCte +
       """, tok AS (SELECT doc_id, unnest(t) AS w FROM tk),
@@ -4177,6 +4348,24 @@ object LlmQueries {
     "k8_drift_retract" ->
       psiDriftSqlWhere("WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 3)"),
 
+    // pinned-edge streamed accumulation is the one-shot quantile PSI by
+    // construction: counts are additive and the persisted edges are the
+    // SAME edges the one-shot derivation produces — same oracle
+    "k8_streaming_quantile_drift" -> psiDriftSqlFor(
+      binSql = "CAST(list_sum(list_transform((SELECT edges FROM ed), " +
+        "e -> CASE WHEN CAST(LENGTH(text) AS DOUBLE) > e THEN 1 ELSE 0 END)) AS INTEGER)",
+      leadCte = "ed AS (SELECT list_transform(" +
+        "quantile_cont(CAST(LENGTH(text) AS DOUBLE), " +
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), " +
+        "x -> ROUND(x, 6)) AS edges FROM documents WHERE doc_id % 2 = 0), "),
+
+    // post-retune PSI is zero for every accumulated group BY
+    // CONSTRUCTION: the re-pinned reference IS the live distribution
+    // (p = q bin for bin, every term rounds to 0)
+    "k8_drift_retune" ->
+      """SELECT DISTINCT source, CAST(0.0 AS DOUBLE) AS psi FROM documents
+        |WHERE doc_id % 2 = 1 ORDER BY source""".stripMargin,
+
     // deciles of the even-half reference, 6dp-rounded; bin = # edges
     // strictly below the value — identical fold on both engines
     "k8_quantile_drift" -> psiDriftSqlFor(
@@ -4192,7 +4381,7 @@ object LlmQueries {
     "k8_embedding_drift" -> (kmeansCtes(k = 4, iters = 3) +
       """,
         |base AS (SELECT 'all' AS g,
-        |  COALESCE(GREATEST(LEAST(CAST(cid AS INTEGER), 3), 0), 0) AS b,
+        |  COALESCE(GREATEST(LEAST(COALESCE(CAST(cid AS INTEGER), 0), 3), 0), 0) AS b,
         |  (vec_id % 2 = 1) AS cur FROM a3)""".stripMargin +
       psiChainSql(nBins = 4, groupAlias = "grp")),
 
@@ -4206,10 +4395,10 @@ object LlmQueries {
         |lbl AS (SELECT CASE WHEN rn <= CAST(FLOOR(cnt / 2) AS BIGINT)
         |      THEN 0 ELSE 1 END AS batch,
         |    source AS g,
-        |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b
+        |    COALESCE(GREATEST(LEAST(COALESCE(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 0), 9), 0), 0) AS b
         |  FROM odd),
         |refb AS (SELECT source AS g,
-        |    COALESCE(GREATEST(LEAST(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 9), 0), 0) AS b
+        |    COALESCE(GREATEST(LEAST(COALESCE(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 0), 9), 0), 0) AS b
         |  FROM documents WHERE doc_id % 2 = 0),
         |rc AS (SELECT g, b, COUNT(*) AS c FROM refb GROUP BY 1, 2),
         |rt AS (SELECT g, SUM(c) AS tot FROM rc GROUP BY 1),

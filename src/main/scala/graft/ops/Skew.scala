@@ -82,9 +82,16 @@ object Skew {
     */
   private def splitSaltedJoin(big: DataFrame, small: DataFrame, key: String,
                               hotList: DataFrame, saltFactor: Int): DataFrame = {
-    val hot = hotList.persist()
-    // eager: both slices + the small-side split consume it via broadcast
-    hot.count()
+    // MATERIALIZE the hot list before building the split (r13 advice):
+    // the three semi/anti joins below are evaluated lazily by the caller,
+    // and a persist+unpersist-on-return left them recomputing the list —
+    // harmless for the exact groupBy, but the Misra-Gries list is
+    // merge-order-dependent, so three independent recomputes could each
+    // see a DIFFERENT hot set and a key flipping hot/cold between them
+    // would drop or duplicate join rows (only Spark's broadcast-exchange
+    // reuse masked it). localCheckpoint(true) evaluates ONCE and severs
+    // lineage, so every consumer reads the same frozen (tiny) list.
+    val hot = hotList.localCheckpoint(true)
     val bigHot = big.join(broadcast(hot), Seq(key), "left_semi")
     val bigCold = big.join(broadcast(hot), Seq(key), "left_anti")
     val smallHot = small.join(broadcast(hot), Seq(key), "left_semi")
@@ -94,9 +101,7 @@ object Skew {
     val replicated = smallHot.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     val hotJoined = salted.join(replicated, Seq(key, "__salt")).drop("__salt")
-    val out = cold.unionByName(hotJoined)
-    hot.unpersist(false)
-    out
+    cold.unionByName(hotJoined)
   }
 
   /** E13 — Misra–Gries heavy-hitter summary as a mergeable UDAF: one pass,

@@ -59,7 +59,9 @@ object Ingest {
                   shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                   threshold: Double = 0.8,
                   maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
-                  exactGuard: Boolean = false): Unit = {
+                  exactGuard: Boolean = false,
+                  scorer: String = "jaccard",
+                  containmentThreshold: Double = 0.9): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(admittedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a dir is only a readable table once a batch actually wrote rows into
@@ -107,10 +109,11 @@ object Ingest {
     // append all derive from ONE cached signature pass (composing the
     // standalone ops would signature the batch three times)
     val kept = Dedup.ingestAgainstIndex(spark, indexPath, batchId, exactDeduped,
-      textCol, idCol, shingleN, k, bands, threshold, maxBucketSize)
+      textCol, idCol, shingleN, k, bands, threshold, maxBucketSize,
+      scorer = scorer, containmentThreshold = containmentThreshold)
     kept.withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(admittedDir)
+      .partitionBy("__batch").parquet(corpusDataDir(spark, admittedDir))
     // the guard id lands as ONE stable type (string) regardless of the
     // source's id type: r7 wrote it in its native type after the
     // cast("long") bug (which silently nulled string ids and defeated the
@@ -347,7 +350,7 @@ object Ingest {
           .drop("__doc")
           .withColumn("__batch", lit(id))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch").parquet(admittedDir)
+          .partitionBy("__batch").parquet(corpusDataDir(spark, admittedDir))
       }
       .start()
   }
@@ -423,6 +426,8 @@ object Ingest {
                               threshold: Double = 0.8,
                               maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
                               exactGuard: Boolean = false,
+                              scorer: String = "jaccard",
+                              containmentThreshold: Double = 0.9,
                               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -430,7 +435,8 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestBatch(batch, indexPath, admittedDir, id, textCol, idCol,
-          shingleN, k, bands, threshold, maxBucketSize, exactGuard)
+          shingleN, k, bands, threshold, maxBucketSize, exactGuard,
+          scorer, containmentThreshold)
       }
       .start()
 
@@ -485,7 +491,9 @@ object Ingest {
                   tokenBudget: Long = Long.MaxValue,
                   sourceCap: Long = Long.MaxValue,
                   cardPath: String = null,
-                  driftTarget: DriftTarget = null): Unit = {
+                  driftTarget: DriftTarget = null,
+                  scorer: String = "jaccard",
+                  containmentThreshold: Double = 0.9): Unit = {
     require(keepLabels.nonEmpty, "an empty keep set admits nothing — pass the labels to keep")
     require(mixStatePath == null || sourceCol != null,
       "admission (mixStatePath) needs sourceCol")
@@ -542,13 +550,15 @@ object Ingest {
       // to the LSH index inside the call
       val kept = Dedup.ingestAgainstIndex(spark, indexPath, batchId, gated,
         textCol, idCol, shingleN, k, bands, threshold, maxBucketSize,
-        appendToIndex = true, projection = Some(proj))
+        appendToIndex = true, projection = Some(proj),
+        scorer = scorer, containmentThreshold = containmentThreshold)
       // stage 3 — corpus append + sidecar refresh (the x5 shape)
+      val dataDir = corpusDataDir(spark, admittedDir)
       kept.withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(admittedDir)
-      if (statsCols.nonEmpty) graft.ops.Manifest.refresh(spark, admittedDir, statsCols)
-      bloomCols.foreach(c => graft.ops.Manifest.refreshBloom(spark, admittedDir, c))
+        .partitionBy("__batch").parquet(dataDir)
+      if (statsCols.nonEmpty) graft.ops.Manifest.refresh(spark, dataDir, statsCols)
+      bloomCols.foreach(c => graft.ops.Manifest.refreshBloom(spark, dataDir, c))
       // stage 3.5 (optional) — drift counts over what was ADMITTED
       // ("is what we're letting in drifting from the tuning corpus" —
       // the monitor rides the same batch turn, one O(batch) groupBy)
@@ -596,6 +606,8 @@ object Ingest {
                                  sourceCap: Long = Long.MaxValue,
                                  cardPath: String = null,
                                  driftTarget: DriftTarget = null,
+                                 scorer: String = "jaccard",
+                                 containmentThreshold: Double = 0.9,
                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -605,7 +617,8 @@ object Ingest {
         curateBatch(batch, id, modelPath, keepLabels, indexPath, admittedDir,
           noveltyPath, textCol, idCol, shingleN, k, bands, threshold,
           maxBucketSize, statsCols, bloomCols, mixStatePath, sourceCol,
-          tokenBudget, sourceCap, cardPath, driftTarget)
+          tokenBudget, sourceCap, cardPath, driftTarget,
+          scorer, containmentThreshold)
       }
       .start()
 
@@ -658,6 +671,29 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.llm.Drift.accumulate(batch.sparkSession, statePath, batch,
           groupCol, binCol, nBins, batchId = id)
+      }
+      .start()
+
+  /** [[foreachBatchDriftAccumulate]] for a PINNED-EDGE quantile drift
+    * state (round 14): each micro-batch bins `valueCol` with the edges
+    * [[graft.llm.Drift.quantileReferenceWrite]] persisted beside the
+    * reference — the binning can never diverge from the accumulated
+    * history, because no caller-supplied edge set exists to diverge
+    * with. Attach only to an edge-pinned state (the accumulate refuses
+    * loudly otherwise). Same replay/lineage rules as the width-binned
+    * monitor.
+    */
+  def foreachBatchQuantileDrift(docs: DataFrame, statePath: String,
+                                checkpointDir: String, groupCol: String,
+                                valueCol: org.apache.spark.sql.Column,
+                                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Drift.quantileAccumulate(batch.sparkSession, statePath,
+          batch, groupCol, valueCol, batchId = id)
       }
       .start()
 
@@ -735,6 +771,82 @@ object Ingest {
       driftState: Option[DriftTarget] = None)
 
   private def corpusRetRoot(admittedDir: String): String = s"$admittedDir/_ret"
+
+  /** The admitted corpus's CURRENT data directory — generation-resolved
+    * (round 14): the plain `admittedDir` (its root-level `__batch=`
+    * partitions) until a [[corpusCompact]] commits a folded generation,
+    * then the committed `data_gen=N/` subdir. Every corpus writer and
+    * reader in this file resolves through here, so post-compaction
+    * appends land in the served generation instead of being shadowed.
+    * The `_ret/` tombstones and the `_data_commit_*` markers are
+    * underscore-prefixed — invisible to parquet scans of the root.
+    */
+  private def corpusGenRoot(admittedDir: String) = new Path(s"$admittedDir/_gen")
+
+  private[graft] def corpusDataDir(spark: org.apache.spark.sql.SparkSession,
+                                   admittedDir: String): String = {
+    val root = corpusGenRoot(admittedDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = graft.ops.Generations.currentGen(fs, root, "data")
+    if (gen == 0L) admittedDir
+    else graft.ops.Generations.genDir(root, "data", gen).toString
+  }
+
+  /** PHYSICAL corpus tombstone compaction (round 14 — the r13 verdict's
+    * "permanent per-read anti-join" gap): [[admitted]] applies `_ret/`
+    * tombstones at every read forever; at 100 TB with a long delete
+    * history that anti-join never goes away, and a long-running intake
+    * additionally accrues one `__batch=` directory of small files per
+    * micro-batch. This bakes both away: the live rows (current data
+    * minus tombstones) are folded to one `__batch=0` in the next
+    * `data_gen=N/` generation, committed crash-atomically by marker
+    * (the [[graft.ops.Generations]] swap every compacting family uses),
+    * and the tombstone dir is cleared AFTER the commit — a crash
+    * between the two leaves no-op tombstones over already-gone ids,
+    * never a resurrected row. Post-compaction [[admitted]] reads are a
+    * bare scan: no anti-join, one partition dir. Generations live under
+    * the underscore-prefixed `_gen/` subtree so a staged (or even a
+    * committed) generation can never confuse partition discovery on the
+    * legacy root layout.
+    *
+    * Gate: compacts when tombstones exist OR the live `__batch` count
+    * exceeds `maxLiveBatches`; returns "compact" | "none". Same
+    * retired-lineage precondition as every compacting family: run only
+    * after the appending stream's checkpoint is dropped (a replayed
+    * pre-compaction batch would re-append rows the fold already
+    * carries). Root-level gen-0 partitions are reclaimed one compaction
+    * late (current + previous generations stay readable — the in-flight-
+    * reader grace period the shared GC applies to `data_gen=` dirs).
+    */
+  def corpusCompact(spark: org.apache.spark.sql.SparkSession, admittedDir: String,
+                    idCol: String = "doc_id", maxLiveBatches: Int = 8): String = {
+    val genRoot = corpusGenRoot(admittedDir)
+    val fs = genRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val removed = graft.ops.Tombstones.set(spark, corpusRetRoot(admittedDir))
+    val cur = corpusDataDir(spark, admittedDir)
+    val curPath = new Path(cur)
+    require(fs.exists(curPath), s"no admitted corpus at $admittedDir")
+    val liveBatches = fs.listStatus(curPath)
+      .count(_.getPath.getName.startsWith("__batch="))
+    if (removed.isEmpty && liveBatches <= maxLiveBatches) return "none"
+    val live = graft.ops.Tombstones.drop(
+      spark.read.parquet(cur), removed, idCol)
+    val (staged, gen) = graft.ops.Generations.stage(fs, genRoot, "data")
+    live.withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
+    graft.ops.Generations.commit(fs, genRoot, "data", gen)
+    if (removed.isDefined)
+      graft.ops.Tombstones.clear(spark, corpusRetRoot(admittedDir))
+    graft.ops.Generations.gcOld(fs, genRoot, "data")
+    // the shared GC reclaims _gen/data_gen= dirs but knows nothing about
+    // the legacy root layout — apply the same current+previous grace to
+    // gen 0's root `__batch=` partitions once two generations exist
+    if (graft.ops.Generations.currentGen(fs, genRoot, "data") >= 2L)
+      fs.listStatus(new Path(admittedDir)).map(_.getPath)
+        .filter(_.getName.startsWith("__batch="))
+        .foreach(fs.delete(_, true))
+    "compact"
+  }
 
   /** ONE COMPOSED DELETE TURN — the mirror of [[curateBatch]]: fan one
     * batch of removed DOCUMENTS to every registered per-family
@@ -843,9 +955,29 @@ object Ingest {
       corpusDir: Option[String] = None,
       corpusStatsCols: Seq[String] = Nil,
       corpusBloomCols: Seq[String] = Nil,
+      compactCorpus: Boolean = false,
+      corpusIdCol: String = "doc_id",
       driftStatePath: Option[String] = None,
       driftNBins: Int = 10,
-      driftPsiThreshold: Double = 0.25)
+      driftPsiThreshold: Double = 0.25,
+      driftRetune: Option[RetuneTarget] = None)
+
+  /** The ACTIONABLE half of the drift advisory (round 14): what the
+    * maintenance turn should DO when [[graft.llm.Drift.psiAdvisory]]
+    * crosses the threshold — retrain the NB quality gate on the current
+    * admitted survivors (their stored `predicted` label is the gate's
+    * own audit column, so the retrain needs no external labels) and
+    * re-pin the drift reference to the live intake distribution
+    * ([[graft.llm.Drift.retune]] — one generation swap, pinned quantile
+    * edges kept). Opt-in because moving the baseline is a modelling
+    * decision: advisory-only remains the default.
+    */
+  final case class RetuneTarget(
+      nbModelPath: Option[String] = None,
+      corpusDir: Option[String] = None,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      labelCol: String = "predicted")
 
   /** ONE COMPOSED MAINTENANCE TURN — the third leg of the lifecycle
     * ([[curateBatch]] admits, [[retractEverywhere]] deletes, THIS keeps
@@ -902,27 +1034,55 @@ object Ingest {
     targets.noveltyPath.foreach(p =>
       out += "k17" -> graft.llm.TextAnalysis.noveltyMaintain(spark, p, maxLiveBatches))
     targets.corpusDir.foreach { p =>
+      // physical tombstone bake FIRST (round 14, opt-in): the sidecars
+      // then describe the compacted generation's files, not the ones the
+      // swap just superseded
+      val compacted =
+        if (targets.compactCorpus)
+          corpusCompact(spark, p, targets.corpusIdCol, maxLiveBatches)
+        else "none"
+      val dataDir = corpusDataDir(spark, p)
       if (targets.corpusStatsCols.nonEmpty)
-        graft.ops.Manifest.refresh(spark, p, targets.corpusStatsCols)
+        graft.ops.Manifest.refresh(spark, dataDir, targets.corpusStatsCols)
       targets.corpusBloomCols.foreach(c =>
-        graft.ops.Manifest.refreshBloom(spark, p, c))
-      out += "corpus" -> (
-        if (targets.corpusStatsCols.nonEmpty || targets.corpusBloomCols.nonEmpty)
-          "refresh"
-        else "none")
+        graft.ops.Manifest.refreshBloom(spark, dataDir, c))
+      val refreshed =
+        targets.corpusStatsCols.nonEmpty || targets.corpusBloomCols.nonEmpty
+      out += "corpus" -> ((compacted, refreshed) match {
+        case ("none", false) => "none"
+        case ("none", true)  => "refresh"
+        case (c, false)      => c
+        case (c, true)       => s"$c+refresh"
+      })
     }
     targets.driftStatePath.foreach { p =>
-      // gate-drift advisory (round 13): PSI of the accumulated intake vs
-      // the pinned reference — O(groups × bins) read, never a corpus
-      // rescan. Advisory-only by design: re-tuning gates is a modelling
-      // decision (new NB training set, new thresholds), not a mechanical
-      // compaction this turn could safely automate.
+      // gate-drift check (round 13, actionable since round 14): PSI of
+      // the accumulated intake vs the pinned reference — O(groups × bins)
+      // read, never a corpus rescan. Advisory-only by DEFAULT (moving
+      // the baseline is a modelling decision); with an opt-in
+      // RetuneTarget the flagged turn retrains the NB gate on the
+      // current admitted survivors and re-pins the reference under one
+      // generation swap — post-retune PSI is 0 by construction, so the
+      // next turn reports "stable".
       val adv = graft.llm.Drift.psiAdvisory(
         graft.llm.Drift.psiAgainstReference(spark, p, targets.driftNBins),
         targets.driftPsiThreshold).head()
-      out += "drift" -> (if (adv.getAs[Boolean]("retune"))
-        s"retune(max_psi=${adv.getAs[Double]("max_psi")})"
-      else "stable")
+      val maxPsi = adv.getAs[Double]("max_psi")
+      out += "drift" -> (
+        if (!adv.getAs[Boolean]("retune")) "stable"
+        else targets.driftRetune match {
+          case None => s"retune(max_psi=$maxPsi)"
+          case Some(rt) =>
+            rt.nbModelPath.foreach { mp =>
+              val corpus = rt.corpusDir.getOrElse(sys.error(
+                "RetuneTarget.nbModelPath needs corpusDir — the gate " +
+                  "retrains on the admitted survivors"))
+              graft.llm.Classifier.nbRetrain(spark, mp,
+                admitted(spark, corpus, rt.idCol), rt.textCol, rt.labelCol)
+            }
+            graft.llm.Drift.retune(spark, p)
+            s"retrain(max_psi=$maxPsi)"
+        })
     }
     out.toSeq
   }
@@ -933,7 +1093,7 @@ object Ingest {
   def admitted(spark: org.apache.spark.sql.SparkSession, admittedDir: String,
                idCol: String = "doc_id"): DataFrame =
     graft.ops.Tombstones.drop(
-      spark.read.parquet(admittedDir).drop("__batch"),
+      spark.read.parquet(corpusDataDir(spark, admittedDir)).drop("__batch"),
       graft.ops.Tombstones.set(spark, corpusRetRoot(admittedDir)), idCol)
 
   /** Streaming benchmark decontamination — the production shape of K10:
