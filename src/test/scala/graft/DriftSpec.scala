@@ -191,6 +191,161 @@ class DriftSpec extends AnyFunSuite {
     assert(got2 === oneShot)
   }
 
+  test("a NULL signal lands in bin 0, not the top bin (least/greatest skip NULLs)") {
+    val rows = Seq((0L, "s", "x" * 45), (1L, "s", null: String))
+    val counts = Drift.binCounts(docs(rows), "source",
+        Drift.lengthBin(col("text"), 10), nBins = 5)
+      .select("b", "c").as[(Int, Long)].collect().toMap
+    // before the r13-advice fix, least(null, 4) resolved to 4 and the
+    // null doc landed in the TOP bin
+    assert(counts === Map(4 -> 1L, 0 -> 1L))
+  }
+
+  test("pinned quantile edges: accumulate uses the persisted edges; re-pin refuses") {
+    val path = java.nio.file.Files.createTempDirectory("graft-qpin-spec").toString
+    val ref = (1L to 100L).map(i => (i, "s", "x" * i.toInt))
+    // pinning derives + persists the edges and bins the reference with them
+    val edges = Drift.quantileReferenceWrite(spark, path, docs(ref), "source",
+      length(col("text")), nBins = 4)
+    assert(edges === Seq(25.75, 50.5, 75.25))
+    assert(Drift.pinnedQuantileState(spark, path) === ((edges, 4)))
+    // accumulate reads the PINNED edges — no caller-held Seq exists to
+    // diverge with
+    val cur = (200L until 300L).map(i => (i, "s", "x" * 80))
+    Drift.quantileAccumulate(spark, path, docs(cur), "source",
+      length(col("text")), batchId = 0L)
+    val got = Drift.quantilePsiAgainstReference(spark, path, groupOut = "source")
+      .as[(String, Double)].head()._2
+    val want = Drift.psiDrift(
+        docs(ref.map(r => (r._1 * 2, r._2, r._3)) ++
+             cur.map(r => (r._1 * 2 + 1, r._2, r._3))),
+        "source", Drift.quantileBin(length(col("text")), edges),
+        isCur = col("doc_id") % 2 === 1L, nBins = 4)
+      .as[(String, Double)].head()._2
+    assert(got === want)
+    // re-deriving edges over accumulated history is the silent-mismatch
+    // bug class — the re-pin refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Drift.quantileReferenceWrite(spark, path, docs(cur), "source",
+        length(col("text")), nBins = 4)
+    }
+    assert(ex.getMessage.contains("already has accumulated counts"))
+    // an edge-less state refuses quantile accumulation (no ad-hoc edges)
+    val bare = java.nio.file.Files.createTempDirectory("graft-qpin-bare").toString
+    Drift.referenceWrite(spark, bare, docs(ref), "source",
+      Drift.lengthBin(col("text"), 10), nBins = 5)
+    val ex2 = intercept[IllegalArgumentException] {
+      Drift.quantileAccumulate(spark, bare, docs(cur), "source",
+        length(col("text")), batchId = 0L)
+    }
+    assert(ex2.getMessage.contains("no pinned quantile edges"))
+  }
+
+  test("psiTrend: one keyed plan equals the per-batch fold; 100-batch planning stays flat") {
+    val path = java.nio.file.Files.createTempDirectory("graft-trend-soak").toString
+    val bin = Drift.lengthBin(col("text"), 10)
+    val ref = (0L until 100L).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))
+    Drift.referenceWrite(spark, path, docs(ref), "source", bin, nBins = 5)
+    val nBatches = 100
+    (0 until nBatches).foreach { b =>
+      val rows = (0L until 10L).map(i =>
+        (b * 100L + i, "s", "x" * (((i + b) % 5).toInt * 10 + 5)))
+      Drift.accumulate(spark, path, docs(rows), "source", bin, 5, batchId = b.toLong)
+    }
+    val t0 = System.nanoTime()
+    val trend = Drift.psiTrend(spark, path, nBins = 5, groupOut = "source")
+    val planNs = System.nanoTime() - t0 // plan construction only (lazy)
+    val got = trend.as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._3)).toMap
+    assert(got.size === nBatches)
+    // the r13 shape built one psiFromCounts plan PER batch; the keyed
+    // plan must agree with that fold batch for batch
+    val refCounts = Drift.binCounts(docs(ref), "source", bin, 5)
+    (0 until nBatches by 19).foreach { b =>
+      val rows = (0L until 10L).map(i =>
+        (b * 100L + i, "s", "x" * (((i + b) % 5).toInt * 10 + 5)))
+      val alone = Drift.psiFromCounts(refCounts,
+          Drift.binCounts(docs(rows), "source", bin, 5), 5, "source")
+        .as[(String, Double)].head()._2
+      assert(got(b.toLong) === alone, s"batch $b diverged from the solo fold")
+    }
+    // plan construction is O(1) in the batch count now — building the
+    // lazy frame must not walk the batches (generous bound; the r13
+    // loop built 100 plans + 99 unions here)
+    assert(planNs < 5e9, s"psiTrend plan construction took ${planNs / 1e9} s")
+  }
+
+  test("retune re-pins the reference to the live distribution: PSI drops to exactly 0") {
+    val path = java.nio.file.Files.createTempDirectory("graft-retune-spec").toString
+    val bin = Drift.lengthBin(col("text"), 10)
+    val ref = (0L until 100L).map(i => (i, "s", "x" * 5))
+    val cur = (100L until 200L).map(i => (i, "s", "x" * 45)) // hard shift
+    Drift.referenceWrite(spark, path, docs(ref), "source", bin, nBins = 5)
+    Drift.accumulate(spark, path, docs(cur), "source", bin, 5, batchId = 0L)
+    val before = Drift.psiAgainstReference(spark, path, nBins = 5, groupOut = "source")
+      .as[(String, Double)].head()._2
+    assert(before > 1.0, s"setup should drift hard, scored $before")
+    Drift.retune(spark, path)
+    val after = Drift.psiAgainstReference(spark, path, nBins = 5, groupOut = "source")
+      .as[(String, Double)].head()._2
+    assert(after === 0.0, s"post-retune PSI must be exactly 0, got $after")
+    // the accumulated history survives the swap (the time axis keeps it)
+    val trend = Drift.psiTrend(spark, path, nBins = 5, groupOut = "source").collect()
+    assert(trend.length === 1)
+    // and the monitor re-arms: a NEW drifted batch scores high again
+    Drift.accumulate(spark, path, docs((300L until 400L).map(i => (i, "s", "x" * 5))),
+      "source", bin, 5, batchId = 1L)
+    val rearmed = Drift.psiAgainstReference(spark, path, nBins = 5, groupOut = "source")
+      .as[(String, Double)].head()._2
+    assert(rearmed > 0.1, s"monitor did not re-arm after retune: $rearmed")
+  }
+
+  test("maintainEverywhere retune leg: NB gate retrains on survivors, reference re-pins") {
+    import graft.streaming.Ingest
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dft = tmp("graft-mretune-drift")
+    val model = tmp("graft-mretune-model")
+    val adm = tmp("graft-mretune-adm") + "/t"
+    val bin = Drift.lengthBin(col("text"), 10)
+    // drifting monitor state
+    Drift.referenceWrite(spark, dft,
+      docs((0L until 100L).map(i => (i, "s", "x" * 5))), "source", bin, nBins = 5)
+    Drift.accumulate(spark, dft,
+      docs((100L until 200L).map(i => (i, "s", "x" * 45))), "source", bin, 5, 0L)
+    // a stale gate model + an admitted corpus carrying its audit labels
+    val corpus = (0L until 60L).map(i =>
+      (i, s"good doc $i about spark and parquet tables", "en"))
+    graft.llm.Classifier.nbWrite(
+      corpus.take(10).toDF("doc_id", "text", "predicted"), "text", "predicted", model)
+    corpus.toDF("doc_id", "text", "predicted").withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(adm)
+    val report = Ingest.maintainEverywhere(spark,
+      Ingest.MaintainTargets(
+        driftStatePath = Some(dft), driftNBins = 5,
+        driftRetune = Some(Ingest.RetuneTarget(
+          nbModelPath = Some(model), corpusDir = Some(adm)))))
+    assert(report.exists { case (f, a) => f == "drift" && a.startsWith("retrain") },
+      s"expected retrain, got $report")
+    // reference re-pinned → PSI 0
+    val after = Drift.psiAgainstReference(spark, dft, nBins = 5, groupOut = "source")
+      .as[(String, Double)].head()._2
+    assert(after === 0.0)
+    // the gate model now equals a from-scratch train on the FULL
+    // admitted survivors (not the 10-doc stale set)
+    val want = graft.llm.Classifier.nbTrain(
+        corpus.toDF("doc_id", "text", "predicted"), "text", "predicted")
+      .as[(String, String, Long)].collect().toSet
+    val gotModel = graft.llm.Classifier.nbModel(spark, model)
+      .as[(String, String, Long)].collect().toSet
+    assert(gotModel === want)
+    // a second turn reports stable — the retune converged
+    val report2 = Ingest.maintainEverywhere(spark,
+      Ingest.MaintainTargets(driftStatePath = Some(dft), driftNBins = 5,
+        driftRetune = Some(Ingest.RetuneTarget(
+          nbModelPath = Some(model), corpusDir = Some(adm)))))
+    assert(report2.contains("drift" -> "stable"), s"got $report2")
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45
