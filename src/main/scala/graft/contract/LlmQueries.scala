@@ -2870,6 +2870,34 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // K8 — drift-state COMPACTION (round 14): the last stateful family
+    // to get one. Accumulate the odd half in TWO batches, retract the
+    // doc_id % 7 == 3 slice, then driftCompact — batch fragments and
+    // the negated retraction counts fold into one netted __batch=0
+    // under a generation swap (watermark blocks folded-batch replays,
+    // the folded-ret marker closes the double-apply crash window). The
+    // monitored PSI must be INVARIANT under compaction: same
+    // survivor-corpus oracle as k8_drift_retract.
+    "k8_drift_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-driftcomp")
+      val bin = graft.llm.Drift.lengthBin(col("text"), width = 200)
+      graft.llm.Drift.referenceWrite(s, path,
+        docs.where(col("doc_id") % 2 === 0L), "source", bin, nBins = 10)
+      graft.llm.Drift.accumulate(s, path,
+        docs.where(col("doc_id") % 2 === 1L && col("doc_id") < 250L),
+        "source", bin, 10, batchId = 0L)
+      graft.llm.Drift.accumulate(s, path,
+        docs.where(col("doc_id") % 2 === 1L && col("doc_id") >= 250L),
+        "source", bin, 10, batchId = 1L)
+      graft.llm.Drift.retract(s, path,
+        docs.where(col("doc_id") % 2 === 1L && col("doc_id") % 7 === 3L),
+        "source", bin, 10, retractionId = 100L)
+      graft.llm.Drift.driftCompact(s, path)
+      graft.llm.Drift.psiAgainstReference(s, path, nBins = 10, groupOut = "source")
+        .orderBy(col("source"))
+    }),
+
     // K8 — STREAMING quantile drift over PINNED edges (▶, round 14):
     // the decile edges are derived ONCE from the even-half reference and
     // persisted beside it (the binning is part of the DriftTarget
@@ -4346,6 +4374,11 @@ object LlmQueries {
     // retraction = the survivor corpus's one-shot PSI (negated counts
     // cancel exactly; fully-retracted bins drop to the grid default)
     "k8_drift_retract" ->
+      psiDriftSqlWhere("WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 3)"),
+
+    // compaction is PSI-invariant: the folded __batch=0 carries exactly
+    // the netted live counts — same survivor oracle as the retraction
+    "k8_drift_compact" ->
       psiDriftSqlWhere("WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 3)"),
 
     // pinned-edge streamed accumulation is the one-shot quantile PSI by

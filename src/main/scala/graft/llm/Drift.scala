@@ -103,11 +103,51 @@ object Drift {
   // ---- persisted drift monitor (the streaming twin's state) ----
 
   private val RefBase = "ref"
-  private def curDir(path: String) = s"$path/cur"
+  private val CurBase = "cur"
+  private val CompactWatermarkFile = "_compact_watermark"
+  private val FoldedRetFile = "_folded_ret"
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The CURRENT accumulator directory — generation-resolved like `ref`
+    * (round 14): plain `$path/cur` until a [[driftCompact]] commits a
+    * folded generation.
+    */
+  private def curDir(spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.ops.Generations.currentDir(fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(path), CurBase).toString
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+
+  /** Highest `__batch` id [[driftCompact]] has folded into the current
+    * generation's `__batch=0` — None if never compacted. Lives inside
+    * the generation dir, so it rides the same crash-atomic swap.
+    */
+  private def compactWatermark(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Option[Long] =
+    readMarker(fsOf(spark, path), new org.apache.hadoop.fs.Path(
+      curDir(spark, path), CompactWatermarkFile)).map(_.toLong)
+
+  /** Retraction ids [[driftCompact]] already netted into the folded
+    * counts — excluded at read until the (post-commit) tombstone clear
+    * lands, closing the double-apply crash window.
+    */
+  private def foldedRetIds(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Set[Long] =
+    readMarker(fsOf(spark, path), new org.apache.hadoop.fs.Path(
+      curDir(spark, path), FoldedRetFile))
+      .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSet)
+      .getOrElse(Set.empty)
 
   /** The CURRENT reference directory — generation-resolved (round 14):
     * plain `$path/ref` until a [[retune]] commits a re-pinned
@@ -120,7 +160,7 @@ object Drift {
 
   private[graft] def hasAccumulated(spark: org.apache.spark.sql.SparkSession,
                                     path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(curDir(path))
+    val p = new org.apache.hadoop.fs.Path(curDir(spark, path))
     val fs = fsOf(spark, path)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("__batch="))
   }
@@ -146,11 +186,20 @@ object Drift {
     */
   def accumulate(spark: org.apache.spark.sql.SparkSession, path: String,
                  batch: DataFrame, groupCol: String, binCol: Column,
-                 nBins: Int, batchId: Long): Unit =
+                 nBins: Int, batchId: Long): Unit = {
+    // retired-lineage guard (the pairsCompact rule): a replay of a batch
+    // [[driftCompact]] already folded would dynamic-overwrite its id
+    // back in BESIDE the folded mass and double-count it
+    val wm = compactWatermark(spark, path)
+    require(wm.forall(batchId > _),
+      s"batchId $batchId is at or below the drift-state compaction " +
+        s"watermark ${wm.get} — batches folded by driftCompact cannot be " +
+        "replayed (drop the accumulating stream's checkpoint before compacting)")
     binCounts(batch, groupCol, binCol, nBins)
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(curDir(path))
+      .partitionBy("__batch").parquet(curDir(spark, path))
+  }
 
   private def retDir(path: String) = s"$path/ret"
 
@@ -183,7 +232,7 @@ object Drift {
                nBins: Int = 10, groupOut: String = "source",
                batchOut: String = "batch"): DataFrame = {
     val ref = spark.read.parquet(refDir(spark, path)).select("g", "b", "c")
-    val cur = spark.read.parquet(curDir(path))
+    val cur = spark.read.parquet(curDir(spark, path))
       .select(col("__batch").cast("long").as("__batch"), col("g"), col("b"), col("c"))
     require(!cur.isEmpty,
       s"psiTrend at $path: nothing accumulated yet — no batches to score")
@@ -391,10 +440,17 @@ object Drift {
                          path: String): DataFrame = {
     val retPath = new org.apache.hadoop.fs.Path(retDir(path))
     val hasRet = fsOf(spark, path).exists(retPath)
-    val raw = spark.read.parquet(curDir(path)).select("g", "b", "c")
-    val all = if (hasRet)
-      raw.unionByName(spark.read.parquet(retDir(path)).select("g", "b", "c"))
-    else raw
+    val raw = spark.read.parquet(curDir(spark, path)).select("g", "b", "c")
+    // retractions driftCompact already netted into the folded counts are
+    // excluded until the tombstone clear lands (the double-apply window)
+    val folded = foldedRetIds(spark, path)
+    val all = if (hasRet) {
+      val retRaw = spark.read.parquet(retDir(path))
+      val retKept =
+        if (folded.isEmpty) retRaw
+        else retRaw.where(!col("__batch").cast("long").isin(folded.toSeq: _*))
+      raw.unionByName(retKept.select("g", "b", "c"))
+    } else raw
     val cur = all.groupBy("g", "b").agg(sum(col("c")).as("c"))
       .where(col("c") =!= 0L) // fully-retracted bins drop to the grid default
     // a retraction of docs never accumulated would drive counts negative
@@ -406,6 +462,83 @@ object Drift {
       s"drift state at $path has $neg negative bin counts — a retraction " +
         "removed docs that were never accumulated (wrong slice or double retract)")
     cur
+  }
+
+  /** COMPACT the drift state (round 14 — the last stateful family to
+    * get one): fold every accumulated `__batch` fragment AND every
+    * pending retraction into one netted `__batch=0`, clear the
+    * retraction dir. A long-lived intake otherwise accrues one `cur/`
+    * partition dir per micro-batch forever — tiny data, but the same
+    * small-file/listing growth axis every other family bakes away.
+    *
+    * Crash ordering (the pairsCompact pattern): the folded counts land
+    * in the next `cur_gen=N` via the shared [[graft.ops.Generations]]
+    * swap, CARRYING two markers inside the generation dir — the folded
+    * batch-id watermark (so a replayed pre-compaction [[accumulate]]
+    * refuses instead of double-counting beside the folded mass) and the
+    * folded retraction-id set (so a crash between the commit and the
+    * retraction-dir clear cannot double-apply a retraction: readers
+    * skip folded ids until the clear lands). At every instant readers
+    * resolve a complete, correctly-netted state.
+    *
+    * Deliberate trade, documented: compaction COARSENS the time axis —
+    * [[psiTrend]] afterwards reports the folded history as one batch 0.
+    * Run it when the trend has been read/acted on (the maintenance
+    * cadence), like every index compaction's retired-lineage rule.
+    */
+  def driftCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    require(hasAccumulated(spark, path),
+      s"driftCompact at $path: nothing accumulated — nothing to fold")
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    // highest live batch id BEFORE the fold — the new watermark
+    val curP = new org.apache.hadoop.fs.Path(curDir(spark, path))
+    val topBatch = fs.listStatus(curP).map(_.getPath.getName)
+      .filter(_.startsWith("__batch="))
+      .map(_.stripPrefix("__batch=").toLong)
+      .max
+    val wm = math.max(topBatch, compactWatermark(spark, path).getOrElse(0L))
+    val retP = new org.apache.hadoop.fs.Path(retDir(path))
+    val retIds: Seq[Long] =
+      if (!fs.exists(retP)) Nil
+      else fs.listStatus(retP).map(_.getPath.getName).toSeq
+        .filter(_.startsWith("__batch="))
+        .map(_.stripPrefix("__batch=").toLong).sorted
+    val live = liveCounts(spark, path) // cur + unfolded ret, netted, guarded
+    val (staged, gen) = graft.ops.Generations.stage(fs, root, CurBase)
+    live.withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
+    def marker(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(staged, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    marker(CompactWatermarkFile, wm.toString)
+    if (retIds.nonEmpty) marker(FoldedRetFile, retIds.mkString(","))
+    graft.ops.Generations.commit(fs, root, CurBase, gen)
+    // tombstones are netted into the committed generation — clear LAST
+    // (a crash before this leaves them excluded-by-marker, never
+    // double-applied)
+    if (fs.exists(retP)) fs.delete(retP, true)
+    graft.ops.Generations.gcOld(fs, root, CurBase)
+  }
+
+  /** Threshold-gated maintenance for the drift state — the engine's
+    * standard reporting shape: COMPACT when the accumulated `__batch`
+    * fragments plus pending retraction partitions exceed
+    * `maxLiveBatches`, else no-op; returns "compact" | "none". Both
+    * probes are FS listings (no Spark job on the no-op path).
+    */
+  def driftMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+                    maxLiveBatches: Int = 8): String = {
+    val fs = fsOf(spark, path)
+    def frag(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.startsWith("__batch="))
+    }
+    if (frag(curDir(spark, path)) + frag(retDir(path)) > maxLiveBatches) {
+      driftCompact(spark, path); "compact"
+    } else "none"
   }
 
   /** Maintenance advisory: max PSI across groups vs the standard 0.25

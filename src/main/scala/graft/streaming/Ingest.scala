@@ -1056,6 +1056,12 @@ object Ingest {
       })
     }
     targets.driftStatePath.foreach { p =>
+      // state hygiene first (round 14): fold accumulated batch fragments
+      // + pending retractions into one netted __batch=0 when the state
+      // fragments past the bound — the drift family's own compaction
+      // (psiAgainstReference is invariant under it; the trend's time
+      // axis coarsens, the documented trade)
+      out += "drift_state" -> graft.llm.Drift.driftMaintain(spark, p, maxLiveBatches)
       // gate-drift check (round 13, actionable since round 14): PSI of
       // the accumulated intake vs the pinned reference — O(groups × bins)
       // read, never a corpus rescan. Advisory-only by DEFAULT (moving

@@ -346,6 +346,43 @@ class DriftSpec extends AnyFunSuite {
     assert(report2.contains("drift" -> "stable"), s"got $report2")
   }
 
+  test("driftCompact: PSI-invariant fold, folded-batch replay refused, trend coarsens") {
+    val path = java.nio.file.Files.createTempDirectory("graft-dcomp-spec").toString
+    val bin = Drift.lengthBin(col("text"), 10)
+    val ref = (0L until 100L).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))
+    Drift.referenceWrite(spark, path, docs(ref), "source", bin, nBins = 5)
+    (0 until 10).foreach { b =>
+      val rows = (0L until 20L).map(i =>
+        (b * 100L + i, "s", "x" * (((i + b) % 5).toInt * 10 + 5)))
+      Drift.accumulate(spark, path, docs(rows), "source", bin, 5, batchId = b.toLong)
+    }
+    Drift.retract(spark, path,
+      docs((0L until 20L).filter(_ % 7 == 3).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))),
+      "source", bin, 5, retractionId = 50L)
+    val before = Drift.psiAgainstReference(spark, path, nBins = 5, groupOut = "source")
+      .as[(String, Double)].head()._2
+    // gate: 10 cur + 1 ret fragments > 8 → compact; second turn no-op
+    assert(Drift.driftMaintain(spark, path, maxLiveBatches = 8) === "compact")
+    assert(Drift.driftMaintain(spark, path, maxLiveBatches = 8) === "none")
+    val after = Drift.psiAgainstReference(spark, path, nBins = 5, groupOut = "source")
+      .as[(String, Double)].head()._2
+    assert(after === before, "compaction moved the monitored PSI")
+    // the time axis coarsens to the single folded batch
+    val trend = Drift.psiTrend(spark, path, nBins = 5, groupOut = "source").collect()
+    assert(trend.length === 1 && trend.head.getLong(0) === 0L)
+    // a replayed pre-compaction batch refuses loudly (watermark)
+    val ex = intercept[IllegalArgumentException] {
+      Drift.accumulate(spark, path, docs(Seq((5000L, "s", "x" * 5))),
+        "source", bin, 5, batchId = 7L)
+    }
+    assert(ex.getMessage.contains("compaction watermark"))
+    // post-compaction accumulation above the watermark works and sums in
+    Drift.accumulate(spark, path, docs(Seq((5000L, "s", "x" * 5))),
+      "source", bin, 5, batchId = 10L)
+    val trend2 = Drift.psiTrend(spark, path, nBins = 5, groupOut = "source").collect()
+    assert(trend2.length === 2, "the new batch should join the folded one in the trend")
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45
