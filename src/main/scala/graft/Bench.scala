@@ -91,7 +91,9 @@ object Bench {
     "x6_auto_salted_join",   // hot-key split + salted hot slice vs plain cold join (round 13)
     "e13_heavy_hitters",     // one-pass Misra-Gries sketch over the fact table (round 13)
     "k2_containment",        // containment scoring over the shared LSH candidate core (round 13)
-    "k8_quality_drift")      // per-source PSI: two count shuffles + O(groups×bins) tail (round 13)
+    "k8_quality_drift",      // per-source PSI: two count shuffles + O(groups×bins) tail (round 13)
+    "k21_curate_batch_cont", // the fused intake turn with scorer=both (round 14; the scorer swap should be ~free vs k21_curate_batch)
+    "k21_corpus_compact")    // physical corpus tombstone bake: fold + generation swap (round 14; contract-query path incl. its own state setup)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -528,6 +530,14 @@ object Bench {
           graft.streaming.Ingest.curateBatch(d, 0L, curateModelPath,
             Seq("en"), curateIdx, curateAdm, curateNov, "text", "doc_id",
             statsCols = Seq("doc_id"))
+        case "k21_curate_batch_cont" =>
+          // the same fused turn with the containment arm ON — candidate
+          // joins and the cached signature pass are shared, so the extra
+          // cost is one array_intersect per verified pair
+          val d = graft.core.Engine.table(spark, sfDir, "documents")
+          graft.streaming.Ingest.curateBatch(d, 0L, curateModelPath,
+            Seq("en"), curateIdx, curateAdm, curateNov, "text", "doc_id",
+            statsCols = Seq("doc_id"), scorer = "both")
         case "k21_stages_separate" =>
           // the CONTROL: identical stage semantics, each stage its own
           // operator — the classifier runs once either way, but dedup and
@@ -663,7 +673,7 @@ object Bench {
             "text", "doc_id", "source", batchId = 0L,
             tokenBudget = 200000L, sourceCap = 220L, admittedDir = mixAdmPath)
         }
-        case "k21_curate_batch" | "k21_stages_separate" => () => {
+        case "k21_curate_batch" | "k21_curate_batch_cont" | "k21_stages_separate" => () => {
           // both variants start from empty index/corpus/novelty state so
           // each rep (and each variant) times the identical first turn
           deleteRec(curateIdx); deleteRec(curateAdmRoot); deleteRec(curateNov)

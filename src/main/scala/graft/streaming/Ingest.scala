@@ -758,6 +758,22 @@ object Ingest {
                                binCol: org.apache.spark.sql.Column,
                                nBins: Int = 10)
 
+  /** A [[DriftTarget]] built from a PINNED quantile state (round 14):
+    * the binning comes from the edges `quantileReferenceWrite` persisted
+    * beside the reference — the intake turn can then monitor what it
+    * admits without any caller-held edge list to diverge from the
+    * accumulated history. Edges are immutable within a lineage
+    * (re-pinning refuses; retune keeps them), so reading them once at
+    * target construction is sound for the stream's lifetime.
+    */
+  def quantileDriftTarget(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String, groupCol: String,
+                          valueCol: org.apache.spark.sql.Column): DriftTarget = {
+    val (edges, nBins) = graft.llm.Drift.pinnedQuantileState(spark, statePath)
+    DriftTarget(statePath, groupCol,
+      graft.llm.Drift.quantileBin(valueCol, edges), nBins)
+  }
+
   final case class RetractTargets(
       lshIndexPath: Option[String] = None,
       simhashIndexPath: Option[String] = None,

@@ -877,7 +877,17 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k8_streaming_drift",
     "k8_drift_retract", // reference + accumulate + retract writes at construction
     "k8_drift_trend",   // same two-drain feed; per-batch PSI reads the sidecars
-    "k8_streaming_weighted_sample") // two-drain feed + generation-swapped reservoir folds
+    "k8_streaming_weighted_sample", // two-drain feed + generation-swapped reservoir folds
+    // round 14: drift-lifecycle + intake/corpus queries that build,
+    // retract, retune, or compact persisted state at construction; the
+    // read-back plans are the same audited shapes as their excluded
+    // siblings (the bounded PSI grid / the admitted()-scan), and
+    // DriftSpec / CorpusCompactSpec / ContainmentIntakeSpec pin them
+    "k8_streaming_quantile_drift", // two-drain feed + pinned-edge state writes
+    "k8_drift_retune",   // maintain turn + ref generation swap at construction
+    "k8_drift_compact",  // accumulate + retract + cur generation fold at construction
+    "k2_containment_intake", // two-drain MemoryStream + index/corpus writes
+    "k21_corpus_compact")    // corpus build + retraction + data generation fold
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries

@@ -230,6 +230,10 @@ class DriftSpec extends AnyFunSuite {
         length(col("text")), nBins = 4)
     }
     assert(ex.getMessage.contains("already has accumulated counts"))
+    // the intake-turn hook builds its DriftTarget FROM the pinned state
+    val dt = graft.streaming.Ingest.quantileDriftTarget(
+      spark, path, "source", length(col("text")))
+    assert(dt.nBins === 4 && dt.statePath === path)
     // an edge-less state refuses quantile accumulation (no ad-hoc edges)
     val bare = java.nio.file.Files.createTempDirectory("graft-qpin-bare").toString
     Drift.referenceWrite(spark, bare, docs(ref), "source",
