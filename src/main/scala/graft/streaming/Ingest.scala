@@ -461,10 +461,16 @@ object Ingest {
     *   1. gate: frozen NB model at `modelPath`, keep `keepLabels`
     *      predictions; admitted rows carry (n_tokens, predicted, score);
     *   2. dedup: [[ingestBatch]]'s core against the LSH index at
-    *      `indexPath` — survivors append to the index;
-    *   3. corpus: survivors land under `__batch=<id>` at `admittedDir`
-    *      (dynamic overwrite — the replay-idempotent layout), min/max
-    *      manifest + Bloom sidecars refreshed in the same turn;
+    *      `indexPath` — survivors append to the index; `scorer`
+    *      (jaccard | containment | both, round 14) decides what counts
+    *      as a duplicate: the containment arm drops boilerplate-wrapped
+    *      verbatim reposts the symmetric Jaccard gate structurally
+    *      admits, off the same cached signature pass;
+    *   3. corpus: survivors land under `__batch=<id>` in the corpus's
+    *      CURRENT generation at `admittedDir` (dynamic overwrite — the
+    *      replay-idempotent layout; [[corpusCompact]] swaps generations
+    *      under readers and writers alike), min/max manifest + Bloom
+    *      sidecars refreshed in the same turn;
     *   4. novelty: batch 0 base-builds the gram-set index at
     *      `noveltyPath` ([[graft.llm.TextAnalysis.noveltyIndexWrite]]);
     *      later batches fold O(batch) appends (batchId = stream batch
@@ -848,7 +854,13 @@ object Ingest {
     val live = graft.ops.Tombstones.drop(
       spark.read.parquet(cur), removed, idCol)
     val (staged, gen) = graft.ops.Generations.stage(fs, genRoot, "data")
-    live.withColumn("__batch", lit(0L))
+    // fold target is __batch = -1, NOT 0: corpus writers use the stream
+    // batch id DIRECTLY (unlike the index families' id+1 convention), so
+    // a retired-lineage re-attach restarts at 0 and its dynamic
+    // overwrite of __batch=0 would silently DESTROY a fold parked there;
+    // no stream ever produces a negative id (the LM retraction's
+    // negative-partition trick)
+    live.withColumn("__batch", lit(-1L))
       .write.mode("overwrite").partitionBy("__batch").parquet(staged.toString)
     graft.ops.Generations.commit(fs, genRoot, "data", gen)
     if (removed.isDefined)

@@ -62,6 +62,25 @@ class CorpusCompactSpec extends AnyFunSuite {
     assert(got === ((0L until 30L).toSet - 3L) ++ (100L until 110L).toSet)
   }
 
+  test("a retired-lineage re-attach at batch 0 cannot clobber the folded corpus") {
+    // corpus writers use the stream batch id DIRECTLY, and a fresh
+    // checkpoint lineage restarts at 0 — the fold must therefore park
+    // under an id no stream can produce (__batch = -1), or the new
+    // lineage's dynamic overwrite of batch 0 silently destroys it
+    val adm = tmp("graft-ccspec4") + "/t"
+    writeBatch(adm, 0 until 40, 0L)
+    Ingest.retractEverywhere(spark,
+      Seq((7L, "doc 7 text")).toDF("doc_id", "text"),
+      retractionId = 0L, Ingest.RetractTargets(corpusDir = Some(adm)),
+      "text", "doc_id")
+    assert(Ingest.corpusCompact(spark, adm, "doc_id") === "compact")
+    // the new lineage's first batch lands at id 0
+    writeBatch(adm, 200 until 205, 0L)
+    val got = Ingest.admitted(spark, adm).select("doc_id").as[Long].collect().toSet
+    assert(got === ((0L until 40L).toSet - 7L) ++ (200L until 205L).toSet,
+      "the folded corpus must survive a new lineage's batch-0 write")
+  }
+
   test("fragmentation alone triggers the fold; root gen-0 partitions reclaimed one compaction late") {
     val adm = tmp("graft-ccspec3") + "/t"
     (0 until 10).foreach(b => writeBatch(adm, b * 10 until (b + 1) * 10, b.toLong))
