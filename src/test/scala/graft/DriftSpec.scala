@@ -304,6 +304,32 @@ class DriftSpec extends AnyFunSuite {
     assert(rearmed > 0.1, s"monitor did not re-arm after retune: $rearmed")
   }
 
+  test("retune on a PINNED-edge quantile state keeps the edges (the binning is the lineage)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-qretune-spec").toString
+    val ref = (1L to 100L).map(i => (i, "s", "x" * i.toInt))
+    val edges = Drift.quantileReferenceWrite(spark, path, docs(ref), "source",
+      length(col("text")), nBins = 4)
+    Drift.quantileAccumulate(spark, path,
+      docs((200L until 300L).map(i => (i, "s", "x" * 90))), "source",
+      length(col("text")), batchId = 0L)
+    val before = Drift.quantilePsiAgainstReference(spark, path, groupOut = "source")
+      .as[(String, Double)].head()._2
+    assert(before > 0.25, s"setup should drift past the threshold, got $before")
+    Drift.retune(spark, path)
+    // the edges survive the ref swap — re-binning would be a NEW lineage
+    assert(Drift.pinnedQuantileState(spark, path) === ((edges, 4)))
+    assert(Drift.quantilePsiAgainstReference(spark, path, groupOut = "source")
+      .as[(String, Double)].head()._2 === 0.0)
+    // and the pinned accumulate path still works against the new baseline
+    Drift.quantileAccumulate(spark, path,
+      docs((400L until 450L).map(i => (i, "s", "x" * 90))), "source",
+      length(col("text")), batchId = 1L)
+    val after = Drift.quantilePsiAgainstReference(spark, path, groupOut = "source")
+      .as[(String, Double)].head()._2
+    assert(after >= 0.0 && after < before,
+      s"same-shape batches vs the retuned baseline should score low: $after")
+  }
+
   test("maintainEverywhere retune leg: NB gate retrains on survivors, reference re-pins") {
     import graft.streaming.Ingest
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
