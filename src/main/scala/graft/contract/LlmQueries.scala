@@ -1525,6 +1525,22 @@ object LlmQueries {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // K15 — EXACT ROC AUC of the gate's 'en' score vs the true label
+    // (round 14): the calibration number a filter model ships with.
+    // Mann–Whitney with tie correction over distinct-score groups —
+    // exact integer wins/ties, ONE 6dp-rounded division at the end, and
+    // no single-partition rank window (range-partitioned two-pass
+    // cumulative, the denseIds discipline). Hash-matches the identical
+    // grouped-rank SQL in DuckDB.
+    "k15_nb_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.llm.Classifier.nbTrain(docs, "text", "lang")
+      val en = graft.llm.Classifier.nbScore(docs, model, "text", "doc_id")
+        .where(col("label") === "en")
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+      graft.llm.Classifier.binaryAuc(en, col("score"), col("lang") === "en")
+    }),
+
     // K15 — classification THROUGH the persisted model (train once /
     // classify many): nbWrite persists the one-table count model,
     // nbClassifyIndexed scores against its summed counts. Hash-matches
@@ -2404,6 +2420,37 @@ object LlmQueries {
       src.addData(rows.filter(_._1 < cut).toSeq); drain()
       src.addData(rows.filter(_._1 >= cut).toSeq); drain()
       graft.llm.TextAnalysis.reservoirRead(s, path)
+        .select(col("doc_id"), col("source"), col("__wt").as("wt"),
+          round(col("__skey"), 6).as("skey"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // K8 — STREAMING PER-STRATUM reservoir (▶, round 14): k live
+    // examples per SOURCE, weighted — the per-domain sample a curation
+    // dashboard maintains. Same mergeable deterministic lottery, ranked
+    // within each stratum, so the folded per-group reservoirs equal the
+    // one-shot per-group top-k over everything streamed; the oracle is
+    // the weighted-sample chain partitioned by source.
+    "k8_streaming_stratified_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val path = freshScratchDir("graft-sres")
+      val ckpt = freshScratchDir("graft-sres-ckpt")
+      val wt = when(col("source").isin("src0", "src1", "src2"), 3.0d).otherwise(1.0d)
+      val rows = docs.select(col("doc_id"), col("source"))
+        .as[(Long, String)].collect()
+      val cut = rows.map(_._1).sorted.apply(rows.length / 2)
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def drain(): Unit = {
+        val q = graft.streaming.Ingest.foreachBatchStratifiedReservoir(
+          src.toDS().toDF("doc_id", "source"), path, ckpt,
+          "doc_id", "source", wt, k = 10)
+        q.awaitTermination()
+      }
+      src.addData(rows.filter(_._1 < cut).toSeq); drain()
+      src.addData(rows.filter(_._1 >= cut).toSeq); drain()
+      graft.llm.TextAnalysis.stratifiedReservoirRead(s, path)
         .select(col("doc_id"), col("source"), col("__wt").as("wt"),
           round(col("__skey"), 6).as("skey"))
         .orderBy(col("doc_id"))
@@ -3860,6 +3907,27 @@ object LlmQueries {
       "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc"),
     "k15_nb_model_indexed" -> nbOracle(
       "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc"),
+
+    // exact Mann–Whitney AUC over distinct-score groups of the 'en'
+    // class score: integer wins/ties, one rounded division — the
+    // engine's range-partitioned two-pass cumulative is row-identical
+    // to this window cumulative by construction
+    "k15_nb_auc" -> nbOracle(
+      """SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  ROUND((CAST(wins AS DOUBLE) + 0.5 * CAST(ties AS DOUBLE))
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+        |FROM (
+        |  SELECT SUM(np) AS n_pos, SUM(nn) AS n_neg,
+        |         SUM(np * negbelow) AS wins, SUM(np * nn) AS ties
+        |  FROM (
+        |    SELECT s, np, nn, SUM(nn) OVER (ORDER BY s) - nn AS negbelow
+        |    FROM (
+        |      SELECT sc.score AS s,
+        |             SUM(CASE WHEN tk.lang = 'en' THEN 1 ELSE 0 END) AS np,
+        |             SUM(CASE WHEN tk.lang = 'en' THEN 0 ELSE 1 END) AS nn
+        |      FROM sc JOIN tk ON tk.doc_id = sc.doc
+        |      WHERE sc.label = 'en'
+        |      GROUP BY sc.score)))""".stripMargin),
     "k15_nb_incremental" -> nbOracle(
       "SELECT doc, n_tokens, predicted, score FROM best ORDER BY doc"),
     "k15_nb_retract" -> nbOracle(
@@ -4197,6 +4265,24 @@ object LlmQueries {
         |FROM pk GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
 
     "k8_weighted_sample" -> weightedSampleSql,
+
+    // the per-stratum reservoir: the same deterministic lottery ranked
+    // WITHIN each source — folded streaming state equals the one-shot
+    // per-group top-k (mergeable priorities)
+    "k8_streaming_stratified_reservoir" ->
+      """WITH sc AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN source IN ('src0','src1','src2') THEN 3.0 ELSE 1.0 END AS DOUBLE) AS wt,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+        |         * 16.0 ** (8 - i))) / 4294967296.0 AS u
+        |  FROM documents),
+        |rk AS (SELECT doc_id, source, wt, POW(u, 1.0 / wt) AS skey,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY POW(u, 1.0 / wt) DESC, doc_id) AS rn
+        |  FROM sc)
+        |SELECT doc_id, source, wt, ROUND(skey, 6) AS skey
+        |FROM rk WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     // mergeable deterministic priorities: the streamed fold IS the
     // one-shot sample — same oracle

@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.functions.TextFunctions._
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multinomial Naive-Bayes document classification — the trainable
@@ -160,6 +160,63 @@ object Classifier {
         max(struct(col("score"), col("label"))).as("__m"))
       .select(col("doc"), col("n_tokens"),
         col("__m.label").as("predicted"), col("__m.score").as("score"))
+
+  /** EXACT ROC AUC of a score column against a boolean label (round 14
+    * — the gate-calibration number: "how well does this quality/language
+    * classifier actually separate?"). Mann–Whitney form with the
+    * standard tie correction: AUC = (Σ_g np_g·negBelow_g +
+    * ½·Σ_g np_g·nn_g) / (NP·NN) over distinct-score groups g.
+    *
+    * Distributed and EXACT — no sampling, no sketch, and no
+    * single-partition rank window (the trap a naive
+    * `row_number() OVER (ORDER BY score)` falls into): scores reduce to
+    * (score, np, nn) groups in one map-side-combined shuffle, the
+    * groups range-partition by score (materialized once — the
+    * [[graft.ops.Layout.denseIds]] two-pass discipline: repartitionByRange
+    * re-samples boundaries per execution, so the counts pass and the
+    * rank pass must see ONE frozen partitioning), per-partition negative
+    * totals collect (bounded by the partition COUNT, not the data) into
+    * broadcast offsets, and the cumulative-below runs as a
+    * partition-LOCAL window. Counts stay exact longs end to end; the
+    * single final division is the only float op, 6dp-rounded — the
+    * DuckDB oracle applies the identical expression.
+    */
+  def binaryAuc(df: DataFrame, scoreCol: Column, isPositive: Column,
+                numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val g = df.select(scoreCol.cast("double").as("s"),
+        isPositive.cast("boolean").as("p"))
+      .where(col("s").isNotNull && col("p").isNotNull)
+      .groupBy(col("s"))
+      .agg(sum(when(col("p"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("p"), 1L).otherwise(0L)).as("nn"))
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sparkContext.defaultParallelism
+    val parted = g.repartitionByRange(parts, col("s"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy(col("__pid")).agg(sum(col("nn")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val cum = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val offset =
+      if (cum.isEmpty) lit(0L)
+      else coalesce(
+        element_at(
+          map(cum.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          col("__pid")),
+        lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("s"))
+    parted
+      .withColumn("__negBelow", sum(col("nn")).over(w) - col("nn") + offset)
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * col("__negBelow")).as("__wins"),
+        sum(col("np") * col("nn")).as("__ties"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("__wins").cast("double") + lit(0.5d) * col("__ties").cast("double"))
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6).as("auc"))
+  }
 
   /** Self-classify a labeled corpus (train on it, score it) — ONE
     * tokenize pass: the exploded (doc, label, word) occurrence frame is

@@ -498,6 +498,62 @@ object TextAnalysis {
       graft.ops.Generations.currentDir(fs, root, ResBase).toString)
   }
 
+  private val StratResBase = "sres"
+
+  /** PER-STRATUM weighted reservoir fold (round 14): k rows per value
+    * of `stratumCol` — the per-source sample a curation dashboard
+    * maintains ("show me 10 live examples from every domain, weighted
+    * by quality") without ever rescanning the corpus. Same mergeable
+    * deterministic A-res lottery as [[reservoirFold]], so the folded
+    * per-stratum reservoirs equal the one-shot per-group top-k over
+    * everything streamed — batching-order-free, replay = set no-op.
+    *
+    * Scale shape per fold: ONE window shuffle of the batch on the
+    * stratum key (per-stratum top-k), then the state side joins in at
+    * G × k rows (G = #strata, a curation constant). The corpus never
+    * re-enters the fold.
+    */
+  def stratifiedReservoirFold(spark: org.apache.spark.sql.SparkSession,
+                              path: String, batch: DataFrame, idCol: String,
+                              stratumCol: String, weight: Column,
+                              k: Int): Unit = {
+    require(k >= 1, s"stratifiedReservoirFold needs k >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__skey").desc, col(idCol))
+    def topKPerStratum(df: DataFrame): DataFrame =
+      df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k).drop("__rn")
+    val localTop = topKPerStratum(batch
+      .withColumn("__wt", weight.cast("double"))
+      .withColumn("__skey", aresPriority(col(idCol), col("__wt"))))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = graft.ops.Generations.currentGen(fs, root, StratResBase)
+    val unioned =
+      if (gen == 0L) localTop
+      else {
+        val prior = spark.read.parquet(
+          graft.ops.Generations.currentDir(fs, root, StratResBase).toString)
+        prior.unionByName(localTop.select(prior.columns.map(col): _*))
+      }
+    val next = topKPerStratum(unioned.dropDuplicates(idCol))
+      .localCheckpoint(true) // sever lineage from the dir being swapped
+    val (dir, g) = graft.ops.Generations.stage(fs, root, StratResBase)
+    next.write.mode("overwrite").parquet(dir.toString)
+    graft.ops.Generations.commit(fs, root, StratResBase, g)
+    graft.ops.Generations.gcOld(fs, root, StratResBase)
+  }
+
+  /** The stratified reservoir's current rows (≤ k per stratum). */
+  def stratifiedReservoirRead(spark: org.apache.spark.sql.SparkSession,
+                              path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(
+      graft.ops.Generations.currentDir(fs, root, StratResBase).toString)
+  }
+
   def datasetCard(df: DataFrame, textCol: String, sourceCol: String,
                   langCol: String, idCol: String, n: Int = 3): DataFrame = {
     val base = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),

@@ -724,6 +724,29 @@ object Ingest {
       }
       .start()
 
+  /** Attach the PER-STRATUM weighted reservoir to a streaming frame
+    * (round 14): each micro-batch folds its per-stratum A-res top-k
+    * into the generation-swapped state
+    * ([[graft.llm.TextAnalysis.stratifiedReservoirFold]]). Deterministic
+    * mergeable priorities make the folded per-group reservoirs EXACTLY
+    * the one-shot per-group weighted sample over everything streamed —
+    * the ▶ contract query shares the one-shot per-group oracle.
+    */
+  def foreachBatchStratifiedReservoir(docs: DataFrame, statePath: String,
+                                      checkpointDir: String, idCol: String,
+                                      stratumCol: String,
+                                      weight: org.apache.spark.sql.Column, k: Int,
+                                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.TextAnalysis.stratifiedReservoirFold(batch.sparkSession,
+          statePath, batch, idCol, stratumCol, weight, k)
+      }
+      .start()
+
   /** Attach LIVE RETRACTION to a stream of removal ids — the delete
     * side of the ingest lifecycle (the natural upstream is a CDC delete
     * feed: `Envelope.parseWithTombstones` / op='d' envelopes keyed by
@@ -1119,6 +1142,23 @@ object Ingest {
         })
     }
     out.toSeq
+  }
+
+  /** Reclaim every superseded corpus generation AND the legacy root
+    * partitions — run when no reader can be older than the last
+    * [[corpusCompact]] commit (the [[graft.llm.Dedup.vacuumIndex]] /
+    * nbVacuum cadence; [[corpusCompact]]'s own GC keeps
+    * current+previous as the in-flight-reader grace period).
+    */
+  def corpusVacuum(spark: org.apache.spark.sql.SparkSession,
+                   admittedDir: String): Unit = {
+    val genRoot = corpusGenRoot(admittedDir)
+    val fs = genRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Generations.vacuum(fs, genRoot, "data")
+    if (graft.ops.Generations.currentGen(fs, genRoot, "data") >= 1L)
+      fs.listStatus(new Path(admittedDir)).map(_.getPath)
+        .filter(_.getName.startsWith("__batch="))
+        .foreach(fs.delete(_, true))
   }
 
   /** The admitted corpus (layout column dropped, tombstoned docs — a

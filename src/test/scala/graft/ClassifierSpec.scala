@@ -157,4 +157,28 @@ class ClassifierSpec extends AnyFunSuite {
         s"an over-gate model must fall back to a shuffled equi-join:\n$over")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("binaryAuc: hand-computed ties, the degenerate corners, partition invariance") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)], parts: Int = 0): (Long, Long, Double) =
+      llm.Classifier.binaryAuc(rows.toDF("score", "pos"),
+          org.apache.spark.sql.functions.col("score"),
+          org.apache.spark.sql.functions.col("pos"), numPartitions = parts)
+        .as[(Long, Long, Double)].head()
+    // hand case with a tie straddling the classes: groups asc
+    // 0.3(nn=1) 0.8(np=1,nn=1) 0.9(np=1) → wins = 1·1 + 1·2 = 3,
+    // ties = 1 → AUC = (3 + 0.5)/4 = 0.875
+    assert(auc(Seq((0.9, true), (0.8, false), (0.8, true), (0.3, false)))
+      === ((2L, 2L, 0.875)))
+    // perfect separation / inversion / indistinguishable
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))._3 === 1.0)
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false)))._3 === 0.0)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false)))._3 === 0.5)
+    // the range-partitioned two-pass must be partition-count-invariant
+    val rnd = (0 until 500).map { i =>
+      (((i * 37) % 101).toDouble / 101.0, (i * 13) % 3 == 0)
+    }
+    assert(auc(rnd, parts = 1) === auc(rnd, parts = 7))
+    assert(auc(rnd, parts = 32) === auc(rnd, parts = 7))
+  }
 }

@@ -887,7 +887,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k8_drift_retune",   // maintain turn + ref generation swap at construction
     "k8_drift_compact",  // accumulate + retract + cur generation fold at construction
     "k2_containment_intake", // two-drain MemoryStream + index/corpus writes
-    "k21_corpus_compact")    // corpus build + retraction + data generation fold
+    "k21_corpus_compact",    // corpus build + retraction + data generation fold
+    "k8_streaming_stratified_reservoir", // two-drain feed + per-stratum generation-swapped folds
+    "k15_nb_auc") // model checkpoint + bounded partition-offset collect at construction
 
   test("no contract query plans a BNLJ or single-partition exchange unexpectedly") {
     val qs = SparkEntry.queries

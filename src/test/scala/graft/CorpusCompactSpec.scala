@@ -102,4 +102,25 @@ class CorpusCompactSpec extends AnyFunSuite {
     val got2 = Ingest.admitted(spark, adm).select("doc_id").as[Long].collect().toSet
     assert(got2 === (0L until 160L).toSet)
   }
+
+  test("corpusVacuum reclaims superseded generations and the legacy root layout") {
+    val adm = tmp("graft-ccspec5") + "/t"
+    writeBatch(adm, 0 until 20, 0L)
+    Ingest.retractEverywhere(spark,
+      Seq((5L, "doc 5 text")).toDF("doc_id", "text"),
+      retractionId = 0L, Ingest.RetractTargets(corpusDir = Some(adm)),
+      "text", "doc_id")
+    assert(Ingest.corpusCompact(spark, adm, "doc_id") === "compact")
+    val fs = new org.apache.hadoop.fs.Path(adm)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // gen 1 current; gen 0 (root __batch dirs) kept by the grace period
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(adm))
+      .exists(_.getPath.getName.startsWith("__batch=")))
+    Ingest.corpusVacuum(spark, adm)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(adm))
+      .exists(_.getPath.getName.startsWith("__batch=")),
+      "vacuum should reclaim the legacy root partitions")
+    val got = Ingest.admitted(spark, adm).select("doc_id").as[Long].collect().toSet
+    assert(got === (0L until 20L).toSet - 5L, "vacuum must not touch the served corpus")
+  }
 }

@@ -413,6 +413,40 @@ class DriftSpec extends AnyFunSuite {
     assert(trend2.length === 2, "the new batch should join the folded one in the trend")
   }
 
+  test("stratifiedReservoirFold: per-group top-k, replay no-op, order-free") {
+    import graft.llm.TextAnalysis
+    val path = java.nio.file.Files.createTempDirectory("graft-sres-spec").toString
+    val all = (0L until 300L).map(i => (i, s"src${i % 4}"))
+    val wt = when(col("source") === "src0", 5.0d).otherwise(1.0d)
+    def fold(rows: Seq[(Long, String)], p: String = path): Unit =
+      TextAnalysis.stratifiedReservoirFold(spark, p,
+        rows.toDF("doc_id", "source"), "doc_id", "source", wt, k = 7)
+    fold(all.filter(_._1 < 150L))
+    fold(all.filter(_._1 >= 150L))
+    fold(all.filter(_._1 >= 150L)) // at-least-once replay: set no-op
+    val got = TextAnalysis.stratifiedReservoirRead(spark, path)
+      .select("doc_id").as[Long].collect().toSet
+    // one-shot per-group top-7 with the same deterministic keys
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__skey").desc, col("doc_id"))
+    val oneShot = all.toDF("doc_id", "source")
+      .withColumn("__wt", wt)
+      .withColumn("__skey", TextAnalysis.aresPriority(col("doc_id"), col("__wt")))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") <= 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === oneShot)
+    assert(TextAnalysis.stratifiedReservoirRead(spark, path)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+      .values.forall(_ === 7L))
+    // reversed batch order converges to the same reservoirs
+    val path2 = java.nio.file.Files.createTempDirectory("graft-sres-spec2").toString
+    fold(all.filter(_._1 >= 150L), path2)
+    fold(all.filter(_._1 < 150L), path2)
+    val got2 = TextAnalysis.stratifiedReservoirRead(spark, path2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 === oneShot)
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45
