@@ -126,4 +126,57 @@ class MaintainTurnSpec extends AnyFunSuite {
       streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5)).toMap
     assert(drifted("drift").startsWith("retune("))
   }
+
+  test("the corpus leg compacts+refreshes through the turn (round 14, opt-in)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val adm = java.nio.file.Files.createTempDirectory("graft-mt-corpus").toString + "/t"
+    (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .withColumn("__batch", lit(0L))
+      .write.mode("overwrite").partitionBy("__batch").parquet(adm)
+    streaming.Ingest.retractEverywhere(spark,
+      Seq((3L, "doc 3")).toDF("doc_id", "text"), retractionId = 0L,
+      streaming.Ingest.RetractTargets(corpusDir = Some(adm)), "text", "doc_id")
+    // default OFF: tombstones stay logical, action is refresh-only
+    val off = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(corpusDir = Some(adm),
+        corpusStatsCols = Seq("doc_id"))).toMap
+    assert(off("corpus") === "refresh")
+    // opt-in: the bake fires, then a clean second turn refreshes only
+    val on = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(corpusDir = Some(adm),
+        corpusStatsCols = Seq("doc_id"), compactCorpus = true)).toMap
+    assert(on("corpus") === "compact+refresh")
+    val again = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(corpusDir = Some(adm),
+        corpusStatsCols = Seq("doc_id"), compactCorpus = true)).toMap
+    assert(again("corpus") === "refresh")
+    val got = streaming.Ingest.admitted(spark, adm)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === (0L until 50L).toSet - 3L)
+  }
+
+  test("the drift_state leg folds fragments through the turn (round 14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-mt-dcomp").toString
+    val bin = graft.llm.Drift.lengthBin(col("text"), 10)
+    def docs(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "source", "text")
+    val ref = (0L until 50L).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))
+    graft.llm.Drift.referenceWrite(spark, path, docs(ref), "source", bin, nBins = 5)
+    (0 until 4).foreach { b =>
+      graft.llm.Drift.accumulate(spark, path,
+        docs(ref.map(r => (r._1 + 1000L * (b + 1), r._2, r._3))),
+        "source", bin, 5, batchId = b.toLong)
+    }
+    val r = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5),
+      maxLiveBatches = 2).toMap
+    assert(r("drift_state") === "compact")
+    assert(r("drift") === "stable")
+    val again = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5),
+      maxLiveBatches = 2).toMap
+    assert(again("drift_state") === "none")
+  }
 }
