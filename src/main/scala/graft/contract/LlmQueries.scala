@@ -3004,8 +3004,10 @@ object LlmQueries {
           driftStatePath = Some(path),
           driftPsiThreshold = -1.0, // any PSI flags — force the action arm
           driftRetune = Some(graft.streaming.Ingest.RetuneTarget())))
-      require(report.exists { case (f, a) => f == "drift" && a.startsWith("retrain") },
-        s"expected the drift leg to report retrain, got $report")
+      // no nbModelPath → the audit string says what the turn DID (r15):
+      // the reference was re-pinned, no model retrained
+      require(report.exists { case (f, a) => f == "drift" && a.startsWith("retune_applied") },
+        s"expected the drift leg to report retune_applied, got $report")
       graft.llm.Drift.psiAgainstReference(s, path, nBins = 10, groupOut = "source")
         .orderBy(col("source"))
     }),

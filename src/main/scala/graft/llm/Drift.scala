@@ -212,12 +212,21 @@ object Drift {
     */
   def retract(spark: org.apache.spark.sql.SparkSession, path: String,
               removedDocs: DataFrame, groupCol: String, binCol: Column,
-              nBins: Int, retractionId: Long): Unit =
+              nBins: Int, retractionId: Long): Unit = {
+    // the accumulate-side watermark guard, mirrored (r14 advice): a new
+    // retraction REUSING an id driftCompact already folded would land in
+    // ret/ but be excluded by the folded-id filter in liveCounts — a
+    // silent no-op delete. Refuse loudly; folded ids are retired forever.
+    val folded = foldedRetIds(spark, path)
+    require(!folded.contains(retractionId),
+      s"retractionId $retractionId was already folded by driftCompact at " +
+        s"$path — folded retraction ids are retired; use a fresh id")
     binCounts(removedDocs, groupCol, binCol, nBins)
       .withColumn("c", -col("c"))
       .withColumn("__batch", lit(retractionId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(retDir(path))
+  }
 
   /** The drift TIME SERIES: one PSI row per (accumulated batch, group) —
     * each batch scored ALONE against the pinned reference, giving the
@@ -310,6 +319,40 @@ object Drift {
     row.getSeq[Double](0)
   }
 
+  /** [[quantileBinEdges]] via `percentile_approx` (GK sketch, bounded
+    * memory) — the 100 TB edge-pin path. Exact `percentile` is an
+    * ObjectHashAggregate that BUFFERS the whole reference slice; the
+    * sketch holds O(accuracy) state per partition instead. The trade is
+    * declared: approx edges are not the e5-pinned cross-engine exact
+    * form, so a state pinned this way is a DIFFERENT DriftTarget
+    * identity (recorded in the edges sidecar and refused on mismatch by
+    * the same no-re-pin rule). Drift semantics are unaffected — any
+    * fixed monotone edge set is a valid binning; exactness only matters
+    * for oracle reproduction.
+    */
+  def approxQuantileBinEdges(ref: DataFrame, valueCol: Column, nBins: Int = 10,
+                             accuracy: Int = 10000): Seq[Double] = {
+    require(nBins >= 2, s"approxQuantileBinEdges needs at least 2 bins, got $nBins")
+    val fr = (1 until nBins).map(i => i.toDouble / nBins)
+    val row = ref.select(valueCol.cast("double").as("__v"))
+      .agg(percentile_approx(col("__v"),
+        typedLit(fr), lit(accuracy)).as("e"))
+      .selectExpr("transform(e, x -> round(x, 6)) AS e")
+      .head()
+    require(!row.isNullAt(0), "approxQuantileBinEdges over an empty reference slice")
+    row.getSeq[Double](0)
+  }
+
+  /** Rows above which [[quantileReferenceWrite]] refuses the EXACT edge
+    * derivation: exact `percentile` buffers every value of the slice in
+    * one aggregation buffer (~128 MB of doubles at this bound — the top
+    * of comfortable), so an unbounded reference slice is a driver/executor
+    * memory cliff on the pin path. Larger slices pin with
+    * `approxEdges = true` (bounded GK sketch) or pass a pre-sampled
+    * reference.
+    */
+  private[graft] val ExactEdgesMaxRows = 16777216L
+
   /** The bin for a value against [[quantileBinEdges]]: the number of
     * edges strictly below it (NULL values land in bin 0, matching the
     * grid clamp).
@@ -341,16 +384,35 @@ object Drift {
     */
   def quantileReferenceWrite(spark: org.apache.spark.sql.SparkSession, path: String,
                              ref: DataFrame, groupCol: String, valueCol: Column,
-                             nBins: Int = 10): Seq[Double] = {
+                             nBins: Int = 10,
+                             approxEdges: Boolean = false,
+                             maxExactRows: Long = ExactEdgesMaxRows): Seq[Double] = {
     require(!hasAccumulated(spark, path),
       s"drift state at $path already has accumulated counts — re-deriving " +
         "quantile edges now would bin new batches differently from the " +
         "history they sum with (the binning is part of the DriftTarget " +
         "identity). Re-pin via retune (keeps the edges), or start a new " +
         "state lineage for a new binning")
-    val edges = quantileBinEdges(ref, valueCol, nBins)
+    // the exact edge pin is SIZE-GATED (r14 verdict watch item): exact
+    // percentile buffers the whole slice in one agg buffer, so a 100 TB
+    // reference would OOM the one-time pin. The count probe is one cheap
+    // agg, paid once per lineage.
+    if (!approxEdges) {
+      val n = ref.count()
+      require(n <= maxExactRows,
+        s"reference slice has $n rows — beyond the exact-percentile edge " +
+          s"pin bound ($maxExactRows). Pin with approxEdges = true " +
+          "(bounded-memory sketch; a declared different DriftTarget " +
+          "identity) or pass a bounded reference sample")
+    }
+    val edges =
+      if (approxEdges) approxQuantileBinEdges(ref, valueCol, nBins)
+      else quantileBinEdges(ref, valueCol, nBins)
     import spark.implicits._
-    Seq((edges, nBins)).toDF("edges", "n_bins")
+    // edge_mode rides in the sidecar: the derivation is part of the
+    // lineage's identity, inspectable by any later session
+    Seq((edges, nBins, if (approxEdges) "approx" else "exact"))
+      .toDF("edges", "n_bins", "edge_mode")
       .coalesce(1).write.mode("overwrite").parquet(edgesDir(path))
     referenceWrite(spark, path, ref, groupCol, quantileBin(valueCol, edges), nBins)
     edges

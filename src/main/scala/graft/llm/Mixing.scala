@@ -332,10 +332,15 @@ object Mixing {
                    sourceCap: Long, admittedDir: String): Unit = {
     val admitted = mixGateAdmit(spark, statePath, batch, textCol, idCol,
       sourceCol, batchId, tokenBudget, sourceCap)
+    // the corpus write resolves the CURRENT generation like every other
+    // corpus writer (ingestBatch/curateBatch): a raw-root write after a
+    // corpusCompact would land admissions in the superseded layout —
+    // invisible to admitted() and deleted by the next compact/vacuum
     admitted
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(admittedDir)
+      .partitionBy("__batch")
+      .parquet(graft.streaming.Ingest.corpusDataDir(spark, admittedDir))
   }
 
   /** The admission CORE of [[mixGateBatch]]: updates the persisted

@@ -1011,7 +1011,8 @@ object Ingest {
       driftStatePath: Option[String] = None,
       driftNBins: Int = 10,
       driftPsiThreshold: Double = 0.25,
-      driftRetune: Option[RetuneTarget] = None)
+      driftRetune: Option[RetuneTarget] = None,
+      compactDriftState: Boolean = false)
 
   /** The ACTIONABLE half of the drift advisory (round 14): what the
     * maintenance turn should DO when [[graft.llm.Drift.psiAdvisory]]
@@ -1107,12 +1108,16 @@ object Ingest {
       })
     }
     targets.driftStatePath.foreach { p =>
-      // state hygiene first (round 14): fold accumulated batch fragments
-      // + pending retractions into one netted __batch=0 when the state
-      // fragments past the bound — the drift family's own compaction
-      // (psiAgainstReference is invariant under it; the trend's time
-      // axis coarsens, the documented trade)
-      out += "drift_state" -> graft.llm.Drift.driftMaintain(spark, p, maxLiveBatches)
+      // state hygiene first (round 14), OPT-IN like compactCorpus (r14
+      // advice): folding installs a batch-id watermark, so a live
+      // foreachBatchDriftAccumulate stream's legitimate at-least-once
+      // replay of a folded batch would hard-fail accumulate's guard
+      // instead of being replay-idempotent — compaction is a
+      // retired-lineage decision, not an automatic one
+      out += "drift_state" -> (
+        if (targets.compactDriftState)
+          graft.llm.Drift.driftMaintain(spark, p, maxLiveBatches)
+        else "none")
       // gate-drift check (round 13, actionable since round 14): PSI of
       // the accumulated intake vs the pinned reference — O(groups × bins)
       // read, never a corpus rescan. Advisory-only by DEFAULT (moving
@@ -1138,7 +1143,10 @@ object Ingest {
                 admitted(spark, corpus, rt.idCol), rt.textCol, rt.labelCol)
             }
             graft.llm.Drift.retune(spark, p)
-            s"retrain(max_psi=$maxPsi)"
+            // the audit string states what the turn DID (r14 advice):
+            // "retrain" only when a model was actually retrained
+            if (rt.nbModelPath.isDefined) s"retrain(max_psi=$maxPsi)"
+            else s"retune_applied(max_psi=$maxPsi)"
         })
     }
     out.toSeq

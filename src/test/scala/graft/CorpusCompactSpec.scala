@@ -62,6 +62,32 @@ class CorpusCompactSpec extends AnyFunSuite {
     assert(got === ((0L until 30L).toSet - 3L) ++ (100L until 110L).toSet)
   }
 
+  test("mixGateBatch after compaction writes through the served generation (r15)") {
+    // the r14 advice defect: the mix gate wrote to the raw admittedDir
+    // root, so post-compaction admissions landed in the superseded
+    // layout — invisible to admitted() and deleted by the next vacuum
+    val adm = tmp("graft-ccspec6") + "/t"
+    val st = tmp("graft-ccspec6-state")
+    writeBatch(adm, 0 until 20, 0L)
+    Ingest.retractEverywhere(spark,
+      Seq((5L, "doc 5 text")).toDF("doc_id", "text"),
+      retractionId = 0L, Ingest.RetractTargets(corpusDir = Some(adm)),
+      "text", "doc_id")
+    assert(Ingest.corpusCompact(spark, adm, "doc_id") === "compact")
+    graft.llm.Mixing.mixGateBatch(spark, st,
+      (100L until 110L).map(i => (i, s"doc $i text", "s"))
+        .toDF("doc_id", "text", "source"),
+      "text", "doc_id", "source", batchId = 1L,
+      tokenBudget = 1000000L, sourceCap = 1000L, admittedDir = adm)
+    val got = Ingest.admitted(spark, adm).select("doc_id").as[Long].collect().toSet
+    assert(got === ((0L until 20L).toSet - 5L) ++ (100L until 110L).toSet,
+      "mix-gate admissions must land in the CURRENT corpus generation")
+    // and they survive the vacuum that reclaims the superseded root
+    Ingest.corpusVacuum(spark, adm)
+    val got2 = Ingest.admitted(spark, adm).select("doc_id").as[Long].collect().toSet
+    assert(got2 === got, "vacuum deleted post-compaction mix-gate admissions")
+  }
+
   test("a retired-lineage re-attach at batch 0 cannot clobber the folded corpus") {
     // corpus writers use the stream batch id DIRECTLY, and a fresh
     // checkpoint lineage restarts at 0 — the fold must therefore park

@@ -447,6 +447,52 @@ class DriftSpec extends AnyFunSuite {
     assert(got2 === oneShot)
   }
 
+  test("retract refuses a folded retractionId (r15 — the accumulate guard, mirrored)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-retfold-spec").toString
+    val bin = Drift.lengthBin(col("text"), 10)
+    val ref = (0L until 50L).map(i => (i, "s", "x" * ((i % 5).toInt * 10 + 5)))
+    Drift.referenceWrite(spark, path, docs(ref), "source", bin, nBins = 5)
+    Drift.accumulate(spark, path, docs(ref.map(r => (r._1 + 100L, r._2, r._3))),
+      "source", bin, 5, batchId = 0L)
+    Drift.retract(spark, path,
+      docs(Seq((100L, "s", "x" * 5))), "source", bin, 5, retractionId = 7L)
+    Drift.driftCompact(spark, path)
+    // id 7 is folded into the committed generation — reusing it would be
+    // written to ret/ but excluded from liveCounts: a silent no-op delete
+    val ex = intercept[IllegalArgumentException] {
+      Drift.retract(spark, path,
+        docs(Seq((101L, "s", "x" * 15))), "source", bin, 5, retractionId = 7L)
+    }
+    assert(ex.getMessage.contains("already folded"))
+    // a FRESH id still retracts normally
+    Drift.retract(spark, path,
+      docs(Seq((101L, "s", "x" * 15))), "source", bin, 5, retractionId = 8L)
+    Drift.psiAgainstReference(spark, path, nBins = 5).collect() // no negative-count refusal
+  }
+
+  test("exact edge pin is size-gated; approxEdges is the declared bounded mode (r15)") {
+    val ref = (1L to 100L).map(i => (i, "s", "x" * i.toInt))
+    // over the bound: the exact pin refuses instead of buffering the slice
+    val p1 = java.nio.file.Files.createTempDirectory("graft-qgate-spec").toString
+    val ex = intercept[IllegalArgumentException] {
+      Drift.quantileReferenceWrite(spark, p1, docs(ref), "source",
+        length(col("text")), nBins = 4, maxExactRows = 10L)
+    }
+    assert(ex.getMessage.contains("exact-percentile edge pin bound"))
+    // approx mode pins a WORKING state under the same bound; the mode is
+    // recorded in the sidecar and the pinned-edge lifecycle is unchanged
+    val edges = Drift.quantileReferenceWrite(spark, p1, docs(ref), "source",
+      length(col("text")), nBins = 4, approxEdges = true, maxExactRows = 10L)
+    assert(edges.size === 3 && edges === edges.sorted)
+    assert(spark.read.parquet(s"$p1/edges").select("edge_mode")
+      .as[String].head() === "approx")
+    Drift.quantileAccumulate(spark, p1, docs(ref.map(r => (r._1 + 1000L, r._2, r._3))),
+      "source", length(col("text")), batchId = 0L)
+    val psi = Drift.quantilePsiAgainstReference(spark, p1, groupOut = "source")
+      .as[(String, Double)].head()._2
+    assert(psi === 0.0, s"same-shape intake should be stable, got $psi")
+  }
+
   test("psiAdvisory trips on the threshold") {
     val rows = (0L until 200L).map { i =>
       val len = if (i % 2 == 0L) 5 else 45

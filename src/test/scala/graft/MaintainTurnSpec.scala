@@ -156,7 +156,7 @@ class MaintainTurnSpec extends AnyFunSuite {
     assert(got === (0L until 50L).toSet - 3L)
   }
 
-  test("the drift_state leg folds fragments through the turn (round 14)") {
+  test("the drift_state leg folds fragments through the turn (round 14, opt-in r15)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-mt-dcomp").toString
@@ -169,13 +169,21 @@ class MaintainTurnSpec extends AnyFunSuite {
         docs(ref.map(r => (r._1 + 1000L * (b + 1), r._2, r._3))),
         "source", bin, 5, batchId = b.toLong)
     }
-    val r = streaming.Ingest.maintainEverywhere(spark,
+    // default OFF (r15 — the r14 advice): compaction watermarks fold
+    // replays away, so it is a retired-lineage opt-in like compactCorpus
+    val off = streaming.Ingest.maintainEverywhere(spark,
       streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5),
+      maxLiveBatches = 2).toMap
+    assert(off("drift_state") === "none")
+    val r = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5,
+        compactDriftState = true),
       maxLiveBatches = 2).toMap
     assert(r("drift_state") === "compact")
     assert(r("drift") === "stable")
     val again = streaming.Ingest.maintainEverywhere(spark,
-      streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5),
+      streaming.Ingest.MaintainTargets(driftStatePath = Some(path), driftNBins = 5,
+        compactDriftState = true),
       maxLiveBatches = 2).toMap
     assert(again("drift_state") === "none")
   }
