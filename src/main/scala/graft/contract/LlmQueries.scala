@@ -1959,8 +1959,9 @@ object LlmQueries {
 
     // K4 — IVF approximate KNN through the PERSISTED partitionBy(cell)
     // layout: index written once, the query scan partition-prunes to the
-    // probed cells (approximate → rows-only check, recall vs brute force
-    // and the pruned scan shape are asserted in the test suite)
+    // probed cells. HASH-MATCHED since r15: the fixed-point geometry
+    // (integer seeding/Lloyd/assignment) is reproduced exactly by the
+    // DuckDB closure; recall and plan shape stay spec-pinned.
     "k4_ivf_knn" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = sessionScratchDir("graft-ivf")
@@ -1975,10 +1976,9 @@ object LlmQueries {
 
     // K4 — retraction-at-read over the vector index (round 12, the
     // ivfRetract tombstone contract): every 5th vector tombstoned, the
-    // pruned ANN read over the SURVIVING corpus. Rows-only like the
-    // rest of the k4 family (float centroids); the exactness evidence
-    // is IndexMaintainSpec's full-probe == brute-force-over-survivors
-    // law and the compaction-baking invariants.
+    // pruned ANN read over the SURVIVING corpus. HASH-MATCHED since r15
+    // (fixed-point geometry + tombstone filter mirrored in the oracle);
+    // IndexMaintainSpec keeps the full-probe == brute-force law.
     "k4_ivf_retract_knn" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = freshScratchDir("graft-ivfret")
@@ -1997,9 +1997,9 @@ object LlmQueries {
     // deterministic bounded sample, corpus encoded to m 1-based codeword
     // ids in one map-only pass, queries scored against the codes through
     // per-query distance tables — the compressed-domain scan that makes
-    // a 100 TB ANN corpus a ~3 TB code table. Rows-only (float-centroid
-    // codebooks, the declared k4 exclusion class); the lossless-equality
-    // and recall laws are pinned by QuantizationSpec.
+    // a 100 TB ANN corpus a ~3 TB code table. HASH-MATCHED since r15:
+    // integer codebooks + integer ADC tables reproduce bit-for-bit in
+    // SQL; the lossless-equality and recall laws stay in QuantizationSpec.
     "k4_pq_knn" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("id"), col("embedding"))
@@ -2015,8 +2015,9 @@ object LlmQueries {
     // layout end to end — nProbe nearest cells statically pruned, ADC
     // shortlist ranked inside the pruned CODE table (compressed domain,
     // no vector read), exact rerank of only the shortlist against the
-    // pruned vectors. Rows-only (float centroids); the equals-brute-force
-    // and stale-refusal laws are pinned by IvfPqSpec.
+    // pruned vectors. HASH-MATCHED since r15 (the full composed closure
+    // — geometry, codebooks, ADC, rerank — in the oracle); the
+    // equals-brute-force and stale-refusal laws are pinned by IvfPqSpec.
     "k4_ivf_pq_knn" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = sessionScratchDir("graft-ivfpq")
@@ -2035,7 +2036,7 @@ object LlmQueries {
     // (m, k) AND the rerank shortlist are sized against (the
     // ivfRecallCurve twin for the compressed domain). One row per
     // shortlist setting: pure ADC@k, then two rerank-sized shortlists.
-    // Rows-only.
+    // HASH-MATCHED since r15 (both rankings exactly reproducible).
     "k4_pq_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("id"), col("embedding"))
@@ -2054,8 +2055,7 @@ object LlmQueries {
     // overwrite — no full re-encode). Returns the per-batch audit
     // joining vector coverage against code coverage: equal row counts
     // per __batch IS the liveness invariant ivfPqKnn's guard enforces.
-    // Rows-only (float-centroid cells + codebooks, the declared k4
-    // exclusion class); append parity, replay idempotence and the
+    // HASH-MATCHED since r15; append parity, replay idempotence and the
     // crash-window refusal are pinned by IvfPqSpec.
     "k4_ivf_pq_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2138,9 +2138,9 @@ object LlmQueries {
 
     // K11/K4 — SemDeDup over a persisted IVF index: within-cell cosine
     // pairs from the write-once partitionBy(cell) layout — the amortized
-    // dedup shape (no re-clustering per pass). Rows-only (float-centroid
-    // cell boundaries, the declared k4_ivf_knn exclusion class); recall
-    // and subset bounds pinned by IvfSemDeDupSpec.
+    // dedup shape (no re-clustering per pass). HASH-MATCHED since r15
+    // (fixed-point cell boundaries in the oracle); recall and subset
+    // bounds pinned by IvfSemDeDupSpec.
     "k11_semantic_neardup_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = sessionScratchDir("graft-ivfsd")
@@ -2155,8 +2155,8 @@ object LlmQueries {
     // ids (by max-id split), today's batch assigned against the PERSISTED
     // centroids and appended under __batch=1 with dynamic-overwrite
     // replay idempotence (the LSH ingest precedent, now symmetric for the
-    // IVF family). Returns the per-batch layout audit. Rows-only (cell
-    // geometry is float-centroid — the declared k4 exclusion class);
+    // IVF family). Returns the per-batch layout audit, HASH-MATCHED since
+    // r15 (frozen-centroid assignment of the appended batch reproduced);
     // replay idempotence and assignment parity are pinned by IvfAppendSpec.
     "k4_ivf_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2180,7 +2180,7 @@ object LlmQueries {
     // through foreachBatchIvfAppend (each assigned against the persisted
     // centroids, appended replay-idempotently under __batch = stream
     // batch + 1). Returns the same per-batch layout audit as
-    // k4_ivf_append. Rows-only (float cells); the wrapper's replay and
+    // k4_ivf_append, HASH-MATCHED since r15; the wrapper's replay and
     // refusal semantics are pinned by IvfAppendSpec.
     "k4_streaming_ivf_append" -> ((s, dir) => {
       import s.implicits._
@@ -2217,9 +2217,9 @@ object LlmQueries {
     // vectors AND append-encodes its codes with the frozen codebooks, so
     // the compressed read surface follows the stream. Returns the
     // per-batch vector-vs-code coverage audit (equal counts per __batch
-    // IS the ivfPqKnn liveness invariant, held through the stream).
-    // Rows-only (float cells + codebooks); wrapper halves are each
-    // spec-pinned (IvfPqSpec, IvfAppendSpec).
+    // IS the ivfPqKnn liveness invariant, held through the stream) —
+    // HASH-MATCHED since r15; wrapper halves are each spec-pinned
+    // (IvfPqSpec, IvfAppendSpec).
     "k4_streaming_ivf_pq_append" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -2256,7 +2256,7 @@ object LlmQueries {
     // ground truth as nProbe sweeps 1 → nCells. At nProbe = nCells the
     // probe set covers every cell, so the last row's recall is exactly
     // 1.0 (pinned in the suite); the curve below it is the number an
-    // operator trades scan fraction against. Rows-only (float cells).
+    // operator trades scan fraction against. HASH-MATCHED since r15.
     "k4_ivf_recall_curve" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = sessionScratchDir("graft-ivfrc")
@@ -4563,6 +4563,194 @@ object LlmQueries {
         |JOIN c3 c ON c.cid = n.cid
         |ORDER BY cluster_id""".stripMargin),
 
+    // ---- the r15 fixed-point K4 family: full geometry closures ----
+
+    // IVF ANN through the persisted partition-pruned layout: the entire
+    // geometry (sample → farthest-point seeds → 1 Lloyd round → final
+    // assignment) reproduced in exact integer arithmetic, probes by
+    // integer distance, cosine top-k over the probed cells
+    "k4_ivf_knn" -> (ivfGeomCtes(nCells = 16, lloydRounds = 1) +
+      ivfCandCtes(nProbe = 4, queriesWhere = "vec_id < 20") +
+      ivfKnnSelect(k = 5)),
+
+    // same read with every 5th vector tombstoned at read (ivfRetract):
+    // geometry built over the FULL corpus, candidates exclude removed ids
+    "k4_ivf_retract_knn" -> (ivfGeomCtes(nCells = 16, lloydRounds = 1) +
+      ivfCandCtes(nProbe = 4, queriesWhere = "vec_id < 20",
+        candWhere = "a.vec_id % 5 <> 2") +
+      ivfKnnSelect(k = 5)),
+
+    // SemDeDup over the persisted IVF cells: within-cell pairs, cosine
+    // rounded BEFORE thresholding (the shared exactness rule)
+    "k11_semantic_neardup_ivf" -> (ivfGeomCtes(nCells = 8, lloydRounds = 1) +
+      s"""
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ROUND(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cosine
+         |  FROM iaf a JOIN iaf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+
+    // incremental IVF append: geometry over the 80% base slice, the
+    // appended batch assigned against the FROZEN final centroids
+    "k4_ivf_append" -> (ivfGeomCtes(nCells = 8, lloydRounds = 1,
+        where = "vec_id < (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) FROM embeddings)") +
+      s""",
+         |app AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${d2i("e.v", "c.v", 64)}, c.cell) AS rn
+         |  FROM (SELECT vec_id, ${duckQuant("embedding")} AS v FROM embeddings
+         |        WHERE vec_id >= (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT)
+         |                         FROM embeddings)) e
+         |  CROSS JOIN icf c) WHERE rn = 1)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INTEGER) AS __batch, COUNT(*) AS n_vectors,
+         |    COUNT(DISTINCT cell) AS n_cells FROM iaf
+         |  UNION ALL
+         |  SELECT CAST(1 AS INTEGER), COUNT(*), COUNT(DISTINCT cell) FROM app)
+         |ORDER BY __batch""".stripMargin),
+
+    // streaming IVF append (two micro-batches) — same geometry law, the
+    // stream's batches land as __batch 1 and 2
+    "k4_streaming_ivf_append" -> (ivfGeomCtes(nCells = 8, lloydRounds = 1,
+        where = "vec_id < (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) FROM embeddings)") +
+      s""",
+         |sp AS MATERIALIZED (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS s80,
+         |    CAST(floor(max(vec_id) * 0.9) AS BIGINT) AS s90 FROM embeddings),
+         |app AS MATERIALIZED (SELECT vec_id, cell,
+         |    CASE WHEN vec_id < (SELECT s90 FROM sp) THEN 1 ELSE 2 END AS b
+         |  FROM (
+         |  SELECT e.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${d2i("e.v", "c.v", 64)}, c.cell) AS rn
+         |  FROM (SELECT vec_id, ${duckQuant("embedding")} AS v FROM embeddings
+         |        WHERE vec_id >= (SELECT s80 FROM sp)) e
+         |  CROSS JOIN icf c) WHERE rn = 1)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INTEGER) AS __batch, COUNT(*) AS n_vectors,
+         |    COUNT(DISTINCT cell) AS n_cells FROM iaf
+         |  UNION ALL
+         |  SELECT CAST(b AS INTEGER), COUNT(*), COUNT(DISTINCT cell) FROM app GROUP BY b)
+         |ORDER BY __batch""".stripMargin),
+
+    // IVF-PQ append audit: per-batch vector coverage == code coverage is
+    // the liveness invariant; both sides are slice counts
+    "k4_ivf_pq_append" ->
+      """WITH sp AS MATERIALIZED (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS s FROM embeddings)
+        |SELECT CAST(CASE WHEN vec_id < (SELECT s FROM sp) THEN 0 ELSE 1 END AS INTEGER)
+        |    AS __batch,
+        |  COUNT(*) AS n_vectors, COUNT(*) AS n_codes
+        |FROM embeddings GROUP BY 1 ORDER BY __batch""".stripMargin,
+
+    "k4_streaming_ivf_pq_append" ->
+      """WITH sp AS MATERIALIZED (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS s80,
+        |    CAST(floor(max(vec_id) * 0.9) AS BIGINT) AS s90 FROM embeddings)
+        |SELECT CAST(CASE WHEN vec_id < (SELECT s80 FROM sp) THEN 0
+        |            WHEN vec_id < (SELECT s90 FROM sp) THEN 1 ELSE 2 END AS INTEGER)
+        |    AS __batch,
+        |  COUNT(*) AS n_vectors, COUNT(*) AS n_codes
+        |FROM embeddings GROUP BY 1 ORDER BY __batch""".stripMargin,
+
+    // PQ ADC KNN: integer codebooks (per-subspace farthest-point seeds +
+    // 3 integer Lloyd rounds on the md5-ordered sample), integer encode,
+    // integer ADC tables — the compressed-domain rank is exact
+    "k4_pq_knn" -> (pqQuantCte() + pqCtes(m = 8, k = 16, lloydRounds = 3) +
+      adcCtes(m = 8, queriesWhere = "vec_id < 10") +
+      """
+        |SELECT query_id, neighbor_id, adist, rank FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+        |  FROM pad) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+        // adist is an exact integer through the double (< 2^53), so the
+        // engine's round(·, 6) is an identity — DuckDB's ROUND at 1e12
+        // magnitudes is NOT (it detours through x·10⁶), hence no ROUND here
+
+    // the composed IVF-PQ read: probe 4 cells, ADC-shortlist 50 inside
+    // them (compressed domain), exact double-L2 rerank of the shortlist
+    "k4_ivf_pq_knn" -> (ivfGeomCtes(nCells = 16, lloydRounds = 1) +
+      pqCtes(m = 8, k = 16, lloydRounds = 3) +
+      ivfCandCtes(nProbe = 4, queriesWhere = "vec_id < 10") +
+      adcCtes(m = 8, queriesWhere = "vec_id < 10") +
+      s""",
+         |shortl AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id, p.adist,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY p.adist, c.neighbor_id) AS rn
+         |  FROM icand c JOIN pad p USING (query_id, neighbor_id)) WHERE rn <= 50)
+         |SELECT query_id, neighbor_id, ROUND(d, 6) AS dist, rank FROM (
+         |  SELECT s.query_id, s.neighbor_id, ${duckL2("q.qv", "e.embedding")} AS d,
+         |    CAST(row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${duckL2("q.qv", "e.embedding")}, s.neighbor_id)
+         |      AS INTEGER) AS rank
+         |  FROM shortl s JOIN aqs q USING (query_id)
+         |  JOIN embeddings e ON e.vec_id = s.neighbor_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // PQ recall harness: ADC ranking vs the exact double-L2 top-10, one
+    // row per shortlist setting
+    "k4_pq_recall" -> (pqQuantCte() + pqCtes(m = 8, k = 16, lloydRounds = 3) +
+      adcCtes(m = 8, queriesWhere = "vec_id < 10") +
+      s""",
+         |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckL2("q.qv", "e.embedding")}, e.vec_id) AS rn
+         |  FROM aqs q JOIN embeddings e ON e.vec_id <> q.query_id) WHERE rn <= 10),
+         |ar AS MATERIALIZED (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist, neighbor_id) AS rn FROM pad),
+         |sls AS MATERIALIZED (SELECT unnest([10, 50, 100]) AS sl),
+         |hits AS MATERIALIZED (SELECT s.sl, a.query_id, COUNT(*) AS h
+         |  FROM sls s JOIN ar a ON a.rn <= s.sl
+         |  JOIN ex e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |  GROUP BY s.sl, a.query_id),
+         |perq AS MATERIALIZED (SELECT s.sl, q.query_id,
+         |    CAST(COALESCE(h.h, 0) AS DOUBLE) / 10 AS r
+         |  FROM sls s CROSS JOIN (SELECT DISTINCT query_id FROM ex) q
+         |  LEFT JOIN hits h ON h.sl = s.sl AND h.query_id = q.query_id)
+         |SELECT COUNT(*) AS n_queries, CAST(10 AS INTEGER) AS k,
+         |  ROUND(AVG(r), 6) AS mean_recall, ROUND(MIN(r), 6) AS min_recall,
+         |  CAST(sl AS INTEGER) AS shortlist
+         |FROM perq GROUP BY sl ORDER BY shortlist""".stripMargin),
+
+    // IVF tuning harness: recall@5 against the brute-force cosine truth
+    // as nProbe sweeps the cell count
+    "k4_ivf_recall_curve" -> (ivfGeomCtes(nCells = 16, lloydRounds = 1) +
+      s""",
+         |iqs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv,
+         |    ${duckQuant("embedding")} AS qq
+         |  FROM embeddings WHERE vec_id < 20),
+         |cellrank AS MATERIALIZED (SELECT q.query_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${d2i("q.qq", "c.v", 64)}, c.cell) AS rn
+         |  FROM iqs q CROSS JOIN icf c),
+         |truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckCosine("q.qv", "e.embedding")} DESC, e.vec_id) AS rn
+         |  FROM iqs q JOIN embeddings e ON e.vec_id <> q.query_id) WHERE rn <= 5),
+         |prs AS MATERIALIZED (SELECT unnest([1, 2, 4, 8, 16]) AS n_probe),
+         |ann AS MATERIALIZED (SELECT n_probe, query_id, neighbor_id FROM (
+         |  SELECT p.n_probe, cr.query_id, a.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.n_probe, cr.query_id
+         |      ORDER BY ${duckCosine("q.qv", "e.embedding")} DESC, a.vec_id) AS rn
+         |  FROM prs p JOIN cellrank cr ON cr.rn <= p.n_probe
+         |  JOIN iaf a ON a.cell = cr.cell AND a.vec_id <> cr.query_id
+         |  JOIN iqs q ON q.query_id = cr.query_id
+         |  JOIN embeddings e ON e.vec_id = a.vec_id) WHERE rn <= 5)
+         |SELECT CAST(n_probe AS INTEGER) AS n_probe, n_truth, n_hit,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall
+         |FROM (SELECT p.n_probe,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM ann a JOIN truth t
+         |     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |   WHERE a.n_probe = p.n_probe) AS n_hit
+         |  FROM prs p) ORDER BY n_probe""".stripMargin),
+
     "k10_decontaminate" -> (tokCte + decontamCtes +
       """
         |SELECT doc_id, n_grams, n_hits, overlap, overlap >= 0.5 AS contaminated
@@ -4740,6 +4928,236 @@ object LlmQueries {
     }
     sb.toString
   }
+
+  // ================= r15 fixed-point IVF / PQ oracle closures =================
+  // The engine's index geometry is integer arithmetic end-to-end since
+  // round 15 (Similarity.GeomScale quantization, integer farthest-point
+  // seeding, floor-divided Lloyd means — llm/Similarity.scala:ivfIndex,
+  // llm/Quantization.scala:pqTrain), so these closures reproduce cell and
+  // code membership bit-for-bit: every step below mirrors one engine step
+  // exactly (same ordering keys, same first-min/first-max tie rules, same
+  // exact-integer floor division as kmeansCtes).
+
+  /** Quantize a float-list column to the fixed-point integers the engine
+    * geometry lives in — the SQL twin of `Similarity.quantizeVec`.
+    */
+  private def duckQuant(c: String, scale: Long = 1000000L): String =
+    s"list_transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT))"
+
+  /** Exact integer squared L2 between two BIGINT-list expressions. */
+  private def d2i(a: String, b: String, dim: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** DuckDB closure for the IVF geometry: quantize the `where`-sliced
+    * corpus, md5-ordered bounded sample, `nCells` unrolled farthest-point
+    * steps (argmax of running min distance, FIRST max by sample position
+    * — the incremental traversal's exact law), `lloydRounds` unrolled
+    * integer Lloyd rounds (assignment ties to the lowest cell, empty
+    * cells dropped, floor-divided means), then the FINAL assignment of
+    * the slice against the last round's centroids. Ends with:
+    *   `iq(vec_id, embedding, v)`  — the quantized slice,
+    *   `icf(cell, v)`              — the final integer centroids,
+    *   `iaf(vec_id, cell)`         — the final cell assignment.
+    * Emits the leading WITH.
+    */
+  private def ivfGeomCtes(nCells: Int, lloydRounds: Int,
+                          where: String = "TRUE", dim: Int = 64,
+                          scale: Long = 1000000L): String = {
+    val lim = math.min(math.max(nCells * 64, 1024), 262144)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH iq AS MATERIALIZED (SELECT vec_id, embedding, ${duckQuant("embedding", scale)} AS v
+         |  FROM embeddings WHERE $where),
+         |ism AS MATERIALIZED (SELECT vec_id, v,
+         |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos
+         |  FROM iq QUALIFY pos <= $lim),
+         |isd1 AS MATERIALIZED (SELECT v FROM ism WHERE pos = 1),
+         |if1 AS MATERIALIZED (SELECT s.pos, s.v, ${d2i("s.v", "d.v", dim)} AS mind
+         |  FROM ism s CROSS JOIN isd1 d)""".stripMargin)
+    for (t <- 2 to nCells) {
+      sb.append(
+        s""",
+           |isd$t AS MATERIALIZED (SELECT v FROM if${t - 1} ORDER BY mind DESC, pos LIMIT 1),
+           |if$t AS MATERIALIZED (SELECT s.pos, s.v, least(s.mind, ${d2i("s.v", "d.v", dim)}) AS mind
+           |  FROM if${t - 1} s CROSS JOIN isd$t d)""".stripMargin)
+    }
+    sb.append(",\nic0 AS MATERIALIZED (" + (1 to nCells)
+      .map(t => s"SELECT ${t - 1} AS cell, v FROM isd$t")
+      .mkString("\n  UNION ALL ") + ")")
+    def assign(name: String, cents: String): String =
+      s""",
+         |$name AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |  SELECT q.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${d2i("q.v", "c.v", dim)}, c.cell) AS rn
+         |  FROM iq q CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    for (r <- 1 to lloydRounds) {
+      sb.append(assign(s"ia$r", s"ic${r - 1}"))
+      sb.append(
+        s""",
+           |ic$r AS MATERIALIZED (SELECT cell, list(mv ORDER BY pos) AS v FROM (
+           |  SELECT a.cell, gs.i AS pos,
+           |    CAST((SUM(q.v[gs.i]) - ((SUM(q.v[gs.i]) % COUNT(*)) + COUNT(*)) % COUNT(*))
+           |         // COUNT(*) AS BIGINT) AS mv
+           |  FROM ia$r a JOIN iq q USING (vec_id)
+           |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) gs
+           |  GROUP BY a.cell, gs.i) GROUP BY cell)""".stripMargin)
+    }
+    sb.append(s",\nicf AS MATERIALIZED (SELECT cell, v FROM ic$lloydRounds)")
+    sb.append(assign("iaf", "icf"))
+    sb.toString
+  }
+
+  /** IVF probe selection + candidate set over [[ivfGeomCtes]]'s output:
+    * per query (quantized) the `nProbe` nearest cells by exact integer
+    * distance (ties to the lowest cell — the engine's window order),
+    * then every indexed vector in a probed cell except the query itself.
+    * Ends with `icand(query_id, qv, neighbor_id)`; `candWhere` filters
+    * the candidate side (tombstones).
+    */
+  private def ivfCandCtes(nProbe: Int, queriesWhere: String,
+                          candWhere: String = "TRUE", dim: Int = 64,
+                          scale: Long = 1000000L): String =
+    s""",
+       |iqs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv,
+       |    ${duckQuant("embedding", scale)} AS qq
+       |  FROM embeddings WHERE $queriesWhere),
+       |ipr AS MATERIALIZED (SELECT query_id, cell FROM (
+       |  SELECT q.query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${d2i("q.qq", "c.v", dim)}, c.cell) AS rn
+       |  FROM iqs q CROSS JOIN icf c) WHERE rn <= $nProbe),
+       |icand AS MATERIALIZED (SELECT p.query_id, q.qv, a.vec_id AS neighbor_id
+       |  FROM ipr p JOIN iaf a ON a.cell = p.cell
+       |  JOIN iqs q ON q.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id AND $candWhere)""".stripMargin
+
+  /** Cosine top-k over `icand` — the k4 read surface: rank by the
+    * UNROUNDED cosine desc (ties to the lower neighbor id), keep `k`,
+    * emit the 6dp-rounded score (the engine's exact output shape).
+    */
+  private def ivfKnnSelect(k: Int): String =
+    s"""
+       |SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${duckCosine("c.qv", "e.embedding")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY ${duckCosine("c.qv", "e.embedding")} DESC, c.neighbor_id)
+       |      AS INTEGER) AS rank
+       |  FROM icand c JOIN embeddings e ON e.vec_id = c.neighbor_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB closure for the PQ codebooks + code table: md5-ordered
+    * bounded training sample, per-subspace farthest-point seeding (`k`
+    * unrolled steps, PARTITION BY subspace), `lloydRounds` unrolled
+    * integer Lloyd rounds (assignment ties to the lowest codeword,
+    * EMPTY codewords keep their previous value — the engine's
+    * deterministic fix), then the corpus slice encoded against the
+    * final codebooks. Continues an open WITH (starts with a comma) and
+    * reads the quantized corpus from `iq` (emit [[ivfGeomCtes]] — or
+    * [[pqQuantCte]] for PQ-only queries — first). Ends with:
+    *   `pcf(mi, ki, v)`      — the final codebooks (0-based ki),
+    *   `pcode(vec_id, mi, ki)` — the encoded corpus.
+    */
+  private def pqCtes(m: Int, k: Int, lloydRounds: Int, dim: Int = 64): String = {
+    val subDim = dim / m
+    val lim = math.min(math.max(k.toLong * m * 16, 4096L), 262144L)
+    def d2s(a: String, b: String): String = d2i(a, b, subDim)
+    def sub(v: String, mi: String): String =
+      s"$v[($mi*$subDim+1):(($mi+1)*$subDim)]"
+    val sb = new StringBuilder
+    sb.append(
+      s""",
+         |psm AS MATERIALIZED (SELECT vec_id, v,
+         |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos
+         |  FROM iq QUALIFY pos <= $lim),
+         |pmi AS MATERIALIZED (SELECT unnest(range(0, $m)) AS mi),
+         |psub AS MATERIALIZED (SELECT s.pos, g.mi, ${sub("s.v", "g.mi")} AS sv
+         |  FROM psm s CROSS JOIN pmi g),
+         |psd1 AS MATERIALIZED (SELECT mi, sv AS v FROM psub WHERE pos = 1),
+         |pf1 AS MATERIALIZED (SELECT s.mi, s.pos, s.sv, ${d2s("s.sv", "d.v")} AS mind
+         |  FROM psub s JOIN psd1 d USING (mi))""".stripMargin)
+    for (t <- 2 to k) {
+      sb.append(
+        s""",
+           |psd$t AS MATERIALIZED (SELECT mi, sv AS v FROM pf${t - 1}
+           |  QUALIFY row_number() OVER (PARTITION BY mi ORDER BY mind DESC, pos) = 1),
+           |pf$t AS MATERIALIZED (SELECT s.mi, s.pos, s.sv, least(s.mind, ${d2s("s.sv", "d.v")}) AS mind
+           |  FROM pf${t - 1} s JOIN psd$t d USING (mi))""".stripMargin)
+    }
+    sb.append(",\npc0 AS MATERIALIZED (" + (1 to k)
+      .map(t => s"SELECT mi, ${t - 1} AS ki, v FROM psd$t")
+      .mkString("\n  UNION ALL ") + ")")
+    for (r <- 1 to lloydRounds) {
+      sb.append(
+        s""",
+           |pa$r AS MATERIALIZED (SELECT mi, pos, sv, ki FROM (
+           |  SELECT s.mi, s.pos, s.sv, c.ki,
+           |    row_number() OVER (PARTITION BY s.mi, s.pos
+           |      ORDER BY ${d2s("s.sv", "c.v")}, c.ki) AS rn
+           |  FROM psub s JOIN pc${r - 1} c USING (mi)) WHERE rn = 1),
+           |pc$r AS MATERIALIZED (SELECT p.mi, p.ki, COALESCE(u.v, p.v) AS v
+           |  FROM pc${r - 1} p LEFT JOIN (
+           |    SELECT mi, ki, list(mv ORDER BY d) AS v FROM (
+           |      SELECT a.mi, a.ki, gs.i AS d,
+           |        CAST((SUM(a.sv[gs.i]) - ((SUM(a.sv[gs.i]) % COUNT(*)) + COUNT(*)) % COUNT(*))
+           |             // COUNT(*) AS BIGINT) AS mv
+           |      FROM pa$r a CROSS JOIN (SELECT unnest(range(1, $subDim + 1)) AS i) gs
+           |      GROUP BY a.mi, a.ki, gs.i) GROUP BY mi, ki) u
+           |  ON u.mi = p.mi AND u.ki = p.ki)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |pcf AS MATERIALIZED (SELECT mi, ki, v FROM pc$lloydRounds),
+         |pcode AS MATERIALIZED (SELECT vec_id, mi, ki FROM (
+         |  SELECT e.vec_id, c.mi, c.ki,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.mi
+         |      ORDER BY ${d2s(sub("e.v", "c.mi"), "c.v")}, c.ki) AS rn
+         |  FROM iq e JOIN pcf c ON TRUE) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** The quantized-corpus head CTE for PQ-only oracles (no IVF geometry):
+    * emits the leading WITH ending in `iq(vec_id, embedding, v)`.
+    */
+  private def pqQuantCte(where: String = "TRUE",
+                         scale: Long = 1000000L): String =
+    s"""WITH iq AS MATERIALIZED (SELECT vec_id, embedding, ${duckQuant("embedding", scale)} AS v
+       |  FROM embeddings WHERE $where)""".stripMargin
+
+  /** Per-query ADC distances over `pcode` — the engine's
+    * `adcTables` + `AdcDistance` math: the query quantizes to the same
+    * integers, each (mi, ki) table entry is the exact integer squared
+    * distance, a candidate's adist is the m-lookup sum (exact through
+    * the double — every value < 2⁵³). Ends with
+    * `pad(query_id, neighbor_id, adist)`; self-pairs excluded.
+    */
+  private def adcCtes(m: Int, queriesWhere: String, dim: Int = 64,
+                      scale: Long = 1000000L): String = {
+    val subDim = dim / m
+    s""",
+       |aqs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv,
+       |    ${duckQuant("embedding", scale)} AS qq
+       |  FROM embeddings WHERE $queriesWhere),
+       |aqsub AS MATERIALIZED (SELECT q.query_id, g.mi,
+       |    q.qq[(g.mi*$subDim+1):((g.mi+1)*$subDim)] AS sv
+       |  FROM aqs q CROSS JOIN (SELECT unnest(range(0, $m)) AS mi) g),
+       |aqt AS MATERIALIZED (SELECT s.query_id, c.mi, c.ki, ${d2i("s.sv", "c.v", subDim)} AS d
+       |  FROM aqsub s JOIN pcf c USING (mi)),
+       |pad AS MATERIALIZED (SELECT t.query_id, p.vec_id AS neighbor_id,
+       |    CAST(SUM(t.d) AS DOUBLE) AS adist
+       |  FROM pcode p JOIN aqt t ON t.mi = p.mi AND t.ki = p.ki
+       |  WHERE p.vec_id <> t.query_id
+       |  GROUP BY t.query_id, p.vec_id)""".stripMargin
+  }
+
+  /** Exact squared L2 (double over the raw floats — the engine's
+    * `exactL2`) between two float-list expressions.
+    */
+  private def duckL2(a: String, b: String, dim: Int = 64): String =
+    s"""list_sum(list_transform(range(1, ${dim + 1}),
+       | i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |    * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin.replace("\n", "")
 
   /** Shared DuckDB closure for K10 decontamination: word-3-gram overlap of
     * the training split (doc_id % 37 != 0) against the benchmark split

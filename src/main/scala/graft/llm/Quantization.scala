@@ -38,11 +38,16 @@ import org.apache.spark.sql.functions._
   *     plus a codegen HOF over the code array — the corpus side moves
   *     only (id, m codes) through the scan, never vectors.
   *
-  * Float k-means centroids put the whole family in the declared
-  * rows-only oracle class (the `k4_ivf_knn` precedent); QuantizationSpec
-  * pins the exactness law instead: when every subspace has ≤ k distinct
-  * subvectors the quantizer is LOSSLESS and PQ top-k equals exact L2
-  * top-k bit-for-bit.
+  * The codebooks are FIXED-POINT since round 15 (the
+  * [[Similarity.GeomScale]] quantization + integer Lloyd with
+  * floor-divided means — the Clustering.kmeans law): training,
+  * encoding, and the ADC tables are exact integer arithmetic, so code
+  * assignment and ADC distances are bit-reproducible in the DuckDB
+  * oracle (the K4 family's hash-match upgrade; distances ≤ 4·10¹²·dim
+  * stay exactly representable through the double ADC sum).
+  * QuantizationSpec additionally pins the exactness law: when every
+  * subspace has ≤ k distinct subvectors the quantizer is LOSSLESS and
+  * PQ top-k equals exact L2 top-k bit-for-bit.
   *
   * Reference surface: debezium-incubator pipelines stop at exact
   * similarity; compressed-domain ANN is expressed here Spark-first as
@@ -51,16 +56,25 @@ import org.apache.spark.sql.functions._
 object Quantization {
 
   /** A trained product quantizer: `codebooks(mi)(ki)` is the `ki`-th
-    * codeword (length `subDim`) of subspace `mi`. Total size is
-    * m·k·subDim doubles — always driver/broadcast-tiny (8·256·8 = 16k
-    * doubles at the canonical dim-64 setting).
+    * codeword (length `subDim`) of subspace `mi`, in the fixed-point
+    * [[Similarity.GeomScale]] integer space. Total size is m·k·subDim
+    * longs — always driver/broadcast-tiny (8·256·8 = 16k longs at the
+    * canonical dim-64 setting).
     */
   case class PqModel(m: Int, k: Int, subDim: Int,
-                     codebooks: Seq[Seq[Seq[Double]]]) {
+                     codebooks: Seq[Seq[Seq[Long]]]) {
     require(codebooks.length == m && codebooks.forall(_.length == k),
       s"codebook shape must be m=$m × k=$k")
     def dim: Int = m * subDim
   }
+
+  /** Driver-side twin of [[Similarity.quantizeVec]] — the IDENTICAL
+    * IEEE expression (`floor(x·scale + 0.5)` over the double-widened
+    * float), so a query quantized here lands on the same integers the
+    * distributed projection produces.
+    */
+  private def quantize(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * Similarity.GeomScale + 0.5d).toLong).toArray
 
   /** Train per-subspace codebooks on a deterministic bounded sample
     * (hash-ordered by md5(id), limit `trainSampleMaxRows`) —
@@ -89,30 +103,33 @@ object Quantization {
       // drift (r10 verdict). Same TakeOrdered cost, same determinism.
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(math.min(math.max(k.toLong * m * 16, 4096L), trainSampleMaxRows).toInt)
-      .as[(Long, Seq[Float])].collect().map(_._2)
+      .as[(Long, Seq[Float])].collect().map(r => quantize(r._2))
     require(sample.nonEmpty, "cannot train a PQ model on an empty corpus")
     val dim = sample.head.length
     require(dim % m == 0,
       s"vector dim $dim is not divisible into m=$m equal subspaces")
     val subDim = dim / m
+    // integer Lloyd per subspace (r15): long squared distances, FIRST-min
+    // argmin, floor-divided means — the Clustering.kmeans law, so the
+    // whole training loop is reproducible in exact SQL arithmetic
     val codebooks = (0 until m).map { mi =>
-      val sub: Array[Seq[Float]] =
-        sample.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
+      val sub: Array[Seq[Long]] =
+        sample.map(v => v.slice(mi * subDim, (mi + 1) * subDim).toSeq)
       // distinct-starved subspaces (fewer unique subvectors than k) pad
       // by repeating the farthest-point prefix — Lloyd then collapses
       // duplicates into identical codewords, which the first-min argmin
       // resolves deterministically
-      var cents: Array[Array[Double]] =
+      var cents: Array[Array[Long]] =
         Similarity.farthestPointSeeds(sub, k).toArray
       for (_ <- 0 until lloydRounds) {
-        val sums = Array.fill(k)(new Array[Double](subDim))
+        val sums = Array.fill(k)(new Array[Long](subDim))
         val counts = new Array[Long](k)
         sub.foreach { s =>
-          var best = 0; var bestD = Double.MaxValue; var ki = 0
+          var best = -1; var bestD = 0L; var ki = 0
           while (ki < k) {
-            var d = 0.0; var i = 0
+            var d = 0L; var i = 0
             while (i < subDim) { val x = cents(ki)(i) - s(i); d += x * x; i += 1 }
-            if (d < bestD) { bestD = d; best = ki } // strict < keeps FIRST min
+            if (best == -1 || d < bestD) { bestD = d; best = ki } // FIRST min
             ki += 1
           }
           counts(best) += 1
@@ -121,7 +138,7 @@ object Quantization {
         }
         cents = Array.tabulate(k) { ki =>
           if (counts(ki) == 0L) cents(ki)
-          else Array.tabulate(subDim)(i => sums(ki)(i) / counts(ki))
+          else Array.tabulate(subDim)(i => Math.floorDiv(sums(ki)(i), counts(ki)))
         }
       }
       cents.map(_.toSeq).toSeq
@@ -143,7 +160,8 @@ object Quantization {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
-    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    corpus.select(col(idCol).as("id"),
+        Similarity.quantizeVec(col(vecCol)).as("__v"))
       .join(broadcast(cbRow))
       .select(col("id"), graft.functions.PackCodes(
         array((0 until model.m).map { mi =>
@@ -170,20 +188,7 @@ object Quantization {
     import spark.implicits._
     val qs = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .as[(Long, Seq[Float])].collect()
-    val qTab = qs.toSeq.map { case (qid, qv) =>
-      require(qv.length == model.dim,
-        s"query dim ${qv.length} != model dim ${model.dim}")
-      val t = new Array[Double](model.m * model.k)
-      for (mi <- 0 until model.m; ki <- 0 until model.k) {
-        var d = 0.0; var i = 0
-        while (i < model.subDim) {
-          val x = model.codebooks(mi)(ki)(i) - qv(mi * model.subDim + i)
-          d += x * x; i += 1
-        }
-        t(mi * model.k + ki) = d
-      }
-      (qid, t.toSeq)
-    }.toDF("query_id", "__qt")
+    val qTab = adcTables(qs.toSeq, model).toDF("query_id", "__qt")
     val scored = encoded.select(col("id").as("neighbor_id"), col("code"))
       .join(broadcast(qTab),
         if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
@@ -268,6 +273,32 @@ object Quantization {
       round(min(col("__r")), 6).as("min_recall"))
   }
 
+  /** The per-query ADC lookup tables, driver-built (queries are bounded
+    * like every broadcast query batch): the query quantizes to the SAME
+    * fixed-point integers the codebooks live in, each (mi, ki) entry is
+    * the exact long squared distance, shipped as double — values
+    * ≤ 4·10¹²·subDim are exactly representable, so the m-lookup ADC sum
+    * stays integer-exact end to end (the oracle reproduces it with
+    * integer SQL arithmetic).
+    */
+  private def adcTables(qs: Seq[(Long, Seq[Float])],
+                        model: PqModel): Seq[(Long, Seq[Double])] =
+    qs.map { case (qid, qv) =>
+      require(qv.length == model.dim,
+        s"query dim ${qv.length} != model dim ${model.dim}")
+      val q = quantize(qv)
+      val t = new Array[Double](model.m * model.k)
+      for (mi <- 0 until model.m; ki <- 0 until model.k) {
+        var d = 0L; var i = 0
+        while (i < model.subDim) {
+          val x = model.codebooks(mi)(ki)(i) - q(mi * model.subDim + i)
+          d += x * x; i += 1
+        }
+        t(mi * model.k + ki) = d.toDouble
+      }
+      (qid, t.toSeq)
+    }
+
   /** Exact squared L2 between `qv` and `cv` columns, element-wise in
     * DOUBLE (not the vectors' float) so the exact side uses the same
     * arithmetic the ADC tables use — a lossless quantizer must measure
@@ -323,7 +354,8 @@ object Quantization {
     val spark = vecs.sparkSession
     import spark.implicits._
     val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
-    val enc = vecs.select(col("id"), col("cell"), col("__batch"), col("v").as("__v"))
+    val enc = vecs.select(col("id"), col("cell"), col("__batch"),
+        Similarity.quantizeVec(col("v")).as("__v"))
       .join(broadcast(cbRow))
       .select(col("id"), col("cell"), col("__batch"), graft.functions.PackCodes(
         array((0 until model.m).map { mi =>
@@ -516,7 +548,7 @@ object Quantization {
     val rows = spark.read.parquet(s"$path/pq_model")
       .select(col("m"), col("k"), col("sub_dim"), col("mi"), col("ki"), col("c"),
         col("batches"))
-      .as[(Int, Int, Int, Int, Int, Seq[Double], Seq[Long])].collect()
+      .as[(Int, Int, Int, Int, Int, Seq[Long], Seq[Long])].collect()
     val (m, k, subDim, _, _, _, batches) = rows.head
     val cbs = rows.map(r => ((r._4, r._5), r._6)).toMap
     val model = PqModel(m, k, subDim,
@@ -550,28 +582,19 @@ object Quantization {
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__cd").asc, col("cell").asc)
+    // probe distance in the QUANTIZED geometry (r15) — the centroids are
+    // fixed-point integers, so the query must quantize before comparing
     val probes = q.join(broadcast(centroids))
       .withColumn("__cd",
-        graft.functions.VectorFunctions.squaredDistance(col("qv"), col("centroid")))
+        graft.functions.VectorFunctions.squaredDistance(
+          Similarity.quantizeVec(col("qv")), col("centroid")))
       .withColumn("rn", row_number().over(wq))
       .where(col("rn") <= nProbe)
       .select(col("query_id"), col("cell"))
     val cells = probes.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     // ADC tables per query, driver-built like pqKnn (queries are bounded)
-    val qTab = q.as[(Long, Seq[Float])].collect().toSeq.map { case (qid, qv) =>
-      require(qv.length == model.dim,
-        s"query dim ${qv.length} != model dim ${model.dim}")
-      val t = new Array[Double](model.m * model.k)
-      for (mi <- 0 until model.m; ki <- 0 until model.k) {
-        var d = 0.0; var i = 0
-        while (i < model.subDim) {
-          val x = model.codebooks(mi)(ki)(i) - qv(mi * model.subDim + i)
-          d += x * x; i += 1
-        }
-        t(mi * model.k + ki) = d
-      }
-      (qid, t.toSeq)
-    }.toDF("query_id", "__qt")
+    val qTab = adcTables(q.as[(Long, Seq[Float])].collect().toSeq, model)
+      .toDF("query_id", "__qt")
     val probeTab = probes.join(qTab, Seq("query_id")) // both broadcast-tiny
     // the code table carries rows for tombstoned vectors until the next
     // compaction re-encode — filter them like every vector-table read

@@ -2005,28 +2005,30 @@ class BoundedGroupPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
 class IvfSeedingSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   /** The pre-r9 driver loop, verbatim semantics: rescan ALL current
-    * seeds per candidate per iteration.
+    * seeds per candidate per iteration. Fixed-point (r15) like the
+    * production traversal.
     */
-  private def naiveSeeds(sample: Array[Seq[Float]], nCells: Int): Seq[Array[Double]] = {
-    val first = sample.head.map(_.toDouble).toArray
+  private def naiveSeeds(sample: Array[Seq[Long]], nCells: Int): Seq[Array[Long]] = {
+    val first = sample.head.toArray
     val seeds = scala.collection.mutable.ArrayBuffer(first)
-    def d2(a: Array[Double], b: Seq[Float]): Double = {
-      var s = 0.0; var i = 0
+    def d2(a: Array[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
     while (seeds.size < nCells) {
       val far = sample.maxBy(v => seeds.map(s => d2(s, v)).min)
-      seeds += far.map(_.toDouble).toArray
+      seeds += far.toArray
     }
     seeds.toSeq
   }
 
   test("incremental seeding is bit-identical to the naive witness") {
     // deterministic fixture with duplicates and clusters (the % 97 fold
-    // makes repeated points, exercising zero min-distances and ties)
+    // makes repeated points, exercising zero min-distances and ties);
+    // values at the quantized magnitude (±5·10⁵) the production path sees
     val sample = Array.tabulate(300)(i =>
-      Seq.tabulate(16)(d => (((i * 31 + d * 17) % 97) / 97.0f) - 0.5f))
+      Seq.tabulate(16)(d => ((i * 31L + d * 17L) % 97L) * 10309L - 500000L))
     val fast = graft.llm.Similarity.farthestPointSeeds(sample, 24)
     val naive = naiveSeeds(sample, 24)
     assert(fast.length === naive.length)
@@ -2037,12 +2039,12 @@ class IvfSeedingSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("nCells=512 seeding completes in seconds (the naive loop could not)") {
     val sample = Array.tabulate(512 * 64)(i =>
-      Seq.tabulate(32)(d => (((i * 2654435761L + d * 40503L) % 1000L).toFloat / 1000f)))
+      Seq.tabulate(32)(d => (i * 2654435761L + d * 40503L) % 1000000L))
     val t0 = System.nanoTime()
     val seeds = graft.llm.Similarity.farthestPointSeeds(sample, 512)
     val sec = (System.nanoTime() - t0) / 1e9
     assert(seeds.size === 512)
-    // incremental = nCells·sample·dim ≈ 5·10⁸ flops (~1 s); the naive
+    // incremental = nCells·sample·dim ≈ 5·10⁸ ops (~1 s); the naive
     // form at this size is ~10¹¹ — minutes, not seconds
     assert(sec < 30.0, f"seeding took $sec%.1f s — incremental form regressed?")
   }
@@ -2078,15 +2080,17 @@ class IvfAppendSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(after1.map(_._1).distinct.length === after1.length)
     assert(after1.length === e.count())
     // appended cells equal the native argmin against the PERSISTED
-    // centroids (the assignCells transport, recomputed independently)
+    // centroids (the assignCells transport, recomputed independently —
+    // fixed-point since r15: quantized batch vs integer centroids)
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
     val centRow = Seq((cents.map(_._1).toSeq, cents.map(_._2).toSeq))
       .toDF("__cells", "__cents")
     val expected = batch.join(broadcast(centRow))
       .select(col("id"), org.apache.spark.sql.functions.element_at(col("__cells"),
-        graft.functions.NearestCentroid(col("v"), col("__cents"))).as("cell"))
+        graft.functions.NearestCentroid(
+          graft.llm.Similarity.quantizeVec(col("v")), col("__cents"))).as("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     val appended = after1.filter(_._3 == 1L)
     assert(appended.nonEmpty, "split produced an empty append batch")

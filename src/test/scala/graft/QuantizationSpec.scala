@@ -31,10 +31,12 @@ class QuantizationSpec extends AnyFunSuite {
     }
     val model = graft.llm.Quantization.PqModel(m, k, dim / m,
       (0 until m).map(_ => (0 until k).map(_ =>
-        Seq.fill(dim / m)(rnd.nextDouble() * 10 - 5))))
+        Seq.fill(dim / m)(rnd.nextLong(10000000L) - 5000000L))))
     val cbRow = Seq(Tuple1(model.codebooks)).toDF("__cb")
+    // production types since r15: quantized long vector vs long codebooks
     val base = rows.toDF("id", "v")
-      .select(col("id"), col("v").as("__v")).join(broadcast(cbRow))
+      .select(col("id"), graft.llm.Similarity.quantizeVec(col("v")).as("__v"))
+      .join(broadcast(cbRow))
     val native = base.select(col("id"),
         Quantization.quantErrorColForTest(model).as("qe"))
       .orderBy("id").collect().map(_.getDouble(1))
@@ -64,7 +66,10 @@ class QuantizationSpec extends AnyFunSuite {
     } yield ((i * 4 + j).toLong, a ++ b)).toDF("id", "v")
     val model = Quantization.pqTrain(rows, "v", "id", m = 2, k = 4, lloydRounds = 2)
     // every codeword must BE one of the distinct subvectors
-    assert(model.codebooks.forall(_.forall(c => c.forall(x => x == x.floor))))
+    // every codeword must BE one of the distinct (quantized) subvectors:
+    // integer inputs land exactly on multiples of the fixed-point scale
+    assert(model.codebooks.forall(_.forall(c =>
+      c.forall(x => x % graft.llm.Similarity.GeomScale == 0L))))
     val queries = rows.where(col("id") < 3L)
     val rec = Quantization.pqRecall(rows, queries, "v", "id", model, kNN = 5)
       .head()
