@@ -171,6 +171,50 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // B15 — DBLog-style INCREMENTAL SNAPSHOT (round 15, the r14 verdict's
+    // #2): re-snapshot a live table in key-ordered chunks interleaved
+    // with its change stream. Chunk k's read happens at an advancing low
+    // watermark lo(k) and returns the live table AS OF that position
+    // (what a real chunk SELECT sees); the merge gives each chunk row
+    // effective LSN lo(k), outranked by any in-window or later change
+    // and outranking same-LSN changes (the read saw them) — the whole
+    // DBLog dedup buffer as ONE keyed window. Output carries provenance
+    // (src = chunk | stream), so the hash pins the dedup decision per
+    // key, not just the converged values. The chunk assignment window
+    // is output-sized (distinct keys) — the declared benign class; the
+    // production path is the resumable cursor loop
+    // (IncrementalSnapshot.snapshotChunks, kill-and-resume spec-pinned).
+    "b15_incremental_snapshot" -> ((s, dir) => {
+      import graft.cdc.IncrementalSnapshot
+      val evs = withOp(t(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), col("value"), col("op"))
+      val mm = evs.agg(max(col("event_id"))).head().getLong(0)
+      val mid = (mm + 1L) / 2L
+      val changes = evs.where(col("event_id") >= mid)
+      val base = evs.where(col("event_id") < mid)
+      val start = Materialize.latestByKey(base, Seq("user_id"), Seq(col("event_id")))
+        .where(col("op") =!= "d").select("user_id")
+      val nUsers = start.count()
+      val chunkSize = math.max(1L, (nUsers + 5L) / 6L)
+      val stp = (mm - mid + 2L) / 6L
+      val wu = org.apache.spark.sql.expressions.Window.orderBy(col("user_id"))
+      val asg = start
+        .withColumn("__chunk",
+          ((row_number().over(wu) - 1L) / lit(chunkSize)).cast("long"))
+        .withColumn("__lo_lsn", lit(mid - 1L) + col("__chunk") * lit(stp))
+      val chunkRows = Materialize.latestByKey(
+          evs.join(asg, Seq("user_id")).where(col("event_id") <= col("__lo_lsn")),
+          Seq("user_id"), Seq(col("event_id")))
+        .where(col("op") =!= "d")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value"), col("__lo_lsn"))
+      IncrementalSnapshot.merge(chunkRows,
+          changes.select(col("user_id"), col("event_id").as("last_event_id"),
+            col("value"), col("op"), col("event_id").as("lsn")),
+          Seq("user_id"), "lsn")
+        .orderBy(col("user_id"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -413,6 +457,40 @@ object CdcQueries {
         |SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin),
+
+    // the whole DBLog construction re-derived: start table, chunk
+    // assignment by key rank, as-of chunk reads at advancing watermarks,
+    // the (lsn, side) precedence merge with provenance
+    "b15_incremental_snapshot" -> (mts +
+      """,
+        |mm AS (SELECT max(event_id) AS m, (max(event_id) + 1) // 2 AS mid FROM e),
+        |start AS (SELECT user_id FROM (
+        |  SELECT user_id, op,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM e WHERE event_id < (SELECT mid FROM mm)) WHERE rn = 1 AND op <> 'd'),
+        |prm AS (SELECT greatest(1, (COUNT(*) + 5) // 6) AS csz FROM start),
+        |asg AS (SELECT user_id,
+        |  ((row_number() OVER (ORDER BY user_id)) - 1) // (SELECT csz FROM prm) AS chunk
+        |  FROM start),
+        |lo AS (SELECT user_id,
+        |  (SELECT mid FROM mm) - 1
+        |    + chunk * (SELECT (m - mid + 2) // 6 FROM mm) AS lo_lsn FROM asg),
+        |cr AS (SELECT user_id, event_id AS last_event_id, value, lo_lsn FROM (
+        |  SELECT e.user_id, e.event_id, e.value, e.op, l.lo_lsn,
+        |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) AS rn
+        |  FROM e JOIN lo l USING (user_id) WHERE e.event_id <= l.lo_lsn)
+        |  WHERE rn = 1 AND op <> 'd'),
+        |u AS (
+        |  SELECT user_id, last_event_id, value, lo_lsn AS lsn, 1 AS side, 'r' AS op FROM cr
+        |  UNION ALL
+        |  SELECT user_id, event_id, value, event_id, 0, op FROM e
+        |  WHERE event_id >= (SELECT mid FROM mm))
+        |SELECT user_id, last_event_id, value, lsn AS last_lsn,
+        |  CASE WHEN side = 1 THEN 'chunk' ELSE 'stream' END AS src
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY lsn DESC, side DESC) AS rn FROM u)
         |WHERE rn = 1 AND op <> 'd'
         |ORDER BY user_id""".stripMargin),
 

@@ -1,0 +1,114 @@
+package graft
+
+import graft.cdc.{IncrementalSnapshot, Materialize}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B15 — DBLog incremental snapshot laws the contract hash can't carry:
+  * the resumable cursor (kill mid-snapshot, resume, converge), chunk
+  * re-landing idempotence (the crash window between rows and cursor),
+  * and the merge precedence law (in-window change wins over the chunk
+  * row; same-LSN change loses; convergence to the full materialization
+  * when chunk reads are consistent as-of reads).
+  */
+class IncrementalSnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("cursor loop: chunks cover the key space once; kill-and-resume converges; replay idempotent") {
+    val table = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "payload")
+    // one-shot reference
+    val oneShot = tmp("graft-isnap-one")
+    val n1 = IncrementalSnapshot.snapshotChunks(spark, oneShot, table, "k",
+      chunkSize = 7, loLsnOf = k => 1000L + k)
+    assert(n1 === 15) // ceil(100/7)
+    val all = IncrementalSnapshot.landedChunks(spark, oneShot)
+    assert(all.count() === 100L)
+    assert(all.select("k").as[Long].collect().toSet === (0L until 100L).toSet)
+    // watermarks rode each chunk
+    assert(all.where(col("k") < 7L).select("__lo_lsn").distinct()
+      .as[Long].head() === 1000L)
+    // exhausted: a second call lands nothing
+    assert(IncrementalSnapshot.snapshotChunks(spark, oneShot, table, "k",
+      chunkSize = 7, loLsnOf = k => 1000L + k) === 0)
+
+    // kill-and-resume: 4 chunks, crash, resume the rest — same landed set
+    val resumed = tmp("graft-isnap-res")
+    assert(IncrementalSnapshot.snapshotChunks(spark, resumed, table, "k",
+      chunkSize = 7, loLsnOf = k => 1000L + k, maxChunks = 4) === 4)
+    assert(IncrementalSnapshot.cursor(spark, resumed) === Some((4L, 27L)))
+    assert(IncrementalSnapshot.snapshotChunks(spark, resumed, table, "k",
+      chunkSize = 7, loLsnOf = k => 1000L + k) === 11)
+    val resumedAll = IncrementalSnapshot.landedChunks(spark, resumed)
+      .select("k", "payload", "__lo_lsn").as[(Long, String, Long)].collect().toSet
+    val oneShotAll = all
+      .select("k", "payload", "__lo_lsn").as[(Long, String, Long)].collect().toSet
+    assert(resumedAll === oneShotAll)
+
+    // the crash window between rows and cursor: re-landing the cursor's
+    // next chunk rewrites exactly itself (dynamic overwrite)
+    val chunk4 = IncrementalSnapshot.nextChunk(table, "k", Some(27L), 7)
+    IncrementalSnapshot.landChunk(spark, resumed, chunk4, "k", 4L, 1004L)
+    val afterReplay = IncrementalSnapshot.landedChunks(spark, resumed)
+      .select("k", "payload", "__lo_lsn").as[(Long, String, Long)].collect().toSet
+    assert(afterReplay === oneShotAll, "chunk replay must be idempotent")
+  }
+
+  test("merge precedence: in-window change wins, same-LSN change loses, deletes drop") {
+    // chunk read of keys 1..4 at lo = 10
+    val chunks = Seq(
+      (1L, 100L, 1.0, 10L), // no later change -> chunk survives
+      (2L, 101L, 2.0, 10L), // change at lsn 11 (in-window/after) -> stream wins
+      (3L, 102L, 3.0, 10L), // change at lsn 10 (same LSN) -> chunk read saw it, chunk wins
+      (4L, 103L, 4.0, 10L)  // delete at lsn 12 -> key dropped
+    ).toDF("k", "last_id", "v", "__lo_lsn")
+    val changes = Seq(
+      (2L, 111L, 2.5, "u", 11L),
+      (3L, 102L, 3.0, "u", 10L),
+      (4L, 112L, 0.0, "d", 12L),
+      (5L, 113L, 5.0, "c", 13L) // created after the snapshot started
+    ).toDF("k", "last_id", "v", "op", "lsn")
+    val got = IncrementalSnapshot.merge(chunks, changes, Seq("k"), "lsn")
+      .select("k", "last_id", "v", "last_lsn", "src")
+      .as[(Long, Long, Double, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 100L, 1.0, 10L, "chunk"),
+      (2L, 111L, 2.5, 11L, "stream"),
+      (3L, 102L, 3.0, 10L, "chunk"),
+      (5L, 113L, 5.0, 13L, "stream")))
+  }
+
+  test("convergence law: consistent as-of chunk reads + stream == full materialization") {
+    // synthetic changelog over 60 keys, lsn = event order; chunk reads
+    // are true as-of reads at advancing watermarks
+    val events = (0L until 600L).map { lsn =>
+      val k = lsn % 60L
+      val op = if (lsn % 97L == 5L) "d" else if (lsn < 60L) "c" else "u"
+      (k, lsn, lsn.toDouble, op)
+    }.toDF("k", "lsn", "v", "op")
+    val mid = 300L
+    val changes = events.where(col("lsn") >= mid)
+    val start = Materialize.latestByKey(events.where(col("lsn") < mid),
+      Seq("k"), Seq(col("lsn"))).where(col("op") =!= "d").select("k")
+    val wu = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    val asg = start
+      .withColumn("__chunk", ((row_number().over(wu) - 1L) / lit(20L)).cast("long"))
+      .withColumn("__lo_lsn", lit(mid - 1L) + col("__chunk") * lit(90L))
+    val chunkRows = Materialize.latestByKey(
+        events.join(asg, Seq("k")).where(col("lsn") <= col("__lo_lsn")),
+        Seq("k"), Seq(col("lsn")))
+      .where(col("op") =!= "d")
+      .select(col("k"), col("lsn").as("last_lsn_src"), col("v"), col("__lo_lsn"))
+    val got = IncrementalSnapshot.merge(chunkRows,
+        changes.select(col("k"), col("lsn").as("last_lsn_src"), col("v"),
+          col("op"), col("lsn")),
+        Seq("k"), "lsn")
+      .select(col("k"), col("v")).as[(Long, Double)].collect().toSet
+    val want = Materialize.changelog(events, Seq("k"), Seq(col("lsn")),
+        opCol = col("op"))
+      .select(col("k"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got === want, "incremental snapshot must converge to the live state")
+  }
+}
