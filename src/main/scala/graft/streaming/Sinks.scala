@@ -97,6 +97,81 @@ object Sinks {
         chosen
     }
 
+  /** The table's pinned SCHEMA sidecar (round 15 — the r14 verdict's #3):
+    * a Debezium consumer's most common DDL is an added nullable column,
+    * and restart-on-DDL (the declared policy for everything else) forced
+    * a full rebuild for it. The pin makes widening absorbable in place:
+    * batch schema ⊃ table schema → the new columns join the pinned
+    * schema (forced nullable) and untouched buckets simply read as null
+    * through the explicit-schema scan below — no rewrite of old files,
+    * ONE metadata step. Narrowing (a table column missing from the
+    * batch) and type changes REFUSE loudly — those stay restart-level
+    * DDL. Readers and the compactor resolve the pinned schema, so a
+    * table whose buckets straddle a widening never depends on which
+    * parquet footer Spark happens to sample.
+    */
+  private def schemaPath(targetDir: String) = new Path(targetDir, "_graft_schema")
+
+  private def readPinnedSchema(fs: org.apache.hadoop.fs.FileSystem,
+                               targetDir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(targetDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  private def writePinnedSchema(fs: org.apache.hadoop.fs.FileSystem,
+                                targetDir: String,
+                                st: org.apache.spark.sql.types.StructType): Unit = {
+    val out = fs.create(schemaPath(targetDir), true)
+    try out.write(st.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Enforce the schema contract for one upsert batch against the table:
+    * returns the (possibly widened) table schema to read existing
+    * buckets with, and whether the pin must be rewritten after the data
+    * write. Nullability is forced — every stored column is nullable once
+    * a widening can backfill nulls.
+    */
+  private def resolveSchema(fs: org.apache.hadoop.fs.FileSystem,
+                            targetDir: String, tableExists: Boolean,
+                            batchSchema: org.apache.spark.sql.types.StructType,
+                            existingSchema: => org.apache.spark.sql.types.StructType)
+  : (org.apache.spark.sql.types.StructType, Boolean) = {
+    import org.apache.spark.sql.types.StructType
+    def nullable(st: StructType): StructType =
+      StructType(st.fields.map(_.copy(nullable = true)))
+    val b = nullable(batchSchema)
+    readPinnedSchema(fs, targetDir)
+      .orElse(if (tableExists) Some(nullable(StructType(
+        existingSchema.fields.filterNot(_.name == "__kb")))) else None) match {
+      case None => (b, true) // first write pins the batch schema
+      case Some(ts) =>
+        val bByName = b.fields.map(f => f.name -> f).toMap
+        val missing = ts.fields.map(_.name).filterNot(bByName.contains)
+        require(missing.isEmpty,
+          s"upsert batch is missing table columns ${missing.mkString(", ")} at " +
+            s"$targetDir — NARROWING is restart-level DDL (rebuild the table " +
+            "or project the dropped columns as nulls explicitly)")
+        val clashes = ts.fields.flatMap { f =>
+          bByName.get(f.name).filter(_.dataType != f.dataType)
+            .map(bf => s"${f.name}: table ${f.dataType.simpleString} vs " +
+              s"batch ${bf.dataType.simpleString}")
+        }
+        require(clashes.isEmpty,
+          s"upsert batch changes column types at $targetDir — ${clashes.mkString("; ")}: " +
+            "type changes are restart-level DDL")
+        val newCols = b.fields.filterNot(f => ts.fieldNames.contains(f.name))
+        if (newCols.isEmpty) (ts, false)
+        else (StructType(ts.fields ++ newCols), true) // WIDEN: absorb in place
+    }
+  }
+
   /** Last-applied-batch sidecar: the rollup sink's replay FAST PATH. The
     * authoritative replay guard is the `__bid` column stamped into the
     * bucket data itself (see [[applyRollupBatch]]); the sidecar only
@@ -145,15 +220,26 @@ object Sinks {
     val spark = batch.sparkSession
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = resolvePinnedBuckets(fs, targetDir, nBuckets, batch.count())
+    val tableExists =
+      fs.exists(new Path(targetDir, "_SUCCESS")) || (fs.exists(new Path(targetDir)) &&
+        fs.listStatus(new Path(targetDir))
+          .exists(_.getPath.getName.startsWith("__kb=")))
+    // schema contract: widen in place on added columns, refuse narrowing
+    // and type changes (restart-level DDL) — see the schema-pin scaladoc
+    val (tableSchema, repin) = resolveSchema(fs, targetDir, tableExists,
+      batch.schema, spark.read.parquet(targetDir).schema)
     val b = batch.withColumn("__kb", pmod(hash(keyCols.map(col): _*), lit(n)))
     // buckets touched by this batch — bounded by nBuckets, a driver-safe collect
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
+    if (touched.isEmpty) { if (repin) writePinnedSchema(fs, targetDir, tableSchema); return }
     val existing =
-      if (fs.exists(new Path(targetDir, "_SUCCESS")) || fs.listStatus(new Path(targetDir))
-            .exists(_.getPath.getName.startsWith("__kb=")))
-        // partition-pruned: only the touched buckets are read
-        Some(spark.read.parquet(targetDir).where(col("__kb").isin(touched: _*)))
+      if (tableExists)
+        // partition-pruned: only the touched buckets are read. The
+        // EXPLICIT widened schema (not footer sampling) makes buckets
+        // written before a widening read their missing columns as null.
+        Some(spark.read.schema(tableSchema
+            .add("__kb", org.apache.spark.sql.types.IntegerType))
+          .parquet(targetDir).where(col("__kb").isin(touched: _*)))
       else None
     val all = existing.map(_.unionByName(b, allowMissingColumns = true)).getOrElse(b)
     val merged = Materialize.latestByKey(all, keyCols, Seq(col(versionCol)))
@@ -167,6 +253,9 @@ object Sinks {
       // silently inheriting dynamic mode
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__kb").parquet(targetDir)
+    // the pin moves AFTER the data lands: a crash in between re-detects
+    // the same widening next batch and rewrites the same content
+    if (repin) writePinnedSchema(fs, targetDir, tableSchema)
   }
 
   /** A8 — attach the upsert sink to a (streaming) frame of flattened
@@ -294,7 +383,7 @@ object Sinks {
     * hazard the same way the batch path does.
     */
   def compact(spark: SparkSession, targetDir: String): Unit = {
-    val snap = spark.read.parquet(targetDir)
+    val snap = readPinned(spark, targetDir)
       .repartition(col("__kb"))
       .localCheckpoint(true)
     snap.write.mode("overwrite")
@@ -302,10 +391,24 @@ object Sinks {
       .partitionBy("__kb").parquet(targetDir)
   }
 
+  /** Read the table through its pinned schema when one exists — buckets
+    * written before a widening then read their missing columns as null
+    * instead of depending on which footer Spark samples.
+    */
+  private def readPinned(spark: SparkSession, targetDir: String): DataFrame = {
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readPinnedSchema(fs, targetDir) match {
+      case Some(st) =>
+        spark.read.schema(st.add("__kb", org.apache.spark.sql.types.IntegerType))
+          .parquet(targetDir)
+      case None => spark.read.parquet(targetDir)
+    }
+  }
+
   /** Live rows of the materialized table (tombstones filtered, layout
-    * column dropped).
+    * column dropped), resolved through the pinned schema.
     */
   def currentState(spark: SparkSession, targetDir: String,
                    opCol: String = "op", deleteOp: String = "d"): DataFrame =
-    spark.read.parquet(targetDir).where(col(opCol) =!= deleteOp).drop("__kb")
+    readPinned(spark, targetDir).where(col(opCol) =!= deleteOp).drop("__kb")
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A8c — schema evolution through the upsert sink (round 15): widening
+  * absorbs in place (added nullable column, old buckets backfill null,
+  * no rewrite), narrowing and type changes refuse loudly (restart-level
+  * DDL), and the pinned schema survives compaction.
+  */
+class SinkSchemaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTarget() =
+    java.nio.file.Files.createTempDirectory("graft-sinksch").toString + "/t"
+
+  test("widening absorbs in place; old buckets read the new column as null") {
+    val target = freshTarget()
+    Sinks.applyUpsertBatch(
+      Seq((1L, 10L, "u", "a"), (2L, 11L, "u", "b"))
+        .toDF("key", "version", "op", "payload"),
+      target, Seq("key"), "version", nBuckets = 4)
+    // the DDL: an added nullable column arrives on the restarted stream
+    Sinks.applyUpsertBatch(
+      Seq((2L, 12L, "u", "b2", 2.5d), (3L, 13L, "c", "c", 3.5d))
+        .toDF("key", "version", "op", "payload", "extra"),
+      target, Seq("key"), "version", nBuckets = 4)
+    val got = Sinks.currentState(spark, target)
+      .select(col("key"), col("payload"), col("extra"))
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(got === Set((1L, "a", None), (2L, "b2", Some(2.5d)), (3L, "c", Some(3.5d))),
+      "pre-widening winners must read the new column as null")
+    // the pin survives compaction (old buckets rewritten WITH the column)
+    Sinks.compact(spark, target)
+    val after = Sinks.currentState(spark, target)
+      .select(col("key"), col("payload"), col("extra"))
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(after === got, "compaction must preserve the widened schema")
+    // and a same-schema follow-up batch still applies
+    Sinks.applyUpsertBatch(
+      Seq((1L, 20L, "u", "a2", 1.5d)).toDF("key", "version", "op", "payload", "extra"),
+      target, Seq("key"), "version", nBuckets = 4)
+    assert(Sinks.currentState(spark, target).where(col("key") === 1L)
+      .select("payload").as[String].head() === "a2")
+  }
+
+  test("narrowing and type changes refuse loudly") {
+    val target = freshTarget()
+    Sinks.applyUpsertBatch(
+      Seq((1L, 10L, "u", "a", 1.0d)).toDF("key", "version", "op", "payload", "extra"),
+      target, Seq("key"), "version", nBuckets = 4)
+    val narrow = intercept[IllegalArgumentException] {
+      Sinks.applyUpsertBatch(
+        Seq((2L, 11L, "u", "b")).toDF("key", "version", "op", "payload"),
+        target, Seq("key"), "version", nBuckets = 4)
+    }
+    assert(narrow.getMessage.contains("NARROWING"))
+    val retype = intercept[IllegalArgumentException] {
+      Sinks.applyUpsertBatch(
+        Seq((2L, 11L, "u", "b", "oops")).toDF("key", "version", "op", "payload", "extra"),
+        target, Seq("key"), "version", nBuckets = 4)
+    }
+    assert(retype.getMessage.contains("type changes"))
+    // neither refusal moved the table
+    assert(Sinks.currentState(spark, target).count() === 1L)
+  }
+}
