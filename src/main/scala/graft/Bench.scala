@@ -94,7 +94,8 @@ object Bench {
     "k8_quality_drift",      // per-source PSI: two count shuffles + O(groups×bins) tail (round 13)
     "k21_curate_batch_cont", // the fused intake turn with scorer=both (round 14; the scorer swap should be ~free vs k21_curate_batch)
     "k21_corpus_compact",    // physical corpus tombstone bake: fold + generation swap (round 14; contract-query path incl. its own state setup)
-    "k15_nb_auc")            // exact distributed ROC AUC: train + score + grouped-rank two-pass (round 14)
+    "k15_nb_auc",            // exact distributed ROC AUC: train + score + grouped-rank two-pass (round 14)
+    "k22_shard_export")      // the terminal export: mix → encode → epoch shuffle → shards + manifest + version pin (round 15)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1453,6 +1453,40 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // K22 — the TERMINAL training-shard export (round 15, the r14
+    // verdict's #4): target-mix → encode → deterministic epoch shuffle
+    // (md5(epoch:doc)) → fixed-token-count shards, published with the
+    // shard MANIFEST as one pinned corpus version. The manifest hash
+    // pins doc/token counts AND the shuffle-order boundaries per shard —
+    // the packing decision itself. The shard cumsum runs the binaryAuc
+    // two-pass distributed form (frozen range partition + offsets), not
+    // a global window; the oracle's single window is definitionally
+    // equal.
+    "k22_shard_export" -> ((s, dir) => {
+      val (_, manifest) = graft.llm.Shards.exportShards(s,
+        freshScratchDir("graft-shards"), t(s, dir, "documents"),
+        "text", "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05),
+        maxVocab = 1000, shardTokens = 2000L, epoch = 1L)
+      manifest
+    }),
+
+    // K22 — mounting one shard of the PINNED version: a partition-pruned
+    // read of exactly shard 1's rows, id sequences included — what a
+    // loader actually streams. Hash-matches the full encode + shuffle +
+    // pack closure restricted to that shard.
+    "k22_shard_read" -> ((s, dir) => {
+      val path = freshScratchDir("graft-shards-read")
+      val (version, _) = graft.llm.Shards.exportShards(s, path,
+        t(s, dir, "documents"), "text", "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05),
+        maxVocab = 1000, shardTokens = 2000L, epoch = 1L)
+      graft.ops.CorpusVersions.readVersionPruned(s, path, version, "shard", lit(1L), lit(1L))
+        .select(col("doc"), col("n_tokens"),
+          array_join(transform(col("ids"), i => i.cast("string")), " ").as("ids"))
+        .orderBy(col("doc"))
+    }),
+
     // K20 — LEAKAGE-SAFE dataset split (round 11): the hash-stable
     // 90/5/5 split keyed by the doc's DEDUP COMPONENT instead of its
     // id, so near-duplicate documents can never straddle train/test —
@@ -3797,6 +3831,36 @@ object LlmQueries {
 
     // binding-stratum scale + floored per-stratum keeps + the md5
     // lottery rank — all IEEE arithmetic mirrored exactly
+    // K22: the full export closure — k12 mix, token counts, the
+    // md5(epoch:doc) shuffle, the starting-offset packing law as ONE
+    // global window (definitionally equal to the engine's two-pass
+    // distributed form)
+    "k22_shard_export" -> (tokCte + shardCtes +
+      """
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  arg_min(doc, okey) AS first_doc, arg_max(doc, okey) AS last_doc
+        |FROM pk GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // K22: shard 1's published rows — the encode ids re-derived from the
+    // mixed corpus's own vocabulary, restricted to the shard
+    "k22_shard_read" -> (tokCte + shardCtes +
+      """,
+        |wc22 AS (SELECT unnest(t) AS word FROM mt),
+        |cnts22 AS (SELECT word, COUNT(*) AS cnt FROM wc22 GROUP BY word
+        |           ORDER BY cnt DESC, word LIMIT 1000),
+        |v22 AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS id,
+        |        word FROM cnts22),
+        |tok22 AS (SELECT doc, unnest(t) AS word,
+        |          generate_subscripts(t, 1) AS pos FROM mt),
+        |enc22 AS (SELECT tok22.doc, tok22.pos, COALESCE(v22.id, 0) AS tid
+        |          FROM tok22 LEFT JOIN v22 ON v22.word = tok22.word),
+        |ids22 AS (SELECT doc, array_to_string(list(tid ORDER BY pos), ' ') AS ids
+        |          FROM enc22 GROUP BY doc)
+        |SELECT pk.doc, pk.n_tokens, ids22.ids
+        |FROM pk JOIN ids22 USING (doc)
+        |WHERE pk.shard = 1 ORDER BY pk.doc""".stripMargin),
+
     "k12_target_mix" ->
       """WITH tg(lang, t) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
         |                            ('fr', 0.15), ('zh', 0.05)),
@@ -4928,6 +4992,36 @@ object LlmQueries {
     }
     sb.toString
   }
+
+  /** K22 DuckDB closure (continues tokCte): the k12 lang-target mix,
+    * per-doc token counts over the mixed corpus (empty-token docs drop —
+    * the engine's posexplode law), the md5(epoch=1:doc) shuffle key and
+    * the starting-offset packing into 2000-token shards. Ends with
+    * `mt(doc, t)` (mixed tokenized docs) and
+    * `pk(doc, n_tokens, okey, shard)`.
+    */
+  private def shardCtes: String =
+    """, tg22(lang, t) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
+      |                            ('fr', 0.15), ('zh', 0.05)),
+      |c22 AS (SELECT d.lang, COUNT(*) AS n FROM documents d GROUP BY d.lang),
+      |sc22 AS (SELECT MIN(CAST(c22.n AS DOUBLE) / tg22.t) AS s
+      |         FROM c22 JOIN tg22 ON tg22.lang = c22.lang),
+      |k22 AS (SELECT c22.lang, CAST(floor(sc22.s * tg22.t) AS BIGINT) AS keep
+      |        FROM c22 JOIN tg22 ON tg22.lang = c22.lang CROSS JOIN sc22),
+      |pr22 AS (SELECT doc_id, lang,
+      |  row_number() OVER (PARTITION BY lang
+      |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents),
+      |mx AS MATERIALIZED (SELECT pr22.doc_id FROM pr22
+      |      JOIN k22 ON k22.lang = pr22.lang WHERE pr22.rn <= k22.keep),
+      |mt AS MATERIALIZED (SELECT tk.doc_id AS doc, tk.t
+      |      FROM tk JOIN mx ON mx.doc_id = tk.doc_id WHERE len(tk.t) > 0),
+      |sh22 AS (SELECT doc, CAST(len(t) AS BIGINT) AS n_tokens,
+      |         md5('1:' || CAST(doc AS VARCHAR)) AS okey FROM mt),
+      |pk AS MATERIALIZED (SELECT doc, n_tokens, okey,
+      |  CAST((SUM(n_tokens) OVER (ORDER BY okey, doc
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        - n_tokens) // 2000 AS BIGINT) AS shard FROM sh22)""".stripMargin
 
   // ================= r15 fixed-point IVF / PQ oracle closures =================
   // The engine's index geometry is integer arithmetic end-to-end since
