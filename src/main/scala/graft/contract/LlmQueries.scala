@@ -430,64 +430,150 @@ object LlmQueries {
   /** K19 dataset-card oracle — shared by the one-shot card and the
     * round-13 incremental fold.
     */
-  private def k19CardOracle: String = {
-    val P = graft.functions.TextFunctions.MinhashP
+  /** The k19 card oracle, split into composable parts (round 15): the
+    * audit-card variants reuse the stat/novelty/entropy chains while
+    * swapping the gram CTEs for the full LSH-scored chain and appending
+    * the PSI + containment tails.
+    */
+  private def k19TkCte: String =
     s"""WITH tk AS (SELECT doc_id, lang, source,
        |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm,
-         |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
-         |              x -> len(x) > 0) AS t
-         |  FROM documents),
-         |q AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS nt,
-         |  CAST(ROUND(
-         |    least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
-         |    + CASE WHEN length(nrm) = 0 THEN 0.0
-         |           ELSE CAST(length(regexp_replace(nrm, '[^\\p{L}]', '', 'g')) AS DOUBLE)
-         |                / CAST(length(nrm) AS DOUBLE) END * 0.4
-         |    + least(CAST(len(list_filter(t,
-         |        x -> list_contains(['the','and','of','to','is','le','la','les','et','est',
-         |                            'el','los','las','es','y','der','die','das','und','ist',
-         |                            '的','是','了','在','我'], x))) AS DOUBLE) / 3.0, 1.0) * 0.2
-         |  , 6) AS DECIMAL(28,6)) AS q
-         |  FROM tk),
-         |st AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
-         |       ROUND(CAST(SUM(q) AS DOUBLE), 6) AS sum_quality FROM q GROUP BY source),
-         |hs AS (SELECT source, md5(nrm) AS h FROM tk),
-         |dh AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 1),
-         |dp AS (SELECT hs.source, COUNT(*) AS n_dup FROM hs JOIN dh USING (h)
-         |       GROUP BY hs.source),
-         |gr AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 3 THEN []
-         |       ELSE list_transform(range(0, len(t) - 2),
-         |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
-         |  FROM tk),
-         |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
-         |hm AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(1, 9),
-         |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
-         |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
-         |  FROM sh),
-         |hd AS (SELECT DISTINCT doc_id, h FROM hm),
-         |fi AS (SELECT h, MIN(doc_id) AS first_doc FROM hd GROUP BY h),
-         |nv AS (SELECT hd.doc_id,
-         |  ROUND(CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-         |        / COUNT(*), 6) AS novelty
-         |  FROM hd JOIN fi USING (h) GROUP BY hd.doc_id),
-         |nvs AS (SELECT tk.source, COUNT(*) AS n_scored,
-         |        ROUND(CAST(SUM(CAST(nv.novelty AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_novelty
-         |        FROM nv JOIN tk ON tk.doc_id = nv.doc_id GROUP BY tk.source),
-         |lc AS (SELECT source, lang, COUNT(*) AS n FROM tk GROUP BY source, lang),
-         |lt AS (SELECT source, SUM(n) AS tot FROM lc GROUP BY source),
-         |en AS (SELECT lc.source,
-         |       ROUND(CAST(SUM(CAST(ROUND(-((CAST(lc.n AS DOUBLE) / CAST(lt.tot AS DOUBLE))
-         |         * ln(CAST(lc.n AS DOUBLE) / CAST(lt.tot AS DOUBLE))), 6) AS DECIMAL(28,6)))
-         |         AS DOUBLE), 6) AS lang_entropy
-         |       FROM lc JOIN lt USING (source) GROUP BY lc.source)
+       |  list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+       |              x -> len(x) > 0) AS t
+       |  FROM documents)""".stripMargin
+
+  private def k19StatCtes: String =
+    s""",
+       |q AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS nt,
+       |  CAST(ROUND(
+       |    least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
+       |    + CASE WHEN length(nrm) = 0 THEN 0.0
+       |           ELSE CAST(length(regexp_replace(nrm, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+       |                / CAST(length(nrm) AS DOUBLE) END * 0.4
+       |    + least(CAST(len(list_filter(t,
+       |        x -> list_contains(['the','and','of','to','is','le','la','les','et','est',
+       |                            'el','los','las','es','y','der','die','das','und','ist',
+       |                            '的','是','了','在','我'], x))) AS DOUBLE) / 3.0, 1.0) * 0.2
+       |  , 6) AS DECIMAL(28,6)) AS q
+       |  FROM tk),
+       |st AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |       ROUND(CAST(SUM(q) AS DOUBLE), 6) AS sum_quality FROM q GROUP BY source),
+       |hs AS (SELECT source, md5(nrm) AS h FROM tk),
+       |dh AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 1),
+       |dp AS (SELECT hs.source, COUNT(*) AS n_dup FROM hs JOIN dh USING (h)
+       |       GROUP BY hs.source)""".stripMargin
+
+  /** k19's own minimal gram chain (ends in `hd(doc_id, h)`) — the audit
+    * variant gets the same `hd` from [[lshScoredCtes]] instead.
+    */
+  private def k19GramCtes: String = {
+    val P = graft.functions.TextFunctions.MinhashP
+    s""",
+       |gr AS (SELECT doc_id,
+       |  CASE WHEN len(t) < 3 THEN []
+       |       ELSE list_transform(range(0, len(t) - 2),
+       |                           i -> array_to_string(t[(i+1):(i+3)], ' ')) END AS grams
+       |  FROM tk),
+       |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gr),
+       |hm AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(1, 9),
+       |    i -> (strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1)
+       |         * 16.0 ** (8 - i))) AS BIGINT) % $P AS h
+       |  FROM sh),
+       |hd AS (SELECT DISTINCT doc_id, h FROM hm)""".stripMargin
+  }
+
+  /** Novelty tail over an `hd(doc_id, h)` chain. */
+  private def k19NovTail: String =
+    s""",
+       |fi AS (SELECT h, MIN(doc_id) AS first_doc FROM hd GROUP BY h),
+       |nv AS (SELECT hd.doc_id,
+       |  ROUND(CAST(SUM(CASE WHEN fi.first_doc = hd.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS novelty
+       |  FROM hd JOIN fi USING (h) GROUP BY hd.doc_id),
+       |nvs AS (SELECT tk.source, COUNT(*) AS n_scored,
+       |        ROUND(CAST(SUM(CAST(nv.novelty AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_novelty
+       |        FROM nv JOIN tk ON tk.doc_id = nv.doc_id GROUP BY tk.source)""".stripMargin
+
+  private def k19LangCtes: String =
+    s""",
+       |lc AS (SELECT source, lang, COUNT(*) AS n FROM tk GROUP BY source, lang),
+       |lt AS (SELECT source, SUM(n) AS tot FROM lc GROUP BY source),
+       |en AS (SELECT lc.source,
+       |       ROUND(CAST(SUM(CAST(ROUND(-((CAST(lc.n AS DOUBLE) / CAST(lt.tot AS DOUBLE))
+       |         * ln(CAST(lc.n AS DOUBLE) / CAST(lt.tot AS DOUBLE))), 6) AS DECIMAL(28,6)))
+       |         AS DOUBLE), 6) AS lang_entropy
+       |       FROM lc JOIN lt USING (source) GROUP BY lc.source)""".stripMargin
+
+  private def k19CardOracle: String =
+    k19TkCte + k19StatCtes + k19GramCtes + k19NovTail + k19LangCtes +
+      s"""
          |SELECT st.source, st.n_docs, st.n_tokens, st.sum_quality,
          |  COALESCE(dp.n_dup, 0) AS n_dup, COALESCE(nvs.n_scored, 0) AS n_scored,
          |  COALESCE(nvs.sum_novelty, 0.0) AS sum_novelty, en.lang_entropy
          |FROM st LEFT JOIN dp USING (source) LEFT JOIN nvs USING (source)
          |JOIN en USING (source) ORDER BY source""".stripMargin
-  }
+
+  /** PSI per source as a CTE tail (`psic(source, psi)`) — the even half
+    * is the pinned reference, the odd half the accumulated current (the
+    * k8_quality_drift construction the audit-card queries build).
+    */
+  private def k19PsiCtes: String =
+    s""",
+       |pbase AS (SELECT source AS g,
+       |    COALESCE(GREATEST(LEAST(COALESCE(CAST(FLOOR(LENGTH(text) / 200) AS INTEGER), 0), 9), 0), 0) AS b,
+       |    (doc_id % 2 = 1) AS cur
+       |  FROM documents),
+       |pcounts AS (SELECT g, cur, b, COUNT(*) AS c FROM pbase GROUP BY 1, 2, 3),
+       |ptotals AS (SELECT g, cur, SUM(c) AS tot FROM pcounts GROUP BY 1, 2),
+       |pgrid AS (SELECT gg.g, ss.cur, bb.b
+       |  FROM (SELECT DISTINCT g FROM pbase) gg,
+       |       (SELECT UNNEST([false, true]) AS cur) ss,
+       |       (SELECT UNNEST(range(10)) AS b) bb),
+       |pprobs AS (SELECT pgrid.g, pgrid.cur, pgrid.b,
+       |    (COALESCE(c.c, 0) + 0.5) / (COALESCE(t.tot, 0) + 5.0) AS p
+       |  FROM pgrid
+       |  LEFT JOIN pcounts c ON c.g = pgrid.g AND c.cur = pgrid.cur AND c.b = pgrid.b
+       |  LEFT JOIN ptotals t ON t.g = pgrid.g AND t.cur = pgrid.cur),
+       |pterms AS (SELECT r.g,
+       |    CAST(ROUND((r.p - q.p) * LN(r.p / q.p), 8) AS DECIMAL(28,8)) AS term
+       |  FROM pprobs r JOIN pprobs q ON q.g = r.g AND q.b = r.b AND q.cur AND NOT r.cur),
+       |psic AS (SELECT g AS source, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+       |  FROM pterms GROUP BY g)""".stripMargin
+
+  /** The one-shot audit card: the card chains with the LSH-scored chain
+    * supplying `hd` AND `scored` (containment), plus the PSI tail.
+    */
+  private def k19AuditOracle: String =
+    k19TkCte + lshScoredCtes() + k19StatCtes + k19NovTail + k19LangCtes +
+      k19PsiCtes +
+      s""",
+         |cont AS (SELECT d.source, COUNT(*) AS n_contained FROM documents d
+         |  WHERE EXISTS (SELECT 1 FROM scored s
+         |    WHERE (s.id_a = d.doc_id AND s.cont_a >= 0.9 AND s.cont_a > s.cont_b)
+         |       OR (s.id_b = d.doc_id AND s.cont_b >= 0.9 AND s.cont_b >= s.cont_a))
+         |  GROUP BY d.source)
+         |SELECT st.source, st.n_docs, st.n_tokens, st.sum_quality,
+         |  COALESCE(dp.n_dup, 0) AS n_dup, COALESCE(nvs.n_scored, 0) AS n_scored,
+         |  COALESCE(nvs.sum_novelty, 0.0) AS sum_novelty, en.lang_entropy,
+         |  COALESCE(cont.n_contained, 0) AS n_contained, psic.psi
+         |FROM st LEFT JOIN dp USING (source) LEFT JOIN nvs USING (source)
+         |JOIN en USING (source)
+         |LEFT JOIN cont USING (source) LEFT JOIN psic USING (source)
+         |ORDER BY source""".stripMargin
+
+  /** The incremental audit card: the plain card chain + the PSI tail. */
+  private def k19AuditIncrementalOracle: String =
+    k19TkCte + k19StatCtes + k19GramCtes + k19NovTail + k19LangCtes +
+      k19PsiCtes +
+      s"""
+         |SELECT st.source, st.n_docs, st.n_tokens, st.sum_quality,
+         |  COALESCE(dp.n_dup, 0) AS n_dup, COALESCE(nvs.n_scored, 0) AS n_scored,
+         |  COALESCE(nvs.sum_novelty, 0.0) AS sum_novelty, en.lang_entropy,
+         |  psic.psi
+         |FROM st LEFT JOIN dp USING (source) LEFT JOIN nvs USING (source)
+         |JOIN en USING (source) LEFT JOIN psic USING (source)
+         |ORDER BY source""".stripMargin
 
   /** K17 corpus-novelty oracle — the shared gram-hash pipeline + a
     * gram-keyed min-id aggregate; `where` restricts the corpus (the
@@ -1800,6 +1886,59 @@ object LlmQueries {
       TextAnalysis.cardAccumulate(s, card, slice(450L, Long.MaxValue), "text",
         "source", "lang", "doc_id", batchId = 2L, noveltyPath = nov)
       TextAnalysis.cardIndexed(s, card).orderBy(col("source"))
+    }),
+
+    // K19 — the AUDIT card (round 15, the r14 verdict's #8): the dataset
+    // card extended with the round-13/14 curation signals — per-source
+    // drift PSI read from a persisted drift state's sidecars (reference
+    // pinned on the even half, the odd half accumulated — the k8 shape)
+    // and the residual containment-dup count (docs still living >= 0.9
+    // inside a larger doc, the k2 policy arm's drop set attributed per
+    // source). One assembly join over the card; hash-matched end to end.
+    "k19_audit_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dft = freshScratchDir("graft-k19a-drift")
+      val bin = graft.llm.Drift.lengthBin(col("text"), width = 200)
+      graft.llm.Drift.referenceWrite(s, dft,
+        docs.where(col("doc_id") % 2 === 0L), "source", bin, nBins = 10)
+      graft.llm.Drift.accumulate(s, dft,
+        docs.where(col("doc_id") % 2 === 1L), "source", bin, 10, batchId = 0L)
+      val psi = graft.llm.Drift.psiAgainstReference(s, dft, nBins = 10,
+        groupOut = "source")
+      val contained = Dedup.containmentLosers(docs, "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.9)
+      TextAnalysis.datasetAuditCard(docs, "text", "source", "lang", "doc_id",
+          psi = psi, contained = contained)
+        .orderBy(col("source"))
+    }),
+
+    // K19 — the INCREMENTAL audit card: cardIndexed + the drift state's
+    // per-source PSI, both sidecar-only reads (O(batch) per intake turn
+    // preserved); the drift state accumulates batch by batch exactly
+    // like the card's own sidecars
+    "k19_audit_card_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nov = freshScratchDir("graft-k19ai-nov")
+      val card = freshScratchDir("graft-k19ai-card")
+      val dft = freshScratchDir("graft-k19ai-drift")
+      val bin = graft.llm.Drift.lengthBin(col("text"), width = 200)
+      graft.llm.Drift.referenceWrite(s, dft,
+        docs.where(col("doc_id") % 2 === 0L), "source", bin, nBins = 10)
+      def slice(lo: Long, hi: Long) =
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+      def turn(lo: Long, hi: Long, b: Long, first: Boolean): Unit = {
+        if (first) TextAnalysis.noveltyIndexWrite(slice(lo, hi), "text", "doc_id", nov)
+        else TextAnalysis.noveltyAppendBatch(s, nov, slice(lo, hi), "text", "doc_id", b)
+        TextAnalysis.cardAccumulate(s, card, slice(lo, hi), "text", "source",
+          "lang", "doc_id", batchId = b, noveltyPath = nov)
+        graft.llm.Drift.accumulate(s, dft,
+          slice(lo, hi).where(col("doc_id") % 2 === 1L), "source", bin, 10, b)
+      }
+      turn(0L, 400L, 0L, first = true)
+      turn(400L, 450L, 1L, first = false)
+      turn(450L, Long.MaxValue, 2L, first = false)
+      TextAnalysis.cardIndexedAudit(s, card, dft, nBins = 10)
+        .orderBy(col("source"))
     }),
 
     // K18 — tokenizer-style vocabulary build (round 11): the 1000 most
@@ -4078,6 +4217,10 @@ object LlmQueries {
     // quality (k8's formula per doc), exact-dup hashes (k1's md5),
     // novelty (k17's chain), lang entropy; sums decimal, counts exact
     "k19_dataset_card" -> k19CardOracle,
+
+    "k19_audit_card" -> k19AuditOracle,
+
+    "k19_audit_card_incremental" -> k19AuditIncrementalOracle,
 
     // the incrementally-folded card must equal the one-shot card over
     // the union of its batches — the SAME oracle

@@ -866,17 +866,30 @@ object Dedup {
   def containmentDedup(df: DataFrame, textCol: String, idCol: String,
                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                        threshold: Double = 0.9,
-                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    df.join(containmentLosers(df, textCol, idCol, shingleN, k, bands,
+      threshold, maxBucketSize), Seq(idCol), "left_anti")
+
+  /** The DROP SET of [[containmentDedup]] — one `idCol` row per doc
+    * living ≥ `threshold` inside a strictly larger (or tie-smaller-id)
+    * doc. Exposed since round 15: the audit card counts these per
+    * source as the residual-containment signal.
+    *
+    * Sizes decide the keeper: join the pair's two hash-set cardinalities
+    * back in via the scores already carried — cont_a = i/|A| and
+    * cont_b = i/|B|, so |A| < |B| exactly when cont_a > cont_b
+    * (same intersection), and |A| = |B| when they tie. Dropped:
+    *   id_a when cont_a >= t and (cont_a > cont_b  → A is smaller)
+    *   id_b when cont_b >= t and (cont_b > cont_a  → B is smaller,
+    *        or cont_a = cont_b → tie broken to keep the smaller id = a)
+    */
+  def containmentLosers(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.9,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = containmentPairs(df, textCol, idCol, shingleN, k, bands,
       containmentThreshold = threshold, maxBucketSize = maxBucketSize)
-    // sizes decide the keeper: join the pair's two hash-set cardinalities
-    // back in via the scores already carried — cont_a = i/|A| and
-    // cont_b = i/|B|, so |A| < |B| exactly when cont_a > cont_b
-    // (same intersection), and |A| = |B| when they tie. Dropped:
-    //   id_a when cont_a >= t and (cont_a > cont_b  → A is smaller)
-    //   id_b when cont_b >= t and (cont_b > cont_a  → B is smaller,
-    //        or cont_a = cont_b → tie broken to keep the smaller id = a)
-    val losers = pairs.select(
+    pairs.select(
         when(col("cont_a") >= threshold && col("cont_a") > col("cont_b"),
           col("id_a"))
           .when(col("cont_b") >= threshold && col("cont_b") >= col("cont_a"),
@@ -884,7 +897,6 @@ object Dedup {
           .as(idCol))
       .where(col(idCol).isNotNull)
       .distinct()
-    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Connected components over an undirected pair list (e.g. the LSH

@@ -478,7 +478,7 @@ object TextAnalysis {
       else {
         val prior = spark.read.parquet(
           graft.ops.Generations.currentDir(fs, root, ResBase).toString)
-        prior.unionByName(localTop.select(prior.columns.map(col): _*))
+        prior.unionByName(localTop.select(prior.columns.map(col).toIndexedSeq: _*))
       }
     val next = unioned.dropDuplicates(idCol)
       .orderBy(col("__skey").desc, col(idCol)).limit(k)
@@ -535,7 +535,7 @@ object TextAnalysis {
       else {
         val prior = spark.read.parquet(
           graft.ops.Generations.currentDir(fs, root, StratResBase).toString)
-        prior.unionByName(localTop.select(prior.columns.map(col): _*))
+        prior.unionByName(localTop.select(prior.columns.map(col).toIndexedSeq: _*))
       }
     val next = topKPerStratum(unioned.dropDuplicates(idCol))
       .localCheckpoint(true) // sever lineage from the dir being swapped
@@ -596,6 +596,45 @@ object TextAnalysis {
         coalesce(col("sum_novelty"), lit(0.0d)).as("sum_novelty"),
         col("lang_entropy"))
   }
+
+  /** The AUDIT card (round 15, the r14 verdict's #8): [[datasetCard]]
+    * extended with the round-13/14 curation signals — per-source drift
+    * PSI (from a persisted drift state's O(groups × bins) sidecars,
+    * never a corpus rescan) and the residual containment-dup count
+    * (docs of the ADMITTED corpus still living ≥ threshold inside a
+    * larger doc — what a containment-armed intake would have dropped).
+    * Both inputs are caller-composed frames, so the card stays one
+    * assembly join: `psi` carries (source, psi), `contained` carries
+    * the dropped-id set ([[Dedup.containmentLosers]]).
+    */
+  def datasetAuditCard(df: DataFrame, textCol: String, sourceCol: String,
+                       langCol: String, idCol: String, n: Int = 3,
+                       psi: DataFrame, contained: DataFrame): DataFrame = {
+    val card = datasetCard(df, textCol, sourceCol, langCol, idCol, n)
+    val ncnt = df.select(col(sourceCol).as("source"), col(idCol).as("__cid"))
+      .join(contained.select(col(contained.columns.head).as("__cid")), Seq("__cid"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contained"))
+    card
+      .join(ncnt, Seq("source"), "left")
+      .join(psi.select(col("source"), col("psi")), Seq("source"), "left")
+      .withColumn("n_contained", coalesce(col("n_contained"), lit(0L)))
+  }
+
+  /** The INCREMENTAL audit card: [[cardIndexed]] joined with the
+    * persisted drift monitor's per-source PSI — both sides read only
+    * O(sources × bins × batches) sidecars, so the audit surface stays
+    * O(batch) per intake turn like the card itself. (Containment drops
+    * happen AT intake in the incremental pipeline — a dropped doc never
+    * reaches the card — so the residual-containment column is the
+    * one-shot [[datasetAuditCard]]'s; here the drift PSI is the signal
+    * that accrues.)
+    */
+  def cardIndexedAudit(spark: org.apache.spark.sql.SparkSession,
+                       cardPath: String, driftStatePath: String,
+                       nBins: Int = 10): DataFrame =
+    cardIndexed(spark, cardPath)
+      .join(Drift.psiAgainstReference(spark, driftStatePath, nBins, "source")
+        .select(col("source"), col("psi")), Seq("source"), "left")
 
   // ---------------------------------------------------------------- //
   // K19 incremental dataset card — per-batch deltas, no recompute     //
