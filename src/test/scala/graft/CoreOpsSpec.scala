@@ -779,7 +779,10 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k8_quantile_drift", // same bounded grid; edges are collected literals
     // same bounded grid over the kmeans assignment (1-group × k cells);
     // the kmeans itself runs at construction like k11's audited shape
-    "k8_embedding_drift")
+    "k8_embedding_drift",
+    // the audit card joins the same bounded PSI grid (groups × bins × 2)
+    // onto the card — the k8_quality_drift class, per-source state only
+    "k19_audit_card", "k19_audit_card_incremental")
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
@@ -801,7 +804,11 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "x6_approx_salted_join", // same MG merge feeding the routing list
     "k7_bm25_search", // rank window over the post-limit 20-row frame
     "k7_hybrid_search", // leg ranks + fusion over post-limit <=30-row frames
-    "k7_hybrid_indexed", "k7_hybrid_both_indexed") // same bounded frames
+    "k7_hybrid_indexed", "k7_hybrid_both_indexed", // same bounded frames
+    // the chunk-ASSIGNMENT window runs over the output-sized distinct-key
+    // frame (the declared benign class); the production path is the
+    // bounded cursor loop (IncrementalSnapshot.snapshotChunks)
+    "b15_incremental_snapshot")
   // queries that execute work at construction time (streams, index
   // writes, eager cached pipelines, file roundtrips) — audited by their
   // own dedicated plan specs instead of this blanket pass
