@@ -2251,12 +2251,12 @@ object LlmQueries {
         .orderBy(col("__batch"))
     }),
 
-    // K4 — PQ codebook-staleness metric (round 11; rows-only like
-    // k4_ivf_drift — float centroids): quantization-error distribution
-    // per appended batch vs the batch-0 baseline the codebooks trained
-    // on. Batch 1 is in-distribution, batch 2 is shifted by +4.0 —
-    // PqDriftSpec pins the flag/no-flag asymmetry; this entry exercises
-    // the full sidecar lifecycle (write → two appends → report).
+    // K4 — PQ codebook-staleness metric (round 11; HASH-MATCHED since
+    // r15: integer qe, decimal-exact mean, inverse-CDF p95):
+    // quantization-error distribution per appended batch vs the batch-0
+    // baseline the codebooks trained on. Batch 1 is in-distribution,
+    // batch 2 is shifted by +4.0 — PqDriftSpec pins the flag/no-flag
+    // asymmetry; this entry exercises the full sidecar lifecycle.
     "k4_pq_drift" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = sessionScratchDir("graft-pqdrift")
@@ -2281,7 +2281,7 @@ object LlmQueries {
       Quantization.pqDriftStats(s, path, flagRatio = 2.0)
     }),
 
-    // K4 — PQ MAINTENANCE (round 13, rows-only: float class): the drift
+    // K4 — PQ MAINTENANCE (round 13; HASH-MATCHED since r15): the drift
     // signal finally CONSUMED — same drifted-append scenario as
     // k4_pq_drift, then pqMaintain retrains the codebooks + re-encodes
     // and re-anchors the baseline. Published frame: the post-maintain
@@ -2449,9 +2449,10 @@ object LlmQueries {
     // distance-to-assigned-centroid distribution against the batch-0
     // baseline: the in-distribution batch stays unflagged, the shifted
     // one flags — the measured "rebuild now" signal the append lifecycle
-    // needs (vs ivfRecallCurve's exact-but-brute-force truth). Rows-only
-    // (float distances + approx p95 — the declared k4 exclusion class);
-    // the flag/no-flag behavior is pinned by IvfDriftSpec.
+    // needs (vs ivfRecallCurve's exact-but-brute-force truth).
+    // HASH-MATCHED since r15 (integer d², decimal-exact mean,
+    // inverse-CDF p95); the flag/no-flag behavior is pinned by
+    // IvfDriftSpec.
     "k4_ivf_drift" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = sessionScratchDir("graft-ivfdrift")
@@ -4923,6 +4924,70 @@ object LlmQueries {
          |  CAST(sl AS INTEGER) AS shortlist
          |FROM perq GROUP BY sl ORDER BY shortlist""".stripMargin),
 
+    // IVF centroid-drift stats (r15: exact — integer d², decimal mean,
+    // inverse-CDF p95): base geometry over the 80% slice, batch 1
+    // in-distribution, batch 2 float-shifted by +4.0
+    "k4_ivf_drift" -> (ivfGeomCtes(nCells = 8, lloydRounds = 1,
+        where = "vec_id < (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) FROM embeddings)") +
+      s""",
+         |sp AS (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS s80,
+         |    CAST(floor(max(vec_id) * 0.9) AS BIGINT) AS s90 FROM embeddings),
+         |dall AS MATERIALIZED (
+         |  SELECT vec_id, v, 0 AS b FROM iq
+         |  UNION ALL SELECT vec_id, ${duckQuant("embedding")}, 1 FROM embeddings
+         |    WHERE vec_id >= (SELECT s80 FROM sp) AND vec_id < (SELECT s90 FROM sp)
+         |  UNION ALL SELECT vec_id, ${duckQuantShifted("embedding")}, 2 FROM embeddings
+         |    WHERE vec_id >= (SELECT s90 FROM sp)),
+         |dmin AS MATERIALIZED (SELECT a.b, a.vec_id, MIN(${d2i("a.v", "c.v", 64)}) AS d2
+         |  FROM dall a CROSS JOIN icf c GROUP BY a.b, a.vec_id)""".stripMargin +
+      exactStatsCtes + driftReportSelect("mean_d2", "p95_d2")),
+
+    // PQ codebook-staleness stats (r15: exact): codebooks train on the
+    // 80% base, batches 1 (raw) and 2 (shifted) encode frozen; qe =
+    // per-subspace min integer distance summed
+    "k4_pq_drift" -> (pqQuantCte(
+        where = "vec_id < (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) FROM embeddings)") +
+      pqCtes(m = 8, k = 16, lloydRounds = 3) +
+      s""",
+         |sp AS (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS s80,
+         |    CAST(floor(max(vec_id) * 0.9) AS BIGINT) AS s90 FROM embeddings),
+         |qall AS MATERIALIZED (
+         |  SELECT vec_id, v, 0 AS b FROM iq
+         |  UNION ALL SELECT vec_id, ${duckQuant("embedding")}, 1 FROM embeddings
+         |    WHERE vec_id >= (SELECT s80 FROM sp) AND vec_id < (SELECT s90 FROM sp)
+         |  UNION ALL SELECT vec_id, ${duckQuantShifted("embedding")}, 2 FROM embeddings
+         |    WHERE vec_id >= (SELECT s90 FROM sp)),
+         |qsub AS (SELECT q.b, q.vec_id, g.mi, q.v[(g.mi*8+1):((g.mi+1)*8)] AS sv
+         |  FROM qall q CROSS JOIN pmi g),
+         |qmin AS (SELECT s.b, s.vec_id, s.mi, MIN(${d2i("s.sv", "c.v", 8)}) AS md
+         |  FROM qsub s JOIN pcf c USING (mi) GROUP BY s.b, s.vec_id, s.mi),
+         |dmin AS MATERIALIZED (SELECT b, vec_id, CAST(SUM(md) AS BIGINT) AS d2
+         |  FROM qmin GROUP BY b, vec_id)""".stripMargin +
+      exactStatsCtes + driftReportSelect("mean_qe", "p95_qe")),
+
+    // PQ maintenance (r15: exact): the shifted append flags, pqMaintain
+    // RETRAINS on everything live (base ∪ shifted), stats re-anchor on
+    // the new codebooks
+    "k4_pq_maintain" -> (
+      s"""WITH sp AS (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS s80,
+         |    CAST(floor(max(vec_id) * 0.9) AS BIGINT) AS s90 FROM embeddings),
+         |iq AS MATERIALIZED (
+         |  SELECT vec_id, ${duckQuant("embedding")} AS v, 0 AS b FROM embeddings
+         |    WHERE vec_id < (SELECT s80 FROM sp)
+         |  UNION ALL SELECT vec_id, ${duckQuantShifted("embedding")}, 1 FROM embeddings
+         |    WHERE vec_id >= (SELECT s90 FROM sp))""".stripMargin +
+      pqCtes(m = 8, k = 16, lloydRounds = 3) +
+      s""",
+         |qsub AS (SELECT q.b, q.vec_id, g.mi, q.v[(g.mi*8+1):((g.mi+1)*8)] AS sv
+         |  FROM iq q CROSS JOIN pmi g),
+         |qmin AS (SELECT s.b, s.vec_id, s.mi, MIN(${d2i("s.sv", "c.v", 8)}) AS md
+         |  FROM qsub s JOIN pcf c USING (mi) GROUP BY s.b, s.vec_id, s.mi),
+         |dmin AS MATERIALIZED (SELECT b, vec_id, CAST(SUM(md) AS BIGINT) AS d2
+         |  FROM qmin GROUP BY b, vec_id)""".stripMargin +
+      exactStatsCtes +
+      driftReportSelect("mean_qe", "p95_qe",
+        extraCols = ",\n       |  'retrain' AS action".stripMargin)),
+
     // IVF tuning harness: recall@5 against the brute-force cosine truth
     // as nProbe sweeps the cell count
     "k4_ivf_recall_curve" -> (ivfGeomCtes(nCells = 16, lloydRounds = 1) +
@@ -5387,6 +5452,56 @@ object LlmQueries {
        |  WHERE p.vec_id <> t.query_id
        |  GROUP BY t.query_id, p.vec_id)""".stripMargin
   }
+
+  /** The engine's float `+ 4.0f` shift followed by quantization: the
+    * double add of two exactly-representable floats rounded back to
+    * FLOAT is the IEEE single-precision add, so the quantized integers
+    * match bit-for-bit.
+    */
+  private def duckQuantShifted(c: String, scale: Long = 1000000L): String =
+    s"list_transform($c, x -> CAST(floor(CAST(CAST(x + 4.0 AS FLOAT) AS DOUBLE) * $scale + 0.5) AS BIGINT))"
+
+  /** Exact per-batch (n, 6dp mean, inverse-CDF p95) over a CTE
+    * `dmin(b, d2)` of integer values — the SQL twin of
+    * `Similarity.exactGroupStats`. Ends with `dtot(b, n, mean)` and
+    * `dp95(b, p95)`.
+    */
+  private def exactStatsCtes: String =
+    s""",
+       |dcnt AS (SELECT b, d2, COUNT(*) AS c FROM dmin GROUP BY b, d2),
+       |dtot AS MATERIALIZED (SELECT b, COUNT(*) AS n,
+       |  ROUND(CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) / COUNT(*), 6) AS mean
+       |  FROM dmin GROUP BY b),
+       |dp95 AS MATERIALIZED (SELECT b, CAST(MIN(d2) AS DOUBLE) AS p95 FROM (
+       |  SELECT c.b, c.d2, SUM(c.c) OVER (PARTITION BY c.b ORDER BY c.d2) AS cum, t.n
+       |  FROM dcnt c JOIN dtot t USING (b))
+       |  WHERE cum >= CEIL(n * 0.95) GROUP BY b)""".stripMargin
+
+  /** The drift-stats report tail over `dtot`/`dp95`: per-batch stats,
+    * ratios against the batch-0 baseline, and the flag — the engine's
+    * `ivfDriftStats`/`pqDriftStats` expression tree (`meanName`/`p95Name`
+    * name the output columns; `extraCols` appends literals like the
+    * maintain entry's action).
+    */
+  private def driftReportSelect(meanName: String, p95Name: String,
+                                flagRatio: Double = 2.0,
+                                extraCols: String = ""): String =
+    s"""
+       |SELECT CAST(t.b AS BIGINT) AS __batch, t.n,
+       |  t.mean AS $meanName, p.p95 AS $p95Name,
+       |  CASE WHEN b0.mean0 = 0 THEN NULL
+       |       ELSE ROUND(t.mean / b0.mean0, 6) END AS mean_ratio,
+       |  CASE WHEN b0.p950 = 0 THEN NULL
+       |       ELSE ROUND(p.p95 / b0.p950, 6) END AS p95_ratio,
+       |  COALESCE(
+       |    (CASE WHEN b0.mean0 = 0 THEN NULL ELSE ROUND(t.mean / b0.mean0, 6) END) >= $flagRatio
+       |    OR (CASE WHEN b0.p950 = 0 THEN NULL ELSE ROUND(p.p95 / b0.p950, 6) END) >= $flagRatio,
+       |    t.mean > 0.0) AS drifted$extraCols
+       |FROM dtot t JOIN dp95 p USING (b)
+       |CROSS JOIN (SELECT t0.mean AS mean0, p0.p95 AS p950
+       |  FROM dtot t0 JOIN dp95 p0 ON p0.b = t0.b
+       |  ORDER BY t0.b LIMIT 1) b0
+       |ORDER BY __batch""".stripMargin
 
   /** Exact squared L2 (double over the raw floats — the engine's
     * `exactL2`) between two float-list expressions.

@@ -371,9 +371,12 @@ object Quantization {
         .write.mode("overwrite")
       (if (dynamic) w1.option("partitionOverwriteMode", "dynamic") else w1)
         .partitionBy("cell", "__batch").parquet(s"$path/pq_codes")
-      val stats = enc.groupBy(col("__batch"))
-        .agg(count(lit(1)).as("n"), avg(col("__qe")).as("mean_qe"),
-          percentile_approx(col("__qe"), lit(0.95), lit(10000)).as("p95_qe"))
+      // exact since r15: the quantization error is an integer in the
+      // fixed-point space, so the per-batch stats ride the shared
+      // exact mean + inverse-CDF p95 (oracle-matched, no approx sketch)
+      val stats = Similarity.exactGroupStats(
+        enc.select(col("__batch"), col("__qe").cast("long").as("__v")),
+        "mean_qe", "p95_qe")
       val w2 = stats.write.mode("overwrite")
       (if (dynamic) w2.option("partitionOverwriteMode", "dynamic") else w2)
         .partitionBy("__batch").parquet(s"$path/pq_drift_stats")

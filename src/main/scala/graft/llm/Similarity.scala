@@ -572,17 +572,45 @@ object Similarity {
   }
 
   /** Per-`__batch` distance-to-assigned-centroid distribution: (n,
-    * mean_d2, p95_d2). Mean is exact; p95 is `percentile_approx` — a
-    * drift METRIC, not an oracle surface. One map-side-combinable agg
-    * over a broadcast centroid join.
+    * mean_d2, p95_d2) — EXACT since round 15 (the fixed-point geometry
+    * makes every d² an integer, so the whole stat is oracle-matched
+    * instead of a percentile_approx metric). One map-side-combinable
+    * count agg over a broadcast centroid join feeds the shared
+    * [[exactGroupStats]].
     */
   private def driftStatsOf(assigned: DataFrame, centroids: DataFrame): DataFrame =
-    assigned.join(broadcast(centroids.select(col("cell"), col("centroid"))), Seq("cell"))
-      .select(col("__batch"),
-        squaredDistance(quantizeVec(col("v")), col("centroid")).as("__d2"))
-      .groupBy(col("__batch"))
-      .agg(count(lit(1)).as("n"), avg(col("__d2")).as("mean_d2"),
-        percentile_approx(col("__d2"), lit(0.95), lit(10000)).as("p95_d2"))
+    exactGroupStats(
+      assigned.join(broadcast(centroids.select(col("cell"), col("centroid"))), Seq("cell"))
+        .select(col("__batch"),
+          squaredDistance(quantizeVec(col("v")), col("centroid"))
+            .cast("long").as("__v")),
+      "mean_d2", "p95_d2")
+
+  /** EXACT per-group (n, 6dp mean, p95) over an integer value column
+    * `(__batch, __v)` — shared by the IVF and PQ drift sidecars. Mean is
+    * the decimal-summed exact integer divided once (reproducible: both
+    * engines round the same exact sum to the same double); p95 is the
+    * inverse empirical CDF — the smallest value whose cumulative count
+    * reaches ⌈0.95·n⌉, computed from the DISTINCT-value counts under a
+    * per-group window (group = batch: the documented batch-bounded
+    * benign window class — the same per-batch cost every sidecar write
+    * already pays; never a corpus-global partition).
+    */
+  private[llm] def exactGroupStats(d: DataFrame, meanName: String,
+                                   p95Name: String): DataFrame = {
+    val counts = d.groupBy(col("__batch"), col("__v")).agg(count(lit(1)).as("__c"))
+    val tot = d.groupBy(col("__batch"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__v").cast("decimal(38,0)")).cast("double") / count(lit(1)), 6)
+          .as(meanName))
+    val w = Window.partitionBy(col("__batch")).orderBy(col("__v"))
+    val p95 = counts.withColumn("__cum", sum(col("__c")).over(w))
+      .join(tot.select(col("__batch"), col("n")), Seq("__batch"))
+      .where(col("__cum") >= ceil(col("n") * lit(0.95d)))
+      .groupBy(col("__batch")).agg(min(col("__v")).cast("double").as(p95Name))
+    tot.join(p95, Seq("__batch"))
+      .select(col("__batch"), col("n"), col(meanName), col(p95Name))
+  }
 
   /** (Re)write `drift_stats/` from the persisted vectors — the base-build
     * / post-compaction path (appends write their own batch's row from the
