@@ -1012,7 +1012,8 @@ object Ingest {
       driftNBins: Int = 10,
       driftPsiThreshold: Double = 0.25,
       driftRetune: Option[RetuneTarget] = None,
-      compactDriftState: Boolean = false)
+      compactDriftState: Boolean = false,
+      snapshot: Option[SnapshotTarget] = None)
 
   /** The ACTIONABLE half of the drift advisory (round 14): what the
     * maintenance turn should DO when [[graft.llm.Drift.psiAdvisory]]
@@ -1030,6 +1031,22 @@ object Ingest {
       textCol: String = "text",
       idCol: String = "doc_id",
       labelCol: String = "predicted")
+
+  /** The B15 incremental-snapshot leg of [[maintainEverywhere]] (round
+    * 15): a chunked re-snapshot is PACED work — a few bounded chunk
+    * reads per maintenance turn, resumed from the persisted cursor, for
+    * as many turns as the table needs (the DBLog cadence; a 100 TB
+    * table re-snapshots over days of turns, never one scan). `table` is
+    * the live source frame, `loLsnOf` the caller's view of the current
+    * log position per chunk (the watermark stamped into each landing).
+    */
+  final case class SnapshotTarget(
+      statePath: String,
+      table: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      chunkSize: Int,
+      loLsnOf: Long => Long,
+      maxChunksPerTurn: Int = 4)
 
   /** ONE COMPOSED MAINTENANCE TURN — the third leg of the lifecycle
     * ([[curateBatch]] admits, [[retractEverywhere]] deletes, THIS keeps
@@ -1148,6 +1165,17 @@ object Ingest {
             if (rt.nbModelPath.isDefined) s"retrain(max_psi=$maxPsi)"
             else s"retune_applied(max_psi=$maxPsi)"
         })
+    }
+    // B15 incremental snapshot: land up to maxChunksPerTurn bounded
+    // chunk reads from wherever the cursor left off — the paced
+    // re-snapshot cadence (round 15); a finished snapshot reports
+    // "none" (the cursor sits past the key space, the probe lands
+    // nothing)
+    targets.snapshot.foreach { st =>
+      val landed = graft.cdc.IncrementalSnapshot.snapshotChunks(spark,
+        st.statePath, st.table, st.keyCol, st.chunkSize, st.loLsnOf,
+        st.maxChunksPerTurn)
+      out += "snapshot" -> (if (landed == 0) "none" else s"landed($landed)")
     }
     out.toSeq
   }

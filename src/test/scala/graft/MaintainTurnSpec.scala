@@ -156,6 +156,23 @@ class MaintainTurnSpec extends AnyFunSuite {
     assert(got === (0L until 50L).toSet - 3L)
   }
 
+  test("the snapshot leg paces chunk landings across turns (round 15)") {
+    import spark.implicits._
+    val st = java.nio.file.Files.createTempDirectory("graft-mt-snap").toString
+    val table = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "payload")
+    def turn() = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(snapshot = Some(
+        streaming.Ingest.SnapshotTarget(st, table, "k", chunkSize = 10,
+          loLsnOf = c => 100L + c, maxChunksPerTurn = 2)))).toMap
+    assert(turn()("snapshot") === "landed(2)")
+    assert(turn()("snapshot") === "landed(2)")
+    assert(turn()("snapshot") === "landed(1)") // 5 chunks of 10 over 50 keys
+    assert(turn()("snapshot") === "none")      // finished: the turn no-ops
+    val landed = graft.cdc.IncrementalSnapshot.landedChunks(spark, st)
+    assert(landed.count() === 50L)
+    assert(landed.select("k").as[Long].collect().toSet === (0L until 50L).toSet)
+  }
+
   test("the drift_state leg folds fragments through the turn (round 14, opt-in r15)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
