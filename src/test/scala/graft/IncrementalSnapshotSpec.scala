@@ -80,6 +80,19 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
       (5L, 113L, 5.0, 13L, "stream")))
   }
 
+  test("merge plans ONE keyed shuffle — no single-partition exchange, no BNLJ") {
+    val chunks = Seq((1L, 100L, 1.0, 10L)).toDF("k", "last_id", "v", "__lo_lsn")
+    val changes = Seq((2L, 111L, 2.5, "u", 11L)).toDF("k", "last_id", "v", "op", "lsn")
+    val plan = IncrementalSnapshot.merge(chunks, changes, Seq("k"), "lsn")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"merge must never single-partition:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"merge must never nested-loop:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"merge should shuffle once on the key, found $shuffles:\n$plan")
+  }
+
   test("convergence law: consistent as-of chunk reads + stream == full materialization") {
     // synthetic changelog over 60 keys, lsn = event order; chunk reads
     // are true as-of reads at advancing watermarks
