@@ -591,20 +591,51 @@ object Similarity {
     * the decimal-summed exact integer divided once (reproducible: both
     * engines round the same exact sum to the same double); p95 is the
     * inverse empirical CDF — the smallest value whose cumulative count
-    * reaches ⌈0.95·n⌉, computed from the DISTINCT-value counts under a
-    * per-group window (group = batch: the documented batch-bounded
-    * benign window class — the same per-batch cost every sidecar write
-    * already pays; never a corpus-global partition).
+    * reaches ⌈0.95·n⌉.
+    *
+    * The cumulative count runs the [[Classifier.binaryAuc]] two-pass
+    * distributed discipline, not a per-batch window: batch 0 at a base
+    * build IS the whole corpus, so a window partitioned by batch would
+    * put corpus-many distinct values through one task. Instead the
+    * distinct-value counts range-partition on (batch, value) with the
+    * layout FROZEN (localCheckpoint), the per-(partition, batch) totals
+    * collect bounded by partitions × live batches, and the cumsum is a
+    * partition-LOCAL window plus broadcast offsets — fully parallel at
+    * any batch size, value-identical to the naive window (spec-pinned).
     */
-  private[llm] def exactGroupStats(d: DataFrame, meanName: String,
+  private[graft] def exactGroupStats(d: DataFrame, meanName: String,
                                    p95Name: String): DataFrame = {
+    val spark = d.sparkSession
     val counts = d.groupBy(col("__batch"), col("__v")).agg(count(lit(1)).as("__c"))
     val tot = d.groupBy(col("__batch"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("__v").cast("decimal(38,0)")).cast("double") / count(lit(1)), 6)
           .as(meanName))
-    val w = Window.partitionBy(col("__batch")).orderBy(col("__v"))
-    val p95 = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val parts = spark.sparkContext.defaultParallelism
+    val parted = counts.repartitionByRange(parts, col("__batch"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // freeze the layout between the two passes
+    // per-(pid, batch) totals — bounded by partitions × live batches
+    val offRows = parted.groupBy(col("__pid"), col("__batch"))
+      .agg(sum(col("__c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets: Map[String, Long] = offRows
+      .groupBy(_._2).iterator.flatMap { case (b, rows) =>
+        val pids = rows.map(_._1)
+        val cums = rows.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+        pids.zip(cums).map { case (p, c) => s"$p|$b" -> c }
+      }.toMap
+    val offset =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        element_at(
+          map(offsets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          concat_ws("|", col("__pid"), col("__batch"))),
+        lit(0L))
+    val w = Window.partitionBy(col("__pid"), col("__batch")).orderBy(col("__v"))
+    val p95 = parted
+      .withColumn("__cum", sum(col("__c")).over(w) + offset)
       .join(tot.select(col("__batch"), col("n")), Seq("__batch"))
       .where(col("__cum") >= ceil(col("n") * lit(0.95d)))
       .groupBy(col("__batch")).agg(min(col("__v")).cast("double").as(p95Name))

@@ -234,6 +234,29 @@ class IvfDriftSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import org.apache.spark.sql.functions._
 
+  test("exactGroupStats: two-pass cumsum equals the naive per-batch window (r15)") {
+    import spark.implicits._
+    // ties, duplicate values, uneven batch sizes — the p95 edge cases
+    val rows = (0L until 3000L).map { i =>
+      val b = i % 3L
+      (b, (i * 7919L) % (50L + b * 400L)) // different value spreads per batch
+    }
+    val d = rows.toDF("__batch", "__v")
+    val got = graft.llm.Similarity.exactGroupStats(d, "mean", "p95")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // the naive formulation (what the distributed form must equal)
+    val naive = rows.groupBy(_._1).toSeq.map { case (b, vs0) =>
+      val vs = vs0.map(_._2).sorted
+      val n = vs.size
+      val p95 = vs(math.ceil(n * 0.95).toInt - 1).toDouble
+      (b, n.toLong, p95)
+    }.sortBy(_._1)
+    got.zip(naive).foreach { case ((gb, gn, gm, gp), (nb, nn, np)) =>
+      assert(gb === nb && gn === nn)
+      assert(gp === np, s"batch $gb p95: got $gp want $np")
+    }
+  }
+
   test("in-distribution append stays unflagged; a shifted batch flags") {
     val e = core.Engine.table(spark, TestSpark.sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("v"))
