@@ -212,18 +212,11 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell", "__batch")
       .parquet(s"$path/vectors")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    // Build-time cell statistics (r8 verdict: nothing measured cell skew):
-    // one metadata-cheap agg over the just-written files — next to free
-    // relative to the write, and it is what lets the pair generator bound
-    // hot cells WITHOUT re-counting the corpus per dedup pass.
-    writeCellStats(spark, path, dynamicOnly = false)
-    // Batch-0 drift baseline (r9 verdict: appends reuse frozen centroids,
-    // so "when to rebuild" needs a measured number): the distance-to-
-    // assigned-centroid distribution of the base build, the reference
-    // every appended batch is compared against by [[ivfDriftStats]]. One
-    // more pass over the just-written files — amortized-once, like the
-    // stats above.
-    writeDriftStats(spark, path, dynamicOnly = false)
+    // Build-time cell statistics (r8 verdict: nothing measured cell
+    // skew) + the batch-0 drift baseline (r9 verdict: "when to rebuild"
+    // needs a measured number) — BOTH from one cached read of the
+    // just-written files (round 15).
+    writeStatsSidecars(spark, path)
   }
 
   /** Incremental IVF append — the K9/K11 streaming follow-on that makes
@@ -348,10 +341,9 @@ object Similarity {
     // replaying it under leftover tombstones is a harmless no-op.
     if (healCodes) healPqCodes(spark, path)
     if (removed.isDefined) graft.ops.Tombstones.clear(spark, path)
-    writeCellStats(spark, path, dynamicOnly = false)
-    // the drift baseline is re-anchored on the compacted corpus: batch 0
-    // is now "everything", the reference future appends compare against
-    writeDriftStats(spark, path, dynamicOnly = false)
+    // cell stats + the drift baseline re-anchored on the compacted
+    // corpus (batch 0 is now "everything") — one cached read
+    writeStatsSidecars(spark, path)
   }
 
   /** Re-derive the composed PQ code table with its OWN recorded (m, k)
@@ -428,8 +420,7 @@ object Similarity {
     // (ivfVectors), so the committed generation is retraction-applied
     if (ivfRemovedSet(spark, path).isDefined)
       graft.ops.Tombstones.clear(spark, path)
-    writeCellStats(spark, path, dynamicOnly = false)
-    writeDriftStats(spark, path, dynamicOnly = false)
+    writeStatsSidecars(spark, path)
     if (healCodes) healPqCodes(spark, path) // re-assigned cells = stale codes
   }
 
@@ -571,6 +562,34 @@ object Similarity {
       .partitionBy("__batch").parquet(s"$path/cell_stats")
   }
 
+  /** Both full-rewrite sidecars (cell stats + drift baseline) over ONE
+    * cached read of the persisted vectors (round 15): the cell agg and
+    * the drift distribution's count pass otherwise each rescan the
+    * just-written index — the build/compact/rebuild paths pay one scan
+    * instead of two (three with the exact-stats count pass).
+    */
+  private def writeStatsSidecars(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Unit = {
+    val vecs = ivfVectors(spark, path)
+      .select(col("cell"), col("__batch"), quantizeVec(col("v")).as("__qv"))
+      .persist()
+    try {
+      vecs.count() // two sidecar aggregates read the cache
+      vecs.groupBy(col("cell"), col("__batch"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite")
+        .partitionBy("__batch").parquet(s"$path/cell_stats")
+      val d = vecs
+        .join(broadcast(ivfCentroids(spark, path)
+          .select(col("cell"), col("centroid"))), Seq("cell"))
+        .select(col("__batch"),
+          squaredDistance(col("__qv"), col("centroid")).cast("long").as("__v"))
+      exactGroupStats(d, "mean_d2", "p95_d2")
+        .write.mode("overwrite")
+        .partitionBy("__batch").parquet(s"$path/drift_stats")
+    } finally vecs.unpersist(false)
+  }
+
   /** Per-`__batch` distance-to-assigned-centroid distribution: (n,
     * mean_d2, p95_d2) — EXACT since round 15 (the fixed-point geometry
     * makes every d² an integer, so the whole stat is oracle-matched
@@ -607,14 +626,16 @@ object Similarity {
                                    p95Name: String): DataFrame = {
     val spark = d.sparkSession
     val counts = d.groupBy(col("__batch"), col("__v")).agg(count(lit(1)).as("__c"))
-    val tot = d.groupBy(col("__batch"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("__v").cast("decimal(38,0)")).cast("double") / count(lit(1)), 6)
-          .as(meanName))
     val parts = spark.sparkContext.defaultParallelism
     val parted = counts.repartitionByRange(parts, col("__batch"), col("__v"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true) // freeze the layout between the two passes
+    // n and the mean derive FROM the frozen counts (Σ v·c ≡ Σ v over
+    // rows, exact in decimal) — the raw frame is scanned exactly once
+    val tot = parted.groupBy(col("__batch"))
+      .agg(sum(col("__c")).as("n"),
+        round(sum(col("__v").cast("decimal(38,0)") * col("__c")).cast("double")
+          / sum(col("__c")), 6).as(meanName))
     // per-(pid, batch) totals — bounded by partitions × live batches
     val offRows = parted.groupBy(col("__pid"), col("__batch"))
       .agg(sum(col("__c")).as("t"))
