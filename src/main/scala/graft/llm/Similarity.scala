@@ -548,20 +548,6 @@ object Similarity {
     batches
   }
 
-  /** (Re)write `cell_stats/` — (cell, n) per `__batch` — from the
-    * persisted vectors. `dynamicOnly = false` clears stale stats from a
-    * previous index generation (the base-build path).
-    */
-  private def writeCellStats(spark: org.apache.spark.sql.SparkSession,
-                             path: String, dynamicOnly: Boolean): Unit = {
-    val stats = ivfVectors(spark, path)
-      .groupBy(col("cell"), col("__batch"))
-      .agg(count(lit(1)).as("n"))
-    val w = stats.write.mode("overwrite")
-    (if (dynamicOnly) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy("__batch").parquet(s"$path/cell_stats")
-  }
-
   /** Both full-rewrite sidecars (cell stats + drift baseline) over ONE
     * cached read of the persisted vectors (round 15): the cell agg and
     * the drift distribution's count pass otherwise each rescan the
@@ -664,19 +650,6 @@ object Similarity {
       .select(col("__batch"), col("n"), col(meanName), col(p95Name))
   }
 
-  /** (Re)write `drift_stats/` from the persisted vectors — the base-build
-    * / post-compaction path (appends write their own batch's row from the
-    * already-persisted assignment instead of rescanning the index).
-    */
-  private def writeDriftStats(spark: org.apache.spark.sql.SparkSession,
-                              path: String, dynamicOnly: Boolean): Unit = {
-    val stats = driftStatsOf(ivfVectors(spark, path),
-      ivfCentroids(spark, path))
-    val w = stats.write.mode("overwrite")
-    (if (dynamicOnly) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy("__batch").parquet(s"$path/drift_stats")
-  }
-
   /** Centroid-drift report for an appended index — the measured "when to
     * rebuild" number the append lifecycle needs ([[ivfAppendBatch]] keeps
     * serving reads between rebuilds; THIS says when a rebuild is due):
@@ -697,7 +670,7 @@ object Similarity {
     require(flagRatio > 0, s"flagRatio must be > 0: $flagRatio")
     // loud refusal over an obscure read error: an index built before the
     // drift metric has no sidecar — and no measured baseline to compare
-    // against. ivfCompact backfills it (writeDriftStats over the whole
+    // against. ivfCompact backfills it (writeStatsSidecars over the whole
     // compacted corpus) without a rebuild.
     require(ivfFs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/drift_stats")),
       s"no drift_stats sidecar at $path (pre-drift index) — rebuild with " +
