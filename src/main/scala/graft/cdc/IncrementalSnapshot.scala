@@ -45,33 +45,47 @@ object IncrementalSnapshot {
     * keys strictly above `afterKey`, whole rows. This is the bounded
     * TakeOrdered the source pays per chunk — O(chunkSize) rows move,
     * never the table.
+    *
+    * NULL keys are excluded (r15 review): the chunk key is the table's
+    * primary key, which cannot be null in any real source — but Spark
+    * sorts nulls FIRST ascending, so an unguarded all-null first chunk
+    * would never advance the cursor (max(key) is null) and the paced
+    * loop would re-land it forever.
     */
   def nextChunk(table: DataFrame, keyCol: String, afterKey: Option[Long],
                 chunkSize: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    val nonNull = table.where(col(keyCol).isNotNull)
     val base = afterKey match {
-      case Some(k) => table.where(col(keyCol) > k)
-      case None    => table
+      case Some(k) => nonNull.where(col(keyCol) > k)
+      case None    => nonNull
     }
     base.orderBy(col(keyCol).asc).limit(chunkSize)
   }
 
   /** The persisted cursor: (next chunk id, last completed key) — None
-    * before the first completed chunk.
+    * before the first completed chunk. Re-read through the same
+    * TMP-then-rename protocol the writer uses (r15 review): a kill
+    * during an in-place overwrite would leave a truncated file that
+    * breaks every later resume; under the staged protocol every crash
+    * point leaves either the old cursor, the complete staged tmp, or
+    * the new cursor readable.
     */
   def cursor(spark: org.apache.spark.sql.SparkSession,
              statePath: String): Option[(Long, Long)] = {
-    val p = new Path(statePath, CursorFile)
     val fs = fsOf(spark, statePath)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-      finally in.close()
-      val parts = s.split(",")
-      Some((parts(0).toLong, parts(1).toLong))
-    }
+    def readAt(p: Path): Option[(Long, Long)] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        val parts = s.split(",")
+        Some((parts(0).toLong, parts(1).toLong))
+      }
+    readAt(new Path(statePath, CursorFile))
+      .orElse(readAt(new Path(statePath, CursorFile + ".tmp")))
   }
 
   /** Land one chunk read under `chunks/__chunk=<id>` stamped with its
@@ -90,9 +104,14 @@ object IncrementalSnapshot {
       .partitionBy("__chunk").parquet(s"$statePath/chunks")
     val lastKey = chunkRows.agg(max(col(keyCol))).head()
     if (!lastKey.isNullAt(0)) {
-      val out = fsOf(spark, statePath).create(new Path(statePath, CursorFile), true)
+      val fs = fsOf(spark, statePath)
+      val tmp = new Path(statePath, CursorFile + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"${chunkId + 1},${lastKey.get(0)}".getBytes("UTF-8"))
       finally out.close()
+      val main = new Path(statePath, CursorFile)
+      if (fs.exists(main)) fs.delete(main, false)
+      fs.rename(tmp, main)
     }
   }
 
@@ -128,10 +147,18 @@ object IncrementalSnapshot {
     landed
   }
 
-  /** Every landed chunk row with its watermark — the merge input. */
+  /** Every landed chunk row with its watermark — the merge input.
+    * Refuses loudly (instead of an obscure path error) before the first
+    * chunk has landed: "usable at every chunk boundary" starts at the
+    * first boundary.
+    */
   def landedChunks(spark: org.apache.spark.sql.SparkSession,
-                   statePath: String): DataFrame =
+                   statePath: String): DataFrame = {
+    require(fsOf(spark, statePath).exists(new Path(statePath, "chunks")),
+      s"no chunks landed at $statePath yet — run snapshotChunks (or " +
+        "landChunk) before reading the snapshot state")
     spark.read.parquet(s"$statePath/chunks").drop("__chunk")
+  }
 
   /** THE window-dedup merge: chunk reads ∪ change stream → current
     * state, with provenance. Chunk rows rank at their low watermark and

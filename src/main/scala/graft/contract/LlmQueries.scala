@@ -5470,7 +5470,7 @@ object LlmQueries {
     s""",
        |dcnt AS (SELECT b, d2, COUNT(*) AS c FROM dmin GROUP BY b, d2),
        |dtot AS MATERIALIZED (SELECT b, COUNT(*) AS n,
-       |  ROUND(CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) / COUNT(*), 6) AS mean
+       |  CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean
        |  FROM dmin GROUP BY b),
        |dp95 AS MATERIALIZED (SELECT b, CAST(MIN(d2) AS DOUBLE) AS p95 FROM (
        |  SELECT c.b, c.d2, SUM(c.c) OVER (PARTITION BY c.b ORDER BY c.d2) AS cum, t.n

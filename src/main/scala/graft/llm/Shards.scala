@@ -39,30 +39,14 @@ object Shards {
                    shardTokens: Long, epoch: Long,
                    numPartitions: Int = 0): DataFrame = {
     require(shardTokens >= 1, s"shardTokens must be >= 1: $shardTokens")
-    val spark = docs.sparkSession
     val keyed = docs.withColumn("__okey",
       md5(concat_ws(":", lit(epoch), col(idCol).cast("string"))))
-    val parts = if (numPartitions > 0) numPartitions
-                else spark.sparkContext.defaultParallelism
-    val parted = keyed.repartitionByRange(parts, col("__okey"), col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true) // freeze the layout between the two passes
-    val totals = parted.groupBy(col("__pid"))
-      .agg(sum(col(tokensCol)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val cum = totals.map(_._1).zip(
-      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
-    val offset =
-      if (cum.isEmpty) lit(0L)
-      else coalesce(
-        element_at(
-          map(cum.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
-          col("__pid")),
-        lit(0L))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("__okey"), col(idCol))
-    parted
-      .withColumn("__cum", sum(col(tokensCol)).over(w) + offset)
+    // the shared frozen two-pass cumsum (graft.ops.Prefix, r15 review)
+    graft.ops.Prefix.frozenRangeCumSum(keyed,
+        rangeCols = Seq(col("__okey"), col(idCol)), groupCols = Nil,
+        orderCols = Seq(col("__okey"), col(idCol)),
+        valueCol = col(tokensCol), cumName = "__cum",
+        numPartitions = numPartitions)
       .withColumn("shard",
         expr(s"(__cum - $tokensCol) div ${shardTokens}L"))
       .drop("__cum", "__pid")
@@ -107,7 +91,11 @@ object Shards {
       .localCheckpoint(true) // survives the publish's write
     val version = graft.ops.CorpusVersions.publish(spark, outPath,
       assigned.drop("__okey")
-        .repartition(col("shard")) // one writer task per shard — no file spray
+        // RANGE partition (r15 review): hash partitioning can land two
+        // shards in one writer's file, so a pruned mount of shard k
+        // would scan both through the residual filter — range gives
+        // shard-PURE files and tight min/max manifest stats
+        .repartitionByRange(col("shard"))
         .sortWithinPartitions(col("shard"), col("doc")),
       statsCols = Seq("shard"))
     (version, manifest)

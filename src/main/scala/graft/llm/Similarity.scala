@@ -610,39 +610,24 @@ object Similarity {
     */
   private[graft] def exactGroupStats(d: DataFrame, meanName: String,
                                    p95Name: String): DataFrame = {
-    val spark = d.sparkSession
     val counts = d.groupBy(col("__batch"), col("__v")).agg(count(lit(1)).as("__c"))
-    val parts = spark.sparkContext.defaultParallelism
-    val parted = counts.repartitionByRange(parts, col("__batch"), col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true) // freeze the layout between the two passes
+    // the shared frozen two-pass cumsum (graft.ops.Prefix, r15 review)
+    val cum = graft.ops.Prefix.frozenRangeCumSum(counts,
+      rangeCols = Seq(col("__batch"), col("__v")),
+      groupCols = Seq(col("__batch")), orderCols = Seq(col("__v")),
+      valueCol = col("__c"), cumName = "__cum")
     // n and the mean derive FROM the frozen counts (Σ v·c ≡ Σ v over
-    // rows, exact in decimal) — the raw frame is scanned exactly once
-    val tot = parted.groupBy(col("__batch"))
+    // rows, exact in decimal) — the raw frame is scanned exactly once.
+    // The mean ships UNROUNDED (r15 review): it is already a
+    // deterministic double quotient of the same exact integer sum and
+    // count on both engines, whereas a 6dp ROUND at 1e11+ magnitudes
+    // diverges between Spark's BigDecimal rounding and DuckDB's
+    // multiply-divide detour ~5% of the time per value
+    val tot = cum.groupBy(col("__batch"))
       .agg(sum(col("__c")).as("n"),
-        round(sum(col("__v").cast("decimal(38,0)") * col("__c")).cast("double")
-          / sum(col("__c")), 6).as(meanName))
-    // per-(pid, batch) totals — bounded by partitions × live batches
-    val offRows = parted.groupBy(col("__pid"), col("__batch"))
-      .agg(sum(col("__c")).as("t"))
-      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-      .sortBy(_._1)
-    val offsets: Map[String, Long] = offRows
-      .groupBy(_._2).iterator.flatMap { case (b, rows) =>
-        val pids = rows.map(_._1)
-        val cums = rows.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
-        pids.zip(cums).map { case (p, c) => s"$p|$b" -> c }
-      }.toMap
-    val offset =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(
-        element_at(
-          map(offsets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
-          concat_ws("|", col("__pid"), col("__batch"))),
-        lit(0L))
-    val w = Window.partitionBy(col("__pid"), col("__batch")).orderBy(col("__v"))
-    val p95 = parted
-      .withColumn("__cum", sum(col("__c")).over(w) + offset)
+        (sum(col("__v").cast("decimal(38,0)") * col("__c")).cast("double")
+          / sum(col("__c"))).as(meanName))
+    val p95 = cum
       .join(tot.select(col("__batch"), col("n")), Seq("__batch"))
       .where(col("__cum") >= ceil(col("n") * lit(0.95d)))
       .groupBy(col("__batch")).agg(min(col("__v")).cast("double").as(p95Name))

@@ -111,25 +111,40 @@ object Sinks {
     * parquet footer Spark happens to sample.
     */
   private def schemaPath(targetDir: String) = new Path(targetDir, "_graft_schema")
+  private def schemaTmpPath(targetDir: String) = new Path(targetDir, "_graft_schema.tmp")
 
+  /** The pin is re-read through a TMP-then-rename protocol (r15 review):
+    * a kill during an in-place overwrite would leave a truncated file
+    * that bricks every later read of the table. The writer stages the
+    * full content at `.tmp`, deletes the old pin, renames — at every
+    * crash point either the old pin, the staged tmp (complete by
+    * construction once the rename window opens), or the new pin is
+    * readable.
+    */
   private def readPinnedSchema(fs: org.apache.hadoop.fs.FileSystem,
                                targetDir: String): Option[org.apache.spark.sql.types.StructType] = {
-    val p = schemaPath(targetDir)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      Some(org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
+    def readAt(p: Path): Option[org.apache.spark.sql.types.StructType] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      }
+    // main wins; the tmp fallback covers the delete-before-rename window
+    readAt(schemaPath(targetDir)).orElse(readAt(schemaTmpPath(targetDir)))
   }
 
   private def writePinnedSchema(fs: org.apache.hadoop.fs.FileSystem,
                                 targetDir: String,
                                 st: org.apache.spark.sql.types.StructType): Unit = {
-    val out = fs.create(schemaPath(targetDir), true)
+    val tmp = schemaTmpPath(targetDir)
+    val out = fs.create(tmp, true)
     try out.write(st.json.getBytes("UTF-8")) finally out.close()
+    val main = schemaPath(targetDir)
+    if (fs.exists(main)) fs.delete(main, false)
+    fs.rename(tmp, main)
   }
 
   /** Enforce the schema contract for one upsert batch against the table:
@@ -143,9 +158,20 @@ object Sinks {
                             batchSchema: org.apache.spark.sql.types.StructType,
                             existingSchema: => org.apache.spark.sql.types.StructType)
   : (org.apache.spark.sql.types.StructType, Boolean) = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types._
+    // nullability is normalized RECURSIVELY (r15 review): a footer-
+    // inferred array/struct column carries containsNull/field-nullable
+    // flags an encoder-produced batch may not, and a strict DataType
+    // comparison would misreport the identical schema as a type change
+    def nullify(dt: DataType): DataType = dt match {
+      case ArrayType(e, _)      => ArrayType(nullify(e), containsNull = true)
+      case MapType(k, v, _)     => MapType(nullify(k), nullify(v), valueContainsNull = true)
+      case StructType(fields)   => StructType(fields.map(f =>
+        f.copy(dataType = nullify(f.dataType), nullable = true)))
+      case other                => other
+    }
     def nullable(st: StructType): StructType =
-      StructType(st.fields.map(_.copy(nullable = true)))
+      nullify(st).asInstanceOf[StructType]
     val b = nullable(batchSchema)
     readPinnedSchema(fs, targetDir)
       .orElse(if (tableExists) Some(nullable(StructType(
