@@ -70,22 +70,32 @@ object IncrementalSnapshot {
     * breaks every later resume; under the staged protocol every crash
     * point leaves either the old cursor, the complete staged tmp, or
     * the new cursor readable.
+    *
+    * The TMP read is LENIENT (r16 advice): the tmp is only
+    * complete-by-construction inside the delete-before-rename window —
+    * a crash DURING the very first cursor write (no main file yet)
+    * leaves a truncated/empty tmp, and a strict parse would then throw
+    * on every resume, permanently wedging the snapshot. A malformed tmp
+    * degrades to "no cursor" and the chunk re-lands (idempotent by the
+    * dynamic-overwrite rule). The MAIN file stays strict: it only ever
+    * appears via rename of a complete tmp, so a parse failure there is
+    * real corruption worth a loud error.
     */
   def cursor(spark: org.apache.spark.sql.SparkSession,
              statePath: String): Option[(Long, Long)] = {
     val fs = fsOf(spark, statePath)
-    def readAt(p: Path): Option[(Long, Long)] =
+    def readAt(p: Path, lenient: Boolean): Option[(Long, Long)] =
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
         val s = try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         finally in.close()
-        val parts = s.split(",")
-        Some((parts(0).toLong, parts(1).toLong))
+        def parse = { val parts = s.split(","); (parts(0).toLong, parts(1).toLong) }
+        if (lenient) scala.util.Try(parse).toOption else Some(parse)
       }
-    readAt(new Path(statePath, CursorFile))
-      .orElse(readAt(new Path(statePath, CursorFile + ".tmp")))
+    readAt(new Path(statePath, CursorFile), lenient = false)
+      .orElse(readAt(new Path(statePath, CursorFile + ".tmp"), lenient = true))
   }
 
   /** Land one chunk read under `chunks/__chunk=<id>` stamped with its

@@ -120,20 +120,31 @@ object Sinks {
     * crash point either the old pin, the staged tmp (complete by
     * construction once the rename window opens), or the new pin is
     * readable.
+    *
+    * The TMP read is LENIENT (r16 advice): a crash mid-write of the
+    * FIRST schema pin (no main yet) leaves a partial tmp, and a strict
+    * `DataType.fromJson` would then fail every later
+    * applyUpsertBatch/currentState call. A malformed tmp degrades to
+    * "no pin" — the first-write path simply re-pins from the batch (or
+    * the footer schema). The MAIN file stays strict: it only appears
+    * via rename of a complete tmp, so a parse failure there is real
+    * corruption worth a loud error.
     */
   private def readPinnedSchema(fs: org.apache.hadoop.fs.FileSystem,
                                targetDir: String): Option[org.apache.spark.sql.types.StructType] = {
-    def readAt(p: Path): Option[org.apache.spark.sql.types.StructType] =
+    def readAt(p: Path, lenient: Boolean): Option[org.apache.spark.sql.types.StructType] =
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
         val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        Some(org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        def parse = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        if (lenient) scala.util.Try(parse).toOption else Some(parse)
       }
     // main wins; the tmp fallback covers the delete-before-rename window
-    readAt(schemaPath(targetDir)).orElse(readAt(schemaTmpPath(targetDir)))
+    readAt(schemaPath(targetDir), lenient = false)
+      .orElse(readAt(schemaTmpPath(targetDir), lenient = true))
   }
 
   private def writePinnedSchema(fs: org.apache.hadoop.fs.FileSystem,

@@ -56,6 +56,38 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
     assert(afterReplay === oneShotAll, "chunk replay must be idempotent")
   }
 
+  test("a truncated first-write cursor tmp degrades to 'no cursor', not a wedged resume") {
+    // crash DURING the very first cursor write: a partial tmp exists,
+    // no main — resume must re-land chunk 0, never throw (r16 advice)
+    val st = tmp("graft-isnap-tmpcrash")
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpFile = new org.apache.hadoop.fs.Path(st, "_cursor.tmp")
+    val out = fs.create(tmpFile, true)
+    try out.write("3,".getBytes("UTF-8")) finally out.close() // truncated mid-write
+    assert(IncrementalSnapshot.cursor(spark, st) === None,
+      "malformed tmp with no main must read as absent")
+    val table = (0L until 20L).map(i => (i, s"v$i")).toDF("k", "payload")
+    val n = IncrementalSnapshot.snapshotChunks(spark, st, table, "k",
+      chunkSize = 7, loLsnOf = k => 1000L + k)
+    assert(n === 3, "snapshot must restart cleanly from chunk 0")
+    assert(IncrementalSnapshot.landedChunks(spark, st).count() === 20L)
+    // an empty tmp (crash before any byte) degrades the same way
+    val st2 = tmp("graft-isnap-tmpempty")
+    val fs2 = new org.apache.hadoop.fs.Path(st2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.create(new org.apache.hadoop.fs.Path(st2, "_cursor.tmp"), true).close()
+    assert(IncrementalSnapshot.cursor(spark, st2) === None)
+    // a COMPLETE tmp (crash inside the delete-before-rename window)
+    // still resumes exactly where it points
+    val st3 = tmp("graft-isnap-tmpok")
+    val fs3 = new org.apache.hadoop.fs.Path(st3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out3 = fs3.create(new org.apache.hadoop.fs.Path(st3, "_cursor.tmp"), true)
+    try out3.write("2,13".getBytes("UTF-8")) finally out3.close()
+    assert(IncrementalSnapshot.cursor(spark, st3) === Some((2L, 13L)))
+  }
+
   test("merge precedence: in-window change wins, same-LSN change loses, deletes drop") {
     // chunk read of keys 1..4 at lo = 10
     val chunks = Seq(

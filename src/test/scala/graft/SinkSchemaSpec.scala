@@ -46,6 +46,30 @@ class SinkSchemaSpec extends AnyFunSuite {
       .select("payload").as[String].head() === "a2")
   }
 
+  test("a partial first-pin schema tmp degrades to a fresh pin, not a bricked table") {
+    // crash DURING the first-ever schema-pin write: a partial tmp, no
+    // main — the next batch must re-pin from its own schema (r16 advice)
+    val target = freshTarget()
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpPin = new org.apache.hadoop.fs.Path(target, "_graft_schema.tmp")
+    val out = fs.create(tmpPin, true)
+    try out.write("""{"type":"struct","fields":[{"na""".getBytes("UTF-8"))
+    finally out.close() // truncated mid-JSON
+    Sinks.applyUpsertBatch(
+      Seq((1L, 10L, "u", "a")).toDF("key", "version", "op", "payload"),
+      target, Seq("key"), "version", nBuckets = 4)
+    val got = Sinks.currentState(spark, target)
+      .select(col("key"), col("payload")).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a")),
+      "a malformed staged pin must degrade to a clean first write")
+    // and the re-pin is now the real schema: a widening still absorbs
+    Sinks.applyUpsertBatch(
+      Seq((2L, 11L, "u", "b", 2.0d)).toDF("key", "version", "op", "payload", "extra"),
+      target, Seq("key"), "version", nBuckets = 4)
+    assert(Sinks.currentState(spark, target).count() === 2L)
+  }
+
   test("narrowing and type changes refuse loudly") {
     val target = freshTarget()
     Sinks.applyUpsertBatch(
