@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The distributed-prefix-sum harness (round 15, extracted per review):
   * a global (or per-group) INCLUSIVE cumulative sum with NO
@@ -14,9 +15,21 @@ import org.apache.spark.sql.functions._
   * the layout (`localCheckpoint` — a lazy re-evaluation could rebalance
   * partitions between the offset pass and the window pass), collect the
   * per-(partition, group) totals (bounded by partitions × groups),
-  * then run a partition-LOCAL window and add each partition's broadcast
-  * offset. Exact long arithmetic end to end; value-identical to the
-  * naive global window (parity-spec-pinned at both call sites).
+  * then run a partition-LOCAL window and add each partition's offset.
+  * Exact long arithmetic end to end; value-identical to the naive
+  * global window (parity-spec-pinned: PrefixSpec + both call sites).
+  *
+  * Offset delivery (r16, the r15 verdict's #5): a small offset table
+  * (global order, few partitions) inlines as a literal `map` keyed by
+  * the INT `__pid` — zero extra plan nodes, stays in whole-stage
+  * codegen. Past [[MaxInlineOffsets]] entries, or whenever `groupCols`
+  * is non-empty, the offsets ship as a BROADCAST equi-join on
+  * `(__pid, groups)` instead: the literal form's plan size grows with
+  * partitions × groups (analysis/codegen bloat at thousands of range
+  * partitions), and a string-concatenated group key cannot distinguish
+  * null from absent or a separator inside a value (r16 advice) — the
+  * join compares group columns natively with null-safe equality, so
+  * null groups and arbitrary string values are exact.
   *
   * `binaryAuc` itself keeps its inlined copy deliberately: its offsets
   * accumulate a DIFFERENT measure (negatives only) into an exclusive
@@ -24,6 +37,12 @@ import org.apache.spark.sql.functions._
   * re-risking for the dedup.
   */
 object Prefix {
+
+  /** Above this many (partition, group) offset entries the literal
+    * in-plan map gives way to a broadcast join — a few hundred literals
+    * is free, thousands bloat every analysis/codegen pass of the plan.
+    */
+  val MaxInlineOffsets = 256
 
   /** `df` + `cumName` = the inclusive running sum of `valueCol` over
     * `orderCols` within each group (empty `groupCols` = one global
@@ -42,30 +61,57 @@ object Prefix {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__pfx_v", valueCol.cast("long"))
       .localCheckpoint(true) // freeze the layout between the two passes
-    val keyed = parted.groupBy((col("__pid") +: groupCols): _*)
-      .agg(sum(col("__pfx_v")).as("t"))
-      .select(col("__pid"),
-        concat_ws("|", groupCols: _*).as("__g"), col("t"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-      .sortBy(_._1)
-    val offsets: Map[String, Long] = keyed.groupBy(_._2).iterator
-      .flatMap { case (g, rows) =>
-        val cums = rows.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
-        rows.map(_._1).zip(cums).map { case (p, c) =>
-          (if (groupCols.isEmpty) s"$p" else s"$p|$g") -> c
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val gAliased = groupCols.zip(gNames).map { case (c, n) => c.as(n) }
+    val totals = parted
+      .groupBy((col("__pid") +: gAliased): _*)
+      .agg(sum(col("__pfx_v")).as("__t"))
+      .collect()
+    // exclusive scan per group, in partition order — the offset table
+    val offsetRows: Seq[Row] = totals
+      .groupBy(r => gNames.map(r.getAs[Any]).toList).iterator
+      .flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(_.getInt(0))
+        val cums = sorted.map(_.getLong(rows.head.length - 1))
+          .scanLeft(0L)(_ + _).dropRight(1)
+        sorted.zip(cums).map { case (r, c) =>
+          Row.fromSeq(r.toSeq.dropRight(1) :+ c)
         }
-      }.toMap
-    val offset =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(
-        element_at(
-          map(offsets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
-          concat_ws("|", (col("__pid") +: groupCols): _*)),
-        lit(0L))
+      }.toSeq
     val w = Window.partitionBy((col("__pid") +: groupCols): _*)
       .orderBy(orderCols: _*)
-    parted
-      .withColumn(cumName, sum(col("__pfx_v")).over(w) + offset)
-      .drop("__pfx_v")
+    val local = parted.withColumn("__loc", sum(col("__pfx_v")).over(w))
+    val out =
+      if (groupCols.isEmpty && offsetRows.size <= MaxInlineOffsets) {
+        // small global table: one literal int-keyed map, no plan nodes
+        val offset =
+          if (offsetRows.isEmpty) lit(0L)
+          else coalesce(
+            element_at(
+              map(offsetRows.flatMap(r =>
+                Seq(lit(r.getInt(0)), lit(r.getLong(1)))): _*),
+              col("__pid")),
+            lit(0L))
+        local.withColumn(cumName, col("__loc") + offset)
+      } else {
+        // broadcast equi-join: native (null-safe) group comparison,
+        // O(1) plan size at any partition/group count
+        val totalsSchema = StructType(
+          StructField("__pid", org.apache.spark.sql.types.IntegerType, false) +:
+            gNames.zipWithIndex.map { case (n, i) =>
+              StructField(n, totals.headOption
+                .map(_.schema(i + 1).dataType)
+                .getOrElse(LongType), true)
+            } :+ StructField("__off", LongType, false))
+        val offDf = spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava,
+          totalsSchema)
+        val cond = (local("__pid") === offDf("__pid")) +:
+          groupCols.zip(gNames).map { case (c, n) => c <=> offDf(n) }
+        local.join(broadcast(offDf), cond.reduce(_ && _), "left")
+          .withColumn(cumName, col("__loc") + coalesce(col("__off"), lit(0L)))
+          .drop(offDf("__pid")).drop(gNames :+ "__off": _*)
+      }
+    out.drop("__pfx_v", "__loc")
   }
 }
