@@ -213,10 +213,10 @@ object LlmQueries {
     * multiple downstream CTEs and DuckDB's inlining would otherwise
     * re-expand the chain exponentially (the k13 fixpoint-CTE rule).
     */
-  private def bpeSteps(n: Int): String = {
+  private def bpeSteps(n: Int, src: String = "tk"): String = {
     val sb = new StringBuilder
     sb.append(
-      s""", wc AS (SELECT unnest(t) AS word FROM tk),
+      s""", wc AS (SELECT unnest(t) AS word FROM $src),
          |wt AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM wc GROUP BY word
          |      ORDER BY cnt DESC, word LIMIT $BpeMaxWordTypes),
          |sp0 AS (SELECT word, cnt, unnest(range(1, length(word)+1)) AS pos FROM wt),
@@ -1570,6 +1570,37 @@ object LlmQueries {
       graft.ops.CorpusVersions.readVersionPruned(s, path, version, "shard", lit(1L), lit(1L))
         .select(col("doc"), col("n_tokens"),
           array_join(transform(col("ids"), i => i.cast("string")), " ").as("ids"))
+        .orderBy(col("doc"))
+    }),
+
+    // K22b — the BPE-encoded shard export (round 16, the r15 verdict's
+    // #1): the same mix → shuffle → pack → pinned publish, but the id
+    // sequences are the K18b SUBWORD ids (merges trained on the mixed
+    // corpus itself) and the packing budget divides SUBWORD counts —
+    // the token the trainer's context window actually consumes. The
+    // manifest hash pins doc counts, subword-token mass and the
+    // shuffle-order boundaries per shard.
+    "k22_shard_export_bpe" -> ((s, dir) => {
+      val (_, manifest) = graft.llm.Shards.exportShardsBpe(s,
+        freshScratchDir("graft-shards-bpe"), t(s, dir, "documents"),
+        "text", "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05),
+        numMerges = BpeMerges, maxWordTypes = BpeMaxWordTypes,
+        shardTokens = 2000L, epoch = 1L)
+      manifest
+    }),
+
+    // K22b — mounting one BPE shard: the pruned read of shard 1's rows
+    // with their subword id strings — exactly what a loader streams.
+    "k22_shard_read_bpe" -> ((s, dir) => {
+      val path = freshScratchDir("graft-shards-bpe-read")
+      val (version, _) = graft.llm.Shards.exportShardsBpe(s, path,
+        t(s, dir, "documents"), "text", "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05),
+        numMerges = BpeMerges, maxWordTypes = BpeMaxWordTypes,
+        shardTokens = 2000L, epoch = 1L)
+      graft.ops.CorpusVersions.readVersionPruned(s, path, version, "shard", lit(1L), lit(1L))
+        .select(col("doc"), col("n_tokens"), col("ids"))
         .orderBy(col("doc"))
     }),
 
@@ -4000,6 +4031,53 @@ object LlmQueries {
         |SELECT pk.doc, pk.n_tokens, ids22.ids
         |FROM pk JOIN ids22 USING (doc)
         |WHERE pk.shard = 1 ORDER BY pk.doc""".stripMargin),
+
+    // K22b: the BPE shard closure — the k12 mix (shardCtes' mt), the
+    // k18_bpe merge-loop replay RETRAINED over the mixed corpus
+    // (bpeSteps src=mt), the subword encode, then the identical
+    // shuffle + starting-offset packing law over SUBWORD counts.
+    // (CTE namespace note: bpeSteps emits k1..k$BpeMerges — disjoint
+    // from shardCtes' k22 while BpeMerges < 22.)
+    "k22_shard_export_bpe" -> (tokCte + shardCtes + bpeSteps(BpeMerges, src = "mt") +
+      s""",
+         |vb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(SUM(cnt) AS BIGINT) DESC, sym) AS BIGINT) AS id, sym
+         |      FROM s$BpeMerges GROUP BY sym),
+         |tokb AS (SELECT doc, unnest(t) AS word, generate_subscripts(t, 1) AS pos FROM mt),
+         |encb AS (SELECT tokb.doc, tokb.pos AS pos, s.pos AS spos, COALESCE(vb.id, 0) AS tid
+         |        FROM tokb JOIN s$BpeMerges s ON s.word = tokb.word
+         |        LEFT JOIN vb ON vb.sym = s.sym),
+         |db AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       array_to_string(list(tid ORDER BY pos, spos), ' ') AS ids
+         |       FROM encb GROUP BY doc),
+         |shb AS (SELECT doc, n_tokens, ids, md5('1:' || CAST(doc AS VARCHAR)) AS okey FROM db),
+         |pkb AS MATERIALIZED (SELECT doc, n_tokens, ids, okey,
+         |  CAST((SUM(n_tokens) OVER (ORDER BY okey, doc
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        - n_tokens) // 2000 AS BIGINT) AS shard FROM shb)
+         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  arg_min(doc, okey) AS first_doc, arg_max(doc, okey) AS last_doc
+         |FROM pkb GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // K22b: shard 1's published BPE rows — subword ids included
+    "k22_shard_read_bpe" -> (tokCte + shardCtes + bpeSteps(BpeMerges, src = "mt") +
+      s""",
+         |vb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(SUM(cnt) AS BIGINT) DESC, sym) AS BIGINT) AS id, sym
+         |      FROM s$BpeMerges GROUP BY sym),
+         |tokb AS (SELECT doc, unnest(t) AS word, generate_subscripts(t, 1) AS pos FROM mt),
+         |encb AS (SELECT tokb.doc, tokb.pos AS pos, s.pos AS spos, COALESCE(vb.id, 0) AS tid
+         |        FROM tokb JOIN s$BpeMerges s ON s.word = tokb.word
+         |        LEFT JOIN vb ON vb.sym = s.sym),
+         |db AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       array_to_string(list(tid ORDER BY pos, spos), ' ') AS ids
+         |       FROM encb GROUP BY doc),
+         |shb AS (SELECT doc, n_tokens, ids, md5('1:' || CAST(doc AS VARCHAR)) AS okey FROM db),
+         |pkb AS MATERIALIZED (SELECT doc, n_tokens, ids, okey,
+         |  CAST((SUM(n_tokens) OVER (ORDER BY okey, doc
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        - n_tokens) // 2000 AS BIGINT) AS shard FROM shb)
+         |SELECT doc, n_tokens, ids FROM pkb
+         |WHERE shard = 1 ORDER BY doc""".stripMargin),
 
     "k12_target_mix" ->
       """WITH tg(lang, t) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),

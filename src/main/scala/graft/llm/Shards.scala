@@ -66,17 +66,86 @@ object Shards {
         max(struct(col("__okey"), col(idCol))).getField(idCol).as("last_doc"))
       .orderBy(col("shard"))
 
-  /** The COMPOSED export: target-mix the corpus (k12), encode through a
-    * frequency vocabulary (k18), epoch-shuffle + pack into
-    * fixed-token-count shards, and PUBLISH the shard set with its
-    * manifest as one pinned corpus version (x4) — data and manifest
-    * commit under one marker, so a training run pinning the returned
-    * version reads exactly this shard set forever. Returns (version,
-    * manifest).
+  /** Pack an already-ENCODED corpus — rows of (doc, n_tokens, ids) from
+    * ANY tokenizer — into epoch-shuffled fixed-token-count shards and
+    * PUBLISH the shard set with its manifest as one pinned corpus
+    * version (x4): data and manifest commit under one marker, so a
+    * training run pinning the returned version reads exactly this shard
+    * set forever. Returns (version, manifest).
     *
-    * The published rows carry (doc, shard, n_tokens, ids) — the id
-    * sequences a loader streams — partitioned by `shard`, so mounting
-    * shard k is a partition-pruned read.
+    * The encoder is a PARAMETER of the composed exports below (r16, the
+    * r15 verdict's #1): the terminal artifact must carry whatever id
+    * space the trainer mounts — the word-frequency vocabulary
+    * ([[exportShards]]) or the K18 BPE subwords ([[exportShardsBpe]])
+    * — and the packing/publish law is identical for both.
+    *
+    * The published rows carry (doc, shard, n_tokens, ids) with
+    * GUARANTEED shard-pure files (r16, the r15 verdict's #6): the old
+    * implicit `repartitionByRange` used the session shuffle-partition
+    * count — several shards routinely landed in one file — and even an
+    * explicit count only makes purity typical, not guaranteed (range
+    * bounds come from row sampling; a doc-count-skewed shard can pull a
+    * neighbor into its partition). Instead each shard is ROUTED to its
+    * own partition bijectively ([[shardRoutes]]), so every output file
+    * holds exactly one shard and a pruned mount of shard k reads only
+    * files whose manifest stats are min==max==k.
+    */
+  def exportEncoded(spark: SparkSession, outPath: String, encoded: DataFrame,
+                    shardTokens: Long, epoch: Long): (Long, DataFrame) = {
+    import spark.implicits._
+    val assigned = assignShards(encoded, "doc", "n_tokens", shardTokens, epoch)
+      .select(col("doc"), col("__okey"), col("shard"), col("n_tokens"), col("ids"))
+    val manifest = shardManifest(assigned, "doc", "n_tokens")
+      .localCheckpoint(true) // survives the publish's write
+    // shard ids can be SPARSE (a doc longer than shardTokens leaves a
+    // hole), so route the actual ids from the manifest, rank-indexed
+    val shardIds = manifest.select(col("shard")).as[Long].collect()
+    val routeOf = shardRoutes(spark, shardIds.length)
+    val routes = shardIds.zipWithIndex.toSeq
+      .map { case (s, i) => (s, routeOf(i)) }.toDF("shard", "__route")
+    val version = graft.ops.CorpusVersions.publish(spark, outPath,
+      assigned.drop("__okey")
+        .join(broadcast(routes), Seq("shard"))
+        .repartition(shardIds.length, col("__route"))
+        .sortWithinPartitions(col("shard"), col("doc"))
+        .drop("__route"),
+      statsCols = Seq("shard"))
+    (version, manifest)
+  }
+
+  /** A BIJECTIVE partition routing: for every partition index
+    * p < numShards, a Long salt whose hash partitioning lands exactly
+    * on p — `pmod(hash(salt_p), numShards) == p`, the identical
+    * Murmur3(seed 42) + pmod expression `repartition(n, col)` plans.
+    * Repartitioning on the salt column therefore puts each shard in
+    * EXACTLY its own output partition — purity by construction, no
+    * range-sampling luck. Cost: a coupon-collector scan over
+    * `spark.range` (expected O(n·ln n) candidate hashes) and an
+    * n-entry driver map — both bounded by the SHARD count, never the
+    * corpus.
+    */
+  private[graft] def shardRoutes(spark: SparkSession, numShards: Int): Map[Long, Long] = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    var routes = Map.empty[Long, Long]
+    var base = 0L
+    val batch = math.max(1024L, numShards.toLong * 20L)
+    while (routes.size < numShards) {
+      val found = spark.range(base, base + batch)
+        .select(pmod(hash(col("id")), lit(numShards)).cast("long").as("p"),
+          col("id"))
+        .groupBy(col("p")).agg(min(col("id")).as("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      found.foreach { case (p, id) =>
+        if (!routes.contains(p)) routes += p -> id
+      }
+      base += batch
+    }
+    routes
+  }
+
+  /** The COMPOSED word-vocabulary export: target-mix the corpus (k12),
+    * encode through a frequency vocabulary (k18), pack + publish
+    * ([[exportEncoded]]).
     */
   def exportShards(spark: SparkSession, outPath: String, docs: DataFrame,
                    textCol: String, idCol: String, stratumCol: String,
@@ -85,19 +154,29 @@ object Shards {
     val mixed = Mixing.targetMix(docs, stratumCol, idCol, targets)
     val vocab = TextAnalysis.buildVocab(mixed, textCol, maxVocab)
     val encoded = TextAnalysis.encodeTokens(mixed, vocab, textCol, idCol)
-    val assigned = assignShards(encoded, "doc", "n_tokens", shardTokens, epoch)
-      .select(col("doc"), col("__okey"), col("shard"), col("n_tokens"), col("ids"))
-    val manifest = shardManifest(assigned, "doc", "n_tokens")
-      .localCheckpoint(true) // survives the publish's write
-    val version = graft.ops.CorpusVersions.publish(spark, outPath,
-      assigned.drop("__okey")
-        // RANGE partition (r15 review): hash partitioning can land two
-        // shards in one writer's file, so a pruned mount of shard k
-        // would scan both through the residual filter — range gives
-        // shard-PURE files and tight min/max manifest stats
-        .repartitionByRange(col("shard"))
-        .sortWithinPartitions(col("shard"), col("doc")),
-      statsCols = Seq("shard"))
-    (version, manifest)
+    exportEncoded(spark, outPath, encoded, shardTokens, epoch)
+  }
+
+  /** The BPE export — the shard set a trainer actually mounts (r16, the
+    * r15 verdict's #1): target-mix the corpus, TRAIN the K18b subword
+    * merges on the mixed corpus itself (or encode through a caller-
+    * trained model via `model`), encode every document to its subword
+    * id sequence, pack + publish. `n_tokens` in the manifest and the
+    * shard rows is the SUBWORD count — the token budget the packing law
+    * divides is the one the trainer's context window consumes. `ids`
+    * is the flat space-joined id string [[Bpe.encode]] publishes.
+    */
+  def exportShardsBpe(spark: SparkSession, outPath: String, docs: DataFrame,
+                      textCol: String, idCol: String, stratumCol: String,
+                      targets: Map[String, Double], numMerges: Int,
+                      maxWordTypes: Int, shardTokens: Long, epoch: Long,
+                      model: Option[Bpe.Model] = None): (Long, DataFrame) = {
+    val mixed = Mixing.targetMix(docs, stratumCol, idCol, targets)
+    val m = model.getOrElse(
+      Bpe.train(mixed, textCol, numMerges, maxWordTypes))
+    val encoded = (if (model.isEmpty) Bpe.encode(mixed, m, textCol, idCol)
+                   else Bpe.encodeAny(mixed, m, textCol, idCol))
+      .withColumnRenamed("n_subwords", "n_tokens")
+    exportEncoded(spark, outPath, encoded, shardTokens, epoch)
   }
 }
