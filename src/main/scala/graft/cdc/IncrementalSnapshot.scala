@@ -125,6 +125,139 @@ object IncrementalSnapshot {
     }
   }
 
+  // ---------------- composite-key chunking (r16, the r15 verdict's #2) ---------
+
+  /** Lexicographic `(k1, k2, …) > (v1, v2, …)`: the resume predicate a
+    * composite-PK chunk SELECT pushes down. `after` values arrive as
+    * their serialized string forms and are cast back to each key
+    * column's own type, so the comparison runs natively (and
+    * sargable — a conjunction/disjunction of column comparisons, never
+    * a struct construction the scan can't prune on).
+    */
+  private def ckAfter(table: DataFrame, keyCols: Seq[String],
+                      after: Seq[String]): Column = {
+    val cmp = keyCols.zip(after).map { case (k, v) =>
+      (col(k), lit(v).cast(table.schema(k).dataType))
+    }
+    cmp.foldRight(lit(false)) { case ((k, v), rest) =>
+      (k > v) || (k === v && rest)
+    }
+  }
+
+  /** [[nextChunk]] generalized to an ORDERED COMPOSITE key — real CDC
+    * tables chunk over arbitrary primary keys ((order, line), string
+    * UUIDs, …), not just a single Long (Debezium's incremental
+    * snapshots chunk over whatever the PK is). `afterKey` carries the
+    * last completed key's serialized values; supported key types are
+    * the ones whose string form round-trips through a cast — integral,
+    * string, date (exactly the types real PKs use). NULL keys are
+    * excluded for the same never-advances reason as [[nextChunk]];
+    * a composite PK cannot be null-componented in any real source.
+    */
+  def nextChunkCk(table: DataFrame, keyCols: Seq[String],
+                  afterKey: Option[Seq[String]], chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(keyCols.nonEmpty, "composite chunking needs at least one key column")
+    val nonNull = table.where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val base = afterKey match {
+      case Some(vs) =>
+        require(vs.length == keyCols.length,
+          s"cursor carries ${vs.length} key values for ${keyCols.length} key columns")
+        nonNull.where(ckAfter(table, keyCols, vs))
+      case None => nonNull
+    }
+    base.orderBy(keyCols.map(col(_).asc): _*).limit(chunkSize)
+  }
+
+  private def jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The composite cursor: (next chunk id, last completed key values,
+    * serialized) — persisted as one JSON object
+    * `{"next":N,"key":["v1","v2",…]}` under the same TMP-then-rename +
+    * lenient-tmp protocol as [[cursor]]. A state directory is either
+    * Long-keyed or composite-keyed for its whole life — the two
+    * formats never mix.
+    */
+  def cursorCk(spark: org.apache.spark.sql.SparkSession,
+               statePath: String): Option[(Long, Seq[String])] = {
+    val fs = fsOf(spark, statePath)
+    def readAt(p: Path, lenient: Boolean): Option[(Long, Seq[String])] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        def parse = {
+          val n = jsonMapper.readTree(s)
+          val ks = Seq.newBuilder[String]
+          n.get("key").elements().forEachRemaining(v => ks += v.asText())
+          (n.get("next").asLong(), ks.result())
+        }
+        if (lenient) scala.util.Try(parse).toOption else Some(parse)
+      }
+    readAt(new Path(statePath, CursorFile), lenient = false)
+      .orElse(readAt(new Path(statePath, CursorFile + ".tmp"), lenient = true))
+  }
+
+  /** [[landChunk]] for composite keys: rows land BEFORE the cursor
+    * moves (the same crash contract), the cursor records the chunk's
+    * lexicographic max key.
+    */
+  def landChunkCk(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                  chunkRows: DataFrame, keyCols: Seq[String], chunkId: Long,
+                  loLsn: Long): Unit = {
+    chunkRows
+      .withColumn("__lo_lsn", lit(loLsn))
+      .withColumn("__chunk", lit(chunkId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__chunk").parquet(s"$statePath/chunks")
+    val lastKey = chunkRows
+      .agg(max(struct(keyCols.map(col): _*)).as("k")).head()
+    if (!lastKey.isNullAt(0)) {
+      val vals = lastKey.getStruct(0)
+      val node = jsonMapper.createObjectNode()
+      node.put("next", chunkId + 1)
+      val arr = node.putArray("key")
+      keyCols.indices.foreach(i => arr.add(String.valueOf(vals.get(i))))
+      val fs = fsOf(spark, statePath)
+      val tmp = new Path(statePath, CursorFile + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(jsonMapper.writeValueAsString(node).getBytes("UTF-8"))
+      finally out.close()
+      val main = new Path(statePath, CursorFile)
+      if (fs.exists(main)) fs.delete(main, false)
+      fs.rename(tmp, main)
+    }
+  }
+
+  /** [[snapshotChunks]] for composite keys — the same paced, resumable,
+    * re-land-idempotent loop over [[nextChunkCk]]/[[landChunkCk]].
+    */
+  def snapshotChunksCk(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                       table: DataFrame, keyCols: Seq[String], chunkSize: Int,
+                       loLsnOf: Long => Long,
+                       maxChunks: Int = Int.MaxValue): Int = {
+    var landed = 0
+    var cur = cursorCk(spark, statePath)
+    var done = false
+    while (!done && landed < maxChunks) {
+      val (chunkId, afterKey) = cur match {
+        case Some((next, lastKey)) => (next, Some(lastKey))
+        case None                  => (0L, None)
+      }
+      val chunk = nextChunkCk(table, keyCols, afterKey, chunkSize)
+        .localCheckpoint(true) // two consumers (write + max-key), chunk-sized
+      if (chunk.isEmpty) done = true
+      else {
+        landChunkCk(spark, statePath, chunk, keyCols, chunkId, loLsnOf(chunkId))
+        landed += 1
+        cur = cursorCk(spark, statePath)
+      }
+    }
+    landed
+  }
+
   /** Drive the chunked re-snapshot of `table` from wherever the cursor
     * left off: repeatedly take the next key-ordered chunk, stamp it with
     * `loLsnOf(chunkId)` (the caller's view of the current log position —

@@ -215,6 +215,44 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // B15b — the COMPOSITE-KEY incremental snapshot (round 16, the r15
+    // verdict's #2): real CDC tables chunk over arbitrary primary keys,
+    // not a single Long — here lineitem's (l_orderkey, l_linenumber).
+    // Unlike the Long form, this query drives the REAL production loop:
+    // snapshotChunksCk lands every chunk through the resumable
+    // lexicographic cursor (6 bounded TakeOrdered reads), then the
+    // state() merge folds in an overlapping synthetic change stream.
+    // The oracle re-derives chunk assignment by key RANK — equal to the
+    // cursor loop over a static table because each chunk takes exactly
+    // the next chunkSize keys in lexicographic order.
+    "b15_incremental_snapshot_ck" -> ((s, dir) => {
+      import graft.cdc.IncrementalSnapshot
+      // the synthetic lineitem is NOT unique on (okey, line) — build a
+      // proper PK table first (max qty per key, both sides identically)
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).cast("double").as("qty"))
+        .localCheckpoint(true) // the chunk loop re-reads it per chunk
+      val mm = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val mid = (mm + 1L) / 2L
+      val base = li.where(col("l_orderkey") < mid)
+      val csz = math.max(1L, (base.count() + 5L) / 6L).toInt
+      val st = java.nio.file.Files
+        .createTempDirectory("graft-isnap-ck").toString
+      val landed = IncrementalSnapshot.snapshotChunksCk(s, st, base,
+        Seq("l_orderkey", "l_linenumber"), csz, cid => 1990L + 5L * cid)
+      require(landed >= 1, "the ck snapshot loop must land chunks")
+      val changes = li.where(pmod(col("l_orderkey"), lit(3L)) === 0L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("qty") + 100.0d).as("qty"),
+          when(pmod(col("l_orderkey") + col("l_linenumber"), lit(7L)) === 0L,
+            "d").otherwise("u").as("op"),
+          (lit(1985L) + pmod(col("l_orderkey"), lit(60L))).as("lsn"))
+      IncrementalSnapshot.state(s, st, changes,
+          Seq("l_orderkey", "l_linenumber"), "lsn")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -493,6 +531,39 @@ object CdcQueries {
         |        ORDER BY lsn DESC, side DESC) AS rn FROM u)
         |WHERE rn = 1 AND op <> 'd'
         |ORDER BY user_id""".stripMargin),
+
+    // the composite-key DBLog construction: chunk assignment by
+    // lexicographic key rank, fixed per-chunk watermarks, the same
+    // (lsn, side) precedence merge over (l_orderkey, l_linenumber)
+    "b15_incremental_snapshot_ck" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |            CAST(max(l_quantity) AS DOUBLE) AS qty
+        |            FROM lineitem GROUP BY 1, 2),
+        |mm AS (SELECT (max(l_orderkey) + 1) // 2 AS mid FROM li),
+        |base AS (SELECT * FROM li WHERE l_orderkey < (SELECT mid FROM mm)),
+        |prm AS (SELECT greatest(1, (COUNT(*) + 5) // 6) AS csz FROM base),
+        |asg AS (SELECT *,
+        |  ((row_number() OVER (ORDER BY l_orderkey, l_linenumber)) - 1)
+        |    // (SELECT csz FROM prm) AS chunk FROM base),
+        |cr AS (SELECT l_orderkey, l_linenumber, qty,
+        |       1990 + 5 * chunk AS lo_lsn FROM asg),
+        |ch AS (SELECT l_orderkey, l_linenumber, qty + 100.0 AS qty,
+        |       CASE WHEN (l_orderkey + l_linenumber) % 7 = 0
+        |            THEN 'd' ELSE 'u' END AS op,
+        |       1985 + (l_orderkey % 60) AS lsn
+        |       FROM li WHERE l_orderkey % 3 = 0),
+        |u AS (
+        |  SELECT l_orderkey, l_linenumber, qty, lo_lsn AS lsn,
+        |         1 AS side, 'r' AS op FROM cr
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, qty, lsn, 0, op FROM ch)
+        |SELECT l_orderkey, l_linenumber, qty, CAST(lsn AS BIGINT) AS last_lsn,
+        |  CASE WHEN side = 1 THEN 'chunk' ELSE 'stream' END AS src
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY l_orderkey, l_linenumber
+        |        ORDER BY lsn DESC, side DESC) AS rn FROM u)
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "b11_snapshot_diff" ->
       """WITH oldS AS (SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -56,6 +56,54 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
     assert(afterReplay === oneShotAll, "chunk replay must be idempotent")
   }
 
+  test("composite-key loop: lexicographic chunks, kill-and-resume, string keys round-trip") {
+    // composite (string, long) keys; the string group 'a|b' carries the
+    // separator that broke concat-style encodings — the JSON cursor and
+    // native comparisons must be exact
+    val table = (for { g <- Seq("a", "a|b", "b"); i <- 0L until 30L }
+      yield (g, i, s"$g-$i")).toDF("g", "i", "payload")
+    val oneShot = tmp("graft-isnapck-one")
+    val n1 = IncrementalSnapshot.snapshotChunksCk(spark, oneShot, table,
+      Seq("g", "i"), chunkSize = 7, loLsnOf = k => 100L + k)
+    assert(n1 === 13) // ceil(90/7)
+    val all = IncrementalSnapshot.landedChunks(spark, oneShot)
+    assert(all.count() === 90L)
+    // chunk 0 is the 7 lexicographically smallest keys: ('a', 0..6)
+    val c0 = all.where(col("__lo_lsn") === 100L)
+      .select("g", "i").as[(String, Long)].collect().toSet
+    assert(c0 === (0L until 7L).map(("a", _)).toSet)
+    // exhausted: nothing more to land
+    assert(IncrementalSnapshot.snapshotChunksCk(spark, oneShot, table,
+      Seq("g", "i"), chunkSize = 7, loLsnOf = k => 100L + k) === 0)
+
+    // kill after 5 chunks: the cursor holds the serialized composite
+    // key (35th key = ('a|b', 4)); resume converges to the same set
+    val resumed = tmp("graft-isnapck-res")
+    assert(IncrementalSnapshot.snapshotChunksCk(spark, resumed, table,
+      Seq("g", "i"), chunkSize = 7, loLsnOf = k => 100L + k, maxChunks = 5) === 5)
+    assert(IncrementalSnapshot.cursorCk(spark, resumed) === Some((5L, Seq("a|b", "4"))))
+    assert(IncrementalSnapshot.snapshotChunksCk(spark, resumed, table,
+      Seq("g", "i"), chunkSize = 7, loLsnOf = k => 100L + k) === 8)
+    def rows(p: String) = IncrementalSnapshot.landedChunks(spark, p)
+      .select("g", "i", "payload", "__lo_lsn")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(rows(resumed) === rows(oneShot))
+
+    // the crash window: re-landing the cursor's chunk rewrites itself
+    val chunk5 = IncrementalSnapshot.nextChunkCk(table, Seq("g", "i"),
+      Some(Seq("a|b", "4")), 7)
+    IncrementalSnapshot.landChunkCk(spark, resumed, chunk5, Seq("g", "i"), 5L, 105L)
+    assert(rows(resumed) === rows(oneShot), "ck chunk replay must be idempotent")
+
+    // a truncated first-write JSON tmp degrades to 'no cursor'
+    val st = tmp("graft-isnapck-tmpcrash")
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(st, "_cursor.tmp"), true)
+    try out.write("""{"next":3,"key":["a""".getBytes("UTF-8")) finally out.close()
+    assert(IncrementalSnapshot.cursorCk(spark, st) === None)
+  }
+
   test("a truncated first-write cursor tmp degrades to 'no cursor', not a wedged resume") {
     // crash DURING the very first cursor write: a partial tmp exists,
     // no main — resume must re-land chunk 0, never throw (r16 advice)
