@@ -253,6 +253,78 @@ object CdcQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // B15c — the LIVE-interleaved incremental snapshot (▶ round 16, the
+    // r15 verdict's #3, the actual DBLog promise): a MemoryStream
+    // changelog drains through the REAL streaming engine in six
+    // micro-batches, and between every pair of batches ONE cursor-paced
+    // chunk of the live table (as of the batches applied so far) lands
+    // through snapshotChunks(maxChunks=1), watermarked at the stream
+    // head it read under; remaining chunks drain after the stream ends.
+    // The hash pins the CONVERGENCE law — the merged state equals the
+    // plain changelog materialization exactly, whatever the pacing —
+    // while per-chunk watermark/provenance precedence is pinned by the
+    // b15/b15_ck hashes and the interleave spec (chunk pacing chooses
+    // WHICH chunk carries a key, so src/last_lsn are excluded here by
+    // design).
+    "b15_incremental_snapshot_live" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.cdc.{IncrementalSnapshot, Materialize}
+      val evs = withOp(t(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), col("value"), col("op"))
+      val mm = evs.agg(max(col("event_id"))).head().getLong(0)
+      val mid = (mm + 1L) / 2L
+      val stp = math.max(1L, (mm - mid + 2L) / 6L)
+      def bound(k: Int): Long = if (k >= 5) mm else mid - 1L + (k + 1L) * stp
+      def live(b: Long) =
+        Materialize.latestByKey(evs.where(col("event_id") <= b),
+            Seq("user_id"), Seq(col("event_id")))
+          .where(col("op") =!= "d")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("value"))
+      val csz = math.max(1L,
+        (evs.select(col("user_id")).distinct().count() + 5L) / 6L).toInt
+      val st = java.nio.file.Files
+        .createTempDirectory("graft-isnap-live").toString
+      val chDir = java.nio.file.Files
+        .createTempDirectory("graft-isnap-live-ch").toString + "/changes"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-isnap-live-ckpt").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double, String)]
+      val sinkFn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("append").parquet(chDir)
+      def drain(): Unit = {
+        val q = src.toDS().toDF("event_id", "user_id", "value", "op")
+          .writeStream
+          .foreachBatch(sinkFn)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val changes = evs.where(col("event_id") >= mid)
+        .as[(Long, Long, Double, String)].collect().sortBy(_._1)
+      var delivered = 0
+      for (k <- 0 until 6) {
+        val upto = bound(k)
+        val batch = changes.drop(delivered).takeWhile(_._1 <= upto)
+        if (batch.nonEmpty) { src.addData(batch.toSeq); drain() }
+        delivered += batch.length
+        IncrementalSnapshot.snapshotChunks(s, st, live(upto), "user_id",
+          csz, _ => upto, maxChunks = 1)
+      }
+      // the snapshot outlives the stream: drain the rest at the head
+      IncrementalSnapshot.snapshotChunks(s, st, live(mm), "user_id",
+        csz, _ => mm)
+      val chRead = s.read.parquet(chDir)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value"), col("op"), col("event_id").as("lsn"))
+      IncrementalSnapshot.state(s, st, chRead, Seq("user_id"), "lsn")
+        .select(col("user_id"), col("last_event_id"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -529,6 +601,16 @@ object CdcQueries {
         |  CASE WHEN side = 1 THEN 'chunk' ELSE 'stream' END AS src
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY lsn DESC, side DESC) AS rn FROM u)
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin),
+
+    // the live-interleaved snapshot's CONVERGENCE closure: whatever the
+    // chunk pacing, the merged state is the changelog materialization
+    "b15_incremental_snapshot_live" -> (mts +
+      """
+        |SELECT user_id, event_id AS last_event_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM e)
         |WHERE rn = 1 AND op <> 'd'
         |ORDER BY user_id""".stripMargin),
 

@@ -173,6 +173,71 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"merge should shuffle once on the key, found $shuffles:\n$plan")
   }
 
+  test("live interleave: chunks landed between REAL micro-batches converge; pacing decides provenance") {
+    implicit val sqlCtx = spark.sqlContext
+    // changelog: keys 0..39 created at lsn=key, then updates/deletes in
+    // the streamed tail — key 5 updated AFTER its chunk lands (stream
+    // must win), key 15 updated BEFORE its chunk lands (the chunk read
+    // carries it and wins), key 9 deleted mid-snapshot (dropped)
+    val creates = (0L until 40L).map(k => (k, k, k.toDouble, "c"))
+    val tail = Seq(
+      (43L, 15L, 150.0, "u"), // lands in batch 0 (bound 44), chunked later
+      (45L, 5L, 50.0, "u"),   // lands in batch 1, AFTER key 5's chunk (lo 44)
+      (47L, 9L, 0.0, "d"),    // delete mid-snapshot
+      (49L, 41L, 41.0, "c")   // created while snapshotting
+    )
+    val evs = (creates ++ tail).toDF("lsn", "k", "v", "op")
+    def live(b: Long) = graft.cdc.Materialize.latestByKey(
+        evs.where(col("lsn") <= b), Seq("k"), Seq(col("lsn")))
+      .where(col("op") =!= "d").select(col("k"), col("v"))
+    val st = tmp("graft-isnap-live-spec")
+    val chDir = tmp("graft-isnap-live-spec-ch") + "/changes"
+    val ckpt = tmp("graft-isnap-live-spec-ckpt")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double, String)]
+    val sinkFn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => b.write.mode("append").parquet(chDir)
+    def drain(): Unit = {
+      val q = src.toDS().toDF("lsn", "k", "v", "op").writeStream
+        .foreachBatch(sinkFn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // turn 0: batch {43} drains, chunk 0 (keys 0..9) lands at lo=44
+    src.addData(tail.filter(_._1 <= 44L)); drain()
+    assert(graft.cdc.IncrementalSnapshot.snapshotChunks(spark, st, live(44L),
+      "k", chunkSize = 10, loLsnOf = _ => 44L, maxChunks = 1) === 1)
+    // turn 1: batch {45, 47} drains, chunk 1 (keys 10..19) lands at lo=48
+    src.addData(tail.filter(t => t._1 > 44L && t._1 <= 48L)); drain()
+    assert(graft.cdc.IncrementalSnapshot.snapshotChunks(spark, st, live(48L),
+      "k", chunkSize = 10, loLsnOf = _ => 48L, maxChunks = 1) === 1)
+    // turn 2: batch {49} drains, then the snapshot drains to exhaustion
+    src.addData(tail.filter(_._1 > 48L)); drain()
+    graft.cdc.IncrementalSnapshot.snapshotChunks(spark, st, live(49L),
+      "k", chunkSize = 10, loLsnOf = _ => 49L)
+    val chRead = spark.read.parquet(chDir)
+      .select(col("k"), col("v"), col("op"), col("lsn"))
+    val got = graft.cdc.IncrementalSnapshot.state(spark, st, chRead,
+      Seq("k"), "lsn")
+    val byKey = got.select(col("k"), col("v"), col("src"))
+      .as[(Long, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // convergence: exactly the changelog materialization
+    val want = graft.cdc.Materialize.changelog(
+        evs.select(col("k"), col("lsn"), col("v"), col("op")),
+        Seq("k"), Seq(col("lsn")), opCol = col("op"))
+      .select(col("k"), col("v")).as[(Long, Double)].collect().toMap
+    assert(byKey.view.mapValues(_._1).toMap === want,
+      "live-interleaved snapshot must converge to the changelog state")
+    // pacing-determined provenance: the in-window-arrival law per key
+    assert(byKey(5L) === ((50.0, "stream")),
+      "an update arriving after the key's chunk landed must win")
+    assert(byKey(15L) === ((150.0, "chunk")),
+      "an update the chunk read already saw rides the chunk row")
+    assert(!byKey.contains(9L), "a mid-snapshot delete must drop the key")
+    assert(byKey(41L)._1 === 41.0, "a mid-snapshot create must appear")
+  }
+
   test("convergence law: consistent as-of chunk reads + stream == full materialization") {
     // synthetic changelog over 60 keys, lsn = event order; chunk reads
     // are true as-of reads at advancing watermarks
