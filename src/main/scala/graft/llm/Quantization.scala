@@ -108,6 +108,10 @@ object Quantization {
     val dim = sample.head.length
     require(dim % m == 0,
       s"vector dim $dim is not divisible into m=$m equal subspaces")
+    // the exact-arithmetic contract guard (r16 advice) — free over the
+    // already-collected training sample
+    Similarity.requireGeomBound(
+      sample.iterator.flatMap(_.iterator).map(math.abs).max, dim)
     val subDim = dim / m
     // integer Lloyd per subspace (r15): long squared distances, FIRST-min
     // argmin, floor-divided means — the Clustering.kmeans law, so the
@@ -548,7 +552,8 @@ object Quantization {
   def pqLoadModel(spark: org.apache.spark.sql.SparkSession,
                   path: String): (PqModel, Seq[Long]) = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$path/pq_model")
+    val rows = Similarity.requireLongVec(
+        spark.read.parquet(s"$path/pq_model"), "c", s"PQ model at $path")
       .select(col("m"), col("k"), col("sub_dim"), col("mi"), col("ki"), col("c"),
         col("batches"))
       .as[(Int, Int, Int, Int, Int, Seq[Long], Seq[Long])].collect()

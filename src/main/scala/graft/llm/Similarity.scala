@@ -48,6 +48,49 @@ object Similarity {
   private[graft] def quantizeVec(c: Column): Column =
     transform(c, x => floor(x.cast("double") * GeomScale + lit(0.5d)).cast("long"))
 
+  /** The exact-arithmetic CONTRACT GUARD (r16 advice): the oracle-
+    * exactness of the fixed-point geometry rests on every squared
+    * distance — dim terms of (Δq)² with |Δq| ≤ 2·max|q| — staying a
+    * 2⁵³-representable integer through the double accumulators
+    * (squaredDistance, the ADC tables, the probe ranking). Embeddings
+    * whose components exceed the bound would not fail; they would
+    * SILENTLY lose bit-exactness and let cell assignment diverge from
+    * the oracle nondeterministically. So every build/append path
+    * asserts max|q| once and refuses loudly instead.
+    */
+  private[graft] def requireGeomBound(maxAbsQ: Long, dim: Int): Unit = {
+    val limit = math.floor(math.sqrt(9007199254740992.0 / dim) / 2.0).toLong // 2^53
+    require(maxAbsQ <= limit,
+      s"quantized embedding magnitude $maxAbsQ exceeds the exact-arithmetic " +
+        s"limit $limit at dim=$dim: a squared distance could pass 2^53 and the " +
+        "fixed-point geometry's oracle exactness would silently void. Components " +
+        f"must stay within |x| <= ${limit.toDouble / GeomScale}%.2f at " +
+        s"GeomScale=$GeomScale — normalize or rescale the embeddings before indexing")
+  }
+
+  /** The max|q| aggregate the guard consumes — one column riding an
+    * existing aggregation wherever possible (zero extra corpus scans).
+    */
+  private[graft] def maxAbsQ(qv: Column): Column =
+    max(aggregate(qv, lit(0L), (a, x) => greatest(a, abs(x))))
+
+  /** Loud refusal for indexes/models persisted by the pre-r15 DOUBLE
+    * geometry (r16 advice): the fixed-point switch changed the on-disk
+    * centroid/codebook type from array<double> to array<bigint>, and the
+    * Seq[Long] decoders would otherwise fail with an opaque encoder
+    * AnalysisException instead of a versioned message.
+    */
+  private[graft] def requireLongVec(df: DataFrame, c: String, what: String): DataFrame = {
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => df
+      case other => throw new IllegalArgumentException(
+        s"$what column '$c' reads as ${other.simpleString} — this was persisted " +
+          "by the pre-fixed-point (double-geometry) format; rebuild it with " +
+          "ivfWriteIndex / pqTrain before querying")
+    }
+  }
+
   /** Cells larger than this run [[ivfSemanticNearDupPairs]]'s triangle-
     * block decomposition instead of the plain within-cell self-join.
     * 65536 rows per side keeps a block's join state comfortably in one
@@ -127,19 +170,32 @@ object Similarity {
     // the nCells averaged centroids come back to the driver. Centroid
     // means are Math.floorDiv — exact integer arithmetic, empty cells
     // dropped (mirrored exactly by the oracle).
+    var boundChecked = false
     for (_ <- 0 until lloydRounds) {
       val cdf = centroids.toDF("cell", "centroid")
+      // the max|q| guard column rides the FIRST round's existing hash
+      // agg — the exact-arithmetic contract check costs zero extra scans
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(i =>
+          sum(element_at(col("__qv"), i + 1)).as(s"s$i")) :+
+        maxAbsQ(col("__qv")).as("__mq")
       val sums = assignCells(c, cdf)
         .select(col("cell"), quantizeVec(col("v")).as("__qv"))
         .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"),
-          (0 until dim).map(i =>
-            sum(element_at(col("__qv"), i + 1)).as(s"s$i")): _*)
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
+      if (!boundChecked && sums.nonEmpty) {
+        requireGeomBound(sums.map(_.getLong(2 + dim)).max, dim)
+        boundChecked = true
+      }
       centroids = sums.map { r =>
         val cnt = r.getLong(1)
         (r.getInt(0), (0 until dim).map(i => Math.floorDiv(r.getLong(2 + i), cnt)))
       }.sortBy(_._1).toSeq
+    }
+    if (!boundChecked) { // lloydRounds == 0: one dedicated (tiny) agg
+      val mq = c.select(maxAbsQ(quantizeVec(col("v")))).head()
+      if (!mq.isNullAt(0)) requireGeomBound(mq.getLong(0), dim)
     }
     val cdf = centroids.toDF("cell", "centroid")
     val indexed = assignCells(c, cdf)
@@ -266,6 +322,13 @@ object Similarity {
       .withColumn("__batch", lit(batchId))
       .persist() // three consumers (vectors + stats + drift); batch-sized
     try {
+      // appended vectors must honor the same exact-arithmetic bound the
+      // build asserted — O(batch) over the already-persisted frame
+      val mqRow = assigned.select(maxAbsQ(quantizeVec(col("v")))).head()
+      if (!mqRow.isNullAt(0)) {
+        val dim = assigned.select(size(col("v"))).head().getInt(0)
+        requireGeomBound(mqRow.getLong(0), dim)
+      }
       assigned.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "__batch").parquet(vecRoot.toString)
       assigned.groupBy(col("cell"), col("__batch"))
@@ -380,8 +443,10 @@ object Similarity {
   def ivfCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val fs = ivfFs(spark, path)
     val inGen = new org.apache.hadoop.fs.Path(ivfVectorsDir(spark, path), "_centroids")
-    if (fs.exists(inGen)) spark.read.parquet(inGen.toString)
-    else spark.read.parquet(s"$path/centroids")
+    val raw =
+      if (fs.exists(inGen)) spark.read.parquet(inGen.toString)
+      else spark.read.parquet(s"$path/centroids")
+    requireLongVec(raw, "centroid", s"IVF index at $path")
   }
 
   /** REBUILD the index's cell geometry in place — the drift answer
