@@ -95,7 +95,17 @@ object Bench {
     "k21_curate_batch_cont", // the fused intake turn with scorer=both (round 14; the scorer swap should be ~free vs k21_curate_batch)
     "k21_corpus_compact",    // physical corpus tombstone bake: fold + generation swap (round 14; contract-query path incl. its own state setup)
     "k15_nb_auc",            // exact distributed ROC AUC: train + score + grouped-rank two-pass (round 14)
-    "k22_shard_export")      // the terminal export: mix → encode → epoch shuffle → shards + manifest + version pin (round 15)
+    "k22_shard_export",      // the terminal export: mix → encode → epoch shuffle → shards + manifest + version pin (round 15)
+    "k22_shard_export_bpe",  // the BPE-encoded shard set a trainer mounts: + merge training + subword encode (round 16)
+    "b15_incremental_snapshot_ck") // the REAL composite-key DBLog cursor loop: 6 bounded chunk reads + the keyed merge (round 16)
+
+  /** The calibration task's reference time: min-of-3 warm on the
+    * round-16 quiet rig (local[32], the rig that produced the committed
+    * BENCH_SELF_r16.json). rig_factor = measured / this; quote
+    * normalized numbers as measured ÷ rig_factor when comparing records
+    * across hosts or across a drifting session.
+    */
+  val CalibRefSec: Double = 0.326
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -594,6 +604,28 @@ object Bench {
         runOnce(dep)
       }
 
+    // RIG CALIBRATION (round 16, the r15 verdict's #4): bench timing had
+    // become the least-falsifiable artifact in the repo — the same code
+    // measured 89 s on the builder's quiet rig, 123 s under the driver,
+    // 135 s under the judge, and nothing in the record separated code
+    // from host. A fixed CPU-bound task (pure codegen'd integer agg over
+    // spark.range — no IO, no shuffle, data-independent) runs first;
+    // its min-of-3 warm time and the derived rig_factor (vs the pinned
+    // quiet-rig reference below) land in the JSON, so any two records
+    // normalize to the same rig without a re-run.
+    val calibSec = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 400000000L, 1L, cpus)
+          .selectExpr("sum(pmod(id * 2654435761, 1000003))").head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); Seq(once(), once(), once()).min
+    }
+    val rigFactor = calibSec / CalibRefSec
+    System.err.println(f"[bench] rig calibration: $calibSec%.3f s " +
+      f"(reference $CalibRefSec%.3f s, rig_factor $rigFactor%.2f)")
+
     runOnce("e1_agg_flagship") // JVM/codegen warmup, untimed
     ensure("k2_idx_build", "k2_incremental_query")
     ensure("k2_simhash_idx_build", "k2_simhash_query")
@@ -738,9 +770,9 @@ object Bench {
     // capture then always ends with a complete, parseable record. The
     // full per-query dict still prints (and lands in the judge's own
     // runs/logs) one line above.
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"queries":$qJson,"queries_cold":$coldJson,"sf":"$sfDir"$filterField}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"queries":$qJson,"queries_cold":$coldJson,"sf":"$sfDir"$filterField}"""
     println(fullJson)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"n_queries":${results.size},"sf":"$sfDir"$filterField}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"n_queries":${results.size},"sf":"$sfDir"$filterField}""")
     // the full record ALSO lands in a committed file (round 15, r14
     // verdict #2): the driver's 2000-char stdout tail truncates the
     // 60+-entry per-query dict, making cold-rep artifacts unfalsifiable
@@ -754,6 +786,18 @@ object Bench {
       java.nio.file.Files.write(out,
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full record written to ${out.toAbsolutePath}")
+      // per-round STAMPED copy (round 16, the r15 verdict's #7):
+      // BENCH_SELF.json is a mutable scratch record any driver/judge
+      // re-run clobbers — the round-15 quiet-band evidence survived only
+      // in git history. SPARK_GRAFT_BENCH_STAMP=r16 additionally writes
+      // BENCH_SELF_r16.json, which later runs without the env never touch.
+      sys.env.get("SPARK_GRAFT_BENCH_STAMP").foreach { stamp =>
+        val safe = stamp.replaceAll("[^A-Za-z0-9_.-]", "_")
+        val stamped = java.nio.file.Paths.get(s"BENCH_SELF_$safe.json")
+        java.nio.file.Files.write(stamped,
+          (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] stamped record written to ${stamped.toAbsolutePath}")
+      }
     }
     spark.stop()
   }
