@@ -82,16 +82,19 @@ object Prefix {
       .orderBy(orderCols: _*)
     val local = parted.withColumn("__loc", sum(col("__pfx_v")).over(w))
     val out =
-      if (groupCols.isEmpty && offsetRows.size <= MaxInlineOffsets) {
+      if (offsetRows.isEmpty) {
+        // empty input: no offsets to add (and no rows to add them to) —
+        // skip the join so the (typeless) empty offsets frame never
+        // reaches an equality comparison
+        local.withColumn(cumName, col("__loc"))
+      } else if (groupCols.isEmpty && offsetRows.size <= MaxInlineOffsets) {
         // small global table: one literal int-keyed map, no plan nodes
-        val offset =
-          if (offsetRows.isEmpty) lit(0L)
-          else coalesce(
-            element_at(
-              map(offsetRows.flatMap(r =>
-                Seq(lit(r.getInt(0)), lit(r.getLong(1)))): _*),
-              col("__pid")),
-            lit(0L))
+        val offset = coalesce(
+          element_at(
+            map(offsetRows.flatMap(r =>
+              Seq(lit(r.getInt(0)), lit(r.getLong(1)))): _*),
+            col("__pid")),
+          lit(0L))
         local.withColumn(cumName, col("__loc") + offset)
       } else {
         // broadcast equi-join: native (null-safe) group comparison,
@@ -99,9 +102,7 @@ object Prefix {
         val totalsSchema = StructType(
           StructField("__pid", org.apache.spark.sql.types.IntegerType, false) +:
             gNames.zipWithIndex.map { case (n, i) =>
-              StructField(n, totals.headOption
-                .map(_.schema(i + 1).dataType)
-                .getOrElse(LongType), true)
+              StructField(n, totals.head.schema(i + 1).dataType, true)
             } :+ StructField("__off", LongType, false))
         val offDf = spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava,

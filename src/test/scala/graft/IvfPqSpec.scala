@@ -13,13 +13,15 @@ class IvfPqSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  // 5 well-separated blobs (the IVF operating regime), dim 16
+  // 5 well-separated blobs (the IVF operating regime), dim 16 —
+  // magnitudes inside the r16 requireGeomBound contract (|x| ≤ 11.86
+  // at dim 16; the old ±40 corpus now refuses by design)
   private def blobCorpus() = {
     val rnd = new scala.util.Random(23)
-    val centers = Seq.fill(5)(Seq.fill(16)(rnd.between(-40.0f, 40.0f)))
+    val centers = Seq.fill(5)(Seq.fill(16)(rnd.between(-10.0f, 10.0f)))
     (0 until 300).map { i =>
       val c = centers(i % 5)
-      (i.toLong, c.map(x => x + rnd.between(-1.0f, 1.0f)))
+      (i.toLong, c.map(x => x + rnd.between(-0.25f, 0.25f)))
     }.toDF("id", "v")
   }
 

@@ -52,6 +52,15 @@ class PrefixSpec extends AnyFunSuite {
     assert(got.count() === 7L, "the offset join must never duplicate rows")
   }
 
+  test("empty input: no offsets, no join, zero rows out") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "id", "v")
+    val got = Prefix.frozenRangeCumSum(empty, rangeCols = Seq(col("id")),
+      groupCols = Seq(col("g")), orderCols = Seq(col("id")),
+      valueCol = col("v"), cumName = "cum", numPartitions = 4)
+    assert(got.count() === 0L)
+    assert(got.columns.contains("cum"))
+  }
+
   test("past the inline threshold the offsets ship as a broadcast join, never a literal map") {
     val df = (0L until 2000L).map(i => (i, 1L)).toDF("k", "v")
     val many = Prefix.frozenRangeCumSum(df, rangeCols = Seq(col("k")),

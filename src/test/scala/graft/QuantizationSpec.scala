@@ -99,8 +99,11 @@ class QuantizationSpec extends AnyFunSuite {
   }
 
   test("blob corpus: shortlist covers quantization resolution; rerank is exact") {
-    // 5 well-separated blobs (centers ±40, jitter ±1), 60 points each,
-    // dim 16, m=4, k=8. Tight blobs are the HARD case for pure ADC:
+    // 5 well-separated blobs (centers ±10, jitter ±0.25), 60 points
+    // each, dim 16, m=4, k=8 — magnitudes inside the r16
+    // requireGeomBound contract (|x| ≤ 11.86 at dim 16; the old ±40
+    // corpus was out of contract and now refuses by design).
+    // Tight blobs are the HARD case for pure ADC:
     // every blob member quantizes to (nearly) the same code word per
     // subspace, so within-blob order is unresolvable in the compressed
     // domain — which is WHY production PQ is two-stage. The claims PQ
@@ -111,10 +114,10 @@ class QuantizationSpec extends AnyFunSuite {
     //   2. exact re-rank of that shortlist reproduces brute-force top-5
     //      row for row.
     val rnd = new scala.util.Random(11)
-    val centers = Seq.fill(5)(Seq.fill(16)(rnd.between(-40.0f, 40.0f)))
+    val centers = Seq.fill(5)(Seq.fill(16)(rnd.between(-10.0f, 10.0f)))
     val rows = (0 until 300).map { i =>
       val c = centers(i % 5)
-      (i.toLong, c.map(x => x + rnd.between(-1.0f, 1.0f)))
+      (i.toLong, c.map(x => x + rnd.between(-0.25f, 0.25f)))
     }.toDF("id", "v")
     val model = Quantization.pqTrain(rows, "v", "id", m = 4, k = 8)
     val queries = rows.where(col("id") < 5L)
