@@ -1,0 +1,213 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** B16 — the SIGNAL protocol that drives incremental snapshots
+  * [PK: Debezium's signal table/topic — `execute-snapshot`,
+  * `stop-snapshot`, `pause-snapshot`, `resume-snapshot` rows arriving
+  * THROUGH the change stream control when and what the connector
+  * re-snapshots; REF README.md:13 names the connectors whose headline
+  * consumer feature this protocol fronts].
+  *
+  * Signals are control-plane rows: `(id, type, data)` where `data` is a
+  * small JSON object naming the data collections. They are applied in
+  * arrival (lsn, id) order against a tiny persisted state —
+  * `{queue, paused, done}` — and a paced maintenance `turn` then lands
+  * bounded chunk reads for the HEAD collection through the B15 cursor
+  * loop ([[IncrementalSnapshot.snapshotChunksCk]]). Pacing, resume, and
+  * crash behavior are therefore exactly B15's; what this module adds is
+  * the protocol: who starts/stops/pauses a snapshot, in what order
+  * collections drain, and what survives a stop.
+  *
+  * Semantics (each pinned by SignalsSpec):
+  *  - `execute-snapshot {data-collections:[t…]}` appends the named
+  *    collections to the queue (deduped); re-executing a COMPLETED or
+  *    STOPPED collection resets its chunk state — a fresh re-snapshot,
+  *    the protocol's re-run behavior.
+  *  - `stop-snapshot {data-collections:[t…]}` removes the named
+  *    collections from the queue (absent data = stop everything).
+  *    Chunks already landed STAY readable — a consumer's merged state
+  *    keeps whatever coverage the stopped snapshot achieved.
+  *  - `pause-snapshot` / `resume-snapshot` gate the turn; a paused turn
+  *    lands ZERO chunks and the queue is untouched.
+  *  - Unknown signal types are IGNORED (the shared-signal-table
+  *    contract: other tools may write their own types through the same
+  *    channel) — deliberate, spec-pinned.
+  *
+  * Scale shape: the state file is O(collections) bytes, applySignals
+  * collects the signal batch to the driver — control-plane rows, a
+  * handful per day in production, never data-plane volume. Every
+  * data-plane byte moves through the B15 chunk loop (bounded
+  * TakeOrdered reads, O(chunk) landings, one keyed merge shuffle).
+  */
+object Signals {
+
+  /** The persisted protocol state. `queue` drains head-first; `done`
+    * records completed collections (so a re-execute can be told apart
+    * from a first execute).
+    */
+  case class State(queue: Seq[String], paused: Boolean, done: Seq[String])
+
+  val Empty: State = State(Nil, paused = false, Nil)
+
+  private val StateFile = "_signals"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Where a collection's B15 chunk state lives under the signal root. */
+  def collectionPath(root: String, collection: String): String =
+    s"$root/collections/$collection"
+
+  /** Read the protocol state through the same TMP-then-rename +
+    * lenient-tmp protocol as the B15 cursor (a crash during the very
+    * first state write leaves only a truncated tmp — that degrades to
+    * the empty state, and the lost signals re-apply when their batch
+    * replays; the MAIN file stays strict).
+    */
+  def state(spark: org.apache.spark.sql.SparkSession, root: String): State = {
+    val fs = fsOf(spark, root)
+    def readAt(p: Path, lenient: Boolean): Option[State] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        def parse = {
+          val n = mapper.readTree(s)
+          def arr(f: String): Seq[String] = {
+            val b = Seq.newBuilder[String]
+            n.get(f).elements().forEachRemaining(v => b += v.asText())
+            b.result()
+          }
+          State(arr("queue"), n.get("paused").asBoolean(), arr("done"))
+        }
+        if (lenient) scala.util.Try(parse).toOption else Some(parse)
+      }
+    readAt(new Path(root, StateFile), lenient = false)
+      .orElse(readAt(new Path(root, StateFile + ".tmp"), lenient = true))
+      .getOrElse(Empty)
+  }
+
+  private def writeState(spark: org.apache.spark.sql.SparkSession,
+                         root: String, st: State): Unit = {
+    val node = mapper.createObjectNode()
+    val q = node.putArray("queue"); st.queue.foreach(q.add)
+    node.put("paused", st.paused)
+    val d = node.putArray("done"); st.done.foreach(d.add)
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    val tmp = new Path(root, StateFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+    val main = new Path(root, StateFile)
+    if (fs.exists(main)) fs.delete(main, false)
+    fs.rename(tmp, main)
+  }
+
+  private def collections(data: String): Seq[String] =
+    if (data == null || data.trim.isEmpty) Nil
+    else {
+      val n = mapper.readTree(data)
+      val c = n.get("data-collections")
+      if (c == null) Nil
+      else {
+        val b = Seq.newBuilder[String]
+        c.elements().forEachRemaining(v => b += v.asText())
+        b.result()
+      }
+    }
+
+  /** Apply one batch of signal rows `(id, type, data[, lsn])` in
+    * (lsn, id) order and persist the new state. The collect is
+    * control-plane-bounded by construction (signals are operator
+    * actions, not data).
+    */
+  def applySignals(spark: org.apache.spark.sql.SparkSession, root: String,
+                   signals: DataFrame): State = {
+    val hasLsn = signals.columns.contains("lsn")
+    val ordered = (if (hasLsn) signals.orderBy(col("lsn"), col("id"))
+                   else signals.orderBy(col("id")))
+      .select(col("id").cast("string"), col("type").cast("string"),
+        col("data").cast("string"))
+      .collect()
+    var st = state(spark, root)
+    ordered.foreach { r =>
+      val (typ, data) = (r.getString(1), r.getString(2))
+      typ match {
+        case "execute-snapshot" =>
+          val named = collections(data)
+          require(named.nonEmpty,
+            "execute-snapshot needs data-collections naming what to snapshot")
+          val fresh = named.filterNot(st.queue.contains)
+          // re-execute of a finished/stopped collection = a fresh
+          // re-snapshot: drop its old chunk state so stale chunks from a
+          // longer previous run can't shadow the new read
+          fresh.foreach { c =>
+            val p = new Path(collectionPath(root, c))
+            val fs = fsOf(spark, root)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+          st = st.copy(queue = st.queue ++ fresh,
+            done = st.done.filterNot(fresh.contains))
+        case "stop-snapshot" =>
+          val named = collections(data)
+          st =
+            if (named.isEmpty) st.copy(queue = Nil) // stop everything
+            else st.copy(queue = st.queue.filterNot(named.contains))
+        case "pause-snapshot"  => st = st.copy(paused = true)
+        case "resume-snapshot" => st = st.copy(paused = false)
+        case _                 => // unknown types pass through untouched
+      }
+    }
+    writeState(spark, root, st)
+    st
+  }
+
+  /** One paced maintenance turn: land up to `maxChunks` chunks of the
+    * queue's HEAD collection through the B15 composite-key cursor loop.
+    * A paused state lands nothing. A head that exhausts (lands fewer
+    * than asked) pops to `done`; the NEXT turn starts the next
+    * collection — one collection in flight at a time, in signal order,
+    * exactly the protocol's sequential-collection drain. Returns the
+    * number of chunks landed.
+    */
+  def turn(spark: org.apache.spark.sql.SparkSession, root: String,
+           tableOf: String => DataFrame, keyColsOf: String => Seq[String],
+           chunkSizeOf: String => Int, loLsnOf: (String, Long) => Long,
+           maxChunks: Int): Int = {
+    require(maxChunks >= 1, s"a turn must be allowed at least one chunk: $maxChunks")
+    val st = state(spark, root)
+    if (st.paused || st.queue.isEmpty) 0
+    else {
+      val head = st.queue.head
+      val landed = IncrementalSnapshot.snapshotChunksCk(
+        spark, collectionPath(root, head), tableOf(head), keyColsOf(head),
+        chunkSizeOf(head), cid => loLsnOf(head, cid), maxChunks)
+      if (landed < maxChunks) {
+        // exhausted: pop — re-read state first so a signal applied while
+        // the chunks landed is not clobbered by our stale copy
+        val now = state(spark, root)
+        writeState(spark, root, now.copy(
+          queue = now.queue.filterNot(_ == head),
+          done = if (now.done.contains(head)) now.done else now.done :+ head))
+      }
+      landed
+    }
+  }
+
+  /** A stopped-or-finished collection's merged read — B15's `state`
+    * over whatever chunks the signal protocol let land.
+    */
+  def collectionState(spark: org.apache.spark.sql.SparkSession, root: String,
+                      collection: String, changes: DataFrame,
+                      keyCols: Seq[String], lsnCol: String): DataFrame =
+    IncrementalSnapshot.state(spark, collectionPath(root, collection),
+      changes, keyCols, lsnCol)
+}

@@ -325,6 +325,68 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // B16 — the SIGNAL protocol driving incremental snapshots (round 16;
+    // Debezium's execute/stop/pause/resume-snapshot signal rows): a
+    // deterministic signal script walks the whole protocol over TWO
+    // collections — execute-snapshot [customer, supplier]; two paced
+    // turns into customer; pause (a turn lands ZERO); resume; customer
+    // drains and pops; supplier lands two chunks; stop-snapshot ends it.
+    // Final state: customer fully converged with its change stream,
+    // supplier covered only by the chunks the protocol let land (rank ≤
+    // 2·csz) merged with ALL its changes — the oracle re-derives both
+    // collections' chunk assignment by key rank and replays the same
+    // (lsn, side) precedence merge.
+    "b16_signal_snapshot" -> ((s, dir) => {
+      import graft.cdc.Signals
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-signals").toString
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), col("c_acctbal").cast("double").as("bal"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey").as("ckey"),
+        col("s_name").as("name"), col("s_acctbal").cast("double").as("bal"))
+      val tables = Map("customer" -> cu, "supplier" -> su)
+      val csz = tables.map { case (n, df) =>
+        n -> math.max(1L, (df.count() + 5L) / 6L).toInt
+      }
+      def sig(rows: Seq[(String, String, String, Long)]) = {
+        import s.implicits._
+        rows.toDF("id", "type", "data", "lsn")
+      }
+      def turn() = Signals.turn(s, root, tables, _ => Seq("ckey"), csz,
+        (n, cid) => (if (n == "customer") 1990L else 2990L) + 5L * cid,
+        maxChunks = 2)
+      Signals.applySignals(s, root, sig(Seq(("s1", "execute-snapshot",
+        """{"data-collections":["customer","supplier"]}""", 1L))))
+      require(turn() == 2, "turn 1 must land two customer chunks")
+      Signals.applySignals(s, root,
+        sig(Seq(("s2", "pause-snapshot", null, 2L))))
+      require(turn() == 0, "a paused turn must land nothing")
+      Signals.applySignals(s, root,
+        sig(Seq(("s3", "resume-snapshot", null, 3L))))
+      require(turn() == 2 && turn() == 2, "customer drains in two more turns")
+      require(turn() == 0, "the exhausted head pops on its empty turn")
+      require(turn() == 2, "supplier lands two chunks")
+      Signals.applySignals(s, root, sig(Seq(("s4", "stop-snapshot",
+        """{"data-collections":["supplier"]}""", 4L))))
+      require(turn() == 0, "a stopped snapshot lands nothing")
+      def changes(df: DataFrame, m: Long, dm: Long, delta: Double,
+                  lsn0: Long, lm: Long) = df.select(col("ckey"), col("name"),
+        (col("bal") + delta).as("bal"),
+        when(pmod(col("ckey"), lit(dm)) === 0L, "d").otherwise("u").as("op"),
+        (lit(lsn0) + pmod(col("ckey"), lit(lm))).as("lsn"))
+        .where(pmod(col("ckey"), lit(m)) === 0L)
+      val cs = Signals.collectionState(s, root, "customer",
+          changes(cu, 3L, 7L, 100.0d, 1985L, 60L), Seq("ckey"), "lsn")
+        .withColumn("collection", lit("customer"))
+      val ss = Signals.collectionState(s, root, "supplier",
+          changes(su, 2L, 5L, 50.0d, 2985L, 20L), Seq("ckey"), "lsn")
+        .withColumn("collection", lit("supplier"))
+      cs.unionByName(ss)
+        .select(col("collection"), col("ckey"), col("name"), col("bal"),
+          col("last_lsn"), col("src"))
+        .orderBy(col("collection"), col("ckey"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -646,6 +708,45 @@ object CdcQueries {
         |        ORDER BY lsn DESC, side DESC) AS rn FROM u)
         |WHERE rn = 1 AND op <> 'd'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the signal protocol's observable outcome: customer chunked in
+    // full (rank-assigned, lo = 1990 + 5·chunk), supplier cut off at
+    // two chunks by stop-snapshot (rank ≤ 2·csz, lo = 2990 + 5·chunk),
+    // both merged with their change streams under the (lsn, side)
+    // precedence law — pause/resume and pacing are oracle-invisible by
+    // design (they choose WHEN chunks land, not what converges) and are
+    // pinned by the require()s in the query + SignalsSpec
+    "b16_signal_snapshot" ->
+      """WITH cu AS (SELECT c_custkey AS ckey, c_name AS name,
+        |            CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+        |su AS (SELECT s_suppkey AS ckey, s_name AS name,
+        |       CAST(s_acctbal AS DOUBLE) AS bal FROM supplier),
+        |cprm AS (SELECT greatest(1, (COUNT(*) + 5) // 6) AS csz FROM cu),
+        |sprm AS (SELECT greatest(1, (COUNT(*) + 5) // 6) AS csz FROM su),
+        |casg AS (SELECT *, ((row_number() OVER (ORDER BY ckey)) - 1)
+        |           // (SELECT csz FROM cprm) AS chunk FROM cu),
+        |sasg AS (SELECT *, ((row_number() OVER (ORDER BY ckey)) - 1)
+        |           // (SELECT csz FROM sprm) AS chunk FROM su),
+        |u AS (
+        |  SELECT 'customer' AS collection, ckey, name, bal,
+        |         1990 + 5 * chunk AS lsn, 1 AS side, 'r' AS op FROM casg
+        |  UNION ALL
+        |  SELECT 'supplier', ckey, name, bal, 2990 + 5 * chunk, 1, 'r'
+        |  FROM sasg WHERE chunk < 2
+        |  UNION ALL
+        |  SELECT 'customer', ckey, name, bal + 100.0, 1985 + ckey % 60, 0,
+        |         CASE WHEN ckey % 7 = 0 THEN 'd' ELSE 'u' END
+        |  FROM cu WHERE ckey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'supplier', ckey, name, bal + 50.0, 2985 + ckey % 20, 0,
+        |         CASE WHEN ckey % 5 = 0 THEN 'd' ELSE 'u' END
+        |  FROM su WHERE ckey % 2 = 0)
+        |SELECT collection, ckey, name, bal, CAST(lsn AS BIGINT) AS last_lsn,
+        |  CASE WHEN side = 1 THEN 'chunk' ELSE 'stream' END AS src
+        |FROM (SELECT *, row_number() OVER (PARTITION BY collection, ckey
+        |        ORDER BY lsn DESC, side DESC) AS rn FROM u)
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY collection, ckey""".stripMargin,
 
     "b11_snapshot_diff" ->
       """WITH oldS AS (SELECT c_custkey, c_name, c_acctbal FROM customer

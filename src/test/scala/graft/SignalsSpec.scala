@@ -1,0 +1,141 @@
+package graft
+
+import graft.cdc.{IncrementalSnapshot, Signals}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B16 — signal-protocol laws the contract hash can't carry: queue
+  * order and sequential drain, pause gating, stop keeping landed
+  * chunks, re-execute resetting a finished collection, unknown-type
+  * tolerance, and the crash protocol on the state file itself.
+  */
+class SignalsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def tableOf(n: String) = n match {
+    case "t1" => (0L until 40L).map(i => (i, s"a$i")).toDF("k", "payload")
+    case "t2" => (0L until 20L).map(i => (i, s"b$i")).toDF("k", "payload")
+    case other => fail(s"unexpected collection $other")
+  }
+
+  private def sig(rows: (String, String, String, Long)*) =
+    rows.toDF("id", "type", "data", "lsn")
+
+  private def turn(root: String, maxChunks: Int = 2) =
+    Signals.turn(spark, root, tableOf, _ => Seq("k"), _ => 10,
+      (_, cid) => 100L + cid, maxChunks)
+
+  test("execute queues in order; collections drain sequentially; done records completion") {
+    val root = tmp("graft-sig-order")
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot", """{"data-collections":["t1","t2"]}""", 1L)))
+    assert(Signals.state(spark, root) === Signals.State(Seq("t1", "t2"), false, Nil))
+    // t1 = 4 chunks of 10: two turns land it, the third pops it
+    assert(turn(root) === 2 && turn(root) === 2)
+    assert(Signals.state(spark, root).queue === Seq("t1", "t2"),
+      "a head that filled its allowance is not popped yet")
+    assert(turn(root) === 0)
+    assert(Signals.state(spark, root) === Signals.State(Seq("t2"), false, Seq("t1")))
+    // t2 = 2 chunks: lands in one turn, pops on the next
+    assert(turn(root) === 2 && turn(root) === 0)
+    assert(Signals.state(spark, root) === Signals.State(Nil, false, Seq("t1", "t2")))
+    assert(IncrementalSnapshot.landedChunks(spark,
+      Signals.collectionPath(root, "t1")).count() === 40L)
+    assert(IncrementalSnapshot.landedChunks(spark,
+      Signals.collectionPath(root, "t2")).count() === 20L)
+    // nothing queued: further turns are free no-ops
+    assert(turn(root) === 0)
+  }
+
+  test("pause gates the turn; resume releases it; the queue never moves while paused") {
+    val root = tmp("graft-sig-pause")
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot", """{"data-collections":["t1"]}""", 1L),
+      ("b", "pause-snapshot", null, 2L)))
+    assert(Signals.state(spark, root).paused)
+    assert(turn(root) === 0 && turn(root) === 0)
+    assert(!new java.io.File(Signals.collectionPath(root, "t1")).exists,
+      "a paused turn must not touch the collection")
+    Signals.applySignals(spark, root, sig(("c", "resume-snapshot", null, 3L)))
+    assert(turn(root) === 2)
+  }
+
+  test("stop keeps landed chunks readable; dataless stop clears everything") {
+    val root = tmp("graft-sig-stop")
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot", """{"data-collections":["t1","t2"]}""", 1L)))
+    assert(turn(root) === 2) // 20 of t1's 40 rows landed
+    Signals.applySignals(spark, root, sig(
+      ("b", "stop-snapshot", """{"data-collections":["t1"]}""", 2L)))
+    assert(Signals.state(spark, root).queue === Seq("t2"))
+    assert(IncrementalSnapshot.landedChunks(spark,
+      Signals.collectionPath(root, "t1")).count() === 20L,
+      "stop-snapshot keeps what already landed")
+    Signals.applySignals(spark, root, sig(("c", "stop-snapshot", null, 3L)))
+    assert(Signals.state(spark, root).queue === Nil)
+    assert(turn(root) === 0)
+  }
+
+  test("re-execute of a completed collection resets its chunk state for a fresh pass") {
+    val root = tmp("graft-sig-rerun")
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot", """{"data-collections":["t2"]}""", 1L)))
+    assert(turn(root) === 2 && turn(root) === 0)
+    assert(Signals.state(spark, root).done === Seq("t2"))
+    Signals.applySignals(spark, root, sig(
+      ("b", "execute-snapshot", """{"data-collections":["t2"]}""", 2L)))
+    val st = Signals.state(spark, root)
+    assert(st.queue === Seq("t2") && st.done === Nil)
+    assert(!new java.io.File(Signals.collectionPath(root, "t2")).exists,
+      "re-execute starts from a clean collection dir")
+    assert(turn(root) === 2)
+    assert(IncrementalSnapshot.landedChunks(spark,
+      Signals.collectionPath(root, "t2")).count() === 20L)
+    // while QUEUED, a duplicate execute is deduped, not a reset
+    Signals.applySignals(spark, root, sig(
+      ("c", "execute-snapshot", """{"data-collections":["t2"]}""", 3L)))
+    assert(Signals.state(spark, root).queue === Seq("t2"))
+    assert(IncrementalSnapshot.landedChunks(spark,
+      Signals.collectionPath(root, "t2")).count() === 20L,
+      "a dedup must not wipe the in-flight chunk state")
+  }
+
+  test("unknown signal types pass through; execute without collections refuses") {
+    val root = tmp("graft-sig-unknown")
+    Signals.applySignals(spark, root, sig(
+      ("a", "log", """{"message":"hello"}""", 1L),
+      ("b", "execute-snapshot", """{"data-collections":["t2"]}""", 2L),
+      ("c", "custom-tool-type", null, 3L)))
+    assert(Signals.state(spark, root).queue === Seq("t2"))
+    val ex = intercept[IllegalArgumentException] {
+      Signals.applySignals(spark, root, sig(("d", "execute-snapshot", null, 4L)))
+    }
+    assert(ex.getMessage.contains("data-collections"))
+  }
+
+  test("signals apply in (lsn, id) order regardless of row order") {
+    val root = tmp("graft-sig-order2")
+    // resume arrives with a LATER lsn than pause: net state is running
+    Signals.applySignals(spark, root, sig(
+      ("z", "resume-snapshot", null, 5L),
+      ("a", "pause-snapshot", null, 4L),
+      ("m", "execute-snapshot", """{"data-collections":["t2"]}""", 3L)))
+    val st = Signals.state(spark, root)
+    assert(!st.paused && st.queue === Seq("t2"))
+  }
+
+  test("a truncated first-write state tmp degrades to the empty state, not a wedge") {
+    val root = tmp("graft-sig-tmp")
+    val dir = new java.io.File(root); dir.mkdirs()
+    val w = new java.io.FileWriter(new java.io.File(dir, "_signals.tmp"))
+    w.write("{\"queue\":[\"t1\""); w.close() // torn mid-write
+    assert(Signals.state(spark, root) === Signals.Empty)
+    // and the protocol recovers: the next applySignals rebuilds cleanly
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot", """{"data-collections":["t2"]}""", 1L)))
+    assert(Signals.state(spark, root).queue === Seq("t2"))
+  }
+}
