@@ -387,6 +387,118 @@ object CdcQueries {
         .orderBy(col("collection"), col("ckey"))
     }),
 
+    // B16b — the ▶ LIVE signal protocol (round 16): signals AND changes
+    // both arrive through the real streaming engine. A control
+    // MemoryStream drains signal batches via foreachBatch→applySignals
+    // (the production wiring: the signal table IS a changelog topic); a
+    // data MemoryStream drains customer changes in six micro-batches;
+    // between batches the applied signals gate turn() over the LIVE
+    // table (base + changes applied so far). execute lands mid-stream,
+    // pause covers exactly one batch window, customer drains to done,
+    // supplier is STOPPED after two chunks. The hash pins the two
+    // collections' CONVERGED state — customer equals its changelog
+    // materialization whatever the pacing (so last_lsn/src are excluded
+    // by design, as in b15_live), supplier equals exactly the
+    // rank ≤ 2·csz coverage the protocol allowed — while the pacing
+    // itself is pinned by the in-query require()s and SignalsSpec.
+    "b16_signal_snapshot_live" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.cdc.Signals
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-signals-live").toString
+      val chDir = java.nio.file.Files
+        .createTempDirectory("graft-signals-live-ch").toString + "/changes"
+      val ckpt1 = java.nio.file.Files
+        .createTempDirectory("graft-signals-live-ck1").toString
+      val ckpt2 = java.nio.file.Files
+        .createTempDirectory("graft-signals-live-ck2").toString
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), col("c_acctbal").cast("double").as("bal"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey").as("ckey"),
+        col("s_name").as("name"), col("s_acctbal").cast("double").as("bal"))
+      // one change per customer key ≡ a changelog with a trivial latest
+      val allCh = cu.where(pmod(col("ckey"), lit(3L)) === 0L)
+        .select(col("ckey"), col("name"), (col("bal") + 100.0d).as("bal"),
+          when(pmod(col("ckey"), lit(7L)) === 0L, "d").otherwise("u").as("op"),
+          (lit(1985L) + pmod(col("ckey"), lit(60L))).as("lsn"))
+        .as[(Long, String, Double, String, Long)].collect().sortBy(_._5)
+      // the LIVE table: base with every change applied as of the drained
+      // batches (deletes drop) — what a chunk SELECT sees mid-stream
+      def live(): DataFrame = {
+        val ch = s.read.parquet(chDir)
+          .select(col("ckey").as("__k"), col("bal").as("__b"), col("op").as("__o"))
+        cu.join(ch, col("ckey") === col("__k"), "left")
+          .where(col("__o").isNull || col("__o") =!= "d")
+          .select(col("ckey"), col("name"),
+            coalesce(col("__b"), col("bal")).as("bal"))
+      }
+      val dataSrc = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double, String, Long)]
+      val sigSrc = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, String, Long)]
+      val chSink: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("append").parquet(chDir)
+      def drainData(): Unit = {
+        val q = dataSrc.toDS().toDF("ckey", "name", "bal", "op", "lsn")
+          .writeStream.foreachBatch(chSink)
+          .option("checkpointLocation", ckpt1)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val sigSink: (DataFrame, Long) => Unit =
+        (b, _) => Signals.applySignals(s, root, b)
+      def drainSignals(): Unit = {
+        val q = sigSrc.toDS().toDF("id", "type", "data", "lsn")
+          .writeStream
+          .foreachBatch(sigSink)
+          .option("checkpointLocation", ckpt2)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val tables: String => DataFrame =
+        n => if (n == "customer") live() else su
+      val csz = Map(
+        "customer" -> math.max(1L, (cu.count() + 5L) / 6L).toInt,
+        "supplier" -> math.max(1L, (su.count() + 5L) / 6L).toInt)
+      var head = 1984L
+      def turn() = Signals.turn(s, root, tables, _ => Seq("ckey"), csz,
+        (n, cid) => if (n == "customer") head else 2990L + 5L * cid,
+        maxChunks = 2)
+      var delivered = 0
+      def feed(upto: Long): Unit = {
+        val batch = allCh.drop(delivered).takeWhile(_._5 <= upto)
+        if (batch.nonEmpty) { dataSrc.addData(batch.toSeq); drainData() }
+        delivered += batch.length; head = upto
+      }
+      sigSrc.addData(("s1", "execute-snapshot",
+        """{"data-collections":["customer","supplier"]}""", 1L))
+      drainSignals()
+      feed(1995L); require(turn() == 2, "live turn 1: two customer chunks")
+      sigSrc.addData(("s2", "pause-snapshot", null, 2L)); drainSignals()
+      feed(2005L); require(turn() == 0, "the paused batch window lands nothing")
+      sigSrc.addData(("s3", "resume-snapshot", null, 3L)); drainSignals()
+      feed(2015L); require(turn() == 2, "live turn 3: chunks 2-3")
+      feed(2030L); require(turn() == 2, "live turn 4: chunks 4-5")
+      feed(2044L); require(turn() == 0, "customer exhausted: the empty turn pops")
+      require(turn() == 2, "supplier lands two chunks")
+      sigSrc.addData(("s4", "stop-snapshot",
+        """{"data-collections":["supplier"]}""", 4L))
+      drainSignals()
+      require(turn() == 0, "stopped: nothing further lands")
+      require(delivered == allCh.length, "every change drained through the stream")
+      val chRead = s.read.parquet(chDir)
+        .select(col("ckey"), col("name"), col("bal"), col("op"), col("lsn"))
+      val noCh = chRead.limit(0)
+      val cs = Signals.collectionState(s, root, "customer", chRead,
+          Seq("ckey"), "lsn").withColumn("collection", lit("customer"))
+      val ss = Signals.collectionState(s, root, "supplier", noCh,
+          Seq("ckey"), "lsn").withColumn("collection", lit("supplier"))
+      cs.unionByName(ss)
+        .select(col("collection"), col("ckey"), col("name"), col("bal"))
+        .orderBy(col("collection"), col("ckey"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -746,6 +858,26 @@ object CdcQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY collection, ckey
         |        ORDER BY lsn DESC, side DESC) AS rn FROM u)
         |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY collection, ckey""".stripMargin,
+
+    // the live protocol's convergence closure: customer equals its
+    // changelog materialization whatever the pacing (one change per key:
+    // +100 for ckey%3=0, deleted when also ckey%7=0); supplier equals
+    // exactly the rank ≤ 2·csz coverage stop-snapshot allowed
+    "b16_signal_snapshot_live" ->
+      """WITH cu AS (SELECT c_custkey AS ckey, c_name AS name,
+        |            CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+        |su AS (SELECT s_suppkey AS ckey, s_name AS name,
+        |       CAST(s_acctbal AS DOUBLE) AS bal FROM supplier),
+        |sprm AS (SELECT greatest(1, (COUNT(*) + 5) // 6) AS csz FROM su),
+        |sasg AS (SELECT *, ((row_number() OVER (ORDER BY ckey)) - 1)
+        |           // (SELECT csz FROM sprm) AS chunk FROM su)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS collection, ckey, name,
+        |    CASE WHEN ckey % 3 = 0 THEN bal + 100.0 ELSE bal END AS bal
+        |  FROM cu WHERE NOT (ckey % 3 = 0 AND ckey % 7 = 0)
+        |  UNION ALL
+        |  SELECT 'supplier', ckey, name, bal FROM sasg WHERE chunk < 2)
         |ORDER BY collection, ckey""".stripMargin,
 
     "b11_snapshot_diff" ->

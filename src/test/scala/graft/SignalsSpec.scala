@@ -127,6 +127,33 @@ class SignalsSpec extends AnyFunSuite {
     assert(!st.paused && st.queue === Seq("t2"))
   }
 
+  test("signals drain through the REAL streaming engine and gate turns between micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("graft-sig-stream")
+    val ckpt = tmp("graft-sig-stream-ckpt")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, String, Long)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => Signals.applySignals(spark, root, b)
+    def drain(): Unit = {
+      val q = src.toDS().toDF("id", "type", "data", "lsn")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    src.addData(("a", "execute-snapshot", """{"data-collections":["t2"]}""", 1L))
+    drain()
+    assert(Signals.state(spark, root).queue === Seq("t2"))
+    assert(turn(root, maxChunks = 1) === 1)
+    src.addData(("b", "pause-snapshot", null, 2L)); drain()
+    assert(turn(root) === 0, "the mid-stream pause gates the next turn")
+    src.addData(("c", "resume-snapshot", null, 3L)); drain()
+    assert(turn(root) === 1, "resume releases the remaining chunk")
+    assert(IncrementalSnapshot.landedChunks(spark,
+      Signals.collectionPath(root, "t2")).count() === 20L)
+  }
+
   test("a truncated first-write state tmp degrades to the empty state, not a wedge") {
     val root = tmp("graft-sig-tmp")
     val dir = new java.io.File(root); dir.mkdirs()
