@@ -46,9 +46,14 @@ object Signals {
 
   /** The persisted protocol state. `queue` drains head-first; `done`
     * records completed collections (so a re-execute can be told apart
-    * from a first execute).
+    * from a first execute); `blocking` names queued collections whose
+    * execute-snapshot asked for `"type":"blocking"` — they drain in ONE
+    * turn instead of pacing (the protocol's ad-hoc full snapshot: the
+    * caller holds stream application for that turn, so the landed
+    * watermark is a single consistent point).
     */
-  case class State(queue: Seq[String], paused: Boolean, done: Seq[String])
+  case class State(queue: Seq[String], paused: Boolean, done: Seq[String],
+                   blocking: Seq[String] = Nil)
 
   val Empty: State = State(Nil, paused = false, Nil)
 
@@ -82,10 +87,13 @@ object Signals {
           val n = mapper.readTree(s)
           def arr(f: String): Seq[String] = {
             val b = Seq.newBuilder[String]
-            n.get(f).elements().forEachRemaining(v => b += v.asText())
+            val node = n.get(f)
+            if (node != null)
+              node.elements().forEachRemaining(v => b += v.asText())
             b.result()
           }
-          State(arr("queue"), n.get("paused").asBoolean(), arr("done"))
+          State(arr("queue"), n.get("paused").asBoolean(), arr("done"),
+            arr("blocking"))
         }
         if (lenient) scala.util.Try(parse).toOption else Some(parse)
       }
@@ -100,6 +108,7 @@ object Signals {
     val q = node.putArray("queue"); st.queue.foreach(q.add)
     node.put("paused", st.paused)
     val d = node.putArray("done"); st.done.foreach(d.add)
+    val bl = node.putArray("blocking"); st.blocking.foreach(bl.add)
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
     val tmp = new Path(root, StateFile + ".tmp")
@@ -145,6 +154,12 @@ object Signals {
           val named = collections(data)
           require(named.nonEmpty,
             "execute-snapshot needs data-collections naming what to snapshot")
+          val snapTyp = {
+            val n = mapper.readTree(data).get("type")
+            if (n == null) "incremental" else n.asText()
+          }
+          require(snapTyp == "incremental" || snapTyp == "blocking",
+            s"unsupported snapshot type '$snapTyp' (incremental | blocking)")
           val fresh = named.filterNot(st.queue.contains)
           // re-execute of a finished/stopped collection = a fresh
           // re-snapshot: drop its old chunk state so stale chunks from a
@@ -155,12 +170,17 @@ object Signals {
             if (fs.exists(p)) fs.delete(p, true)
           }
           st = st.copy(queue = st.queue ++ fresh,
-            done = st.done.filterNot(fresh.contains))
+            done = st.done.filterNot(fresh.contains),
+            blocking =
+              if (snapTyp == "blocking")
+                st.blocking ++ fresh.filterNot(st.blocking.contains)
+              else st.blocking)
         case "stop-snapshot" =>
           val named = collections(data)
           st =
-            if (named.isEmpty) st.copy(queue = Nil) // stop everything
-            else st.copy(queue = st.queue.filterNot(named.contains))
+            if (named.isEmpty) st.copy(queue = Nil, blocking = Nil)
+            else st.copy(queue = st.queue.filterNot(named.contains),
+              blocking = st.blocking.filterNot(named.contains))
         case "pause-snapshot"  => st = st.copy(paused = true)
         case "resume-snapshot" => st = st.copy(paused = false)
         case _                 => // unknown types pass through untouched
@@ -172,11 +192,14 @@ object Signals {
 
   /** One paced maintenance turn: land up to `maxChunks` chunks of the
     * queue's HEAD collection through the B15 composite-key cursor loop.
-    * A paused state lands nothing. A head that exhausts (lands fewer
-    * than asked) pops to `done`; the NEXT turn starts the next
-    * collection — one collection in flight at a time, in signal order,
-    * exactly the protocol's sequential-collection drain. Returns the
-    * number of chunks landed.
+    * A paused state lands nothing — pause beats blocking. A head that
+    * exhausts (lands fewer than asked) pops to `done`; the NEXT turn
+    * starts the next collection — one collection in flight at a time,
+    * in signal order, exactly the protocol's sequential-collection
+    * drain. A BLOCKING head ignores the pacing knob and drains
+    * completely in this one turn (the ad-hoc full snapshot; the caller
+    * holds stream application around the call). Returns the number of
+    * chunks landed.
     */
   def turn(spark: org.apache.spark.sql.SparkSession, root: String,
            tableOf: String => DataFrame, keyColsOf: String => Seq[String],
@@ -187,15 +210,17 @@ object Signals {
     if (st.paused || st.queue.isEmpty) 0
     else {
       val head = st.queue.head
+      val allowed = if (st.blocking.contains(head)) Int.MaxValue else maxChunks
       val landed = IncrementalSnapshot.snapshotChunksCk(
         spark, collectionPath(root, head), tableOf(head), keyColsOf(head),
-        chunkSizeOf(head), cid => loLsnOf(head, cid), maxChunks)
-      if (landed < maxChunks) {
+        chunkSizeOf(head), cid => loLsnOf(head, cid), allowed)
+      if (landed < allowed) {
         // exhausted: pop — re-read state first so a signal applied while
         // the chunks landed is not clobbered by our stale copy
         val now = state(spark, root)
         writeState(spark, root, now.copy(
           queue = now.queue.filterNot(_ == head),
+          blocking = now.blocking.filterNot(_ == head),
           done = if (now.done.contains(head)) now.done else now.done :+ head))
       }
       landed

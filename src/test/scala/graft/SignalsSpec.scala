@@ -103,6 +103,37 @@ class SignalsSpec extends AnyFunSuite {
       "a dedup must not wipe the in-flight chunk state")
   }
 
+  test("a blocking execute drains its collection in ONE turn; pause still beats blocking") {
+    val root = tmp("graft-sig-blocking")
+    // t1 is paced, t2 is blocking: the queue drains t1 at maxChunks pace,
+    // then t2 all at once
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot", """{"data-collections":["t1"]}""", 1L),
+      ("b", "execute-snapshot",
+        """{"data-collections":["t2"],"type":"blocking"}""", 2L)))
+    assert(Signals.state(spark, root).blocking === Seq("t2"))
+    assert(turn(root) === 2 && turn(root) === 2 && turn(root) === 0) // t1 paced
+    assert(turn(root) === 2, "the blocking head ignores maxChunks and drains fully")
+    assert(IncrementalSnapshot.landedChunks(spark,
+      Signals.collectionPath(root, "t2")).count() === 20L)
+    assert(turn(root) === 0)
+    assert(Signals.state(spark, root) ===
+      Signals.State(Nil, false, Seq("t1", "t2")))
+    // pause beats blocking
+    val root2 = tmp("graft-sig-blocking2")
+    Signals.applySignals(spark, root2, sig(
+      ("a", "execute-snapshot",
+        """{"data-collections":["t2"],"type":"blocking"}""", 1L),
+      ("b", "pause-snapshot", null, 2L)))
+    assert(turn(root2) === 0, "pause gates a blocking head too")
+    // an unsupported snapshot type refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Signals.applySignals(spark, root2, sig(("c", "execute-snapshot",
+        """{"data-collections":["t1"],"type":"read-only"}""", 3L)))
+    }
+    assert(ex.getMessage.contains("unsupported snapshot type"))
+  }
+
   test("unknown signal types pass through; execute without collections refuses") {
     val root = tmp("graft-sig-unknown")
     Signals.applySignals(spark, root, sig(
