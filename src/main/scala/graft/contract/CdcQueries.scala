@@ -499,6 +499,89 @@ object CdcQueries {
         .orderBy(col("collection"), col("ckey"))
     }),
 
+    // B15d — ▶ the FULL consumer: incremental-snapshot chunks AND the
+    // live change stream both flow through the A8 bucketed upsert sink
+    // into ONE queryable table (what a production Debezium consumer
+    // actually maintains while a re-snapshot is in flight). The DBLog
+    // (lsn, side) precedence is encoded as a single upsert version
+    // `__v = lsn·2 + side` (side < 2 makes it order-isomorphic to the
+    // lexicographic pair), so the sink's latest-per-key merge IS the
+    // B15 merge; chunk batches land between real micro-batches and
+    // upsert at their low watermark. The hash pins convergence of the
+    // PERSISTED table — the dynamic-overwrite bucket merge under
+    // interleaved snapshot traffic — to the changelog materialization.
+    "b15_snapshot_upsert" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.cdc.IncrementalSnapshot
+      import graft.streaming.Sinks
+      val st = java.nio.file.Files
+        .createTempDirectory("graft-isnap-up").toString
+      val target = java.nio.file.Files
+        .createTempDirectory("graft-isnap-up-t").toString + "/table"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-isnap-up-ckpt").toString
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), col("c_acctbal").cast("double").as("bal"))
+      val allCh = cu.where(pmod(col("ckey"), lit(3L)) === 0L)
+        .select(col("ckey"), col("name"), (col("bal") + 100.0d).as("bal"),
+          when(pmod(col("ckey"), lit(7L)) === 0L, "d").otherwise("u").as("op"),
+          (lit(1985L) + pmod(col("ckey"), lit(60L))).as("lsn"))
+        .as[(Long, String, Double, String, Long)].collect().sortBy(_._5)
+      def live(): DataFrame = {
+        val ch = s.read.parquet(s"$target")
+        // the source table as of the applied changes: derive it from the
+        // change rows already upserted (op != null marks stream rows)
+        val applied = ch.where(col("op") =!= "r")
+          .select(col("ckey").as("__k"), col("bal").as("__b"), col("op").as("__o"))
+        cu.join(applied, col("ckey") === col("__k"), "left")
+          .where(col("__o").isNull || col("__o") =!= "d")
+          .select(col("ckey"), col("name"),
+            coalesce(col("__b"), col("bal")).as("bal"))
+      }
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double, String, Long)]
+      def drain(): Unit = {
+        val q = Sinks.foreachBatchUpsert(
+          src.toDS().toDF("ckey", "name", "bal", "op", "lsn")
+            .withColumn("__v", col("lsn") * 2L),
+          target, ckpt, Seq("ckey"), "__v", nBuckets = 8)
+        q.awaitTermination()
+      }
+      def landOne(upto: Long): Int = {
+        val before = IncrementalSnapshot.cursor(s, st).map(_._1).getOrElse(0L)
+        val n = IncrementalSnapshot.snapshotChunks(s, st, live(), "ckey",
+          math.max(1L, (cu.count() + 5L) / 6L).toInt, _ => upto, maxChunks = 1)
+        if (n > 0) {
+          val after = IncrementalSnapshot.cursor(s, st).map(_._1).getOrElse(0L)
+          val rows = s.read.parquet(s"$st/chunks")
+            .where(col("__chunk") >= before && col("__chunk") < after)
+          Sinks.applyUpsertBatch(rows.select(col("ckey"), col("name"),
+              col("bal"), lit("r").as("op"), col("__lo_lsn").as("lsn"),
+              (col("__lo_lsn") * 2L + 1L).as("__v")),
+            target, Seq("ckey"), "__v", nBuckets = 8)
+        }
+        n
+      }
+      val mm = 1985L + 59L
+      val stp = 10L
+      var delivered = 0
+      var head = 1984L
+      for (k <- 0 until 6) {
+        val upto = if (k >= 5) mm else 1985L + (k + 1L) * stp
+        val batch = allCh.drop(delivered).takeWhile(_._5 <= upto)
+        if (batch.nonEmpty) { src.addData(batch.toSeq); drain() }
+        delivered += batch.length; head = upto
+        landOne(head)
+      }
+      require(delivered == allCh.length, "every change drained into the sink")
+      // the snapshot outlives the stream: drain remaining chunks at head
+      while (landOne(mm) > 0) {}
+      Sinks.currentState(s, target)
+        .select(col("ckey"), col("name"), col("bal"))
+        .orderBy(col("ckey"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -820,6 +903,19 @@ object CdcQueries {
         |        ORDER BY lsn DESC, side DESC) AS rn FROM u)
         |WHERE rn = 1 AND op <> 'd'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the composed-consumer closure: the persisted upsert table converges
+    // to the changelog materialization whatever the chunk pacing (one
+    // change per key: +100 for ckey%3=0, deleted when also ckey%7=0) —
+    // per-key precedence and the sink's merge mechanics are pinned by the
+    // b15/a8 hashes and their specs
+    "b15_snapshot_upsert" ->
+      """WITH cu AS (SELECT c_custkey AS ckey, c_name AS name,
+        |            CAST(c_acctbal AS DOUBLE) AS bal FROM customer)
+        |SELECT ckey, name,
+        |  CASE WHEN ckey % 3 = 0 THEN bal + 100.0 ELSE bal END AS bal
+        |FROM cu WHERE NOT (ckey % 3 = 0 AND ckey % 7 = 0)
+        |ORDER BY ckey""".stripMargin,
 
     // the signal protocol's observable outcome: customer chunked in
     // full (rank-assigned, lo = 1990 + 5·chunk), supplier cut off at

@@ -816,6 +816,10 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "a2_csv_roundtrip", "a2_orc_roundtrip", "a2_xml_roundtrip", "a3_jsonl_roundtrip",
     "a4_cdc_file_stream", "a5_file_stream", "a7_partitioned_sink",
     "a8_foreach_upsert", "j5_stream_dedup", "j8_stream_upsert",
+    // checkpointed upsert streams + chunk landings at construction; the
+    // final plan is currentState's audited pruned scan (SinkSchemaSpec /
+    // IncrementalSnapshotSpec pin the mechanics)
+    "b15_snapshot_upsert",
     "j8_stream_upsert_tws", "j9_stream_tumbling",
     "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
     "k2_incremental_containment", // index write at construction, same as its jaccard twin
