@@ -98,6 +98,50 @@ object IncrementalSnapshot {
       .orElse(readAt(new Path(statePath, CursorFile + ".tmp"), lenient = true))
   }
 
+  /** The chunk-schema pin: chunks land over a LIVE table across a long
+    * window, and a mid-snapshot DDL would otherwise mix schemas inside
+    * `chunks/` where the merge's plain parquet read resolves them by
+    * footer luck. Debezium's own posture for DDL-during-snapshot is
+    * restart — so the FIRST landed chunk pins the schema and any later
+    * chunk that disagrees refuses loudly with the restart instruction.
+    * Same TMP-then-rename + lenient-tmp protocol as the cursor.
+    */
+  private def pinChunkSchema(spark: org.apache.spark.sql.SparkSession,
+                             statePath: String,
+                             schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = fsOf(spark, statePath)
+    val main = new Path(statePath, "_chunk_schema")
+    def readAt(p: Path, lenient: Boolean): Option[org.apache.spark.sql.types.StructType] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val json = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        def parse = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        if (lenient) scala.util.Try(parse).toOption else Some(parse)
+      }
+    def canon(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    readAt(main, lenient = false)
+      .orElse(readAt(new Path(statePath, "_chunk_schema.tmp"), lenient = true)) match {
+      case Some(pinned) =>
+        require(canon(pinned) == canon(schema),
+          s"chunk schema changed mid-snapshot at $statePath (pinned " +
+            s"${pinned.simpleString}, got ${schema.simpleString}) — a " +
+            "DDL during an incremental snapshot is restart-level: clear " +
+            "the state dir and re-execute the snapshot")
+      case None =>
+        fs.mkdirs(new Path(statePath))
+        val tmp = new Path(statePath, "_chunk_schema.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+        if (fs.exists(main)) fs.delete(main, false)
+        fs.rename(tmp, main)
+    }
+  }
+
   /** Land one chunk read under `chunks/__chunk=<id>` stamped with its
     * low watermark, then advance the cursor. Ordering is the crash
     * contract: rows land BEFORE the cursor moves, so a kill between the
@@ -107,6 +151,7 @@ object IncrementalSnapshot {
   def landChunk(spark: org.apache.spark.sql.SparkSession, statePath: String,
                 chunkRows: DataFrame, keyCol: String, chunkId: Long,
                 loLsn: Long): Unit = {
+    pinChunkSchema(spark, statePath, chunkRows.schema)
     chunkRows
       .withColumn("__lo_lsn", lit(loLsn))
       .withColumn("__chunk", lit(chunkId))
@@ -207,6 +252,7 @@ object IncrementalSnapshot {
   def landChunkCk(spark: org.apache.spark.sql.SparkSession, statePath: String,
                   chunkRows: DataFrame, keyCols: Seq[String], chunkId: Long,
                   loLsn: Long): Unit = {
+    pinChunkSchema(spark, statePath, chunkRows.schema)
     chunkRows
       .withColumn("__lo_lsn", lit(loLsn))
       .withColumn("__chunk", lit(chunkId))

@@ -136,6 +136,35 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
     assert(IncrementalSnapshot.cursor(spark, st3) === Some((2L, 13L)))
   }
 
+  test("a mid-snapshot schema change refuses loudly instead of mixing chunk schemas") {
+    // chunks land over a LIVE table across a long window; a DDL between
+    // chunks would otherwise mix schemas inside chunks/ where the merge's
+    // plain parquet read resolves them by footer luck — restart-level
+    val st = tmp("graft-isnap-ddl")
+    val t1 = (0L until 10L).map(i => (i, s"v$i")).toDF("k", "payload")
+    assert(IncrementalSnapshot.snapshotChunks(spark, st, t1, "k",
+      chunkSize = 4, loLsnOf = _ => 100L, maxChunks = 1) === 1)
+    // the source gained a column mid-snapshot
+    val t2 = (0L until 10L).map(i => (i, s"v$i", i * 2.0))
+      .toDF("k", "payload", "extra")
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalSnapshot.snapshotChunks(spark, st, t2, "k",
+        chunkSize = 4, loLsnOf = _ => 101L, maxChunks = 1)
+    }
+    assert(ex.getMessage.contains("restart-level"))
+    // same column set in a different field ORDER is not a DDL — proceeds
+    val t3 = t1.select(col("payload"), col("k"))
+    assert(IncrementalSnapshot.snapshotChunks(spark, st, t3, "k",
+      chunkSize = 4, loLsnOf = _ => 102L, maxChunks = 1) === 1)
+    // and after clearing the state dir, the new schema re-snapshots fresh
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(st), true)
+    assert(IncrementalSnapshot.snapshotChunks(spark, st, t2, "k",
+      chunkSize = 4, loLsnOf = _ => 103L) === 3)
+    assert(IncrementalSnapshot.landedChunks(spark, st).columns.contains("extra"))
+  }
+
   test("merge precedence: in-window change wins, same-LSN change loses, deletes drop") {
     // chunk read of keys 1..4 at lo = 10
     val chunks = Seq(
