@@ -133,6 +133,19 @@ object Signals {
       }
     }
 
+  /** Extract signal rows from a CDC-PARSED signal-table stream: in the
+    * protocol, operators send signals by INSERTING into a signal table
+    * captured like any other — the envelope stream IS the transport.
+    * Inserts and snapshot reads carry signals (`op` c/r); updates and
+    * deletes to the signal table are housekeeping and are ignored.
+    * Order rides the log position. Feed the result to [[applySignals]]
+    * (typically as the signal stream's foreachBatch).
+    */
+  def fromEnvelope(parsed: DataFrame): DataFrame =
+    parsed.where(col("op").isin("c", "r") && col("after").isNotNull)
+      .select(col("after.id").as("id"), col("after.type").as("type"),
+        col("after.data").as("data"), col("source.lsn").as("lsn"))
+
   /** Apply one batch of signal rows `(id, type, data[, lsn])` in
     * (lsn, id) order and persist the new state. The collect is
     * control-plane-bounded by construction (signals are operator

@@ -147,6 +147,33 @@ class SignalsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("data-collections"))
   }
 
+  test("signals arrive as envelope rows of a captured signal table") {
+    import graft.cdc.Envelope
+    import org.apache.spark.sql.types._
+    val root = tmp("graft-sig-env")
+    val sigSchema = StructType(Seq(StructField("id", StringType),
+      StructField("type", StringType), StructField("data", StringType)))
+    def env(id: String, typ: String, data: String, op: String, lsn: Long) = {
+      val d = if (data == null) "null" else
+        s""""${data.replace("\"", "\\\"")}""""
+      s"""{"before":null,"after":{"id":"$id","type":"$typ","data":$d},
+         |"source":{"connector":"pg","db":"d","schema":"s","table":"signals",
+         |"lsn":$lsn,"snapshot":false,"ts_ms":1},"op":"$op","ts_ms":1}"""
+        .stripMargin.replace("\n", "")
+    }
+    val raw = Seq(
+      env("a", "execute-snapshot", """{"data-collections":["t2"]}""", "c", 10L),
+      env("b", "pause-snapshot", null, "c", 11L),
+      // an UPDATE to the signal table is housekeeping, not a signal
+      env("z", "resume-snapshot", null, "u", 12L)
+    ).toDF("value")
+    val sigs = Signals.fromEnvelope(Envelope.parse(raw, sigSchema))
+    Signals.applySignals(spark, root, sigs)
+    val st = Signals.state(spark, root)
+    assert(st.queue === Seq("t2") && st.paused,
+      "inserted signals apply; the update row is ignored")
+  }
+
   test("signals apply in (lsn, id) order regardless of row order") {
     val root = tmp("graft-sig-order2")
     // resume arrives with a LATER lsn than pause: net state is running
