@@ -53,7 +53,8 @@ object Signals {
     * watermark is a single consistent point).
     */
   case class State(queue: Seq[String], paused: Boolean, done: Seq[String],
-                   blocking: Seq[String] = Nil)
+                   blocking: Seq[String] = Nil,
+                   conditions: Map[String, String] = Map.empty)
 
   val Empty: State = State(Nil, paused = false, Nil)
 
@@ -92,8 +93,15 @@ object Signals {
               node.elements().forEachRemaining(v => b += v.asText())
             b.result()
           }
+          val conds = {
+            val b = Map.newBuilder[String, String]
+            val node = n.get("conditions")
+            if (node != null)
+              node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+            b.result()
+          }
           State(arr("queue"), n.get("paused").asBoolean(), arr("done"),
-            arr("blocking"))
+            arr("blocking"), conds)
         }
         if (lenient) scala.util.Try(parse).toOption else Some(parse)
       }
@@ -109,6 +117,8 @@ object Signals {
     node.put("paused", st.paused)
     val d = node.putArray("done"); st.done.foreach(d.add)
     val bl = node.putArray("blocking"); st.blocking.foreach(bl.add)
+    val cn = node.putObject("conditions")
+    st.conditions.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
     val tmp = new Path(root, StateFile + ".tmp")
@@ -182,18 +192,40 @@ object Signals {
             val fs = fsOf(spark, root)
             if (fs.exists(p)) fs.delete(p, true)
           }
+          // additional-conditions: per-collection SQL predicates narrowing
+          // WHAT the snapshot reads (the protocol's partial re-snapshot —
+          // "re-read the rows WHERE ..."); recorded for the fresh
+          // collections only, evaluated at chunk-read time in [[turn]]
+          val conds = {
+            val b = Map.newBuilder[String, String]
+            val node = mapper.readTree(data).get("additional-conditions")
+            if (node != null) node.elements().forEachRemaining { c =>
+              val dc = c.get("data-collection"); val f = c.get("filter")
+              require(dc != null && f != null,
+                "each additional-condition needs data-collection and filter")
+              b += dc.asText() -> f.asText()
+            }
+            b.result()
+          }
+          require(conds.keySet.forall(named.contains),
+            s"additional-conditions name collections outside data-collections: " +
+              conds.keySet.filterNot(named.contains).mkString(", "))
           st = st.copy(queue = st.queue ++ fresh,
             done = st.done.filterNot(fresh.contains),
             blocking =
               if (snapTyp == "blocking")
                 st.blocking ++ fresh.filterNot(st.blocking.contains)
-              else st.blocking)
+              else st.blocking,
+            conditions = st.conditions -- fresh ++
+              conds.view.filterKeys(fresh.contains).toMap)
         case "stop-snapshot" =>
           val named = collections(data)
           st =
-            if (named.isEmpty) st.copy(queue = Nil, blocking = Nil)
+            if (named.isEmpty)
+              st.copy(queue = Nil, blocking = Nil, conditions = Map.empty)
             else st.copy(queue = st.queue.filterNot(named.contains),
-              blocking = st.blocking.filterNot(named.contains))
+              blocking = st.blocking.filterNot(named.contains),
+              conditions = st.conditions -- named)
         case "pause-snapshot"  => st = st.copy(paused = true)
         case "resume-snapshot" => st = st.copy(paused = false)
         case _                 => // unknown types pass through untouched
@@ -224,8 +256,16 @@ object Signals {
     else {
       val head = st.queue.head
       val allowed = if (st.blocking.contains(head)) Int.MaxValue else maxChunks
+      // additional-conditions narrow the snapshot read itself: the filter
+      // composes INTO the chunk SELECT (pushed down under the key-range
+      // predicate), so unmatched rows never move — a partial re-snapshot,
+      // not a post-filter
+      val table = st.conditions.get(head) match {
+        case Some(cond) => tableOf(head).where(expr(cond))
+        case None       => tableOf(head)
+      }
       val landed = IncrementalSnapshot.snapshotChunksCk(
-        spark, collectionPath(root, head), tableOf(head), keyColsOf(head),
+        spark, collectionPath(root, head), table, keyColsOf(head),
         chunkSizeOf(head), cid => loLsnOf(head, cid), allowed)
       if (landed < allowed) {
         // exhausted: pop — re-read state first so a signal applied while
@@ -234,6 +274,7 @@ object Signals {
         writeState(spark, root, now.copy(
           queue = now.queue.filterNot(_ == head),
           blocking = now.blocking.filterNot(_ == head),
+          conditions = now.conditions - head,
           done = if (now.done.contains(head)) now.done else now.done :+ head))
       }
       landed

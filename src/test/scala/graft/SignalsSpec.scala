@@ -147,6 +147,36 @@ class SignalsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("data-collections"))
   }
 
+  test("additional-conditions narrow the snapshot to matching rows only") {
+    val root = tmp("graft-sig-cond")
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot",
+        """{"data-collections":["t1"],
+          |"additional-conditions":[
+          |  {"data-collection":"t1","filter":"k % 2 = 0"}]}"""
+          .stripMargin.replace("\n", ""), 1L)))
+    assert(Signals.state(spark, root).conditions === Map("t1" -> "k % 2 = 0"))
+    // t1 has 40 rows, 20 match: 2 chunks of 10 land, then the pop turn
+    assert(turn(root) === 2 && turn(root) === 0)
+    val landed = IncrementalSnapshot.landedChunks(spark,
+      Signals.collectionPath(root, "t1"))
+    assert(landed.count() === 20L, "only matching rows moved")
+    assert(landed.where(col("k") % 2 =!= 0).count() === 0L)
+    val st = Signals.state(spark, root)
+    assert(st.done === Seq("t1") && st.conditions.isEmpty,
+      "the condition retires with its collection")
+    // a condition naming a collection outside data-collections refuses
+    val ex = intercept[IllegalArgumentException] {
+      Signals.applySignals(spark, root, sig(
+        ("b", "execute-snapshot",
+          """{"data-collections":["t2"],
+            |"additional-conditions":[
+            |  {"data-collection":"t1","filter":"k > 5"}]}"""
+            .stripMargin.replace("\n", ""), 2L)))
+    }
+    assert(ex.getMessage.contains("outside data-collections"))
+  }
+
   test("signals arrive as envelope rows of a captured signal table") {
     import graft.cdc.Envelope
     import org.apache.spark.sql.types._
