@@ -98,7 +98,8 @@ object Bench {
     "k22_shard_export",      // the terminal export: mix → encode → epoch shuffle → shards + manifest + version pin (round 15)
     "k22_shard_export_bpe",  // the BPE-encoded shard set a trainer mounts: + merge training + subword encode (round 16)
     "b15_incremental_snapshot_ck", // the REAL composite-key DBLog cursor loop: 6 bounded chunk reads + the keyed merge (round 16)
-    "b16_signal_snapshot")   // the signal protocol end-to-end: 2 collections, 7 turns, 4 signal batches, 2 merges (round 16)
+    "b16_signal_snapshot",   // the signal protocol end-to-end: 2 collections, 7 turns, 4 signal batches, 2 merges (round 16)
+    "b15_snapshot_upsert")   // the FULL consumer: 6 stream drains through the upsert sink + interleaved chunk landings (round 16)
 
   /** The calibration task's reference time: min-of-3 warm on the
     * round-16 quiet rig (local[32], the rig that produced the committed

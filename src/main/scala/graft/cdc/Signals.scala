@@ -25,16 +25,23 @@ import org.apache.spark.sql.functions._
   *  - `execute-snapshot {data-collections:[t…]}` appends the named
   *    collections to the queue (deduped); re-executing a COMPLETED or
   *    STOPPED collection resets its chunk state — a fresh re-snapshot,
-  *    the protocol's re-run behavior.
+  *    the protocol's re-run behavior. `"type":"blocking"` marks the
+  *    collections to drain in ONE turn (the ad-hoc full snapshot);
+  *    `additional-conditions` attach per-collection SQL filters that
+  *    compose INTO the chunk SELECT — a partial re-snapshot where
+  *    unmatched rows never move.
   *  - `stop-snapshot {data-collections:[t…]}` removes the named
   *    collections from the queue (absent data = stop everything).
   *    Chunks already landed STAY readable — a consumer's merged state
   *    keeps whatever coverage the stopped snapshot achieved.
-  *  - `pause-snapshot` / `resume-snapshot` gate the turn; a paused turn
-  *    lands ZERO chunks and the queue is untouched.
+  *  - `pause-snapshot` / `resume-snapshot` gate the turn (pause beats
+  *    blocking); a paused turn lands ZERO chunks, the queue untouched.
   *  - Unknown signal types are IGNORED (the shared-signal-table
   *    contract: other tools may write their own types through the same
   *    channel) — deliberate, spec-pinned.
+  *  - Signals usually arrive AS ROWS of a captured signal table:
+  *    [[fromEnvelope]] lifts (id, type, data, lsn) out of the B1-parsed
+  *    envelope stream (inserts/snapshot reads only).
   *
   * Scale shape: the state file is O(collections) bytes, applySignals
   * collects the signal batch to the driver — control-plane rows, a
