@@ -242,6 +242,69 @@ class SignalsSpec extends AnyFunSuite {
       Signals.collectionPath(root, "t2")).count() === 20L)
   }
 
+  test("law: random signal scripts match a driver-side model of the protocol (seeded)") {
+    // model-based check: replay a random action script against BOTH the
+    // real module and a 20-line in-memory model; after a final drain the
+    // landed coverage per collection must agree exactly. Catches
+    // queue/pause/stop/pop interactions no hand-written walk covers.
+    val rnd = new scala.util.Random(20260816L)
+    val tables = Map("t1" -> 40L, "t2" -> 20L) // rows; chunkSize 10
+    for (trial <- 0 until 6) {
+      val root = tmp(s"graft-sig-law$trial")
+      // model state
+      var q = Vector.empty[String]; var paused = false
+      var landedRows = Map("t1" -> 0L, "t2" -> 0L) // rows landed so far
+      var finished = Set.empty[String]
+      def modelTurn(): Unit = if (!paused && q.nonEmpty) {
+        val h = q.head
+        val total = tables(h)
+        val already = landedRows(h)
+        val take = math.min(20L, total - already) // maxChunks=2 × size 10
+        if (take <= 0L) { q = q.tail; finished += h }
+        else landedRows += h -> (already + take)
+      }
+      val actions = Seq.fill(8)(rnd.nextInt(5))
+      var sigId = 0
+      def apply(t: String, data: String): Unit = {
+        sigId += 1
+        Signals.applySignals(spark, root, sig((f"s$sigId%03d", t, data, sigId.toLong)))
+      }
+      actions.foreach {
+        case 0 =>
+          val t = if (rnd.nextBoolean()) "t1" else "t2"
+          apply("execute-snapshot", s"""{"data-collections":["$t"]}""")
+          if (!q.contains(t)) {
+            // the module wipes the collection dir for EVERY fresh
+            // (non-queued) execute — finished or stopped-partial alike
+            landedRows += t -> 0L; finished -= t
+            q = q :+ t
+          }
+        case 1 => apply("pause-snapshot", null); paused = true
+        case 2 => apply("resume-snapshot", null); paused = false
+        case 3 =>
+          val t = if (rnd.nextBoolean()) "t1" else "t2"
+          apply("stop-snapshot", s"""{"data-collections":["$t"]}""")
+          q = q.filterNot(_ == t)
+        case 4 =>
+          turn(root); modelTurn()
+      }
+      // final drain: resume and turn until idle, in lockstep
+      apply("resume-snapshot", null); paused = false
+      var guard = 0
+      while (q.nonEmpty && guard < 20) { turn(root); modelTurn(); guard += 1 }
+      assert(turn(root) === 0)
+      for ((t, rows) <- landedRows) {
+        val p = Signals.collectionPath(root, t)
+        val real =
+          if (new java.io.File(s"$p/chunks").exists)
+            IncrementalSnapshot.landedChunks(spark, p).count()
+          else 0L
+        assert(real === rows, s"trial $trial: $t landed $real, model says $rows " +
+          s"(script ${actions.mkString(",")})")
+      }
+    }
+  }
+
   test("a truncated first-write state tmp degrades to the empty state, not a wedge") {
     val root = tmp("graft-sig-tmp")
     val dir = new java.io.File(root); dir.mkdirs()
