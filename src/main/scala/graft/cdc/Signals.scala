@@ -57,7 +57,10 @@ object Signals {
     * execute-snapshot asked for `"type":"blocking"` — they drain in ONE
     * turn instead of pacing (the protocol's ad-hoc full snapshot: the
     * caller holds stream application for that turn, so the landed
-    * watermark is a single consistent point).
+    * watermark is a single consistent point); `conditions` carries each
+    * queued collection's additional-conditions filter (a SQL predicate
+    * composed INTO the chunk SELECT — the partial re-snapshot), retired
+    * when its collection pops or stops.
     */
   case class State(queue: Seq[String], paused: Boolean, done: Seq[String],
                    blocking: Seq[String] = Nil,
@@ -104,7 +107,7 @@ object Signals {
             val b = Map.newBuilder[String, String]
             val node = n.get("conditions")
             if (node != null)
-              node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+              node.fieldNames().forEachRemaining(k => b += k -> node.get(k).asText())
             b.result()
           }
           State(arr("queue"), n.get("paused").asBoolean(), arr("done"),
@@ -224,7 +227,7 @@ object Signals {
                 st.blocking ++ fresh.filterNot(st.blocking.contains)
               else st.blocking,
             conditions = st.conditions -- fresh ++
-              conds.view.filterKeys(fresh.contains).toMap)
+              conds.filter { case (k, _) => fresh.contains(k) })
         case "stop-snapshot" =>
           val named = collections(data)
           st =
