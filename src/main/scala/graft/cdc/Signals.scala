@@ -291,6 +291,45 @@ object Signals {
     }
   }
 
+  /** Operator-facing PROGRESS readout — what the reference platform
+    * exposes over management interfaces: one row per collection the
+    * protocol has ever touched, with its lifecycle phase and landed
+    * volume. Phases: `queued` (waiting), `in-flight` (the head),
+    * `paused` (the head under a pause), `done` (completed), `stopped`
+    * (has landed chunks but is neither queued nor done — a
+    * stop-snapshot cut it off). Driver work is bounded by the
+    * collection count; the row counts are one metadata-only count job
+    * per collection with landed chunks.
+    */
+  def progress(spark: org.apache.spark.sql.SparkSession,
+               root: String): DataFrame = {
+    import spark.implicits._
+    val st = state(spark, root)
+    val fs = fsOf(spark, root)
+    val onDisk = {
+      val p = new Path(s"$root/collections")
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSeq else Nil
+    }
+    val all = (st.queue ++ st.done ++ onDisk).distinct.sorted
+    all.map { c =>
+      val phase =
+        if (st.done.contains(c)) "done"
+        else if (st.queue.headOption.contains(c))
+          if (st.paused) "paused" else "in-flight"
+        else if (st.queue.contains(c)) "queued"
+        else "stopped"
+      val cp = collectionPath(root, c)
+      val (chunks, rows) =
+        if (fs.exists(new Path(s"$cp/chunks"))) {
+          val landed = spark.read.parquet(s"$cp/chunks")
+          (landed.select("__chunk").distinct().count(), landed.count())
+        } else (0L, 0L)
+      (c, phase, chunks, rows, st.blocking.contains(c),
+        st.conditions.get(c).orNull)
+    }.toDF("collection", "phase", "chunks_landed", "rows_landed",
+      "blocking", "condition")
+  }
+
   /** A stopped-or-finished collection's merged read — B15's `state`
     * over whatever chunks the signal protocol let land.
     */

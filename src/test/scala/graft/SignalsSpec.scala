@@ -242,6 +242,32 @@ class SignalsSpec extends AnyFunSuite {
       Signals.collectionPath(root, "t2")).count() === 20L)
   }
 
+  test("progress reads every touched collection with its phase and landed volume") {
+    val root = tmp("graft-sig-progress")
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot",
+        """{"data-collections":["t1","t2"],
+          |"additional-conditions":[
+          |  {"data-collection":"t2","filter":"k < 100"}]}"""
+          .stripMargin.replace("\n", ""), 1L)))
+    assert(turn(root) === 2) // 2 of t1's 4 chunks
+    Signals.applySignals(spark, root, sig(
+      ("b", "stop-snapshot", """{"data-collections":["t1"]}""", 2L),
+      ("c", "pause-snapshot", null, 3L)))
+    val p = Signals.progress(spark, root).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getString(5)))).toMap
+    assert(p("t1") === (("stopped", 2L, 20L, false, null)),
+      "stopped: cut off with its landed chunks still visible")
+    assert(p("t2") === (("paused", 0L, 0L, false, "k < 100")),
+      "the paused head reports its condition and zero progress")
+    Signals.applySignals(spark, root, sig(("d", "resume-snapshot", null, 4L)))
+    assert(turn(root) === 2 && turn(root) === 0)
+    val p2 = Signals.progress(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p2 === Map("t1" -> "stopped", "t2" -> "done"))
+  }
+
   test("law: random signal scripts match a driver-side model of the protocol (seeded)") {
     // model-based check: replay a random action script against BOTH the
     // real module and a 20-line in-memory model; after a final drain the
