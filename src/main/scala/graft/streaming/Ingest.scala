@@ -1013,7 +1013,8 @@ object Ingest {
       driftPsiThreshold: Double = 0.25,
       driftRetune: Option[RetuneTarget] = None,
       compactDriftState: Boolean = false,
-      snapshot: Option[SnapshotTarget] = None)
+      snapshot: Option[SnapshotTarget] = None,
+      signals: Option[SignalTarget] = None)
 
   /** The ACTIONABLE half of the drift advisory (round 14): what the
     * maintenance turn should DO when [[graft.llm.Drift.psiAdvisory]]
@@ -1046,6 +1047,24 @@ object Ingest {
       keyCol: String,
       chunkSize: Int,
       loLsnOf: Long => Long,
+      maxChunksPerTurn: Int = 4)
+
+  /** The B16 SIGNAL-DRIVEN snapshot leg (round 16): where
+    * [[SnapshotTarget]] hardwires ONE table into the turn,
+    * this leg delegates WHAT to snapshot to the signal protocol —
+    * operators queue/stop/pause collections through the signal table
+    * ([[graft.cdc.Signals.applySignals]], typically fed by
+    * `fromEnvelope` off the captured signal-table stream) and the
+    * maintenance turn just runs the paced [[graft.cdc.Signals.turn]].
+    * The resolvers map a collection NAME (what signals carry) to its
+    * live frame, key columns, chunk size, and watermark supplier.
+    */
+  final case class SignalTarget(
+      root: String,
+      tableOf: String => org.apache.spark.sql.DataFrame,
+      keyColsOf: String => Seq[String],
+      chunkSizeOf: String => Int,
+      loLsnOf: (String, Long) => Long,
       maxChunksPerTurn: Int = 4)
 
   /** ONE COMPOSED MAINTENANCE TURN — the third leg of the lifecycle
@@ -1176,6 +1195,18 @@ object Ingest {
         st.statePath, st.table, st.keyCol, st.chunkSize, st.loLsnOf,
         st.maxChunksPerTurn)
       out += "snapshot" -> (if (landed == 0) "none" else s"landed($landed)")
+    }
+    // B16 signal-driven snapshots: one paced protocol turn — the signal
+    // state (queued/paused/stopped by operators through the signal
+    // table) decides what, if anything, this turn reads (round 16)
+    targets.signals.foreach { sg =>
+      val landed = graft.cdc.Signals.turn(spark, sg.root, sg.tableOf,
+        sg.keyColsOf, sg.chunkSizeOf, sg.loLsnOf, sg.maxChunksPerTurn)
+      val st = graft.cdc.Signals.state(spark, sg.root)
+      out += "signal_snapshot" -> (
+        if (st.paused) "paused"
+        else if (landed == 0 && st.queue.isEmpty) "idle"
+        else s"landed($landed)")
     }
     out.toSeq
   }

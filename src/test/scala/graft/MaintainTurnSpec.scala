@@ -173,6 +173,30 @@ class MaintainTurnSpec extends AnyFunSuite {
     assert(landed.select("k").as[Long].collect().toSet === (0L until 50L).toSet)
   }
 
+  test("the signal leg: the turn obeys whatever the signal protocol says (round 16)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mt-sig").toString
+    val table = (0L until 40L).map(i => (i, s"v$i")).toDF("k", "payload")
+    def turn() = streaming.Ingest.maintainEverywhere(spark,
+      streaming.Ingest.MaintainTargets(signals = Some(
+        streaming.Ingest.SignalTarget(root, _ => table, _ => Seq("k"),
+          _ => 10, (_, c) => 100L + c, maxChunksPerTurn = 2)))).toMap
+    def signal(id: String, typ: String, data: String): Unit =
+      graft.cdc.Signals.applySignals(spark, root,
+        Seq((id, typ, data, 1L)).toDF("id", "type", "data", "lsn"))
+    // nothing queued: the leg idles
+    assert(turn()("signal_snapshot") === "idle")
+    signal("a", "execute-snapshot", """{"data-collections":["t"]}""")
+    assert(turn()("signal_snapshot") === "landed(2)")
+    signal("b", "pause-snapshot", null)
+    assert(turn()("signal_snapshot") === "paused")
+    signal("c", "resume-snapshot", null)
+    assert(turn()("signal_snapshot") === "landed(2)")
+    assert(turn()("signal_snapshot") === "idle") // pops, queue empty
+    assert(graft.cdc.IncrementalSnapshot.landedChunks(spark,
+      graft.cdc.Signals.collectionPath(root, "t")).count() === 40L)
+  }
+
   test("the drift_state leg folds fragments through the turn (round 14, opt-in r15)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
