@@ -582,6 +582,42 @@ object CdcQueries {
         .orderBy(col("ckey"))
     }),
 
+    // B16c — additional-conditions: a partial re-snapshot by predicate.
+    // execute-snapshot carries a per-collection SQL filter that composes
+    // INTO the chunk SELECT (under the key-range resume predicate), so
+    // only matching rows ever move; chunk assignment ranks over the
+    // FILTERED key space. A blocking execute drains it in one turn. The
+    // hash pins coverage (exactly the matching keys), the per-chunk
+    // watermarks over filtered ranks, and provenance.
+    "b16_signal_snapshot_cond" -> ((s, dir) => {
+      import graft.cdc.Signals
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-signals-cond").toString
+      val su = t(s, dir, "supplier").select(col("s_suppkey").as("ckey"),
+        col("s_name").as("name"), col("s_acctbal").cast("double").as("bal"))
+      val csz = math.max(1L,
+        (su.where(pmod(col("ckey"), lit(2L)) === 0L).count() + 5L) / 6L).toInt
+      def sig(rows: Seq[(String, String, String, Long)]) = {
+        import s.implicits._
+        rows.toDF("id", "type", "data", "lsn")
+      }
+      Signals.applySignals(s, root, sig(Seq(("s1", "execute-snapshot",
+        """{"data-collections":["supplier"],"type":"blocking",
+          |"additional-conditions":[
+          |  {"data-collection":"supplier","filter":"ckey % 2 = 0"}]}"""
+          .stripMargin.replace("\n", ""), 1L))))
+      val landed = Signals.turn(s, root, _ => su, _ => Seq("ckey"),
+        _ => csz, (_, cid) => 2990L + 5L * cid, maxChunks = 1)
+      require(landed >= 1, "the blocking turn must drain the filtered table")
+      require(Signals.state(s, root).done == Seq("supplier"),
+        "blocking: one turn completes the collection")
+      val noCh = su.limit(0).select(col("ckey"), col("name"), col("bal"),
+        lit("u").as("op"), lit(0L).as("lsn"))
+      Signals.collectionState(s, root, "supplier", noCh, Seq("ckey"), "lsn")
+        .select(col("ckey"), col("name"), col("bal"), col("last_lsn"), col("src"))
+        .orderBy(col("ckey"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -916,6 +952,20 @@ object CdcQueries {
         |  CASE WHEN ckey % 3 = 0 THEN bal + 100.0 ELSE bal END AS bal
         |FROM cu WHERE NOT (ckey % 3 = 0 AND ckey % 7 = 0)
         |ORDER BY ckey""".stripMargin,
+
+    // additional-conditions coverage: exactly the matching keys, chunked
+    // by rank over the FILTERED key space at the blocking turn's
+    // advancing watermarks
+    "b16_signal_snapshot_cond" ->
+      """WITH su AS (SELECT s_suppkey AS ckey, s_name AS name,
+        |       CAST(s_acctbal AS DOUBLE) AS bal FROM supplier
+        |       WHERE s_suppkey % 2 = 0),
+        |prm AS (SELECT greatest(1, (COUNT(*) + 5) // 6) AS csz FROM su),
+        |asg AS (SELECT *, ((row_number() OVER (ORDER BY ckey)) - 1)
+        |           // (SELECT csz FROM prm) AS chunk FROM su)
+        |SELECT ckey, name, bal, CAST(2990 + 5 * chunk AS BIGINT) AS last_lsn,
+        |       'chunk' AS src
+        |FROM asg ORDER BY ckey""".stripMargin,
 
     // the signal protocol's observable outcome: customer chunked in
     // full (rank-assigned, lo = 1990 + 5·chunk), supplier cut off at
