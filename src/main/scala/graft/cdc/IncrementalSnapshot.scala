@@ -55,6 +55,17 @@ object IncrementalSnapshot {
   def nextChunk(table: DataFrame, keyCol: String, afterKey: Option[Long],
                 chunkSize: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    // the Long path's cursor serializes as "id,key" and resumes through
+    // toLong — a string/date key would land chunks fine and then corrupt
+    // every resume; route those through the composite path, whose JSON
+    // cursor round-trips any supported key type
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(table.schema(keyCol).dataType)
+    }, s"snapshotChunks chunks over an integral key ('$keyCol' is " +
+      s"${table.schema(keyCol).dataType.simpleString}) — use " +
+      "snapshotChunksCk for string/date/composite keys")
     val nonNull = table.where(col(keyCol).isNotNull)
     val base = afterKey match {
       case Some(k) => nonNull.where(col(keyCol) > k)

@@ -136,6 +136,20 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
     assert(IncrementalSnapshot.cursor(spark, st3) === Some((2L, 13L)))
   }
 
+  test("the Long cursor path refuses non-integral keys (use the ck path)") {
+    // a string key would land chunks fine and then corrupt every resume
+    // through the "id,key".toLong parse — refuse up front
+    val t = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalSnapshot.nextChunk(t, "k", None, 1)
+    }
+    assert(ex.getMessage.contains("snapshotChunksCk"))
+    // the composite path takes the same table happily
+    val st = tmp("graft-isnap-strkey")
+    assert(IncrementalSnapshot.snapshotChunksCk(spark, st, t, Seq("k"),
+      chunkSize = 1, loLsnOf = _ => 1L) === 2)
+  }
+
   test("a mid-snapshot schema change refuses loudly instead of mixing chunk schemas") {
     // chunks land over a LIVE table across a long window; a DDL between
     // chunks would otherwise mix schemas inside chunks/ where the merge's
