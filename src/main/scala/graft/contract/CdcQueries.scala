@@ -548,10 +548,11 @@ object CdcQueries {
           target, ckpt, Seq("ckey"), "__v", nBuckets = 8)
         q.awaitTermination()
       }
+      val csz = math.max(1L, (cu.count() + 5L) / 6L).toInt
       def landOne(upto: Long): Int = {
         val before = IncrementalSnapshot.cursor(s, st).map(_._1).getOrElse(0L)
         val n = IncrementalSnapshot.snapshotChunks(s, st, live(), "ckey",
-          math.max(1L, (cu.count() + 5L) / 6L).toInt, _ => upto, maxChunks = 1)
+          csz, _ => upto, maxChunks = 1)
         if (n > 0) {
           val after = IncrementalSnapshot.cursor(s, st).map(_._1).getOrElse(0L)
           val rows = s.read.parquet(s"$st/chunks")
