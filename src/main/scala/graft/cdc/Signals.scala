@@ -48,6 +48,13 @@ import org.apache.spark.sql.functions._
   * handful per day in production, never data-plane volume. Every
   * data-plane byte moves through the B15 chunk loop (bounded
   * TakeOrdered reads, O(chunk) landings, one keyed merge shuffle).
+  *
+  * Concurrency contract: ONE protocol driver per state root — the
+  * connector model (signals drain through one stream, turns run on one
+  * maintenance schedule). applySignals and turn are read-modify-write
+  * on the state file; two concurrent drivers could lose each other's
+  * update (turn's pop re-reads before writing, which closes the
+  * signals-landed-during-chunks window, not true multi-writer races).
   */
 object Signals {
 
