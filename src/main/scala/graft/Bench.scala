@@ -99,7 +99,34 @@ object Bench {
     "k22_shard_export_bpe",  // the BPE-encoded shard set a trainer mounts: + merge training + subword encode (round 16)
     "b15_incremental_snapshot_ck", // the REAL composite-key DBLog cursor loop: 6 bounded chunk reads + the keyed merge (round 16)
     "b16_signal_snapshot",   // the signal protocol end-to-end: 2 collections, 7 turns, 4 signal batches, 2 merges (round 16)
-    "b15_snapshot_upsert")   // the FULL consumer: 6 stream drains through the upsert sink + interleaved chunk landings (round 16)
+    "b15_snapshot_upsert",   // the FULL consumer: 6 stream drains through the upsert sink + interleaved chunk landings (round 16)
+    // round 17 — the composed-query gauntlet (TPC-H shapes adapted to
+    // the star schema): deep multi-join + decorrelated-subquery plans,
+    // the "same query capabilities" bar the probe queries don't compose
+    "q02_min_cost_supplier", // 5-table join + correlated scalar-min over a grouped CTE
+    "q03_shipping_priority", // segment-filtered 3-table join-agg top-k
+    "q10_returned_items",    // 4-table join-agg over a date window, top-20
+    "q17_small_qty_avg",     // fact ⋈ part + correlated scalar-avg over the fact
+    "q20_part_supp_exists",  // nested IN + correlated sum (3 decorrelation sites)
+    "q21_late_supplier")     // EXISTS + NOT EXISTS against the self-joined fact
+
+  /** The FS-COMMIT-BOUND entries (round 17, the r16 verdict's #7): these
+    * compose checkpointed stream drains / multi-family state commits, so
+    * their wall-clock is dominated by filesystem commit latency, not
+    * CPU — same-code quiet-rig runs swing them ±40% (SCALING.md round-16
+    * band evidence) and the CPU rig calibration cannot normalize them.
+    * The JSON reports their subtotal separately (`total_fs_bound`) so
+    * round-over-round comparisons can quote the CPU-bound total
+    * (`total_cpu`) without hand-attributing the noise floor every round.
+    */
+  val fsBound: Set[String] = Set(
+    "b15_snapshot_upsert",        // six checkpointed drains + ~14 bucket-merge commits
+    "b15_incremental_snapshot_ck",// six cursor-paced chunk landings (a commit each)
+    "b16_signal_snapshot",        // seven chunk-loop turns + state-file commits
+    "j8_stream_upsert_tws",       // checkpointed RocksDB stream replay
+    "k21_retract_fanout",         // seven-family retraction commits
+    "k21_maintain_turn",          // six-family gated compaction commits
+    "k21_corpus_compact")         // corpus fold + generation-swap commits
 
   /** The calibration task's reference time: min-of-3 warm on the
     * round-16 quiet rig (local[32], the rig that produced the committed
@@ -762,6 +789,12 @@ object Bench {
       .filter(r => r1Headline.contains(r._1)).map(r => sel(r._2)).filter(_ >= 0).sum
     val totalR1 = r1Sum(steady)
     val totalR1Cold = r1Sum(_.head)
+    // the fs_bound / cpu split (round 17): two subtotals with different
+    // noise floors — compare total_cpu round-over-round; total_fs_bound
+    // carries its own ±40% FS-latency band (see `fsBound` scaladoc)
+    val totalFs = results.filter(r => fsBound.contains(r._1))
+      .map(r => steady(r._2)).filter(_ >= 0).sum
+    val totalCpu = total - totalFs
     // sanitize: the env value goes into JSON verbatim otherwise
     val filterSafe = filter.replaceAll("[^A-Za-z0-9_]", "_")
     val filterField = if (filter.isEmpty) "" else s""","filtered":"$filterSafe""""
@@ -772,9 +805,10 @@ object Bench {
     // capture then always ends with a complete, parseable record. The
     // full per-query dict still prints (and lands in the judge's own
     // runs/logs) one line above.
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"queries":$qJson,"queries_cold":$coldJson,"sf":"$sfDir"$filterField}"""
+    val fsNamesJson = fsBound.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"total_cpu":$totalCpu%.3f,"total_fs_bound":$totalFs%.3f,"fs_bound":$fsNamesJson,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"queries":$qJson,"queries_cold":$coldJson,"sf":"$sfDir"$filterField}"""
     println(fullJson)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"n_queries":${results.size},"sf":"$sfDir"$filterField}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"total_cpu":$totalCpu%.3f,"total_fs_bound":$totalFs%.3f,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"n_queries":${results.size},"sf":"$sfDir"$filterField}""")
     // the full record ALSO lands in a committed file (round 15, r14
     // verdict #2): the driver's 2000-char stdout tail truncates the
     // 60+-entry per-query dict, making cold-rep artifacts unfalsifiable

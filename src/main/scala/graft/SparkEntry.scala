@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ScalarQueries.queries ++ CdcQueries.queries ++
       LlmQueries.queries ++ StreamingQueries.queries ++ SourceSinkQueries.queries ++
-      ExtraQueries.queries
+      ExtraQueries.queries ++ GauntletQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Queries absent here (non-SQL-expressible /
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ScalarQueries.oracle ++ CdcQueries.oracle ++
       LlmQueries.oracle ++ StreamingQueries.oracle ++ SourceSinkQueries.oracle ++
-      ExtraQueries.oracle
+      ExtraQueries.oracle ++ GauntletQueries.oracle
 }

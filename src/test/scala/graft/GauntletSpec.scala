@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed-query gauntlet's PLAN contract (r17 — the r16 verdict's
+  * #1): deep multi-join + nested-subquery queries must decorrelate and
+  * keep the repo's scale posture. The blanket ScalePostureSpec pass
+  * already forbids BNLJ/single-partition surprises; this spec pins the
+  * properties specific to subquery composition:
+  *   - every correlated subquery is DECORRELATED into an aggregate +
+  *     semi/anti/equi join (never a per-row re-scan — Spark would plan
+  *     an un-decorrelatable subquery as a BNLJ or refuse outright);
+  *   - the selective dimension filters reach the parquet scans
+  *     (pushdown survives the composed plan);
+  *   - results stay correct when AQE re-plans at runtime (the queries
+  *     execute under the tuned session and return the oracle-matched
+  *     row counts — the value-level contract lives in the driver gate).
+  */
+class GauntletSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val gauntlet = Seq(
+    "q02_min_cost_supplier", "q03_shipping_priority", "q10_returned_items",
+    "q17_small_qty_avg", "q20_part_supp_exists", "q21_late_supplier")
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("gauntlet plans carry no nested-loop or cartesian fallback") {
+    for (n <- gauntlet) {
+      val p = planOf(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a BNLJ:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+  }
+
+  test("correlated subqueries decorrelate into joins, not per-row rescans") {
+    // q20's IN + correlated SUM → LeftSemi; q21's EXISTS/NOT EXISTS →
+    // LeftSemi + LeftAnti. If Catalyst ever stopped decorrelating these
+    // the join types would disappear (replaced by a BNLJ the first test
+    // catches, or an InSubqueryExec per-row probe).
+    val p20 = planOf("q20_part_supp_exists")
+    assert(p20.contains("LeftSemi"), s"q20 lost its semi-join form:\n$p20")
+    val p21 = planOf("q21_late_supplier")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21 lost its semi/anti-join form:\n$p21")
+    // q02's scalar-MIN and q17's scalar-AVG decorrelate into grouped
+    // aggregates joined back on the correlation key — the plan must
+    // contain the min/avg aggregate, and no per-row scalar-subquery
+    // execution node
+    val p02 = planOf("q02_min_cost_supplier")
+    assert(p02.contains("partial_min"), s"q02 lost the decorrelated min agg:\n$p02")
+    val p17 = planOf("q17_small_qty_avg")
+    assert(p17.contains("partial_avg"), s"q17 lost the decorrelated avg agg:\n$p17")
+    for ((n, p) <- Seq("q02" -> p02, "q17" -> p17))
+      assert(!p.contains("ScalarSubquery"),
+        s"$n still evaluates a scalar subquery per-row:\n$p")
+  }
+
+  test("selective dim filters reach the parquet scans under composition") {
+    // q02: the part filter (p_size range + p_type) must be IN the scan,
+    // not applied post-join — at 100 TB the difference is reading 2000
+    // parts vs every part row
+    val p02 = planOf("q02_min_cost_supplier")
+    assert(p02.contains("PushedFilters: [IsNotNull(p_size)") ||
+      p02.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(p_size,10\\).*"),
+      s"q02 part filter not pushed to scan:\n$p02")
+    // q10: the date-window filter must reach the orders scan
+    val p10 = planOf("q10_returned_items")
+    assert(p10.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"q10 order-date window not pushed to scan:\n$p10")
+  }
+
+  test("gauntlet executes correctly under AQE (row counts)") {
+    val expected = Map(
+      // sf0.001 row counts, cross-checked against the same SQL in DuckDB
+      "q03_shipping_priority" -> 10L, "q17_small_qty_avg" -> 1L)
+    for ((n, want) <- expected) {
+      val got = SparkEntry.queries(n)(spark, TestSpark.sf).count()
+      assert(got == want, s"$n returned $got rows, expected $want")
+    }
+    // the remaining queries' exact values are driver-gate-verified at
+    // sf0.01/sf0.1; here just prove they execute end-to-end
+    for (n <- gauntlet diff expected.keys.toSeq)
+      SparkEntry.queries(n)(spark, TestSpark.sf).collect()
+  }
+}
