@@ -138,13 +138,23 @@ object IncrementalSnapshot {
     readAt(main, lenient = false)
       .orElse(readAt(new Path(statePath, "_chunk_schema.tmp"), lenient = true)) match {
       case Some(pinned) =>
-        require(canon(pinned) == canon(schema),
-          s"chunk schema changed mid-snapshot at $statePath (pinned " +
-            s"${pinned.simpleString}, got ${schema.simpleString}) — a " +
-            "DDL during an incremental snapshot is restart-level: clear " +
-            "the state dir and re-execute the snapshot")
+        if (canon(pinned) != canon(schema)) {
+          // the rejected DDL is a B17 schema-history event before the
+          // loud failure — the refusal is exactly what the log records
+          SchemaHistory.append(spark, statePath, "refuse",
+            Some(pinned), Some(schema))
+          throw new IllegalArgumentException(
+            s"requirement failed: chunk schema changed mid-snapshot at " +
+              s"$statePath (pinned ${pinned.simpleString}, got " +
+              s"${schema.simpleString}) — a DDL during an incremental " +
+              "snapshot is restart-level: clear the state dir and " +
+              "re-execute the snapshot")
+        }
       case None =>
         fs.mkdirs(new Path(statePath))
+        // history first, pin second: a crash between re-pins on the next
+        // chunk and re-appends — at-least-once, never silently missing
+        SchemaHistory.append(spark, statePath, "pin", None, Some(schema))
         val tmp = new Path(statePath, "_chunk_schema.tmp")
         val out = fs.create(tmp, true)
         try out.write(schema.json.getBytes("UTF-8")) finally out.close()
@@ -168,17 +178,56 @@ object IncrementalSnapshot {
       .withColumn("__chunk", lit(chunkId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__chunk").parquet(s"$statePath/chunks")
-    val lastKey = chunkRows.agg(max(col(keyCol))).head()
+    // max key + chunk row count in ONE agg job: the count rides along so
+    // the cursor carries cumulative (chunks, rows) and progress readouts
+    // become pure driver FS reads (r17, the r16 verdict's #3)
+    val lastKey = chunkRows.agg(max(col(keyCol)), count(lit(1))).head()
     if (!lastKey.isNullAt(0)) {
+      val priorRows = cursorStats(spark, statePath).map(_._2).getOrElse(0L)
       val fs = fsOf(spark, statePath)
       val tmp = new Path(statePath, CursorFile + ".tmp")
       val out = fs.create(tmp, true)
-      try out.write(s"${chunkId + 1},${lastKey.get(0)}".getBytes("UTF-8"))
+      try out.write(
+        s"${chunkId + 1},${lastKey.get(0)},${chunkId + 1},${priorRows + lastKey.getLong(1)}"
+          .getBytes("UTF-8"))
       finally out.close()
       val main = new Path(statePath, CursorFile)
       if (fs.exists(main)) fs.delete(main, false)
       fs.rename(tmp, main)
     }
+  }
+
+  /** Cumulative (chunks_landed, rows_landed) carried IN the cursor —
+    * None for pre-r17 cursors (both formats) or before the first chunk.
+    * The re-land crash window stays consistent: a re-landed chunk
+    * recomputes its cumulative from the UNMOVED prior cursor, so the
+    * stats never double-count.
+    */
+  def cursorStats(spark: org.apache.spark.sql.SparkSession,
+                  statePath: String): Option[(Long, Long)] = {
+    val fs = fsOf(spark, statePath)
+    def readAt(p: Path): Option[(Long, Long)] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        scala.util.Try {
+          if (s.startsWith("{")) {
+            val n = jsonMapper.readTree(s)
+            val (c, r) = (n.get("chunks"), n.get("rows"))
+            if (c == null || r == null) None
+            else Some((c.asLong(), r.asLong()))
+          } else {
+            val parts = s.split(",")
+            if (parts.length >= 4) Some((parts(2).toLong, parts(3).toLong))
+            else None
+          }
+        }.toOption.flatten
+      }
+    readAt(new Path(statePath, CursorFile))
+      .orElse(readAt(new Path(statePath, CursorFile + ".tmp")))
   }
 
   // ---------------- composite-key chunking (r16, the r15 verdict's #2) ---------
@@ -269,12 +318,17 @@ object IncrementalSnapshot {
       .withColumn("__chunk", lit(chunkId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__chunk").parquet(s"$statePath/chunks")
+    // max key + count in one job; cumulative stats ride the cursor so
+    // progress is job-free (see [[cursorStats]])
     val lastKey = chunkRows
-      .agg(max(struct(keyCols.map(col): _*)).as("k")).head()
+      .agg(max(struct(keyCols.map(col): _*)).as("k"), count(lit(1))).head()
     if (!lastKey.isNullAt(0)) {
+      val priorRows = cursorStats(spark, statePath).map(_._2).getOrElse(0L)
       val vals = lastKey.getStruct(0)
       val node = jsonMapper.createObjectNode()
       node.put("next", chunkId + 1)
+      node.put("chunks", chunkId + 1)
+      node.put("rows", priorRows + lastKey.getLong(1))
       val arr = node.putArray("key")
       keyCols.indices.foreach(i => arr.add(String.valueOf(vals.get(i))))
       val fs = fsOf(spark, statePath)

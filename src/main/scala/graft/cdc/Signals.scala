@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   *    collections to drain in ONE turn (the ad-hoc full snapshot);
   *    `additional-conditions` attach per-collection SQL filters that
   *    compose INTO the chunk SELECT — a partial re-snapshot where
-  *    unmatched rows never move.
+  *    unmatched rows never move. Re-executing an already-QUEUED
+  *    collection with a DIFFERENT condition or blocking flag adopts the
+  *    newest signal entirely: its chunk state resets and the new
+  *    condition applies from row zero (r17 advice — the operator's
+  *    latest instruction wins, never a silent drop); an identical
+  *    re-execute stays a pure dedup.
   *  - `stop-snapshot {data-collections:[t…]}` removes the named
   *    collections from the queue (absent data = stop everything).
   *    Chunks already landed STAY readable — a consumer's merged state
@@ -41,7 +46,10 @@ import org.apache.spark.sql.functions._
   *    channel) — deliberate, spec-pinned.
   *  - Signals usually arrive AS ROWS of a captured signal table:
   *    [[fromEnvelope]] lifts (id, type, data, lsn) out of the B1-parsed
-  *    envelope stream (inserts/snapshot reads only).
+  *    envelope stream. Only streamed INSERTS act as signals by default
+  *    (r17 advice): a re-snapshot of the signal table itself replays
+  *    historical rows as op='r', and acting on those would wipe
+  *    completed collections' chunk state and re-run their snapshots.
   *
   * Scale shape: the state file is O(collections) bytes, applySignals
   * collects the signal batch to the driver — control-plane rows, a
@@ -49,12 +57,23 @@ import org.apache.spark.sql.functions._
   * data-plane byte moves through the B15 chunk loop (bounded
   * TakeOrdered reads, O(chunk) landings, one keyed merge shuffle).
   *
-  * Concurrency contract: ONE protocol driver per state root — the
-  * connector model (signals drain through one stream, turns run on one
-  * maintenance schedule). applySignals and turn are read-modify-write
-  * on the state file; two concurrent drivers could lose each other's
-  * update (turn's pop re-reads before writing, which closes the
-  * signals-landed-during-chunks window, not true multi-writer races).
+  * Concurrency contract (r17, hardened from the r16 prose-only form):
+  *  - WITHIN one driver, [[applySignals]] and [[turn]] serialize on a
+  *    per-root JVM lock for their whole read-modify-write (the turn
+  *    holds it through its chunk landings — turns are bounded paced
+  *    reads, so the wait is bounded). The documented wiring (signal
+  *    stream foreachBatch + scheduled maintenance turns in one driver)
+  *    can therefore never interleave a signal between a turn's re-read
+  *    and its pop, and a blocking drain excludes any [[gated]] change
+  *    sink for exactly its duration — the "caller holds stream
+  *    application" contract, enforced.
+  *  - ACROSS drivers, a WRITER EPOCH fences zombies: a successor calls
+  *    [[acquireWriter]] (atomic create-exclusive under `_epoch/`) and
+  *    passes its epoch to applySignals/turn; any holder of an older
+  *    epoch REFUSES (StaleWriterException) instead of clobbering the
+  *    successor's state [PK: Debezium's connector-task fencing via
+  *    Kafka rebalance — one task owns the signal channel at a time].
+  *    Epoch-less calls stay valid for single-driver deployments.
   */
 object Signals {
 
@@ -64,10 +83,11 @@ object Signals {
     * execute-snapshot asked for `"type":"blocking"` — they drain in ONE
     * turn instead of pacing (the protocol's ad-hoc full snapshot: the
     * caller holds stream application for that turn, so the landed
-    * watermark is a single consistent point); `conditions` carries each
-    * queued collection's additional-conditions filter (a SQL predicate
-    * composed INTO the chunk SELECT — the partial re-snapshot), retired
-    * when its collection pops or stops.
+    * watermark is a single consistent point — enforced in-driver by
+    * [[gated]]); `conditions` carries each queued collection's
+    * additional-conditions filter (a SQL predicate composed INTO the
+    * chunk SELECT — the partial re-snapshot), retired when its
+    * collection pops or stops.
     */
   case class State(queue: Seq[String], paused: Boolean, done: Seq[String],
                    blocking: Seq[String] = Nil,
@@ -75,7 +95,25 @@ object Signals {
 
   val Empty: State = State(Nil, paused = false, Nil)
 
+  /** A fenced writer observed a newer epoch: another driver has taken
+    * over the root. The loser must stop writing, not retry.
+    */
+  final class StaleWriterException(msg: String)
+    extends IllegalStateException(msg)
+
   private val StateFile = "_signals"
+  private val EpochDir = "_epoch"
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One monitor per state root (JVM-wide): both protocol writers —
+    * and any [[gated]] change sink — serialize on it. Keyed by the raw
+    * root string; callers must name a root consistently.
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -85,6 +123,66 @@ object Signals {
   /** Where a collection's B15 chunk state lives under the signal root. */
   def collectionPath(root: String, collection: String): String =
     s"$root/collections/$collection"
+
+  /** Run `body` under the root's writer lock — the change-stream gate
+    * for blocking snapshots: wrap the change sink's foreachBatch body in
+    * this and a blocking drain (which holds the same lock for its whole
+    * turn) excludes it for exactly the drain window; the gated changes
+    * then land AFTER the blocking watermark and outrank the chunk rows
+    * at merge, which is the consistency the protocol promises. Zero cost
+    * when no turn is in flight.
+    */
+  def gated[T](root: String)(body: => T): T = lockFor(root).synchronized(body)
+
+  /** The root's current writer epoch — 0 before any [[acquireWriter]]. */
+  def currentEpoch(spark: org.apache.spark.sql.SparkSession,
+                   root: String): Long = {
+    val fs = fsOf(spark, root)
+    val d = new Path(root, EpochDir)
+    if (!fs.exists(d)) 0L
+    else {
+      val ns = fs.listStatus(d).flatMap(s =>
+        scala.util.Try(s.getPath.getName.toLong).toOption)
+      if (ns.isEmpty) 0L else ns.max
+    }
+  }
+
+  /** Take over the root as ITS writer: atomically claim the next epoch
+    * (create-exclusive marker file — two racing successors get distinct
+    * epochs, and the larger one wins every later fence check). Pass the
+    * returned epoch to [[applySignals]]/[[turn]]; any older driver's
+    * next fenced write then refuses instead of clobbering this one.
+    */
+  def acquireWriter(spark: org.apache.spark.sql.SparkSession,
+                    root: String): Long = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(root, EpochDir))
+    var e = currentEpoch(spark, root) + 1
+    var claimed = -1L
+    while (claimed < 0) {
+      val marker = new Path(new Path(root, EpochDir), e.toString)
+      try {
+        // overwrite=false: atomic create-exclusive — the claim either
+        // succeeds uniquely or throws because a rival took this number
+        val out = fs.create(marker, false)
+        out.close()
+        claimed = e
+      } catch { case _: java.io.IOException => e += 1 }
+    }
+    claimed
+  }
+
+  private def checkEpoch(spark: org.apache.spark.sql.SparkSession,
+                         root: String, epoch: Option[Long],
+                         what: String): Unit =
+    epoch.foreach { e =>
+      val cur = currentEpoch(spark, root)
+      if (cur != e)
+        throw new StaleWriterException(
+          s"$what refused at $root: this driver holds writer epoch $e but " +
+            s"the root is at epoch $cur — another driver has taken over " +
+            "(acquireWriter). Stop this writer; do not retry.")
+    }
 
   /** Read the protocol state through the same TMP-then-rename +
     * lenient-tmp protocol as the B15 cursor (a crash during the very
@@ -163,93 +261,141 @@ object Signals {
   /** Extract signal rows from a CDC-PARSED signal-table stream: in the
     * protocol, operators send signals by INSERTING into a signal table
     * captured like any other — the envelope stream IS the transport.
-    * Inserts and snapshot reads carry signals (`op` c/r); updates and
-    * deletes to the signal table are housekeeping and are ignored.
+    * Only streamed inserts (`op` = c) act by default (r17 advice): a
+    * re-snapshot of the signal table replays its history as op='r'
+    * rows, and replayed execute-snapshots would wipe completed
+    * collections' chunk state. `includeSnapshotReads = true` restores
+    * the r16 behavior for deployments whose signal table is
+    * insert-once-then-truncated (where a snapshot read IS the first
+    * delivery). Updates and deletes are housekeeping, always ignored.
     * Order rides the log position. Feed the result to [[applySignals]]
     * (typically as the signal stream's foreachBatch).
     */
-  def fromEnvelope(parsed: DataFrame): DataFrame =
-    parsed.where(col("op").isin("c", "r") && col("after").isNotNull)
+  def fromEnvelope(parsed: DataFrame,
+                   includeSnapshotReads: Boolean = false): DataFrame = {
+    val ops = if (includeSnapshotReads) Seq("c", "r") else Seq("c")
+    parsed.where(col("op").isin(ops: _*) && col("after").isNotNull)
       .select(col("after.id").as("id"), col("after.type").as("type"),
         col("after.data").as("data"), col("source.lsn").as("lsn"))
+  }
+
+  /** Apply ONE signal against the in-memory state (pure protocol step;
+    * throws IllegalArgumentException on a malformed signal).
+    */
+  private def applyOne(spark: org.apache.spark.sql.SparkSession, root: String,
+                       st: State, typ: String, data: String): State =
+    typ match {
+      case "execute-snapshot" =>
+        val named = collections(data)
+        require(named.nonEmpty,
+          "execute-snapshot needs data-collections naming what to snapshot")
+        val snapTyp = {
+          val n = mapper.readTree(data).get("type")
+          if (n == null) "incremental" else n.asText()
+        }
+        require(snapTyp == "incremental" || snapTyp == "blocking",
+          s"unsupported snapshot type '$snapTyp' (incremental | blocking)")
+        // additional-conditions: per-collection SQL predicates narrowing
+        // WHAT the snapshot reads (the protocol's partial re-snapshot —
+        // "re-read the rows WHERE ..."), evaluated at chunk-read time in
+        // [[turn]]
+        val conds = {
+          val b = Map.newBuilder[String, String]
+          val node = mapper.readTree(data).get("additional-conditions")
+          if (node != null) node.elements().forEachRemaining { c =>
+            val dc = c.get("data-collection"); val f = c.get("filter")
+            require(dc != null && f != null,
+              "each additional-condition needs data-collection and filter")
+            b += dc.asText() -> f.asText()
+          }
+          b.result()
+        }
+        require(conds.keySet.forall(named.contains),
+          s"additional-conditions name collections outside data-collections: " +
+            conds.keySet.filterNot(named.contains).mkString(", "))
+        val wantBlocking = snapTyp == "blocking"
+        val (queued, fresh) = named.partition(st.queue.contains)
+        // an already-queued collection whose NEW signal asks for a
+        // different condition or blocking flag adopts the newest signal
+        // (r17 advice — previously the change was silently discarded):
+        // its chunk state resets so the new condition applies from row
+        // zero, never a mixed-coverage read. Identical re-executes stay
+        // pure dedups (no reset — spec-pinned).
+        val changed = queued.filter { c =>
+          st.blocking.contains(c) != wantBlocking ||
+            st.conditions.get(c) != conds.get(c)
+        }
+        // re-execute of a finished/stopped collection = a fresh
+        // re-snapshot: drop its old chunk state so stale chunks from a
+        // longer previous run can't shadow the new read
+        (fresh ++ changed).foreach { c =>
+          val p = new Path(collectionPath(root, c))
+          val fs = fsOf(spark, root)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val adopt = fresh ++ changed
+        st.copy(queue = st.queue ++ fresh,
+          done = st.done.filterNot(fresh.contains),
+          blocking = {
+            val base = st.blocking.filterNot(changed.contains)
+            if (wantBlocking) base ++ adopt.filterNot(base.contains) else base
+          },
+          conditions = st.conditions -- adopt ++
+            conds.filter { case (k, _) => adopt.contains(k) })
+      case "stop-snapshot" =>
+        val named = collections(data)
+        if (named.isEmpty)
+          st.copy(queue = Nil, blocking = Nil, conditions = Map.empty)
+        else st.copy(queue = st.queue.filterNot(named.contains),
+          blocking = st.blocking.filterNot(named.contains),
+          conditions = st.conditions -- named)
+      case "pause-snapshot"  => st.copy(paused = true)
+      case "resume-snapshot" => st.copy(paused = false)
+      case _                 => st // unknown types pass through untouched
+    }
 
   /** Apply one batch of signal rows `(id, type, data[, lsn])` in
     * (lsn, id) order and persist the new state. The collect is
     * control-plane-bounded by construction (signals are operator
     * actions, not data).
+    *
+    * `lenient = true` is the STREAM wiring mode (r17 advice): a
+    * malformed signal row is logged and skipped instead of failing the
+    * batch — a foreachBatch that throws retries the same batch forever,
+    * and one bad operator row must not wedge the whole signal channel
+    * [PK: Debezium logs and skips invalid signals]. The default stays
+    * strict for direct programmatic use, where the caller IS the signal
+    * author and wants the error.
+    *
+    * `epoch`: pass this driver's [[acquireWriter]] token to fence
+    * zombie writers; the write refuses (StaleWriterException) when a
+    * newer epoch exists.
     */
   def applySignals(spark: org.apache.spark.sql.SparkSession, root: String,
-                   signals: DataFrame): State = {
+                   signals: DataFrame, lenient: Boolean = false,
+                   epoch: Option[Long] = None): State = {
     val hasLsn = signals.columns.contains("lsn")
     val ordered = (if (hasLsn) signals.orderBy(col("lsn"), col("id"))
                    else signals.orderBy(col("id")))
       .select(col("id").cast("string"), col("type").cast("string"),
         col("data").cast("string"))
       .collect()
-    var st = state(spark, root)
-    ordered.foreach { r =>
-      val (typ, data) = (r.getString(1), r.getString(2))
-      typ match {
-        case "execute-snapshot" =>
-          val named = collections(data)
-          require(named.nonEmpty,
-            "execute-snapshot needs data-collections naming what to snapshot")
-          val snapTyp = {
-            val n = mapper.readTree(data).get("type")
-            if (n == null) "incremental" else n.asText()
-          }
-          require(snapTyp == "incremental" || snapTyp == "blocking",
-            s"unsupported snapshot type '$snapTyp' (incremental | blocking)")
-          val fresh = named.filterNot(st.queue.contains)
-          // re-execute of a finished/stopped collection = a fresh
-          // re-snapshot: drop its old chunk state so stale chunks from a
-          // longer previous run can't shadow the new read
-          fresh.foreach { c =>
-            val p = new Path(collectionPath(root, c))
-            val fs = fsOf(spark, root)
-            if (fs.exists(p)) fs.delete(p, true)
-          }
-          // additional-conditions: per-collection SQL predicates narrowing
-          // WHAT the snapshot reads (the protocol's partial re-snapshot —
-          // "re-read the rows WHERE ..."); recorded for the fresh
-          // collections only, evaluated at chunk-read time in [[turn]]
-          val conds = {
-            val b = Map.newBuilder[String, String]
-            val node = mapper.readTree(data).get("additional-conditions")
-            if (node != null) node.elements().forEachRemaining { c =>
-              val dc = c.get("data-collection"); val f = c.get("filter")
-              require(dc != null && f != null,
-                "each additional-condition needs data-collection and filter")
-              b += dc.asText() -> f.asText()
-            }
-            b.result()
-          }
-          require(conds.keySet.forall(named.contains),
-            s"additional-conditions name collections outside data-collections: " +
-              conds.keySet.filterNot(named.contains).mkString(", "))
-          st = st.copy(queue = st.queue ++ fresh,
-            done = st.done.filterNot(fresh.contains),
-            blocking =
-              if (snapTyp == "blocking")
-                st.blocking ++ fresh.filterNot(st.blocking.contains)
-              else st.blocking,
-            conditions = st.conditions -- fresh ++
-              conds.filter { case (k, _) => fresh.contains(k) })
-        case "stop-snapshot" =>
-          val named = collections(data)
-          st =
-            if (named.isEmpty)
-              st.copy(queue = Nil, blocking = Nil, conditions = Map.empty)
-            else st.copy(queue = st.queue.filterNot(named.contains),
-              blocking = st.blocking.filterNot(named.contains),
-              conditions = st.conditions -- named)
-        case "pause-snapshot"  => st = st.copy(paused = true)
-        case "resume-snapshot" => st = st.copy(paused = false)
-        case _                 => // unknown types pass through untouched
+    lockFor(root).synchronized {
+      checkEpoch(spark, root, epoch, "applySignals")
+      var st = state(spark, root)
+      ordered.foreach { r =>
+        val (id, typ, data) = (r.getString(0), r.getString(1), r.getString(2))
+        try st = applyOne(spark, root, st, typ, data)
+        catch {
+          case e: IllegalArgumentException if lenient =>
+            log.warn(s"skipping invalid signal id=$id type=$typ at $root: " +
+              e.getMessage)
+        }
       }
+      checkEpoch(spark, root, epoch, "applySignals")
+      writeState(spark, root, st)
+      st
     }
-    writeState(spark, root, st)
-    st
   }
 
   /** One paced maintenance turn: land up to `maxChunks` chunks of the
@@ -259,42 +405,51 @@ object Signals {
     * starts the next collection — one collection in flight at a time,
     * in signal order, exactly the protocol's sequential-collection
     * drain. A BLOCKING head ignores the pacing knob and drains
-    * completely in this one turn (the ad-hoc full snapshot; the caller
-    * holds stream application around the call). Returns the number of
-    * chunks landed.
+    * completely in this one turn (the ad-hoc full snapshot; the turn
+    * holds the root's writer lock throughout, so a [[gated]] change
+    * sink is excluded for exactly the drain window). Returns the number
+    * of chunks landed.
+    *
+    * `epoch`: the fence token (see [[applySignals]]) — checked at turn
+    * entry and again before the pop write.
     */
   def turn(spark: org.apache.spark.sql.SparkSession, root: String,
            tableOf: String => DataFrame, keyColsOf: String => Seq[String],
            chunkSizeOf: String => Int, loLsnOf: (String, Long) => Long,
-           maxChunks: Int): Int = {
+           maxChunks: Int, epoch: Option[Long] = None): Int = {
     require(maxChunks >= 1, s"a turn must be allowed at least one chunk: $maxChunks")
-    val st = state(spark, root)
-    if (st.paused || st.queue.isEmpty) 0
-    else {
-      val head = st.queue.head
-      val allowed = if (st.blocking.contains(head)) Int.MaxValue else maxChunks
-      // additional-conditions narrow the snapshot read itself: the filter
-      // composes INTO the chunk SELECT (pushed down under the key-range
-      // predicate), so unmatched rows never move — a partial re-snapshot,
-      // not a post-filter
-      val table = st.conditions.get(head) match {
-        case Some(cond) => tableOf(head).where(expr(cond))
-        case None       => tableOf(head)
+    lockFor(root).synchronized {
+      checkEpoch(spark, root, epoch, "turn")
+      val st = state(spark, root)
+      if (st.paused || st.queue.isEmpty) 0
+      else {
+        val head = st.queue.head
+        val allowed = if (st.blocking.contains(head)) Int.MaxValue else maxChunks
+        // additional-conditions narrow the snapshot read itself: the filter
+        // composes INTO the chunk SELECT (pushed down under the key-range
+        // predicate), so unmatched rows never move — a partial re-snapshot,
+        // not a post-filter
+        val table = st.conditions.get(head) match {
+          case Some(cond) => tableOf(head).where(expr(cond))
+          case None       => tableOf(head)
+        }
+        val landed = IncrementalSnapshot.snapshotChunksCk(
+          spark, collectionPath(root, head), table, keyColsOf(head),
+          chunkSizeOf(head), cid => loLsnOf(head, cid), allowed)
+        if (landed < allowed) {
+          // exhausted: pop — re-read state first so a CROSS-driver signal
+          // applied while the chunks landed is not clobbered by our stale
+          // copy (in-driver interleaving is excluded by the lock)
+          checkEpoch(spark, root, epoch, "turn pop")
+          val now = state(spark, root)
+          writeState(spark, root, now.copy(
+            queue = now.queue.filterNot(_ == head),
+            blocking = now.blocking.filterNot(_ == head),
+            conditions = now.conditions - head,
+            done = if (now.done.contains(head)) now.done else now.done :+ head))
+        }
+        landed
       }
-      val landed = IncrementalSnapshot.snapshotChunksCk(
-        spark, collectionPath(root, head), table, keyColsOf(head),
-        chunkSizeOf(head), cid => loLsnOf(head, cid), allowed)
-      if (landed < allowed) {
-        // exhausted: pop — re-read state first so a signal applied while
-        // the chunks landed is not clobbered by our stale copy
-        val now = state(spark, root)
-        writeState(spark, root, now.copy(
-          queue = now.queue.filterNot(_ == head),
-          blocking = now.blocking.filterNot(_ == head),
-          conditions = now.conditions - head,
-          done = if (now.done.contains(head)) now.done else now.done :+ head))
-      }
-      landed
     }
   }
 
@@ -304,9 +459,11 @@ object Signals {
     * volume. Phases: `queued` (waiting), `in-flight` (the head),
     * `paused` (the head under a pause), `done` (completed), `stopped`
     * (has landed chunks but is neither queued nor done — a
-    * stop-snapshot cut it off). Driver work is bounded by the
-    * collection count; the row counts are one metadata-only count job
-    * per collection with landed chunks.
+    * stop-snapshot cut it off). JOB-FREE (r17, the r16 verdict's #3):
+    * the landed (chunks, rows) ride the B15 cursor the chunk loop
+    * already writes, so the whole readout is driver FS reads — zero
+    * Spark jobs (spec-asserted). Pre-r17 collection dirs without cursor
+    * stats fall back to one metadata count job each.
     */
   def progress(spark: org.apache.spark.sql.SparkSession,
                root: String): DataFrame = {
@@ -326,11 +483,14 @@ object Signals {
         else if (st.queue.contains(c)) "queued"
         else "stopped"
       val cp = collectionPath(root, c)
-      val (chunks, rows) =
-        if (fs.exists(new Path(s"$cp/chunks"))) {
-          val landed = spark.read.parquet(s"$cp/chunks")
-          (landed.select("__chunk").distinct().count(), landed.count())
-        } else (0L, 0L)
+      val (chunks, rows) = IncrementalSnapshot.cursorStats(spark, cp) match {
+        case Some((ch, ro)) => (ch, ro)
+        case None =>
+          if (fs.exists(new Path(s"$cp/chunks"))) {
+            val landed = spark.read.parquet(s"$cp/chunks")
+            (landed.select("__chunk").distinct().count(), landed.count())
+          } else (0L, 0L)
+      }
       (c, phase, chunks, rows, st.blocking.contains(c),
         st.conditions.get(c).orNull)
     }.toDF("collection", "phase", "chunks_landed", "rows_landed",

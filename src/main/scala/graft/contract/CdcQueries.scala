@@ -447,7 +447,9 @@ object CdcQueries {
         q.awaitTermination()
       }
       val sigSink: (DataFrame, Long) => Unit =
-        (b, _) => Signals.applySignals(s, root, b)
+        // lenient = the stream wiring mode (r17): one malformed operator
+        // row logs and skips instead of failing this batch on every retry
+        (b, _) => Signals.applySignals(s, root, b, lenient = true)
       def drainSignals(): Unit = {
         val q = sigSrc.toDS().toDF("id", "type", "data", "lsn")
           .writeStream
@@ -617,6 +619,68 @@ object CdcQueries {
       Signals.collectionState(s, root, "supplier", noCh, Seq("ckey"), "lsn")
         .select(col("ckey"), col("name"), col("bal"), col("last_lsn"), col("src"))
         .orderBy(col("ckey"))
+    }),
+
+    // B17 — queryable SCHEMA HISTORY (r17): the DDL decisions the engine
+    // enforces — A8 upsert pin/widen/refuse, B15 chunk-schema pin/refuse
+    // — land as readable events under the state they protected. The
+    // script drives a widening sequence through the REAL upsert sink
+    // (three batches growing the column set, then a narrowing refusal)
+    // and a mid-snapshot DDL refusal through the REAL B15 landing; the
+    // hash pins the full log: event order, canonical old/new schema
+    // strings, and the data-dependent batch row counts the oracle
+    // re-derives from the customer table.
+    "b17_schema_history" -> ((s, dir) => {
+      import graft.cdc.{IncrementalSnapshot, SchemaHistory}
+      import graft.streaming.Sinks
+      val target = java.nio.file.Files
+        .createTempDirectory("graft-schemahist").toString + "/table"
+      val snap = java.nio.file.Files
+        .createTempDirectory("graft-schemahist-snap").toString
+      val c = t(s, dir, "customer")
+      def slice(m: Long) = c.where(pmod(col("c_custkey"), lit(3L)) === m)
+      // batch 0 pins (ckey, name, ver); batches 1-2 widen in place
+      Sinks.applyUpsertBatch(slice(0L).select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), lit(1).as("ver")),
+        target, Seq("ckey"), "ver")
+      Sinks.applyUpsertBatch(slice(1L).select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"), lit(2).as("ver")),
+        target, Seq("ckey"), "ver")
+      Sinks.applyUpsertBatch(slice(2L).select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("mkt"), lit(3).as("ver")),
+        target, Seq("ckey"), "ver")
+      // a NARROWING batch refuses — and the refusal is itself an event
+      val narrowed = try {
+        Sinks.applyUpsertBatch(slice(0L).select(col("c_custkey").as("ckey"),
+          lit(4).as("ver")), target, Seq("ckey"), "ver")
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("NARROWING")
+      }
+      require(narrowed, "the narrowing batch must refuse loudly")
+      // the B15 leg: first chunk pins the snapshot schema; a chunk with
+      // an extra column is mid-snapshot DDL and refuses
+      val su = t(s, dir, "supplier").select(col("s_suppkey").as("skey"),
+        col("s_name").as("sname"))
+      IncrementalSnapshot.landChunkCk(s, snap,
+        IncrementalSnapshot.nextChunkCk(su, Seq("skey"), None, 10),
+        Seq("skey"), 0L, 100L)
+      val refusedDdl = try {
+        IncrementalSnapshot.landChunkCk(s, snap,
+          IncrementalSnapshot.nextChunkCk(su.withColumn("extra", lit(1)),
+            Seq("skey"), None, 10), Seq("skey"), 1L, 101L)
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("chunk schema changed")
+      }
+      require(refusedDdl, "the mid-snapshot DDL must refuse loudly")
+      SchemaHistory.read(s, target).withColumn("scope", lit("upsert"))
+        .unionByName(SchemaHistory.read(s, snap)
+          .withColumn("scope", lit("snapshot")))
+        .select(col("scope"), col("seq"), col("action"),
+          col("old_schema"), col("new_schema"), col("n_rows"))
+        .orderBy(col("scope"), col("seq"))
     }),
 
     // B11 — snapshot diff: re-derive a change feed from two customer
@@ -826,6 +890,35 @@ object CdcQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the schema-history log of the scripted widen sequence: event order
+    // and canonical schema strings follow from the script; the batch row
+    // counts are re-derived from the customer table
+    "b17_schema_history" ->
+      """WITH n AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS n0,
+        |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1) AS n1,
+        |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 2) AS n2)
+        |SELECT * FROM (
+        |  SELECT 'upsert' AS scope, CAST(0 AS BIGINT) AS seq, 'pin' AS action,
+        |         CAST(NULL AS VARCHAR) AS old_schema,
+        |         'ckey bigint, name string, ver int' AS new_schema,
+        |         CAST(n0 AS BIGINT) AS n_rows FROM n
+        |  UNION ALL SELECT 'upsert', 1, 'widen',
+        |         'ckey bigint, name string, ver int',
+        |         'bal double, ckey bigint, name string, ver int', n1 FROM n
+        |  UNION ALL SELECT 'upsert', 2, 'widen',
+        |         'bal double, ckey bigint, name string, ver int',
+        |         'bal double, ckey bigint, mkt string, name string, ver int', n2 FROM n
+        |  UNION ALL SELECT 'upsert', 3, 'refuse',
+        |         'bal double, ckey bigint, mkt string, name string, ver int',
+        |         'ckey bigint, ver int', n0 FROM n
+        |  UNION ALL SELECT 'snapshot', 0, 'pin', NULL,
+        |         'skey bigint, sname string', NULL FROM n
+        |  UNION ALL SELECT 'snapshot', 1, 'refuse', 'skey bigint, sname string',
+        |         'extra int, skey bigint, sname string', NULL FROM n)
+        |ORDER BY scope, seq""".stripMargin,
+
     "b1_envelope_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, 'r' AS __op, false AS __deleted
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -1067,6 +1067,22 @@ object Ingest {
       loLsnOf: (String, Long) => Long,
       maxChunksPerTurn: Int = 4)
 
+  /** Gate a change-stream foreachBatch sink on the B16 signal root
+    * (r17, the r16 verdict's #5): a BLOCKING snapshot's consistency
+    * contract is "the caller holds stream application for the drain" —
+    * previously prose, now enforced. [[maintainEverywhere]]'s signal
+    * leg runs [[graft.cdc.Signals.turn]], which holds the root's writer
+    * lock for its whole turn; a sink wrapped here serializes on the
+    * SAME lock, so a micro-batch that arrives during a blocking drain
+    * waits out exactly the drain window and lands AFTER the blocking
+    * watermark — where the B15 merge lets it outrank the chunk rows.
+    * Zero cost when no turn is in flight (an uncontended monitor).
+    */
+  def gatedChangeSink(root: String)(
+      sink: (org.apache.spark.sql.DataFrame, Long) => Unit):
+      (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (batch, id) => graft.cdc.Signals.gated(root) { sink(batch, id) }
+
   /** ONE COMPOSED MAINTENANCE TURN — the third leg of the lifecycle
     * ([[curateBatch]] admits, [[retractEverywhere]] deletes, THIS keeps
     * the accumulated state healthy): fan one scheduled maintenance pass

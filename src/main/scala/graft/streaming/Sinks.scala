@@ -256,19 +256,45 @@ object Sinks {
                        versionCol: String, nBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val n = resolvePinnedBuckets(fs, targetDir, nBuckets, batch.count())
+    val batchRows = batch.count()
+    val n = resolvePinnedBuckets(fs, targetDir, nBuckets, batchRows)
     val tableExists =
       fs.exists(new Path(targetDir, "_SUCCESS")) || (fs.exists(new Path(targetDir)) &&
         fs.listStatus(new Path(targetDir))
           .exists(_.getPath.getName.startsWith("__kb=")))
+    // what the table believed before this batch — the B17 history event's
+    // old side (pin sidecar, else the footer schema of the live table)
+    val priorSchema: Option[org.apache.spark.sql.types.StructType] =
+      readPinnedSchema(fs, targetDir).orElse(
+        if (tableExists) Some(org.apache.spark.sql.types.StructType(
+          spark.read.parquet(targetDir).schema.fields.filterNot(_.name == "__kb")))
+        else None)
     // schema contract: widen in place on added columns, refuse narrowing
-    // and type changes (restart-level DDL) — see the schema-pin scaladoc
-    val (tableSchema, repin) = resolveSchema(fs, targetDir, tableExists,
-      batch.schema, spark.read.parquet(targetDir).schema)
+    // and type changes (restart-level DDL) — see the schema-pin scaladoc.
+    // A refusal is a B17 schema-history event BEFORE it throws: the
+    // rejected DDL is exactly what an operator reads the log for.
+    val (tableSchema, repin) =
+      try resolveSchema(fs, targetDir, tableExists,
+        batch.schema, spark.read.parquet(targetDir).schema)
+      catch {
+        case e: IllegalArgumentException =>
+          graft.cdc.SchemaHistory.append(spark, targetDir, "refuse",
+            priorSchema, Some(batch.schema), Some(batchRows))
+          throw e
+      }
     val b = batch.withColumn("__kb", pmod(hash(keyCols.map(col): _*), lit(n)))
     // buckets touched by this batch — bounded by nBuckets, a driver-safe collect
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) { if (repin) writePinnedSchema(fs, targetDir, tableSchema); return }
+    def recordPin(): Unit = {
+      // the B17 event lands BEFORE the pin moves: a crash between the
+      // two re-detects the same widening on replay and re-appends —
+      // at-least-once history, never a silently missing row
+      graft.cdc.SchemaHistory.append(spark, targetDir,
+        if (priorSchema.isEmpty) "pin" else "widen",
+        priorSchema, Some(tableSchema), Some(batchRows))
+      writePinnedSchema(fs, targetDir, tableSchema)
+    }
+    if (touched.isEmpty) { if (repin) recordPin(); return }
     val existing =
       if (tableExists)
         // partition-pruned: only the touched buckets are read. The
@@ -292,7 +318,7 @@ object Sinks {
       .partitionBy("__kb").parquet(targetDir)
     // the pin moves AFTER the data lands: a crash in between re-detects
     // the same widening next batch and rewrites the same content
-    if (repin) writePinnedSchema(fs, targetDir, tableSchema)
+    if (repin) recordPin()
   }
 
   /** A8 — attach the upsert sink to a (streaming) frame of flattened

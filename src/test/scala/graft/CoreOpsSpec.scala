@@ -824,6 +824,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // final plan is currentState's audited pruned scan (SinkSchemaSpec /
     // IncrementalSnapshotSpec pin the mechanics)
     "b15_snapshot_upsert",
+    // drives the upsert/landing writes + refusals at construction; the
+    // result is a local O(DDL-count) frame (SchemaHistorySpec pins it)
+    "b17_schema_history",
     "j8_stream_upsert_tws", "j9_stream_tumbling",
     "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
     "k2_incremental_containment", // index write at construction, same as its jaccard twin
