@@ -108,7 +108,15 @@ object Bench {
     "q10_returned_items",    // 4-table join-agg over a date window, top-20
     "q17_small_qty_avg",     // fact ⋈ part + correlated scalar-avg over the fact
     "q20_part_supp_exists",  // nested IN + correlated sum (3 decorrelation sites)
-    "q21_late_supplier")     // EXISTS + NOT EXISTS against the self-joined fact
+    "q21_late_supplier",     // EXISTS + NOT EXISTS against the self-joined fact
+    "q05_local_supplier_volume", // 6-table star join + extra nation equality
+    "q07_volume_shipping",   // nation-pair disjunction over two dim aliases
+    "q08_market_share",      // 7-table join + conditional-sum ratio per year
+    "q11_important_stock",   // grouped value vs scalar-agg-over-same-relation
+    "q16_supplier_count",    // COUNT(DISTINCT) under a NOT IN anti-join
+    "q18_large_volume_customer", // IN over GROUP BY ... HAVING on the fact
+    "q19_disjunctive_brackets",  // disjunctive brackets factored into the join key
+    "q22_global_sales_opportunity") // scalar-agg subquery + NOT EXISTS anti-join
 
   /** The FS-COMMIT-BOUND entries (round 17, the r16 verdict's #7): these
     * compose checkpointed stream drains / multi-family state commits, so

@@ -154,6 +154,187 @@ object GauntletQueries {
         ORDER BY s.s_name""")
     }),
 
+    // Q5 shape — local-supplier volume: the classic 6-table star join
+    // with the extra customer-nation = supplier-nation equality, on the
+    // DataFrame surface (small dims broadcast; the two fact-side joins
+    // shuffle on their keys).
+    "q05_local_supplier_volume" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .where(r("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Q7 shape — volume shipping between a nation PAIR: two aliases of
+    // the same dimension under a disjunctive pair predicate, grouped by
+    // derived year.
+    "q07_volume_shipping" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l.l_shipdate) AS INT) AS l_year,
+                     l.l_extendedprice * (1.0 - l.l_discount) AS volume
+              FROM supplier s, lineitem l, orders o, customer c,
+                   nation n1, nation n2
+              WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+                AND c.c_custkey = o.o_custkey
+                AND s.s_nationkey = n1.n_nationkey
+                AND c.c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                     AND TIMESTAMP '1997-12-31 00:00:00') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // Q8 shape — market share: a conditional-sum / total-sum ratio per
+    // year over a 7-table join (both sums decimal-exact, so the double
+    // ratio is deterministic).
+    "q08_market_share" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        SELECT o_year,
+          CAST(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                             THEN CAST(volume AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS mkt_share
+        FROM (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                     l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM part p, supplier s, lineitem l, orders o, customer c,
+                   nation n1, nation n2, region r
+              WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+                AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+                AND c.c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+                AND s.s_nationkey = n2.n_nationkey
+                AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                      AND TIMESTAMP '1997-12-31 00:00:00'
+                AND p.p_type = 'ECONOMY') all_nations
+        GROUP BY o_year ORDER BY o_year""")
+    }),
+
+    // Q11 shape — important stock: grouped value vs a scalar-aggregate
+    // subquery over the SAME derived relation (the HAVING-against-
+    // global-aggregate decorrelation class). TPC-H's SUM*fraction cutoff
+    // is scale-dependent (0 rows at 10x the parts); 3x the per-part mean
+    // keeps the identical plan shape and returns rows at every SF.
+    "q11_important_stock" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        WITH supply AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 SUM(l_quantity) AS ps_availqty,
+                 MIN(l_extendedprice / l_quantity) AS ps_supplycost
+          FROM lineitem GROUP BY 1, 2),
+        grouped AS (
+          SELECT ps.ps_partkey,
+            CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,6))) AS DOUBLE) AS value
+          FROM supply ps, supplier s, nation n
+          WHERE ps.ps_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+            AND n.n_name = 'NATION_7'
+          GROUP BY ps.ps_partkey)
+        SELECT ps_partkey, value FROM grouped
+        WHERE value > (
+          SELECT 3.0 * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+          FROM grouped)
+        ORDER BY value DESC, ps_partkey""")
+    }),
+
+    // Q16 shape — supplier-count by part attributes: COUNT(DISTINCT)
+    // under a NOT IN subquery (anti-join decorrelation on a dimension).
+    "q16_supplier_count" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        WITH supply AS (
+          SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem)
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM supply ps, part p
+        WHERE p.p_partkey = ps.ps_partkey AND p.p_brand <> 'Brand#45'
+          AND p.p_type <> 'SMALL'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 500)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""")
+    }),
+
+    // Q18 shape — large-volume customers: IN over a GROUP BY ... HAVING
+    // subquery on the fact itself, re-joined and re-aggregated.
+    "q18_large_volume_customer" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        FROM customer c, orders o, lineitem l
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey
+                               HAVING SUM(l_quantity) > 180)
+          AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""")
+    }),
+
+    // Q19 shape — discounted revenue under DISJUNCTIVE bracket
+    // predicates: Catalyst must factor the common equi-condition out of
+    // the OR into the join key (a nested-loop fallback would be
+    // quadratic; GauntletSpec pins the no-BNLJ posture).
+    "q19_disjunctive_brackets" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem l, part p
+        WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+               AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+               AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#34'
+               AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""")
+    }),
+
+    // Q22 shape — global-acquisition opportunity: an uncorrelated
+    // scalar-aggregate subquery (deterministic decimal-sum mean) AND a
+    // NOT EXISTS anti-join in one predicate tree ("no urgent order"
+    // adapts the original's no-order clause to this corpus, where every
+    // customer has orders).
+    "q22_global_sales_opportunity" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql("""
+        SELECT cntrycode, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        FROM (SELECT c_custkey % 10 AS cntrycode, c_acctbal FROM customer
+              WHERE c_custkey % 10 IN (1, 3, 5, 7, 9)
+                AND c_acctbal > (
+                  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                  FROM customer
+                  WHERE c_acctbal > 0 AND c_custkey % 10 IN (1, 3, 5, 7, 9))
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c_custkey
+                                  AND o.o_orderpriority = '1-URGENT')) custsale
+        GROUP BY cntrycode ORDER BY cntrycode""")
+    }),
+
     // Q21 shape — suppliers who kept multi-supplier orders waiting:
     // EXISTS + NOT EXISTS against the self-joined fact under a 4-table
     // join ("late" adapted to ship-lag, see header). The two correlated
@@ -180,6 +361,128 @@ object GauntletQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    "q05_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q07_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |             l.l_extendedprice * (1.0 - l.l_discount) AS volume
+        |      FROM supplier s, lineitem l, orders o, customer c,
+        |           nation n1, nation n2
+        |      WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+        |        AND c.c_custkey = o.o_custkey
+        |        AND s.s_nationkey = n1.n_nationkey
+        |        AND c.c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                             AND TIMESTAMP '1997-12-31 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q08_market_share" ->
+      """SELECT o_year,
+        |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3'
+        |                     THEN CAST(volume AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+        |     / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM (SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |             l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+        |             n2.n_name AS nation
+        |      FROM part p, supplier s, lineitem l, orders o, customer c,
+        |           nation n1, nation n2, region r
+        |      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |        AND c.c_nationkey = n1.n_nationkey
+        |        AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |        AND s.s_nationkey = n2.n_nationkey
+        |        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                              AND TIMESTAMP '1997-12-31 00:00:00'
+        |        AND p.p_type = 'ECONOMY') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH supply AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         SUM(l_quantity) AS ps_availqty,
+        |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |grouped AS (
+        |  SELECT ps.ps_partkey,
+        |    CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |  FROM supply ps, supplier s, nation n
+        |  WHERE ps.ps_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        |    AND n.n_name = 'NATION_7'
+        |  GROUP BY ps.ps_partkey)
+        |SELECT ps_partkey, value FROM grouped
+        |WHERE value > (
+        |  SELECT 3.0 * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |  FROM grouped)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q16_supplier_count" ->
+      """WITH supply AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |       COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        |FROM supply ps, part p
+        |WHERE p.p_partkey = ps.ps_partkey AND p.p_brand <> 'Brand#45'
+        |  AND p.p_type <> 'SMALL'
+        |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                            WHERE s_acctbal < 500)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
+
+    "q18_large_volume_customer" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice,
+        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        |FROM customer c, orders o, lineitem l
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY l_orderkey
+        |                       HAVING SUM(l_quantity) > 180)
+        |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |         o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive_brackets" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+        |       AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |       AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+        |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_global_sales_opportunity" ->
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM (SELECT c_custkey % 10 AS cntrycode, c_acctbal FROM customer
+        |      WHERE c_custkey % 10 IN (1, 3, 5, 7, 9)
+        |        AND c_acctbal > (
+        |          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |          FROM customer
+        |          WHERE c_acctbal > 0 AND c_custkey % 10 IN (1, 3, 5, 7, 9))
+        |        AND NOT EXISTS (SELECT 1 FROM orders o
+        |                        WHERE o.o_custkey = c_custkey
+        |                          AND o.o_orderpriority = '1-URGENT')) custsale
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "q02_min_cost_supplier" ->
       """WITH supply AS (

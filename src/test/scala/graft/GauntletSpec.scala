@@ -20,8 +20,11 @@ class GauntletSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val gauntlet = Seq(
-    "q02_min_cost_supplier", "q03_shipping_priority", "q10_returned_items",
-    "q17_small_qty_avg", "q20_part_supp_exists", "q21_late_supplier")
+    "q02_min_cost_supplier", "q03_shipping_priority", "q05_local_supplier_volume",
+    "q07_volume_shipping", "q08_market_share", "q10_returned_items",
+    "q11_important_stock", "q16_supplier_count", "q17_small_qty_avg",
+    "q18_large_volume_customer", "q19_disjunctive_brackets",
+    "q20_part_supp_exists", "q21_late_supplier", "q22_global_sales_opportunity")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sf)
@@ -57,6 +60,15 @@ class GauntletSpec extends AnyFunSuite {
     for ((n, p) <- Seq("q02" -> p02, "q17" -> p17))
       assert(!p.contains("ScalarSubquery"),
         s"$n still evaluates a scalar subquery per-row:\n$p")
+    // r17 breadth set: q18's IN-over-HAVING → LeftSemi; q16's NOT IN →
+    // a null-aware anti join that must still be a HASH join (the NAAJ
+    // BNLJ fallback would be quadratic); q22's NOT EXISTS → LeftAnti
+    val p18 = planOf("q18_large_volume_customer")
+    assert(p18.contains("LeftSemi"), s"q18 lost its semi-join form:\n$p18")
+    val p16 = planOf("q16_supplier_count")
+    assert(p16.contains("LeftAnti"), s"q16 lost its anti-join form:\n$p16")
+    val p22 = planOf("q22_global_sales_opportunity")
+    assert(p22.contains("LeftAnti"), s"q22 lost its anti-join form:\n$p22")
   }
 
   test("selective dim filters reach the parquet scans under composition") {
