@@ -437,8 +437,12 @@ object CdcQueries {
         .MemoryStream[(Long, String, Double, String, Long)]
       val sigSrc = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, String, String, Long)]
+      // the change sink rides the blocking-drain gate (r17): serialized
+      // with this root's turns — a no-op here (turns run between drains)
+      // but exactly the production wiring the gate contract documents
       val chSink: (DataFrame, Long) => Unit =
-        (b, _) => b.write.mode("append").parquet(chDir)
+        graft.streaming.Ingest.gatedChangeSink(root)(
+          (b, _) => b.write.mode("append").parquet(chDir))
       def drainData(): Unit = {
         val q = dataSrc.toDS().toDF("ckey", "name", "bal", "op", "lsn")
           .writeStream.foreachBatch(chSink)

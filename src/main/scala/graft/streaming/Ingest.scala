@@ -1065,7 +1065,11 @@ object Ingest {
       keyColsOf: String => Seq[String],
       chunkSizeOf: String => Int,
       loLsnOf: (String, Long) => Long,
-      maxChunksPerTurn: Int = 4)
+      maxChunksPerTurn: Int = 4,
+      // this driver's writer-epoch token (graft.cdc.Signals.acquireWriter)
+      // — when set, a zombie maintenance turn refuses instead of
+      // clobbering the successor driver's protocol state (r17)
+      epoch: Option[Long] = None)
 
   /** Gate a change-stream foreachBatch sink on the B16 signal root
     * (r17, the r16 verdict's #5): a BLOCKING snapshot's consistency
@@ -1217,7 +1221,8 @@ object Ingest {
     // table) decides what, if anything, this turn reads (round 16)
     targets.signals.foreach { sg =>
       val landed = graft.cdc.Signals.turn(spark, sg.root, sg.tableOf,
-        sg.keyColsOf, sg.chunkSizeOf, sg.loLsnOf, sg.maxChunksPerTurn)
+        sg.keyColsOf, sg.chunkSizeOf, sg.loLsnOf, sg.maxChunksPerTurn,
+        sg.epoch)
       val st = graft.cdc.Signals.state(spark, sg.root)
       out += "signal_snapshot" -> (
         if (st.paused) "paused"

@@ -35,7 +35,8 @@ class ContractIntegritySpec extends AnyFunSuite {
       "LlmQueries" -> LlmQueries.queries.keySet,
       "StreamingQueries" -> StreamingQueries.queries.keySet,
       "SourceSinkQueries" -> SourceSinkQueries.queries.keySet,
-      "ExtraQueries" -> ExtraQueries.queries.keySet)
+      "ExtraQueries" -> ExtraQueries.queries.keySet,
+      "GauntletQueries" -> GauntletQueries.queries.keySet)
     val dupes = parts.combinations(2).flatMap { case Seq((an, a), (bn, b)) =>
       (a intersect b).map(n => s"$n (in both $an and $bn)")
     }.toSeq
