@@ -134,7 +134,15 @@ object Bench {
     "j8_stream_upsert_tws",       // checkpointed RocksDB stream replay
     "k21_retract_fanout",         // seven-family retraction commits
     "k21_maintain_turn",          // six-family gated compaction commits
-    "k21_corpus_compact")         // corpus fold + generation-swap commits
+    "k21_corpus_compact",         // corpus fold + generation-swap commits
+    // the composed build/fold/retract pipelines below commit many small
+    // files (indexes, sidecars, generation swaps, checkpoints) inside
+    // their timed region — the r16/r17 cross-record band evidence shows
+    // them swinging 25-40% between same-code quiet runs while the pure
+    // compute entries stay flat (SCALING.md round-17 record)
+    "k13_dedup_resolve", "k13_fold_batch", "k13_retract",
+    "k17_retract",
+    "k21_curate_batch", "k21_curate_batch_cont", "k21_stages_separate")
 
   /** The calibration task's reference time: min-of-3 warm on the
     * round-16 quiet rig (local[32], the rig that produced the committed
