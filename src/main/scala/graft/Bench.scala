@@ -116,7 +116,15 @@ object Bench {
     "q16_supplier_count",    // COUNT(DISTINCT) under a NOT IN anti-join
     "q18_large_volume_customer", // IN over GROUP BY ... HAVING on the fact
     "q19_disjunctive_brackets",  // disjunctive brackets factored into the join key
-    "q22_global_sales_opportunity") // scalar-agg subquery + NOT EXISTS anti-join
+    "q22_global_sales_opportunity", // scalar-agg subquery + NOT EXISTS anti-join
+    "q01_pricing_summary",       // full scan-agg report (4 decimal sums + 3 means)
+    "q04_order_priority",        // EXISTS semi-join with non-equi residual
+    "q06_forecast_revenue",      // pure pushed-predicate scan-agg
+    "q09_product_profit",        // 6-way join, fact joins supply on both keys
+    "q12_ship_priority_split",   // join + conditional count pair per class
+    "q13_customer_distribution", // outer join + aggregation-of-aggregation
+    "q14_promo_effect",          // conditional-revenue percentage
+    "q15_top_supplier")          // derived view joined against its own MAX
 
   /** The FS-COMMIT-BOUND entries (round 17, the r16 verdict's #7): these
     * compose checkpointed stream drains / multi-family state commits, so

@@ -64,22 +64,28 @@ object SchemaHistory {
     val fs = fsOf(spark, root)
     val dir = new Path(root, Dir)
     fs.mkdirs(dir)
-    val seq = nextSeq(spark, root)
-    val node = mapper.createObjectNode()
-    node.put("seq", seq)
-    node.put("ts_ms", tsMs)
-    node.put("action", action)
-    oldSchema.foreach(s => node.put("old_schema", canonical(s)))
-    newSchema.foreach(s => node.put("new_schema", canonical(s)))
-    nRows.foreach(n => node.put("n_rows", n))
-    val name = f"$seq%010d.json"
-    val tmp = new Path(dir, name + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-    finally out.close()
-    val main = new Path(dir, name)
-    if (fs.exists(main)) fs.delete(main, false)
-    fs.rename(tmp, main)
+    // the event file is append-only: NEVER delete-then-rename over an
+    // existing slot (a seq race would silently overwrite history) —
+    // a failed rename means a rival claimed the number; take the next
+    var seq = nextSeq(spark, root)
+    var renamed = false
+    while (!renamed) {
+      val node = mapper.createObjectNode()
+      node.put("seq", seq)
+      node.put("ts_ms", tsMs)
+      node.put("action", action)
+      oldSchema.foreach(s => node.put("old_schema", canonical(s)))
+      newSchema.foreach(s => node.put("new_schema", canonical(s)))
+      nRows.foreach(n => node.put("n_rows", n))
+      val name = f"$seq%010d.json"
+      val tmp = new Path(dir, name + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+      finally out.close()
+      val main = new Path(dir, name)
+      renamed = !fs.exists(main) && fs.rename(tmp, main)
+      if (!renamed) seq += 1
+    }
     seq
   }
 

@@ -788,13 +788,14 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
   // global-order packing form (its partitioned twin is the scale path),
   // tiny crosstab outputs
   private val singlePartitionOk = Set(
-    // Q17/Q19's answer IS one global sum — and Q11/Q22 each evaluate an
-    // uncorrelated scalar-AGGREGATE subquery the same way: partial
-    // aggregation runs map-side across the keyed input and the final
-    // combine merges 1 row per partition on one task — the bounded
-    // final-agg class
+    // Q6/Q14/Q17/Q19's answer IS one global sum — and Q11/Q15/Q22 each
+    // evaluate an uncorrelated scalar-AGGREGATE subquery the same way:
+    // partial aggregation runs map-side across the keyed input and the
+    // final combine merges 1 row per partition on one task — the
+    // bounded final-agg class
     "q17_small_qty_avg", "q19_disjunctive_brackets",
     "q11_important_stock", "q22_global_sales_opportunity",
+    "q06_forecast_revenue", "q14_promo_effect", "q15_top_supplier",
     "k5_sequence_packing", "e4_sketch_merge", "g3_limit_offset",
     "b9_schema_drift", "e12_crosstab", "k7_tfidf_top_terms",
     "j12_funnel", // three 1-row stage counts

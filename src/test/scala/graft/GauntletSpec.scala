@@ -20,11 +20,14 @@ class GauntletSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val gauntlet = Seq(
-    "q02_min_cost_supplier", "q03_shipping_priority", "q05_local_supplier_volume",
-    "q07_volume_shipping", "q08_market_share", "q10_returned_items",
-    "q11_important_stock", "q16_supplier_count", "q17_small_qty_avg",
-    "q18_large_volume_customer", "q19_disjunctive_brackets",
-    "q20_part_supp_exists", "q21_late_supplier", "q22_global_sales_opportunity")
+    "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
+    "q04_order_priority", "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q10_returned_items", "q11_important_stock", "q12_ship_priority_split",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_qty_avg", "q18_large_volume_customer",
+    "q19_disjunctive_brackets", "q20_part_supp_exists", "q21_late_supplier",
+    "q22_global_sales_opportunity")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sf)
@@ -83,6 +86,51 @@ class GauntletSpec extends AnyFunSuite {
     val p10 = planOf("q10_returned_items")
     assert(p10.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
       s"q10 order-date window not pushed to scan:\n$p10")
+  }
+
+  test("the gauntlet's fact-fact join runs exchange-free over bucketed layout, same answer") {
+    import org.apache.spark.sql.functions._
+    // Q3's lineitem ⋈ orders is THE shuffle at 100 TB; pre-bucketing
+    // both sides on the order key removes it (the layout answer for a
+    // fact pair joined every hour), and the layout must never change
+    // the answer.
+    val li = graft.core.Engine.table(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = graft.core.Engine.table(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"))
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("g_li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("g_o_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val joined = spark.table("g_li_bucketed").where(col("l_shipdate") > cut)
+        .join(spark.table("g_o_bucketed").where(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the co-located fact join must not shuffle")
+      // compose the rest of Q3 on top (customer leg broadcast by hint)
+      val c = graft.core.Engine.table(spark, TestSpark.sf, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val viaBuckets = joined
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+        .collect().toSeq
+      val plain = SparkEntry.queries("q03_shipping_priority")(
+        spark, TestSpark.sf).collect().toSeq
+      assert(viaBuckets === plain, "layout must never change the answer")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS g_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_o_bucketed")
+    }
   }
 
   test("gauntlet executes correctly under AQE (row counts)") {
