@@ -103,6 +103,34 @@ object SchemaHistory {
     }
   }
 
+  /** The event schema [[read]] and [[stream]] share. */
+  val eventSchema: StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("seq",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts_ms",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("action",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("old_schema",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("new_schema",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_rows",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The history as a LIVE STREAM [PK: consumers replay Debezium's
+    * schema-history topic as a stream to interpret old events]: one
+    * file per event makes the log a natural Structured Streaming file
+    * source — every append is a new file the stream picks up in its
+    * next micro-batch, and the glob keeps in-flight `.tmp` appends
+    * invisible here exactly as in [[read]].
+    */
+  def stream(spark: org.apache.spark.sql.SparkSession,
+             root: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "*.json")
+      .json(s"$root/$Dir")
+
   /** The log as a DataFrame — `(seq, ts_ms, action, old_schema,
     * new_schema, n_rows)` — complete events only (a torn `.tmp` from a
     * crashed append is invisible). Driver FS reads; no Spark job until

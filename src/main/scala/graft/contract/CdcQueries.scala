@@ -635,53 +635,39 @@ object CdcQueries {
     // strings, and the data-dependent batch row counts the oracle
     // re-derives from the customer table.
     "b17_schema_history" -> ((s, dir) => {
-      import graft.cdc.{IncrementalSnapshot, SchemaHistory}
-      import graft.streaming.Sinks
-      val target = java.nio.file.Files
-        .createTempDirectory("graft-schemahist").toString + "/table"
-      val snap = java.nio.file.Files
-        .createTempDirectory("graft-schemahist-snap").toString
-      val c = t(s, dir, "customer")
-      def slice(m: Long) = c.where(pmod(col("c_custkey"), lit(3L)) === m)
-      // batch 0 pins (ckey, name, ver); batches 1-2 widen in place
-      Sinks.applyUpsertBatch(slice(0L).select(col("c_custkey").as("ckey"),
-        col("c_name").as("name"), lit(1).as("ver")),
-        target, Seq("ckey"), "ver")
-      Sinks.applyUpsertBatch(slice(1L).select(col("c_custkey").as("ckey"),
-        col("c_name").as("name"), col("c_acctbal").as("bal"), lit(2).as("ver")),
-        target, Seq("ckey"), "ver")
-      Sinks.applyUpsertBatch(slice(2L).select(col("c_custkey").as("ckey"),
-        col("c_name").as("name"), col("c_acctbal").as("bal"),
-        col("c_mktsegment").as("mkt"), lit(3).as("ver")),
-        target, Seq("ckey"), "ver")
-      // a NARROWING batch refuses — and the refusal is itself an event
-      val narrowed = try {
-        Sinks.applyUpsertBatch(slice(0L).select(col("c_custkey").as("ckey"),
-          lit(4).as("ver")), target, Seq("ckey"), "ver")
-        false
-      } catch { case e: IllegalArgumentException =>
-        e.getMessage.contains("NARROWING")
-      }
-      require(narrowed, "the narrowing batch must refuse loudly")
-      // the B15 leg: first chunk pins the snapshot schema; a chunk with
-      // an extra column is mid-snapshot DDL and refuses
-      val su = t(s, dir, "supplier").select(col("s_suppkey").as("skey"),
-        col("s_name").as("sname"))
-      IncrementalSnapshot.landChunkCk(s, snap,
-        IncrementalSnapshot.nextChunkCk(su, Seq("skey"), None, 10),
-        Seq("skey"), 0L, 100L)
-      val refusedDdl = try {
-        IncrementalSnapshot.landChunkCk(s, snap,
-          IncrementalSnapshot.nextChunkCk(su.withColumn("extra", lit(1)),
-            Seq("skey"), None, 10), Seq("skey"), 1L, 101L)
-        false
-      } catch { case e: IllegalArgumentException =>
-        e.getMessage.contains("chunk schema changed")
-      }
-      require(refusedDdl, "the mid-snapshot DDL must refuse loudly")
+      import graft.cdc.SchemaHistory
+      val (target, snap) = schemaHistoryScript(s, dir)
       SchemaHistory.read(s, target).withColumn("scope", lit("upsert"))
         .unionByName(SchemaHistory.read(s, snap)
           .withColumn("scope", lit("snapshot")))
+        .select(col("scope"), col("seq"), col("action"),
+          col("old_schema"), col("new_schema"), col("n_rows"))
+        .orderBy(col("scope"), col("seq"))
+    }),
+
+    // B17b — ▶ the history consumed as a STREAM [PK: Debezium's
+    // schema-history topic is replayed as a stream]: the same scripted
+    // DDL sequence, but the log is read back through the REAL file
+    // source (one event file per append = one row per micro-batch
+    // element) and drained into a memory sink. Same oracle as b17 —
+    // the stream must deliver exactly the batch log.
+    "b17_schema_history_stream" -> ((s, dir) => {
+      import graft.cdc.SchemaHistory
+      val (target, snap) = schemaHistoryScript(s, dir)
+      def drain(root: String, scope: String): DataFrame = {
+        val q = SchemaHistory.stream(s, root)
+          .withColumn("scope", lit(scope))
+          .writeStream.format("memory")
+          .queryName(s"graft_shist_${scope}_${System.nanoTime() % 100000}")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory(s"graft-shist-ckpt-$scope").toString)
+          .start()
+        q.awaitTermination()
+        s.table(q.name)
+      }
+      drain(target, "upsert").unionByName(drain(snap, "snapshot"))
         .select(col("scope"), col("seq"), col("action"),
           col("old_schema"), col("new_schema"), col("n_rows"))
         .orderBy(col("scope"), col("seq"))
@@ -893,35 +879,95 @@ object CdcQueries {
         .orderBy(col("signup_id"), col("click_id"))
     }))
 
+  /** The B17 scripted DDL sequence both b17 queries replay: three upsert
+    * batches growing the column set (pin + two widens), a narrowing
+    * refusal, then a B15 chunk-schema pin and a mid-snapshot-DDL
+    * refusal. Returns the two state roots whose history logs the script
+    * produced.
+    */
+  private def schemaHistoryScript(s: SparkSession,
+                                  dir: String): (String, String) = {
+    import graft.cdc.IncrementalSnapshot
+    import graft.streaming.Sinks
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-schemahist").toString + "/table"
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft-schemahist-snap").toString
+    val c = t(s, dir, "customer")
+    def slice(m: Long) = c.where(pmod(col("c_custkey"), lit(3L)) === m)
+    // batch 0 pins (ckey, name, ver); batches 1-2 widen in place
+    Sinks.applyUpsertBatch(slice(0L).select(col("c_custkey").as("ckey"),
+      col("c_name").as("name"), lit(1).as("ver")),
+      target, Seq("ckey"), "ver")
+    Sinks.applyUpsertBatch(slice(1L).select(col("c_custkey").as("ckey"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"), lit(2).as("ver")),
+      target, Seq("ckey"), "ver")
+    Sinks.applyUpsertBatch(slice(2L).select(col("c_custkey").as("ckey"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"),
+      col("c_mktsegment").as("mkt"), lit(3).as("ver")),
+      target, Seq("ckey"), "ver")
+    // a NARROWING batch refuses — and the refusal is itself an event
+    val narrowed = try {
+      Sinks.applyUpsertBatch(slice(0L).select(col("c_custkey").as("ckey"),
+        lit(4).as("ver")), target, Seq("ckey"), "ver")
+      false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("NARROWING")
+    }
+    require(narrowed, "the narrowing batch must refuse loudly")
+    // the B15 leg: first chunk pins the snapshot schema; a chunk with
+    // an extra column is mid-snapshot DDL and refuses
+    val su = t(s, dir, "supplier").select(col("s_suppkey").as("skey"),
+      col("s_name").as("sname"))
+    IncrementalSnapshot.landChunkCk(s, snap,
+      IncrementalSnapshot.nextChunkCk(su, Seq("skey"), None, 10),
+      Seq("skey"), 0L, 100L)
+    val refusedDdl = try {
+      IncrementalSnapshot.landChunkCk(s, snap,
+        IncrementalSnapshot.nextChunkCk(su.withColumn("extra", lit(1)),
+          Seq("skey"), None, 10), Seq("skey"), 1L, 101L)
+      false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("chunk schema changed")
+    }
+    require(refusedDdl, "the mid-snapshot DDL must refuse loudly")
+    (target, snap)
+  }
+
+  private def schemaHistoryOracle: String =
+    """WITH n AS (
+      |  SELECT
+      |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS n0,
+      |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1) AS n1,
+      |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 2) AS n2)
+      |SELECT * FROM (
+      |  SELECT 'upsert' AS scope, CAST(0 AS BIGINT) AS seq, 'pin' AS action,
+      |         CAST(NULL AS VARCHAR) AS old_schema,
+      |         'ckey bigint, name string, ver int' AS new_schema,
+      |         CAST(n0 AS BIGINT) AS n_rows FROM n
+      |  UNION ALL SELECT 'upsert', 1, 'widen',
+      |         'ckey bigint, name string, ver int',
+      |         'bal double, ckey bigint, name string, ver int', n1 FROM n
+      |  UNION ALL SELECT 'upsert', 2, 'widen',
+      |         'bal double, ckey bigint, name string, ver int',
+      |         'bal double, ckey bigint, mkt string, name string, ver int', n2 FROM n
+      |  UNION ALL SELECT 'upsert', 3, 'refuse',
+      |         'bal double, ckey bigint, mkt string, name string, ver int',
+      |         'ckey bigint, ver int', n0 FROM n
+      |  UNION ALL SELECT 'snapshot', 0, 'pin', NULL,
+      |         'skey bigint, sname string', NULL FROM n
+      |  UNION ALL SELECT 'snapshot', 1, 'refuse', 'skey bigint, sname string',
+      |         'extra int, skey bigint, sname string', NULL FROM n)
+      |ORDER BY scope, seq""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the stream must deliver exactly the batch log — same oracle
+    "b17_schema_history_stream" -> schemaHistoryOracle,
+
     // the schema-history log of the scripted widen sequence: event order
     // and canonical schema strings follow from the script; the batch row
     // counts are re-derived from the customer table
-    "b17_schema_history" ->
-      """WITH n AS (
-        |  SELECT
-        |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS n0,
-        |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1) AS n1,
-        |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 2) AS n2)
-        |SELECT * FROM (
-        |  SELECT 'upsert' AS scope, CAST(0 AS BIGINT) AS seq, 'pin' AS action,
-        |         CAST(NULL AS VARCHAR) AS old_schema,
-        |         'ckey bigint, name string, ver int' AS new_schema,
-        |         CAST(n0 AS BIGINT) AS n_rows FROM n
-        |  UNION ALL SELECT 'upsert', 1, 'widen',
-        |         'ckey bigint, name string, ver int',
-        |         'bal double, ckey bigint, name string, ver int', n1 FROM n
-        |  UNION ALL SELECT 'upsert', 2, 'widen',
-        |         'bal double, ckey bigint, name string, ver int',
-        |         'bal double, ckey bigint, mkt string, name string, ver int', n2 FROM n
-        |  UNION ALL SELECT 'upsert', 3, 'refuse',
-        |         'bal double, ckey bigint, mkt string, name string, ver int',
-        |         'ckey bigint, ver int', n0 FROM n
-        |  UNION ALL SELECT 'snapshot', 0, 'pin', NULL,
-        |         'skey bigint, sname string', NULL FROM n
-        |  UNION ALL SELECT 'snapshot', 1, 'refuse', 'skey bigint, sname string',
-        |         'extra int, skey bigint, sname string', NULL FROM n)
-        |ORDER BY scope, seq""".stripMargin,
+    "b17_schema_history" -> schemaHistoryOracle,
 
     "b1_envelope_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, 'r' AS __op, false AS __deleted

@@ -829,8 +829,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // IncrementalSnapshotSpec pin the mechanics)
     "b15_snapshot_upsert",
     // drives the upsert/landing writes + refusals at construction; the
-    // result is a local O(DDL-count) frame (SchemaHistorySpec pins it)
-    "b17_schema_history",
+    // result is a local O(DDL-count) frame (SchemaHistorySpec pins it);
+    // the ▶ twin additionally drains two file-source streams
+    "b17_schema_history", "b17_schema_history_stream",
     "j8_stream_upsert_tws", "j9_stream_tumbling",
     "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
     "k2_incremental_containment", // index write at construction, same as its jaccard twin
