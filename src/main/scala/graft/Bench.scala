@@ -124,7 +124,8 @@ object Bench {
     "q12_ship_priority_split",   // join + conditional count pair per class
     "q13_customer_distribution", // outer join + aggregation-of-aggregation
     "q14_promo_effect",          // conditional-revenue percentage
-    "q15_top_supplier")          // derived view joined against its own MAX
+    "q15_top_supplier",          // derived view joined against its own MAX
+    "q02_min_cost_supplier_mat") // q02 with the supply CTE materialized ONCE (the 2-scan fix)
 
   /** The FS-COMMIT-BOUND entries (round 17, the r16 verdict's #7): these
     * compose checkpointed stream drains / multi-family state commits, so

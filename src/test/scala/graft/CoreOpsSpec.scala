@@ -832,6 +832,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // result is a local O(DDL-count) frame (SchemaHistorySpec pins it);
     // the ▶ twin additionally drains two file-source streams
     "b17_schema_history", "b17_schema_history_stream",
+    // materializes the supply relation (localCheckpoint) at construction
+    // — the whole point of the variant; GauntletSpec pins its law
+    "q02_min_cost_supplier_mat",
     "j8_stream_upsert_tws", "j9_stream_tumbling",
     "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
     "k2_incremental_containment", // index write at construction, same as its jaccard twin

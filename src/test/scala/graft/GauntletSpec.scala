@@ -133,6 +133,17 @@ class GauntletSpec extends AnyFunSuite {
     }
   }
 
+  test("the materialized q02 equals the declarative q02 (one supply scan, same rows)") {
+    // Spark evaluates q02's supply CTE twice (decorrelation duplicates
+    // the subtree); the _mat variant materializes it once. Same rows is
+    // the law — the cost difference is the bench's to report.
+    val plain = SparkEntry.queries("q02_min_cost_supplier")(
+      spark, TestSpark.sf).collect().toSeq
+    val mat = SparkEntry.queries("q02_min_cost_supplier_mat")(
+      spark, TestSpark.sf).collect().toSeq
+    assert(mat === plain)
+  }
+
   test("gauntlet executes correctly under AQE (row counts)") {
     val expected = Map(
       // sf0.001 row counts, cross-checked against the same SQL in DuckDB
