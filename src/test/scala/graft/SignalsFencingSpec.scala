@@ -274,6 +274,99 @@ class SignalsFencingSpec extends AnyFunSuite {
     assert(merged.size === 40)
   }
 
+  test("law: random scripts WITH conditions and blocking match the protocol model (seeded)") {
+    // extends SignalsSpec's model-based law to the r17 semantics: random
+    // executes carry additional-conditions and blocking flags, and a
+    // re-execute of a QUEUED collection with different settings adopts
+    // the newest signal (chunk-state reset) while an identical one
+    // dedups. The model is ~30 lines of driver arithmetic; after a
+    // final drain the landed coverage per collection must agree exactly.
+    val rnd = new scala.util.Random(20260817L)
+    val total = Map("t1" -> 40L, "t2" -> 20L)
+    val condChoices = Seq(None, Some("k < 10"), Some("k % 2 = 0"))
+    def matching(t: String, cond: Option[String]): Long = cond match {
+      case None               => total(t)
+      case Some("k < 10")     => 10L
+      case Some("k % 2 = 0")  => total(t) / 2
+      case other              => fail(s"unmodeled condition $other")
+    }
+    for (trial <- 0 until 6) {
+      val root = tmp(s"graft-sig-law17-$trial")
+      // model state
+      var q = Vector.empty[String]
+      var paused = false
+      var landed = Map("t1" -> 0L, "t2" -> 0L)
+      var condOf = Map.empty[String, Option[String]].withDefaultValue(None)
+      var blockingOf = Set.empty[String]
+      // chunkSize 10, maxChunks 2: a paced turn lands ceil(rem/10) capped
+      // at 2 chunks and pops when it landed FEWER than 2 (the empty
+      // probe); a blocking head drains fully and pops the same turn
+      def modelTurn(): Unit = if (!paused && q.nonEmpty) {
+        val h = q.head
+        val rem = matching(h, condOf(h)) - landed(h)
+        if (blockingOf.contains(h)) {
+          landed += h -> (landed(h) + rem)
+          q = q.tail; blockingOf -= h; condOf -= h
+        } else {
+          val chunks = math.min(2L, (rem + 9L) / 10L)
+          landed += h -> (landed(h) + math.min(rem, chunks * 10L))
+          if (chunks < 2L) { q = q.tail; condOf -= h }
+        }
+      }
+      var sigId = 0
+      def apply(typ: String, data: String): Unit = {
+        sigId += 1
+        Signals.applySignals(spark, root,
+          sig((f"s$sigId%03d", typ, data, sigId.toLong)))
+      }
+      def modelExecute(c: String, cond: Option[String], blocking: Boolean): Unit = {
+        val fresh = !q.contains(c)
+        val changed = !fresh &&
+          (condOf(c) != cond || blockingOf.contains(c) != blocking)
+        if (fresh || changed) {
+          landed += c -> 0L
+          condOf += c -> cond
+          blockingOf = if (blocking) blockingOf + c else blockingOf - c
+          if (fresh) q = q :+ c
+        }
+      }
+      for (_ <- 0 until 10) rnd.nextInt(6) match {
+        case 0 | 1 =>
+          val c = if (rnd.nextBoolean()) "t1" else "t2"
+          val cond = condChoices(rnd.nextInt(condChoices.length))
+          val blocking = rnd.nextInt(4) == 0
+          val condJson = cond.map(f =>
+            s""","additional-conditions":[{"data-collection":"$c","filter":"$f"}]""")
+            .getOrElse("")
+          val typJson = if (blocking) ""","type":"blocking"""" else ""
+          apply("execute-snapshot",
+            s"""{"data-collections":["$c"]$typJson$condJson}""")
+          modelExecute(c, cond, blocking)
+        case 2 =>
+          val c = if (rnd.nextBoolean()) "t1" else "t2"
+          apply("stop-snapshot", s"""{"data-collections":["$c"]}""")
+          q = q.filterNot(_ == c); blockingOf -= c; condOf -= c
+        case 3 => apply("pause-snapshot", null); paused = true
+        case 4 => apply("resume-snapshot", null); paused = false
+        case 5 => turn(root); modelTurn()
+      }
+      // final drain in lockstep
+      apply("resume-snapshot", null); paused = false
+      var guard = 0
+      while (q.nonEmpty && guard < 30) { turn(root); modelTurn(); guard += 1 }
+      assert(turn(root) === 0)
+      for ((c, rows) <- landed) {
+        val p = Signals.collectionPath(root, c)
+        val real =
+          if (new java.io.File(s"$p/chunks").exists)
+            IncrementalSnapshot.landedChunks(spark, p).count()
+          else 0L
+        assert(real === rows,
+          s"trial $trial: $c landed $real, model says $rows")
+      }
+    }
+  }
+
   test("soak: 50 collections x 200 random signals — state stays O(collections), turns stay O(chunks)") {
     val root = tmp("graft-sig-soak")
     val names = (0 until 50).map(i => f"c$i%02d")
