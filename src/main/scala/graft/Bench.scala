@@ -125,7 +125,8 @@ object Bench {
     "q13_customer_distribution", // outer join + aggregation-of-aggregation
     "q14_promo_effect",          // conditional-revenue percentage
     "q15_top_supplier",          // derived view joined against its own MAX
-    "q02_min_cost_supplier_mat") // q02 with the supply CTE materialized ONCE (the 2-scan fix)
+    "q02_min_cost_supplier_mat", // q02 with the supply CTE materialized ONCE (the 2-scan fix)
+    "q21_late_supplier_1pass")   // q21 as ONE fact pass + an order window (the 3-scan fix)
 
   /** The FS-COMMIT-BOUND entries (round 17, the r16 verdict's #7): these
     * compose checkpointed stream drains / multi-family state commits, so

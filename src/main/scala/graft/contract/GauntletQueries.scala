@@ -522,6 +522,43 @@ object GauntletQueries {
         GROUP BY cntrycode ORDER BY cntrycode""")
     }),
 
+    // Q21, the SINGLE-PASS form — the declarative q21's EXISTS + NOT
+    // EXISTS decorrelate into a semi- and an anti-join that each rescan
+    // lineitem (three fact passes total). The set-algebra rewrite reads
+    // the fact ONCE: per (order, supplier) late-line counts, then one
+    // order-partitioned window derives "another supplier exists" and
+    // "no OTHER supplier is late" (late-supplier count = 1 AND this
+    // supplier is late ⟺ L = {s}). Identical semantics — hash-matched
+    // against the SAME oracle — with one lineitem scan and three keyed
+    // shuffles instead of three scans.
+    "q21_late_supplier_1pass" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val perSupp = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .withColumn("late",
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .cast("int"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(col("late")).as("late_lines"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val qualified = perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum((col("late_lines") > 0).cast("int")).over(w))
+        .where(col("late_lines") > 0 && col("n_supp") >= 2 &&
+          col("n_late_supp") === 1)
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation").where(col("n_name") === "NATION_5")
+      qualified.join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("late_lines")).cast("long").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
     // Q21 shape — suppliers who kept multi-supplier orders waiting:
     // EXISTS + NOT EXISTS against the self-joined fact under a 4-table
     // join ("late" adapted to ship-lag, see header). The two correlated
@@ -847,7 +884,12 @@ object GauntletQueries {
         |  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
         |ORDER BY s.s_name""".stripMargin,
 
-    "q21_late_supplier" ->
+    // identical semantics, single-pass evaluation — same oracle
+    "q21_late_supplier_1pass" -> q21Oracle,
+
+    "q21_late_supplier" -> q21Oracle)
+
+  private def q21Oracle: String =
       """SELECT s.s_name, COUNT(*) AS numwait
         |FROM supplier s, lineitem l1, orders o, nation n
         |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
@@ -863,5 +905,5 @@ object GauntletQueries {
         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
         |  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
         |GROUP BY s.s_name
-        |ORDER BY numwait DESC, s.s_name""".stripMargin)
+        |ORDER BY numwait DESC, s.s_name""".stripMargin
 }

@@ -144,6 +144,22 @@ class GauntletSpec extends AnyFunSuite {
     assert(mat === plain)
   }
 
+  test("the single-pass q21 equals the declarative q21 (one fact scan, same rows)") {
+    // q21's EXISTS/NOT-EXISTS decorrelation rescans lineitem twice more;
+    // the 1pass set-algebra rewrite (per-(order,supplier) late counts +
+    // one order window) must agree row-for-row, and its plan must read
+    // the fact exactly ONCE.
+    val plain = SparkEntry.queries("q21_late_supplier")(
+      spark, TestSpark.sf).collect().toSeq
+    val onePass = SparkEntry.queries("q21_late_supplier_1pass")(
+      spark, TestSpark.sf)
+    assert(onePass.collect().toSeq === plain)
+    val factScans = "FileScan parquet \\[l_orderkey".r
+      .findAllIn(onePass.queryExecution.executedPlan.toString).size
+    assert(factScans === 1,
+      s"the 1pass form must scan lineitem exactly once, found $factScans")
+  }
+
   test("gauntlet executes correctly under AQE (row counts)") {
     val expected = Map(
       // sf0.001 row counts, cross-checked against the same SQL in DuckDB
