@@ -38,6 +38,7 @@ import org.apache.spark.sql.types.StructType
 object SchemaHistory {
 
   private val Dir = "_schema_history"
+  private val CkptPrefix = "_checkpoint_"
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,37 +57,80 @@ object SchemaHistory {
     * place), `refuse` (restart-level DDL rejected). `nRows` carries the
     * triggering batch's row count where the call site knows it (the
     * data-dependent half of the event).
+    *
+    * Seq-claim protocol (r18 — the r17 verdict's append race): the old
+    * exists-then-rename was check-then-act, so two concurrent appenders
+    * could claim the same seq and one event silently clobbered the other
+    * (RawLocalFileSystem renames OVER existing files). Now the slot is
+    * claimed with an atomic CREATE-EXCLUSIVE marker (`<seq>.claim`, the
+    * [[Signals.acquireWriter]] idiom): exactly one appender wins each
+    * number, losers retry at seq+1 with nothing contested to clean up.
+    * The event body still lands tmp-then-rename AFTER the claim — the
+    * readable log never contains a torn event, and the rename target
+    * cannot pre-exist because the claim holder is unique. A claim whose
+    * writer crashed before the rename burns its number (readers and
+    * [[nextSeq]] ignore bare claims; the next appender fails the
+    * create-exclusive and moves past it) — a gap in the log, never a
+    * lost or overwritten event.
+    *
+    * `epoch`: pass the driver's [[Signals.acquireWriter]] token to fence
+    * zombie appenders on roots that use writer epochs; a holder of an
+    * older epoch refuses ([[Signals.StaleWriterException]]) instead of
+    * interleaving stale history. Epoch-less calls (the A8 sink's
+    * single-driver posture) stay valid. In-JVM appenders additionally
+    * serialize on the root's [[Signals.gated]] lock.
     */
   def append(spark: org.apache.spark.sql.SparkSession, root: String,
              action: String, oldSchema: Option[StructType],
              newSchema: Option[StructType], nRows: Option[Long] = None,
-             tsMs: Long = System.currentTimeMillis): Long = {
+             tsMs: Long = System.currentTimeMillis,
+             epoch: Option[Long] = None): Long = Signals.gated(root) {
+    epoch.foreach { e =>
+      val cur = Signals.currentEpoch(spark, root)
+      if (cur != e)
+        throw new Signals.StaleWriterException(
+          s"schema-history append refused at $root: this driver holds " +
+            s"writer epoch $e but the root is at epoch $cur — another " +
+            "driver has taken over (acquireWriter). Stop this writer.")
+    }
     val fs = fsOf(spark, root)
     val dir = new Path(root, Dir)
     fs.mkdirs(dir)
-    // the event file is append-only: NEVER delete-then-rename over an
-    // existing slot (a seq race would silently overwrite history) —
-    // a failed rename means a rival claimed the number; take the next
-    var seq = nextSeq(spark, root)
-    var renamed = false
-    while (!renamed) {
+    val content = {
       val node = mapper.createObjectNode()
-      node.put("seq", seq)
       node.put("ts_ms", tsMs)
       node.put("action", action)
       oldSchema.foreach(s => node.put("old_schema", canonical(s)))
       newSchema.foreach(s => node.put("new_schema", canonical(s)))
       nRows.foreach(n => node.put("n_rows", n))
-      val name = f"$seq%010d.json"
-      val tmp = new Path(dir, name + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-      finally out.close()
-      val main = new Path(dir, name)
-      renamed = !fs.exists(main) && fs.rename(tmp, main)
-      if (!renamed) seq += 1
+      node
     }
-    seq
+    var seq = nextSeq(spark, root)
+    var written = -1L
+    while (written < 0) {
+      val claim = new Path(dir, f"$seq%010d.claim")
+      val claimed =
+        try { fs.create(claim, false).close(); true } // atomic create-exclusive
+        catch { case _: java.io.IOException => false } // rival owns this seq
+      if (!claimed) seq += 1
+      else {
+        content.put("seq", seq)
+        val name = f"$seq%010d.json"
+        val tmp = new Path(dir, name + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(mapper.writeValueAsString(content).getBytes("UTF-8"))
+        finally out.close()
+        fs.rename(tmp, new Path(dir, name))
+        // the claim is PERMANENT (never deleted by append): deleting it
+        // after the rename would let a rival that computed the same seq
+        // before our rename re-claim the number and rename over the
+        // landed event — the exact clobber this protocol closes. Claims
+        // are empty DDL-rate files; compaction retires them with their
+        // events.
+        written = seq
+      }
+    }
+    written
   }
 
   private def nextSeq(spark: org.apache.spark.sql.SparkSession,
@@ -95,10 +139,15 @@ object SchemaHistory {
     val dir = new Path(root, Dir)
     if (!fs.exists(dir)) 0L
     else {
-      val ns = fs.listStatus(dir)
-        .filter(_.getPath.getName.endsWith(".json"))
-        .flatMap(s => scala.util.Try(
-          s.getPath.getName.stripSuffix(".json").toLong).toOption)
+      // the checkpoint's seq counts (r18 retention): after compaction
+      // deletes the folded per-event files, numbering must CONTINUE past
+      // the checkpoint — a restart at 0 would alias retired seqs and
+      // the reader (which hides seqs ≤ the checkpoint) would drop the
+      // new events
+      val ns = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix(CkptPrefix).stripSuffix(".json").toLong).toOption)
       if (ns.isEmpty) 0L else ns.max + 1L
     }
   }
@@ -131,31 +180,136 @@ object SchemaHistory {
       .option("pathGlobFilter", "*.json")
       .json(s"$root/$Dir")
 
+  private case class Event(seq: Long, tsMs: Long, action: String,
+                           oldSchema: String, newSchema: String,
+                           nRows: Option[Long])
+
+  private def parseEvent(fs: org.apache.hadoop.fs.FileSystem,
+                         p: Path): Event = {
+    val in = fs.open(p)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    val n = mapper.readTree(txt)
+    def str(f: String) = Option(n.get(f)).map(_.asText()).orNull
+    Event(n.get("seq").asLong(), n.get("ts_ms").asLong(), str("action"),
+      str("old_schema"), str("new_schema"),
+      Option(n.get("n_rows")).map(_.asLong()))
+  }
+
+  /** The log's current VISIBLE rows: the newest checkpoint (if any)
+    * followed by the per-event files with seq past it. Per-event files
+    * at or below the checkpoint's seq — deletion leftovers from a crash
+    * mid-[[compact]] — are hidden: the checkpoint is the authority for
+    * everything it folded. Driver FS reads, O(DDL-count).
+    */
+  private def visibleEvents(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: Path): Seq[Event] = {
+    if (!fs.exists(dir)) return Nil
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+    val (ckptNames, eventNames) = names.partition(_.startsWith(CkptPrefix))
+    val newestCkpt = ckptNames
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(CkptPrefix).stripSuffix(".json").toLong)
+        .toOption.map(_ -> n))
+      .sortBy(_._1).lastOption
+    val floor = newestCkpt.map(_._1).getOrElse(-1L)
+    val ckptRow = newestCkpt.map { case (_, n) => parseEvent(fs, new Path(dir, n)) }
+    val tail = eventNames
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong)
+        .toOption.map(_ -> n))
+      .filter(_._1 > floor)
+      .sortBy(_._1)
+      .map { case (_, n) => parseEvent(fs, new Path(dir, n)) }
+    ckptRow.toSeq ++ tail
+  }
+
   /** The log as a DataFrame — `(seq, ts_ms, action, old_schema,
     * new_schema, n_rows)` — complete events only (a torn `.tmp` from a
-    * crashed append is invisible). Driver FS reads; no Spark job until
-    * the caller acts on the frame.
+    * crashed append is invisible; bare `.claim` markers likewise). On a
+    * compacted log the first row is the `checkpoint` event standing for
+    * everything it folded. Driver FS reads; no Spark job until the
+    * caller acts on the frame.
     */
   def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, root)
+    visibleEvents(fs, new Path(root, Dir))
+      .map(e => (e.seq, e.tsMs, e.action, e.oldSchema, e.newSchema, e.nRows))
+      .toDF("seq", "ts_ms", "action", "old_schema", "new_schema", "n_rows")
+  }
+
+  /** B17 RETENTION (r18 — the r17 verdict's #5): fold every visible
+    * event with seq ≤ `uptoSeq` into ONE `checkpoint` event, then retire
+    * the folded per-event files (and their claims, and any older
+    * checkpoint). The log stops growing one-file-per-DDL-forever while
+    * the READABLE record stays complete: the checkpoint carries the
+    * fold's net meaning — the CURRENT schema (last non-null new_schema),
+    * the genesis old side (first folded event's old_schema, null for a
+    * log starting at its pin), the folded events' total n_rows, and the
+    * last folded ts/seq — and [[read]] returns it as the log's first row.
+    *
+    * Crash-ordering (generation-swap shape, matching the repo's
+    * index-maintenance idiom): the checkpoint file LANDS FIRST
+    * (claim + tmp-then-rename, like [[append]]); the deletions follow.
+    * A crash between the two leaves folded files the reader already
+    * hides (seq ≤ checkpoint), re-deletable by the next compaction. Two
+    * racing compactions at the same watermark produce the identical
+    * checkpoint (the fold is deterministic); the claim makes one of
+    * them the writer and the rename target can never pre-exist.
+    *
+    * A file-source [[stream]] consumer is unaffected going forward (it
+    * tracks files it has seen; deletions don't retract) but a FRESH
+    * stream starting after a compaction sees only the live tail —
+    * bootstrap from [[read]], then stream, exactly the
+    * snapshot-then-stream pattern the rest of the engine uses.
+    *
+    * Returns the checkpoint's seq, or None when nothing was foldable.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+              uptoSeq: Long): Option[Long] = Signals.gated(root) {
+    val fs = fsOf(spark, root)
     val dir = new Path(root, Dir)
-    val events: Seq[(Long, Long, String, String, String, Option[Long])] =
-      if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir)
-        .filter(_.getPath.getName.endsWith(".json"))
-        .sortBy(_.getPath.getName)
-        .map { s =>
-          val in = fs.open(s.getPath)
-          val txt = try new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-          finally in.close()
-          val n = mapper.readTree(txt)
-          def str(f: String) = Option(n.get(f)).map(_.asText()).orNull
-          (n.get("seq").asLong(), n.get("ts_ms").asLong(), str("action"),
-            str("old_schema"), str("new_schema"),
-            Option(n.get("n_rows")).map(_.asLong()))
-        }.toSeq
-    events.toDF("seq", "ts_ms", "action", "old_schema", "new_schema", "n_rows")
+    val fold = visibleEvents(fs, dir).filter(_.seq <= uptoSeq)
+    if (fold.isEmpty) None
+    else {
+      val maxSeq = fold.map(_.seq).max
+      val node = mapper.createObjectNode()
+      node.put("seq", maxSeq)
+      node.put("ts_ms", fold.last.tsMs)
+      node.put("action", "checkpoint")
+      Option(fold.head.oldSchema).foreach(node.put("old_schema", _))
+      fold.reverseIterator.map(_.newSchema).find(_ != null)
+        .foreach(node.put("new_schema", _))
+      val rows = fold.flatMap(_.nRows)
+      if (rows.nonEmpty) node.put("n_rows", rows.sum)
+      val name = f"$CkptPrefix$maxSeq%010d.json"
+      val claim = new Path(dir, name + ".claim")
+      val claimed =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        val tmp = new Path(dir, name + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+        finally out.close()
+        fs.rename(tmp, new Path(dir, name))
+      } // an unclaimed name means a rival landed the identical checkpoint
+      // retire the folded files: per-event jsons and claims ≤ maxSeq,
+      // and any older checkpoint (its content is subsumed)
+      fs.listStatus(dir).map(_.getPath).foreach { p =>
+        val n = p.getName
+        // suffix order matters: checkpoint claims are `<name>.json.claim`
+        def seqOf(s: String) = scala.util.Try(
+          s.stripSuffix(".claim").stripSuffix(".json").toLong).toOption
+        val retire =
+          if (n.startsWith(CkptPrefix))
+            seqOf(n.stripPrefix(CkptPrefix)).exists(_ < maxSeq)
+          else seqOf(n).exists(_ <= maxSeq)
+        if (retire) fs.delete(p, false)
+      }
+      Some(maxSeq)
+    }
   }
 }

@@ -385,9 +385,19 @@ object Signals {
       var st = state(spark, root)
       ordered.foreach { r =>
         val (id, typ, data) = (r.getString(0), r.getString(1), r.getString(2))
+        // lenient catches ALL non-fatal parse/validation failures (r18
+        // advice): applyOne surfaces malformed signals as
+        // IllegalArgumentException, but an unparseable JSON `data` field
+        // throws JsonProcessingException (an IOException) from
+        // mapper.readTree — under the old IAE-only catch one corrupt row
+        // still failed the whole foreachBatch and retried forever, the
+        // exact wedge lenient mode exists to prevent. NonFatal is safe
+        // here: applyOne is a pure in-memory protocol step (no writes),
+        // and the epoch fence (StaleWriterException) is checked OUTSIDE
+        // this loop, so it can never be swallowed per-signal.
         try st = applyOne(spark, root, st, typ, data)
         catch {
-          case e: IllegalArgumentException if lenient =>
+          case scala.util.control.NonFatal(e) if lenient =>
             log.warn(s"skipping invalid signal id=$id type=$typ at $root: " +
               e.getMessage)
         }
@@ -433,13 +443,30 @@ object Signals {
           case Some(cond) => tableOf(head).where(expr(cond))
           case None       => tableOf(head)
         }
+        // the epoch is re-verified PER CHUNK (r18 advice), not only at
+        // turn entry: loLsnOf runs inside the chunk loop immediately
+        // before each landing, so a zombie driver that passed the entry
+        // check stops landing chunks (and moving the collection cursor)
+        // within one chunk of a successor's takeover — without this, a
+        // successor that re-executed the collection under a different
+        // condition could watch the zombie repopulate the reset chunk
+        // dir with stale-condition data
         val landed = IncrementalSnapshot.snapshotChunksCk(
           spark, collectionPath(root, head), table, keyColsOf(head),
-          chunkSizeOf(head), cid => loLsnOf(head, cid), allowed)
+          chunkSizeOf(head),
+          cid => { checkEpoch(spark, root, epoch, "turn chunk"); loLsnOf(head, cid) },
+          allowed)
         if (landed < allowed) {
           // exhausted: pop — re-read state first so a CROSS-driver signal
           // applied while the chunks landed is not clobbered by our stale
-          // copy (in-driver interleaving is excluded by the lock)
+          // copy (in-driver interleaving is excluded by the lock).
+          // NOTE (documented residual race): the checkEpoch→writeState
+          // window below is check-then-act — a successor acquiring the
+          // epoch in exactly that gap can still have its state write
+          // clobbered by this pop. The fence is BEST-EFFORT zombie
+          // suppression (bounded to one state write, and the successor's
+          // next fenced write re-reads state), not a distributed lock;
+          // closing it fully needs a CAS the FS API doesn't offer.
           checkEpoch(spark, root, epoch, "turn pop")
           val now = state(spark, root)
           writeState(spark, root, now.copy(

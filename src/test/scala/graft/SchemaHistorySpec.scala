@@ -109,4 +109,109 @@ class SchemaHistorySpec extends AnyFunSuite {
     assert(spark.read.parquet(target).count() === 10L,
       "the replay itself stays idempotent")
   }
+
+  private def st(names: String*) = org.apache.spark.sql.types.StructType(
+    names.map(n => org.apache.spark.sql.types.StructField(n,
+      org.apache.spark.sql.types.LongType)))
+
+  test("concurrent appenders never lose or overwrite a seq (r18: the claim race)") {
+    val root = tmp("graft-shist-race")
+    // 4 writers × 10 appends racing on one root: every append must land
+    // under a UNIQUE seq with its own content intact — the pre-r18
+    // exists-then-rename let two writers claim one number and clobber
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        for (i <- 0 until 10) {
+          val action = s"widen-w$w-$i"
+          val seq = SchemaHistory.append(spark, root, action, None, Some(st("a")))
+          results.add((seq, action))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val mine = results.asScala.toSeq
+    assert(mine.map(_._1).distinct.length === 40, "every append got a unique seq")
+    val onDisk = SchemaHistory.read(spark, root).select("seq", "action")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(onDisk.length === 40, "no event was lost or overwritten")
+    assert(onDisk.toSet === mine.toSet,
+      "each landed event carries exactly its writer's content")
+  }
+
+  test("a rival's standing claim is skipped, never renamed over (r18)") {
+    val root = tmp("graft-shist-claim")
+    SchemaHistory.append(spark, root, "pin", None, Some(st("a")))
+    // a rival process claimed seq 1 (and may still be writing its tmp):
+    // our append must move to seq 2 and leave the claim alone
+    val dir = new java.io.File(s"$root/_schema_history")
+    new java.io.File(dir, "0000000001.claim").createNewFile()
+    val seq = SchemaHistory.append(spark, root, "widen", Some(st("a")), Some(st("a", "b")))
+    assert(seq === 2L, "the standing claim's number is skipped")
+    assert(new java.io.File(dir, "0000000001.claim").exists(),
+      "the rival's claim survives")
+    // the rival later completes: its event is readable at the claimed seq
+    val w = new java.io.FileWriter(new java.io.File(dir, "0000000001.json"))
+    w.write("""{"seq":1,"ts_ms":5,"action":"widen","new_schema":"a bigint"}""")
+    w.close()
+    assert(SchemaHistory.read(spark, root).select("seq")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("a stale writer epoch refuses the append (r18: optional fencing)") {
+    val root = tmp("graft-shist-epoch")
+    val e1 = graft.cdc.Signals.acquireWriter(spark, root)
+    SchemaHistory.append(spark, root, "pin", None, Some(st("a")), epoch = Some(e1))
+    graft.cdc.Signals.acquireWriter(spark, root) // successor takes over
+    intercept[graft.cdc.Signals.StaleWriterException] {
+      SchemaHistory.append(spark, root, "widen", Some(st("a")),
+        Some(st("a", "b")), epoch = Some(e1))
+    }
+    assert(SchemaHistory.read(spark, root).count() === 1L,
+      "the zombie's event never lands")
+    // epoch-less appends (single-driver posture) stay valid
+    SchemaHistory.append(spark, root, "widen", Some(st("a")), Some(st("a", "b")))
+    assert(SchemaHistory.read(spark, root).count() === 2L)
+  }
+
+  test("compaction folds the prefix into one checkpoint; the readable record is unchanged in meaning") {
+    val root = tmp("graft-shist-compact")
+    SchemaHistory.append(spark, root, "pin", None, Some(st("a")), nRows = Some(10L), tsMs = 100L)
+    SchemaHistory.append(spark, root, "widen", Some(st("a")), Some(st("a", "b")), nRows = Some(20L), tsMs = 200L)
+    SchemaHistory.append(spark, root, "widen", Some(st("a", "b")), Some(st("a", "b", "c")), nRows = Some(30L), tsMs = 300L)
+    val ck = SchemaHistory.compact(spark, root, uptoSeq = 1L)
+    assert(ck === Some(1L))
+    val ev1 = SchemaHistory.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(ev1.toSeq === Seq(
+      // checkpoint: genesis old side, schema as of seq 1, folded rows
+      (1L, 200L, "checkpoint", null, "a bigint, b bigint", 30L),
+      (2L, 300L, "widen", "a bigint, b bigint", "a bigint, b bigint, c bigint", 30L)),
+      "checkpoint + live tail; the net schema lineage is intact")
+    // appends continue PAST the checkpoint — numbering never restarts
+    val s3 = SchemaHistory.append(spark, root, "widen",
+      Some(st("a", "b", "c")), Some(st("a", "b", "c", "d")), nRows = Some(5L), tsMs = 400L)
+    assert(s3 === 3L)
+    // a second compaction folds checkpoint + tail into one newer checkpoint
+    assert(SchemaHistory.compact(spark, root, uptoSeq = 99L) === Some(3L))
+    val ev2 = SchemaHistory.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(ev2.toSeq === Seq((3L, "checkpoint", "a bigint, b bigint, c bigint, d bigint", 65L)))
+    // the folded per-event files are gone (retention actually shrank the log)
+    val left = new java.io.File(s"$root/_schema_history").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(left.toSeq === Seq("_checkpoint_0000000003.json"))
+    // crash leftover: a folded event file that escaped deletion is hidden
+    val w = new java.io.FileWriter(s"$root/_schema_history/0000000002.json")
+    w.write("""{"seq":2,"ts_ms":300,"action":"widen","new_schema":"x bigint"}""")
+    w.close()
+    assert(SchemaHistory.read(spark, root).count() === 1L,
+      "events at or below the checkpoint stay hidden — the checkpoint is the authority")
+    // and nothing foldable → no-op
+    val root2 = tmp("graft-shist-compact-empty")
+    assert(SchemaHistory.compact(spark, root2, 10L) === None)
+  }
 }

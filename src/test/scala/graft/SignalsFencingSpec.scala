@@ -93,8 +93,9 @@ class SignalsFencingSpec extends AnyFunSuite {
       epoch = Some(e1))
     // the table resolver fires INSIDE the turn (after the entry fence
     // check): acquiring a new epoch there simulates a takeover landing
-    // mid-drain — the chunks land (idempotent, harmless) but the POP
-    // write must refuse, leaving the head queued for the successor
+    // mid-drain — with the r18 per-chunk fence the refusal now fires at
+    // the FIRST chunk (before the old pop-only check ever ran), so the
+    // zombie lands nothing and the pop write never happens
     val hijack: String => org.apache.spark.sql.DataFrame = n => {
       Signals.acquireWriter(spark, root)
       tableOf(n)
@@ -103,7 +104,7 @@ class SignalsFencingSpec extends AnyFunSuite {
       Signals.turn(spark, root, hijack, _ => Seq("k"), _ => 10,
         (_, cid) => 100L + cid, maxChunks = 5, epoch = Some(e1))
     }
-    assert(ex.getMessage.contains("turn pop"))
+    assert(ex.getMessage.contains("turn chunk"))
     assert(Signals.state(spark, root).queue === Seq("t2"),
       "the stale pop must not complete — the successor owns the drain")
   }
@@ -123,6 +124,51 @@ class SignalsFencingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Signals.applySignals(spark, root, sig(("d", "execute-snapshot", null, 4L)))
     }
+  }
+
+  test("lenient mode also skips UNPARSEABLE JSON data (r18 advice: not just IAE)") {
+    val root = tmp("graft-sig-lenient-json")
+    // `{not json` throws JsonProcessingException (an IOException) from
+    // mapper.readTree — the pre-r18 IAE-only catch let it fail the whole
+    // foreachBatch and retry forever
+    val batch = sig(
+      ("a", "execute-snapshot", """{not json""", 1L),
+      ("b", "execute-snapshot", """{"data-collections":["t1"]}""", 2L))
+    val st = Signals.applySignals(spark, root, batch, lenient = true)
+    assert(st.queue === Seq("t1"),
+      "the corrupt-JSON signal skips; the valid one applies")
+    // strict mode surfaces the parse failure loudly
+    intercept[Exception] {
+      Signals.applySignals(spark, root,
+        sig(("c", "execute-snapshot", """{not json""", 3L)))
+    }
+  }
+
+  test("a mid-turn epoch takeover stops the zombie within one chunk (r18 advice)") {
+    val root = tmp("graft-sig-midturn")
+    val e1 = Signals.acquireWriter(spark, root)
+    Signals.applySignals(spark, root, sig(
+      ("a", "execute-snapshot", """{"data-collections":["t1"]}""", 1L)),
+      epoch = Some(e1))
+    // t1 is 40 rows at chunk size 10 → 4 chunks; the loLsnOf callback
+    // runs inside the chunk loop, so a successor acquiring the epoch
+    // during chunk 1's landing must fence chunk 2 — the entry-only check
+    // of r17 would have let all 4 land
+    var calls = 0
+    val ex = intercept[Signals.StaleWriterException] {
+      Signals.turn(spark, root, tableOf, _ => Seq("k"), _ => 10,
+        (_, cid) => {
+          calls += 1
+          if (calls == 1) Signals.acquireWriter(spark, root) // successor
+          100L + cid
+        },
+        maxChunks = 4, epoch = Some(e1))
+    }
+    assert(ex.getMessage.contains("turn chunk"))
+    val landed = IncrementalSnapshot.cursorStats(
+      spark, Signals.collectionPath(root, "t1")).map(_._1).getOrElse(0L)
+    assert(landed === 1L,
+      s"the zombie must stop within one chunk of the takeover, landed $landed")
   }
 
   test("snapshot reads of the signal table do not replay as live signals by default") {
