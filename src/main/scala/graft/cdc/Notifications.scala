@@ -1,0 +1,160 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** B18 — the NOTIFICATION CHANNEL (r18, the r17 verdict's #3): snapshot
+  * lifecycle events PUSHED to a consumable, replayable record instead of
+  * polled through [[Signals.progress]]. [PK: Debezium's notification API
+  * emits incremental-snapshot lifecycle events — started, in-progress,
+  * table-scan-completed, completed, aborted, paused, resumed — to a
+  * channel (topic/log/JMX) that operators and tooling consume; REF
+  * README.md:13 fronts the connectors whose snapshots those notifications
+  * narrate.] A real operator watches the channel, not a polling API: the
+  * progress readout answers "where are we NOW", this log answers "what
+  * happened, in order" — and it survives the driver that emitted it.
+  *
+  * Layout and protocol are [[SchemaHistory]]'s, applied to a second
+  * event family: `<root>/_notifications/<seq>.json`, ONE file per event,
+  * seq claimed by an atomic CREATE-EXCLUSIVE `<seq>.claim` marker and
+  * the body landed tmp-then-rename — concurrent emitters can never lose
+  * or overwrite an event, a crashed emitter burns a number (a gap, never
+  * a torn row), and the one-file-per-event shape makes the log a natural
+  * Structured Streaming file source ([[stream]]).
+  *
+  * Event vocabulary (emitted by [[Signals]], each carrying the
+  * collection and its landed (chunks, rows) where meaningful):
+  *  - `started`     — a collection's chunk loop begins (fresh or reset)
+  *  - `chunk-landed`— a maintenance turn landed chunks; counts are the
+  *                    collection's CUMULATIVE coverage (the in-progress
+  *                    heartbeat, one per turn rather than per chunk)
+  *  - `completed`   — the collection exhausted and popped; final counts
+  *  - `stopped`     — a stop-snapshot NAMING collections cut this one
+  *                    off; counts show the coverage it keeps
+  *  - `aborted`     — a stop-snapshot with NO collections (stop
+  *                    everything) killed this queued collection
+  *  - `paused` / `resumed` — the protocol gate flipped (no collection)
+  *
+  * Scale shape: events are turn-rate (operator/maintenance actions),
+  * never data-plane volume; counts ride the B15 cursor the chunk loop
+  * already maintains, so emission is driver FS I/O only — zero Spark
+  * jobs (spec-asserted alongside the progress readout's).
+  */
+object Notifications {
+
+  private val Dir = "_notifications"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Append one lifecycle event; returns its seq. Callers inside the
+    * signal protocol already hold the root's [[Signals.gated]] lock
+    * (reentrant); external emitters are serialized by the claim protocol
+    * alone, which is enough — claims make seqs unique, the lock only
+    * keeps in-JVM appends from burning numbers.
+    */
+  def append(spark: org.apache.spark.sql.SparkSession, root: String,
+             typ: String, collection: Option[String] = None,
+             chunks: Option[Long] = None, rows: Option[Long] = None,
+             tsMs: Long = System.currentTimeMillis): Long = Signals.gated(root) {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, Dir)
+    fs.mkdirs(dir)
+    val content = {
+      val node = mapper.createObjectNode()
+      node.put("ts_ms", tsMs)
+      node.put("type", typ)
+      collection.foreach(node.put("collection", _))
+      chunks.foreach(node.put("chunks_landed", _))
+      rows.foreach(node.put("rows_landed", _))
+      node
+    }
+    var seq = nextSeq(fs, dir)
+    var written = -1L
+    while (written < 0) {
+      val claim = new Path(dir, f"$seq%010d.claim")
+      val claimed =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!claimed) seq += 1
+      else {
+        content.put("seq", seq)
+        val name = f"$seq%010d.json"
+        val tmp = new Path(dir, name + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(mapper.writeValueAsString(content).getBytes("UTF-8"))
+        finally out.close()
+        fs.rename(tmp, new Path(dir, name))
+        // claims are permanent — see SchemaHistory.append's clobber note
+        written = seq
+      }
+    }
+    written
+  }
+
+  private def nextSeq(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
+    if (!fs.exists(dir)) 0L
+    else {
+      val ns = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      if (ns.isEmpty) 0L else ns.max + 1L
+    }
+  }
+
+  /** The event schema [[read]] and [[stream]] share. */
+  val eventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("collection",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("chunks_landed",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rows_landed",
+        org.apache.spark.sql.types.LongType)))
+
+  /** The channel as a LIVE STREAM: every append is a new file the file
+    * source picks up next micro-batch; in-flight `.tmp` writes and bare
+    * `.claim` markers never match the glob.
+    */
+  def stream(spark: org.apache.spark.sql.SparkSession,
+             root: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "*.json")
+      .json(s"$root/$Dir")
+
+  /** The channel as a DataFrame — complete events only, in seq order.
+    * Driver FS reads; no Spark job until the caller acts on the frame.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, Dir)
+    val events: Seq[(Long, Long, String, String, Option[Long], Option[Long])] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir)
+        .map(_.getPath)
+        .filter(_.getName.endsWith(".json"))
+        .sortBy(_.getName)
+        .map { p =>
+          val in = fs.open(p)
+          val txt = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+          val n = mapper.readTree(txt)
+          def str(f: String) = Option(n.get(f)).map(_.asText()).orNull
+          def lng(f: String) = Option(n.get(f)).map(_.asLong())
+          (n.get("seq").asLong(), n.get("ts_ms").asLong(), str("type"),
+            str("collection"), lng("chunks_landed"), lng("rows_landed"))
+        }.toSeq
+    events.toDF("seq", "ts_ms", "type", "collection",
+      "chunks_landed", "rows_landed")
+  }
+}

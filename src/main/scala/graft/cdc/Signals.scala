@@ -385,6 +385,7 @@ object Signals {
       var st = state(spark, root)
       ordered.foreach { r =>
         val (id, typ, data) = (r.getString(0), r.getString(1), r.getString(2))
+        val prev = st
         // lenient catches ALL non-fatal parse/validation failures (r18
         // advice): applyOne surfaces malformed signals as
         // IllegalArgumentException, but an unparseable JSON `data` field
@@ -400,6 +401,29 @@ object Signals {
           case scala.util.control.NonFatal(e) if lenient =>
             log.warn(s"skipping invalid signal id=$id type=$typ at $root: " +
               e.getMessage)
+        }
+        // B18 — push the protocol transitions this signal caused to the
+        // notification channel (skipped signals changed nothing → no
+        // event). `stopped` = a stop NAMING collections cut this one
+        // off; `aborted` = a stop-everything killed it; either way the
+        // counts record whatever coverage the collection keeps.
+        typ match {
+          case "stop-snapshot" =>
+            val stopAll = scala.util.Try(collections(data)).toOption
+              .forall(_.isEmpty)
+            val evt = if (stopAll) "aborted" else "stopped"
+            prev.queue.filterNot(st.queue.contains).foreach { c =>
+              val stats = IncrementalSnapshot.cursorStats(
+                spark, collectionPath(root, c))
+              Notifications.append(spark, root, evt, Some(c),
+                Some(stats.map(_._1).getOrElse(0L)),
+                Some(stats.map(_._2).getOrElse(0L)))
+            }
+          case "pause-snapshot" if !prev.paused && st.paused =>
+            Notifications.append(spark, root, "paused")
+          case "resume-snapshot" if prev.paused && !st.paused =>
+            Notifications.append(spark, root, "resumed")
+          case _ => ()
         }
       }
       checkEpoch(spark, root, epoch, "applySignals")
@@ -443,6 +467,13 @@ object Signals {
           case Some(cond) => tableOf(head).where(expr(cond))
           case None       => tableOf(head)
         }
+        // B18 — a head with no cursor is STARTING its chunk loop (first
+        // execute or a reset re-execute); push the lifecycle event
+        // before any chunk moves
+        val headPath = collectionPath(root, head)
+        if (IncrementalSnapshot.cursorStats(spark, headPath).isEmpty)
+          Notifications.append(spark, root, "started", Some(head),
+            Some(0L), Some(0L))
         // the epoch is re-verified PER CHUNK (r18 advice), not only at
         // turn entry: loLsnOf runs inside the chunk loop immediately
         // before each landing, so a zombie driver that passed the entry
@@ -452,10 +483,17 @@ object Signals {
         // condition could watch the zombie repopulate the reset chunk
         // dir with stale-condition data
         val landed = IncrementalSnapshot.snapshotChunksCk(
-          spark, collectionPath(root, head), table, keyColsOf(head),
+          spark, headPath, table, keyColsOf(head),
           chunkSizeOf(head),
           cid => { checkEpoch(spark, root, epoch, "turn chunk"); loLsnOf(head, cid) },
           allowed)
+        // B18 — the per-turn heartbeat (cumulative coverage off the B15
+        // cursor — driver FS reads, no job) and the terminal event
+        val statsAfter = IncrementalSnapshot.cursorStats(spark, headPath)
+        if (landed > 0)
+          Notifications.append(spark, root, "chunk-landed", Some(head),
+            Some(statsAfter.map(_._1).getOrElse(0L)),
+            Some(statsAfter.map(_._2).getOrElse(0L)))
         if (landed < allowed) {
           // exhausted: pop — re-read state first so a CROSS-driver signal
           // applied while the chunks landed is not clobbered by our stale
@@ -474,6 +512,9 @@ object Signals {
             blocking = now.blocking.filterNot(_ == head),
             conditions = now.conditions - head,
             done = if (now.done.contains(head)) now.done else now.done :+ head))
+          Notifications.append(spark, root, "completed", Some(head),
+            Some(statsAfter.map(_._1).getOrElse(0L)),
+            Some(statsAfter.map(_._2).getOrElse(0L)))
         }
         landed
       }

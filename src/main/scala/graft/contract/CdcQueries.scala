@@ -673,6 +673,44 @@ object CdcQueries {
         .orderBy(col("scope"), col("seq"))
     }),
 
+    // B18 — the NOTIFICATION CHANNEL (r18): a scripted signal-protocol
+    // walk — execute → drain → pause/resume → complete → partial stop →
+    // re-execute → stop-all — whose lifecycle events land as one file
+    // each under the state root and read back as the ordered log
+    // (started / chunk-landed / completed / stopped / aborted / paused /
+    // resumed, with each collection's landed coverage). The chunk plan
+    // is pinned by construction (customer = 1 chunk, supplier = 2) so
+    // the event list is exact at any SF; the oracle re-derives the row
+    // counts from the tables.
+    "b18_notifications" -> ((s, dir) => {
+      val root = notificationsScript(s, dir)
+      graft.cdc.Notifications.read(s, root)
+        .select(col("seq"), col("type"), col("collection"),
+          col("chunks_landed"), col("rows_landed"))
+        .orderBy(col("seq"))
+    }),
+
+    // B18b — ▶ the channel consumed as a STREAM [PK: Debezium
+    // notifications go to a consumable topic]: the same scripted walk,
+    // read back through the REAL file source (one event file = one
+    // streamed row) into a memory sink. Same oracle as b18.
+    "b18_notifications_stream" -> ((s, dir) => {
+      val root = notificationsScript(s, dir)
+      val q = graft.cdc.Notifications.stream(s, root)
+        .writeStream.format("memory")
+        .queryName(s"graft_notif_${System.nanoTime() % 100000}")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-notif-ckpt").toString)
+        .start()
+      q.awaitTermination()
+      s.table(q.name)
+        .select(col("seq"), col("type"), col("collection"),
+          col("chunks_landed"), col("rows_landed"))
+        .orderBy(col("seq"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -934,6 +972,66 @@ object CdcQueries {
     (target, snap)
   }
 
+  /** The B18 walk: chunk sizes pin customer to ONE chunk (size = its
+    * count) and supplier to TWO (size = ceil(count/2)), so the lifecycle
+    * event list is exact at every SF while the row counts stay
+    * data-dependent (the oracle re-derives them).
+    */
+  private def notificationsScript(s: SparkSession, dir: String): String = {
+    import graft.cdc.Signals
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-notif").toString
+    val cu = t(s, dir, "customer").select(col("c_custkey").as("ckey"),
+      col("c_name").as("name"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey").as("ckey"),
+      col("s_name").as("name"))
+    val cuN = cu.count(); val suN = su.count()
+    val csz = Map("customer" -> cuN.toInt,
+      "supplier" -> ((suN + 1L) / 2L).toInt)
+    val tables: String => DataFrame =
+      n => if (n == "customer") cu else su
+    def sig(rows: Seq[(String, String, String, Long)]) = {
+      import s.implicits._
+      rows.toDF("id", "type", "data", "lsn")
+    }
+    def turn(): Int = Signals.turn(s, root, tables, _ => Seq("ckey"),
+      csz, (_, cid) => 100L + cid, maxChunks = 1)
+    Signals.applySignals(s, root, sig(Seq(("s1", "execute-snapshot",
+      """{"data-collections":["customer","supplier"]}""", 1L))))
+    require(turn() == 1, "customer lands its single chunk") // started + chunk-landed
+    Signals.applySignals(s, root, sig(Seq(("s2", "pause-snapshot", null, 2L))))
+    require(turn() == 0, "paused: no events, nothing lands")
+    Signals.applySignals(s, root, sig(Seq(("s3", "resume-snapshot", null, 3L))))
+    require(turn() == 0, "customer exhausted: the empty turn pops") // completed
+    require(turn() == 1, "supplier lands chunk 1 of 2") // started + chunk-landed
+    Signals.applySignals(s, root, sig(Seq(("s4", "stop-snapshot",
+      """{"data-collections":["supplier"]}""", 4L)))) // stopped w/ coverage
+    // re-execute resets customer's chunk state; a stop-EVERYTHING then
+    // kills it before anything lands — the aborted event
+    Signals.applySignals(s, root, sig(Seq(("s5", "execute-snapshot",
+      """{"data-collections":["customer"]}""", 5L))))
+    Signals.applySignals(s, root, sig(Seq(("s6", "stop-snapshot", null, 6L))))
+    root
+  }
+
+  private def notificationsOracle: String =
+    """WITH n AS (SELECT
+      |    (SELECT COUNT(*) FROM customer) AS ncu,
+      |    (SELECT CAST((COUNT(*) + 1) // 2 AS BIGINT) FROM supplier) AS nsu1)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS seq, 'started' AS type,
+      |         'customer' AS collection, CAST(0 AS BIGINT) AS chunks_landed,
+      |         CAST(0 AS BIGINT) AS rows_landed FROM n
+      |  UNION ALL SELECT 1, 'chunk-landed', 'customer', 1, ncu FROM n
+      |  UNION ALL SELECT 2, 'paused', NULL, NULL, NULL FROM n
+      |  UNION ALL SELECT 3, 'resumed', NULL, NULL, NULL FROM n
+      |  UNION ALL SELECT 4, 'completed', 'customer', 1, ncu FROM n
+      |  UNION ALL SELECT 5, 'started', 'supplier', 0, 0 FROM n
+      |  UNION ALL SELECT 6, 'chunk-landed', 'supplier', 1, nsu1 FROM n
+      |  UNION ALL SELECT 7, 'stopped', 'supplier', 1, nsu1 FROM n
+      |  UNION ALL SELECT 8, 'aborted', 'customer', 0, 0 FROM n)
+      |ORDER BY seq""".stripMargin
+
   private def schemaHistoryOracle: String =
     """WITH n AS (
       |  SELECT
@@ -963,6 +1061,11 @@ object CdcQueries {
   val oracle: Map[String, String] = Map(
     // the stream must deliver exactly the batch log — same oracle
     "b17_schema_history_stream" -> schemaHistoryOracle,
+
+    // the notification channel's scripted-walk event log; the stream
+    // must deliver exactly the batch log — same oracle
+    "b18_notifications" -> notificationsOracle,
+    "b18_notifications_stream" -> notificationsOracle,
 
     // the schema-history log of the scripted widen sequence: event order
     // and canonical schema strings follow from the script; the batch row
