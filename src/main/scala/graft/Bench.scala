@@ -126,7 +126,17 @@ object Bench {
     "q14_promo_effect",          // conditional-revenue percentage
     "q15_top_supplier",          // derived view joined against its own MAX
     "q02_min_cost_supplier_mat", // q02 with the supply CTE materialized ONCE (the 2-scan fix)
-    "q21_late_supplier_1pass")   // q21 as ONE fact pass + an order window (the 3-scan fix)
+    "q21_late_supplier_1pass",   // q21 as ONE fact pass + an order window (the 3-scan fix)
+    // round 18 — the remaining double-evaluated CTE shapes, materialized
+    "q11_important_stock_mat",   // q11 with `grouped` evaluated ONCE (was 2 fact aggs)
+    "q15_top_supplier_mat",      // q15 with `revenue` evaluated ONCE (was 2 windowed aggs)
+    "q18_skewed",                // hot-key fact join routed through the MG-salted split
+    // round 18 — the CDC → gauntlet composition: orders+lineitem replayed
+    // as adversarial changelogs through the A8 bucketed upsert sink, the
+    // reporting query over the MATERIALIZED tables (same oracles as the
+    // base-table twins)
+    "q03_materialized",
+    "q10_materialized")
 
   /** The FS-COMMIT-BOUND entries (round 17, the r16 verdict's #7): these
     * compose checkpointed stream drains / multi-family state commits, so
@@ -152,7 +162,24 @@ object Bench {
     // compute entries stay flat (SCALING.md round-17 record)
     "k13_dedup_resolve", "k13_fold_batch", "k13_retract",
     "k17_retract",
-    "k21_curate_batch", "k21_curate_batch_cont", "k21_stages_separate")
+    "k21_curate_batch", "k21_curate_batch_cont", "k21_stages_separate",
+    // the CDC → gauntlet compositions replay two checkpointed file-source
+    // streams (4+ micro-batches each) through the upsert sink's
+    // bucket-merge commits before the query itself runs
+    "q03_materialized", "q10_materialized")
+
+  /** VARIANCE-WATCH class (round 18, the r17 verdict's #6): these three
+    * swung 1.8× in the r17 DRIVER record with no code change since their
+    * round-14 commit and flat calibrated self-records — rig noise that
+    * escaped both the fs_bound split (they commit little) and the
+    * min-of-warm steady statistic. They get EXTRA reps (+2) and, like
+    * every entry since r18, a per-query [min,max] warm band in the
+    * record (`queries_band`), so a future driver-record swing is
+    * attributable from the shipped JSON alone: a wide band says rig, a
+    * tight band that MOVED says code.
+    */
+  val varianceWatch: Set[String] = Set(
+    "k18_bpe_train", "k18_bpe_encode", "k12_mix_gate")
 
   /** The calibration task's reference time: min-of-3 warm on the
     * round-16 quiet rig (local[32], the rig that produced the committed
@@ -781,7 +808,11 @@ object Bench {
           copyRec(manifestTable, d)
           d
         } else null
-      val times = (1 to nReps).map { _ => preRep(); runOnce(n) }
+      // variance-watch entries take two extra reps: their band is the
+      // attribution for unexplained driver-record swings (see
+      // `varianceWatch`)
+      val nRepsHere = if (varianceWatch.contains(n)) nReps + 2 else nReps
+      val times = (1 to nRepsHere).map { _ => preRep(); runOnce(n) }
       if (snapshotAround) {
         System.err.println(s"[bench] $n: restoring table snapshot + manifest")
         deleteRec(manifestTable)
@@ -808,6 +839,15 @@ object Bench {
       .mkString("{", ",", "}")
     val qJson = json(r => steady(r._2))   // steady-state (best warm rep)
     val coldJson = json(_._2.head)        // first-touch (cold JIT + first scan)
+    // per-query WARM band [min, max] (round 18): the in-record variance
+    // attribution — a swing inside a wide band is rig noise, a tight
+    // band that moved between records is code
+    val bandJson = results.map { case (k, v) =>
+      val warm = v.drop(1).filter(_ >= 0)
+      val (lo, hi) =
+        if (warm.isEmpty) (-1.0, -1.0) else (warm.min, warm.max)
+      "\"" + k + "\":[" + f"$lo%.3f,$hi%.3f" + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(r => steady(r._2)).filter(_ >= 0).sum
     // total_r1 = the unchanged round-1 14-query set, comparable across
     // rounds; steady-state and cold reported separately
@@ -832,7 +872,8 @@ object Bench {
     // full per-query dict still prints (and lands in the judge's own
     // runs/logs) one line above.
     val fsNamesJson = fsBound.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"total_cpu":$totalCpu%.3f,"total_fs_bound":$totalFs%.3f,"fs_bound":$fsNamesJson,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"queries":$qJson,"queries_cold":$coldJson,"sf":"$sfDir"$filterField}"""
+    val watchJson = varianceWatch.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"total_cpu":$totalCpu%.3f,"total_fs_bound":$totalFs%.3f,"fs_bound":$fsNamesJson,"variance_watch":$watchJson,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"queries":$qJson,"queries_cold":$coldJson,"queries_band":$bandJson,"sf":"$sfDir"$filterField}"""
     println(fullJson)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_r1":$totalR1%.3f,"total_r1_cold":$totalR1Cold%.3f,"total_cpu":$totalCpu%.3f,"total_fs_bound":$totalFs%.3f,"rig_calib_sec":$calibSec%.3f,"rig_factor":$rigFactor%.3f,"n_queries":${results.size},"sf":"$sfDir"$filterField}""")
     // the full record ALSO lands in a committed file (round 15, r14

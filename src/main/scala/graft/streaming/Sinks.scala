@@ -234,6 +234,48 @@ object Sinks {
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The layout-column sidecar (r18): `__kb` hashes `bucketCols`, which
+    * default to the merge key but may be a SUBSET of it — the
+    * cluster-by-join-key layout (e.g. lineitem merged on
+    * (orderkey, linenumber) but bucketed by orderkey alone, so the
+    * downstream fact join reads co-located buckets). Like the bucket
+    * COUNT, the bucket COLUMNS are part of the table layout: a batch
+    * hashed on different columns would prune the wrong buckets and
+    * resurrect stale rows, so the first write pins the choice and every
+    * later batch must match.
+    */
+  private def bucketColsPath(targetDir: String) =
+    new Path(targetDir, "_graft_bucket_cols")
+
+  private def resolveBucketCols(fs: org.apache.hadoop.fs.FileSystem,
+                                targetDir: String, keyCols: Seq[String],
+                                bucketCols: Seq[String]): Seq[String] = {
+    val want = if (bucketCols.isEmpty) keyCols else bucketCols
+    require(want.forall(keyCols.contains),
+      s"bucketCols (${want.mkString(",")}) must be a subset of keyCols " +
+        s"(${keyCols.mkString(",")}): the layout hash must be a pure " +
+        "function of the merge key or a key's versions land in different buckets")
+    val p = bucketColsPath(targetDir)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val pinned = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.split(",").toSeq
+      finally in.close()
+      require(pinned == want,
+        s"table at $targetDir is bucketed on ${pinned.mkString(",")}; " +
+          s"got bucketCols=${want.mkString(",")}")
+      pinned
+    } else {
+      // pinned only when it differs from the default — legacy tables
+      // (no sidecar) stay readable as keyCols-bucketed
+      if (want != keyCols) {
+        val out = fs.create(p, true)
+        try out.write(want.mkString(",").getBytes("UTF-8")) finally out.close()
+      }
+      want
+    }
+  }
+
   /** Merge one batch of flattened change events into the target.
     * `versionCol` must totally order events per key (e.g. lsn).
     *
@@ -245,6 +287,10 @@ object Sinks {
     * (≈ tableRows / 64k) on the first write — the first batch is a poor
     * proxy for eventual volume.
     *
+    * `bucketCols` (r18): the layout hash columns — default the merge
+    * key; pass a key subset (e.g. just the order key) to co-locate the
+    * table for a downstream join. Pinned on first write.
+    *
     * File-count note: the bucket column and the merge's shuffle share
     * Spark's Murmur3, so when nBuckets divides `spark.sql.shuffle
     * .partitions` each bucket's rows land in exactly partitions/nBuckets
@@ -253,10 +299,12 @@ object Sinks {
     * therefore [[compact]] frequency, to a minimum.
     */
   def applyUpsertBatch(batch: DataFrame, targetDir: String, keyCols: Seq[String],
-                       versionCol: String, nBuckets: Int = 0): Unit = {
+                       versionCol: String, nBuckets: Int = 0,
+                       bucketCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchRows = batch.count()
+    val layoutCols = resolveBucketCols(fs, targetDir, keyCols, bucketCols)
     val n = resolvePinnedBuckets(fs, targetDir, nBuckets, batchRows)
     val tableExists =
       fs.exists(new Path(targetDir, "_SUCCESS")) || (fs.exists(new Path(targetDir)) &&
@@ -282,7 +330,7 @@ object Sinks {
             priorSchema, Some(batch.schema), Some(batchRows))
           throw e
       }
-    val b = batch.withColumn("__kb", pmod(hash(keyCols.map(col): _*), lit(n)))
+    val b = batch.withColumn("__kb", pmod(hash(layoutCols.map(col): _*), lit(n)))
     // buckets touched by this batch — bounded by nBuckets, a driver-safe collect
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
     def recordPin(): Unit = {
@@ -329,13 +377,15 @@ object Sinks {
   def foreachBatchUpsert(changes: DataFrame, targetDir: String, checkpointDir: String,
                          keyCols: Seq[String], versionCol: String,
                          nBuckets: Int = 0,
-                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         bucketCols: Seq[String] = Nil): StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyUpsertBatch(batch, targetDir, keyCols, versionCol, nBuckets)
+        applyUpsertBatch(batch, targetDir, keyCols, versionCol, nBuckets,
+          bucketCols)
       }
       .start()
 
@@ -474,4 +524,83 @@ object Sinks {
   def currentState(spark: SparkSession, targetDir: String,
                    opCol: String = "op", deleteOp: String = "d"): DataFrame =
     readPinned(spark, targetDir).where(col(opCol) =!= deleteOp).drop("__kb")
+
+  /** A8d (r18) — the CLUSTERED upsert sink: merge a change batch into a
+    * CATALOG table that is both partitioned by `__kb` (the touched-set
+    * pruning unit, a hash of the merge key) and BUCKETED by `bucketCols`
+    * (the downstream JOIN key). The catalog's bucket spec is what the
+    * plain directory layout can't give: readers see
+    * `HashPartitioning(bucketCols, nBuckets)`, so two tables maintained
+    * through this sink join with ZERO exchanges — the changelog-fed
+    * answer to GauntletSpec's pre-bucketed fact pair, the layout a
+    * reporting consumer wants when the same fact join runs every hour at
+    * 100 TB.
+    *
+    * Per-batch cost is the dir sink's: read ONLY the touched `__kb`
+    * partitions (CatalogFileIndex partition pruning), latest-wins merge,
+    * dynamic-overwrite exactly those partitions back (bucket files are
+    * rebuilt inside each rewritten partition; untouched partitions keep
+    * their files byte-identical, so the bucket contract never breaks).
+    *
+    * Scope: schema is FIXED at table creation (batch 0 defines it);
+    * widening is restart-level here — the dir-layout [[applyUpsertBatch]]
+    * remains the absorb-widening surface. `bucketCols ⊆ keyCols` for the
+    * same colocation reason as the dir sink's layout pin.
+    */
+  def applyUpsertBatchClustered(batch: DataFrame, table: String,
+                                keyCols: Seq[String], versionCol: String,
+                                bucketCols: Seq[String],
+                                nBuckets: Int = 8, nKbParts: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    require(bucketCols.nonEmpty && bucketCols.forall(keyCols.contains),
+      s"bucketCols (${bucketCols.mkString(",")}) must be a non-empty subset " +
+        s"of keyCols (${keyCols.mkString(",")})")
+    val b = batch.withColumn("__kb",
+      pmod(hash(keyCols.map(col): _*), lit(nKbParts)))
+    if (!spark.catalog.tableExists(table)) {
+      // batch 0 defines the table: data columns from the batch schema,
+      // __kb as the partition column, the join key as the bucket spec
+      val colsDdl = batch.schema.toDDL
+      val bk = bucketCols.mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $table ($colsDdl, __kb INT) USING parquet
+           |PARTITIONED BY (__kb)
+           |CLUSTERED BY ($bk) SORTED BY ($bk) INTO $nBuckets BUCKETS"""
+          .stripMargin)
+    }
+    val tableCols = spark.table(table).columns
+    require(tableCols.toSet == b.columns.toSet,
+      s"clustered sink batch schema ${b.columns.sorted.mkString(",")} does " +
+        s"not match table $table (${tableCols.sorted.mkString(",")}) — " +
+        "schema changes are restart-level DDL on the clustered layout")
+    val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val existing = spark.table(table).where(col("__kb").isin(touched: _*))
+    val merged = Materialize.latestByKey(
+        existing.unionByName(b), keyCols, Seq(col(versionCol)))
+      // sever the read-before-overwrite hazard exactly as the dir sink does
+      .localCheckpoint(true)
+      .select(tableCols.map(col): _*) // insertInto matches positionally
+    // insertInto ignores the per-write partitionOverwriteMode OPTION
+    // (verified empirically on Spark 4.1: the option'd write replaced the
+    // whole table) — the session conf is the only lever, so set it for
+    // exactly this write and restore after
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try merged.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+
+  /** Live rows of a [[applyUpsertBatchClustered]] table (tombstones
+    * filtered, layout column dropped). The frame keeps the catalog's
+    * bucket distribution — join it on `bucketCols` exchange-free.
+    */
+  def currentStateClustered(spark: SparkSession, table: String,
+                            opCol: String = "op",
+                            deleteOp: String = "d"): DataFrame =
+    spark.table(table).where(col(opCol) =!= deleteOp).drop("__kb")
 }

@@ -832,9 +832,19 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // result is a local O(DDL-count) frame (SchemaHistorySpec pins it);
     // the ▶ twin additionally drains two file-source streams
     "b17_schema_history", "b17_schema_history_stream",
-    // materializes the supply relation (localCheckpoint) at construction
-    // — the whole point of the variant; GauntletSpec pins its law
+    // drives the whole signal-protocol walk (turns, drains, stops) at
+    // construction; the result is a local O(events) frame
+    // (NotificationsSpec pins the mechanics); the ▶ twin additionally
+    // drains a file-source stream
+    "b18_notifications", "b18_notifications_stream",
+    // replay two checkpointed changelog streams through the upsert sink
+    // at construction; GauntletSpec pins the materialized-equals-base law
+    // and the clustered layout's exchange-free join
+    "q03_materialized", "q10_materialized",
+    // materializes the shared relation (localCheckpoint) at construction
+    // — the whole point of the variants; GauntletSpec pins their laws
     "q02_min_cost_supplier_mat",
+    "q11_important_stock_mat", "q15_top_supplier_mat",
     "j8_stream_upsert_tws", "j9_stream_tumbling",
     "k2_lsh_candidate_pairs", "k2_dedup_clusters", "k2_incremental_neardup",
     "k2_incremental_containment", // index write at construction, same as its jaccard twin

@@ -133,6 +133,102 @@ class GauntletSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC-fed clustered tables run the whole q03 with ZERO shuffle exchanges, same answer") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Sinks
+    // the r17 test above proves the bucketed LAYOUT removes the fact
+    // shuffle for a batch write; this one feeds the SAME layout by CDC:
+    // three changelog batches per table (a poisoned stale slice at v1,
+    // ghost churn at v1/v2, the final state at v3) merge through the
+    // clustered upsert sink into catalog tables partitioned by __kb and
+    // BUCKETED by the join key — and q03 composed over the maintained
+    // tables plans zero shuffle exchanges end-to-end.
+    val liT = "g_li_cdc"; val oT = "g_o_cdc"
+    spark.sql(s"DROP TABLE IF EXISTS $liT")
+    spark.sql(s"DROP TABLE IF EXISTS $oT")
+    // lineitem has no unique natural key in this corpus (linenumbers
+    // repeat per order) — the changelog keys on a surrogate row hash,
+    // exactly as the contract query's lineitemViaCdc does
+    val liBase = graft.core.Engine.table(spark, TestSpark.sf, "lineitem")
+    val li = liBase.withColumn("__rid", xxhash64(liBase.columns.map(col): _*))
+      .select(col("l_orderkey"), col("__rid"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = graft.core.Engine.table(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"))
+    def feed(src: org.apache.spark.sql.DataFrame, table: String,
+             keyCols: Seq[String], bucketCols: Seq[String],
+             keyCol: org.apache.spark.sql.Column,
+             poison: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+             negate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      def apply(b: org.apache.spark.sql.DataFrame) =
+        Sinks.applyUpsertBatchClustered(b, table, keyCols, "__v",
+          bucketCols, nBuckets = 8, nKbParts = 4)
+      // batch 1: stale poisoned slice; batch 2: ghost insert + delete
+      // (same batch, order-free); batch 3: the final state
+      apply(poison(src.where(pmod(keyCol, lit(7L)) === 0L))
+        .withColumn("op", lit("c")).withColumn("__v", lit(1L)))
+      apply(negate(src.where(pmod(keyCol, lit(9L)) === 0L))
+        .withColumn("op", lit("c")).withColumn("__v", lit(1L))
+        .unionByName(negate(src.where(pmod(keyCol, lit(9L)) === 0L))
+          .withColumn("op", lit("d")).withColumn("__v", lit(2L))))
+      apply(src.withColumn("op", lit("u")).withColumn("__v", lit(3L)))
+    }
+    feed(li, liT, Seq("l_orderkey", "__rid"), Seq("l_orderkey"),
+      col("l_orderkey"),
+      poison = _.withColumn("l_discount", col("l_discount") + 0.5d),
+      negate = _.withColumn("__rid", -col("__rid")))
+    feed(o, oT, Seq("o_orderkey"), Seq("o_orderkey"), col("o_orderkey"),
+      poison = _.withColumn("o_orderdate",
+        col("o_orderdate") + expr("INTERVAL 500 DAYS")),
+      negate = _.withColumn("o_orderkey", -col("o_orderkey")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val lCur = Sinks.currentStateClustered(spark, liT).drop("__v", "__rid")
+      val oCur = Sinks.currentStateClustered(spark, oT).drop("__v")
+      val joined = lCur.where(col("l_shipdate") > cut)
+        .join(oCur.where(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the CDC-maintained clustered fact join must not shuffle")
+      val c = graft.core.Engine.table(spark, TestSpark.sf, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val viaCdc = joined
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+      // the FULL composed query: the only exchange is the broadcast of
+      // the customer dim — no shuffle anywhere (the bucketed join's
+      // HashPartitioning(l_orderkey) also satisfies the groupBy)
+      val full = viaCdc.queryExecution.executedPlan.toString
+      assert(!full.contains("Exchange hashpartitioning"),
+        s"q03 over clustered CDC tables must plan zero shuffles:\n$full")
+      val plain = SparkEntry.queries("q03_shipping_priority")(
+        spark, TestSpark.sf).collect().toSeq
+      assert(viaCdc.collect().toSeq === plain,
+        "the CDC-maintained layout must never change the answer")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $liT")
+      spark.sql(s"DROP TABLE IF EXISTS $oT")
+    }
+  }
+
+  test("the CDC-materialized q03/q10 equal their base-table twins") {
+    for ((matN, plainN) <- Seq(
+        "q03_materialized" -> "q03_shipping_priority",
+        "q10_materialized" -> "q10_returned_items")) {
+      val plain = SparkEntry.queries(plainN)(spark, TestSpark.sf).collect().toSeq
+      val mat = SparkEntry.queries(matN)(spark, TestSpark.sf).collect().toSeq
+      assert(mat === plain,
+        s"$matN (adversarial changelog replay) must equal $plainN")
+    }
+  }
+
   test("the materialized q02 equals the declarative q02 (one supply scan, same rows)") {
     // Spark evaluates q02's supply CTE twice (decorrelation duplicates
     // the subtree); the _mat variant materializes it once. Same rows is
@@ -158,6 +254,60 @@ class GauntletSpec extends AnyFunSuite {
       .findAllIn(onePass.queryExecution.executedPlan.toString).size
     assert(factScans === 1,
       s"the 1pass form must scan lineitem exactly once, found $factScans")
+  }
+
+  test("the materialized q11/q15 equal their declarative twins and never rescan the fact") {
+    // Spark evaluates q11's `grouped` CTE twice (main SELECT + the
+    // scalar-AVG threshold) and q15's `revenue` view twice (FROM + the
+    // scalar MAX) — two full fact aggregations each. The _mat twins
+    // checkpoint the shared relation ONCE; their final plans must read
+    // the materialized RDD, never lineitem.
+    for ((plainN, matN) <- Seq(
+        "q11_important_stock" -> "q11_important_stock_mat",
+        "q15_top_supplier" -> "q15_top_supplier_mat")) {
+      val plain = SparkEntry.queries(plainN)(spark, TestSpark.sf).collect().toSeq
+      val mat = SparkEntry.queries(matN)(spark, TestSpark.sf)
+      assert(mat.collect().toSeq === plain, s"$matN must equal $plainN")
+      val p = mat.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan parquet [l_"),
+        s"$matN's final plan must read the checkpointed relation, not lineitem:\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"$matN's final plan must consume the materialized relation:\n$p")
+    }
+  }
+
+  test("the skew-composed q18 routes the hot key through the salted path, same answer") {
+    import org.apache.spark.sql.functions._
+    // 40% of the fact collapses onto order key 1 (2400 of 6000 rows at
+    // sf0.001 — well past the 2000 hot threshold even after the MG
+    // sketch's N/(k+1) ≈ 92 undershoot), so the plan MUST carry the
+    // salted hot route; and routing must never change the answer.
+    val df = SparkEntry.queries("q18_skewed")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"),
+      s"the hot slice must join on (key, salt):\n$p")
+    assert(p.contains("Union"), s"hot and cold routes must union:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"no quadratic fallback:\n$p")
+    // the plain join over the same skewed key is the law
+    val l = graft.core.Engine.table(spark, TestSpark.sf, "lineitem")
+      .select(
+        when(pmod(col("l_orderkey"), lit(5L)) < 2L, lit(1L))
+          .otherwise(col("l_orderkey")).as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = graft.core.Engine.table(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val c = graft.core.Engine.table(spark, TestSpark.sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val plain = l.join(o, Seq("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+      .collect().toSeq
+    assert(df.collect().toSeq === plain, "routing must never change the answer")
   }
 
   test("gauntlet executes correctly under AQE (row counts)") {

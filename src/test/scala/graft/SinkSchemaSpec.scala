@@ -90,4 +90,48 @@ class SinkSchemaSpec extends AnyFunSuite {
     // neither refusal moved the table
     assert(Sinks.currentState(spark, target).count() === 1L)
   }
+
+  test("bucketCols cluster the layout on a key subset; the pin refuses drift (r18)") {
+    val target = freshTarget()
+    // merge key (key, sub), layout on key alone — a key's rows land in
+    // ONE bucket dir regardless of sub, the cluster-by-join-key shape
+    Sinks.applyUpsertBatch(
+      Seq((1L, 1L, 10L, "u", "a"), (1L, 2L, 10L, "u", "b"),
+        (2L, 1L, 10L, "u", "c"))
+        .toDF("key", "sub", "version", "op", "payload"),
+      target, Seq("key", "sub"), "version", nBuckets = 4,
+      bucketCols = Seq("key"))
+    // key 1's two sub-rows share one bucket: their dirs under __kb= must
+    // hold both rows of key 1 together
+    val byBucket = spark.read.parquet(target)
+      .groupBy("key").agg(org.apache.spark.sql.functions
+        .countDistinct("__kb").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket(1L) === 1L, "one key, one bucket — sub must not scatter it")
+    // a later batch merges the key-subset layout correctly (latest wins
+    // per (key, sub), pruned by the key-hash bucket)
+    Sinks.applyUpsertBatch(
+      Seq((1L, 2L, 11L, "u", "B")).toDF("key", "sub", "version", "op", "payload"),
+      target, Seq("key", "sub"), "version", nBuckets = 4,
+      bucketCols = Seq("key"))
+    val cur = Sinks.currentState(spark, target)
+      .select("key", "sub", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(cur === Set((1L, 1L, "a"), (1L, 2L, "B"), (2L, 1L, "c")))
+    // layout drift refuses: different bucketCols would prune wrong buckets
+    val drift = intercept[IllegalArgumentException] {
+      Sinks.applyUpsertBatch(
+        Seq((3L, 1L, 12L, "u", "d")).toDF("key", "sub", "version", "op", "payload"),
+        target, Seq("key", "sub"), "version", nBuckets = 4)
+    }
+    assert(drift.getMessage.contains("bucketed on"))
+    // and bucketCols outside the merge key refuse outright
+    val outside = intercept[IllegalArgumentException] {
+      Sinks.applyUpsertBatch(
+        Seq((3L, 1L, 12L, "u", "d")).toDF("key", "sub", "version", "op", "payload"),
+        freshTarget(), Seq("key"), "version", nBuckets = 4,
+        bucketCols = Seq("payload"))
+    }
+    assert(outside.getMessage.contains("subset of keyCols"))
+  }
 }
