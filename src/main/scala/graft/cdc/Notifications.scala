@@ -94,14 +94,64 @@ object Notifications {
     written
   }
 
+  private val PrunedPrefix = "_pruned_"
+
   private def nextSeq(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
     if (!fs.exists(dir)) 0L
     else {
+      // the prune watermark counts: after retention deletes old events,
+      // numbering must CONTINUE past the deleted range — a restart would
+      // alias retired seqs and break consumers' seq-watermark dedup
       val ns = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
-        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+        .filter(n => n.endsWith(".json") || n.startsWith(PrunedPrefix))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix(PrunedPrefix).stripSuffix(".json").toLong).toOption)
       if (ns.isEmpty) 0L else ns.max + 1L
     }
+  }
+
+  /** B18 RETENTION (r18): delete every event at or below `uptoSeq` —
+    * the notification channel is an operator FEED, not a state log, so
+    * its retention is Kafka-topic-shaped (drop the old tail) rather
+    * than the schema history's fold-into-checkpoint: there is no net
+    * state to fold, a consumed lifecycle event is simply old news.
+    * A `_pruned_<seq>` watermark marker lands FIRST (create-exclusive),
+    * so numbering continues past the retired range even when every
+    * event file is gone, and a crash mid-delete just leaves files a
+    * re-prune removes. Returns the number of event files deleted.
+    *
+    * Streaming consumers are unaffected going forward (the file source
+    * tracks seen files; deletion never retracts) — a FRESH stream
+    * starting after a prune sees only the retained tail, which is
+    * retention's whole meaning.
+    */
+  def prune(spark: org.apache.spark.sql.SparkSession, root: String,
+            uptoSeq: Long): Long = Signals.gated(root) {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, Dir)
+    if (!fs.exists(dir)) return 0L
+    def seqOf(s: String) = scala.util.Try(
+      s.stripSuffix(".claim").stripSuffix(".json").toLong).toOption
+    // watermark first: monotone (only ever raised), claim-idempotent
+    val already = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(PrunedPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(PrunedPrefix).toLong).toOption)
+    val mark = already.sorted.lastOption.getOrElse(-1L)
+    if (uptoSeq > mark) {
+      try fs.create(new Path(dir, s"$PrunedPrefix$uptoSeq"), false).close()
+      catch { case _: java.io.IOException => () } // rival pruned the same seq
+      already.filter(_ < uptoSeq).foreach(m =>
+        fs.delete(new Path(dir, s"$PrunedPrefix$m"), false))
+    }
+    var dropped = 0L
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (!n.startsWith(PrunedPrefix) && seqOf(n).exists(_ <= uptoSeq)) {
+        if (n.endsWith(".json")) dropped += 1
+        fs.delete(p, false)
+      }
+    }
+    dropped
   }
 
   /** The event schema [[read]] and [[stream]] share. */
@@ -137,11 +187,23 @@ object Notifications {
     import spark.implicits._
     val fs = fsOf(spark, root)
     val dir = new Path(root, Dir)
+    // the prune watermark is authoritative: events at or below it are
+    // retired even if a crash mid-[[prune]] left their files behind
+    val floor: Long =
+      if (!fs.exists(dir)) -1L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(PrunedPrefix))
+        .flatMap(n => scala.util.Try(n.stripPrefix(PrunedPrefix).toLong).toOption)
+        .sorted.lastOption.getOrElse(-1L)
     val events: Seq[(Long, Long, String, String, Option[Long], Option[Long])] =
       if (!fs.exists(dir)) Nil
       else fs.listStatus(dir)
         .map(_.getPath)
-        .filter(_.getName.endsWith(".json"))
+        .filter { p =>
+          val n = p.getName
+          n.endsWith(".json") && scala.util.Try(
+            n.stripSuffix(".json").toLong).toOption.forall(_ > floor)
+        }
         .sortBy(_.getName)
         .map { p =>
           val in = fs.open(p)

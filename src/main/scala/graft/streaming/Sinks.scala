@@ -303,7 +303,11 @@ object Sinks {
                        bucketCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchRows = batch.count()
+    // LAZY (r18): the count is one full batch pass, but it's only needed
+    // when auto-sizing fires (first write with nBuckets=0) or a schema
+    // event records its triggering volume — the steady path (pinned
+    // buckets, stable schema) must not pay a per-micro-batch count job
+    lazy val batchRows = batch.count()
     val layoutCols = resolveBucketCols(fs, targetDir, keyCols, bucketCols)
     val n = resolvePinnedBuckets(fs, targetDir, nBuckets, batchRows)
     val tableExists =

@@ -63,4 +63,148 @@ class NotificationsSpec extends AnyFunSuite {
       .where($"type" === "started").count()
     assert(restarted === 2L, "a reset re-execute is a NEW chunk loop")
   }
+
+  test("law: random protocol scripts produce EXACTLY the modeled event log (seeded)") {
+    // the SignalsFencingSpec law pins landed COVERAGE against a ~30-line
+    // model; this one pins the B18 CHANNEL: for random scripts of
+    // executes (with conditions + blocking), stops, pauses, resumes and
+    // turns, the notification log must equal — event for event, count
+    // for count, in seq order — what the model emits. An extra, missing,
+    // or mis-counted lifecycle event anywhere in the protocol fails here.
+    val rnd = new scala.util.Random(20260818L)
+    val total = Map("t1" -> 40L, "t2" -> 20L)
+    val condChoices = Seq(None, Some("k < 10"), Some("k % 2 = 0"))
+    def matching(t: String, cond: Option[String]): Long = cond match {
+      case None              => total(t)
+      case Some("k < 10")    => 10L
+      case Some("k % 2 = 0") => total(t) / 2
+      case other             => fail(s"unmodeled condition $other")
+    }
+    def tableOf(n: String) = n match {
+      case "t1" => (0L until 40L).map(i => (i, s"a$i")).toDF("k", "payload")
+      case "t2" => (0L until 20L).map(i => (i, s"b$i")).toDF("k", "payload")
+      case other => fail(s"unexpected collection $other")
+    }
+    for (trial <- 0 until 6) {
+      val root = tmp(s"graft-notif-law-$trial")
+      // protocol model state
+      var q = Vector.empty[String]
+      var paused = false
+      var rows = Map("t1" -> 0L, "t2" -> 0L)
+      var chunks = Map("t1" -> 0L, "t2" -> 0L)
+      var hasCursor = Set.empty[String]
+      var condOf = Map.empty[String, Option[String]].withDefaultValue(None)
+      var blockingOf = Set.empty[String]
+      // the modeled channel: (type, collection, chunks, rows) — nulls as
+      // (-1) sentinels for the gate events
+      val expected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long, Long)]
+      def modelTurn(): Unit = if (!paused && q.nonEmpty) {
+        val h = q.head
+        if (!hasCursor.contains(h)) expected += (("started", h, 0L, 0L))
+        val rem = matching(h, condOf(h)) - rows(h)
+        val k =
+          if (blockingOf.contains(h)) (rem + 9L) / 10L
+          else math.min(2L, (rem + 9L) / 10L)
+        if (k > 0) {
+          hasCursor += h
+          rows += h -> (rows(h) + math.min(rem, k * 10L))
+          chunks += h -> (chunks(h) + k)
+          expected += (("chunk-landed", h, chunks(h), rows(h)))
+        }
+        val pops = blockingOf.contains(h) || k < 2L
+        if (pops) {
+          q = q.tail; blockingOf -= h; condOf -= h
+          expected += (("completed", h, chunks(h), rows(h)))
+        }
+      }
+      def modelExecute(c: String, cond: Option[String], blocking: Boolean): Unit = {
+        val fresh = !q.contains(c)
+        val changed = !fresh &&
+          (condOf(c) != cond || blockingOf.contains(c) != blocking)
+        if (fresh || changed) {
+          rows += c -> 0L; chunks += c -> 0L; hasCursor -= c
+          condOf += c -> cond
+          blockingOf = if (blocking) blockingOf + c else blockingOf - c
+          if (fresh) q = q :+ c
+        }
+      }
+      var sigId = 0
+      def apply(typ: String, data: String): Unit = {
+        sigId += 1
+        Signals.applySignals(spark, root, Seq(
+          (f"s$sigId%03d", typ, data, sigId.toLong))
+          .toDF("id", "type", "data", "lsn"))
+      }
+      def realTurn() = Signals.turn(spark, root, tableOf, _ => Seq("k"),
+        _ => 10, (_, cid) => 100L + cid, maxChunks = 2)
+      for (_ <- 0 until 12) rnd.nextInt(6) match {
+        case 0 | 1 =>
+          val c = if (rnd.nextBoolean()) "t1" else "t2"
+          val cond = condChoices(rnd.nextInt(condChoices.length))
+          val blocking = rnd.nextInt(4) == 0
+          val condJson = cond.map(f =>
+            s""","additional-conditions":[{"data-collection":"$c","filter":"$f"}]""")
+            .getOrElse("")
+          val typJson = if (blocking) ""","type":"blocking"""" else ""
+          apply("execute-snapshot",
+            s"""{"data-collections":["$c"]$typJson$condJson}""")
+          modelExecute(c, cond, blocking)
+        case 2 =>
+          val c = if (rnd.nextBoolean()) "t1" else "t2"
+          apply("stop-snapshot", s"""{"data-collections":["$c"]}""")
+          if (q.contains(c))
+            expected += (("stopped", c, chunks(c), rows(c)))
+          q = q.filterNot(_ == c); blockingOf -= c; condOf -= c
+        case 3 =>
+          apply("pause-snapshot", null)
+          if (!paused) expected += (("paused", null, -1L, -1L))
+          paused = true
+        case 4 =>
+          apply("resume-snapshot", null)
+          if (paused) expected += (("resumed", null, -1L, -1L))
+          paused = false
+        case 5 => realTurn(); modelTurn()
+      }
+      // stop-everything at the end: every queued collection ABORTS
+      apply("stop-snapshot", null)
+      q.foreach(c => expected += (("aborted", c, chunks(c), rows(c))))
+      q = Vector.empty
+      val got = Notifications.read(spark, root)
+        .select("type", "collection", "chunks_landed", "rows_landed")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(got === expected.toSeq,
+        s"trial $trial: the channel must equal the modeled event log")
+    }
+  }
+
+  test("retention: prune drops the old tail, numbering and readers respect the watermark") {
+    val root = tmp("graft-notif-prune")
+    for (i <- 0 until 6)
+      Notifications.append(spark, root, "chunk-landed", Some("t1"),
+        Some(i.toLong), Some(i * 10L))
+    assert(Notifications.prune(spark, root, uptoSeq = 3L) === 4L)
+    assert(Notifications.read(spark, root).select("seq")
+      .collect().map(_.getLong(0)).toSeq === Seq(4L, 5L),
+      "only the retained tail is readable")
+    // numbering continues past the pruned range — even after pruning
+    // EVERYTHING (the watermark marker carries the floor)
+    assert(Notifications.prune(spark, root, uptoSeq = 5L) === 2L)
+    val next = Notifications.append(spark, root, "completed", Some("t1"))
+    assert(next === 6L, "seqs never restart into the retired range")
+    // crash window: a leftover event file at or below the watermark is
+    // invisible (the marker is authoritative) and a re-prune removes it
+    val w = new java.io.FileWriter(s"$root/_notifications/0000000002.json")
+    w.write("""{"seq":2,"ts_ms":1,"type":"started"}"""); w.close()
+    assert(Notifications.read(spark, root).select("seq")
+      .collect().map(_.getLong(0)).toSeq === Seq(6L),
+      "a crash-leftover below the watermark stays retired")
+    assert(Notifications.prune(spark, root, 5L) === 1L,
+      "re-prune sweeps the leftover")
+    // prune is monotone: an older watermark is a no-op
+    assert(Notifications.prune(spark, root, 1L) === 0L)
+    assert(Notifications.read(spark, root).count() === 1L)
+  }
 }
