@@ -279,6 +279,78 @@ object Signals {
         col("after.data").as("data"), col("source.lsn").as("lsn"))
   }
 
+  /** B16b — the FILE signal channel (r18) [PK: Debezium's signal
+    * channels are pluggable — the signal TABLE through the change
+    * stream is the default, and a FILE channel reads signals an
+    * operator drops as JSON, no database write access needed]. A signal
+    * is one JSON file `{"id","type","data","lsn"}` under
+    * `<root>/_signal_channel/`; the lsn IS the claimed file sequence
+    * ([[dropSignal]] uses the notification channel's create-exclusive
+    * claim idiom), so arrival order is total and survives concurrent
+    * droppers. [[fileChannel]] exposes the channel as a streaming frame
+    * shaped exactly like [[fromEnvelope]]'s output — wire it to
+    * [[applySignals]] (lenient) in a foreachBatch, same as the
+    * table-borne transport.
+    */
+  private val ChannelDir = "_signal_channel"
+
+  /** Drop one signal into the root's file channel; returns its lsn. */
+  def dropSignal(spark: org.apache.spark.sql.SparkSession, root: String,
+                 id: String, typ: String, data: String): Long = gated(root) {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ChannelDir)
+    fs.mkdirs(dir)
+    val node = mapper.createObjectNode()
+    node.put("id", id)
+    node.put("type", typ)
+    if (data != null) node.put("data", data)
+    var seq = {
+      val ns = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      if (ns.isEmpty) 0L else ns.max + 1L
+    }
+    var written = -1L
+    while (written < 0) {
+      val claim = new Path(dir, f"$seq%010d.claim")
+      val claimed =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!claimed) seq += 1
+      else {
+        node.put("lsn", seq)
+        val name = f"$seq%010d.json"
+        val tmp = new Path(dir, name + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+        finally out.close()
+        fs.rename(tmp, new Path(dir, name))
+        written = seq
+      }
+    }
+    written
+  }
+
+  /** The file channel as a streaming frame `(id, type, data, lsn)` —
+    * one dropped file per streamed signal row; `.tmp` writes and bare
+    * `.claim` markers never match the glob. Feed to [[applySignals]]
+    * with `lenient = true` (one corrupt dropped file must not wedge
+    * the channel).
+    */
+  def fileChannel(spark: org.apache.spark.sql.SparkSession,
+                  root: String): DataFrame =
+    spark.readStream.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lsn",
+          org.apache.spark.sql.types.LongType))))
+      .option("pathGlobFilter", "*.json")
+      .json(s"$root/$ChannelDir")
+
   /** Apply ONE signal against the in-memory state (pure protocol step;
     * throws IllegalArgumentException on a malformed signal).
     */

@@ -673,6 +673,51 @@ object CdcQueries {
         .orderBy(col("scope"), col("seq"))
     }),
 
+    // B16e — ▶ the FILE signal channel (r18) [PK: Debezium's signal
+    // channels are pluggable — file beside table]: signals dropped as
+    // claim-sequenced JSON files drive the protocol through a REAL
+    // file-source stream (fileChannel → foreachBatch applySignals,
+    // lenient), with paced turns between drains. The result is the
+    // operator-facing progress readout — queued → paused (lands
+    // nothing) → resumed → drained → done — with the landed coverage
+    // re-derived by the oracle from the table.
+    "b16_signal_file_channel" -> ((s, dir) => {
+      import graft.cdc.Signals
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sig-file").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sig-file-ckpt").toString
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"))
+      val csz = cu.count().toInt // one chunk — the plan is deterministic
+      def drain(): Unit = {
+        val q = Signals.fileChannel(s, root)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Signals.applySignals(s, root, b, lenient = true): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def turn(): Int = Signals.turn(s, root, _ => cu, _ => Seq("ckey"),
+        _ => csz, (_, cid) => 100L + cid, maxChunks = 1)
+      Signals.dropSignal(s, root, "f1", "execute-snapshot",
+        """{"data-collections":["customer"]}""")
+      Signals.dropSignal(s, root, "f2", "pause-snapshot", null)
+      drain()
+      require(turn() == 0, "paused via the file channel: nothing lands")
+      Signals.dropSignal(s, root, "f3", "resume-snapshot", null)
+      drain()
+      require(turn() == 1, "resumed: the single chunk lands")
+      require(turn() == 0, "exhausted: the empty turn pops to done")
+      Signals.progress(s, root)
+        .select(col("collection"), col("phase"),
+          col("chunks_landed"), col("rows_landed"))
+        .orderBy(col("collection"))
+    }),
+
     // B18 — the NOTIFICATION CHANNEL (r18): a scripted signal-protocol
     // walk — execute → drain → pause/resume → complete → partial stop →
     // re-execute → stop-all — whose lifecycle events land as one file
@@ -1066,6 +1111,13 @@ object CdcQueries {
     // must deliver exactly the batch log — same oracle
     "b18_notifications" -> notificationsOracle,
     "b18_notifications_stream" -> notificationsOracle,
+
+    // the file-channel walk ends with customer fully drained in one
+    // chunk; the row count is the table's
+    "b16_signal_file_channel" ->
+      """SELECT 'customer' AS collection, 'done' AS phase,
+        |  CAST(1 AS BIGINT) AS chunks_landed,
+        |  (SELECT COUNT(*) FROM customer) AS rows_landed""".stripMargin,
 
     // the schema-history log of the scripted widen sequence: event order
     // and canonical schema strings follow from the script; the batch row

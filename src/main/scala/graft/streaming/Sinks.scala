@@ -546,10 +546,15 @@ object Sinks {
     * rebuilt inside each rewritten partition; untouched partitions keep
     * their files byte-identical, so the bucket contract never breaks).
     *
-    * Scope: schema is FIXED at table creation (batch 0 defines it);
-    * widening is restart-level here — the dir-layout [[applyUpsertBatch]]
-    * remains the absorb-widening surface. `bucketCols ⊆ keyCols` for the
-    * same colocation reason as the dir sink's layout pin.
+    * Schema contract (r18, at parity with the dir sink): the CATALOG is
+    * the schema pin. A batch that ADDS columns widens the table in
+    * place (`ALTER TABLE … ADD COLUMNS` — old files read the new
+    * columns as null through the catalog schema, nothing rewrites);
+    * narrowing and type changes REFUSE loudly (restart-level DDL).
+    * Every pin / widen / refusal lands as a B17 schema-history event
+    * under the table's location, exactly like the dir sink's.
+    * `bucketCols ⊆ keyCols` for the same colocation reason as the dir
+    * sink's layout pin.
     */
   def applyUpsertBatchClustered(batch: DataFrame, table: String,
                                 keyCols: Seq[String], versionCol: String,
@@ -561,6 +566,7 @@ object Sinks {
         s"of keyCols (${keyCols.mkString(",")})")
     val b = batch.withColumn("__kb",
       pmod(hash(keyCols.map(col): _*), lit(nKbParts)))
+    lazy val batchRows = batch.count()
     if (!spark.catalog.tableExists(table)) {
       // batch 0 defines the table: data columns from the batch schema,
       // __kb as the partition column, the join key as the bucket spec
@@ -571,12 +577,45 @@ object Sinks {
            |PARTITIONED BY (__kb)
            |CLUSTERED BY ($bk) SORTED BY ($bk) INTO $nBuckets BUCKETS"""
           .stripMargin)
+      graft.cdc.SchemaHistory.append(spark, tableLocation(spark, table),
+        "pin", None, Some(batch.schema), Some(batchRows))
+    } else {
+      // the catalog is the pinned schema: widen on added columns,
+      // refuse narrowing/type changes — each decision a B17 event
+      val ts = org.apache.spark.sql.types.StructType(
+        spark.table(table).schema.fields.filterNot(_.name == "__kb"))
+      val bByName = batch.schema.fields.map(f => f.name -> f).toMap
+      def refuse(msg: String): Nothing = {
+        graft.cdc.SchemaHistory.append(spark, tableLocation(spark, table),
+          "refuse", Some(ts), Some(batch.schema), Some(batchRows))
+        throw new IllegalArgumentException(msg)
+      }
+      val missing = ts.fields.map(_.name).filterNot(bByName.contains)
+      if (missing.nonEmpty)
+        refuse(s"clustered upsert batch is missing table columns " +
+          s"${missing.mkString(", ")} at $table — NARROWING is " +
+          "restart-level DDL")
+      val clashes = ts.fields.flatMap { f =>
+        bByName.get(f.name).filter(_.dataType != f.dataType)
+          .map(bf => s"${f.name}: table ${f.dataType.simpleString} vs " +
+            s"batch ${bf.dataType.simpleString}")
+      }
+      if (clashes.nonEmpty)
+        refuse(s"clustered upsert batch changes column types at $table — " +
+          s"${clashes.mkString("; ")}: type changes are restart-level DDL")
+      val newCols = batch.schema.fields
+        .filterNot(f => ts.fieldNames.contains(f.name))
+      if (newCols.nonEmpty) {
+        val adds = newCols.map(f => s"${f.name} ${f.dataType.sql}")
+          .mkString(", ")
+        spark.sql(s"ALTER TABLE $table ADD COLUMNS ($adds)")
+        graft.cdc.SchemaHistory.append(spark, tableLocation(spark, table),
+          "widen", Some(ts),
+          Some(org.apache.spark.sql.types.StructType(ts.fields ++ newCols)),
+          Some(batchRows))
+      }
     }
     val tableCols = spark.table(table).columns
-    require(tableCols.toSet == b.columns.toSet,
-      s"clustered sink batch schema ${b.columns.sorted.mkString(",")} does " +
-        s"not match table $table (${tableCols.sorted.mkString(",")}) — " +
-        "schema changes are restart-level DDL on the clustered layout")
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
     val existing = spark.table(table).where(col("__kb").isin(touched: _*))
@@ -607,4 +646,38 @@ object Sinks {
                             opCol: String = "op",
                             deleteOp: String = "d"): DataFrame =
     spark.table(table).where(col(opCol) =!= deleteOp).drop("__kb")
+
+  /** The table's storage location — the root its B17 schema-history
+    * events live under (the clustered twin of the dir sink's targetDir).
+    */
+  def tableLocation(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .where(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+
+  /** Compaction for the clustered table: every micro-batch rewrite
+    * emits one file per (merge-shuffle task × touched partition ×
+    * bucket), so hot partitions accrue small bucket files batch over
+    * batch. Compacting re-clusters each `__kb` partition in one task
+    * (`repartition(__kb)`) so the rewrite lands ~one file per
+    * (partition, bucket) — the catalog's bucket spec is metadata and
+    * survives untouched, so the exchange-free join contract holds
+    * before and after. The checkpoint severs the read-before-overwrite
+    * hazard exactly like the batch path and the dir sink's [[compact]].
+    */
+  def compactClustered(spark: SparkSession, table: String): Unit = {
+    val tableCols = spark.table(table).columns
+    val snap = spark.table(table)
+      .repartition(col("__kb"))
+      .localCheckpoint(true)
+      .select(tableCols.map(col): _*)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try snap.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
 }

@@ -837,6 +837,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // (NotificationsSpec pins the mechanics); the ▶ twin additionally
     // drains a file-source stream
     "b18_notifications", "b18_notifications_stream",
+    // drives the file-channel stream + protocol turns at construction;
+    // the result is the O(collections) progress readout
+    "b16_signal_file_channel",
     // replay two checkpointed changelog streams through the upsert sink
     // at construction; GauntletSpec pins the materialized-equals-base law
     // and the clustered layout's exchange-free join

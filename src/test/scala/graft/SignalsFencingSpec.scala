@@ -144,6 +144,45 @@ class SignalsFencingSpec extends AnyFunSuite {
     }
   }
 
+  test("file channel: claim-sequenced drops apply in order; a corrupt file skips leniently") {
+    val root = tmp("graft-sig-filech")
+    // two conflicting executes: the SECOND drop (higher claimed lsn)
+    // must win — newest-execute-wins rides the channel's total order
+    Signals.dropSignal(spark, root, "f1", "execute-snapshot",
+      """{"data-collections":["t1"],"additional-conditions":[
+        |{"data-collection":"t1","filter":"k < 10"}]}"""
+        .stripMargin.replace("\n", ""))
+    Signals.dropSignal(spark, root, "f2", "execute-snapshot",
+      """{"data-collections":["t1"]}""")
+    // a corrupt dropped file: the json source parses it to a null-typed
+    // row, which lenient application logs and skips
+    val w = new java.io.FileWriter(s"$root/_signal_channel/0000000099.json")
+    w.write("this is not a signal"); w.close()
+    val q = Signals.fileChannel(spark, root)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Signals.applySignals(spark, root, b, lenient = true): Unit
+      }
+      .option("checkpointLocation", tmp("graft-sig-filech-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val st = Signals.state(spark, root)
+    assert(st.queue === Seq("t1"))
+    assert(st.conditions.isEmpty,
+      "the later unconditioned execute wins — channel order is the lsn order")
+    // concurrent droppers never collide on a sequence number
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 4).map(w => new Thread(() => {
+      for (i <- 0 until 5)
+        ids.add(Signals.dropSignal(spark, root, s"c$w-$i", "pause-snapshot", null))
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(ids.asScala.toSeq.distinct.length === 20,
+      "every concurrent drop claimed a unique lsn")
+  }
+
   test("a mid-turn epoch takeover stops the zombie within one chunk (r18 advice)") {
     val root = tmp("graft-sig-midturn")
     val e1 = Signals.acquireWriter(spark, root)
