@@ -305,9 +305,12 @@ object Signals {
     node.put("type", typ)
     if (data != null) node.put("data", data)
     var seq = {
+      // the prune watermark counts: lsn numbering continues past a
+      // retired range (see [[pruneChannel]])
       val ns = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
-        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+        .filter(n => n.endsWith(".json") || n.startsWith("_pruned_"))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix("_pruned_").stripSuffix(".json").toLong).toOption)
       if (ns.isEmpty) 0L else ns.max + 1L
     }
     var written = -1L
@@ -329,6 +332,42 @@ object Signals {
       }
     }
     written
+  }
+
+  /** Channel retention (the notification channel's Kafka-shaped prune):
+    * drop consumed signal files at or below `uptoLsn` behind a
+    * `_pruned_<lsn>` watermark marker, so lsn numbering never restarts
+    * into the retired range. A live stream is unaffected (the file
+    * source tracks seen files); a FRESH consumer starting after a prune
+    * sees only the retained tail — which is retention's meaning, and
+    * why you prune only below every consumer's committed offset.
+    */
+  def pruneChannel(spark: org.apache.spark.sql.SparkSession, root: String,
+                   uptoLsn: Long): Long = gated(root) {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ChannelDir)
+    if (!fs.exists(dir)) return 0L
+    def seqOf(s: String) = scala.util.Try(
+      s.stripSuffix(".claim").stripSuffix(".json").toLong).toOption
+    val already = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("_pruned_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_pruned_").toLong).toOption)
+    val mark = already.sorted.lastOption.getOrElse(-1L)
+    if (uptoLsn > mark) {
+      try fs.create(new Path(dir, s"_pruned_$uptoLsn"), false).close()
+      catch { case _: java.io.IOException => () }
+      already.filter(_ < uptoLsn).foreach(m =>
+        fs.delete(new Path(dir, s"_pruned_$m"), false))
+    }
+    var dropped = 0L
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (!n.startsWith("_pruned_") && seqOf(n).exists(_ <= uptoLsn)) {
+        if (n.endsWith(".json")) dropped += 1
+        fs.delete(p, false)
+      }
+    }
+    dropped
   }
 
   /** The file channel as a streaming frame `(id, type, data, lsn)` —

@@ -181,6 +181,13 @@ class SignalsFencingSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(ids.asScala.toSeq.distinct.length === 20,
       "every concurrent drop claimed a unique lsn")
+    // retention: consumed drops prune behind a watermark; numbering
+    // continues past the retired range (fresh consumers see the tail)
+    val maxLsn = ids.asScala.max
+    assert(Signals.pruneChannel(spark, root, maxLsn) > 0L)
+    val next = Signals.dropSignal(spark, root, "f9", "resume-snapshot", null)
+    assert(next === maxLsn + 1L,
+      "lsn numbering never restarts into the pruned range")
   }
 
   test("a mid-turn epoch takeover stops the zombie within one chunk (r18 advice)") {
