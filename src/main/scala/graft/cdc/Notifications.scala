@@ -54,6 +54,13 @@ object Notifications {
     * (reentrant); external emitters are serialized by the claim protocol
     * alone, which is enough — claims make seqs unique, the lock only
     * keeps in-JVM appends from burning numbers.
+    *
+    * Cost note: each append lists the channel directory once to find the
+    * next seq. [[prune]] retires the event files (bounding what readers
+    * and streams touch); the 0-byte `.claim` markers stay for the
+    * no-clobber guarantee, so the listing itself grows with channel
+    * LIFETIME at one directory entry per event — at turn-rate that is
+    * thousands of entries per year, far below where FS listings hurt.
     */
   def append(spark: org.apache.spark.sql.SparkSession, root: String,
              typ: String, collection: Option[String] = None,
@@ -143,11 +150,15 @@ object Notifications {
       already.filter(_ < uptoSeq).foreach(m =>
         fs.delete(new Path(dir, s"$PrunedPrefix$m"), false))
     }
+    // only the event `.json` files retire — `.claim` markers are NEVER
+    // deleted (see SchemaHistory.compact's no-clobber note: a re-claimed
+    // retired seq would land an event the watermark silently hides)
     var dropped = 0L
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (!n.startsWith(PrunedPrefix) && seqOf(n).exists(_ <= uptoSeq)) {
-        if (n.endsWith(".json")) dropped += 1
+      if (n.endsWith(".json") && !n.startsWith(PrunedPrefix) &&
+          seqOf(n).exists(_ <= uptoSeq)) {
+        dropped += 1
         fs.delete(p, false)
       }
     }

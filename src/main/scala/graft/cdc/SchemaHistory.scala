@@ -263,7 +263,12 @@ object SchemaHistory {
     * tracks files it has seen; deletions don't retract) but a FRESH
     * stream starting after a compaction sees only the live tail —
     * bootstrap from [[read]], then stream, exactly the
-    * snapshot-then-stream pattern the rest of the engine uses.
+    * snapshot-then-stream pattern the rest of the engine uses. That
+    * bootstrap discipline also covers the crash window: folded event
+    * files a crashed compaction left behind are hidden from [[read]]
+    * but would match a fresh stream's glob — a consumer that drops
+    * streamed rows with seq ≤ its bootstrap checkpoint never
+    * double-counts them.
     *
     * Returns the checkpoint's seq, or None when nothing was foldable.
     */
@@ -296,17 +301,21 @@ object SchemaHistory {
         finally out.close()
         fs.rename(tmp, new Path(dir, name))
       } // an unclaimed name means a rival landed the identical checkpoint
-      // retire the folded files: per-event jsons and claims ≤ maxSeq,
-      // and any older checkpoint (its content is subsumed)
+      // retire the folded EVENT files ≤ maxSeq and any older checkpoint
+      // (its content is subsumed). The `.claim` markers are NEVER
+      // deleted (r18 review): a deleted claim could be re-claimed by a
+      // stale appender that computed its seq before this compaction, and
+      // its event would land at a number the checkpoint already hides —
+      // a silently lost history row. Claims are empty DDL-rate files;
+      // keeping them is the price of the no-clobber guarantee.
       fs.listStatus(dir).map(_.getPath).foreach { p =>
         val n = p.getName
-        // suffix order matters: checkpoint claims are `<name>.json.claim`
         def seqOf(s: String) = scala.util.Try(
-          s.stripSuffix(".claim").stripSuffix(".json").toLong).toOption
-        val retire =
+          s.stripSuffix(".json").toLong).toOption
+        val retire = n.endsWith(".json") && (
           if (n.startsWith(CkptPrefix))
             seqOf(n.stripPrefix(CkptPrefix)).exists(_ < maxSeq)
-          else seqOf(n).exists(_ <= maxSeq)
+          else seqOf(n).exists(_ <= maxSeq))
         if (retire) fs.delete(p, false)
       }
       Some(maxSeq)

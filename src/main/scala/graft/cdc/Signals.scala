@@ -359,11 +359,14 @@ object Signals {
       already.filter(_ < uptoLsn).foreach(m =>
         fs.delete(new Path(dir, s"_pruned_$m"), false))
     }
+    // only the signal `.json` files retire — `.claim` markers are NEVER
+    // deleted (see SchemaHistory.compact's no-clobber note)
     var dropped = 0L
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (!n.startsWith("_pruned_") && seqOf(n).exists(_ <= uptoLsn)) {
-        if (n.endsWith(".json")) dropped += 1
+      if (n.endsWith(".json") && !n.startsWith("_pruned_") &&
+          seqOf(n).exists(_ <= uptoLsn)) {
+        dropped += 1
         fs.delete(p, false)
       }
     }
@@ -494,30 +497,41 @@ object Signals {
     lockFor(root).synchronized {
       checkEpoch(spark, root, epoch, "applySignals")
       var st = state(spark, root)
+      val pendingEvents = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[String], Option[Long], Option[Long])]
       ordered.foreach { r =>
         val (id, typ, data) = (r.getString(0), r.getString(1), r.getString(2))
         val prev = st
-        // lenient catches ALL non-fatal parse/validation failures (r18
-        // advice): applyOne surfaces malformed signals as
-        // IllegalArgumentException, but an unparseable JSON `data` field
-        // throws JsonProcessingException (an IOException) from
-        // mapper.readTree — under the old IAE-only catch one corrupt row
-        // still failed the whole foreachBatch and retried forever, the
-        // exact wedge lenient mode exists to prevent. NonFatal is safe
-        // here: applyOne is a pure in-memory protocol step (no writes),
-        // and the epoch fence (StaleWriterException) is checked OUTSIDE
-        // this loop, so it can never be swallowed per-signal.
+        // lenient catches exactly the VALIDATION failure classes (r18
+        // advice, narrowed in the r18 review): applyOne surfaces
+        // malformed signals as IllegalArgumentException, and an
+        // unparseable JSON `data` field throws JsonProcessingException
+        // from mapper.readTree — under the original IAE-only catch one
+        // corrupt row failed the whole foreachBatch and retried forever,
+        // the exact wedge lenient mode exists to prevent. The catch must
+        // NOT widen to NonFatal: applyOne's execute branch DELETES chunk
+        // state after validation passes, and swallowing a transient FS
+        // IOException there would permanently drop a VALID signal when a
+        // retry is the correct behavior (applyOne validates before any
+        // write, so a validation throw never leaves partial effects).
         try st = applyOne(spark, root, st, typ, data)
         catch {
-          case scala.util.control.NonFatal(e) if lenient =>
+          case e @ (_: IllegalArgumentException |
+                    _: com.fasterxml.jackson.core.JsonProcessingException)
+            if lenient =>
             log.warn(s"skipping invalid signal id=$id type=$typ at $root: " +
               e.getMessage)
         }
-        // B18 — push the protocol transitions this signal caused to the
-        // notification channel (skipped signals changed nothing → no
-        // event). `stopped` = a stop NAMING collections cut this one
-        // off; `aborted` = a stop-everything killed it; either way the
-        // counts record whatever coverage the collection keeps.
+        // B18 — collect the protocol transitions this signal caused
+        // (skipped signals changed nothing → no event). `stopped` = a
+        // stop NAMING collections cut this one off; `aborted` = a
+        // stop-everything killed it; either way the counts record
+        // whatever coverage the collection keeps — captured NOW (a later
+        // execute in the same batch may reset the chunk state) but
+        // appended only AFTER the state commits below (r18 review): a
+        // mid-batch validation throw or a stale-epoch refusal must not
+        // leave the replayable log claiming transitions that never
+        // happened.
         typ match {
           case "stop-snapshot" =>
             val stopAll = scala.util.Try(collections(data)).toOption
@@ -526,19 +540,25 @@ object Signals {
             prev.queue.filterNot(st.queue.contains).foreach { c =>
               val stats = IncrementalSnapshot.cursorStats(
                 spark, collectionPath(root, c))
-              Notifications.append(spark, root, evt, Some(c),
+              pendingEvents += ((evt, Some(c),
                 Some(stats.map(_._1).getOrElse(0L)),
-                Some(stats.map(_._2).getOrElse(0L)))
+                Some(stats.map(_._2).getOrElse(0L))))
             }
           case "pause-snapshot" if !prev.paused && st.paused =>
-            Notifications.append(spark, root, "paused")
+            pendingEvents += (("paused", None, None, None))
           case "resume-snapshot" if prev.paused && !st.paused =>
-            Notifications.append(spark, root, "resumed")
+            pendingEvents += (("resumed", None, None, None))
           case _ => ()
         }
       }
       checkEpoch(spark, root, epoch, "applySignals")
       writeState(spark, root, st)
+      // events describe COMMITTED transitions; a crash between the state
+      // write and these appends loses them (best-effort delivery — the
+      // pull-side progress readout remains the authoritative state)
+      pendingEvents.foreach { case (t, c, ch, ro) =>
+        Notifications.append(spark, root, t, c, ch, ro)
+      }
       st
     }
   }
@@ -579,12 +599,13 @@ object Signals {
           case None       => tableOf(head)
         }
         // B18 — a head with no cursor is STARTING its chunk loop (first
-        // execute or a reset re-execute); push the lifecycle event
-        // before any chunk moves
+        // execute or a reset re-execute). The event is appended only
+        // AFTER the landing attempt returns (r18 review): a turn that
+        // throws mid-chunk (epoch fence, FS failure) emits nothing, and
+        // its retry — still cursorless — emits exactly one `started`
+        // instead of a phantom duplicate.
         val headPath = collectionPath(root, head)
-        if (IncrementalSnapshot.cursorStats(spark, headPath).isEmpty)
-          Notifications.append(spark, root, "started", Some(head),
-            Some(0L), Some(0L))
+        val freshStart = IncrementalSnapshot.cursorStats(spark, headPath).isEmpty
         // the epoch is re-verified PER CHUNK (r18 advice), not only at
         // turn entry: loLsnOf runs inside the chunk loop immediately
         // before each landing, so a zombie driver that passed the entry
@@ -599,8 +620,12 @@ object Signals {
           cid => { checkEpoch(spark, root, epoch, "turn chunk"); loLsnOf(head, cid) },
           allowed)
         // B18 — the per-turn heartbeat (cumulative coverage off the B15
-        // cursor — driver FS reads, no job) and the terminal event
+        // cursor — driver FS reads, no job) and the terminal event; the
+        // started event precedes them, post-landing (see above)
         val statsAfter = IncrementalSnapshot.cursorStats(spark, headPath)
+        if (freshStart)
+          Notifications.append(spark, root, "started", Some(head),
+            Some(0L), Some(0L))
         if (landed > 0)
           Notifications.append(spark, root, "chunk-landed", Some(head),
             Some(statsAfter.map(_._1).getOrElse(0L)),

@@ -267,8 +267,19 @@ object Sinks {
       pinned
     } else {
       // pinned only when it differs from the default — legacy tables
-      // (no sidecar) stay readable as keyCols-bucketed
+      // (no sidecar) stay readable as keyCols-bucketed. A NON-default
+      // choice may only be pinned on a FRESH table (r18 review): data
+      // already bucketed under the keyCols hash re-hashed on a subset
+      // would prune the wrong buckets and resurrect stale rows, exactly
+      // the drift resolvePinnedBuckets refuses for the bucket COUNT.
       if (want != keyCols) {
+        val tdir = new Path(targetDir)
+        val hasBucketDirs = fs.exists(tdir) &&
+          fs.listStatus(tdir).exists(_.getPath.getName.startsWith("__kb="))
+        require(!hasBucketDirs,
+          s"table at $targetDir already holds data bucketed on its merge " +
+            s"key; refusing to pin bucketCols=${want.mkString(",")} over " +
+            "the existing layout — rebuild the table to re-cluster it")
         val out = fs.create(p, true)
         try out.write(want.mkString(",").getBytes("UTF-8")) finally out.close()
       }
@@ -564,22 +575,44 @@ object Sinks {
     require(bucketCols.nonEmpty && bucketCols.forall(keyCols.contains),
       s"bucketCols (${bucketCols.mkString(",")}) must be a non-empty subset " +
         s"of keyCols (${keyCols.mkString(",")})")
-    val b = batch.withColumn("__kb",
-      pmod(hash(keyCols.map(col): _*), lit(nKbParts)))
     lazy val batchRows = batch.count()
     if (!spark.catalog.tableExists(table)) {
       // batch 0 defines the table: data columns from the batch schema,
-      // __kb as the partition column, the join key as the bucket spec
+      // __kb as the partition column, the join key as the bucket spec.
+      // The LAYOUT KNOBS (nKbParts, keyCols) are pinned as table
+      // properties: like the dir sink's sidecars, a later batch hashing
+      // __kb with a different modulus or key set would prune the wrong
+      // partitions and silently resurrect stale rows — the pin turns
+      // that into a loud refusal. (bucketCols need no extra pin: the
+      // catalog's own bucket spec enforces them at write.)
       val colsDdl = batch.schema.toDDL
       val bk = bucketCols.mkString(", ")
       spark.sql(
         s"""CREATE TABLE $table ($colsDdl, __kb INT) USING parquet
            |PARTITIONED BY (__kb)
-           |CLUSTERED BY ($bk) SORTED BY ($bk) INTO $nBuckets BUCKETS"""
+           |CLUSTERED BY ($bk) SORTED BY ($bk) INTO $nBuckets BUCKETS
+           |TBLPROPERTIES ('graft.nKbParts' = '$nKbParts',
+           |  'graft.keyCols' = '${keyCols.mkString(",")}')"""
           .stripMargin)
       graft.cdc.SchemaHistory.append(spark, tableLocation(spark, table),
         "pin", None, Some(batch.schema), Some(batchRows))
     } else {
+      // the layout pin is MANDATORY on later batches: a modulus or
+      // key-set drift would prune the wrong partitions; a table without
+      // the pin (not created through this sink) is refused, not guessed
+      val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      require(props.contains("graft.nKbParts"),
+        s"table $table has no graft.nKbParts pin — it was not created " +
+          "through this sink; recreate it here (the pin is the guard " +
+          "against layout drift)")
+      require(props("graft.nKbParts") == nKbParts.toString,
+        s"table $table is partitioned with nKbParts=${props("graft.nKbParts")}; " +
+          s"got $nKbParts — a different modulus would prune the wrong " +
+          "partitions and resurrect stale rows")
+      require(props.get("graft.keyCols").contains(keyCols.mkString(",")),
+        s"table $table merges on keyCols=${props.get("graft.keyCols")
+          .getOrElse("?")}; got ${keyCols.mkString(",")}")
       // the catalog is the pinned schema: widen on added columns,
       // refuse narrowing/type changes — each decision a B17 event
       val ts = org.apache.spark.sql.types.StructType(
@@ -615,6 +648,8 @@ object Sinks {
           Some(batchRows))
       }
     }
+    val b = batch.withColumn("__kb",
+      pmod(hash(keyCols.map(col): _*), lit(nKbParts)))
     val tableCols = spark.table(table).columns
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
@@ -624,19 +659,31 @@ object Sinks {
       // sever the read-before-overwrite hazard exactly as the dir sink does
       .localCheckpoint(true)
       .select(tableCols.map(col): _*) // insertInto matches positionally
-    // insertInto ignores the per-write partitionOverwriteMode OPTION
-    // (verified empirically on Spark 4.1: the option'd write replaced the
-    // whole table) — the session conf is the only lever, so set it for
-    // exactly this write and restore after
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "dynamic")
-    try merged.write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None    => spark.conf.unset(confKey)
-    }
+    dynamicOverwriteInsert(spark, merged, table)
   }
+
+  /** insertInto ignores the per-write partitionOverwriteMode OPTION
+    * (verified empirically on Spark 4.1: the option'd write replaced the
+    * whole table) — the session conf is the only lever. The conf is
+    * session-GLOBAL, so the set→insert→restore window is serialized on a
+    * JVM lock (r18 review): two concurrent clustered writers would
+    * otherwise race the restore and one insert could execute in static
+    * mode, truncating every partition absent from its batch.
+    */
+  private val overwriteConfLock = new Object
+
+  private def dynamicOverwriteInsert(spark: SparkSession, df: DataFrame,
+                                     table: String): Unit =
+    overwriteConfLock.synchronized {
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "dynamic")
+      try df.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
 
   /** Live rows of a [[applyUpsertBatchClustered]] table (tombstones
     * filtered, layout column dropped). The frame keeps the catalog's
@@ -671,13 +718,6 @@ object Sinks {
       .repartition(col("__kb"))
       .localCheckpoint(true)
       .select(tableCols.map(col): _*)
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "dynamic")
-    try snap.write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None    => spark.conf.unset(confKey)
-    }
+    dynamicOverwriteInsert(spark, snap, table)
   }
 }

@@ -81,6 +81,35 @@ class ClusteredSinkSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("layout pins refuse drift: a different nKbParts or keyCols is loud, never silent (r18 review)") {
+    val t = freshTable()
+    Sinks.applyUpsertBatchClustered(batch1, t, Seq("k", "sub"), "__v",
+      Seq("k"), nBuckets = 4, nKbParts = 2)
+    // a different __kb modulus would prune the wrong partitions and
+    // resurrect stale rows — the table property pin refuses it
+    val drift = intercept[IllegalArgumentException] {
+      Sinks.applyUpsertBatchClustered(batch1, t, Seq("k", "sub"), "__v",
+        Seq("k"), nBuckets = 4, nKbParts = 4)
+    }
+    assert(drift.getMessage.contains("nKbParts"))
+    val keyDrift = intercept[IllegalArgumentException] {
+      Sinks.applyUpsertBatchClustered(batch1, t, Seq("k"), "__v",
+        Seq("k"), nBuckets = 4, nKbParts = 2)
+    }
+    assert(keyDrift.getMessage.contains("keyCols"))
+    // a table not created through this sink (no pin) is refused outright
+    val t2 = freshTable()
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, sub BIGINT, payload STRING, " +
+      "op STRING, __v BIGINT, __kb INT) USING parquet PARTITIONED BY (__kb) " +
+      "CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS")
+    val unpinned = intercept[IllegalArgumentException] {
+      Sinks.applyUpsertBatchClustered(batch1, t2, Seq("k", "sub"), "__v",
+        Seq("k"), nBuckets = 4, nKbParts = 2)
+    }
+    assert(unpinned.getMessage.contains("graft.nKbParts"))
+    spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS $t2")
+  }
+
   test("re-applying a batch is idempotent (the foreachBatch at-least-once contract)") {
     val t = freshTable()
     spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -133,5 +133,19 @@ class SinkSchemaSpec extends AnyFunSuite {
         bucketCols = Seq("payload"))
     }
     assert(outside.getMessage.contains("subset of keyCols"))
+    // a NON-default bucketCols over a table that already holds
+    // keyCols-hashed data (no sidecar) refuses — re-hashing on a subset
+    // would prune the wrong buckets (r18 review)
+    val legacy = freshTarget()
+    Sinks.applyUpsertBatch(
+      Seq((1L, 1L, 10L, "u", "a")).toDF("key", "sub", "version", "op", "payload"),
+      legacy, Seq("key", "sub"), "version", nBuckets = 4)
+    val rehash = intercept[IllegalArgumentException] {
+      Sinks.applyUpsertBatch(
+        Seq((2L, 1L, 11L, "u", "b")).toDF("key", "sub", "version", "op", "payload"),
+        legacy, Seq("key", "sub"), "version", nBuckets = 4,
+        bucketCols = Seq("key"))
+    }
+    assert(rehash.getMessage.contains("existing layout"))
   }
 }
