@@ -177,6 +177,23 @@ class NotificationsSpec extends AnyFunSuite {
           if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
       assert(got === expected.toSeq,
         s"trial $trial: the channel must equal the modeled event log")
+      // retention composes with the LIVE protocol: prune everything,
+      // then one more scripted transition — the channel must hold
+      // exactly the new event, numbered past the retired range
+      if (expected.nonEmpty) {
+        val maxSeq = Notifications.read(spark, root)
+          .agg(org.apache.spark.sql.functions.max("seq")).head().getLong(0)
+        Notifications.prune(spark, root, maxSeq)
+        apply("pause-snapshot", null)
+        val tail = Notifications.read(spark, root)
+          .select("seq", "type").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        val want =
+          if (paused) Nil // already paused: no transition, no event
+          else Seq((maxSeq + 1L, "paused"))
+        assert(tail === want,
+          s"trial $trial: post-prune emission must continue past the watermark")
+      }
     }
   }
 
