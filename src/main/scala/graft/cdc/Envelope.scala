@@ -182,6 +182,25 @@ object Envelope {
     else base
   }
 
+  /** B19 (r19) — TRUNCATE routing for sinks that cannot apply one. [PK:
+    * Debezium emits `op='t'` for TRUNCATE on supported connectors; a
+    * truncate has no images and no key.] The upsert sinks clear the
+    * key-space at the truncate's version
+    * (graft.streaming.Sinks.applyUpsertBatchWithTruncates;
+    * Materialize.changelogWithTruncates is the batch spec) — but a sink
+    * whose state is not un-foldable key-space (the rollup sink's count
+    * partials, an append-only export) CANNOT honor one. Dropping it
+    * silently would leave the downstream table claiming rows the source
+    * no longer has, so the unsupported path is the same as a torn
+    * envelope's: split it out and QUARANTINE it on the B13 dead-letter
+    * route, where an operator decides (rebuild the rollup, re-snapshot).
+    * Both frames are fused filters of one pass — zero shuffles.
+    */
+  def splitTruncates(df: DataFrame, opCol: Column = col("op"),
+                     truncateOp: String = "t"): (DataFrame, DataFrame) =
+    (df.where(opCol =!= truncateOp || opCol.isNull),
+      df.where(opCol === truncateOp))
+
   /** B4 — topic/table router: regex rewrite of the source table name into a
     * route column (write-side `partitionBy("route")` gives physical
     * routing; at scale this is how one stream fans out to N tables without

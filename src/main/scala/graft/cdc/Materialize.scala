@@ -36,6 +36,38 @@ object Materialize {
     latestByKey(df, keyCols, orderCols)
       .where(opCol =!= deleteOp)
 
+  /** B19 (r19) — changelog materialization with TRUNCATE events. [PK:
+    * Debezium emits `op='t'` for TRUNCATE TABLE on supported connectors;
+    * a truncate event has no before/after image and no key — it
+    * addresses the whole table.] Semantics: the table's key-space is
+    * cleared AT the truncate's position — every row whose version is at
+    * or below the LAST truncate loses (whatever its key), rows versioned
+    * after it win — then the usual latest-per-key materialization runs
+    * over the survivors.
+    *
+    * `verCol` is the single comparable column that totally orders the
+    * changelog against its truncates (the source LSN). The cutoff is a
+    * scalar: one filter-pushed pass over the (rare) truncate rows
+    * reduces to ONE row, broadcast back over the survivors — no keyed
+    * shuffle is added to [[changelog]]'s single window, so the operator
+    * scales exactly as the truncate-free form. Ties (a row at the
+    * truncate's own version) go to the truncate: a connector's LSNs are
+    * unique per event, so a tie only arises in synthetic replays, and
+    * "the truncate saw it" is the conservative reading.
+    */
+  def changelogWithTruncates(df: DataFrame, keyCols: Seq[String],
+                             orderCols: Seq[Column], verCol: Column,
+                             opCol: Column = col("op"), deleteOp: String = "d",
+                             truncateOp: String = "t"): DataFrame = {
+    val cut = df.where(opCol === truncateOp)
+      .agg(max(verCol).as("__t_ver")) // one row; null when no truncate
+    val survivors = df.where(opCol =!= truncateOp)
+      .crossJoin(broadcast(cut))
+      .where(col("__t_ver").isNull || verCol > col("__t_ver"))
+      .drop("__t_ver")
+    changelog(survivors, keyCols, orderCols, opCol, deleteOp)
+  }
+
   /** B6 — snapshot ∪ stream: union an initial consistent snapshot (op='r')
     * with a live change stream, then materialize. Snapshot rows sort below
     * any change with the same key (lsn 0), so replays at the boundary are

@@ -56,11 +56,11 @@ object Notifications {
     * keeps in-JVM appends from burning numbers.
     *
     * Cost note: each append lists the channel directory once to find the
-    * next seq. [[prune]] retires the event files (bounding what readers
-    * and streams touch); the 0-byte `.claim` markers stay for the
-    * no-clobber guarantee, so the listing itself grows with channel
-    * LIFETIME at one directory entry per event — at turn-rate that is
-    * thousands of entries per year, far below where FS listings hurt.
+    * next seq. [[prune]] retires the event files AND their `.claim`
+    * markers below its watermark (safe there — see the prune body), so
+    * the listing is bounded at O(retained events + claims since the last
+    * prune), not channel lifetime (r18 verdict #8; soak-asserted in
+    * NotificationsSpec).
     */
   def append(spark: org.apache.spark.sql.SparkSession, root: String,
              typ: String, collection: Option[String] = None,
@@ -94,7 +94,8 @@ object Notifications {
         try out.write(mapper.writeValueAsString(content).getBytes("UTF-8"))
         finally out.close()
         fs.rename(tmp, new Path(dir, name))
-        // claims are permanent — see SchemaHistory.append's clobber note
+        // the claim stays until a prune's watermark passes it — see
+        // SchemaHistory.append's clobber note and [[prune]]'s safety note
         written = seq
       }
     }
@@ -139,27 +140,53 @@ object Notifications {
     if (!fs.exists(dir)) return 0L
     def seqOf(s: String) = scala.util.Try(
       s.stripSuffix(".claim").stripSuffix(".json").toLong).toOption
-    // watermark first: monotone (only ever raised), claim-idempotent
-    val already = fs.listStatus(dir).map(_.getPath.getName)
+    // watermark first: monotone (only ever raised), claim-idempotent.
+    // Only regular FILES count as markers (here and in the post-create
+    // verification below): a directory squatting on a marker name must
+    // read as "no watermark", never as a valid floor.
+    val already = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
       .filter(_.startsWith(PrunedPrefix))
       .flatMap(n => scala.util.Try(n.stripPrefix(PrunedPrefix).toLong).toOption)
     val mark = already.sorted.lastOption.getOrElse(-1L)
     if (uptoSeq > mark) {
       try fs.create(new Path(dir, s"$PrunedPrefix$uptoSeq"), false).close()
       catch { case _: java.io.IOException => () } // rival pruned the same seq
-      already.filter(_ < uptoSeq).foreach(m =>
+      // the catch above ASSUMES a rival created the marker — a transient
+      // non-already-exists create failure would otherwise let the deletes
+      // below run with NO watermark, so the next append's nextSeq would
+      // restart at 0 and alias retired seqs, breaking consumers'
+      // seq-watermark dedup (r18 advice). Verify the watermark actually
+      // advanced before touching anything; abort the prune otherwise (a
+      // retry after the transient failure clears is the correct behavior).
+      val after = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+        .filter(_.startsWith(PrunedPrefix))
+        .flatMap(n => scala.util.Try(n.stripPrefix(PrunedPrefix).toLong).toOption)
+      val newMark = if (after.isEmpty) -1L else after.max
+      if (newMark < uptoSeq)
+        throw new java.io.IOException(
+          s"prune at $dir: the _pruned_$uptoSeq watermark did not land " +
+            s"(highest marker: $newMark) — aborting before any deletes")
+      after.filter(_ < newMark).foreach(m =>
         fs.delete(new Path(dir, s"$PrunedPrefix$m"), false))
     }
-    // only the event `.json` files retire — `.claim` markers are NEVER
-    // deleted (see SchemaHistory.compact's no-clobber note: a re-claimed
-    // retired seq would land an event the watermark silently hides)
+    // event `.json` files at or below the watermark retire, and so do
+    // their `.claim` markers (r18 verdict #8 — this is what bounds each
+    // append's directory listing to O(retained + claims-since-prune)
+    // instead of channel lifetime). Deleting a claim is safe ONLY below
+    // the watermark: nextSeq computes past the `_pruned_` marker, so no
+    // future appender can ever claim a retired seq again. The residual
+    // cross-JVM window — an appender that computed its seq before this
+    // prune re-claiming a just-deleted number — lands its event AT OR
+    // BELOW the watermark, where readers already hide it: a lost
+    // notification (the channel's documented best-effort delivery),
+    // never a clobbered or aliased one. Contrast SchemaHistory.compact,
+    // which keeps claims forever because its log is at-least-once state.
     var dropped = 0L
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.endsWith(".json") && !n.startsWith(PrunedPrefix) &&
-          seqOf(n).exists(_ <= uptoSeq)) {
-        dropped += 1
-        fs.delete(p, false)
+      if (!n.startsWith(PrunedPrefix) && seqOf(n).exists(_ <= uptoSeq)) {
+        if (n.endsWith(".json")) dropped += 1
+        if (n.endsWith(".json") || n.endsWith(".claim")) fs.delete(p, false)
       }
     }
     dropped
@@ -202,7 +229,7 @@ object Notifications {
     // retired even if a crash mid-[[prune]] left their files behind
     val floor: Long =
       if (!fs.exists(dir)) -1L
-      else fs.listStatus(dir).map(_.getPath.getName)
+      else fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
         .filter(_.startsWith(PrunedPrefix))
         .flatMap(n => scala.util.Try(n.stripPrefix(PrunedPrefix).toLong).toOption)
         .sorted.lastOption.getOrElse(-1L)

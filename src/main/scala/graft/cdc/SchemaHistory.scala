@@ -121,12 +121,17 @@ object SchemaHistory {
         try out.write(mapper.writeValueAsString(content).getBytes("UTF-8"))
         finally out.close()
         fs.rename(tmp, new Path(dir, name))
-        // the claim is PERMANENT (never deleted by append): deleting it
-        // after the rename would let a rival that computed the same seq
-        // before our rename re-claim the number and rename over the
-        // landed event — the exact clobber this protocol closes. Claims
-        // are empty DDL-rate files; compaction retires them with their
-        // events.
+        // the claim is PERMANENT (never deleted — by append OR by
+        // compact, whose own note explains why a deleted claim could be
+        // re-claimed by a stale appender and land an event the
+        // checkpoint already hides): deleting it after the rename would
+        // let a rival that computed the same seq before our rename
+        // re-claim the number and rename over the landed event — the
+        // exact clobber this protocol closes. Claims are empty DDL-rate
+        // files; keeping them forever is the price of an at-least-once
+        // history (the BEST-EFFORT channels — Notifications, the signal
+        // file channel — do fold claims under their prune watermark,
+        // where losing a racing event is within their contract).
         written = seq
       }
     }

@@ -349,25 +349,42 @@ object Signals {
     if (!fs.exists(dir)) return 0L
     def seqOf(s: String) = scala.util.Try(
       s.stripSuffix(".claim").stripSuffix(".json").toLong).toOption
-    val already = fs.listStatus(dir).map(_.getPath.getName)
+    // files only — a directory squatting on a marker name is not a floor
+    val already = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
       .filter(_.startsWith("_pruned_"))
       .flatMap(n => scala.util.Try(n.stripPrefix("_pruned_").toLong).toOption)
     val mark = already.sorted.lastOption.getOrElse(-1L)
     if (uptoLsn > mark) {
       try fs.create(new Path(dir, s"_pruned_$uptoLsn"), false).close()
       catch { case _: java.io.IOException => () }
-      already.filter(_ < uptoLsn).foreach(m =>
+      // verify the watermark actually advanced before any delete (r18
+      // advice): the catch assumes a rival created it, but a TRANSIENT
+      // create failure would otherwise leave the channel with no
+      // watermark and no signals — the next drop's lsn would restart at
+      // 0 and alias retired lsns. Abort and let the caller retry.
+      val after = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+        .filter(_.startsWith("_pruned_"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("_pruned_").toLong).toOption)
+      val newMark = if (after.isEmpty) -1L else after.max
+      if (newMark < uptoLsn)
+        throw new java.io.IOException(
+          s"pruneChannel at $dir: the _pruned_$uptoLsn watermark did not " +
+            s"land (highest marker: $newMark) — aborting before any deletes")
+      after.filter(_ < newMark).foreach(m =>
         fs.delete(new Path(dir, s"_pruned_$m"), false))
     }
-    // only the signal `.json` files retire — `.claim` markers are NEVER
-    // deleted (see SchemaHistory.compact's no-clobber note)
+    // signal `.json` files at or below the watermark retire WITH their
+    // `.claim` markers — same bound and same safety argument as
+    // Notifications.prune (lsn numbering continues past the `_pruned_`
+    // marker, so a retired lsn can never be claimed by a future dropper;
+    // the cross-JVM re-claim residual lands below the watermark where a
+    // fresh consumer never reads it)
     var dropped = 0L
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.endsWith(".json") && !n.startsWith("_pruned_") &&
-          seqOf(n).exists(_ <= uptoLsn)) {
-        dropped += 1
-        fs.delete(p, false)
+      if (!n.startsWith("_pruned_") && seqOf(n).exists(_ <= uptoLsn)) {
+        if (n.endsWith(".json")) dropped += 1
+        if (n.endsWith(".json") || n.endsWith(".claim")) fs.delete(p, false)
       }
     }
     dropped

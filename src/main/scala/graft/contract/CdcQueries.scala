@@ -43,6 +43,12 @@ object CdcQueries {
       |       ELSE 'u' END AS op
       |  FROM events)""".stripMargin
 
+  /** B19b's change-event shape: nullable payload (a truncate has no
+    * images and no key), op ∈ {c,u,d,t}, ver = the source LSN.
+    */
+  case class TruncChange(ckey: Option[Long], name: Option[String],
+                         bal: Option[Double], op: String, ver: Long)
+
   val customerRowSchema: StructType = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_name", StringType),
@@ -756,6 +762,67 @@ object CdcQueries {
         .orderBy(col("seq"))
     }),
 
+    // B19 — TRUNCATE events (r19, the r18 verdict's #4) [PK: Debezium
+    // emits op='t' for TRUNCATE TABLE on supported connectors; the event
+    // has no images and no key — it addresses the whole table]: the
+    // events changelog gets one synthetic truncate at the midpoint LSN;
+    // materialization clears the whole key-space at that position —
+    // earlier rows lose (whatever their key; users whose every event
+    // predates the truncate vanish), later rows win, the row AT the
+    // truncate's own version goes to the truncate. The oracle re-derives
+    // truncate-then-resume as a plain post-cutoff materialization.
+    "b19_truncate" -> ((s, dir) => {
+      val evs = withOp(t(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), col("value"), col("op"))
+      val mid = (evs.agg(max(col("event_id"))).head().getLong(0) + 1L) / 2L
+      val trunc = s.range(1).select(lit(mid).as("event_id"),
+        lit(null).cast("long").as("user_id"),
+        lit(null).cast("double").as("value"), lit("t").as("op"))
+      Materialize.changelogWithTruncates(evs.unionByName(trunc),
+          Seq("user_id"), Seq(col("event_id")), col("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // B19b — ▶ TRUNCATE through the REAL streaming upsert sink: three
+    // ordered micro-batches — full snapshot (ver 100), truncate (ver
+    // 200) + re-inserts (ver 300), then a STRAGGLER batch versioned
+    // BEFORE the truncate (ver 150) that must not resurrect the cleared
+    // key-space (the sink's persisted truncate floor, not just the
+    // in-batch cutoff). Final state = exactly the re-inserted keys.
+    "b19_truncate_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Sinks
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), col("c_acctbal").cast("double").as("bal"))
+      def rowsOf(df: DataFrame, op: String, ver: Long) = df.collect().map(r =>
+        TruncChange(Option(r.getLong(0)), Option(r.getString(1)),
+          Option(r.getDouble(2)), op, ver)).toSeq
+      val snapshot = rowsOf(cu, "c", 100L)
+      val reinserts = rowsOf(cu.where(pmod(col("ckey"), lit(4L)) === 0L)
+        .withColumn("bal", col("bal") + 7.0d), "c", 300L)
+      val stragglers = rowsOf(cu.where(pmod(col("ckey"), lit(5L)) === 0L)
+        .withColumn("bal", col("bal") + 999.0d), "u", 150L)
+      val truncate = TruncChange(None, None, None, "t", 200L)
+      val target = java.nio.file.Files
+        .createTempDirectory("graft-b19-target").toString + "/state"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-b19-ckpt").toString
+      val source = MemoryStream[TruncChange]
+      source.addData(snapshot)
+      source.addData(truncate +: reinserts)
+      source.addData(stragglers)
+      val q = Sinks.foreachBatchUpsertTruncates(source.toDS().toDF(), target,
+        ckpt, keyCols = Seq("ckey"), versionCol = "ver")
+      q.awaitTermination()
+      Sinks.currentState(s, target)
+        .select(col("ckey"), col("name"), col("bal"))
+        .orderBy(col("ckey"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -1152,6 +1219,28 @@ object CdcQueries {
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
         |WHERE rn = 1 AND op <> 'd'
         |ORDER BY user_id""".stripMargin),
+
+    // truncate-then-resume: only events strictly after the midpoint
+    // truncate survive into the materialization — users whose every
+    // event predates it vanish
+    "b19_truncate" -> (mts +
+      """, mm AS (SELECT (max(event_id) + 1) // 2 AS mid FROM e)
+        |SELECT user_id, event_id AS last_event_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn
+        |      FROM e WHERE event_id > (SELECT mid FROM mm))
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin),
+
+    // the streamed truncate's convergence: the snapshot (ver 100) and the
+    // pre-truncate stragglers (ver 150, arriving AFTER the truncate's
+    // batch) are both cleared by the ver-200 truncate; only the ver-300
+    // re-inserts survive
+    "b19_truncate_stream" ->
+      """SELECT c_custkey AS ckey, c_name AS name,
+        |  CAST(c_acctbal AS DOUBLE) + 7.0 AS bal
+        |FROM customer WHERE c_custkey % 4 = 0
+        |ORDER BY ckey""".stripMargin,
 
     // tombstone deletes must land exactly where envelope deletes do
     "b14_tombstones" -> (mts +

@@ -404,6 +404,136 @@ object Sinks {
       }
       .start()
 
+  /** A8e/B19 (r19) — the upsert sink with TRUNCATE support. [PK:
+    * Debezium emits `op='t'` for TRUNCATE TABLE on supported connectors;
+    * the event has no row images and no key — it addresses the whole
+    * table.] Semantics match Materialize.changelogWithTruncates (the
+    * batch spec, property-pinned in TruncateSpec): every stored row whose
+    * version is at or below the batch's LAST truncate dies — whatever its
+    * key and whichever earlier batch landed it — and batch rows versioned
+    * after the truncate merge as usual. Earlier rows lose, later rows
+    * win.
+    *
+    * Mechanics: (1) batch rows OUTLIVING the truncate merge through the
+    * normal pruned [[applyUpsertBatch]] (schema pin / widen / B17 history
+    * all apply; rows at or below the cutoff are dead on arrival and never
+    * land); (2) the pre-truncate key-space clears — and because a
+    * truncate addresses EVERY key, the touched-partition contract doesn't
+    * bound it: a per-partition (min, max) version scan (one column-pruned
+    * pass, collected bounded by the layout's partition count) classifies
+    * each `__kb` dir as untouched (min outlives the cutoff), wholly dead
+    * (max doesn't — the dir is deleted outright; dynamic overwrite cannot
+    * delete a partition absent from its output), or mixed (rewritten
+    * without its dead rows). A replayed batch (foreachBatch is
+    * at-least-once) recomputes the same survivor set — both steps are
+    * idempotent.
+    *
+    * Sinks that cannot honor a truncate (the rollup's count partials)
+    * must route them to the B13 dead letter instead —
+    * [[graft.cdc.Envelope.splitTruncates]].
+    */
+  def applyUpsertBatchWithTruncates(batch: DataFrame, targetDir: String,
+                                    keyCols: Seq[String], versionCol: String,
+                                    opCol: String = "op",
+                                    truncateOp: String = "t",
+                                    nBuckets: Int = 0,
+                                    bucketCols: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the FLOOR is part of the table, not the batch: a batch arriving
+    // AFTER the truncate's batch but carrying straggler rows versioned
+    // BEFORE it must not resurrect the cleared key-space. The sidecar
+    // persists the highest truncate version ever applied; every batch
+    // drops its rows at or below it before merging.
+    val floor: Option[Long] = readTruncateFloor(fs, targetDir)
+    val cut = batch.where(col(opCol) === truncateOp)
+      .agg(max(col(versionCol).cast("long"))).head() // one driver row
+    val batchT: Option[Long] = if (cut.isNullAt(0)) None else Some(cut.getLong(0))
+    val effT: Option[Long] = (floor.toSeq ++ batchT.toSeq).maxOption
+    val rows = batch.where(col(opCol) =!= truncateOp || col(opCol).isNull)
+    val live = effT.map(t => rows.where(col(versionCol) > lit(t))).getOrElse(rows)
+    applyUpsertBatch(live, targetDir, keyCols, versionCol, nBuckets, bucketCols)
+    // a truncate NEWER than the floor clears the stored pre-truncate
+    // key-space, then moves the floor (floor moves LAST: a crash between
+    // the two replays the clear idempotently — the survivor set
+    // recomputes identically)
+    if (batchT.exists(bt => floor.forall(_ < bt))) {
+      val t = lit(effT.get)
+      val hasParts = fs.exists(new Path(targetDir)) &&
+        fs.listStatus(new Path(targetDir))
+          .exists(_.getPath.getName.startsWith("__kb="))
+      if (hasParts) {
+        val cur = readPinned(spark, targetDir)
+        val spans = cur.groupBy(col("__kb"))
+          .agg(coalesce(min(col(versionCol)) <= t, lit(false)).as("__hasDead"),
+            coalesce(max(col(versionCol)) <= t, lit(false)).as("__allDead"))
+          .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getBoolean(2)))
+        val toRewrite = spans.collect { case (kb, true, false) => kb }
+        if (toRewrite.nonEmpty) {
+          val kept = cur
+            .where(col("__kb").isin(toRewrite.toIndexedSeq: _*) &&
+              col(versionCol) > t)
+            // sever the read-before-overwrite hazard like every rewrite here
+            .localCheckpoint(true)
+          kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__kb").parquet(targetDir)
+        }
+        // fully-dead partitions: dynamic overwrite cannot DELETE a
+        // partition absent from its output — remove their dirs outright
+        spans.collect { case (kb, _, true) => kb }
+          .foreach(kb => fs.delete(new Path(targetDir, s"__kb=$kb"), true))
+      }
+      writeTruncateFloor(fs, targetDir, effT.get)
+    }
+  }
+
+  /** The truncate floor sidecar — tmp-then-rename like the schema pin
+    * (a torn floor must not brick or silently lower the cutoff).
+    * Versions are read as Long: the floor is a source LSN.
+    */
+  private def truncatePath(targetDir: String) =
+    new Path(targetDir, "_graft_truncate")
+
+  private def readTruncateFloor(fs: org.apache.hadoop.fs.FileSystem,
+                                targetDir: String): Option[Long] = {
+    val p = truncatePath(targetDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      scala.util.Try(txt.toLong).toOption // a torn write reads as no floor
+    }
+  }
+
+  private def writeTruncateFloor(fs: org.apache.hadoop.fs.FileSystem,
+                                 targetDir: String, t: Long): Unit = {
+    val tmp = new Path(targetDir, "_graft_truncate.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(t.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(truncatePath(targetDir), false)
+    fs.rename(tmp, truncatePath(targetDir))
+  }
+
+  /** A8e — attach the truncate-aware upsert sink to a change stream. */
+  def foreachBatchUpsertTruncates(changes: DataFrame, targetDir: String,
+                                  checkpointDir: String, keyCols: Seq[String],
+                                  versionCol: String, opCol: String = "op",
+                                  nBuckets: Int = 0,
+                                  trigger: Trigger = Trigger.AvailableNow(),
+                                  bucketCols: Seq[String] = Nil): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyUpsertBatchWithTruncates(batch, targetDir, keyCols, versionCol,
+          opCol, "t", nBuckets, bucketCols)
+      }
+      .start()
+
   /** Incrementally maintained aggregate rollup: each micro-batch folds its
     * per-key (count, decimal sum) PARTIALS into the bucket-partitioned
     * target — the streaming-materialized GROUP BY. Only mergeable partials

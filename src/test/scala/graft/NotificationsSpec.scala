@@ -224,4 +224,52 @@ class NotificationsSpec extends AnyFunSuite {
     assert(Notifications.prune(spark, root, 1L) === 0L)
     assert(Notifications.read(spark, root).count() === 1L)
   }
+
+  test("prune folds claims under the watermark — append's listing is bounded (r18 verdict #8)") {
+    val root = tmp("graft-notif-claimfold")
+    val dir = new java.io.File(s"$root/_notifications")
+    // soak: rounds of (append a burst, prune all but the tail) — the
+    // directory must stay O(retained + claims-since-prune), never grow
+    // with lifetime
+    var lastSeq = -1L
+    for (round <- 0 until 5) {
+      for (i <- 0 until 8)
+        lastSeq = Notifications.append(spark, root, "chunk-landed",
+          Some("t1"), Some(round * 8L + i), Some(0L))
+      Notifications.prune(spark, root, lastSeq - 2L)
+      val names = dir.list().toSeq
+      val jsons = names.count(_.endsWith(".json"))
+      val claims = names.count(_.endsWith(".claim"))
+      val marks = names.count(_.startsWith("_pruned_"))
+      assert(jsons === 2 && claims === 2 && marks === 1,
+        s"round $round: retained-tail bound violated — $names")
+    }
+    // numbering still continues past the folded range
+    assert(Notifications.append(spark, root, "completed", Some("t1"))
+      === lastSeq + 1L)
+  }
+
+  test("prune ABORTS before deleting anything when the watermark cannot land (r18 advice)") {
+    val root = tmp("graft-notif-prune-abort")
+    for (i <- 0 until 4)
+      Notifications.append(spark, root, "chunk-landed", Some("t1"),
+        Some(i.toLong), Some(0L))
+    // inject the create failure: a directory squatting on the marker name
+    // makes the create-exclusive throw, and a directory is NOT a valid
+    // watermark — without the post-catch verification the old code would
+    // have deleted every event and left the channel floorless
+    val blocker = new java.io.File(s"$root/_notifications/_pruned_2")
+    assert(blocker.mkdir())
+    val ex = intercept[java.io.IOException] {
+      Notifications.prune(spark, root, 2L)
+    }
+    assert(ex.getMessage.contains("did not land"))
+    assert(Notifications.read(spark, root).count() === 4L,
+      "an aborted prune must not have deleted any event")
+    // clear the fault: the retried prune completes normally
+    assert(blocker.delete())
+    assert(Notifications.prune(spark, root, 2L) === 3L)
+    assert(Notifications.read(spark, root).select("seq")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
 }

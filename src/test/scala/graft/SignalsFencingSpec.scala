@@ -185,6 +185,14 @@ class SignalsFencingSpec extends AnyFunSuite {
     // continues past the retired range (fresh consumers see the tail)
     val maxLsn = ids.asScala.max
     assert(Signals.pruneChannel(spark, root, maxLsn) > 0L)
+    // claims fold under the watermark with their signals (r18 verdict
+    // #8): everything at or below the watermark retires — including the
+    // corrupt fixture file — so a dropper's listing is bounded by the
+    // retained tail, not channel lifetime
+    val names = new java.io.File(s"$root/_signal_channel").list().toSeq
+    assert(names.count(_.endsWith(".claim")) === 0,
+      s"claims at or below the watermark must fold: $names")
+    assert(names.count(_.startsWith("_pruned_")) === 1)
     val next = Signals.dropSignal(spark, root, "f9", "resume-snapshot", null)
     assert(next === maxLsn + 1L,
       "lsn numbering never restarts into the pruned range")

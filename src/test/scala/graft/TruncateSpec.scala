@@ -1,0 +1,121 @@
+package graft
+
+import graft.cdc.{Envelope, Materialize}
+import graft.streaming.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B19 — TRUNCATE events (op='t'): the batch materialization law, the
+  * dead-letter split for sinks that can't honor one, and the upsert
+  * sink's truncate mechanics — persisted floor against stragglers,
+  * fully-dead partition deletion, replay idempotence.
+  */
+class TruncateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  // (key, ver, op, payload) changelog helpers
+  private def log(rows: (Long, Long, String, String)*) =
+    rows.toDF("k", "ver", "op", "v")
+
+  test("law: changelogWithTruncates == plain changelog of the post-cutoff slice") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 8) {
+      val n = 60
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(8).toLong, i.toLong,
+          if (rnd.nextInt(5) == 0) "d" else "u", s"p$i")
+      }
+      val truncAt = rnd.nextInt(n).toLong
+      val full = log(rows: _*)
+        .unionByName(log((-1L, truncAt, "t", null)))
+      val got = Materialize.changelogWithTruncates(full, Seq("k"),
+          Seq(col("ver")), col("ver"))
+        .select("k", "ver", "v").as[(Long, Long, String)]
+        .collect().sorted.toSeq
+      // the oracle: drop everything at or below the truncate, then the
+      // ordinary materialization — earlier rows lose, later rows win
+      val want = Materialize.changelog(
+          log(rows.filter(_._2 > truncAt): _*), Seq("k"), Seq(col("ver")))
+        .select("k", "ver", "v").as[(Long, Long, String)]
+        .collect().sorted.toSeq
+      assert(got === want, s"trial $trial (cutoff $truncAt)")
+    }
+    // no truncate at all → exactly the plain changelog
+    val plain = log((1L, 1L, "u", "a"), (1L, 2L, "u", "b"), (2L, 1L, "d", null))
+    val got = Materialize.changelogWithTruncates(plain, Seq("k"),
+        Seq(col("ver")), col("ver"))
+      .select("k", "ver", "v").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got === Seq((1L, 2L, "b")))
+  }
+
+  test("a row AT the truncate's own version goes to the truncate; multiple truncates use the last") {
+    val full = log(
+      (1L, 5L, "u", "early"), (2L, 10L, "u", "at-cutoff"),
+      (-1L, 7L, "t", null), (-1L, 10L, "t", null),
+      (3L, 11L, "u", "after"))
+    val got = Materialize.changelogWithTruncates(full, Seq("k"),
+        Seq(col("ver")), col("ver"))
+      .select("k", "ver", "v").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got === Seq((3L, 11L, "after")),
+      "ver<=10 dies (ties to the truncate), ver 11 survives")
+  }
+
+  test("splitTruncates routes op='t' to the dead letter; null-op tombstones stay mainline") {
+    val df = Seq(
+      (1L, "u"), (2L, "t"), (3L, "d"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "op")
+    val (main, dead) = Envelope.splitTruncates(df)
+    assert(main.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 4L),
+      "the null-op Kafka tombstone is NOT a truncate — it stays mainline")
+    assert(dead.select("k").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("sink: the persisted floor blocks stragglers from LATER batches; dead partitions' dirs are deleted") {
+    val target = tmp("graft-trunc-sink") + "/state"
+    def batch(rows: (Long, Long, String, String)*) =
+      Sinks.applyUpsertBatchWithTruncates(log(rows: _*), target,
+        Seq("k"), "ver", nBuckets = 4)
+    // batch 1: keys 0..7 at ver 100 — with 4 buckets several __kb dirs fill
+    batch((0L until 8L).map(k => (k, 100L, "c", s"a$k")): _*)
+    val dirs0 = new java.io.File(target).list().count(_.startsWith("__kb="))
+    assert(dirs0 > 1, "the fixture must span multiple partitions")
+    // batch 2: truncate at 200, re-insert ONLY key 3 at 300
+    batch((-1L, 200L, "t", null), (3L, 300L, "c", "b3"))
+    assert(Sinks.currentState(spark, target)
+      .select("k", "ver", "v").as[(Long, Long, String)]
+      .collect().toSeq === Seq((3L, 300L, "b3")))
+    // every partition without a survivor is GONE from disk, not just empty
+    val dirs1 = new java.io.File(target).list().filter(_.startsWith("__kb="))
+    assert(dirs1.length === 1,
+      s"only key 3's partition may remain, got ${dirs1.toSeq}")
+    // batch 3: a straggler versioned BEFORE the truncate — the persisted
+    // floor (not the long-gone in-batch cutoff) must drop it
+    batch((5L, 150L, "u", "zombie"))
+    assert(Sinks.currentState(spark, target)
+      .select("k").as[Long].collect().toSeq === Seq(3L),
+      "a pre-truncate straggler in a later batch must not resurrect")
+    // post-truncate rows in later batches merge as usual
+    batch((6L, 400L, "c", "c6"))
+    assert(Sinks.currentState(spark, target)
+      .select("k").as[Long].collect().sorted.toSeq === Seq(3L, 6L))
+  }
+
+  test("sink: replaying the truncate batch is idempotent (foreachBatch at-least-once)") {
+    val target = tmp("graft-trunc-replay") + "/state"
+    def apply(rows: Seq[(Long, Long, String, String)]) =
+      Sinks.applyUpsertBatchWithTruncates(log(rows: _*), target,
+        Seq("k"), "ver", nBuckets = 2)
+    apply((0L until 6L).map(k => (k, 100L, "c", s"a$k")))
+    val truncBatch = Seq((-1L, 200L, "t", (null: String)), (1L, 300L, "c", "b1"))
+    apply(truncBatch)
+    val once = Sinks.currentState(spark, target)
+      .select("k", "ver", "v").as[(Long, Long, String)].collect().sorted.toSeq
+    apply(truncBatch) // the replay
+    val twice = Sinks.currentState(spark, target)
+      .select("k", "ver", "v").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(once === Seq((1L, 300L, "b1")) && twice === once)
+  }
+}
