@@ -24,11 +24,17 @@ import org.apache.spark.sql.DataFrame
   *
   * Event vocabulary (emitted by [[Signals]], each carrying the
   * collection and its landed (chunks, rows) where meaningful):
-  *  - `started`     — a collection's chunk loop begins (fresh or reset)
+  *  - `started`     — a collection's chunk loop begins (fresh or reset);
+  *                    emitted BEFORE the first landing attempt, deduped
+  *                    on retry by a persisted `_started` marker (r19)
   *  - `chunk-landed`— a maintenance turn landed chunks; counts are the
   *                    collection's CUMULATIVE coverage (the in-progress
   *                    heartbeat, one per turn rather than per chunk)
-  *  - `completed`   — the collection exhausted and popped; final counts
+  *  - `table-scan-completed` — the collection exhausted and popped;
+  *                    final counts (Debezium's per-table terminal)
+  *  - `completed`   — AGGREGATE (no collection): the pop emptied the
+  *                    queue — every requested collection has drained;
+  *                    the event an operator pages on (r19)
   *  - `stopped`     — a stop-snapshot NAMING collections cut this one
   *                    off; counts show the coverage it keeps
   *  - `aborted`     — a stop-snapshot with NO collections (stop
@@ -69,6 +75,13 @@ object Notifications {
     val fs = fsOf(spark, root)
     val dir = new Path(root, Dir)
     fs.mkdirs(dir)
+    // fail FAST when the channel path is unusable (e.g. a file squatting
+    // on the directory name): without this, every claim create below
+    // fails with the IOException the loop reads as "rival owns the seq"
+    // and the append spins forever instead of surfacing the fault
+    if (!fs.getFileStatus(dir).isDirectory)
+      throw new java.io.IOException(
+        s"notification channel path $dir exists and is not a directory")
     val content = {
       val node = mapper.createObjectNode()
       node.put("ts_ms", tsMs)

@@ -572,7 +572,11 @@ object Signals {
       writeState(spark, root, st)
       // events describe COMMITTED transitions; a crash between the state
       // write and these appends loses them (best-effort delivery — the
-      // pull-side progress readout remains the authoritative state)
+      // pull-side progress readout remains the authoritative state; the
+      // window is pinned by NotificationsSpec's crash-injection case:
+      // the log shows a GAP, never a torn or wrong event). Debezium's
+      // notifications are likewise best-effort; B17's history is the
+      // at-least-once record (event before pin move).
       pendingEvents.foreach { case (t, c, ch, ro) =>
         Notifications.append(spark, root, t, c, ch, ro)
       }
@@ -615,14 +619,30 @@ object Signals {
           case Some(cond) => tableOf(head).where(expr(cond))
           case None       => tableOf(head)
         }
-        // B18 — a head with no cursor is STARTING its chunk loop (first
-        // execute or a reset re-execute). The event is appended only
-        // AFTER the landing attempt returns (r18 review): a turn that
-        // throws mid-chunk (epoch fence, FS failure) emits nothing, and
-        // its retry — still cursorless — emits exactly one `started`
-        // instead of a phantom duplicate.
+        // B18 — a head with no `_started` marker is STARTING its chunk
+        // loop (first execute or a reset re-execute — the reset deletes
+        // the collection dir, marker included). `started` is emitted
+        // BEFORE the landing attempt and deduped on retry by the marker
+        // (r18 advice): the old post-landing ordering keyed freshness on
+        // the cursor, so a turn that threw AFTER chunk 1 landed (epoch
+        // fence on chunk 2, FS error mid-loop) left a cursor and its
+        // retry never emitted `started` while later heartbeats and the
+        // terminal event still appeared — a permanently malformed
+        // lifecycle. Ordering: event first, marker second — a crash
+        // between the two re-emits `started` on retry, a dedupable
+        // duplicate (at-least-once), never a started-less lifecycle.
+        // The marker is underscore-named: Spark's file listings hide it
+        // from the chunk-row reads sharing the directory.
         val headPath = collectionPath(root, head)
-        val freshStart = IncrementalSnapshot.cursorStats(spark, headPath).isEmpty
+        val fs = fsOf(spark, root)
+        val startedMark = new Path(headPath, "_started")
+        if (!fs.exists(startedMark)) {
+          Notifications.append(spark, root, "started", Some(head),
+            Some(0L), Some(0L))
+          fs.mkdirs(new Path(headPath))
+          try fs.create(startedMark, false).close()
+          catch { case _: java.io.IOException => () } // a rival marked it
+        }
         // the epoch is re-verified PER CHUNK (r18 advice), not only at
         // turn entry: loLsnOf runs inside the chunk loop immediately
         // before each landing, so a zombie driver that passed the entry
@@ -637,12 +657,8 @@ object Signals {
           cid => { checkEpoch(spark, root, epoch, "turn chunk"); loLsnOf(head, cid) },
           allowed)
         // B18 — the per-turn heartbeat (cumulative coverage off the B15
-        // cursor — driver FS reads, no job) and the terminal event; the
-        // started event precedes them, post-landing (see above)
+        // cursor — driver FS reads, no job) and the terminal events
         val statsAfter = IncrementalSnapshot.cursorStats(spark, headPath)
-        if (freshStart)
-          Notifications.append(spark, root, "started", Some(head),
-            Some(0L), Some(0L))
         if (landed > 0)
           Notifications.append(spark, root, "chunk-landed", Some(head),
             Some(statsAfter.map(_._1).getOrElse(0L)),
@@ -660,14 +676,25 @@ object Signals {
           // closing it fully needs a CAS the FS API doesn't offer.
           checkEpoch(spark, root, epoch, "turn pop")
           val now = state(spark, root)
+          val rest = now.queue.filterNot(_ == head)
           writeState(spark, root, now.copy(
-            queue = now.queue.filterNot(_ == head),
+            queue = rest,
             blocking = now.blocking.filterNot(_ == head),
             conditions = now.conditions - head,
             done = if (now.done.contains(head)) now.done else now.done :+ head))
-          Notifications.append(spark, root, "completed", Some(head),
+          // Debezium's vocabulary splits the terminal events (r19, the
+          // r18 verdict's #3): `table-scan-completed` is PER COLLECTION;
+          // the aggregate `completed` — the event an operator pages on —
+          // fires when this pop leaves the queue EMPTY: every collection
+          // the snapshot was asked for has drained (a stop-snapshot
+          // emptying the queue is an abort, not a completion, and emits
+          // stopped/aborted instead).
+          Notifications.append(spark, root, "table-scan-completed",
+            Some(head),
             Some(statsAfter.map(_._1).getOrElse(0L)),
             Some(statsAfter.map(_._2).getOrElse(0L)))
+          if (rest.isEmpty)
+            Notifications.append(spark, root, "completed", None, None, None)
         }
         landed
       }

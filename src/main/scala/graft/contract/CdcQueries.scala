@@ -823,6 +823,145 @@ object CdcQueries {
         .orderBy(col("ckey"))
     }),
 
+    // B19c — ▶ the PLATFORM WALK (r19, the r18 verdict's #6): every layer
+    // of the consumer story composed under ONE root and pinned by ONE
+    // hash. File-channel signals (execute WITH additional-conditions →
+    // pause → resume) drive a paced, epoch-fenced incremental snapshot of
+    // the even customer keys; each landed chunk AND a live change stream
+    // (two real foreachBatch drains through the blocking-drain gate, the
+    // second widened by a new column) upsert into ONE CLUSTERED catalog
+    // table under the DBLog __v = lsn·2+side precedence; B18
+    // notifications narrate the lifecycle (paused → resumed → started →
+    // heartbeats → table-scan-completed → aggregate completed); B17
+    // schema history records the pin and the widen at the table's
+    // location; and the report — a q03-shaped join-agg of orders against
+    // the materialized state — runs over the result. The output unions
+    // all three observable records (report + notification log + schema
+    // log) into one frame the oracle re-derives in a single DuckDB query.
+    "b19_platform_walk" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.cdc.{IncrementalSnapshot, SchemaHistory, Signals}
+      import graft.streaming.{Ingest, Sinks}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-b19-walk").toString
+      val table = s"b19_walk_state_${System.nanoTime() % 1000000}"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), col("c_acctbal").cast("double").as("bal"),
+        col("c_mktsegment").as("seg"))
+      val nEven = cu.where(pmod(col("ckey"), lit(2L)) === 0L).count()
+      val csz = ((nEven + 1L) / 2L).toInt // exactly two chunks
+      val epoch = Signals.acquireWriter(s, root)
+      // live changes: keys ≡0 (mod 3) move (+100, or die when also ≡0 mod
+      // 21), versioned ABOVE every chunk watermark so they win the merge
+      // whatever the interleaving; the second (late) half carries a NEW
+      // column the sink must widen for
+      val ch = cu.where(pmod(col("ckey"), lit(3L)) === 0L)
+        .select(col("ckey"), col("name"), (col("bal") + 100.0d).as("bal"),
+          col("seg"),
+          when(pmod(col("ckey"), lit(21L)) === 0L, "d").otherwise("u").as("op"),
+          ((lit(2000L) + pmod(col("ckey"), lit(50L))) * 2L).as("__v"))
+      val narrow = ch.where(col("__v") < 2L * 2025L)
+        .as[(Long, String, Double, String, String, Long)].collect().toSeq
+      val wide = ch.where(col("__v") >= 2L * 2025L)
+        .withColumn("vip", pmod(col("ckey"), lit(2L)))
+        .as[(Long, String, Double, String, String, Long, Long)].collect().toSeq
+      val upsert: (DataFrame, Long) => Unit = Ingest.gatedChangeSink(root)(
+        (b, _) => Sinks.applyUpsertBatchClustered(b, table,
+          Seq("ckey"), "__v", Seq("ckey"), nBuckets = 4, nKbParts = 8))
+      def drainChanges[T](rows: Seq[T], names: Seq[String])(
+          implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
+        val src = MemoryStream[T]
+        src.addData(rows)
+        val q = src.toDS().toDF(names: _*).writeStream.foreachBatch(upsert)
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft-b19-walk-ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // the signal leg: operator drops on the FILE channel, drained
+      // through the real file source into lenient, epoch-fenced applies
+      val sigCkpt = java.nio.file.Files
+        .createTempDirectory("graft-b19-walk-sig").toString
+      def drainSignals(): Unit = {
+        val q = Signals.fileChannel(s, root).writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Signals.applySignals(s, root, b, lenient = true,
+              epoch = Some(epoch)): Unit
+          }
+          .option("checkpointLocation", sigCkpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def turn(): Int = Signals.turn(s, root, _ => cu, _ => Seq("ckey"),
+        _ => csz, (_, cid) => 1990L + 5L * cid, maxChunks = 1,
+        epoch = Some(epoch))
+      // each landed chunk flows into the SAME clustered table at its low
+      // watermark (side 1 → __v = lo·2+1, outranked by any same-or-later
+      // change — the B15 precedence as one upsert version)
+      def upsertLandedChunks(before: Long): Unit = {
+        val cp = Signals.collectionPath(root, "customer")
+        val after = IncrementalSnapshot.cursorStats(s, cp)
+          .map(_._1).getOrElse(0L)
+        if (after > before) {
+          val rows = s.read.parquet(s"$cp/chunks")
+            .where(col("__chunk") >= before && col("__chunk") < after)
+          Sinks.applyUpsertBatchClustered(
+            rows.select(col("ckey"), col("name"), col("bal"), col("seg"),
+              lit("r").as("op"), (col("__lo_lsn") * 2L + 1L).as("__v")),
+            table, Seq("ckey"), "__v", Seq("ckey"), nBuckets = 4, nKbParts = 8)
+        }
+      }
+      Signals.dropSignal(s, root, "w1", "execute-snapshot",
+        """{"data-collections":["customer"],"additional-conditions":[
+          |{"data-collection":"customer","filter":"ckey % 2 = 0"}]}"""
+          .stripMargin.replace("\n", ""))
+      Signals.dropSignal(s, root, "w2", "pause-snapshot", null)
+      drainSignals()
+      require(turn() == 0, "paused via the file channel: nothing lands")
+      Signals.dropSignal(s, root, "w3", "resume-snapshot", null)
+      drainSignals()
+      require(turn() == 1, "chunk 0 of the conditioned snapshot lands")
+      upsertLandedChunks(0L) // batch 0 PINS the table schema (B17)
+      drainChanges(narrow,
+        Seq("ckey", "name", "bal", "seg", "op", "__v"))
+      require(turn() == 1, "chunk 1 lands after live traffic")
+      upsertLandedChunks(1L)
+      require(turn() == 0,
+        "the emptying pop: table-scan-completed + aggregate completed")
+      drainChanges(wide,
+        Seq("ckey", "name", "bal", "seg", "op", "__v", "vip")) // B17 widen
+      // the three observable records, one frame, one oracle
+      val notif = graft.cdc.Notifications.read(s, root)
+        .select(lit("notif").as("section"), col("type").as("a"),
+          col("collection").as("b"), col("seq").as("n1"),
+          col("chunks_landed").as("n2"),
+          col("rows_landed").cast("double").as("d"))
+      val hist = SchemaHistory.read(s, Sinks.tableLocation(s, table))
+        .select(lit("schema").as("section"), col("action").as("a"),
+          col("new_schema").as("b"), col("seq").as("n1"),
+          col("n_rows").as("n2"), lit(null).cast("double").as("d"))
+      val report = Sinks.currentStateClustered(s, table)
+        .join(t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+          col("ckey") === col("o_custkey"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .select(lit("report").as("section"), col("seg").as("a"),
+          lit(null).cast("string").as("b"), lit(null).cast("long").as("n1"),
+          col("n_orders").as("n2"), col("revenue").as("d"))
+      val out = notif.unionByName(hist).unionByName(report)
+        .orderBy(col("section"), coalesce(col("n1"), lit(-1L)), col("a"))
+        .localCheckpoint(true)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      out
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -1123,6 +1262,15 @@ object CdcQueries {
     Signals.applySignals(s, root, sig(Seq(("s5", "execute-snapshot",
       """{"data-collections":["customer"]}""", 5L))))
     Signals.applySignals(s, root, sig(Seq(("s6", "stop-snapshot", null, 6L))))
+    // the AGGREGATE closure (r19, the r18 verdict's #3): a final
+    // re-execute drains customer to the pop that EMPTIES the queue —
+    // per-collection table-scan-completed, then the aggregate completed
+    // an operator pages on (contrast seq 4's pop, which left supplier
+    // queued and emitted no aggregate)
+    Signals.applySignals(s, root, sig(Seq(("s7", "execute-snapshot",
+      """{"data-collections":["customer"]}""", 7L))))
+    require(turn() == 1, "customer lands its single chunk afresh")
+    require(turn() == 0, "the emptying pop: table-scan-completed + completed")
     root
   }
 
@@ -1137,11 +1285,15 @@ object CdcQueries {
       |  UNION ALL SELECT 1, 'chunk-landed', 'customer', 1, ncu FROM n
       |  UNION ALL SELECT 2, 'paused', NULL, NULL, NULL FROM n
       |  UNION ALL SELECT 3, 'resumed', NULL, NULL, NULL FROM n
-      |  UNION ALL SELECT 4, 'completed', 'customer', 1, ncu FROM n
+      |  UNION ALL SELECT 4, 'table-scan-completed', 'customer', 1, ncu FROM n
       |  UNION ALL SELECT 5, 'started', 'supplier', 0, 0 FROM n
       |  UNION ALL SELECT 6, 'chunk-landed', 'supplier', 1, nsu1 FROM n
       |  UNION ALL SELECT 7, 'stopped', 'supplier', 1, nsu1 FROM n
-      |  UNION ALL SELECT 8, 'aborted', 'customer', 0, 0 FROM n)
+      |  UNION ALL SELECT 8, 'aborted', 'customer', 0, 0 FROM n
+      |  UNION ALL SELECT 9, 'started', 'customer', 0, 0 FROM n
+      |  UNION ALL SELECT 10, 'chunk-landed', 'customer', 1, ncu FROM n
+      |  UNION ALL SELECT 11, 'table-scan-completed', 'customer', 1, ncu FROM n
+      |  UNION ALL SELECT 12, 'completed', NULL, NULL, NULL FROM n)
       |ORDER BY seq""".stripMargin
 
   private def schemaHistoryOracle: String =
@@ -1241,6 +1393,51 @@ object CdcQueries {
         |  CAST(c_acctbal AS DOUBLE) + 7.0 AS bal
         |FROM customer WHERE c_custkey % 4 = 0
         |ORDER BY ckey""".stripMargin,
+
+    // the whole platform walk re-derived in one query: the notification
+    // narrative (chunk plan pinned by construction: 2 chunks over the
+    // even keys), the schema log (pin at the chunk batch, widen at the
+    // late change batch), and the q03-shaped report over the converged
+    // state (changes outrank chunks; deletes drop; non-snapshotted odd
+    // keys appear only via changes)
+    "b19_platform_walk" ->
+      """WITH cu AS (SELECT c_custkey AS ckey, CAST(c_acctbal AS DOUBLE) AS bal,
+        |            c_mktsegment AS seg FROM customer),
+        |prm AS (SELECT COUNT(*) AS n, CAST((COUNT(*) + 1) // 2 AS BIGINT) AS csz
+        |        FROM cu WHERE ckey % 2 = 0),
+        |wn AS (SELECT COUNT(*) AS w FROM cu
+        |       WHERE ckey % 3 = 0 AND ckey % 50 >= 25),
+        |state AS (
+        |  SELECT ckey, seg,
+        |         CASE WHEN ckey % 3 = 0 THEN bal + 100.0 ELSE bal END AS bal
+        |  FROM cu
+        |  WHERE (ckey % 3 = 0 AND ckey % 21 <> 0)
+        |     OR (ckey % 2 = 0 AND ckey % 3 <> 0)),
+        |rep AS (SELECT seg, COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS revenue
+        |        FROM state JOIN orders ON ckey = o_custkey GROUP BY seg)
+        |SELECT * FROM (
+        |  SELECT 'notif' AS section, 'paused' AS a, CAST(NULL AS VARCHAR) AS b,
+        |         CAST(0 AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+        |         CAST(NULL AS DOUBLE) AS d FROM prm
+        |  UNION ALL SELECT 'notif', 'resumed', NULL, 1, NULL, NULL FROM prm
+        |  UNION ALL SELECT 'notif', 'started', 'customer', 2, 0, 0 FROM prm
+        |  UNION ALL SELECT 'notif', 'chunk-landed', 'customer', 3, 1,
+        |         CAST(csz AS DOUBLE) FROM prm
+        |  UNION ALL SELECT 'notif', 'chunk-landed', 'customer', 4, 2,
+        |         CAST(n AS DOUBLE) FROM prm
+        |  UNION ALL SELECT 'notif', 'table-scan-completed', 'customer', 5, 2,
+        |         CAST(n AS DOUBLE) FROM prm
+        |  UNION ALL SELECT 'notif', 'completed', NULL, 6, NULL, NULL FROM prm
+        |  UNION ALL SELECT 'schema', 'pin',
+        |    '__v bigint, bal double, ckey bigint, name string, op string, seg string',
+        |    0, csz, NULL FROM prm
+        |  UNION ALL SELECT 'schema', 'widen',
+        |    '__v bigint, bal double, ckey bigint, name string, op string, seg string, vip bigint',
+        |    1, (SELECT w FROM wn), NULL FROM prm
+        |  UNION ALL SELECT 'report', seg, NULL, NULL, n_orders, revenue FROM rep)
+        |ORDER BY section, COALESCE(n1, -1), a""".stripMargin,
 
     // tombstone deletes must land exactly where envelope deletes do
     "b14_tombstones" -> (mts +

@@ -794,26 +794,38 @@ object Sinks {
 
   /** insertInto ignores the per-write partitionOverwriteMode OPTION
     * (verified empirically on Spark 4.1: the option'd write replaced the
-    * whole table) — the session conf is the only lever. The conf is
-    * session-GLOBAL, so the set→insert→restore window is serialized on a
-    * JVM lock (r18 review): two concurrent clustered writers would
-    * otherwise race the restore and one insert could execute in static
-    * mode, truncating every partition absent from its batch.
+    * whole table) — the session conf is the only lever. But the conf is
+    * session-GLOBAL, and the r18 set→insert→restore under a JVM lock
+    * only serialized THIS sink's own calls (r18 advice): any other
+    * writer sharing the SparkSession that inserted during the window ran
+    * in dynamic mode unexpectedly, or had its own setting restored over.
+    * So the insert executes in a CLONED session instead — newSession()
+    * shares the SparkContext and catalog but owns its SQLConf, scoping
+    * the dynamic mode to exactly this write with no mutation of (and no
+    * lock against) the caller's session. The frame crosses sessions
+    * through a global temp view (same shared catalog; the plan
+    * re-resolves under the clone — cheap, and the upstream
+    * localCheckpoint already severed the self-overwrite hazard).
     */
-  private val overwriteConfLock = new Object
-
   private def dynamicOverwriteInsert(spark: SparkSession, df: DataFrame,
-                                     table: String): Unit =
-    overwriteConfLock.synchronized {
-      val confKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(confKey)
-      spark.conf.set(confKey, "dynamic")
-      try df.write.mode("overwrite").insertInto(table)
-      finally prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None    => spark.conf.unset(confKey)
-      }
+                                     table: String): Unit = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val view = "graft_dyn_insert_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
+    try {
+      val gdb = spark.conf.getOption("spark.sql.globalTempDatabase")
+        .getOrElse("global_temp")
+      s2.table(s"$gdb.$view").write.mode("overwrite").insertInto(table)
+      // the write invalidated s2's relation cache, not the caller's: the
+      // caller's next read of the table would list the OVERWRITTEN files
+      // and fail (or silently read stale data) without this refresh
+      spark.catalog.refreshTable(table)
+    } finally {
+      spark.catalog.dropGlobalTempView(view): Unit
     }
+  }
 
   /** Live rows of a [[applyUpsertBatchClustered]] table (tombstones
     * filtered, layout column dropped). The frame keeps the catalog's

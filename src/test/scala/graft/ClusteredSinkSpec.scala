@@ -56,6 +56,96 @@ class ClusteredSinkSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("the dynamic-overwrite insert never mutates the caller's session conf (r18 advice)") {
+    val t = freshTable()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    // pin an EXPLICIT static mode on the shared session — the r18
+    // set→insert→restore would have flipped it to dynamic for the whole
+    // window; the cloned-session insert must leave it untouched
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "static")
+    try {
+      val wide = (1L to 8L).map(k => (k, k * 10L, s"a$k", "u", 1L))
+        .toDF("k", "sub", "payload", "op", "__v")
+      Sinks.applyUpsertBatchClustered(wide, t, Seq("k", "sub"), "__v",
+        Seq("k"), nBuckets = 4, nKbParts = 8)
+      assert(spark.conf.get(key) === "static",
+        "the caller's session conf must survive the insert untouched")
+      assert(spark.table(t).select("__kb").distinct().count() >= 2L,
+        "fixture must span partitions or the dynamic-mode probe is vacuous")
+      // and the insert itself really ran dynamic: a second batch touching
+      // ONE key's partition must not truncate the other partitions' rows
+      val b2 = Seq((1L, 10L, "a1x", "u", 2L))
+        .toDF("k", "sub", "payload", "op", "__v")
+      Sinks.applyUpsertBatchClustered(b2, t, Seq("k", "sub"), "__v",
+        Seq("k"), nBuckets = 4, nKbParts = 8)
+      assert(spark.conf.get(key) === "static")
+      val cur = Sinks.currentStateClustered(spark, t)
+        .select("k", "payload").as[(Long, String)].collect().sorted.toSeq
+      assert(cur === ((1L, "a1x") +: (2L to 8L).map(k => (k, s"a$k"))),
+        "dynamic overwrite inside the clone: untouched partitions survive")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("skew x bucketed layout: hot keys forfeit bucket locality, the cold slice keeps it (r18 verdict #7)") {
+    val t = freshTable()
+    // a clustered dim keyed AND bucketed on k — the exchange-free join
+    // layout the CDC sink maintains
+    val dim = (0L until 40L).map(k => (k, s"d$k", "u", 1L))
+      .toDF("k", "payload", "op", "__v")
+    Sinks.applyUpsertBatchClustered(dim, t, Seq("k"), "__v", Seq("k"),
+      nBuckets = 8, nKbParts = 4)
+    val small = Sinks.currentStateClustered(spark, t).drop("op", "__v")
+    // the probe: key 7 is HOT (1000 rows), everything else cold
+    val big = ((0L until 1000L).map(_ => 7L) ++
+      (0L until 40L).flatMap(k => Seq(k, k, k))).toDF("k")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // baseline: the PLAIN join keeps bucket locality — only the probe
+      // side shuffles (one hashpartitioning exchange in the whole plan)
+      val plain = big.join(small, Seq("k"))
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning\\(".r
+        .findAllIn(plainPlan).length
+      assert(hashEx === 1,
+        s"plain join over the clustered dim: only the probe shuffles\n$plainPlan")
+      // the salted split: SAME rows...
+      val out = graft.ops.Skew.autoSaltedJoin(big, small, "k",
+        hotThreshold = 100L, saltFactor = 4)
+      val got = out.select("k", "payload").as[(Long, String)]
+        .collect().sorted.toSeq
+      val want = plain.select("k", "payload").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(got === want, "routing must never change the answer")
+      // ...and the POSTURE: the hot join spreads on (k, __salt) — without
+      // the explicit repartition, the dim's HashPartitioning(k) would
+      // satisfy the salted join's distribution and Spark would co-locate
+      // the probe on the bare key, landing every salt shard of key 7 in
+      // ONE partition (the salt silently defeated). The cold slice still
+      // joins on k alone, keeping the dim's bucket layout (exactly one
+      // bare-k exchange: the cold probe side).
+      val saltedPlan = out.queryExecution.executedPlan.toString
+      val saltEx = "hashpartitioning\\(k#\\d+L?, __salt".r
+        .findAllIn(saltedPlan).length
+      assert(saltEx >= 2,
+        s"both hot sides must spread on (k, __salt):\n$saltedPlan")
+      val bareK = "Exchange hashpartitioning\\(k#\\d+L?, \\d+\\)".r
+        .findAllIn(saltedPlan).length
+      assert(bareK === 1,
+        s"the cold slice keeps bucket locality (one probe-side exchange):\n$saltedPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("narrowing and type changes refuse loudly, each a B17 refuse event") {
     val t = freshTable()
     spark.sql(s"DROP TABLE IF EXISTS $t")

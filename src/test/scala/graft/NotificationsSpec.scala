@@ -43,17 +43,20 @@ class NotificationsSpec extends AnyFunSuite {
       (_, cid) => 100L + cid, maxChunks = 2)
     assert(turn() === 2) // chunks 0-1: started + heartbeat
     assert(turn() === 2) // chunks 2-3: heartbeat only (mid-drain)
-    assert(turn() === 0) // exhausted: completed
+    assert(turn() === 0) // exhausted: table-scan-completed + aggregate
     val ev = Notifications.read(spark, root)
       .select("type", "collection", "chunks_landed", "rows_landed")
       .collect().map(r => (r.getString(0), r.getString(1),
-        r.getLong(2), r.getLong(3)))
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
     assert(ev.toSeq === Seq(
       ("started", "t1", 0L, 0L),
       ("chunk-landed", "t1", 2L, 20L),
       ("chunk-landed", "t1", 4L, 40L),
-      ("completed", "t1", 4L, 40L)),
-      "one started, cumulative heartbeats, one completed")
+      ("table-scan-completed", "t1", 4L, 40L),
+      ("completed", null, -1L, -1L)),
+      "one started, cumulative heartbeats, the per-collection terminal, " +
+        "and — the pop emptied the queue — the aggregate completed")
     // a re-execute RESETS the chunk loop: started fires again
     Signals.applySignals(spark, root, Seq(
       ("b", "execute-snapshot", """{"data-collections":["t1"]}""", 2L))
@@ -115,7 +118,10 @@ class NotificationsSpec extends AnyFunSuite {
         val pops = blockingOf.contains(h) || k < 2L
         if (pops) {
           q = q.tail; blockingOf -= h; condOf -= h
-          expected += (("completed", h, chunks(h), rows(h)))
+          expected += (("table-scan-completed", h, chunks(h), rows(h)))
+          // the pop that EMPTIES the queue ends the whole requested
+          // snapshot: the aggregate completed (r19, Debezium vocabulary)
+          if (q.isEmpty) expected += (("completed", null, -1L, -1L))
         }
       }
       def modelExecute(c: String, cond: Option[String], blocking: Boolean): Unit = {
@@ -223,6 +229,48 @@ class NotificationsSpec extends AnyFunSuite {
     // prune is monotone: an older watermark is a no-op
     assert(Notifications.prune(spark, root, 1L) === 0L)
     assert(Notifications.read(spark, root).count() === 1L)
+  }
+
+  test("crash window between writeState and the event appends: state authoritative, the log gaps, never lies (r18 verdict #5)") {
+    val root = tmp("graft-notif-crashwin")
+    val t1 = (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v")
+    Signals.applySignals(spark, root, Seq(
+      ("a", "execute-snapshot", """{"data-collections":["t1"]}""", 1L))
+      .toDF("id", "type", "data", "lsn"))
+    assert(Signals.turn(spark, root, _ => t1, _ => Seq("k"), _ => 5,
+      (_, cid) => 100L + cid, maxChunks = 1) === 1)
+    // INJECT the crash: a file squatting on the channel dir makes the
+    // post-writeState append throw — exactly the documented window in
+    // applySignals (state commits first, events append after)
+    val dir = new java.io.File(s"$root/_notifications")
+    val saved = new java.io.File(s"$root/_notif_saved")
+    assert(dir.renameTo(saved))
+    assert(new java.io.File(s"$root/_notifications").createNewFile())
+    val ex = intercept[java.io.IOException] {
+      Signals.applySignals(spark, root, Seq(
+        ("b", "stop-snapshot", """{"data-collections":["t1"]}""", 2L))
+        .toDF("id", "type", "data", "lsn"))
+    }
+    assert(ex.getMessage.contains("not a directory"))
+    // the state write PRECEDED the crash: the pull-side progress readout
+    // is authoritative — the stop applied
+    assert(Signals.state(spark, root).queue.isEmpty,
+      "the stop committed even though its notification was lost")
+    // ...while the channel shows a GAP (no stopped event), never a torn
+    // or wrong one — best-effort delivery loses, never lies
+    assert(new java.io.File(s"$root/_notifications").delete())
+    assert(saved.renameTo(dir))
+    val types = Notifications.read(spark, root)
+      .select("type").collect().map(_.getString(0)).toSeq
+    assert(types === Seq("started", "chunk-landed"),
+      s"no stopped event may appear after the crash, got $types")
+    // life goes on: the fault cleared, the next transition lands with a
+    // continuing seq
+    Signals.applySignals(spark, root, Seq(("c", "pause-snapshot", null, 3L))
+      .toDF("id", "type", "data", "lsn"))
+    val tail = Notifications.read(spark, root)
+      .orderBy($"seq".desc).select("seq", "type").head()
+    assert(tail.getLong(0) === 2L && tail.getString(1) === "paused")
   }
 
   test("prune folds claims under the watermark — append's listing is bounded (r18 verdict #8)") {
