@@ -782,7 +782,11 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "k8_embedding_drift",
     // the audit card joins the same bounded PSI grid (groups × bins × 2)
     // onto the card — the k8_quality_drift class, per-source state only
-    "k19_audit_card", "k19_audit_card_incremental")
+    "k19_audit_card", "k19_audit_card_incremental",
+    // B19 truncate: the cutoff is the max-truncate-LSN scalar riding as
+    // a 1-ROW condition-free broadcast over the survivors (the
+    // assignCells transport shape) — bounded by construction
+    "b19_truncate")
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
@@ -816,7 +820,10 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // the chunk-ASSIGNMENT window runs over the output-sized distinct-key
     // frame (the declared benign class); the production path is the
     // bounded cursor loop (IncrementalSnapshot.snapshotChunks)
-    "b15_incremental_snapshot")
+    "b15_incremental_snapshot",
+    // B19 truncate's cutoff agg combines 1 partial row per partition on
+    // one task — the bounded final-agg class (q06/q14's shape)
+    "b19_truncate")
   // queries that execute work at construction time (streams, index
   // writes, eager cached pipelines, file roundtrips) — audited by their
   // own dedicated plan specs instead of this blanket pass
