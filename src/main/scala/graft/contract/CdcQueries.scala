@@ -962,6 +962,53 @@ object CdcQueries {
       out
     }),
 
+    // B20 — ▶ HEARTBEATS + the consumer OFFSET LEDGER (r19) [PK:
+    // Debezium's heartbeat records advance source offsets on QUIET
+    // tables]: three micro-batches — full snapshot (lsns 1000+), a
+    // sparse update wave (lsns 3000+), then a HEARTBEAT-ONLY batch at
+    // lsn 5000 (the quiet window) — through the real heartbeat-aware
+    // sink. The output pins both the materialized state AND the
+    // ledger: it reads 5000, PAST every data lsn, proving the quiet
+    // batch moved the retention floor without touching the table.
+    "b20_heartbeat_ledger" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Sinks
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("ckey"),
+        col("c_name").as("name"), col("c_acctbal").cast("double").as("bal"))
+      def rowsOf(df: DataFrame, op: String,
+                 v: org.apache.spark.sql.Column): Seq[TruncChange] =
+        df.withColumn("__v", v)
+          .select(col("ckey"), col("name"), col("bal"), col("__v"))
+          .as[(Long, String, Double, Long)].collect()
+          .map(r => TruncChange(Some(r._1), Some(r._2), Some(r._3), op, r._4))
+          .toSeq
+      val snap = rowsOf(cu, "c", lit(1000L) + pmod(col("ckey"), lit(50L)))
+      val upd = rowsOf(cu.where(pmod(col("ckey"), lit(5L)) === 0L)
+          .withColumn("bal", col("bal") + 9.0d), "u",
+        lit(3000L) + pmod(col("ckey"), lit(10L)))
+      val target = java.nio.file.Files
+        .createTempDirectory("graft-b20-target").toString + "/state"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-b20-ckpt").toString
+      val src = MemoryStream[TruncChange]
+      src.addData(snap)
+      src.addData(upd)
+      src.addData(Seq(TruncChange(None, None, None, "h", 5000L)))
+      val q = Sinks.foreachBatchUpsertHeartbeats(src.toDS().toDF(), target,
+        ckpt, keyCols = Seq("ckey"), versionCol = "ver")
+      q.awaitTermination()
+      val ledger = Sinks.readOffsetLedger(s, target)
+      require(ledger.contains(5000L),
+        s"the quiet heartbeat must advance the ledger to 5000, got $ledger")
+      Sinks.currentState(s, target)
+        .select(lit("row").as("kind"), col("ckey").as("k"), col("bal"))
+        .unionByName(s.range(1).select(lit("ledger").as("kind"),
+          lit(ledger.get).as("k"), lit(null).cast("double").as("bal")))
+        .orderBy(col("kind"), col("k"))
+    }),
+
     // B11 — snapshot diff: re-derive a change feed from two customer
     // snapshots (overlap shifted + some balances touched → c/u/d mix)
     "b11_snapshot_diff" -> ((s, dir) => {
@@ -1438,6 +1485,20 @@ object CdcQueries {
         |    1, (SELECT w FROM wn), NULL FROM prm
         |  UNION ALL SELECT 'report', seg, NULL, NULL, n_orders, revenue FROM rep)
         |ORDER BY section, COALESCE(n1, -1), a""".stripMargin,
+
+    // the heartbeat-only batch advanced the ledger to 5000 (past every
+    // data lsn) without changing the state: every customer survives,
+    // the %5 keys carry the update wave's +9
+    "b20_heartbeat_ledger" ->
+      """SELECT * FROM (
+        |  SELECT 'ledger' AS kind, CAST(5000 AS BIGINT) AS k,
+        |         CAST(NULL AS DOUBLE) AS bal
+        |  UNION ALL
+        |  SELECT 'row', c_custkey,
+        |         CAST(c_acctbal AS DOUBLE) +
+        |           CASE WHEN c_custkey % 5 = 0 THEN 9.0 ELSE 0.0 END
+        |  FROM customer)
+        |ORDER BY kind, k""".stripMargin,
 
     // tombstone deletes must land exactly where envelope deletes do
     "b14_tombstones" -> (mts +

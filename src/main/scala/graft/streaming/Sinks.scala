@@ -534,6 +534,98 @@ object Sinks {
       }
       .start()
 
+  /** B20 (r19) — HEARTBEATS and the consumer OFFSET LEDGER. [PK:
+    * Debezium emits periodic heartbeat records (`heartbeat.interval.ms`,
+    * the `__debezium-heartbeat.<server>` topic) so that source offsets
+    * keep advancing even when the captured tables are QUIET — without
+    * them the connector's committed position pins WAL/binlog retention
+    * and downstream liveness monitoring goes blind.] Consumer side, the
+    * twin concern: the sink's durably-consumed position is the floor
+    * below which channel retention is safe (Signals.pruneChannel /
+    * Notifications.prune document "prune only below every consumer's
+    * committed offset") — and on a quiet stream that floor never moves
+    * unless heartbeats move it. Convention: a heartbeat is a flattened
+    * changelog row with `op='h'`, a valid version/lsn, and no images.
+    * [[applyUpsertBatchWithHeartbeats]] merges the DATA rows through the
+    * normal pruned upsert and then advances the `_graft_offset` ledger
+    * to the batch's max lsn INCLUDING heartbeats — a heartbeat-only
+    * batch is zero table IO, one monotone sidecar move. The ledger
+    * advances only AFTER the data lands (a crash between the two
+    * replays idempotently and re-advances), and never moves backwards
+    * (an out-of-order replay cannot lower the consumed floor).
+    */
+  def applyUpsertBatchWithHeartbeats(batch: DataFrame, targetDir: String,
+                                     keyCols: Seq[String], versionCol: String,
+                                     opCol: String = "op",
+                                     heartbeatOp: String = "h",
+                                     nBuckets: Int = 0,
+                                     bucketCols: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val data = batch.where(col(opCol) =!= heartbeatOp || col(opCol).isNull)
+    applyUpsertBatch(data, targetDir, keyCols, versionCol, nBuckets, bucketCols)
+    val hi = batch.agg(max(col(versionCol).cast("long"))).head()
+    if (!hi.isNullAt(0)) {
+      val fs = new Path(targetDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      advanceOffsetLedger(fs, targetDir, hi.getLong(0))
+    }
+  }
+
+  /** B20 — attach the heartbeat-aware upsert sink to a change stream. */
+  def foreachBatchUpsertHeartbeats(changes: DataFrame, targetDir: String,
+                                   checkpointDir: String, keyCols: Seq[String],
+                                   versionCol: String, opCol: String = "op",
+                                   nBuckets: Int = 0,
+                                   trigger: Trigger = Trigger.AvailableNow(),
+                                   bucketCols: Seq[String] = Nil): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyUpsertBatchWithHeartbeats(batch, targetDir, keyCols, versionCol,
+          opCol, "h", nBuckets, bucketCols)
+      }
+      .start()
+
+  /** The sink's durably-consumed position (None before anything landed).
+    * This is the channel-retention floor: pruning a signal/notification
+    * channel at or below it can never drop something this consumer has
+    * not applied.
+    */
+  def readOffsetLedger(spark: SparkSession, targetDir: String): Option[Long] = {
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(targetDir, "_graft_offset")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      scala.util.Try(txt.toLong).toOption
+    }
+  }
+
+  private def advanceOffsetLedger(fs: org.apache.hadoop.fs.FileSystem,
+                                  targetDir: String, lsn: Long): Unit = {
+    val p = new Path(targetDir, "_graft_offset")
+    val cur: Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        scala.util.Try(txt.toLong).toOption
+      }
+    if (cur.forall(_ < lsn)) { // monotone: replays never lower the floor
+      val tmp = new Path(targetDir, "_graft_offset.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(lsn.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
+  }
+
   /** Incrementally maintained aggregate rollup: each micro-batch folds its
     * per-key (count, decimal sum) PARTIALS into the bucket-partitioned
     * target — the streaming-materialized GROUP BY. Only mergeable partials

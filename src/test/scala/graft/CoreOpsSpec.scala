@@ -847,6 +847,11 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // drives the file-channel stream + protocol turns at construction;
     // the result is the O(collections) progress readout
     "b16_signal_file_channel",
+    // r19: three-drain MemoryStream through the truncate-aware /
+    // heartbeat-aware sinks (TruncateSpec / HeartbeatSpec pin the
+    // mechanics); the platform walk additionally drives the whole
+    // signal protocol + clustered upsert at construction
+    "b19_truncate_stream", "b19_platform_walk", "b20_heartbeat_ledger",
     // replay two checkpointed changelog streams through the upsert sink
     // at construction; GauntletSpec pins the materialized-equals-base law
     // and the clustered layout's exchange-free join
