@@ -919,6 +919,68 @@ object Sinks {
     }
   }
 
+  /** B19 parity for the CLUSTERED catalog sink: [[applyUpsertBatchClustered]]
+    * with TRUNCATE support — the same semantics and floor discipline as
+    * [[applyUpsertBatchWithTruncates]] (dir-sink scaladoc), adapted to
+    * the catalog: the floor sidecar lives at the table LOCATION (beside
+    * its B17 history), mixed partitions rewrite through the scoped
+    * [[dynamicOverwriteInsert]], and wholly-dead partitions drop via
+    * `ALTER TABLE … DROP PARTITION` (the catalog's delete — dynamic
+    * overwrite cannot remove a partition absent from its output). The
+    * bucket spec is catalog metadata, so the exchange-free join contract
+    * survives the truncate untouched.
+    */
+  def applyUpsertBatchClusteredWithTruncates(batch: DataFrame, table: String,
+                                             keyCols: Seq[String],
+                                             versionCol: String,
+                                             bucketCols: Seq[String],
+                                             opCol: String = "op",
+                                             truncateOp: String = "t",
+                                             nBuckets: Int = 8,
+                                             nKbParts: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val rows = batch.where(col(opCol) =!= truncateOp || col(opCol).isNull)
+    val cut = batch.where(col(opCol) === truncateOp)
+      .agg(max(col(versionCol).cast("long"))).head()
+    val batchT: Option[Long] = if (cut.isNullAt(0)) None else Some(cut.getLong(0))
+    val floor: Option[Long] =
+      if (!spark.catalog.tableExists(table)) None
+      else {
+        val fs = new Path(tableLocation(spark, table))
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        readTruncateFloor(fs, tableLocation(spark, table))
+      }
+    val effT: Option[Long] = (floor.toSeq ++ batchT.toSeq).maxOption
+    val live = effT.map(t => rows.where(col(versionCol) > lit(t))).getOrElse(rows)
+    applyUpsertBatchClustered(live, table, keyCols, versionCol, bucketCols,
+      nBuckets, nKbParts)
+    if (batchT.exists(bt => floor.forall(_ < bt)) &&
+        spark.catalog.tableExists(table)) {
+      val t = lit(effT.get)
+      val cur = spark.table(table)
+      val spans = cur.groupBy(col("__kb"))
+        .agg(coalesce(min(col(versionCol)) <= t, lit(false)).as("__hasDead"),
+          coalesce(max(col(versionCol)) <= t, lit(false)).as("__allDead"))
+        .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getBoolean(2)))
+      val toRewrite = spans.collect { case (kb, true, false) => kb }
+      if (toRewrite.nonEmpty) {
+        val tableCols = cur.columns
+        val kept = cur
+          .where(col("__kb").isin(toRewrite.toIndexedSeq: _*) &&
+            col(versionCol) > t)
+          .localCheckpoint(true)
+          .select(tableCols.map(col).toIndexedSeq: _*)
+        dynamicOverwriteInsert(spark, kept, table)
+      }
+      spans.collect { case (kb, _, true) => kb }.foreach { kb =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (__kb=$kb)")
+      }
+      val fs = new Path(tableLocation(spark, table))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      writeTruncateFloor(fs, tableLocation(spark, table), effT.get)
+    }
+  }
+
   /** Live rows of a [[applyUpsertBatchClustered]] table (tombstones
     * filtered, layout column dropped). The frame keeps the catalog's
     * bucket distribution — join it on `bucketCols` exchange-free.

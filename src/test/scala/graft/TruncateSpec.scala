@@ -103,6 +103,53 @@ class TruncateSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq === Seq(3L, 6L))
   }
 
+  test("clustered sink: truncate clears the catalog table, drops dead partitions, keeps the bucket contract") {
+    val t = "trunc_clustered_t1"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    def apply(rows: (Long, Long, String, String)*) =
+      Sinks.applyUpsertBatchClusteredWithTruncates(log(rows: _*), t,
+        Seq("k"), "ver", Seq("k"), nBuckets = 4, nKbParts = 8)
+    try {
+      apply((0L until 12L).map(k => (k, 100L, "c", s"a$k")): _*)
+      val parts0 = spark.sql(s"SHOW PARTITIONS $t").count()
+      assert(parts0 > 1, "the fixture must span partitions")
+      // truncate at 200 + re-insert key 5 at 300
+      apply((-1L, 200L, "t", null), (5L, 300L, "c", "b5"))
+      assert(Sinks.currentStateClustered(spark, t)
+        .select("k", "ver", "v").as[(Long, Long, String)]
+        .collect().toSeq === Seq((5L, 300L, "b5")))
+      // dead partitions are GONE from the catalog, not just empty
+      assert(spark.sql(s"SHOW PARTITIONS $t").count() === 1L,
+        "only the survivor's partition may remain in the catalog")
+      // the persisted floor blocks a later pre-truncate straggler
+      apply((7L, 150L, "u", "zombie"))
+      assert(Sinks.currentStateClustered(spark, t)
+        .select("k").as[Long].collect().toSeq === Seq(5L))
+      // the bucket contract survives: a self-join on k over the kept
+      // state plans no shuffle on the table side (catalog bucket spec is
+      // metadata, untouched by the partition drops)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        apply((0L until 12L).map(k => (k, 400L + k, "c", s"c$k")): _*)
+        val a = Sinks.currentStateClustered(spark, t).select("k", "v")
+        val b = Sinks.currentStateClustered(spark, t)
+          .select(col("k"), col("v").as("v2"))
+        val j = a.join(b, Seq("k"))
+        assert(!j.queryExecution.executedPlan.toString
+            .contains("Exchange hashpartitioning"),
+          "post-truncate, the bucketed self-join still plans zero shuffles")
+        assert(j.count() === 12L)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("sink: replaying the truncate batch is idempotent (foreachBatch at-least-once)") {
     val target = tmp("graft-trunc-replay") + "/state"
     def apply(rows: Seq[(Long, Long, String, String)]) =
