@@ -453,4 +453,61 @@ object IncrementalSnapshot {
             changes: DataFrame, keyCols: Seq[String], lsnCol: String,
             opCol: String = "op", deleteOp: String = "d"): DataFrame =
     merge(landedChunks(spark, statePath), changes, keyCols, lsnCol, opCol, deleteOp)
+
+  /** B19 × B15 (r19) — the TRUNCATE-AWARE merge: reconcile landed chunks
+    * with a change stream that contains TRUNCATE events (op='t', keyless
+    * — [[graft.cdc.Materialize.changelogWithTruncates]]'s batch
+    * semantics lifted into the DBLog merge). A truncate at LSN T clears
+    * the whole key-space at T but carries NO per-key deletes, so the
+    * plain [[merge]] would let a chunk read taken BEFORE the truncate
+    * resurrect the cleared table: its rows have no per-key rivals to
+    * outrank them. The fix is the batch operator's scalar cutoff applied
+    * to BOTH sides before the window merge — chunk rows at
+    * `__lo_lsn <= T` and change rows at `lsn <= T` are discarded.
+    *
+    * Discarding a whole chunk is SAFE, not lossy: any row actually live
+    * after the truncate was inserted after it, and that insert is in the
+    * change stream with LSN > T — the stream side re-delivers everything
+    * a discarded chunk could legitimately have contributed, and a
+    * re-snapshot chunk landed after the truncate re-reads the rest.
+    * Ties (a chunk watermarked AT the truncate's LSN, a change at its
+    * exact LSN) go to the truncate, matching the batch operator. Note
+    * the deliberate asymmetry with [[merge]]'s chunk-wins-tie rule:
+    * there the tie is between two sightings of the SAME row; here it is
+    * against an event that destroyed the table, where a chunk whose
+    * watermark equals T may have read either side of the truncate — and
+    * only the discard direction is re-deliverable.
+    *
+    * Cost: one filter-pushed scalar agg over the (rare) truncate rows,
+    * broadcast back over both sides — the keyed-shuffle count stays at
+    * [[merge]]'s one, so the operator scales exactly as the
+    * truncate-free form.
+    */
+  def mergeWithTruncates(chunks: DataFrame, changes: DataFrame,
+                         keyCols: Seq[String], lsnCol: String,
+                         opCol: String = "op", deleteOp: String = "d",
+                         truncateOp: String = "t"): DataFrame = {
+    val cut = changes.where(col(opCol) === truncateOp)
+      .agg(max(col(lsnCol).cast("long")).as("__t_ver")) // one row; null when no truncate
+    def live(df: DataFrame, ver: Column) =
+      df.crossJoin(broadcast(cut))
+        .where(col("__t_ver").isNull || ver > col("__t_ver"))
+        .drop("__t_ver")
+    merge(live(chunks, col("__lo_lsn")),
+      live(changes.where(col(opCol) =!= truncateOp),
+        col(lsnCol).cast("long")),
+      keyCols, lsnCol, opCol, deleteOp)
+  }
+
+  /** [[state]] with truncate reconciliation — what a consumer queries
+    * while a snapshot is in flight over a table that may be truncated
+    * under it.
+    */
+  def stateWithTruncates(spark: org.apache.spark.sql.SparkSession,
+                         statePath: String, changes: DataFrame,
+                         keyCols: Seq[String], lsnCol: String,
+                         opCol: String = "op", deleteOp: String = "d",
+                         truncateOp: String = "t"): DataFrame =
+    mergeWithTruncates(landedChunks(spark, statePath), changes, keyCols,
+      lsnCol, opCol, deleteOp, truncateOp)
 }

@@ -823,6 +823,43 @@ object CdcQueries {
         .orderBy(col("ckey"))
     }),
 
+    // B19d — TRUNCATE mid-INCREMENTAL-SNAPSHOT (r19): the DBLog merge
+    // reconciled against a truncate the chunk reads straddle. Chunks of
+    // orders land at watermarks 100/200/300 (key mod 3 picks the chunk);
+    // the change stream carries a pre-truncate update (lsn 150), the
+    // truncate (lsn 200), post-truncate re-inserts (lsn 250) and deletes
+    // (lsn 400). The plain merge would resurrect every pre-truncate
+    // chunk row — a truncate has no per-key deletes to outrank them —
+    // so mergeWithTruncates discards BOTH sides at or below the cutoff
+    // (safe: anything live after the truncate re-arrives as a post-T
+    // insert). Survivors: the lo=300 chunk plus the post-truncate
+    // stream, minus the deletes. The oracle re-derives the window merge
+    // over the post-cutoff slice.
+    "b19_truncate_in_snapshot" -> ((s, dir) => {
+      import graft.cdc.IncrementalSnapshot
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_totalprice").cast("double").as("price"))
+      val chunks = base.withColumn("__lo_lsn",
+        lit(100L) + pmod(col("okey"), lit(3L)) * lit(100L))
+      val upd = base.where(pmod(col("okey"), lit(5L)) === 0L)
+        .select(col("okey"), (col("price") + 1000.0d).as("price"),
+          lit(150L).as("lsn"), lit("u").as("op"))
+      val rein = base.where(pmod(col("okey"), lit(3L)) === 0L &&
+          pmod(col("okey"), lit(7L)) === 0L)
+        .select(col("okey"), (col("price") + 500.0d).as("price"),
+          lit(250L).as("lsn"), lit("c").as("op"))
+      val del = base.where(pmod(col("okey"), lit(11L)) === 0L)
+        .select(col("okey"), lit(null).cast("double").as("price"),
+          lit(400L).as("lsn"), lit("d").as("op"))
+      val trunc = s.range(1).select(lit(null).cast("long").as("okey"),
+        lit(null).cast("double").as("price"), lit(200L).as("lsn"),
+        lit("t").as("op"))
+      IncrementalSnapshot.mergeWithTruncates(
+          chunks, upd.unionByName(rein).unionByName(del).unionByName(trunc),
+          Seq("okey"), "lsn")
+        .orderBy(col("okey"))
+    }),
+
     // B19c — ▶ the PLATFORM WALK (r19, the r18 verdict's #6): every layer
     // of the consumer story composed under ONE root and pinned by ONE
     // hash. File-channel signals (execute WITH additional-conditions →
@@ -1440,6 +1477,33 @@ object CdcQueries {
         |  CAST(c_acctbal AS DOUBLE) + 7.0 AS bal
         |FROM customer WHERE c_custkey % 4 = 0
         |ORDER BY ckey""".stripMargin,
+
+    // truncate × incremental snapshot: the window merge runs over the
+    // post-cutoff slice only — chunks at lo<=200 and changes at lsn<=200
+    // are gone; chunk rows rank at their watermark and win ties
+    "b19_truncate_in_snapshot" ->
+      """WITH base AS (SELECT o_orderkey AS okey,
+        |            CAST(o_totalprice AS DOUBLE) AS price FROM orders),
+        |chunks AS (SELECT okey, price, 100 + (okey % 3) * 100 AS lsn,
+        |           1 AS side, 'r' AS op FROM base),
+        |changes AS (
+        |  SELECT okey, price + 1000.0 AS price, 150 AS lsn, 0 AS side,
+        |         'u' AS op FROM base WHERE okey % 5 = 0
+        |  UNION ALL
+        |  SELECT okey, price + 500.0, 250, 0, 'c' FROM base
+        |  WHERE okey % 3 = 0 AND okey % 7 = 0
+        |  UNION ALL
+        |  SELECT okey, CAST(NULL AS DOUBLE), 400, 0, 'd' FROM base
+        |  WHERE okey % 11 = 0),
+        |merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY okey
+        |           ORDER BY lsn DESC, side DESC) AS rn
+        |  FROM (SELECT * FROM chunks WHERE lsn > 200
+        |        UNION ALL SELECT * FROM changes WHERE lsn > 200))
+        |SELECT okey, price, lsn AS last_lsn,
+        |  CASE WHEN side = 1 THEN 'chunk' ELSE 'stream' END AS src
+        |FROM merged WHERE rn = 1 AND op <> 'd'
+        |ORDER BY okey""".stripMargin,
 
     // the whole platform walk re-derived in one query: the notification
     // narrative (chunk plan pinned by construction: 2 chunks over the

@@ -786,7 +786,9 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     // B19 truncate: the cutoff is the max-truncate-LSN scalar riding as
     // a 1-ROW condition-free broadcast over the survivors (the
     // assignCells transport shape) — bounded by construction
-    "b19_truncate")
+    "b19_truncate",
+    // same scalar cutoff, applied to both sides of the DBLog merge
+    "b19_truncate_in_snapshot")
   // documented driver-bounded or globally-ordered shapes: 1-row results
   // (k7's corpus count, sketch rollup), global limit/offset, the
   // global-order packing form (its partitioned twin is the scale path),
@@ -823,7 +825,8 @@ class ScalePostureSpec extends org.scalatest.funsuite.AnyFunSuite {
     "b15_incremental_snapshot",
     // B19 truncate's cutoff agg combines 1 partial row per partition on
     // one task — the bounded final-agg class (q06/q14's shape)
-    "b19_truncate")
+    "b19_truncate",
+    "b19_truncate_in_snapshot") // same bounded cutoff agg
   // queries that execute work at construction time (streams, index
   // writes, eager cached pipelines, file roundtrips) — audited by their
   // own dedicated plan specs instead of this blanket pass

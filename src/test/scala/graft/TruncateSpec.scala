@@ -165,4 +165,63 @@ class TruncateSpec extends AnyFunSuite {
       .select("k", "ver", "v").as[(Long, Long, String)].collect().sorted.toSeq
     assert(once === Seq((1L, 300L, "b1")) && twice === once)
   }
+
+  test("truncate × incremental snapshot: stale chunks die; post-cutoff chunk, re-inserts and deletes compose") {
+    import graft.cdc.IncrementalSnapshot
+    val chunks = Seq(
+      (1L, "c1", 100L), (2L, "c2", 100L), // pre-truncate chunk: discarded
+      (3L, "c3", 200L),                   // watermark AT the truncate: discarded
+      (4L, "c4", 300L), (5L, "c5", 300L)  // post-truncate chunk: survives
+    ).toDF("k", "v", "__lo_lsn")
+    val changes = Seq(
+      (1L, "u-early", 150L, "u"),    // pre-truncate change: discarded
+      (2L, "re", 250L, "c"),         // post-truncate re-insert of a cleared key
+      (5L, null: String, 400L, "d"), // delete outranks the post-cutoff chunk row
+      (-1L, null: String, 200L, "t") // the truncate
+    ).toDF("k", "v", "lsn", "op")
+    val got = IncrementalSnapshot.mergeWithTruncates(chunks, changes,
+        Seq("k"), "lsn")
+      .select("k", "v", "last_lsn", "src").as[(Long, String, Long, String)]
+      .collect().sorted.toSeq
+    assert(got === Seq((2L, "re", 250L, "stream"), (4L, "c4", 300L, "chunk")),
+      "the plain merge would have resurrected k=1,2,3 from the stale chunks")
+  }
+
+  test("law: mergeWithTruncates == plain merge of the post-cutoff slices (and IS merge when no truncate)") {
+    import graft.cdc.IncrementalSnapshot
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 0 until 6) {
+      // one chunk row per key (real chunks are disjoint key ranges);
+      // change lsns globally unique so both executions rank identically
+      val chunks = (0 until 10).map { k =>
+        (k.toLong, s"c$k", (rnd.nextInt(5) * 100 + 100).toLong)
+      }.toDF("k", "v", "__lo_lsn")
+      val changeRows = (0 until 40).map { i =>
+        (rnd.nextInt(10).toLong, s"s$i", (1 + i * 15).toLong,
+          if (rnd.nextInt(5) == 0) "d" else "u")
+      }
+      val truncAt = rnd.nextInt(600).toLong
+      val changes = changeRows.toDF("k", "v", "lsn", "op").unionByName(
+        Seq((-1L, null: String, truncAt, "t")).toDF("k", "v", "lsn", "op"))
+      val got = IncrementalSnapshot.mergeWithTruncates(chunks, changes,
+          Seq("k"), "lsn")
+        .select("k", "v", "last_lsn", "src").as[(Long, String, Long, String)]
+        .collect().sorted.toSeq
+      val want = IncrementalSnapshot.merge(
+          chunks.where(col("__lo_lsn") > truncAt),
+          changeRows.filter(_._3 > truncAt).toDF("k", "v", "lsn", "op"),
+          Seq("k"), "lsn")
+        .select("k", "v", "last_lsn", "src").as[(Long, String, Long, String)]
+        .collect().sorted.toSeq
+      assert(got === want, s"trial $trial (cutoff $truncAt)")
+    }
+    // no truncate at all → exactly the plain merge (chunk wins its tie)
+    val chunks = Seq((1L, "a", 100L)).toDF("k", "v", "__lo_lsn")
+    val changes = Seq((1L, "b", 100L, "u")).toDF("k", "v", "lsn", "op")
+    val got = IncrementalSnapshot.mergeWithTruncates(chunks, changes,
+        Seq("k"), "lsn")
+      .select("k", "v", "last_lsn", "src").as[(Long, String, Long, String)]
+      .collect().toSeq
+    assert(got === Seq((1L, "a", 100L, "chunk")))
+  }
 }
