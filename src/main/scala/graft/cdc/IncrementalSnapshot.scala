@@ -493,8 +493,9 @@ object IncrementalSnapshot {
       df.crossJoin(broadcast(cut))
         .where(col("__t_ver").isNull || ver > col("__t_ver"))
         .drop("__t_ver")
+    // keep null-op (tombstone) rows mainline — `=!=` alone drops them
     merge(live(chunks, col("__lo_lsn")),
-      live(changes.where(col(opCol) =!= truncateOp),
+      live(changes.where(col(opCol) =!= truncateOp || col(opCol).isNull),
         col(lsnCol).cast("long")),
       keyCols, lsnCol, opCol, deleteOp)
   }

@@ -61,7 +61,11 @@ object Materialize {
                              truncateOp: String = "t"): DataFrame = {
     val cut = df.where(opCol === truncateOp)
       .agg(max(verCol).as("__t_ver")) // one row; null when no truncate
-    val survivors = df.where(opCol =!= truncateOp)
+    // null-op rows are Kafka-compaction tombstones (B14), not truncates:
+    // a bare `opCol =!= truncateOp` evaluates NULL for them and would
+    // silently drop them BEFORE the window — resurrecting the tombstoned
+    // key at its previous version even in a truncate-free batch
+    val survivors = df.where(opCol =!= truncateOp || opCol.isNull)
       .crossJoin(broadcast(cut))
       .where(col("__t_ver").isNull || verCol > col("__t_ver"))
       .drop("__t_ver")

@@ -148,56 +148,62 @@ object Notifications {
     */
   def prune(spark: org.apache.spark.sql.SparkSession, root: String,
             uptoSeq: Long): Long = Signals.gated(root) {
-    val fs = fsOf(spark, root)
-    val dir = new Path(root, Dir)
+    pruneSeqDir(fsOf(spark, root), new Path(root, Dir), uptoSeq, "prune")
+  }
+
+  /** THE channel-retention protocol, shared verbatim by this channel and
+    * the B16 signal channel ([[Signals.pruneChannel]]) — one
+    * implementation, so a protocol fix cannot be applied to one channel
+    * and missed on the other (r19 review; the two had grown as
+    * hand-mirrored copies).
+    *
+    * Watermark first: monotone (only ever raised), claim-idempotent, and
+    * only regular FILES count as markers — a directory squatting on a
+    * marker name must read as "no watermark", never as a valid floor.
+    * The create's catch ASSUMES a rival made the marker; a transient
+    * non-already-exists failure would otherwise let the deletes run with
+    * NO watermark, so the next append's seq would restart at 0 and alias
+    * retired seqs, breaking consumers' seq-watermark dedup (r18 advice)
+    * — hence the re-list verification, aborting BEFORE any delete.
+    * Then `.json` events at or below the watermark retire WITH their
+    * `.claim` markers (r18 verdict #8 — this bounds each append's
+    * listing to O(retained + claims-since-prune) instead of channel
+    * lifetime). Deleting a claim is safe ONLY below the watermark:
+    * seq numbering computes past the `_pruned_` marker, so no future
+    * appender can ever claim a retired seq again; the residual cross-JVM
+    * window — an appender that computed its seq before this prune
+    * re-claiming a just-deleted number — lands its event at or below the
+    * watermark, where readers already hide it: a lost event (documented
+    * best-effort delivery), never a clobbered or aliased one. Contrast
+    * SchemaHistory.compact, which keeps claims forever because its log
+    * is at-least-once state.
+    */
+  private[cdc] def pruneSeqDir(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: Path, upto: Long,
+                               label: String): Long = {
     if (!fs.exists(dir)) return 0L
     def seqOf(s: String) = scala.util.Try(
       s.stripSuffix(".claim").stripSuffix(".json").toLong).toOption
-    // watermark first: monotone (only ever raised), claim-idempotent.
-    // Only regular FILES count as markers (here and in the post-create
-    // verification below): a directory squatting on a marker name must
-    // read as "no watermark", never as a valid floor.
-    val already = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+    def markers() = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
       .filter(_.startsWith(PrunedPrefix))
       .flatMap(n => scala.util.Try(n.stripPrefix(PrunedPrefix).toLong).toOption)
-    val mark = already.sorted.lastOption.getOrElse(-1L)
-    if (uptoSeq > mark) {
-      try fs.create(new Path(dir, s"$PrunedPrefix$uptoSeq"), false).close()
+    val mark = markers().sorted.lastOption.getOrElse(-1L)
+    if (upto > mark) {
+      try fs.create(new Path(dir, s"$PrunedPrefix$upto"), false).close()
       catch { case _: java.io.IOException => () } // rival pruned the same seq
-      // the catch above ASSUMES a rival created the marker — a transient
-      // non-already-exists create failure would otherwise let the deletes
-      // below run with NO watermark, so the next append's nextSeq would
-      // restart at 0 and alias retired seqs, breaking consumers'
-      // seq-watermark dedup (r18 advice). Verify the watermark actually
-      // advanced before touching anything; abort the prune otherwise (a
-      // retry after the transient failure clears is the correct behavior).
-      val after = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
-        .filter(_.startsWith(PrunedPrefix))
-        .flatMap(n => scala.util.Try(n.stripPrefix(PrunedPrefix).toLong).toOption)
+      val after = markers()
       val newMark = if (after.isEmpty) -1L else after.max
-      if (newMark < uptoSeq)
+      if (newMark < upto)
         throw new java.io.IOException(
-          s"prune at $dir: the _pruned_$uptoSeq watermark did not land " +
+          s"$label at $dir: the $PrunedPrefix$upto watermark did not land " +
             s"(highest marker: $newMark) — aborting before any deletes")
       after.filter(_ < newMark).foreach(m =>
         fs.delete(new Path(dir, s"$PrunedPrefix$m"), false))
     }
-    // event `.json` files at or below the watermark retire, and so do
-    // their `.claim` markers (r18 verdict #8 — this is what bounds each
-    // append's directory listing to O(retained + claims-since-prune)
-    // instead of channel lifetime). Deleting a claim is safe ONLY below
-    // the watermark: nextSeq computes past the `_pruned_` marker, so no
-    // future appender can ever claim a retired seq again. The residual
-    // cross-JVM window — an appender that computed its seq before this
-    // prune re-claiming a just-deleted number — lands its event AT OR
-    // BELOW the watermark, where readers already hide it: a lost
-    // notification (the channel's documented best-effort delivery),
-    // never a clobbered or aliased one. Contrast SchemaHistory.compact,
-    // which keeps claims forever because its log is at-least-once state.
     var dropped = 0L
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (!n.startsWith(PrunedPrefix) && seqOf(n).exists(_ <= uptoSeq)) {
+      if (!n.startsWith(PrunedPrefix) && seqOf(n).exists(_ <= upto)) {
         if (n.endsWith(".json")) dropped += 1
         if (n.endsWith(".json") || n.endsWith(".claim")) fs.delete(p, false)
       }

@@ -344,50 +344,12 @@ object Signals {
     */
   def pruneChannel(spark: org.apache.spark.sql.SparkSession, root: String,
                    uptoLsn: Long): Long = gated(root) {
-    val fs = fsOf(spark, root)
-    val dir = new Path(root, ChannelDir)
-    if (!fs.exists(dir)) return 0L
-    def seqOf(s: String) = scala.util.Try(
-      s.stripSuffix(".claim").stripSuffix(".json").toLong).toOption
-    // files only — a directory squatting on a marker name is not a floor
-    val already = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
-      .filter(_.startsWith("_pruned_"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_pruned_").toLong).toOption)
-    val mark = already.sorted.lastOption.getOrElse(-1L)
-    if (uptoLsn > mark) {
-      try fs.create(new Path(dir, s"_pruned_$uptoLsn"), false).close()
-      catch { case _: java.io.IOException => () }
-      // verify the watermark actually advanced before any delete (r18
-      // advice): the catch assumes a rival created it, but a TRANSIENT
-      // create failure would otherwise leave the channel with no
-      // watermark and no signals — the next drop's lsn would restart at
-      // 0 and alias retired lsns. Abort and let the caller retry.
-      val after = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
-        .filter(_.startsWith("_pruned_"))
-        .flatMap(n => scala.util.Try(n.stripPrefix("_pruned_").toLong).toOption)
-      val newMark = if (after.isEmpty) -1L else after.max
-      if (newMark < uptoLsn)
-        throw new java.io.IOException(
-          s"pruneChannel at $dir: the _pruned_$uptoLsn watermark did not " +
-            s"land (highest marker: $newMark) — aborting before any deletes")
-      after.filter(_ < newMark).foreach(m =>
-        fs.delete(new Path(dir, s"_pruned_$m"), false))
-    }
-    // signal `.json` files at or below the watermark retire WITH their
-    // `.claim` markers — same bound and same safety argument as
-    // Notifications.prune (lsn numbering continues past the `_pruned_`
-    // marker, so a retired lsn can never be claimed by a future dropper;
-    // the cross-JVM re-claim residual lands below the watermark where a
-    // fresh consumer never reads it)
-    var dropped = 0L
-    fs.listStatus(dir).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (!n.startsWith("_pruned_") && seqOf(n).exists(_ <= uptoLsn)) {
-        if (n.endsWith(".json")) dropped += 1
-        if (n.endsWith(".json") || n.endsWith(".claim")) fs.delete(p, false)
-      }
-    }
-    dropped
+    // the shared retention protocol — watermark-first with landed
+    // verification, claim folding, seq numbering that survives the
+    // retired range; see Notifications.pruneSeqDir for the full safety
+    // argument (one implementation for both channels, r19 review)
+    Notifications.pruneSeqDir(fsOf(spark, root), new Path(root, ChannelDir),
+      uptoLsn, "pruneChannel")
   }
 
   /** The file channel as a streaming frame `(id, type, data, lsn)` —
@@ -677,24 +639,42 @@ object Signals {
           checkEpoch(spark, root, epoch, "turn pop")
           val now = state(spark, root)
           val rest = now.queue.filterNot(_ == head)
-          writeState(spark, root, now.copy(
-            queue = rest,
-            blocking = now.blocking.filterNot(_ == head),
-            conditions = now.conditions - head,
-            done = if (now.done.contains(head)) now.done else now.done :+ head))
           // Debezium's vocabulary splits the terminal events (r19, the
           // r18 verdict's #3): `table-scan-completed` is PER COLLECTION;
           // the aggregate `completed` — the event an operator pages on —
           // fires when this pop leaves the queue EMPTY: every collection
           // the snapshot was asked for has drained (a stop-snapshot
           // emptying the queue is an abort, not a completion, and emits
-          // stopped/aborted instead).
-          Notifications.append(spark, root, "table-scan-completed",
-            Some(head),
-            Some(statsAfter.map(_._1).getOrElse(0L)),
-            Some(statsAfter.map(_._2).getOrElse(0L)))
-          if (rest.isEmpty)
-            Notifications.append(spark, root, "completed", None, None, None)
+          // stopped/aborted instead). The terminal events get the
+          // `started` treatment (r19 review): emitted BEFORE the pop
+          // write, deduped on retry by a `_scan_completed` marker — the
+          // old post-writeState ordering made the one event an operator
+          // pages on best-effort (a crash in the window lost it forever:
+          // the retry short-circuits on the already-popped queue and
+          // never reaches the append). Ordering: events, marker, state —
+          // a crash before the marker re-emits on retry (an at-least-once
+          // duplicate, dedupable by seq-adjacent type+collection), a
+          // crash after it completes the pop with the events already
+          // durable. A reset re-execute deletes the collection dir,
+          // marker included, so a re-snapshot's own completion emits
+          // fresh events. applySignals's stopped/aborted stay best-effort
+          // post-commit (NotificationsSpec pins that window separately).
+          val scanMark = new Path(headPath, "_scan_completed")
+          if (!fs.exists(scanMark)) {
+            Notifications.append(spark, root, "table-scan-completed",
+              Some(head),
+              Some(statsAfter.map(_._1).getOrElse(0L)),
+              Some(statsAfter.map(_._2).getOrElse(0L)))
+            if (rest.isEmpty)
+              Notifications.append(spark, root, "completed", None, None, None)
+            try fs.create(scanMark, false).close()
+            catch { case _: java.io.IOException => () } // a rival marked it
+          }
+          writeState(spark, root, now.copy(
+            queue = rest,
+            blocking = now.blocking.filterNot(_ == head),
+            conditions = now.conditions - head,
+            done = if (now.done.contains(head)) now.done else now.done :+ head))
         }
         landed
       }

@@ -100,23 +100,34 @@ object Skew {
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)).cast("int"))
     val replicated = smallHot.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    // the hot sides are EXPLICITLY repartitioned on (key, salt) — r19,
-    // the r18 verdict's #7: when either input is a bucketed/clustered
-    // table, its scan reports HashPartitioning(key), which SATISFIES the
-    // salted join's ClusteredDistribution((key, salt)) (same key → same
-    // partition regardless of salt), so EnsureRequirements would keep the
-    // bucket layout, co-partition the other side on the bare key, and
-    // land every salt shard of a hot key back in ONE partition — the salt
-    // silently defeated exactly where it matters. The posture: HOT keys
-    // forfeit bucket locality by construction (this spread IS the point);
-    // the COLD slice joins plain and keeps whatever locality its inputs
-    // carry (ClusteredSinkSpec pins both halves). On flat inputs the two
-    // explicit exchanges replace the two the join would have inserted —
-    // nothing extra moves.
-    val hotJoined = salted.repartition(col(key), col("__salt"))
-      .join(replicated.repartition(col(key), col("__salt")),
-        Seq(key, "__salt"))
-      .drop("__salt")
+    // the hot sides join on ONE composite key `__ks = struct(key, salt)`
+    // rather than the column pair — r19, the r18 verdict's #7: when
+    // either input is a bucketed/clustered table, its scan reports
+    // HashPartitioning(key), which SATISFIES a (key, salt) column-pair
+    // join's ClusteredDistribution (clustering on a SUBSET of the join
+    // keys co-locates; same key → same partition regardless of salt), so
+    // EnsureRequirements would keep the bucket layout, co-partition the
+    // other side on the bare key, and land every salt shard of a hot key
+    // back in ONE partition — the salt silently defeated exactly where
+    // it matters. The struct key is NOT satisfied by the bare-key
+    // layout, so a shuffle join must exchange both sides on __ks (hot
+    // keys forfeit bucket locality by construction — this spread IS the
+    // point), while the planner keeps its OTHER freedoms: a
+    // broadcast-small replicated side still plans as BroadcastHashJoin
+    // with ZERO exchanges of the hot probe slice (an explicit
+    // repartition — the r19 first cut — forced a full shuffle of the
+    // highest-volume rows exactly where none was needed; the bucket
+    // defeat can only arise in shuffle joins). The COLD slice joins
+    // plain and keeps whatever locality its inputs carry
+    // (ClusteredSinkSpec pins both halves). Null keys never reach the
+    // hot path (the semi-join on the hot list drops them), so struct
+    // null-field equality cannot widen the join.
+    val hotJoined = salted
+      .withColumn("__ks", struct(col(key), col("__salt")))
+      .join(replicated.withColumn("__ks", struct(col(key), col("__salt")))
+          .drop(key, "__salt"),
+        Seq("__ks"))
+      .drop("__ks", "__salt")
     cold.unionByName(hotJoined)
   }
 

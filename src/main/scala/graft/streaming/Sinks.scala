@@ -489,33 +489,50 @@ object Sinks {
     }
   }
 
-  /** The truncate floor sidecar — tmp-then-rename like the schema pin
-    * (a torn floor must not brick or silently lower the cutoff).
-    * Versions are read as Long: the floor is a source LSN.
+  /** THE long-valued sidecar idiom, shared by the truncate floor and the
+    * offset ledger (one implementation — a fix here fixes every sidecar,
+    * they cannot drift). Writes are tmp-then-rename like the schema pin.
+    * Reads fall back to the `.tmp` when the final file is MISSING: the
+    * writer's delete→rename window would otherwise read as "no value",
+    * silently LOWERING a floor after a crash between the delete and the
+    * rename (the tmp is always fully written and closed before the
+    * delete runs, so in that window it is the authoritative value; when
+    * BOTH files exist the final one wins — a tmp from a crash mid-write
+    * may be torn). A torn read parses as None, never a wrong number.
     */
-  private def truncatePath(targetDir: String) =
-    new Path(targetDir, "_graft_truncate")
-
-  private def readTruncateFloor(fs: org.apache.hadoop.fs.FileSystem,
-                                targetDir: String): Option[Long] = {
-    val p = truncatePath(targetDir)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      scala.util.Try(txt.toLong).toOption // a torn write reads as no floor
-    }
+  private def readLongSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, name: String): Option[Long] = {
+    def readAt(p: Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        scala.util.Try(txt.toLong).toOption
+      }
+    readAt(new Path(dir, name)).orElse(readAt(new Path(dir, s"$name.tmp")))
   }
+
+  private def writeLongSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, name: String, v: Long): Unit = {
+    val tmp = new Path(dir, s"$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(dir, name), false)
+    fs.rename(tmp, new Path(dir, name))
+  }
+
+  /** The truncate floor sidecar (a torn floor must not brick or silently
+    * lower the cutoff). Versions are read as Long: the floor is a source
+    * LSN.
+    */
+  private def readTruncateFloor(fs: org.apache.hadoop.fs.FileSystem,
+                                targetDir: String): Option[Long] =
+    readLongSidecar(fs, targetDir, "_graft_truncate")
 
   private def writeTruncateFloor(fs: org.apache.hadoop.fs.FileSystem,
-                                 targetDir: String, t: Long): Unit = {
-    val tmp = new Path(targetDir, "_graft_truncate.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(t.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(truncatePath(targetDir), false)
-    fs.rename(tmp, truncatePath(targetDir))
-  }
+                                 targetDir: String, t: Long): Unit =
+    writeLongSidecar(fs, targetDir, "_graft_truncate", t)
 
   /** A8e — attach the truncate-aware upsert sink to a change stream. */
   def foreachBatchUpsertTruncates(changes: DataFrame, targetDir: String,
@@ -596,34 +613,14 @@ object Sinks {
   def readOffsetLedger(spark: SparkSession, targetDir: String): Option[Long] = {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(targetDir, "_graft_offset")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      scala.util.Try(txt.toLong).toOption
-    }
+    readLongSidecar(fs, targetDir, "_graft_offset")
   }
 
   private def advanceOffsetLedger(fs: org.apache.hadoop.fs.FileSystem,
                                   targetDir: String, lsn: Long): Unit = {
-    val p = new Path(targetDir, "_graft_offset")
-    val cur: Option[Long] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        scala.util.Try(txt.toLong).toOption
-      }
-    if (cur.forall(_ < lsn)) { // monotone: replays never lower the floor
-      val tmp = new Path(targetDir, "_graft_offset.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(lsn.toString.getBytes("UTF-8")) finally out.close()
-      fs.delete(p, false)
-      fs.rename(tmp, p)
-    }
+    val cur = readLongSidecar(fs, targetDir, "_graft_offset")
+    if (cur.forall(_ < lsn)) // monotone: replays never lower the floor
+      writeLongSidecar(fs, targetDir, "_graft_offset", lsn)
   }
 
   /** Incrementally maintained aggregate rollup: each micro-batch folds its
@@ -899,10 +896,20 @@ object Sinks {
     * re-resolves under the clone — cheap, and the upstream
     * localCheckpoint already severed the self-overwrite hazard).
     */
+  // one dynamic-mode clone per parent session, built lazily: the clone's
+  // only distinguishing state is a conf that never changes, so paying
+  // newSession() (a full SessionState) on every micro-batch insert would
+  // be pure hot-path overhead
+  private val dynSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   private def dynamicOverwriteInsert(spark: SparkSession, df: DataFrame,
                                      table: String): Unit = {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val s2 = dynSessions.computeIfAbsent(spark, { parent =>
+      val c = parent.newSession()
+      c.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      c
+    })
     val view = "graft_dyn_insert_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     df.createOrReplaceGlobalTempView(view)

@@ -124,26 +124,43 @@ class ClusteredSinkSpec extends AnyFunSuite {
       val want = plain.select("k", "payload").as[(Long, String)]
         .collect().sorted.toSeq
       assert(got === want, "routing must never change the answer")
-      // ...and the POSTURE: the hot join spreads on (k, __salt) — without
-      // the explicit repartition, the dim's HashPartitioning(k) would
-      // satisfy the salted join's distribution and Spark would co-locate
-      // the probe on the bare key, landing every salt shard of key 7 in
-      // ONE partition (the salt silently defeated). The cold slice still
-      // joins on k alone, keeping the dim's bucket layout (exactly one
-      // bare-k exchange: the cold probe side).
+      // ...and the POSTURE: the hot join clusters on the composite
+      // __ks = struct(k, __salt) — the dim's HashPartitioning(k) would
+      // satisfy a (k, __salt) column-PAIR join's distribution (subset
+      // clustering co-locates) and Spark would co-locate the probe on
+      // the bare key, landing every salt shard of key 7 in ONE partition
+      // (the salt silently defeated); the struct key is not satisfiable
+      // by the bare-key layout, so with broadcast off BOTH hot sides
+      // exchange on __ks. The cold slice still joins on k alone, keeping
+      // the dim's bucket layout (exactly one bare-k exchange: the cold
+      // probe side).
       val saltedPlan = out.queryExecution.executedPlan.toString
-      val saltEx = "hashpartitioning\\(k#\\d+L?, __salt".r
+      val saltEx = "hashpartitioning\\((cast\\()?__ks#\\d+".r
         .findAllIn(saltedPlan).length
       assert(saltEx >= 2,
-        s"both hot sides must spread on (k, __salt):\n$saltedPlan")
+        s"both hot sides must spread on __ks = (k, __salt):\n$saltedPlan")
       val bareK = "Exchange hashpartitioning\\(k#\\d+L?, \\d+\\)".r
         .findAllIn(saltedPlan).length
       assert(bareK === 1,
         s"the cold slice keeps bucket locality (one probe-side exchange):\n$saltedPlan")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-    }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // planner freedom retained (r19 review): with broadcast ON, the tiny
+    // replicated side plans as a broadcast hash join and the hot probe
+    // slice moves ZERO rows — the bucket defeat can only arise in
+    // shuffle joins, so forcing the exchange there (the r19 first cut's
+    // explicit repartition) shuffled the highest-volume rows for nothing
+    try {
+      val small2 = Sinks.currentStateClustered(spark, t).drop("op", "__v")
+      val big2 = ((0L until 1000L).map(_ => 7L) ++
+        (0L until 40L).flatMap(k => Seq(k, k, k))).toDF("k")
+      val out2 = graft.ops.Skew.autoSaltedJoin(big2, small2, "k",
+        hotThreshold = 100L, saltFactor = 4)
+      val plan2 = out2.queryExecution.executedPlan.toString
+      assert(!"hashpartitioning\\((cast\\()?__ks#\\d+".r.findAllIn(plan2).hasNext,
+        s"broadcast-small replicated side must not shuffle the hot probe:\n$plan2")
+      assert(plan2.contains("BroadcastHashJoin"),
+        s"the hot route should broadcast the replicated side:\n$plan2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("narrowing and type changes refuse loudly, each a B17 refuse event") {

@@ -273,6 +273,62 @@ class NotificationsSpec extends AnyFunSuite {
     assert(tail.getLong(0) === 2L && tail.getString(1) === "paused")
   }
 
+  test("pop crash windows: terminal events at-least-once — a pre-event crash re-emits on retry, the marker dedupes a post-event one (r19 review)") {
+    def run(root: String): Int = {
+      val t1 = (0L until 4L).map(i => (i, s"a$i")).toDF("k", "v")
+      Signals.applySignals(spark, root, Seq(
+        ("a", "execute-snapshot", """{"data-collections":["t1"]}""", 1L))
+        .toDF("id", "type", "data", "lsn"))
+      // one chunk covers the table; landed == allowed, so the POP is the
+      // NEXT turn's (landed 0) — where the crash windows live
+      Signals.turn(spark, root, _ => t1, _ => Seq("k"), _ => 5,
+        (_, cid) => 100L + cid, maxChunks = 1)
+    }
+    def turnOnce(root: String) = Signals.turn(spark, root,
+      _ => (0L until 4L).map(i => (i, s"a$i")).toDF("k", "v"),
+      _ => Seq("k"), _ => 5, (_, cid) => 100L + cid, maxChunks = 1)
+    // window 1: the channel dies BEFORE the terminal events land — the
+    // pop ABORTS (state unwritten, head still queued), the retry emits
+    // the events and completes: lost-forever became retry-once
+    val r1 = tmp("graft-notif-popcrash1")
+    assert(run(r1) === 1)
+    val dir1 = new java.io.File(s"$r1/_notifications")
+    val saved1 = new java.io.File(s"$r1/_notif_saved")
+    assert(dir1.renameTo(saved1))
+    assert(new java.io.File(s"$r1/_notifications").createNewFile())
+    intercept[java.io.IOException] { turnOnce(r1) }
+    assert(Signals.state(spark, r1).queue === Seq("t1"),
+      "the aborted pop must leave the head queued — the retry finishes it")
+    assert(new java.io.File(s"$r1/_notifications").delete())
+    assert(saved1.renameTo(dir1))
+    assert(turnOnce(r1) === 0)
+    val types1 = Notifications.read(spark, r1)
+      .orderBy($"seq").select("type").collect().map(_.getString(0)).toSeq
+    assert(types1 === Seq("started", "chunk-landed", "table-scan-completed",
+      "completed"), s"the retry must deliver the terminal events: $types1")
+    assert(Signals.state(spark, r1).done === Seq("t1"))
+    // window 2: the crash lands AFTER the events and the marker but
+    // BEFORE the state write — the retry must NOT duplicate the
+    // terminal events (the marker dedupes) and must complete the pop
+    val r2 = tmp("graft-notif-popcrash2")
+    assert(run(r2) === 1)
+    val squat = new java.io.File(s"$r2/_signals.tmp")
+    assert(squat.mkdir()) // writeState's tmp create now throws
+    intercept[java.io.IOException] { turnOnce(r2) }
+    val midTypes = Notifications.read(spark, r2)
+      .select("type").collect().map(_.getString(0)).toSeq
+    assert(midTypes.count(_ == "completed") === 1,
+      "the events landed before the state-write crash")
+    assert(squat.delete())
+    assert(turnOnce(r2) === 0)
+    val types2 = Notifications.read(spark, r2)
+      .orderBy($"seq").select("type").collect().map(_.getString(0)).toSeq
+    assert(types2 === Seq("started", "chunk-landed", "table-scan-completed",
+      "completed"), s"the marker must dedupe the retry's events: $types2")
+    assert(Signals.state(spark, r2).queue.isEmpty &&
+      Signals.state(spark, r2).done === Seq("t1"))
+  }
+
   test("prune folds claims under the watermark — append's listing is bounded (r18 verdict #8)") {
     val root = tmp("graft-notif-claimfold")
     val dir = new java.io.File(s"$root/_notifications")

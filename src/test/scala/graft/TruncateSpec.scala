@@ -166,6 +166,70 @@ class TruncateSpec extends AnyFunSuite {
     assert(once === Seq((1L, 300L, "b1")) && twice === once)
   }
 
+  test("null-op tombstones stay mainline through the truncate cutoff (batch and merge)") {
+    // regression (r19 review): `opCol =!= 't'` evaluates NULL for a
+    // Kafka-compaction tombstone's null op and silently dropped it
+    // BEFORE the window — resurrecting the tombstoned key, even in a
+    // truncate-free batch. A null-op winner must delete its key exactly
+    // as in the truncate-free operators.
+    val batch = log(
+      (1L, 5L, "u", "a"), (1L, 8L, (null: String), (null: String)),
+      (2L, 6L, "u", "b"),
+      (-1L, 2L, "t", (null: String))) // truncate BELOW everything
+    val got = Materialize.changelogWithTruncates(batch, Seq("k"),
+        Seq(col("ver")), col("ver"))
+      .select("k", "ver", "v").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got === Seq((2L, 6L, "b")),
+      "key 1's tombstone (ver 8, null op) must win and delete it")
+    // the DBLog merge: same law — a post-cutoff tombstone kills the key
+    // a post-cutoff chunk row would otherwise keep
+    import graft.cdc.IncrementalSnapshot
+    val chunks = Seq((1L, "c1", 100L), (2L, "c2", 100L))
+      .toDF("k", "v", "__lo_lsn")
+    val changes = Seq(
+      (1L, (null: String), 300L, (null: String)), // tombstone above cutoff
+      (-1L, (null: String), 50L, "t"))
+      .toDF("k", "v", "lsn", "op")
+    val merged = IncrementalSnapshot.mergeWithTruncates(chunks, changes,
+        Seq("k"), "lsn")
+      .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(merged === Seq((2L, "c2")),
+      "key 1's tombstone must survive the cutoff filter and delete it")
+  }
+
+  test("clustered sink: a truncate-only FIRST batch still creates the table and pins the floor") {
+    // the floor block re-checks tableExists AFTER the upsert ran, and
+    // batch 0 defines the table even when the post-cutoff slice is
+    // empty — so a truncate arriving before any data cannot be lost
+    val t = "trunc_clustered_first"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    def apply(rows: (Long, Long, String, String)*) =
+      Sinks.applyUpsertBatchClusteredWithTruncates(log(rows: _*), t,
+        Seq("k"), "ver", Seq("k"), nBuckets = 2, nKbParts = 4)
+    try {
+      apply((-1L, 200L, "t", (null: String)),
+        (3L, 150L, "u", "pre")) // at/below the truncate: dies in-batch
+      assert(spark.catalog.tableExists(t),
+        "batch 0 must define the table even with an empty live slice")
+      assert(Sinks.currentStateClustered(spark, t).count() === 0L)
+      // the floor persisted: a straggler in the NEXT batch stays dead
+      apply((5L, 150L, "u", "zombie"))
+      assert(Sinks.currentStateClustered(spark, t).count() === 0L,
+        "the first-batch truncate's floor must block later stragglers")
+      // and post-truncate data lands normally
+      apply((7L, 300L, "c", "ok"))
+      assert(Sinks.currentStateClustered(spark, t)
+        .select("k", "v").as[(Long, String)].collect().toSeq ===
+        Seq((7L, "ok")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("truncate × incremental snapshot: stale chunks die; post-cutoff chunk, re-inserts and deletes compose") {
     import graft.cdc.IncrementalSnapshot
     val chunks = Seq(
