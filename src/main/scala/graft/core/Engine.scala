@@ -71,6 +71,21 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session memo of corpus-table plans (r19 optimization round,
+    * guide §7.3): every `spark.read.parquet` re-infers the schema from a
+    * parquet footer and rebuilds a file index — single-threaded DRIVER
+    * work that the 25 `registerAll` call sites repaid 10× each inside
+    * the timed region of every SQL contract query. Scale-factor dirs are
+    * immutable (every caller passes /root/testdata/sf*), and a DataFrame
+    * is an immutable logical plan, so reuse is safe — this is a catalog,
+    * not a result cache (no rows are cached; every action still scans
+    * parquet). Keyed weakly by session so dead sessions don't pin plans.
+    */
+  private val tableMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
   /** Read one of the corpus tables from a scale-factor directory.
     *
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
@@ -82,6 +97,23 @@ object Engine {
     * SURVEY.md §7.4 timestamp semantics).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = {
+      val m = tableMemo.get(spark)
+      if (m != null) m
+      else tableMemo.synchronized {
+        val again = tableMemo.get(spark)
+        if (again != null) again
+        else {
+          val fresh = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+          tableMemo.put(spark, fresh)
+          fresh
+        }
+      }
+    }
+    perSession.computeIfAbsent((dir, name), _ => tableUncached(spark, dir, name))
+  }
+
+  private def tableUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     // no conf mutation here: nanosAsLong is a session-construction concern
     // (Engine.local / Engine.tune); a reader silently flipping a global
     // conf made every other nanos-parquet read depend on call order

@@ -3,7 +3,6 @@ package graft.llm
 import graft.functions.TextFunctions._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted BM25 inverted index — the index family behind
@@ -94,19 +93,30 @@ object Search {
     pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
 
   /** (term, doc, tf, dl, tb) for one document set — the shared
-    * tokenize→tf→dl pipeline of build and append. dl rides a per-doc
-    * window over the tf rows (partitions are doc-sized — bounded by
-    * document length, never corpus-keyed), so the docs are tokenized
+    * tokenize→tf→dl pipeline of build and append; the docs are tokenized
     * exactly once.
+    *
+    * dl (r19 optimization round, guide §2.4): the document length is
+    * `sum(tf) over (partition by doc)` only by construction — the
+    * explode emits exactly one row per token occurrence, so that sum IS
+    * `size(tokens(text))`, a pure per-row function computable in the
+    * projection BEFORE the explode. The old window form cost a second
+    * exchange (the tf aggregate hashes on (doc, term), which does not
+    * cluster by doc) plus a sort; carrying dl through the one tf
+    * aggregate as a grouping column (functionally dependent on doc —
+    * group identity is unchanged) removes that whole exchange from
+    * every index build and append.
     */
   private def postingsOf(docs: DataFrame, textCol: String, idCol: String,
-                         nBuckets: Int): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("doc"), explode(tokens(normalizeText(col(textCol)))).as("term"))
-      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-    tf.withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc"))))
+                         nBuckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc"),
+        tokens(normalizeText(col(textCol))).as("__toks"))
+      .select(col("doc"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("doc"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col("doc"), col("term"), col("tf"), col("dl"))
       .withColumn("tb", termBucket(nBuckets))
-  }
 
   /** One (n_docs, n_docs_dl, sum_dl) stats row for a document set.
     * `n_docs` counts EVERY doc (tokenless ones score against N too —
@@ -136,6 +146,13 @@ object Search {
     graft.ops.Generations.reset(fsOf(spark, path), new Path(path), PostingsBase)
     postingsOf(docs, textCol, idCol, nBuckets)
       .withColumn("__batch", lit(0L))
+      // layout-aligned write (r19, guide §6): without this the tf
+      // aggregate's (doc, dl, term)-keyed tasks each write up to
+      // nBuckets `tb=` dirs — shufflePartitions × nBuckets small files
+      // per build. One repartition on the layout column lands ~one file
+      // per bucket; write parallelism = nBuckets, which is the sizing
+      // knob production passes proportional to the corpus anyway.
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb", "__batch")
       .parquet(s"$path/$PostingsBase")
     statsOf(docs, textCol)
@@ -204,6 +221,7 @@ object Search {
       s"$root is not the batch-partitioned layout — rebuild with bm25IndexWrite")
     postingsOf(batch, textCol, idCol, nBuckets)
       .withColumn("__batch", lit(batchId))
+      .repartition(col("tb")) // one file per touched bucket per batch (r19)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "__batch").parquet(root.toString)
     statsOf(batch, textCol)

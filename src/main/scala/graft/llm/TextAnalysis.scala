@@ -408,14 +408,32 @@ object TextAnalysis {
     try {
       val hd = proj.select(col("id"), explode(col("hs")).as("h"))
       val first = hd.groupBy(col("h")).agg(min(col("id")).as("__first"))
-      hd.join(first, Seq("h"))
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
-        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      noveltyStatsOf(proj, first)
         .localCheckpoint(true)
     } finally proj.unpersist(false)
+  }
+
+  /** Per-doc novelty stats from the cached projection plus the
+    * (h, __first) first-occurrence table — ROW-IDENTICAL to the old
+    * `hd.join(first, "h").groupBy(id)` form but without re-shuffling the
+    * exploded gram occurrences (r19 optimization round, guide §2.3 —
+    * shuffle the small proxy, not the big frame): `n_grams` is
+    * `size(hs)` by construction (hs is already array_distinct'd; the
+    * explode emits one row per distinct gram), a pure per-row function,
+    * and `n_novel` aggregates from the gram-keyed table (|grams| rows)
+    * keyed straight on the credited doc. Shingle-less docs stay absent
+    * (they produced no hd rows before; `size > 0` keeps that).
+    */
+  private def noveltyStatsOf(proj: DataFrame, first: DataFrame): DataFrame = {
+    val novel = first.groupBy(col("__first").as("id"))
+      .agg(count(lit(1)).as("n_novel"))
+    proj.where(size(col("hs")) > 0)
+      .select(col("id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_grams"), 6).as("novelty"))
   }
 
   /** The per-source DATASET CARD — one frame answering "what is in
@@ -909,12 +927,9 @@ object TextAnalysis {
     try {
       val hd = proj.select(col("id"), explode(col("hs")).as("h"))
       val first = hd.groupBy(col("h")).agg(min(col("id")).as("__first"))
-      hd.join(first, Seq("h"))
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
-        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      // n_grams/n_novel from the projection + the gram-keyed first table
+      // — no re-shuffle of the exploded occurrences (see noveltyStatsOf)
+      noveltyStatsOf(proj, first)
         .withColumn("__batch", lit(0L))
         .write.mode("overwrite").partitionBy("__batch").parquet(s"$path/$ScoresBase")
       hd.select(col("h")).distinct()
@@ -1003,12 +1018,9 @@ object TextAnalysis {
       // genuinely new grams: first occurrence is inside THIS batch
       val fresh = hd.join(stale, Seq("h"), "left_anti")
         .groupBy(col("h")).agg(min(col("id")).as("__first"))
-      hd.join(fresh, Seq("h"), "left")
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
-        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      // stats from the projection + the batch-bounded fresh table — the
+      // old hd-rejoin re-shuffled every gram occurrence (noveltyStatsOf)
+      noveltyStatsOf(proj, fresh)
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch").parquet(scoresDir(spark, path))

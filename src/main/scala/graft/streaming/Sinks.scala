@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.cdc.Materialize
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -302,12 +301,12 @@ object Sinks {
     * key; pass a key subset (e.g. just the order key) to co-locate the
     * table for a downstream join. Pinned on first write.
     *
-    * File-count note: the bucket column and the merge's shuffle share
-    * Spark's Murmur3, so when nBuckets divides `spark.sql.shuffle
-    * .partitions` each bucket's rows land in exactly partitions/nBuckets
-    * write tasks (and when nBuckets >= partitions, ONE task — one file
-    * per rewrite). Picking an aligned count keeps small-file accrual, and
-    * therefore [[compact]] frequency, to a minimum.
+    * File-count note (r19): the merge shuffle is explicitly keyed on the
+    * layout column ([[latestByKeyAligned]]), so every rewrite lands ~one
+    * file per touched bucket REGARDLESS of how nBuckets relates to
+    * `spark.sql.shuffle.partitions` — no alignment arithmetic needed,
+    * and [[compact]] is only ever needed for tables fragmented by other
+    * writers.
     */
   def applyUpsertBatch(batch: DataFrame, targetDir: String, keyCols: Seq[String],
                        versionCol: String, nBuckets: Int = 0,
@@ -368,7 +367,7 @@ object Sinks {
           .parquet(targetDir).where(col("__kb").isin(touched: _*)))
       else None
     val all = existing.map(_.unionByName(b, allowMissingColumns = true)).getOrElse(b)
-    val merged = Materialize.latestByKey(all, keyCols, Seq(col(versionCol)))
+    val merged = latestByKeyAligned(all, keyCols, versionCol)
       // materialize BEFORE the overwrite below deletes the very files the
       // `existing` branch reads — the classic self-overwrite hazard
       .localCheckpoint(true)
@@ -382,6 +381,37 @@ object Sinks {
     // the pin moves AFTER the data lands: a crash in between re-detects
     // the same widening next batch and rewrites the same content
     if (repin) recordPin()
+  }
+
+  /** The upsert merge, keyed for the table LAYOUT (r19 optimization
+    * round, guide §2.4/§6): semantically identical to
+    * `Materialize.latestByKey(all, keyCols, version)` — `__kb` is a pure
+    * function of a SUBSET of the merge key, so grouping on
+    * (__kb, keyCols) partitions rows exactly like keyCols alone — but
+    * the one shuffle it needs is an explicit repartition on `__kb`, the
+    * same column the write below partitions directories by.
+    * HashPartitioning(__kb) satisfies the window's
+    * ClusteredDistribution(__kb :: keyCols) (partitioning ⊆ clustering),
+    * so Catalyst plans exactly ONE exchange — and every task then holds
+    * whole buckets, so the dynamic overwrite lands ~one file per touched
+    * bucket instead of one per (merge-shuffle task × bucket): before
+    * this, a lineitem-style layout (bucketCols ⊂ keyCols, hashes
+    * unaligned) fragmented every micro-batch rewrite into up to
+    * `spark.sql.shuffle.partitions` files PER BUCKET, each a parquet
+    * commit now and a scan task next batch. Parallelism of the merge
+    * becomes ≈ touched buckets — the sink's own cost model ("per-batch
+    * cost ∝ touched working set", buckets sized ~64k rows) already
+    * assumes that unit of work.
+    */
+  private def latestByKeyAligned(all: DataFrame, keyCols: Seq[String],
+                                 versionCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((col("__kb") +: keyCols.map(col)): _*)
+      .orderBy(col(versionCol).desc)
+    all.repartition(col("__kb"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** A8 — attach the upsert sink to a (streaming) frame of flattened
@@ -718,16 +748,18 @@ object Sinks {
   def currentRollup(spark: SparkSession, targetDir: String): DataFrame =
     spark.read.parquet(targetDir).drop("__kb", "__bid")
 
-  /** Compaction for the upsert table: every micro-batch rewrite emits one
-    * file per (shuffle partition × touched bucket), so a hot bucket
-    * accumulates small files batch over batch. Compacting rewrites each
-    * bucket as ONE file (the shuffle key is the bucket column, so a task
-    * holds whole buckets). Dynamic overwrite replaces only `__kb=*`
-    * directories — the `_graft_buckets` layout pin survives. Run it on a
-    * schedule (or when avg files/bucket crosses a threshold), exactly like
-    * lakehouse OPTIMIZE; readers see either the old or the new files,
-    * never a mix, because the checkpoint severs the read-before-overwrite
-    * hazard the same way the batch path does.
+  /** Compaction for the upsert table. Since the r19 layout-aligned merge
+    * ([[latestByKeyAligned]]) every micro-batch rewrite already lands
+    * ~one file per touched bucket, so a table maintained solely through
+    * [[applyUpsertBatch]] stays compact by construction; this remains
+    * the recovery path for buckets fragmented by OTHER writers (or by
+    * pre-r19 binaries, whose merges emitted one file per shuffle task ×
+    * bucket). Compacting rewrites each bucket as ONE file (the shuffle
+    * key is the bucket column, so a task holds whole buckets). Dynamic
+    * overwrite replaces only `__kb=*` directories — the `_graft_buckets`
+    * layout pin survives; readers see either the old or the new files,
+    * never a mix, because the checkpoint severs the
+    * read-before-overwrite hazard the same way the batch path does.
     */
   def compact(spark: SparkSession, targetDir: String): Unit = {
     val snap = readPinned(spark, targetDir)
@@ -873,8 +905,11 @@ object Sinks {
     val touched = b.select(col("__kb")).distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
     val existing = spark.table(table).where(col("__kb").isin(touched: _*))
-    val merged = Materialize.latestByKey(
-        existing.unionByName(b), keyCols, Seq(col(versionCol)))
+    // layout-aligned merge (see [[latestByKeyAligned]]): one exchange on
+    // __kb, whole partitions per task — the bucketed insertInto then
+    // writes ~one file per (touched __kb dir × bucket) instead of one
+    // per (merge-shuffle task × dir × bucket)
+    val merged = latestByKeyAligned(existing.unionByName(b), keyCols, versionCol)
       // sever the read-before-overwrite hazard exactly as the dir sink does
       .localCheckpoint(true)
       .select(tableCols.map(col): _*) // insertInto matches positionally
@@ -1005,10 +1040,13 @@ object Sinks {
       .where(col("col_name") === "Location")
       .select("data_type").head().getString(0)
 
-  /** Compaction for the clustered table: every micro-batch rewrite
-    * emits one file per (merge-shuffle task × touched partition ×
-    * bucket), so hot partitions accrue small bucket files batch over
-    * batch. Compacting re-clusters each `__kb` partition in one task
+  /** Compaction for the clustered table. Since the r19 layout-aligned
+    * merge each rewrite lands ~one task per touched `__kb` partition
+    * (nBuckets files per dir — the catalog bucket spec splits within the
+    * task), so tables maintained solely through this sink stay compact;
+    * this remains the recovery path for partitions fragmented by other
+    * writers or pre-r19 binaries (one file per merge-shuffle task ×
+    * partition × bucket). Compacting re-clusters each `__kb` partition in one task
     * (`repartition(__kb)`) so the rewrite lands ~one file per
     * (partition, bucket) — the catalog's bucket spec is metadata and
     * survives untouched, so the exchange-free join contract holds

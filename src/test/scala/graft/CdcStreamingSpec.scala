@@ -527,13 +527,17 @@ class CdcStreamingSpec extends AnyFunSuite {
   test("compaction rewrites each bucket to one file, contents and layout pin intact (A8)") {
     val target = java.nio.file.Files.createTempDirectory("graft-a8-compact").toString + "/t"
     val seed = (1 to 64).map(i => Stateful.Change(i.toLong, 1L, "c", s"p$i")).toDF()
-    // AQE coalesces this tiny merge to one partition (one file per bucket)
-    // on the local rig — disable it for the seed so the write has the
-    // multi-task shape it has at scale, where small files actually accrue.
-    // nBuckets=3 is deliberately coprime to the 4 shuffle partitions:
-    // bucket (pmod(hash,3)) and the merge's HashPartitioning (pmod(hash,4))
-    // share Spark's Murmur3, so an aligned count would co-partition the
-    // buckets and hide the multi-file shape this spec needs
+    // r19 optimization round: the merge shuffle is now EXPLICITLY aligned
+    // with the layout (repartition on __kb before the window — see
+    // Sinks.latestByKeyAligned), so even this deliberately adversarial
+    // setup — AQE coalescing OFF, nBuckets=3 coprime to the 4 shuffle
+    // partitions, the exact shape that used to fragment every bucket
+    // into one file per merge task — must land ONE file per bucket
+    // straight from the batch write. The pre-r19 behavior this spec used
+    // to manufacture (several small files per bucket) is what the
+    // alignment removed; compact() stays the recovery path for tables
+    // fragmented by older writers and must keep the one-file invariant
+    // and the contents.
     val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try graft.streaming.Sinks.applyUpsertBatch(seed, target, Seq("key"), "version", nBuckets = 3)
@@ -546,8 +550,9 @@ class CdcStreamingSpec extends AnyFunSuite {
     }
     val before = graft.streaming.Sinks.currentState(spark, target)
       .select("key", "payload").as[(Long, String)].collect().toSet
-    assert(filesPerBucket().values.max > 1,
-      "a multi-partition merge write should leave several small files per bucket")
+    val fresh = filesPerBucket()
+    assert(fresh.values.forall(_ === 1),
+      s"the layout-aligned merge must write one file per touched bucket: $fresh")
     graft.streaming.Sinks.compact(spark, target)
     val fp = filesPerBucket()
     assert(fp.values.forall(_ === 1), s"compaction must leave one file per bucket: $fp")
