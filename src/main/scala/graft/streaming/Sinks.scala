@@ -367,10 +367,14 @@ object Sinks {
           .parquet(targetDir).where(col("__kb").isin(touched: _*)))
       else None
     val all = existing.map(_.unionByName(b, allowMissingColumns = true)).getOrElse(b)
-    val merged = latestByKeyAligned(all, keyCols, versionCol)
-      // materialize BEFORE the overwrite below deletes the very files the
-      // `existing` branch reads — the classic self-overwrite hazard
-      .localCheckpoint(true)
+    val merged0 = latestByKeyAligned(all, keyCols, versionCol)
+    // materialize BEFORE the overwrite below deletes the very files the
+    // `existing` branch reads — the classic self-overwrite hazard. The
+    // hazard exists exactly when `existing` is read (r19 optimization
+    // round): a first write reads no table files, so its checkpoint was
+    // a pure extra materialization pass per sink lineage — skipped.
+    val merged =
+      if (existing.isDefined) merged0.localCheckpoint(true) else merged0
     merged.write.mode("overwrite")
       // per-write option, NOT a session conf: scoping it here means other
       // overwrite-partitionBy writes on the same session keep Spark's
@@ -827,7 +831,8 @@ object Sinks {
       s"bucketCols (${bucketCols.mkString(",")}) must be a non-empty subset " +
         s"of keyCols (${keyCols.mkString(",")})")
     lazy val batchRows = batch.count()
-    if (!spark.catalog.tableExists(table)) {
+    val freshTable = !spark.catalog.tableExists(table)
+    if (freshTable) {
       // batch 0 defines the table: data columns from the batch schema,
       // __kb as the partition column, the join key as the bucket spec.
       // The LAYOUT KNOBS (nKbParts, keyCols) are pinned as table
@@ -909,9 +914,11 @@ object Sinks {
     // __kb, whole partitions per task — the bucketed insertInto then
     // writes ~one file per (touched __kb dir × bucket) instead of one
     // per (merge-shuffle task × dir × bucket)
-    val merged = latestByKeyAligned(existing.unionByName(b), keyCols, versionCol)
-      // sever the read-before-overwrite hazard exactly as the dir sink does
-      .localCheckpoint(true)
+    val merged0 = latestByKeyAligned(existing.unionByName(b), keyCols, versionCol)
+    // sever the read-before-overwrite hazard exactly as the dir sink
+    // does — except on the batch that just CREATED the (empty) table,
+    // whose scan matches zero files (r19: skip the extra pass)
+    val merged = (if (freshTable) merged0 else merged0.localCheckpoint(true))
       .select(tableCols.map(col): _*) // insertInto matches positionally
     dynamicOverwriteInsert(spark, merged, table)
   }
