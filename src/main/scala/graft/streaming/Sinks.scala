@@ -367,24 +367,61 @@ object Sinks {
           .parquet(targetDir).where(col("__kb").isin(touched: _*)))
       else None
     val all = existing.map(_.unionByName(b, allowMissingColumns = true)).getOrElse(b)
-    val merged0 = latestByKeyAligned(all, keyCols, versionCol)
-    // materialize BEFORE the overwrite below deletes the very files the
-    // `existing` branch reads — the classic self-overwrite hazard. The
-    // hazard exists exactly when `existing` is read (r19 optimization
-    // round): a first write reads no table files, so its checkpoint was
-    // a pure extra materialization pass per sink lineage — skipped.
-    val merged =
-      if (existing.isDefined) merged0.localCheckpoint(true) else merged0
-    merged.write.mode("overwrite")
-      // per-write option, NOT a session conf: scoping it here means other
-      // overwrite-partitionBy writes on the same session keep Spark's
-      // static default (truncate untouched partitions) instead of
-      // silently inheriting dynamic mode
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__kb").parquet(targetDir)
+    val merged = latestByKeyAligned(all, keyCols, versionCol)
+    if (existing.isDefined)
+      // r20 (guide §5/§2.4): stage-and-swap instead of
+      // localCheckpoint + same-dir dynamic overwrite. The checkpoint
+      // existed only to sever the self-overwrite hazard, but it cost a
+      // whole extra pass per micro-batch: one job computing the merge
+      // into the block cache, a second job re-reading the cache to
+      // encode parquet. Writing the merge to a staging dir (a different
+      // path — no hazard, nothing to sever) computes and encodes it in
+      // ONE job; the driver then swaps each staged bucket dir into
+      // place, metadata-only renames on the same FS.
+      swapBucketDirsIntoTable(fs, targetDir, merged)
+    else
+      merged.write.mode("overwrite")
+        // per-write option, NOT a session conf: scoping it here means other
+        // overwrite-partitionBy writes on the same session keep Spark's
+        // static default (truncate untouched partitions) instead of
+        // silently inheriting dynamic mode
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__kb").parquet(targetDir)
     // the pin moves AFTER the data lands: a crash in between re-detects
     // the same widening next batch and rewrites the same content
     if (repin) recordPin()
+  }
+
+  /** Overwrite exactly the `__kb=` bucket dirs present in `df` — the
+    * dynamic-partition-overwrite contract — WITHOUT materializing `df`
+    * first (r20, guide §5): the rows land in one Spark write job under
+    * the underscore-prefixed `_graft_stage` dir (invisible to every
+    * parquet scan of the table, like `_SUCCESS` and the sidecars), then
+    * each staged bucket dir is renamed into place. Reading the table
+    * while writing elsewhere carries no self-overwrite hazard, so the
+    * eager localCheckpoint this replaces (one extra whole-table-working-
+    * set materialization per micro-batch: cache write + cache read) is
+    * not needed. Crash windows are the same class as Spark's own
+    * dynamic-overwrite job commit: a kill mid-swap leaves some buckets
+    * new and some old, and the replayed batch's latest-wins merge
+    * re-applies idempotently (a leftover stage dir is cleared here
+    * before the next write). The root `_SUCCESS` marker advances after
+    * the swap, keeping parity with the Spark-committed path.
+    */
+  private def swapBucketDirsIntoTable(fs: org.apache.hadoop.fs.FileSystem,
+                                      targetDir: String, df: DataFrame): Unit = {
+    val stage = new Path(targetDir, "_graft_stage")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    df.write.mode("overwrite").partitionBy("__kb").parquet(stage.toString)
+    fs.listStatus(stage).filter(_.getPath.getName.startsWith("__kb="))
+      .foreach { st =>
+        val dest = new Path(targetDir, st.getPath.getName)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(st.getPath, dest)
+      }
+    fs.delete(stage, true)
+    val ok = fs.create(new Path(targetDir, "_SUCCESS"), true)
+    ok.close()
   }
 
   /** The upsert merge, keyed for the table LAYOUT (r19 optimization
@@ -505,14 +542,13 @@ object Sinks {
           .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getBoolean(2)))
         val toRewrite = spans.collect { case (kb, true, false) => kb }
         if (toRewrite.nonEmpty) {
+          // stage-and-swap severs the read-before-overwrite hazard like
+          // every rewrite here, without the extra materialization pass
           val kept = cur
             .where(col("__kb").isin(toRewrite.toIndexedSeq: _*) &&
               col(versionCol) > t)
-            // sever the read-before-overwrite hazard like every rewrite here
-            .localCheckpoint(true)
-          kept.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__kb").parquet(targetDir)
+            .repartition(col("__kb"))
+          swapBucketDirsIntoTable(fs, targetDir, kept)
         }
         // fully-dead partitions: dynamic overwrite cannot DELETE a
         // partition absent from its output — remove their dirs outright
@@ -722,14 +758,25 @@ object Sinks {
       val bLive = b.where(col("__kb").isin(live: _*))
       val exLive = existing.map(_.where(col("__kb").isin(live: _*)))
       val all = exLive.map(_.unionByName(bLive)).getOrElse(bLive)
-      val merged = all.groupBy((keyCols :+ "__kb").map(col): _*)
+      // layout-aligned like the upsert merge (r20, guide §2.4/§6): the
+      // one explicit exchange is keyed on the layout column —
+      // HashPartitioning(__kb) satisfies the final aggregate's
+      // ClusteredDistribution(keyCols :+ __kb), so no second exchange is
+      // planned and each rewrite lands ~one file per touched bucket
+      // instead of one per (agg task × bucket)
+      val merged = all.repartition(col("__kb"))
+        .groupBy((keyCols :+ "__kb").map(col): _*)
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("sum_val")).cast("decimal(18,6)").as("sum_val"),
           max(col("__bid")).as("__bid"))
-        .localCheckpoint(true)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__kb").parquet(targetDir)
+      if (existing.isDefined)
+        // stage-and-swap severs the self-overwrite hazard without the
+        // checkpointed extra materialization pass (see the upsert path)
+        swapBucketDirsIntoTable(fs, targetDir, merged)
+      else
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__kb").parquet(targetDir)
       batchId.foreach(writeLastBatch(fs, targetDir, _))
     } finally existing.foreach(_.unpersist(false))
   }
@@ -766,12 +813,12 @@ object Sinks {
     * read-before-overwrite hazard the same way the batch path does.
     */
   def compact(spark: SparkSession, targetDir: String): Unit = {
-    val snap = readPinned(spark, targetDir)
-      .repartition(col("__kb"))
-      .localCheckpoint(true)
-    snap.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__kb").parquet(targetDir)
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage-and-swap: one pass (read + re-cluster + encode) instead of a
+    // checkpointed materialization followed by a cache re-read (r20)
+    swapBucketDirsIntoTable(fs, targetDir,
+      readPinned(spark, targetDir).repartition(col("__kb")))
   }
 
   /** Read the table through its pinned schema when one exists — buckets

@@ -103,6 +103,47 @@ object InternalPlans {
           coalesce(col("n_novel"), lit(0L)).as("n_novel"),
           round(coalesce(col("n_novel"), lit(0L)).cast("double")
             / col("n_grams"), 6).as("novelty")))
+
+    // ---- 4. the A8b rollup merge (Sinks.applyRollupBatch, r20) --------
+    // the r19 verdict's #4: the rollup's final aggregate keyed on
+    // (keyCols, __kb) shuffles on the FULL grouping hash while the write
+    // partitions dirs by __kb alone — the same unaligned-layout
+    // fragmentation class the upsert merge fixed in r19.
+    // the REAL merge input is existing-buckets-read ∪ batch-partials —
+    // a union, whose output partitioning is unknown, so the final
+    // aggregate always needs one exchange; the question is its KEY
+    val ev = graft.core.Engine.table(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+    val partial = ev.groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,6)")).as("sum_val"))
+      .withColumn("__kb", pmod(hash(col("k")), lit(16)))
+      .withColumn("__bid", lit(1L))
+    val exDir = java.nio.file.Files
+      .createTempDirectory("graft-plans-rollup").toString
+    partial.write.mode("overwrite").partitionBy("__kb").parquet(exDir)
+    val exRead = spark.read.parquet(exDir)
+      .select(partial.columns.map(col): _*)
+    def rollupAll = exRead.unionByName(partial)
+    // BEFORE: groupBy(keyCols, __kb) over the union — the one exchange
+    // is keyed on the full grouping hash, unaligned with the __kb dir
+    // layout, so every agg task writes up to one file per touched bucket
+    snap("INTERNAL_rollup_merge_before",
+      rollupAll.groupBy(col("k"), col("__kb"))
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sum_val")).cast("decimal(18,6)").as("sum_val"),
+          max(col("__bid")).as("__bid")))
+    // AFTER: one explicit repartition on __kb — HashPartitioning(__kb)
+    // satisfies the aggregate's ClusteredDistribution(k :: __kb), so the
+    // plan still has exactly ONE exchange below the final aggregate, now
+    // keyed on the layout column; each task holds whole buckets and the
+    // rewrite lands ~one file per touched bucket
+    snap("INTERNAL_rollup_merge_after",
+      rollupAll.repartition(col("__kb"))
+        .groupBy(col("k"), col("__kb"))
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sum_val")).cast("decimal(18,6)").as("sum_val"),
+          max(col("__bid")).as("__bid")))
     spark.stop()
   }
 }

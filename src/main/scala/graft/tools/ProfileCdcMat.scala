@@ -14,10 +14,24 @@ object ProfileCdcMat {
     val spark = graft.core.Engine.local(cores = cpus, shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("ERROR")
     import graft.streaming.Sinks
+    // r20: count Spark JOBS per phase — the per-micro-batch fixed cost
+    // the r19 verdict's #1 targets is jobs (touched distinct +
+    // checkpoint materialization + write), so the before/after evidence
+    // must show the job count per drain, not just seconds
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
     def phase[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
+      val j0 = jobs.get()
       val r = f
-      System.err.println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      System.err.println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"${jobs.get() - j0} jobs")
       r
     }
     // the orders leg of q03_materialized, phase-timed
