@@ -558,36 +558,52 @@ object Ingest {
         textCol, idCol, shingleN, k, bands, threshold, maxBucketSize,
         appendToIndex = true, projection = Some(proj),
         scorer = scorer, containmentThreshold = containmentThreshold)
-      // stage 3 — corpus append + sidecar refresh (the x5 shape)
+      // stages 3 / 3.5 / 4+5 commit to DISJOINT sinks (the corpus dir,
+      // the drift state, the novelty index + card) and all read the same
+      // checkpointed `kept` frame — independent jobs, overlapped from a
+      // small driver pool so each sink's commit tail back-fills with the
+      // next sink's tasks (r20, guide §2.6). Stage semantics and written
+      // content are exactly the serial version's: the only ordering the
+      // stages ever relied on is novelty-before-card, which stays inside
+      // one task below.
       val dataDir = corpusDataDir(spark, admittedDir)
-      kept.withColumn("__batch", lit(batchId))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(dataDir)
-      if (statsCols.nonEmpty) graft.ops.Manifest.refresh(spark, dataDir, statsCols)
-      bloomCols.foreach(c => graft.ops.Manifest.refreshBloom(spark, dataDir, c))
-      // stage 3.5 (optional) — drift counts over what was ADMITTED
-      // ("is what we're letting in drifting from the tuning corpus" —
-      // the monitor rides the same batch turn, one O(batch) groupBy)
-      if (driftTarget != null)
-        graft.llm.Drift.accumulate(spark, driftTarget.statePath, kept,
-          driftTarget.groupCol, driftTarget.binCol, driftTarget.nBins, batchId)
-      // stage 4 — novelty over the SURVIVORS: restrict the shared
-      // projection to kept ids (a semi-join over the cache, no re-shingle)
-      val keptProj = proj.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      if (batchId == 0L)
-        graft.llm.TextAnalysis.noveltyIndexWrite(kept, textCol, idCol,
-          noveltyPath, n = shingleN, projection = Some(keptProj))
-      else
-        graft.llm.TextAnalysis.noveltyAppendBatch(spark, noveltyPath, kept,
-          textCol, idCol, batchId = batchId, n = shingleN,
-          projection = Some(keptProj))
-      // stage 5 (optional) — K19 card deltas over the admitted docs,
-      // AFTER the novelty fold (the card's novelty partials read this
-      // batch's scores from the index). The gate's predicted label IS
-      // the lang dimension — lang-id at intake, the production shape.
-      if (cardPath != null)
-        graft.llm.TextAnalysis.cardAccumulate(spark, cardPath, kept, textCol,
-          sourceCol, "predicted", idCol, batchId, noveltyPath)
+      val stageTasks = Seq(
+        // stage 3 — corpus append + sidecar refresh (the x5 shape)
+        Some(() => {
+          kept.withColumn("__batch", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch").parquet(dataDir)
+          if (statsCols.nonEmpty) graft.ops.Manifest.refresh(spark, dataDir, statsCols)
+          bloomCols.foreach(c => graft.ops.Manifest.refreshBloom(spark, dataDir, c))
+        }),
+        // stage 3.5 (optional) — drift counts over what was ADMITTED
+        // ("is what we're letting in drifting from the tuning corpus" —
+        // the monitor rides the same batch turn, one O(batch) groupBy)
+        if (driftTarget == null) None else Some(() => {
+          graft.llm.Drift.accumulate(spark, driftTarget.statePath, kept,
+            driftTarget.groupCol, driftTarget.binCol, driftTarget.nBins, batchId)
+          ()
+        }),
+        // stage 4 — novelty over the SURVIVORS: restrict the shared
+        // projection to kept ids (a semi-join over the cache, no
+        // re-shingle); then stage 5 (optional) — K19 card deltas over
+        // the admitted docs, AFTER the novelty fold (the card's novelty
+        // partials read this batch's scores from the index). The gate's
+        // predicted label IS the lang dimension — lang-id at intake.
+        Some(() => {
+          val keptProj = proj.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          if (batchId == 0L)
+            graft.llm.TextAnalysis.noveltyIndexWrite(kept, textCol, idCol,
+              noveltyPath, n = shingleN, projection = Some(keptProj))
+          else
+            graft.llm.TextAnalysis.noveltyAppendBatch(spark, noveltyPath, kept,
+              textCol, idCol, batchId = batchId, n = shingleN,
+              projection = Some(keptProj))
+          if (cardPath != null)
+            graft.llm.TextAnalysis.cardAccumulate(spark, cardPath, kept, textCol,
+              sourceCol, "predicted", idCol, batchId, noveltyPath)
+        })).flatten
+      graft.ops.DriverPool.run(stageTasks.map(t => () => { t(); () }))
     } finally { proj.unpersist(false); gated.unpersist(false) }
   }
 
@@ -937,29 +953,39 @@ object Ingest {
       "NB model retraction needs the removed docs' labelCol")
     val rm = removedDocs.localCheckpoint(true) // one evaluation feeds every family
     val ids = rm.select(col(idCol))
-    targets.lshIndexPath.foreach(p =>
-      Dedup.retractFromIndex(spark, p, ids, idCol, retractionId))
-    targets.simhashIndexPath.foreach(p =>
-      Dedup.retractFromIndex(spark, p, ids, idCol, retractionId))
-    targets.ivfIndexPath.foreach(p =>
-      graft.llm.Similarity.ivfRetract(spark, p, ids, idCol, retractionId))
-    targets.bm25IndexPath.foreach(p =>
-      graft.llm.Search.bm25Retract(spark, p, rm, textCol, idCol, retractionId))
-    targets.lmModelPath.foreach(p =>
-      graft.llm.LanguageModel.lmRetractBatch(spark, p, rm, textCol, idCol, retractionId))
-    targets.nbModelPath.foreach(p =>
-      graft.llm.Classifier.nbRetractBatch(spark, p, rm, textCol, labelCol, retractionId))
-    targets.graphPath.foreach(p =>
-      graft.ops.Graph.retractBatchStored(spark, p, ids, idCol,
-        retractionId = retractionId))
-    targets.noveltyPath.foreach(p =>
-      graft.llm.TextAnalysis.noveltyRetract(spark, p, rm, textCol, idCol,
-        retractionId, n = shingleN))
-    targets.corpusDir.foreach(p =>
-      graft.ops.Tombstones.write(spark, corpusRetRoot(p), ids, idCol, retractionId))
-    targets.driftState.foreach(t =>
-      graft.llm.Drift.retract(spark, t.statePath, rm, t.groupCol, t.binCol,
-        t.nBins, retractionId))
+    // every family targets its OWN disjoint path and reads only the
+    // checkpointed `rm` — independent sinks, overlapped from a small
+    // driver pool (r20, guide §2.6) so each family's commit tail
+    // back-fills with the next family's tasks. Written content per
+    // family is exactly the serial version's; a failure surfaces after
+    // the in-flight families finish, and the at-least-once replay
+    // re-runs every family identically (their own idempotence args).
+    val legs: Seq[() => Unit] = Seq(
+      targets.lshIndexPath.map(p => () =>
+        Dedup.retractFromIndex(spark, p, ids, idCol, retractionId)),
+      targets.simhashIndexPath.map(p => () =>
+        Dedup.retractFromIndex(spark, p, ids, idCol, retractionId)),
+      targets.ivfIndexPath.map(p => () =>
+        graft.llm.Similarity.ivfRetract(spark, p, ids, idCol, retractionId)),
+      targets.bm25IndexPath.map(p => () =>
+        graft.llm.Search.bm25Retract(spark, p, rm, textCol, idCol, retractionId)),
+      targets.lmModelPath.map(p => () =>
+        graft.llm.LanguageModel.lmRetractBatch(spark, p, rm, textCol, idCol, retractionId)),
+      targets.nbModelPath.map(p => () =>
+        graft.llm.Classifier.nbRetractBatch(spark, p, rm, textCol, labelCol, retractionId)),
+      targets.graphPath.map(p => () =>
+        graft.ops.Graph.retractBatchStored(spark, p, ids, idCol,
+          retractionId = retractionId)),
+      targets.noveltyPath.map(p => () =>
+        graft.llm.TextAnalysis.noveltyRetract(spark, p, rm, textCol, idCol,
+          retractionId, n = shingleN)),
+      targets.corpusDir.map(p => () =>
+        graft.ops.Tombstones.write(spark, corpusRetRoot(p), ids, idCol, retractionId)),
+      targets.driftState.map(t => () =>
+        graft.llm.Drift.retract(spark, t.statePath, rm, t.groupCol, t.binCol,
+          t.nBins, retractionId))).flatten.map(f => () => { f(); () })
+    graft.ops.DriverPool.run(legs)
+    ()
   }
 
   /** Attach [[retractEverywhere]] to a stream of removed documents —
@@ -1121,26 +1147,40 @@ object Ingest {
       case _            => false
     }, "maintainEverywhere with no targets maintains nothing — register at least one path")
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    targets.lshIndexPath.foreach(p =>
-      out += "lsh" -> Dedup.indexMaintain(spark, p, maxLiveBatches, maxBucketSize))
-    targets.simhashIndexPath.foreach(p =>
-      out += "simhash" -> Dedup.indexMaintain(spark, p, maxLiveBatches, maxBucketSize))
-    targets.ivfIndexPath.foreach { p =>
-      out += "ivf" -> graft.llm.Similarity.ivfMaintain(spark, p, maxLiveBatches,
-        driftFlagRatio, lloydRounds)
-      if (targets.ivfPqCodes)
-        out += "pq" -> graft.llm.Quantization.pqMaintain(spark, p, driftFlagRatio)
-    }
-    targets.bm25IndexPath.foreach(p =>
-      out += "bm25" -> graft.llm.Search.bm25Maintain(spark, p, maxLiveBatches))
-    targets.lmModelPath.foreach(p =>
-      out += "lm" -> graft.llm.LanguageModel.lmMaintain(spark, p, maxLiveBatches))
-    targets.nbModelPath.foreach(p =>
-      out += "nb" -> graft.llm.Classifier.nbMaintain(spark, p, maxLiveBatches))
-    targets.graphPath.foreach(p =>
-      out += "k13" -> graft.ops.Graph.pairsMaintain(spark, p, maxLiveBatches))
-    targets.noveltyPath.foreach(p =>
-      out += "k17" -> graft.llm.TextAnalysis.noveltyMaintain(spark, p, maxLiveBatches))
+    // the index/model family legs below each maintain their OWN disjoint
+    // path (each a threshold-gated, crash-atomic generation swap) — the
+    // exemplary independent-sinks case, overlapped from a small driver
+    // pool (r20, guide §2.6): a compacting family's commit/stage tail
+    // back-fills with the next family's jobs. Report order is preserved
+    // (tasks return in submission order); the ivf→pq ordering the PQ
+    // drift check relies on stays INSIDE one task. Corpus, drift,
+    // snapshot, and signal legs keep their serial order below — their
+    // semantics are ordered (sidecars describe the compacted generation;
+    // the signal turn holds the writer lock for its whole turn).
+    val familyLegs: Seq[() => Seq[(String, String)]] = Seq(
+      targets.lshIndexPath.map(p => () =>
+        Seq("lsh" -> Dedup.indexMaintain(spark, p, maxLiveBatches, maxBucketSize))),
+      targets.simhashIndexPath.map(p => () =>
+        Seq("simhash" -> Dedup.indexMaintain(spark, p, maxLiveBatches, maxBucketSize))),
+      targets.ivfIndexPath.map(p => () => {
+        val ivf = "ivf" -> graft.llm.Similarity.ivfMaintain(spark, p,
+          maxLiveBatches, driftFlagRatio, lloydRounds)
+        if (targets.ivfPqCodes)
+          Seq(ivf, "pq" -> graft.llm.Quantization.pqMaintain(spark, p, driftFlagRatio))
+        else Seq(ivf)
+      }),
+      targets.bm25IndexPath.map(p => () =>
+        Seq("bm25" -> graft.llm.Search.bm25Maintain(spark, p, maxLiveBatches))),
+      targets.lmModelPath.map(p => () =>
+        Seq("lm" -> graft.llm.LanguageModel.lmMaintain(spark, p, maxLiveBatches))),
+      targets.nbModelPath.map(p => () =>
+        Seq("nb" -> graft.llm.Classifier.nbMaintain(spark, p, maxLiveBatches))),
+      targets.graphPath.map(p => () =>
+        Seq("k13" -> graft.ops.Graph.pairsMaintain(spark, p, maxLiveBatches))),
+      targets.noveltyPath.map(p => () =>
+        Seq("k17" -> graft.llm.TextAnalysis.noveltyMaintain(spark, p, maxLiveBatches)))
+    ).flatten
+    graft.ops.DriverPool.run(familyLegs).foreach(out ++= _)
     targets.corpusDir.foreach { p =>
       // physical tombstone bake FIRST (round 14, opt-in): the sidecars
       // then describe the compacted generation's files, not the ones the
