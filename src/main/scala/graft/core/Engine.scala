@@ -71,20 +71,29 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Per-session memo of corpus-table plans (r19 optimization round,
-    * guide §7.3): every `spark.read.parquet` re-infers the schema from a
-    * parquet footer and rebuilds a file index — single-threaded DRIVER
-    * work that the 25 `registerAll` call sites repaid 10× each inside
-    * the timed region of every SQL contract query. Scale-factor dirs are
-    * immutable (every caller passes /root/testdata/sf*), and a DataFrame
-    * is an immutable logical plan, so reuse is safe — this is a catalog,
-    * not a result cache (no rows are cached; every action still scans
-    * parquet). Keyed weakly by session so dead sessions don't pin plans.
+  /** Global memo of corpus-table SCHEMAS keyed by (dir, name) — the
+    * driver-side planning amortization (r19 optimization round, guide
+    * §7.3; restructured r20 per the r19 advisory): every bare
+    * `spark.read.parquet` re-infers the schema from a parquet footer —
+    * single-threaded DRIVER work that the 25 `registerAll` call sites
+    * repaid 10× each inside the timed region of every SQL contract
+    * query. The r19 form memoized whole DataFrames in a
+    * WeakHashMap[SparkSession, …], but a Dataset strongly references its
+    * session, so the weak keying never collected anything — stopped
+    * sessions leaked their plans for the life of the JVM. Memoizing only
+    * the inferred StructType (no session reference anywhere) removes the
+    * leak class outright; each call rebuilds the reader with
+    * `spark.read.schema(st)`, which skips the footer read and re-lists
+    * the directory fresh (the per-session FileStatusCache absorbs
+    * repeats), so a mutated dir can never serve a stale file index
+    * either. Restricted to the immutable corpus tables (`tableNames`) —
+    * the schema of a scale-factor table never changes under a run; any
+    * other name reads uncached. This stays a catalog, not a result
+    * cache: no rows are cached, every action still scans parquet.
     */
-  private val tableMemo =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
 
   /** Read one of the corpus tables from a scale-factor directory.
     *
@@ -97,35 +106,32 @@ object Engine {
     * SURVEY.md §7.4 timestamp semantics).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = {
-      val m = tableMemo.get(spark)
-      if (m != null) m
-      else tableMemo.synchronized {
-        val again = tableMemo.get(spark)
-        if (again != null) again
-        else {
-          val fresh = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-          tableMemo.put(spark, fresh)
-          fresh
-        }
+    val memoed = tableNames.contains(name)
+    val known = if (memoed) schemaMemo.get((dir, name)) else null
+    val raw =
+      if (known != null) spark.read.schema(known).parquet(s"$dir/$name.parquet")
+      else {
+        val df = rawUncached(spark, dir, name)
+        if (memoed) schemaMemo.putIfAbsent((dir, name), df.schema)
+        df
       }
-    }
-    perSession.computeIfAbsent((dir, name), _ => tableUncached(spark, dir, name))
+    tsNormalized(raw)
   }
 
-  private def tableUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private def rawUncached(spark: SparkSession, dir: String, name: String): DataFrame =
     // no conf mutation here: nanosAsLong is a session-construction concern
     // (Engine.local / Engine.tune); a reader silently flipping a global
     // conf made every other nanos-parquet read depend on call order
-    val df =
-      try spark.read.parquet(s"$dir/$name.parquet")
-      catch {
-        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
-          throw new IllegalStateException(
-            s"$name.parquet carries TIMESTAMP(NANOS); build the session via " +
-              "Engine.local or call Engine.tune(spark) first " +
-              "(sets spark.sql.legacy.parquet.nanosAsLong)", e)
-      }
+    try spark.read.parquet(s"$dir/$name.parquet")
+    catch {
+      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        throw new IllegalStateException(
+          s"$name.parquet carries TIMESTAMP(NANOS); build the session via " +
+            "Engine.local or call Engine.tune(spark) first " +
+            "(sets spark.sql.legacy.parquet.nanosAsLong)", e)
+    }
+
+  private def tsNormalized(df: DataFrame): DataFrame = {
     if (df.schema.exists(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType)) {
       df.withColumn("ts",
