@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output goes to stdout RAW, not through sbt's logger
+// (r20, the r19 verdict's #2): the logger prefixes every line with
+// "[info] ", which is why no BENCH_r*.json since round 1 ever parsed —
+// the driver's tail parser needs graft.Bench's bare one-line JSON
+// records (BENCH_r01's tail holds the complete contract line, prefixed,
+// and still shipped parsed:null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
