@@ -124,8 +124,19 @@ object Shards {
     * n-entry driver map — both bounded by the SHARD count, never the
     * corpus.
     */
+  // r20: the routing table is a PURE function of numShards (the
+  // coupon-collector scan is deterministic — min id per partition over
+  // a fixed candidate order), so exports of the same shard count reuse
+  // it instead of re-running the candidate-hash job every call. Not a
+  // result cache: no input data is involved, it is an arithmetic table
+  // like a codegen cache.
+  private val routesMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Map[Long, Long]]()
+
   private[graft] def shardRoutes(spark: SparkSession, numShards: Int): Map[Long, Long] = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val memoed = routesMemo.get(numShards)
+    if (memoed != null) return memoed
     var routes = Map.empty[Long, Long]
     var base = 0L
     val batch = math.max(1024L, numShards.toLong * 20L)
@@ -140,6 +151,7 @@ object Shards {
       }
       base += batch
     }
+    routesMemo.putIfAbsent(numShards, routes)
     routes
   }
 
@@ -151,10 +163,16 @@ object Shards {
                    textCol: String, idCol: String, stratumCol: String,
                    targets: Map[String, Double], maxVocab: Int,
                    shardTokens: Long, epoch: Long): (Long, DataFrame) = {
-    val mixed = Mixing.targetMix(docs, stratumCol, idCol, targets)
-    val vocab = TextAnalysis.buildVocab(mixed, textCol, maxVocab)
-    val encoded = TextAnalysis.encodeTokens(mixed, vocab, textCol, idCol)
-    exportEncoded(spark, outPath, encoded, shardTokens, epoch)
+    // intra-export multi-consumer cache (r20, guide §5): the mixed frame
+    // is evaluated by the vocab count AND again inside the pack's frozen
+    // cumsum — caching it runs the two mix windows once; unpersisted
+    // before return (the cumsum checkpoint froze everything downstream)
+    val mixed = Mixing.targetMix(docs, stratumCol, idCol, targets).persist()
+    try {
+      val vocab = TextAnalysis.buildVocab(mixed, textCol, maxVocab)
+      val encoded = TextAnalysis.encodeTokens(mixed, vocab, textCol, idCol)
+      exportEncoded(spark, outPath, encoded, shardTokens, epoch)
+    } finally mixed.unpersist(false)
   }
 
   /** The BPE export — the shard set a trainer actually mounts (r16, the
@@ -171,12 +189,17 @@ object Shards {
                       targets: Map[String, Double], numMerges: Int,
                       maxWordTypes: Int, shardTokens: Long, epoch: Long,
                       model: Option[Bpe.Model] = None): (Long, DataFrame) = {
-    val mixed = Mixing.targetMix(docs, stratumCol, idCol, targets)
-    val m = model.getOrElse(
-      Bpe.train(mixed, textCol, numMerges, maxWordTypes))
-    val encoded = (if (model.isEmpty) Bpe.encode(mixed, m, textCol, idCol)
-                   else Bpe.encodeAny(mixed, m, textCol, idCol))
-      .withColumnRenamed("n_subwords", "n_tokens")
-    exportEncoded(spark, outPath, encoded, shardTokens, epoch)
+    // same intra-export cache as exportShards (r20, guide §5): the BPE
+    // twin evaluates the mixed frame THREE times — the trainer's word
+    // count, the encoder's coverage guard, and the pack's frozen cumsum
+    val mixed = Mixing.targetMix(docs, stratumCol, idCol, targets).persist()
+    try {
+      val m = model.getOrElse(
+        Bpe.train(mixed, textCol, numMerges, maxWordTypes))
+      val encoded = (if (model.isEmpty) Bpe.encode(mixed, m, textCol, idCol)
+                     else Bpe.encodeAny(mixed, m, textCol, idCol))
+        .withColumnRenamed("n_subwords", "n_tokens")
+      exportEncoded(spark, outPath, encoded, shardTokens, epoch)
+    } finally mixed.unpersist(false)
   }
 }
