@@ -137,6 +137,14 @@ object Search {
     * in `meta/`. Clears any previous generation state at `path` (the
     * `ivfWriteIndex` reset rule — a rebuild must not stay shadowed by a
     * stale committed generation).
+    *
+    * CONTRACT: `idCol` is unique across `docs` (the same id-uniqueness
+    * precondition every index family states — Ingest.ingestBatch's).
+    * Since r19's rewrite, dl is grouped per (doc, text) row rather than
+    * summed across all rows of a doc id, so a duplicated id with two
+    * different texts would emit duplicate (doc, term) postings with
+    * conflicting dl instead of one merged per-doc row — dedupe upstream
+    * if the source can repeat ids.
     */
   def bm25IndexWrite(docs: DataFrame, textCol: String, idCol: String,
                      path: String, nBuckets: Int = DefaultTermBuckets): Unit = {

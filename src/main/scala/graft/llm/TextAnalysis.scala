@@ -400,6 +400,13 @@ object TextAnalysis {
     * min-id aggregate and the doc-keyed stats — the k10 cost class.
     * First-occurrence ties cannot exist (min over ids; each (doc, gram)
     * appears once).
+    *
+    * CONTRACT: `idCol` is unique across `df` (the shared index-family
+    * precondition). Since r19's rewrite, n_novel credits the
+    * first-occurrence count to the doc ID — a duplicated id would see
+    * each of its projection rows carry the full per-id n_novel (novelty
+    * could exceed 1) instead of the old form's merged per-id row —
+    * dedupe upstream if the source can repeat ids.
     */
   def noveltyScores(df: DataFrame, textCol: String, idCol: String,
                     n: Int = 3): DataFrame = {

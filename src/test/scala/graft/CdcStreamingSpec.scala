@@ -553,6 +553,30 @@ class CdcStreamingSpec extends AnyFunSuite {
     val fresh = filesPerBucket()
     assert(fresh.values.forall(_ === 1),
       s"the layout-aligned merge must write one file per touched bucket: $fresh")
+    // manufacture REAL fragmentation (r20, the r19 advisory): since the
+    // aligned merge keeps the table compact by construction, compact()'s
+    // multi-file merge path needs another writer's damage to exercise —
+    // split one bucket's single file into three on disk (identical rows,
+    // fragmented layout), exactly what a pre-r19 binary or a foreign
+    // writer leaves behind
+    val fragDir = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("__kb=")).head
+    val fragRows = spark.read.parquet(fragDir.getAbsolutePath)
+      .localCheckpoint(true) // sever: the source files are deleted below
+    val split = java.nio.file.Files.createTempDirectory("graft-a8-split").toString
+    fragRows.repartition(3).write.mode("overwrite").parquet(split)
+    fragDir.listFiles().filter(_.getName.startsWith("part-")).foreach(_.delete())
+    new java.io.File(split).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(fragDir, s"part-frag$i.zstd.parquet").toPath)
+      }
+    assert(filesPerBucket()(fragDir.getName) > 1,
+      s"the fragmentation setup must leave a multi-file bucket: ${filesPerBucket()}")
+    assert(graft.streaming.Sinks.currentState(spark, target)
+      .select("key", "payload").as[(Long, String)].collect().toSet === before,
+      "the fragmentation setup must not change table contents")
     graft.streaming.Sinks.compact(spark, target)
     val fp = filesPerBucket()
     assert(fp.values.forall(_ === 1), s"compaction must leave one file per bucket: $fp")

@@ -268,9 +268,32 @@ class ClusteredSinkSpec extends AnyFunSuite {
       s"layout-aligned merges must keep ≤ nKbParts×nBuckets files (got $beforeFiles)")
     val beforeRows = Sinks.currentStateClustered(spark, t)
       .orderBy("k", "sub").collect().toSeq
+    // manufacture REAL fragmentation (r20, the r19 advisory): the
+    // aligned merge keeps the table at the compacted ceiling by
+    // construction, so compactClustered's multi-file fold needs a
+    // foreign writer's damage to exercise — re-insert the table's own
+    // rows through an UNALIGNED dynamic overwrite (the pre-r19 binary
+    // shape: many tasks × buckets files per partition, same content)
+    val tableCols = spark.table(t).columns
+    val unaligned = spark.table(t).localCheckpoint(true)
+      .repartition(5).select(tableCols.map(col): _*)
+    val pow = "spark.sql.sources.partitionOverwriteMode"
+    val prevPow = spark.conf.get(pow, "STATIC")
+    spark.conf.set(pow, "dynamic")
+    try unaligned.write.mode("overwrite").insertInto(t)
+    finally spark.conf.set(pow, prevPow)
+    spark.catalog.refreshTable(t)
+    val fragFiles = files()
+    assert(fragFiles > 2 * 4,
+      s"the fragmentation setup must exceed the compacted ceiling (got $fragFiles)")
+    assert(Sinks.currentStateClustered(spark, t)
+      .orderBy("k", "sub").collect().toSeq === beforeRows,
+      "the fragmentation setup must not change the answer")
     Sinks.compactClustered(spark, t)
     assert(files() <= beforeFiles,
-      s"compaction must not grow the file count (was $beforeFiles, now ${files()})")
+      s"compaction must fold the fragmented table back to ≤ the aligned " +
+        s"steady state (was $beforeFiles aligned, $fragFiles fragmented, " +
+        s"now ${files()})")
     assert(Sinks.currentStateClustered(spark, t)
       .orderBy("k", "sub").collect().toSeq === beforeRows,
       "compaction must never change the answer")
