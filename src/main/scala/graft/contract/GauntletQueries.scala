@@ -146,6 +146,26 @@ object GauntletQueries {
       .drop("__rid")
   }
 
+  /** r20 (guide §2.6): q03/q10_materialized each replay TWO CDC
+    * pipelines that are fully independent — orders and lineitem
+    * materialize into disjoint temp dirs with their own changelogs,
+    * checkpoints and targets, sharing nothing but the session (whose
+    * entry points here — Engine.table's ConcurrentHashMap schema memo,
+    * per-target Sinks state — are concurrency-safe, the same surface
+    * the k21 DriverPool fan-outs already drive in parallel). Ran
+    * serially, each pipeline's per-micro-batch commit latency and
+    * stage tails left the executors idle; two driver threads let one
+    * pipeline's tasks back-fill the other's tail. Results are
+    * byte-identical: the same two materialized tables are produced,
+    * only the wall-clock interleaving of their jobs changes.
+    */
+  private def bothViaCdc(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val r = graft.ops.DriverPool.run(
+      Seq(() => ordersViaCdc(s, dir), () => lineitemViaCdc(s, dir)),
+      parallelism = 2)
+    (r(0), r(1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q2 shape — min-cost supplier: a 5-table join with a correlated
@@ -242,9 +262,10 @@ object GauntletQueries {
     // the reference platform's consumer story.
     "q03_materialized" -> ((s, dir) => {
       val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
-      val o = ordersViaCdc(s, dir)
+      val (oMat, lMat) = bothViaCdc(s, dir)
+      val o = oMat
         .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val l = lineitemViaCdc(s, dir)
+      val l = lMat
         .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
@@ -261,10 +282,11 @@ object GauntletQueries {
     // l_returnflag, so a single lost merge changes this answer).
     "q10_materialized" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = ordersViaCdc(s, dir).where(
+      val (oMat, lMat) = bothViaCdc(s, dir)
+      val o = oMat.where(
         col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
-      val l = lineitemViaCdc(s, dir).where(col("l_returnflag") === "R")
+      val l = lMat.where(col("l_returnflag") === "R")
       val n = t(s, dir, "nation")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
